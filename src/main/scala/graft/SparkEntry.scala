@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the complete operator surface (one entry per implemented
+  * operator from SURVEY.md §2 plus the LLM-pipeline extensions); for each
+  * key, `oracleSql` carries the equivalent DuckDB SQL the driver runs on
+  * the same parquet tables. Queries without an oracle entry get a
+  * rows-only check (non-SQL-expressible ops: HNSW graph internals, LSH).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Spark session settings every entry point needs:
+    *  - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), unsupported by
+    *    Spark's reader natively; we read raw nanos and convert ourselves.
+    *  - AQE on: runtime coalescing + skew-join handling at scale.
+    */
+  val sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.session.timeZone" -> "UTC"
+  )
+  def applyConfigs(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * exact cosine kNN over the embeddings table (the reference's core
+    * capability, LinearDb brute-force path). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("v_knn_cosine")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.defs ++
+      graft.queries.Events.defs ++
+      graft.queries.Text.defs ++
+      graft.queries.Vector.defs ++
+      graft.operators.Multimodal.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracles ++
+      graft.queries.Events.oracles ++
+      graft.queries.Text.oracles ++
+      graft.queries.Vector.oracles ++
+      graft.operators.Multimodal.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata, processed batch-at-a-time.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[stubDecodeFeatures]]) — the
+  * Spark-side contract that matters at 100 TB is real and tested here:
+  * binary schema, per-partition batch processing (mapPartitions — one
+  * decoder init per partition, not per row), bounded row widths (frames
+  * exploded rather than materialized as giant arrays), and pushdown-safe
+  * metadata columns that let a scan skip payload bytes entirely.
+  *
+  * Testdata has no binary table, so [[withBinaryPayload]] derives a
+  * deterministic payload column from `documents.text` — the plumbing is
+  * payload-agnostic.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + typed metadata (the standard multimodal
+    * table shape: id, payload, media_type, n_bytes). */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("media_type",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+
+  /** STUB decoder: stands in for image/audio decode + feature extraction.
+    * Deterministic 8-dim float features from payload bytes (stride
+    * sampling), so downstream similarity/dedup plumbing is exercised
+    * end-to-end. A real deployment swaps `decodeOne` for a codec call; the
+    * mapPartitions shape (batch iterator in, batch iterator out, one
+    * "decoder" per partition) is the real contract.
+    */
+  def stubDecodeFeatures(df: DataFrame, payloadCol: String = "payload",
+                         idCol: String = "doc_id", dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = df.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { it =>
+      // decoder init happens once per partition here (stub: nothing to init)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        org.apache.spark.sql.Row(id, decodeOne(bytes, dim))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** The stand-in for a real codec: deterministic byte-stride pooling. */
+  private def decodeOne(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes.isEmpty) return out
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    var d = 0
+    while (d < dim) { out(d) = out(d) / math.max(1, bytes.length / dim).toFloat; d += 1 }
+    out
+  }
+
+  /** Frame sampling: cut the payload into fixed-size "frames" (every
+    * `frameBytes` bytes, up to `maxFrames`), exploded one row per frame so
+    * row width stays bounded no matter the payload size. */
+  def sampleFrames(df: DataFrame, frameBytes: Int = 256, maxFrames: Int = 8,
+                   payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), col(payloadCol))
+      .withColumn("n_frames",
+        least(lit(maxFrames), greatest(lit(1), floor(octet_length(col(payloadCol)) / frameBytes))).cast("int"))
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .withColumn("frame",
+        expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .select(col(idCol), col("frame_idx"), col("frame"), octet_length(col("frame")).as("frame_bytes"))
+
+  /** Oracle-able metadata query: payload byte length, content hash, frame
+    * count — everything a 100 TB scan can compute without decoding. */
+  def metaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir)
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        sha2(col("payload"), 256).as("sha256_hex"),
+        least(lit(8), greatest(lit(1), floor(col("n_bytes") / 256))).cast("int").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def Tables(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  val oracles: Map[String, String] = Map(
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256_hex,
+        | CAST(least(8, greatest(1, floor(octet_length(encode(text)) / 256))) AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_binary_meta" -> ((s, dir) => metaQuery(s, dir))
+  )
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Tables.{cents, tsFromNanos}
+
+/** Event-stream analytics over the `events` table (the batch image of the
+  * streaming surface; graft.streaming runs the same aggregations through
+  * Structured Streaming).
+  *
+  * `ts` is parquet TIMESTAMP(NANOS): Spark reads it as long nanos
+  * (nanosAsLong), DuckDB natively — all exact comparisons stay in integer
+  * nanos on both sides.
+  */
+object Events {
+  private def t(s: SparkSession, dir: String) = Tables(s, dir, "events")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling-window (hourly) aggregation — the batch shape of the
+    // streaming groupBy(window(...)); group count is bounded (
+    // hours x event types), partial aggregation collapses each scan
+    // partition first.
+    "e_hourly_rollup" -> ((s, dir) => {
+      t(s, dir)
+        .withColumn("hour_s", date_format(tsFromNanos(col("ts")), "yyyy-MM-dd HH"))
+        .groupBy(col("hour_s"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("sum_value_c"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("hour_s"), col("event_type"))
+    }),
+
+    // Per-user stats + global top-20 by spend.
+    "e_top_users" -> ((s, dir) => {
+      t(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_value_c"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts")).as("first_ts_ns"),
+          max(col("ts")).as("last_ts_ns"))
+        .orderBy(col("sum_value_c").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // Sessionization: a session break is a >30min gap; pure window
+    // functions (lag + conditional sum), no driver loop — scales as one
+    // shuffle by user_id.
+    "e_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new_session",
+          when(col("prev_ts").isNull || (col("ts") - col("prev_ts")) > lit(1800000000000L), 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("is_new_session")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Semi-structured extraction: JSON props -> typed value histogram.
+    "e_json_props" -> ((s, dir) => {
+      t(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy(col("k"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_hourly_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_s, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "e_top_users" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        | epoch_ns(min(ts)) AS first_ts_ns,
+        | epoch_ns(max(ts)) AS last_ts_ns
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY sum_value_c DESC, user_id
+        |LIMIT 20""".stripMargin,
+
+    "e_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id, epoch_ns(ts) AS ts_ns,
+        |   lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+        |  FROM events) x
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "e_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        | count(*) AS n,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
+  )
+}

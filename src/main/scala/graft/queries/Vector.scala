@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.ExactKnn
+
+/** Vector-engine queries: the reference capability surface (brute-force
+  * kNN = LinearDb, Hamming codes, similarity dedup) over the `embeddings`
+  * table. Results expose only integer ids/ranks (and integer Hamming
+  * distances) — float scores stay internal so the DuckDB oracle comparison
+  * is exact.
+  */
+object Vector {
+  private def t(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  /** Query subset: every 25th vector (20 queries at sf0.01, 80 at sf0.1). */
+  private def queriesDf(s: SparkSession, dir: String) =
+    t(s, dir).filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def vectorsDf(s: SparkSession, dir: String) =
+    t(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def knn(s: SparkSession, dir: String, k: Int, metric: String): DataFrame =
+    ExactKnn.search(queriesDf(s, dir), vectorsDf(s, dir), k, metric)
+      .select(col("qid"), col("id"), col("rank"))
+      .orderBy(col("qid"), col("rank"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact kNN, three metrics — the LinearDb brute-force path
+    // (reference: src/linear_db.rs:27-35) and the recall oracle for ANN.
+    "v_knn_cosine" -> ((s, dir) => knn(s, dir, 10, "cosine")),
+    "v_knn_l2" -> ((s, dir) => knn(s, dir, 10, "l2")),
+    "v_knn_dot" -> ((s, dir) => knn(s, dir, 10, "dot")),
+
+    // u64 bit-code Hamming kNN — the reference's native representation
+    // (lazy_memory_store.rs:49-54): sign-pack each embedding to 64 bits,
+    // rank by bit_count(xor). Integer distances are exactly comparable.
+    "v_knn_hamming" -> ((s, dir) => {
+      val q = queriesDf(s, dir).select(col("qid"), signPack64(col("qvec")).as("qvec"))
+      val v = vectorsDf(s, dir).select(col("id"), signPack64(col("vec")).as("vec"))
+      ExactKnn.search(q, v, 5, "hamming")
+        .select(col("qid"), col("id"), col("score").cast("int").as("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Similarity self-join (near-dup pair detection) above a cosine
+    // threshold — brute force here as the correctness oracle; the scale
+    // path is the LSH-bucketed variant in graft.operators.Dedup.
+    "v_neardup_pairs" -> ((s, dir) => {
+      val a = t(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = t(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(cosineSim(col("a_vec"), col("b_vec")) >= 0.4)
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // Exact vector dedup: hash-groupBy on the full embedding.
+    "v_dedup_exact" -> ((s, dir) => {
+      t(s, dir).agg(
+        count(lit(1)).as("n_vectors"),
+        countDistinct(col("embedding")).as("n_distinct"))
+    })
+  )
+
+  private val qFilter = "vec_id % 25 = 0"
+
+  private def knnOracle(k: Int, scoreExpr: String, desc: Boolean): String = {
+    val dir = if (desc) "DESC" else "ASC"
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE $qFilter),
+       |     v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |     p AS (SELECT qid, id, $scoreExpr AS s FROM q, v),
+       |     r AS (SELECT qid, id, CAST(row_number() OVER (
+       |            PARTITION BY qid ORDER BY s $dir, id) AS INT) AS rank FROM p)
+       |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "v_knn_cosine" -> knnOracle(10,
+      "list_dot_product(qv, vv) / sqrt(list_dot_product(qv, qv) * list_dot_product(vv, vv))",
+      desc = true),
+    "v_knn_l2" -> knnOracle(10, "list_distance(qv, vv)", desc = false),
+    "v_knn_dot" -> knnOracle(10, "list_dot_product(qv, vv)", desc = true),
+
+    "v_knn_hamming" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, bit_or(CASE WHEN e >= 0 THEN
+         |    CASE WHEN i = 64 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << (i-1)) END
+         |    ELSE 0 END) AS code
+         |  FROM (SELECT vec_id, unnest(embedding) AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+         |  GROUP BY vec_id),
+         | q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE $qFilter),
+         | p AS (SELECT qid, c.vec_id AS id, bit_count(xor(qc, c.code)) AS hamming FROM q, c),
+         | r AS (SELECT qid, id, CAST(hamming AS INT) AS hamming,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS INT) AS rank
+         |       FROM p)
+         |SELECT qid, id, hamming, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "v_neardup_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "v_dedup_exact" ->
+      """SELECT count(*) AS n_vectors,
+        | CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct
+        |FROM embeddings""".stripMargin
+  )
+}

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+
+/** Access bridge into `private[sql]` Spark internals (Column <-> Expression
+  * conversion and the `AbstractDataType`-typed `inputTypes` contract).
+  * Lives under org.apache.spark.sql.* solely for visibility; keep it tiny. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Input-type contract: (array<float>, array<float>). */
+trait Float32BinaryInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+}
+
+/** Input-type contract: (array<float>). */
+trait Float32UnaryInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+}
