@@ -33,15 +33,19 @@ object Events {
         .orderBy(col("hour_s"), col("event_type"))
     }),
 
-    // Per-user stats + global top-20 by spend.
+    // Per-user stats + global top-20 by spend. Timestamps are exposed in
+    // MICROseconds: the parquet column is TIMESTAMP(NANOS) and DuckDB's
+    // reader truncates it to us, so ns-precision output can never
+    // hash-match the oracle; floor-div by 1000 is monotone, so it
+    // commutes with min/max and both engines see identical values.
     "e_top_users" -> ((s, dir) => {
       t(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(cents(col("value"))).as("sum_value_c"),
           countDistinct(col("event_type")).as("n_types"),
-          min(col("ts")).as("first_ts_ns"),
-          max(col("ts")).as("last_ts_ns"))
+          expr("min(ts) div 1000").as("first_ts_us"),
+          expr("max(ts) div 1000").as("last_ts_us"))
         .orderBy(col("sum_value_c").desc, col("user_id"))
         .limit(20)
     }),
@@ -49,12 +53,17 @@ object Events {
     // Sessionization: a session break is a >30min gap; pure window
     // functions (lag + conditional sum), no driver loop — scales as one
     // shuffle by user_id.
+    // All session math in MICROseconds (see e_top_users note: DuckDB
+    // truncates TIMESTAMP(NANOS) to us, so ns-precision ordering could
+    // tiebreak differently between engines).
     "e_sessions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tsUs = expr("ts div 1000")
+      val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
       t(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("ts_us", tsUs)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
         .withColumn("is_new_session",
-          when(col("prev_ts").isNull || (col("ts") - col("prev_ts")) > lit(1800000000000L), 1L)
+          when(col("prev_us").isNull || (col("ts_us") - col("prev_us")) > lit(1800000000L), 1L)
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("is_new_session")).as("n_sessions"))
@@ -85,8 +94,8 @@ object Events {
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
-        | epoch_ns(min(ts)) AS first_ts_ns,
-        | epoch_ns(max(ts)) AS last_ts_ns
+        | epoch_us(min(ts)) AS first_ts_us,
+        | epoch_us(max(ts)) AS last_ts_us
         |FROM events
         |GROUP BY user_id
         |ORDER BY sum_value_c DESC, user_id
@@ -94,10 +103,10 @@ object Events {
 
     "e_sessions" ->
       """SELECT user_id, count(*) AS n_events,
-        | CAST(sum(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM (
-        |  SELECT user_id, epoch_ns(ts) AS ts_ns,
-        |   lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |   lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
         |  FROM events) x
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,

@@ -40,15 +40,13 @@ object Text {
     }),
 
     // Document fingerprint: min-hash over 8-char shingles (1-permutation
-    // MinHash). The shingle explosion never leaves its partition; the
-    // per-doc min is a partial-aggregatable reduction.
+    // MinHash), computed per-row with higher-order functions — zero
+    // explode, zero extra shuffle rows, stays in whole-stage codegen.
     "t_fingerprint" -> ((s, dir) => {
       t(s, dir)
-        .select(col("doc_id"), col("text"))
-        .withColumn("i", explode(expr("sequence(1, greatest(length(text) - 7, 1))")))
-        .withColumn("shingle", expr("substring(text, i, 8)"))
-        .groupBy(col("doc_id"))
-        .agg(min(md5(col("shingle"))).as("fp"))
+        .select(col("doc_id"),
+          expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+            " i -> md5(substring(text, i, 8))))").as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -64,27 +62,29 @@ object Text {
         .orderBy(col("h"))
     }),
 
-    // Stopword profile: explode tokens, count stopword hits per doc.
+    // Stopword profile: per-row higher-order functions (size/filter over
+    // split) — no token explode, no shuffle of O(total_tokens) rows; the
+    // whole query is a single codegen'd scan + final sort.
     "t_stopword_profile" -> ((s, dir) => {
       val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
       t(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          sum(expr(s"CASE WHEN tok IN $stop THEN 1 ELSE 0 END")).as("n_stop"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))")
+            .cast("long").as("n_stop"))
         .orderBy(col("doc_id"))
     }),
 
     // Quality score: deterministic scalar double math over integer counts
     // (stopword ratio + length normalization), the heuristic-filter shape
-    // of LLM data pipelines.
+    // of LLM data pipelines. Per-row expressions only — no explode.
     "t_quality_score" -> ((s, dir) => {
       val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
       t(s, dir)
-        .select(col("doc_id"), col("n_chars"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("doc_id"), col("n_chars"))
-        .agg(count(lit(1)).as("n_tok"),
-          sum(expr(s"CASE WHEN tok IN $stop THEN 1 ELSE 0 END")).as("n_stop"))
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))")
+            .cast("long").as("n_stop"))
         .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
         .withColumn("len_norm", least(lit(1.0), col("n_chars") / lit(500.0)))
         .withColumn("quality", col("stop_ratio") * 0.5 + col("len_norm") * 0.5)
@@ -109,9 +109,10 @@ object Text {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
-      """SELECT doc_id, min(md5(substring(text, i, 8))) AS fp
-        |FROM documents, generate_series(1, greatest(length(text) - 7, 1)) AS t(i)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        | list_aggregate(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+        |   i -> md5(substring(text, i, 8))), 'min') AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t_prefix_dup_groups" ->
       """SELECT md5(substring(text, 1, 50)) AS h, count(*) AS n,
