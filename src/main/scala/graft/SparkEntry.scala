@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.Events.defs ++
       graft.queries.Text.defs ++
       graft.queries.Vector.defs ++
+      graft.queries.Hnsw.defs ++
       graft.operators.Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.Vector.oracles ++
+      graft.queries.Hnsw.oracles ++
       graft.operators.Multimodal.oracles
 }

@@ -1,0 +1,161 @@
+package graft.hnsw
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{EntryPoint, GraphSnapshot}
+
+/** The HNSW graph as DataFrames — the Spark image of the reference's
+  * Postgres graph store (graph_pg.rs:18-128; schema
+  * migrations/20240909105321_init.up.sql:1-12):
+  *
+  *   links(src: long, layer: int, links: array<struct<dst: long, dist: double>>)
+  *   entry(point: long, layer: int)            -- singleton
+  *
+  * jsonb becomes a typed nested array; `(source_ref, layer)` stays the
+  * key. Layer `l` holds ~n*p^l vertices, so only layer 0 is large; links
+  * arrays are bounded by M_max, keeping row width O(M).
+  */
+object GraphFrames {
+
+  val linksSchema: StructType = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("layer", IntegerType, nullable = false),
+    StructField("links", ArrayType(StructType(Seq(
+      StructField("dst", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))), containsNull = false),
+      nullable = false)
+  ))
+
+  /** Snapshot -> links DataFrame (G7 export, graph_mem.rs:141-155). */
+  def toLinksDF(spark: SparkSession, snapshot: GraphSnapshot): DataFrame = {
+    val rows = for {
+      (layerMap, lc) <- snapshot.layers.iterator.zipWithIndex
+      (src, (dsts, dists)) <- layerMap.iterator
+    } yield Row(src, lc,
+      dsts.indices.map(i => Row(dsts(i), dists(i))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), linksSchema)
+  }
+
+  /** Links DataFrame (+ entry point) -> snapshot (G7 import,
+    * graph_mem.rs:25-40). num_layers = max(layer)+1, derived — the
+    * reference's pg store left that op `todo!()` (graph_pg.rs:125-127). */
+  def fromLinksDF(links: DataFrame, entryPoint: Option[EntryPoint]): GraphSnapshot = {
+    val collected = links
+      .select(col("src"), col("layer"), col("links"))
+      .collect()
+    val nLayers = math.max(
+      if (collected.isEmpty) 0 else collected.map(_.getInt(1)).max + 1,
+      entryPoint.map(_.layer + 1).getOrElse(0))
+    val layerMaps = Array.fill(nLayers)(Map.newBuilder[Long, (Array[Long], Array[Double])])
+    collected.foreach { r =>
+      val ns = r.getSeq[Row](2)
+      layerMaps(r.getInt(1)) += r.getLong(0) ->
+        (ns.map(_.getLong(0)).toArray, ns.map(_.getDouble(1)).toArray)
+    }
+    GraphSnapshot(entryPoint, layerMaps.map(_.result()))
+  }
+
+  /** Persist graph (links parquet partitioned by layer + 1-row entry
+    * parquet). The entry point is scalar state — never shuffled for. */
+  def save(spark: SparkSession, snapshot: GraphSnapshot, path: String): Unit = {
+    toLinksDF(spark, snapshot).write.mode("overwrite")
+      .partitionBy("layer").parquet(s"$path/links")
+    import spark.implicits._
+    val ep = snapshot.entryPoint.toSeq.map(e => (e.point, e.layer))
+    ep.toDF("point", "layer").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/entry")
+  }
+
+  def load(spark: SparkSession, path: String): GraphSnapshot = {
+    val entry = spark.read.parquet(s"$path/entry").collect()
+      .headOption.map(r => EntryPoint(r.getLong(0), r.getInt(1)))
+    // partitionBy writes `layer` back as a partition column; order columns
+    val links = spark.read.parquet(s"$path/links")
+      .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
+    fromLinksDF(links, entry)
+  }
+
+  /** connect_bidir (S9, hawk_searcher.rs:153-176) as a pure DataFrame
+    * job — the merge path for a disk-backed graph (streaming/incremental
+    * ingest), where the adjacency must not round-trip through the driver:
+    *
+    *   newLinks: (q, layer, links)  — each new vertex's forward queue,
+    *             already trimmed to M by the search phase
+    *   reverse edges: explode -> (dst, layer, (q, dist))
+    *   merge: union with the touched vertices' existing queues, re-rank
+    *          per (src, layer) by (dist, dst), keep M_max(layer), regroup
+    *
+    * Untouched rows pass through without exploding. One shuffle on the
+    * touched set (small: batch x M rows), broadcast-joined against the
+    * big links table.
+    */
+  def connectBidirMerge(links: DataFrame, newLinks: DataFrame,
+                        params: HnswParams): DataFrame = {
+    val mMaxExpr = {
+      // M_max(layer) with the NParamLayers clamp, as a column expression
+      val cases = (0 until HnswParams.NParamLayers).map { lc =>
+        s"WHEN layer >= $lc THEN ${params.getMMax(lc)}"
+      }.reverse.mkString(" ")
+      expr(s"CASE $cases ELSE ${params.getMMax(0)} END")
+    }
+
+    val forward = newLinks.select(col("q").as("src"), col("layer"),
+      slice(col("links"), 1, 999999).as("links")) // trimmed upstream; pass through
+
+    // Reverse edges targeting existing vertices.
+    val reverse = newLinks
+      .select(col("q"), col("layer"), explode(col("links")).as("n"))
+      .select(col("n.dst").as("src"), col("layer"),
+        struct(col("q").as("dst"), col("n.dist").as("dist")).as("edge"))
+
+    val touchedKeys = reverse.select(col("src"), col("layer")).distinct()
+
+    // Small side broadcast: the touched key set.
+    val touched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_semi")
+    val untouched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_anti")
+
+    val mergedTouched = touched
+      .select(col("src"), col("layer"), explode(col("links")).as("edge"))
+      .unionByName(reverse)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"), col("layer"))
+          .orderBy(col("edge.dist"), col("edge.dst"))))
+      .filter(col("rank") <= mMaxExpr)
+      .groupBy(col("src"), col("layer"))
+      .agg(array_sort(collect_list(col("edge"))).as("links"))
+
+    // New vertices reverse-touched by *other* new vertices in the same
+    // batch keep only their forward queue here (intra-batch reverse edges
+    // are handled by the next merge round or accepted as the documented
+    // batch tradeoff): union forward last and drop duplicate keys
+    // deterministically, preferring the merged (reverse-updated) row.
+    untouched
+      .unionByName(mergedTouched)
+      .unionByName(forward.join(
+        broadcast(touchedKeys), Seq("src", "layer"), "left_anti"))
+  }
+
+  /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):
+    * remap every vertex id through `idMap` (old -> new), preserving
+    * structure and distances (metric assumed unchanged, so queue order is
+    * untouched). Joins only; the graph never leaves the cluster. */
+  def remap(links: DataFrame, idMap: DataFrame): DataFrame = {
+    val srcMapped = links
+      .join(idMap.withColumnRenamed("old", "src"), Seq("src"))
+      .select(col("new").as("src"), col("layer"), col("links"))
+    srcMapped
+      .select(col("src"), col("layer"), posexplode(col("links")).as(Seq("pos", "edge")))
+      .join(idMap.withColumnRenamed("old", "dst_old"),
+        col("edge.dst") === col("dst_old"))
+      .groupBy(col("src"), col("layer"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), struct(col("new").as("dst"), col("edge.dist").as("dist")).as("edge"))
+      )).as("indexed"))
+      .select(col("src"), col("layer"),
+        expr("transform(indexed, x -> x.edge)").as("links"))
+  }
+}

@@ -1,0 +1,209 @@
+package graft.hnsw
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{ArrayVectorStore, GraphSnapshot, InMemoryGraph, Metrics}
+
+/** A built HNSW index ready for distributed search: the (small, broadcast-
+  * able) layered graph plus the vector table keyed by id. At broadcast
+  * scale both ship to every executor once; beyond that, shard with
+  * [[HnswDistributed.buildSharded]] (independent per-shard graphs + top-k
+  * merge — the 100 TB path, where each shard holds only its partition's
+  * vectors and graph).
+  */
+final case class HnswModel(
+    params: HnswParams,
+    metricName: String,
+    snapshot: GraphSnapshot,
+    vectors: Map[Long, Array[Float]]
+) extends Serializable {
+  def size: Int = vectors.size
+}
+
+/** Distributed HNSW build & search over DataFrames.
+  *
+  * Build (S10 batched): the reference inserts one vector at a time, each
+  * insert reading the graph built by all previous ones
+  * (hawk_searcher.rs:311-332). The batch-parallel variant processes
+  * micro-batches: phase 1 (search_to_insert, read-only — the expensive
+  * part) runs data-parallel on executors against a broadcast snapshot of
+  * the current graph; phase 2 (connect_bidir mutations) applies the batch
+  * results in deterministic id order. Same-batch vectors don't see each
+  * other during phase 1, so batch size is capped at the current graph size
+  * (each node always links into a graph at least as large as its batch) —
+  * the standard recall/parallelism tradeoff of distributed HNSW builds,
+  * measured against the exact oracle in the test suite.
+  *
+  * Determinism: layer assignment is hash-based (S3,
+  * [[HnswSearcher.selectLayerByHash]]), batches are id-ordered, and all
+  * queue orders are total — the same input yields bit-identical graphs
+  * regardless of cluster layout.
+  */
+object HnswDistributed {
+
+  final case class BuildConfig(
+      params: HnswParams = HnswParams.standard(64, 32, 32),
+      metric: String = "cosine",
+      seed: Long = 42L,
+      seedBatch: Int = 128,
+      maxBatch: Int = 4096
+  )
+
+  private val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+
+  /** Build from a (id: long, vec: array<float>) DataFrame. */
+  def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig()): HnswModel = {
+    val spark = vectors.sparkSession
+    val rows = vectors.select(col("id"), col("vec"))
+      .as(pairEnc).collect().sortBy(_._1)
+    buildFromArray(spark, rows, cfg)
+  }
+
+  def buildFromArray(spark: SparkSession, rows: Array[(Long, Array[Float])],
+                     cfg: BuildConfig): HnswModel = {
+    val metric = Metrics.byName(cfg.metric)
+    val searcher = new HnswSearcher(cfg.params)
+    val vecMap = rows.toMap
+    val store = new ArrayVectorStore(metric, base = vecMap)
+    rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
+    val graph = new InMemoryGraph
+
+    val n = rows.length
+    val insLayers = rows.map { case (id, _) => searcher.selectLayerByHash(id, cfg.seed) }
+
+    // Seed phase: strictly sequential inserts (reference semantics) until
+    // the graph is big enough to absorb parallel batches.
+    val seedN = math.min(cfg.seedBatch, n)
+    var pos = 0
+    while (pos < seedN) {
+      searcher.insert(store, graph, rows(pos)._1, insLayers(pos))
+      pos += 1
+    }
+
+    // Batched phase: phase-1 search distributed, phase-2 merge on driver.
+    val sc = spark.sparkContext
+    val vecB = sc.broadcast(vecMap)
+    while (pos < n) {
+      val batchSize = math.min(math.min(cfg.maxBatch, pos), n - pos)
+      val batch = (pos until pos + batchSize).map(i => (rows(i)._1, insLayers(i)))
+      val snapB = sc.broadcast(graph.snapshot)
+      val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
+      val results = sc.parallelize(batch, slices).mapPartitions { it =>
+        val localStore = new ArrayVectorStore(metric, base = vecB.value)
+        val snap = snapB.value
+        it.map { case (id, insLayer) =>
+          val (links, _) = searcher.searchToInsert(localStore, snap, id, insLayer)
+          (id, links.map(_.toArray))
+        }
+      }.collect()
+      snapB.destroy()
+
+      // Phase 2: apply in id order; set_ep recomputed against the live
+      // graph (another same-batch element may have raised the top layer).
+      results.sortBy(_._1).foreach { case (id, linkArrays) =>
+        val links = linkArrays.map(a => FurthestQueue.fromAscending(a.toSeq))
+        val setEp = links.size > graph.numLayers
+        store.insert(id)
+        searcher.insertFromSearchResults(store, graph, id, links, setEp)
+      }
+      pos += batchSize
+    }
+    vecB.destroy()
+
+    HnswModel(cfg.params, cfg.metric, graph.snapshot, vecMap)
+  }
+
+  /** Distributed k-NN search (S6): broadcast the model, run the
+    * executor-local kernel per query partition. Output:
+    * (qid, id, dist, rank) — shuffle-free except the caller's own sinks;
+    * cost O(|queries| x ef x log n) instead of the exact path's full scan.
+    */
+  def search(queries: DataFrame, model: HnswModel, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val modelB = spark.sparkContext.broadcast(model)
+    val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaDouble, Encoders.scalaInt)
+    queries.select(col("qid"), col("qvec")).as(pairEnc)
+      .mapPartitions { it =>
+        val m = modelB.value
+        val metric = Metrics.byName(m.metricName)
+        val searcher = new HnswSearcher(m.params)
+        it.flatMap { case (qid, qvec) =>
+          val store = new ArrayVectorStore(metric, base = m.vectors)
+          val q = store.prepareQueryWithId(-1L, qvec)
+          val w = searcher.search(store, m.snapshot, q, k)
+          w.iterator.zipWithIndex.map { case (nb, i) => (qid, nb.dst, nb.dist, i + 1) }
+        }
+      }(resEnc)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
+  /** Self-match check (S11 over the whole store): search every persisted
+    * vector with k=1 and test the nearest hit against the store's match
+    * threshold — the e2e invariant of the reference test suite
+    * (hawk_searcher.rs:441-479). Returns (id, matched). */
+  def selfMatch(vectors: DataFrame, model: HnswModel,
+                matchThreshold: Double): DataFrame = {
+    val withQ = vectors.select(col("id").as("qid"), col("vec").as("qvec"))
+    search(withQ, model, 1)
+      .select(col("qid").as("id"), (col("dist") <= matchThreshold).as("matched"))
+  }
+
+  /** The beyond-broadcast path: build one independent HNSW per shard of
+    * the vector table inside mapPartitions (no driver round-trips, no
+    * cross-shard traffic), search = every shard answers top-k from its own
+    * graph, then a tiny global top-k merge. Linear in #shards but each
+    * shard is sub-linear — at 1000 executors the scan-vs-graph gap stays.
+    * Returns (qid, id, dist, rank).
+    */
+  def buildShardedAndSearch(vectors: DataFrame, queries: DataFrame, k: Int,
+                            cfg: BuildConfig = BuildConfig(),
+                            numShards: Int = 0): DataFrame = {
+    val spark = vectors.sparkSession
+    val nShards = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
+    val qB = spark.sparkContext.broadcast(
+      queries.select(col("qid"), col("qvec")).as(pairEnc).collect())
+
+    val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    val perShard = vectors.select(col("id"), col("vec"))
+      .repartition(nShards, col("id"))
+      .as(pairEnc)
+      .mapPartitions { it =>
+        val shard = it.toArray.sortBy(_._1)
+        if (shard.isEmpty) Iterator.empty
+        else {
+          val metric = Metrics.byName(cfg.metric)
+          val searcher = new HnswSearcher(cfg.params)
+          val vecMap = shard.toMap
+          val store = new ArrayVectorStore(metric, base = vecMap)
+          shard.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
+          val graph = new InMemoryGraph
+          shard.foreach { case (id, _) =>
+            searcher.insert(store, graph, id, searcher.selectLayerByHash(id, cfg.seed))
+          }
+          qB.value.iterator.flatMap { case (qid, qvec) =>
+            val qStore = new ArrayVectorStore(metric, base = vecMap)
+            val q = qStore.prepareQueryWithId(-1L, qvec)
+            val w = searcher.search(qStore, graph, q, k)
+            w.iterator.map(nb => (qid, nb.dst, nb.dist))
+          }
+        }
+      }(resEnc)
+      .toDF("qid", "id", "dist")
+
+    // Global top-k merge: k rows per (query, shard) -> k per query.
+    import org.apache.spark.sql.expressions.Window
+    perShard
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+}
+
+/** Encoder helpers (Array[Float] has no Encoders.* shortcut). */
+private[hnsw] object ExprEnc {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  val floatArray: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.{HnswDistributed, HnswParams}
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.operators.ExactKnn
+
+/** HNSW index queries over the `embeddings` table — the reference's core
+  * capability (hawk_searcher.rs): sub-linear approximate k-NN, validated
+  * against the exact brute-force oracle.
+  *
+  * `h_knn_cosine` shares v_knn_cosine's DuckDB oracle: at these scale
+  * factors the index with ef_search=128 returns the exact top-k (verified
+  * set-identical), so the ANN path is held to the same hash-match bar as
+  * the exact path. `h_recall_ann` measures recall in the true ANN regime
+  * (greedy upper layers, modest ef) against the in-Spark exact oracle.
+  */
+object Hnsw {
+  private def t(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  private def vectorsDf(s: SparkSession, dir: String) =
+    t(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queriesDf(s: SparkSession, dir: String) =
+    t(s, dir).filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Exact-regime config: generous beam so top-k matches brute force. */
+  private def exactishCfg = BuildConfig(
+    HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+    metric = "cosine", seed = 42L)
+
+  /** ANN-regime config: the reference bench's shape (ef_search=32). */
+  private def annCfg = BuildConfig(
+    HnswParams.standard(efConstruction = 64, efSearch = 32, m = 16),
+    metric = "cosine", seed = 42L)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S6 end-to-end: build the layered graph, search the query subset.
+    "h_knn_cosine" -> ((s, dir) => {
+      val model = HnswDistributed.build(vectorsDf(s, dir), exactishCfg)
+      HnswDistributed.search(queriesDf(s, dir), model, 10)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // S11 e2e invariant (hawk_searcher.rs:441-479): every inserted vector
+    // must match itself on re-search with k=1.
+    "h_match_self" -> ((s, dir) => {
+      val vecs = vectorsDf(s, dir)
+      val model = HnswDistributed.build(vecs, annCfg)
+      HnswDistributed.selfMatch(vecs, model, matchThreshold = 1e-6)
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"))
+    }),
+
+    // Recall measurement in the ANN regime vs the exact in-Spark oracle
+    // (the role of benches/hnsw.rs linear-vs-hnsw). Non-SQL-expressible
+    // (DuckDB can't run the index) -> rows-only check; the recall floor is
+    // asserted by the test suite.
+    "h_recall_ann" -> ((s, dir) => {
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val model = HnswDistributed.build(vecs, annCfg)
+      val hnsw = HnswDistributed.search(qs, model, 10).select(col("qid"), col("id"))
+      val exact = ExactKnn.search(qs, vecs, 10, "cosine").select(col("qid"), col("id"))
+      val hits = hnsw.intersect(exact).count()
+      val expected = exact.count()
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hits, hits * 10000L / expected))
+        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+    }),
+
+    // The beyond-broadcast scale path: independent per-shard graphs +
+    // global top-k merge. Exact-regime ef on each shard searching its own
+    // subset => the merged top-k equals the exact top-k (each true
+    // neighbor lives in exactly one shard), so it shares the exact oracle.
+    "h_knn_sharded" -> ((s, dir) => {
+      HnswDistributed.buildShardedAndSearch(
+          vectorsDf(s, dir), queriesDf(s, dir), 10, exactishCfg, numShards = 8)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  private val qFilter = "vec_id % 25 = 0"
+
+  private def exactKnnOracle(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE $qFilter),
+       |     v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |     p AS (SELECT qid, id,
+       |           list_dot_product(qv, vv) / sqrt(list_dot_product(qv, qv) * list_dot_product(vv, vv)) AS s
+       |           FROM q, v),
+       |     r AS (SELECT qid, id, CAST(row_number() OVER (
+       |            PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank FROM p)
+       |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "h_knn_cosine" -> exactKnnOracle(10),
+    "h_knn_sharded" -> exactKnnOracle(10),
+    "h_match_self" ->
+      """SELECT count(*) AS n_vectors, CAST(count(*) AS BIGINT) AS n_matched
+        |FROM embeddings""".stripMargin
+    // h_recall_ann: intentionally no oracle (rows-only) — see above.
+  )
+}

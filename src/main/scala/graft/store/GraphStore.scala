@@ -1,0 +1,148 @@
+package graft.store
+
+import graft.hnsw.{FurthestQueue, Neighbor}
+
+import scala.collection.mutable
+
+/** The HNSW descent root: one (vertex, top layer) pair per index
+  * (reference: src/graph_store/mod.rs:14-18). */
+final case class EntryPoint(point: Long, layer: Int)
+
+/** The pluggable graph-store contract: layered adjacency lists plus the
+  * entry-point singleton (reference: src/traits.rs:99-117; op vocabulary
+  * src/coroutine.rs:44-86). */
+trait GraphStore extends Serializable {
+  /** G1 (reference graph_mem.rs:79-83). */
+  def getEntryPoint: Option[EntryPoint]
+
+  /** G2: upsert; a new entry point must be on a strictly higher layer
+    * (reference graph_mem.rs:85-98). */
+  def setEntryPoint(point: Long, layer: Int): Unit
+
+  /** G3: neighbor queue of `base` at `lc`; empty if absent
+    * (reference graph_mem.rs:100-111). */
+  def getLinks(base: Long, lc: Int): FurthestQueue
+
+  /** G4: replace the neighbor queue of `(base, lc)` (reference
+    * graph_mem.rs:113-121; requires the layer to exist). */
+  def setLinks(base: Long, links: FurthestQueue, lc: Int): Unit
+
+  /** G5 (reference traits.rs:116; NB the Postgres impl left this
+    * unimplemented — graph_pg.rs:125-127 `todo!()` — ours derives it). */
+  def numLayers: Int
+}
+
+/** Immutable, compact adjacency image of a graph for broadcasting to
+  * executors: per layer, vertex -> column-oriented neighbor arrays. */
+final case class GraphSnapshot(
+    entryPoint: Option[EntryPoint],
+    layers: Array[Map[Long, (Array[Long], Array[Double])]]
+) extends GraphStore {
+  override def getEntryPoint: Option[EntryPoint] = entryPoint
+  override def setEntryPoint(point: Long, layer: Int): Unit =
+    throw new UnsupportedOperationException("snapshot is read-only")
+  override def getLinks(base: Long, lc: Int): FurthestQueue =
+    if (lc >= layers.length) FurthestQueue.empty
+    else layers(lc).get(base) match {
+      case Some((dsts, dists)) =>
+        FurthestQueue.fromAscending(
+          Array.tabulate(dsts.length)(i => Neighbor(dsts(i), dists(i))).toSeq)
+      case None => FurthestQueue.empty
+    }
+  override def setLinks(base: Long, links: FurthestQueue, lc: Int): Unit =
+    throw new UnsupportedOperationException("snapshot is read-only")
+  override def numLayers: Int = layers.length
+
+  def vertexCount(lc: Int): Int = if (lc >= layers.length) 0 else layers(lc).size
+  def edgeCount: Long = layers.iterator.flatMap(_.valuesIterator).map(_._1.length.toLong).sum
+}
+
+/** In-memory mutable graph — the reference's GraphMem
+  * (graph_mem.rs:11-156). The canonical build-time representation; convert
+  * to [[GraphSnapshot]] for broadcast, to a links DataFrame for
+  * persistence ([[graft.hnsw.GraphFrames]]). */
+final class InMemoryGraph extends GraphStore {
+  private var entry: Option[EntryPoint] = None
+  private val layers = mutable.ArrayBuffer.empty[mutable.LongMap[FurthestQueue]]
+
+  override def getEntryPoint: Option[EntryPoint] = entry
+
+  override def setEntryPoint(point: Long, layer: Int): Unit = {
+    entry.foreach { prev =>
+      require(prev.layer < layer,
+        s"a new entry point must be on a higher layer (${prev.layer} -> $layer)")
+    }
+    while (layers.size <= layer) layers += mutable.LongMap.empty
+    entry = Some(EntryPoint(point, layer))
+  }
+
+  override def getLinks(base: Long, lc: Int): FurthestQueue =
+    if (lc >= layers.size) FurthestQueue.empty
+    else layers(lc).getOrElse(base, FurthestQueue.empty).copy()
+
+  override def setLinks(base: Long, links: FurthestQueue, lc: Int): Unit = {
+    require(lc < layers.size, s"layer $lc not initialized (have ${layers.size})")
+    layers(lc)(base) = links
+  }
+
+  override def numLayers: Int = layers.size
+
+  /** G7: export the adjacency of one layer. */
+  def layerLinks(lc: Int): Map[Long, FurthestQueue] = layers(lc).toMap
+
+  def snapshot: GraphSnapshot = GraphSnapshot(
+    entry,
+    layers.map { layer =>
+      layer.iterator.map { case (src, q) =>
+        val arr = q.toArray
+        (src, (arr.map(_.dst), arr.map(_.dist)))
+      }.toMap
+    }.toArray
+  )
+
+  /** G6: rebuild this graph with vertex ids / distances rewritten,
+    * preserving structure; the metric is assumed unchanged so order is
+    * preserved (reference graph_mem.rs:43-76 `from_another`). */
+  def remap(vectorMap: Long => Long, distMap: Double => Double = identity): InMemoryGraph = {
+    val out = new InMemoryGraph
+    entry.foreach(ep => out.setEntryPoint(vectorMap(ep.point), ep.layer))
+    while (out.layers.size < layers.size) out.layers += mutable.LongMap.empty
+    layers.zipWithIndex.foreach { case (layer, lc) =>
+      layer.foreach { case (src, q) =>
+        out.layers(lc)(vectorMap(src)) = q.map(vectorMap, distMap)
+      }
+    }
+    out
+  }
+
+  def structurallyEquals(other: InMemoryGraph): Boolean =
+    entry == other.entry && layers.size == other.layers.size &&
+      layers.zip(other.layers).forall { case (a, b) =>
+        a.size == b.size && a.forall { case (k, q) => b.get(k).contains(q) }
+      }
+}
+
+object InMemoryGraph {
+  /** G7: construct from raw layer maps (reference graph_mem.rs:25-40
+    * `from_precomputed`). */
+  def fromPrecomputed(entry: Option[EntryPoint],
+                      layerMaps: Seq[Map[Long, FurthestQueue]]): InMemoryGraph = {
+    val g = new InMemoryGraph
+    entry.foreach(ep => g.setEntryPoint(ep.point, ep.layer))
+    while (g.numLayers < layerMaps.size)
+      g.layers += mutable.LongMap.empty
+    layerMaps.zipWithIndex.foreach { case (m, lc) =>
+      m.foreach { case (src, q) => g.setLinks(src, q, lc) }
+    }
+    g
+  }
+
+  def fromSnapshot(s: GraphSnapshot): InMemoryGraph =
+    fromPrecomputed(
+      s.entryPoint,
+      s.layers.toIndexedSeq.map(_.map { case (src, (dsts, dists)) =>
+        src -> FurthestQueue.fromAscending(
+          Array.tabulate(dsts.length)(i => Neighbor(dsts(i), dists(i))).toSeq)
+      })
+    )
+}

@@ -1,0 +1,125 @@
+package graft.hnsw
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.operators.ExactKnn
+import graft.store.EntryPoint
+
+/** Distributed build/search/persistence invariants on the sf0.001
+  * embeddings table. */
+class HnswDistributedSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  private lazy val vectors = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+  private lazy val queries = emb.filter(col("vec_id") % 25 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private val cfg = BuildConfig(
+    HnswParams.standard(efConstruction = 64, efSearch = 64, m = 16),
+    metric = "cosine", seed = 42L, seedBatch = 64, maxBatch = 128)
+
+  private lazy val model = HnswDistributed.build(vectors, cfg)
+
+  test("batched build: recall@10 >= 0.95 vs the exact oracle") {
+    val hnsw = HnswDistributed.search(queries, model, 10)
+      .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ExactKnn.search(queries, vectors, 10, "cosine")
+      .select(col("qid"), col("id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (hnsw intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall")
+  }
+
+  test("self-match invariant distributed (hawk_searcher.rs:441-479 port)") {
+    val sm = HnswDistributed.selfMatch(vectors, model, matchThreshold = 1e-6)
+    assert(sm.filter(!col("matched")).count() == 0)
+    assert(sm.count() == vectors.count())
+  }
+
+  test("build is deterministic: same seed => identical graph") {
+    val again = HnswDistributed.build(vectors, cfg)
+    assert(model.snapshot.entryPoint == again.snapshot.entryPoint)
+    assert(model.snapshot.numLayers == again.snapshot.numLayers)
+    (0 until model.snapshot.numLayers).foreach { lc =>
+      val a = model.snapshot.layers(lc)
+      val b = again.snapshot.layers(lc)
+      assert(a.keySet == b.keySet, s"layer $lc vertex set differs")
+      a.foreach { case (src, (dsts, dists)) =>
+        assert(dsts.toList == b(src)._1.toList, s"layer $lc vertex $src links differ")
+        assert(dists.toList == b(src)._2.toList)
+      }
+    }
+  }
+
+  test("degree bounds hold in the distributed build") {
+    (0 until model.snapshot.numLayers).foreach { lc =>
+      val bound = cfg.params.getMMax(lc)
+      model.snapshot.layers(lc).foreach { case (src, (dsts, _)) =>
+        assert(dsts.length <= bound, s"vertex $src layer $lc degree ${dsts.length} > $bound")
+      }
+    }
+  }
+
+  test("upper layers thin out geometrically") {
+    val sizes = (0 until model.snapshot.numLayers).map(model.snapshot.vertexCount)
+    assert(sizes.head == model.size)          // layer 0 holds everyone
+    assert(sizes == sizes.sorted.reverse, s"layer sizes not decreasing: $sizes")
+    if (model.snapshot.numLayers > 1)
+      assert(sizes(1) < sizes.head / 4, s"layer 1 too dense: $sizes")
+  }
+
+  test("parquet round-trip: links + entry point survive save/load (graph_pg.rs:231-286 port)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-graph").toString
+    GraphFrames.save(spark, model.snapshot, dir)
+    val loaded = GraphFrames.load(spark, dir)
+    assert(loaded.entryPoint == model.snapshot.entryPoint)
+    assert(loaded.numLayers == model.snapshot.numLayers)
+    (0 until loaded.numLayers).foreach { lc =>
+      val a = model.snapshot.layers(lc); val b = loaded.layers(lc)
+      assert(a.keySet == b.keySet)
+      a.foreach { case (src, (dsts, dists)) =>
+        assert(b(src)._1.toList == dsts.toList)
+        assert(b(src)._2.toList == dists.toList)
+      }
+    }
+  }
+
+  test("DataFrame remap (G6): identity equals original; doubling remaps links") {
+    import spark.implicits._
+    val links = GraphFrames.toLinksDF(spark, model.snapshot)
+    val ids = model.vectors.keys.toSeq
+    val idMapSame = ids.map(i => (i, i)).toDF("old", "new")
+    val same = GraphFrames.fromLinksDF(
+      GraphFrames.remap(links, idMapSame), model.snapshot.entryPoint)
+    assert(same.layers(0).keySet == model.snapshot.layers(0).keySet)
+    same.layers(0).foreach { case (src, (dsts, dists)) =>
+      val (odsts, odists) = model.snapshot.layers(0)(src)
+      assert(dsts.toList == odsts.toList && dists.toList == odists.toList)
+    }
+
+    val idMapDouble = ids.map(i => (i, i * 2)).toDF("old", "new")
+    val doubled = GraphFrames.fromLinksDF(
+      GraphFrames.remap(links, idMapDouble),
+      model.snapshot.entryPoint.map(ep => EntryPoint(ep.point * 2, ep.layer)))
+    val orig = model.snapshot.layers(0)
+    doubled.layers(0).foreach { case (src, (dsts, dists)) =>
+      assert(src % 2 == 0)
+      val (odsts, odists) = orig(src / 2)
+      assert(dsts.toList == odsts.map(_ * 2).toList)
+      assert(dists.toList == odists.toList)
+    }
+  }
+
+  test("sharded build+search equals the exact top-k at exact-regime ef") {
+    val sharded = HnswDistributed.buildShardedAndSearch(
+        vectors, queries, 10,
+        BuildConfig(HnswParams.standard(64, 128, 16), "cosine", 42L), numShards = 4)
+      .select(col("qid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = ExactKnn.search(queries, vectors, 10, "cosine")
+      .select(col("qid"), col("id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sharded == exact)
+  }
+}
