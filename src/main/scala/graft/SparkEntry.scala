@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Text.defs ++
       graft.queries.Vector.defs ++
       graft.queries.Hnsw.defs ++
+      graft.queries.DedupQueries.defs ++
       graft.operators.Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Text.oracles ++
       graft.queries.Vector.oracles ++
       graft.queries.Hnsw.oracles ++
+      graft.queries.DedupQueries.oracles ++
       graft.operators.Multimodal.oracles
 }

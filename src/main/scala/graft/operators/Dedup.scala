@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.hnsw.HnswDistributed
+import graft.hnsw.HnswDistributed.BuildConfig
+
+import scala.util.Random
+
+/** Deduplication operators — the LinearDb insert-if-no-match contract
+  * (reference: src/linear_db.rs:17-35) plus the scale paths a 100 TB
+  * training-data pipeline needs: LSH-bucketed and ANN-index-backed
+  * near-duplicate detection, with brute force kept as the small-scale
+  * correctness oracle.
+  */
+object Dedup {
+
+  /** L1 — insert-if-not-exists with an exact key (reference
+    * linear_db.rs:17-25): drop incoming rows whose `key` column already
+    * exists in the store, and dedup the incoming batch itself (the
+    * sequential reference loop dedups within the stream too — batch
+    * semantics keep the lowest id per duplicate group). Idempotent:
+    * inserting the same batch twice equals inserting it once
+    * (linear_db.rs:43-52). One shuffle on the key; anti-join broadcasts
+    * when the store fits.
+    */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame,
+                     key: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fresh = incoming
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__rk")
+      .join(existing.select(col(key)), Seq(key), "left_anti")
+    existing.unionByName(fresh)
+  }
+
+  /** Seeded Rademacher (+-1) projection matrix for SimHash signatures:
+    * `nBits` hyperplanes over `dim` input dims. Deterministic in (seed,
+    * nBits, dim) — executors regenerate it from the closure. */
+  private[operators] def projections(nBits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(if (rng.nextBoolean()) 1f else -1f))
+  }
+
+  /** SimHash signature column: pack the signs of `nBits` random
+    * projections of the embedding into nBits/64 longs. One scan, no
+    * shuffle; the signature is the bucketing key for banded LSH. */
+  def simhashSig(nBits: Int, dim: Int, seed: Long): Column => Column = {
+    val proj = projections(nBits, dim, seed)
+    val f = udf { (v: Seq[Float]) =>
+      val words = new Array[Long](nBits / 64)
+      var b = 0
+      while (b < nBits) {
+        val p = proj(b)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(p.length, v.length)
+        while (i < n) { acc += p(i) * v(i); i += 1 }
+        if (acc >= 0) words(b >> 6) |= (1L << (b & 63))
+        b += 1
+      }
+      words
+    }
+    c => f(c)
+  }
+
+  /** Banded-LSH candidate pairs over an embedding column: signature ->
+    * `bands` buckets of `rowsPerBand` bits -> self-join within buckets.
+    * Output (a_id, b_id) distinct with a_id < b_id. Shuffle volume is
+    * O(n x bands) rows; bucket joins replace the all-pairs theta join
+    * (O(n^2)) that cannot complete at scale. Recall at similarity s is
+    * 1 - (1 - p^r)^b with p = 1 - arccos(s)/pi — choose (bands, rows) for
+    * the target threshold; the defaults suit s >= 0.5.
+    */
+  def lshCandidatePairs(vectors: DataFrame, idCol: String, vecCol: String,
+                        nBits: Int = 512, bands: Int = 64, rowsPerBand: Int = 8,
+                        dim: Int = 64, seed: Long = 7L): DataFrame = {
+    require(bands * rowsPerBand <= nBits, "bands*rowsPerBand must fit in nBits")
+    val sig = simhashSig(nBits, dim, seed)
+    val withSig = vectors.select(col(idCol).as("__id"), sig(col(vecCol)).as("__sig"))
+
+    // band value = the rowsPerBand-bit slice starting at band*rowsPerBand
+    val bandExprs = (0 until bands).map { j =>
+      val start = j * rowsPerBand
+      val w = start >> 6
+      val off = start & 63
+      // slice may straddle a word boundary
+      val lo = s"shiftrightunsigned(element_at(__sig, ${w + 1}), $off)"
+      val value =
+        if (off + rowsPerBand <= 64) lo
+        else s"($lo | shiftleft(element_at(__sig, ${w + 2}), ${64 - off}))"
+      expr(s"($value & ${(1L << rowsPerBand) - 1}L)").as(s"b$j")
+    }
+    val banded = withSig.select((col("__id") +: bandExprs): _*)
+      .select(col("__id"), posexplode(array((0 until bands).map(j => col(s"b$j")): _*))
+        .as(Seq("band_idx", "band_val")))
+
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs via banded SimHash-LSH + exact cosine verify:
+    * precision 1.0 by construction (every emitted pair is re-checked with
+    * the exact kernel); recall governed by the banding parameters. */
+  def neardupLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, nBits: Int = 512, bands: Int = 64,
+                 rowsPerBand: Int = 8, seed: Long = 7L): DataFrame = {
+    val cand = lshCandidatePairs(vectors, idCol, vecCol, nBits, bands, rowsPerBand, seed = seed)
+    val a = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Near-duplicate pairs via the HNSW index — the reference-native scale
+    * path (the index exists to make the similarity join sub-linear,
+    * README.md:16): search every vector's top-k, keep pairs passing the
+    * exact cosine verify. O(n log n) index probes instead of O(n^2)
+    * kernel evaluations; k bounds the per-vector duplicate fan-out. */
+  def neardupAnn(vectors: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, k: Int = 40,
+                 cfg: BuildConfig = BuildConfig()): DataFrame = {
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val model = HnswDistributed.build(vecs, cfg)
+    val qs = vectors.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val hits = HnswDistributed.search(qs, model, k)
+      .filter(col("qid") < col("id"))
+      .select(col("qid").as("a_id"), col("id").as("b_id"))
+      .distinct()
+    val a = vecs.select(col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = vecs.select(col("id").as("b_id"), col("vec").as("b_vec"))
+    hits.join(a, "a_id").join(b, "b_id")
+      .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+}
