@@ -40,19 +40,21 @@ object Multimodal {
     */
   def stubDecodeFeatures(df: DataFrame, payloadCol: String = "payload",
                          idCol: String = "doc_id", dim: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    val schema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
-    val rows = df.select(col(idCol).cast("long"), col(payloadCol)).rdd.mapPartitions { it =>
-      // decoder init happens once per partition here (stub: nothing to init)
-      it.map { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        org.apache.spark.sql.Row(id, decodeOne(bytes, dim))
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    // Typed Dataset mapPartitions: stays on Tungsten rows (no RDD hop, no
+    // Row boxing); decoder init happens once per partition (stub: nothing
+    // to init). Product encoders in/out keep ser/deser columnar.
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val outEnc: Encoder[(Long, Array[Float])] =
+      ExpressionEncoder[(Long, Array[Float])]()
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(inEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => (id, decodeOne(bytes, dim)) }
+      }(outEnc)
+      .toDF("id", "features")
   }
 
   /** The stand-in for a real codec: deterministic byte-stride pooling. */
@@ -103,10 +105,37 @@ object Multimodal {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256_hex,
         | CAST(least(8, greatest(1, floor(octet_length(encode(text)) / 256))) AS INT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Byte-positional framing equals char-positional here: the testdata
+    // text is pure ASCII (verified octet_length == length at all SFs).
+    "m_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(least(8, greatest(1, floor(length(text) / 256))) AS INT) AS n_frames,
+        |    text
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, n_frames - 1)) AS i
+        |  FROM f)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substring(text, CAST(i AS INT) * 256 + 1, 256)) AS frame_md5,
+        |  CAST(length(substring(text, CAST(i AS INT) * 256 + 1, 256)) AS INT) AS frame_bytes
+        |FROM x
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m_binary_meta" -> ((s, dir) => metaQuery(s, dir))
+    "m_binary_meta" -> ((s, dir) => metaQuery(s, dir)),
+
+    // Frame sampling end-to-end over the binary payload: bounded rows per
+    // payload, frame content hashed so the oracle can compare bytes.
+    "m_frames" -> ((s, dir) => {
+      sampleFrames(withBinaryPayload(Tables(s, dir)))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"), col("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
   )
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.hnsw.{HnswDistributed, HnswModel, HnswSearcher}
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.store.{ArrayVectorStore, InMemoryGraph, Metrics}
+
+/** Structured-Streaming ingest for the vector engine — the true-streaming
+  * analog of the reference's coroutine insert protocol
+  * (src/coroutine.rs:21-39): the reference surfaces each store op to an
+  * external driver; here each micro-batch drives the same two-phase
+  * insert (search_to_insert -> insert_from_search_results) against the
+  * live index inside `foreachBatch`.
+  *
+  * Micro-batches are small by construction, so phase 1 runs driver-side
+  * on the collected batch; the graph state stays in memory between
+  * batches and can be checkpointed to parquet via
+  * [[graft.hnsw.GraphFrames.save]] (the disk-backed merge path is
+  * [[graft.hnsw.GraphFrames.connectBidirMerge]]).
+  */
+object StreamingIngest {
+
+  /** Mutable index handle shared across micro-batches. Thread-safe for
+    * the single-writer foreachBatch contract. */
+  final class IncrementalIndex(cfg: BuildConfig) extends Serializable {
+    private val metric = Metrics.byName(cfg.metric)
+    private val searcher = new HnswSearcher(cfg.params)
+    private val store = new ArrayVectorStore(metric, matchThreshold = 1e-9)
+    private val graph = new InMemoryGraph
+    private val vecs = scala.collection.mutable.Map.empty[Long, Array[Float]]
+
+    def insertRows(rows: Array[(Long, Array[Float])]): Unit = synchronized {
+      // Deterministic order within the batch (reference inserts are
+      // strictly sequential; a micro-batch is our sequential unit).
+      rows.sortBy(_._1).foreach { case (id, v) =>
+        val q = store.prepareQueryWithId(id, v)
+        vecs(id) = v
+        searcher.insert(store, graph, q, searcher.selectLayerByHash(id, cfg.seed))
+      }
+    }
+
+    /** Dedup-inserting variant (LinearDb streaming shape): skip rows that
+      * already match something in the index; returns (inserted, skipped). */
+    def insertIfNoMatch(rows: Array[(Long, Array[Float])]): (Int, Int) = synchronized {
+      var ins = 0; var skip = 0
+      rows.sortBy(_._1).foreach { case (id, v) =>
+        val q = store.prepareQueryWithId(id, v)
+        val lay = searcher.selectLayerByHash(id, cfg.seed)
+        val (neighbors, setEp) = searcher.searchToInsert(store, graph, q, lay)
+        if (searcher.isMatch(store, neighbors)) { skip += 1 }
+        else {
+          store.insert(q)
+          searcher.insertFromSearchResults(store, graph, q, neighbors, setEp)
+          vecs(id) = v
+          ins += 1
+        }
+      }
+      (ins, skip)
+    }
+
+    def size: Int = synchronized(vecs.size)
+
+    def model: HnswModel = synchronized {
+      HnswModel(cfg.params, cfg.metric, graph.snapshot, vecs.toMap)
+    }
+  }
+
+  private val rowEnc =
+    Encoders.tuple(Encoders.scalaLong, graft.streaming.Enc.floatArray)
+
+  /** Attach a streaming (id, vec) DataFrame to an index: every
+    * micro-batch is inserted via the two-phase API. */
+  def attach(stream: DataFrame, index: IncrementalIndex,
+             dedup: Boolean = false): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(col("id"), col("vec")).as(rowEnc).collect()
+        if (dedup) index.insertIfNoMatch(rows) else index.insertRows(rows)
+        ()
+      }
+      .start()
+
+  /** Event-time windowed rollup with a watermark — the streaming twin of
+    * the batch e_hourly_rollup query: counts + integerized value sums per
+    * (1h window, event_type), late data beyond the watermark dropped.
+    * Input schema: (ts: timestamp, event_type: string, value: double). */
+  def hourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100)).as("sum_value_c"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value_c"))
+}
+
+private object Enc {
+  import org.apache.spark.sql.Encoder
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  val floatArray: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.hnsw.{HnswDistributed, HnswParams}
+import graft.streaming.StreamingIngest.IncrementalIndex
+
+import java.sql.Timestamp
+
+/** Streaming ingest: incremental index growth across micro-batches,
+  * streaming dedup, and watermarked window aggregation. */
+class StreamingIngestSpec extends SparkSpec {
+
+  private val cfg = BuildConfig(
+    HnswParams.standard(32, 32, 8), metric = "cosine", seed = 5L)
+
+  private def vecsOf(n: Int, offset: Long = 0L): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(offset + 99)
+    (0 until n).map(i => ((offset + i, Array.fill(8)(rng.nextGaussian().toFloat))))
+  }
+
+  test("foreachBatch ingest grows the index; inserted vectors self-match") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val index = new IncrementalIndex(cfg)
+    val q = StreamingIngest.attach(mem.toDF().toDF("id", "vec"), index)
+
+    val batch1 = vecsOf(40)
+    val batch2 = vecsOf(40, offset = 40)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(index.size == 40)
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    assert(index.size == 80)
+    q.stop()
+
+    val model = index.model
+    val all = (batch1 ++ batch2).toDF("qid", "qvec")
+    val sm = HnswDistributed.search(all, model, 1)
+    val self = sm.filter(col("qid") === col("id")).count()
+    assert(self == 80, s"self-match $self/80")
+  }
+
+  test("streaming dedup skips duplicate vectors across batches") {
+    val index = new IncrementalIndex(cfg)
+    val batch = vecsOf(30).toArray
+    val (i1, s1) = index.insertIfNoMatch(batch)
+    assert(i1 == 30 && s1 == 0)
+    // same vectors under new ids: all must be skipped
+    val dup = batch.map { case (id, v) => (id + 1000, v) }
+    val (i2, s2) = index.insertIfNoMatch(dup)
+    assert(i2 == 0 && s2 == 30, s"inserted=$i2 skipped=$s2")
+    assert(index.size == 30)
+  }
+
+  test("watermarked hourly rollup aggregates by event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val rolled = StreamingIngest.hourlyRollup(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = rolled.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_test").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((ts(1, 10), "click", 1.50), (ts(1, 40), "click", 2.25),
+      (ts(2, 5), "view", 0.75))
+    q.processAllAvailable()
+    val rows = spark.table("rollup_test")
+      .orderBy("hour_start", "event_type").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("event_type") == "click")
+    assert(rows(0).getAs[Long]("n") == 2)
+    assert(rows(0).getAs[Long]("sum_value_c") == 375L)
+    assert(rows(1).getAs[String]("event_type") == "view")
+    q.stop()
+  }
+}
