@@ -1,5 +1,7 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,7 +23,65 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val grid = vectorGrid(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vector_grid":$grid}""")
     spark.stop()
+  }
+
+  /** The BASELINE.md grid: insert (bulk build / n) and k-NN search
+    * throughput at 1k / 10k / 100k vectors, HNSW vs exact linear scan —
+    * mirroring the reference Criterion harness (benches/hnsw.rs:13-110:
+    * db sizes {1k,10k,100k}, params HawkerParams::new(64,32,32), seeded
+    * rng). Vectors are seeded-synthetic (the reference bench also draws
+    * random vectors), dim 64 float, cosine. 200 queries per size, k=10.
+    */
+  private def vectorGrid(spark: SparkSession): String = {
+    import graft.hnsw.{HnswDistributed, HnswParams, HnswSearcher}
+    import graft.hnsw.HnswDistributed.BuildConfig
+    import graft.operators.ExactKnn
+
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_GRID", "1000,10000,100000")
+      .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    val dim = 64
+    val nQueries = 200
+    val k = 10
+    val cfg = BuildConfig(HnswParams.standard(64, 32, 32), "cosine", seed = 9L)
+
+    def mkVectors(n: Int): Array[(Long, Array[Float])] =
+      Array.tabulate(n) { i =>
+        (i.toLong, Array.tabulate(dim)(d =>
+          (HnswSearcher.uniformFromHash(i.toLong * 131 + d, 17L) * 2.0 - 1.0).toFloat))
+      }
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val cells = sizes.map { n =>
+      val rows = mkVectors(n)
+      import spark.implicits._
+      val vecDf = spark.createDataset(rows.toSeq).toDF("id", "vec")
+        .repartition(spark.sparkContext.defaultParallelism).cache()
+      vecDf.count()
+      val qDf = spark.createDataset(
+        rows.indices.by(math.max(1, n / nQueries)).take(nQueries)
+          .map(rows(_)).toSeq).toDF("qid", "qvec").cache()
+      qDf.count()
+
+      val (model, tBuild) = time(HnswDistributed.buildFromArray(spark, rows, cfg))
+      // index distributed once (serving shape); timing covers the query jobs
+      val modelB = HnswDistributed.broadcastModel(spark, model)
+      materialize(HnswDistributed.searchBroadcast(qDf.limit(1), modelB, k)) // warm
+      val (_, tHnsw) = time(materialize(HnswDistributed.searchBroadcast(qDf, modelB, k)))
+      val (_, tLinear) = time(materialize(ExactKnn.search(qDf, vecDf, k, "cosine")))
+      vecDf.unpersist(); qDf.unpersist()
+
+      f""""n$n":{"hnsw_build_s":$tBuild%.3f,"hnsw_insert_per_s":${n / tBuild}%.0f,""" +
+        f""""hnsw_search_s":$tHnsw%.3f,"linear_search_s":$tLinear%.3f,""" +
+        f""""search_speedup":${tLinear / tHnsw}%.2f}"""
+    }
+    cells.mkString("{", ",", "}")
   }
 }

@@ -118,10 +118,21 @@ object HnswDistributed {
     * executor-local kernel per query partition. Output:
     * (qid, id, dist, rank) — shuffle-free except the caller's own sinks;
     * cost O(|queries| x ef x log n) instead of the exact path's full scan.
+    *
+    * Broadcasting the model is O(index size): serving workloads should
+    * broadcast once via [[broadcastModel]] and reuse the handle across
+    * query batches ([[searchBroadcast]]).
     */
-  def search(queries: DataFrame, model: HnswModel, k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val modelB = spark.sparkContext.broadcast(model)
+  def search(queries: DataFrame, model: HnswModel, k: Int): DataFrame =
+    searchBroadcast(queries, broadcastModel(queries.sparkSession, model), k)
+
+  def broadcastModel(spark: SparkSession,
+                     model: HnswModel): org.apache.spark.broadcast.Broadcast[HnswModel] =
+    spark.sparkContext.broadcast(model)
+
+  def searchBroadcast(queries: DataFrame,
+                      modelB: org.apache.spark.broadcast.Broadcast[HnswModel],
+                      k: Int): DataFrame = {
     val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaDouble, Encoders.scalaInt)
     queries.select(col("qid"), col("qvec")).as(pairEnc)

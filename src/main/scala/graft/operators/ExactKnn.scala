@@ -31,41 +31,77 @@ object ExactKnn {
     * distance (smaller = better) or similarity (larger = better). */
   case class Scored(id: Long, score: Double)
 
+  /** Aggregation buffer: parallel primitive arrays (best candidate first
+    * once full), product-encoded — partial-aggregation ser/deser stays on
+    * flat Tungsten arrays instead of Kryo-serialized object graphs (the
+    * dominant cost of the previous ArrayBuffer buffer). */
+  case class TopKBuf(ids: Array[Long], scores: Array[Double], n: Int)
+
   /** Bounded top-k heap aggregator: partial aggregation keeps at most k
     * candidates per group on the map side — the Spark image of the
     * reference's FurthestQueue beam (src/data_structures/queue.rs:12-65).
     * `best` = smallest score when ascending (distances), largest otherwise.
     */
   class TopKAggregator(k: Int, ascending: Boolean)
-      extends Aggregator[Scored, scala.collection.mutable.ArrayBuffer[Scored], Seq[Scored]] {
-    type Buf = scala.collection.mutable.ArrayBuffer[Scored]
-    private def worse(a: Scored, b: Scored): Boolean =
-      if (ascending) a.score > b.score || (a.score == b.score && a.id > b.id)
-      else a.score < b.score || (a.score == b.score && a.id > b.id)
+      extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
 
-    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
-    override def reduce(buf: Buf, in: Scored): Buf = insert(buf, in)
-    override def merge(a: Buf, b: Buf): Buf = { b.foreach(insert(a, _)); a }
-    private def insert(buf: Buf, in: Scored): Buf = {
-      if (buf.size < k) { buf += in; if (buf.size == k) sortBuf(buf) }
-      else if (worse(buf(k - 1), in)) { buf(k - 1) = in; bubbleUp(buf) }
-      buf
+    // true when candidate (idA, sA) ranks worse than (idB, sB)
+    private def worse(sA: Double, idA: Long, sB: Double, idB: Long): Boolean =
+      if (ascending) sA > sB || (sA == sB && idA > idB)
+      else sA < sB || (sA == sB && idA > idB)
+
+    override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
+
+    override def reduce(buf: TopKBuf, in: Scored): TopKBuf =
+      insert(buf, in.id, in.score)
+
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var out = a
+      var i = 0
+      while (i < b.n) { out = insert(out, b.ids(i), b.scores(i)); i += 1 }
+      out
     }
-    private def sortBuf(buf: Buf): Unit = {
-      val sorted = buf.sortWith((x, y) => worse(y, x))
-      var i = 0; while (i < buf.size) { buf(i) = sorted(i); i += 1 }
+
+    private def insert(buf: TopKBuf, id: Long, score: Double): TopKBuf = {
+      val ids = buf.ids; val scores = buf.scores
+      if (buf.n < k) {
+        ids(buf.n) = id; scores(buf.n) = score
+        val b2 = TopKBuf(ids, scores, buf.n + 1)
+        if (b2.n == k) sortBuf(b2)
+        b2
+      } else if (worse(scores(k - 1), ids(k - 1), score, id)) {
+        ids(k - 1) = id; scores(k - 1) = score
+        bubbleUp(buf)
+        buf
+      } else buf
     }
-    private def bubbleUp(buf: Buf): Unit = {
-      var i = buf.size - 1
-      while (i > 0 && worse(buf(i - 1), buf(i))) {
-        val t = buf(i - 1); buf(i - 1) = buf(i); buf(i) = t; i -= 1
+
+    // sort best-first (ascending "worseness")
+    private def sortBuf(buf: TopKBuf): Unit = {
+      val idx = (0 until buf.n).sortWith((i, j) =>
+        worse(buf.scores(j), buf.ids(j), buf.scores(i), buf.ids(i)))
+      val ids = idx.map(buf.ids).toArray
+      val scores = idx.map(buf.scores).toArray
+      System.arraycopy(ids, 0, buf.ids, 0, buf.n)
+      System.arraycopy(scores, 0, buf.scores, 0, buf.n)
+    }
+
+    private def bubbleUp(buf: TopKBuf): Unit = {
+      val ids = buf.ids; val scores = buf.scores
+      var i = buf.n - 1
+      while (i > 0 && worse(scores(i - 1), ids(i - 1), scores(i), ids(i))) {
+        val ts = scores(i - 1); scores(i - 1) = scores(i); scores(i) = ts
+        val ti = ids(i - 1); ids(i - 1) = ids(i); ids(i) = ti
+        i -= 1
       }
     }
-    override def finish(buf: Buf): Seq[Scored] = {
-      if (buf.size < k) sortBuf(buf)
-      buf.toSeq
+
+    override def finish(buf: TopKBuf): Seq[Scored] = {
+      if (buf.n < k) sortBuf(buf)
+      (0 until buf.n).map(i => Scored(buf.ids(i), buf.scores(i)))
     }
-    override def bufferEncoder: Encoder[Buf] = Encoders.kryo
+    override def bufferEncoder: Encoder[TopKBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKBuf]()
     override def outputEncoder: Encoder[Seq[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
