@@ -103,40 +103,41 @@ object GraphFrames {
       expr(s"CASE $cases ELSE ${params.getMMax(0)} END")
     }
 
-    val forward = newLinks.select(col("q").as("src"), col("layer"),
-      slice(col("links"), 1, 999999).as("links")) // trimmed upstream; pass through
+    // Forward edges: q -> its (already M-trimmed) neighbor queue.
+    val forward = newLinks
+      .select(col("q").as("src"), col("layer"), explode(col("links")).as("edge"))
 
-    // Reverse edges targeting existing vertices.
+    // Reverse edges: each neighbor n gains n -> q.
     val reverse = newLinks
       .select(col("q"), col("layer"), explode(col("links")).as("n"))
       .select(col("n.dst").as("src"), col("layer"),
         struct(col("q").as("dst"), col("n.dist").as("dist")).as("edge"))
 
-    val touchedKeys = reverse.select(col("src"), col("layer")).distinct()
+    val newEdges = forward.unionByName(reverse)
+    val touchedKeys = newEdges.select(col("src"), col("layer")).distinct()
 
-    // Small side broadcast: the touched key set.
+    // Small side broadcast: the touched key set (batch x (M+1) keys).
     val touched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_semi")
     val untouched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_anti")
 
-    val mergedTouched = touched
+    // One uniform merge: existing queues of touched vertices + all new
+    // edges, re-ranked per (src, layer) by (dist, dst), degree-bounded,
+    // regrouped into ascending arrays. Covers the corner where a new
+    // vertex is itself a reverse target in the same batch.
+    val merged = touched
       .select(col("src"), col("layer"), explode(col("links")).as("edge"))
-      .unionByName(reverse)
+      .unionByName(newEdges)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("src"), col("layer"))
           .orderBy(col("edge.dist"), col("edge.dst"))))
       .filter(col("rank") <= mMaxExpr)
       .groupBy(col("src"), col("layer"))
-      .agg(array_sort(collect_list(col("edge"))).as("links"))
+      // queues are distance-ascending: sort (dist, dst) then re-project
+      // (struct sort is lexicographic by field order)
+      .agg(expr("transform(array_sort(collect_list(struct(edge.dist AS dist, edge.dst AS dst)))," +
+        " x -> struct(x.dst AS dst, x.dist AS dist))").as("links"))
 
-    // New vertices reverse-touched by *other* new vertices in the same
-    // batch keep only their forward queue here (intra-batch reverse edges
-    // are handled by the next merge round or accepted as the documented
-    // batch tradeoff): union forward last and drop duplicate keys
-    // deterministically, preferring the merged (reverse-updated) row.
-    untouched
-      .unionByName(mergedTouched)
-      .unionByName(forward.join(
-        broadcast(touchedKeys), Seq("src", "layer"), "left_anti"))
+    untouched.unionByName(merged)
   }
 
   /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):
