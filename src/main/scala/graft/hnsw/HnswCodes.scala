@@ -1,0 +1,75 @@
+package graft.hnsw
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{CodeVectorStore, GraphSnapshot, InMemoryGraph}
+
+/** HNSW over u64 bit-codes compared by Hamming distance — the reference's
+  * native vector representation (lazy_memory_store.rs:14-21, 49-54),
+  * end-to-end distributed: driver-sequential index build (Hamming evals
+  * are single XOR+popcounts; build cost is dwarfed by one Spark job until
+  * ~10^6 codes — switch to the float path's micro-batching beyond), then
+  * broadcast-model mapPartitions search. */
+object HnswCodes {
+
+  final case class CodeModel(
+      params: HnswParams,
+      snapshot: GraphSnapshot,
+      codes: Map[Long, Long]
+  ) extends Serializable
+
+  private val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+
+  /** Build from (id: long, code: long) rows. Deterministic: id-sorted
+    * inserts, hash-based layer assignment. */
+  def build(codes: DataFrame, params: HnswParams, seed: Long = 42L): CodeModel = {
+    val rows = codes.select(col("id"), col("code")).as(pairEnc).collect().sortBy(_._1)
+    val searcher = new HnswSearcher(params)
+    val store = new CodeStoreWithIds
+    val graph = new InMemoryGraph
+    rows.foreach { case (id, code) =>
+      store.stage(id, code)
+      searcher.insert(store, graph, id, searcher.selectLayerByHash(id, seed))
+    }
+    CodeModel(params, graph.snapshot, rows.toMap)
+  }
+
+  /** Distributed k-NN over codes: (qid, qcode) -> (qid, id, hamming, rank). */
+  def search(queries: DataFrame, model: CodeModel, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val modelB = spark.sparkContext.broadcast(model)
+    val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaInt, Encoders.scalaInt)
+    queries.select(col("qid"), col("qcode")).as(pairEnc)
+      .mapPartitions { it =>
+        val m = modelB.value
+        val searcher = new HnswSearcher(m.params)
+        // one store per partition; the query slot (-1) is re-staged per row
+        val store = new CodeStoreWithIds
+        m.codes.foreach { case (id, c) => store.stage(id, c) }
+        it.flatMap { case (qid, qcode) =>
+          store.stage(-1L, qcode)
+          val w = searcher.search(store, m.snapshot, -1L, k)
+          w.iterator.zipWithIndex.map { case (nb, i) =>
+            (qid, nb.dst, nb.dist.toInt, i + 1)
+          }
+        }
+      }(resEnc)
+      .toDF("qid", "id", "hamming", "rank")
+  }
+
+  /** CodeVectorStore with caller-assigned ids (the dense auto-id variant
+    * lives in graft.store; HNSW needs the table's own ids). */
+  private final class CodeStoreWithIds extends graft.store.VectorStore {
+    type Raw = Long
+    private val codes = scala.collection.mutable.LongMap.empty[Long]
+    def stage(id: Long, code: Long): Unit = codes(id) = code
+    override def prepareQuery(raw: Long): Long =
+      throw new UnsupportedOperationException("use stage(id, code)")
+    override def insert(q: Long): Long = q
+    override def evalDistance(q: Long, v: Long): Double =
+      java.lang.Long.bitCount(codes(q) ^ codes(v)).toDouble
+    override def isMatch(d: Double): Boolean = d <= 0.0
+  }
+}

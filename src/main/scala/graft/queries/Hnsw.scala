@@ -74,6 +74,23 @@ object Hnsw {
         .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // HNSW over the reference's native representation: u64 sign-packed
+    // codes under Hamming distance (lazy_memory_store.rs:49-54). Exact
+    // regime (ef=128) -> shares v_knn_hamming's oracle shape.
+    "h_knn_hamming" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val model = HnswCodes.build(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16), seed = 42L)
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswCodes.search(qs, model, 5)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The beyond-broadcast scale path: independent per-shard graphs +
     // global top-k merge. Exact-regime ef on each shard searching its own
     // subset => the merged top-k equals the exact top-k (each true
@@ -102,6 +119,21 @@ object Hnsw {
   val oracles: Map[String, String] = Map(
     "h_knn_cosine" -> exactKnnOracle(10),
     "h_knn_sharded" -> exactKnnOracle(10),
+
+    "h_knn_hamming" ->
+      s"""WITH c AS (
+         |  SELECT vec_id, bit_or(CASE WHEN e >= 0 THEN
+         |    CASE WHEN i = 64 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << (i-1)) END
+         |    ELSE 0 END) AS code
+         |  FROM (SELECT vec_id, unnest(embedding) AS e,
+         |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+         |  GROUP BY vec_id),
+         | q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE $qFilter),
+         | p AS (SELECT qid, c.vec_id AS id, bit_count(xor(qc, c.code)) AS hamming FROM q, c),
+         | r AS (SELECT qid, id, CAST(hamming AS INT) AS hamming,
+         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS INT) AS rank
+         |       FROM p)
+         |SELECT qid, id, hamming, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "h_match_self" ->
       """SELECT count(*) AS n_vectors, CAST(count(*) AS BIGINT) AS n_matched
         |FROM embeddings""".stripMargin

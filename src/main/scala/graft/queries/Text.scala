@@ -17,6 +17,19 @@ object Text {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Per-language function-word lists for the n-gram/stopword language-ID
+    * heuristic (t_lang_detect). Tiny, explicit, mirrored in the oracle. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "est")
+  )
+
+  /** BPE-ish tokenizer regex: alphanumeric runs or single non-space
+    * symbols — ASCII classes only so Java (Spark) and RE2 (DuckDB) agree. */
+  val BpeTokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus profile by language.
     "t_lang_stats" -> ((s, dir) => {
@@ -27,6 +40,42 @@ object Text {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // Language-ID by function-word voting: per language, count marker-word
+    // hits; predict the argmax (ties broken alphabetically — the scoring
+    // is deterministic so the oracle hash-matches even though the corpus
+    // labels are synthetic).
+    "t_lang_detect" -> ((s, dir) => {
+      val scored = LangMarkers.foldLeft(t(s, dir)) { case (df, (lang, words)) =>
+        val set = words.map(w => s"'$w'").mkString("(", ",", ")")
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $set))").cast("long"))
+      }
+      val best = LangMarkers.map { case (lang, _) =>
+        struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+      }
+      // greatest(...) on (score, lang) structs: max score, tie -> later
+      // lang alphabetically; flip with reverse-alphabet tiebreak below.
+      scored
+        .withColumn("pred",
+          expr(("array(" + LangMarkers.map { case (l, _) => s"struct(score_$l AS score, '$l' AS lang)" }.mkString(",") + ")")))
+        .withColumn("best", expr(
+          "aggregate(pred, struct(CAST(-1 AS BIGINT) AS score, '' AS lang)," +
+            " (acc, x) -> CASE WHEN x.score > acc.score THEN x ELSE acc END)"))
+        .select(col("doc_id"), col("best.lang").as("pred_lang"),
+          col("best.score").as("n_markers"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish token counting: regex token runs (alnum words or single
+    // symbols) — the subword-tokenizer-shaped count of LLM pipelines.
+    "t_token_bpe" -> ((s, dir) => {
+      t(s, dir)
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(text, '$BpeTokenRegex', 0)"))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // Token counting: whitespace tokens via the subtraction identity
@@ -97,6 +146,28 @@ object Text {
   private val stopSql = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
+    "t_lang_detect" -> {
+      val scoreCols = LangMarkers.map { case (lang, words) =>
+        val set = words.map(w => s"'$w'").mkString("(", ",", ")")
+        s"CAST(len(list_filter(string_split(text, ' '), tok -> tok IN $set)) AS BIGINT) AS score_$lang"
+      }.mkString(",\n ")
+      val mx = s"greatest(${LangMarkers.map { case (l, _) => s"score_$l" }.mkString(", ")})"
+      // first-match CASE = earliest lang with the max score, mirroring the
+      // Spark fold's strict-greater accumulator
+      val pred = "CASE " + LangMarkers.map { case (l, _) =>
+        s"WHEN score_$l = mx THEN '$l'"
+      }.mkString(" ") + " END"
+      s"""WITH s AS (SELECT doc_id, $scoreCols FROM documents),
+         |m AS (SELECT doc_id, *, $mx AS mx FROM s)
+         |SELECT doc_id, $pred AS pred_lang, mx AS n_markers
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "t_token_bpe" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$BpeTokenRegex')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
