@@ -106,6 +106,59 @@ object Relational {
         .orderBy(col("n_name"), col("rnk"))
     }),
 
+    // Q7-style nation volume: two nation aliases through supplier and
+    // customer sides; dims broadcast, lineitem x orders the one shuffle.
+    "q7_nation_volume" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("volume_c"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q22-style idle customers: scalar aggregate subquery (above-average
+    // balance) + anti join (no orders). The scalar is a broadcast single
+    // row; the anti join hashes on o_custkey.
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      val rich = cust.join(broadcast(avgBal)).filter(col("c_acctbal") > col("ab"))
+      val ord = t(s, dir, "orders").select("o_custkey")
+      rich.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("sum_bal_c"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Q9-lite part profit: LIKE-filtered part dim, profit by nation/year.
+    "q9_part_profit" -> ((s, dir) => {
+      val part = t(s, dir, "part").filter(col("p_name").contains("a"))
+        .select("p_partkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("profit_c"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
     // Q4-style order priority: EXISTS as a left-semi join.
     "q4_order_priority" -> ((s, dir) => {
       val ord = t(s, dir, "orders")
@@ -237,6 +290,42 @@ object Relational {
         |  JOIN nation ON s_nationkey = n_nationkey) x
         |WHERE rnk <= 3
         |ORDER BY n_name, rnk""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_c,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q9_part_profit" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        | CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
