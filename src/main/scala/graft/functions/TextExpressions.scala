@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.security.MessageDigest
+
+/** Native text-fingerprint kernels. Semantically identical to their SQL
+  * higher-order-function forms (the DuckDB oracles keep running the SQL
+  * version), but one JVM pass per row instead of O(tokens x hashes)
+  * interpreted lambda evaluations — the difference between 25 s and
+  * sub-second on the sf0.1 `documents` table.
+  *
+  * Both kernels hash with MD5 and compare hex strings, matching Spark's
+  * and DuckDB's `md5()` (lowercase hex of the UTF-8 bytes) exactly.
+  */
+private[functions] trait Md5Kernel {
+  @transient protected lazy val digest: MessageDigest =
+    MessageDigest.getInstance("MD5")
+
+  private val hexChars = "0123456789abcdef".getBytes
+
+  /** Finish the running digest, return lowercase hex as ASCII bytes. */
+  protected def hexDigest(): Array[Byte] = {
+    val d = digest.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** Lowercase hex of md5(prefix ++ bytes), as ASCII bytes. */
+  protected def md5Hex(prefix: Array[Byte], bytes: Array[Byte]): Array[Byte] = {
+    digest.reset()
+    if (prefix.nonEmpty) digest.update(prefix)
+    digest.update(bytes)
+    hexDigest()
+  }
+
+  protected def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    false
+  }
+}
+
+/** K-permutation MinHash over an array of strings: element k of the
+  * result is min over inputs s of md5("k:" ++ s) — identical to
+  * `transform(sh, s -> md5(concat('k:', s)))` + `array_min`, evaluated in
+  * one pass. */
+case class Md5MinHash(child: Expression, numHashes: Int)
+    extends UnaryExpression with Md5Kernel {
+  override def prettyName: String = "md5_minhash"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(k => s"$k:".getBytes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = new Array[Array[Byte]](numHashes)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var k = 0
+        while (k < numHashes) {
+          val h = md5Hex(prefixes(k), bytes)
+          if (mins(k) == null || lessThan(h, mins(k))) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      if (m == null) null else UTF8String.fromBytes(m)))
+  }
+
+  // Single-node JVM kernel: interpreted eval only (the MD5 work dominates;
+  // codegen would just inline the same calls).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("md5minhash", this, classOf[Md5MinHash].getName)
+      s"${ev.value} = (${classOf[ArrayData].getName}) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Banded K-permutation MinHash computed directly from text over its char
+  * n-gram shingles, emitting band values (the LSH bucketing keys) in one
+  * pass: min_k = min over window positions i of md5(prefix_k ++
+  * text[i..i+n)) with prefix_k = "k:" when `prefixed` (else k must be 1);
+  * band j = concat(min_{j*rows} .. min_{j*rows+rows-1}).
+  *
+  * Emitting bands (not raw mins) matters: CollapseProject inlines a
+  * projection's expressions into every downstream reference, so a raw
+  * mins array re-evaluated by `rows x bands` element_at band builders
+  * costs `rows x bands` full passes. One expression, one pass.
+  *
+  * Duplicate shingles cannot change a min, so no distinct-set
+  * materialization is needed (an 8-byte window dedups via a packed-long
+  * seen-set). ASCII fast path hashes byte windows in place — no
+  * per-window substring, no allocation. Identical results to the SQL
+  * `array_min(transform(..., md5(substring(...))))` forms the oracles run. */
+case class Md5MinHashShingles(child: Expression, shingleLen: Int,
+                              numHashes: Int, bands: Int, rowsPerBand: Int,
+                              prefixed: Boolean = true)
+    extends UnaryExpression with Md5Kernel {
+  require(bands * rowsPerBand <= numHashes, "bands*rowsPerBand must fit numHashes")
+  require(prefixed || numHashes == 1, "unprefixed form is single-hash")
+  override def prettyName: String = "md5_minhash_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    if (prefixed) Array.tabulate(numHashes)(k => s"$k:".getBytes)
+    else Array(Array.emptyByteArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val mins = new Array[Array[Byte]](numHashes)
+
+    if (text.numBytes() == text.numChars()) {
+      // ASCII: windows are byte slices hashed in place
+      val bytes = text.getBytes
+      val len = bytes.length
+      val nWin = math.max(len - shingleLen + 1, 1)
+      val seen = if (shingleLen <= 8) new java.util.HashSet[java.lang.Long]() else null
+      var i = 0
+      while (i < nWin) {
+        val wLen = math.min(shingleLen, len - i)
+        var fresh = true
+        if (seen != null) {
+          var key = 0L
+          var b = 0
+          while (b < wLen) { key = (key << 8) | (bytes(i + b) & 0xffL); b += 1 }
+          fresh = seen.add(key)
+        }
+        if (fresh) {
+          var k = 0
+          while (k < numHashes) {
+            digest.reset()
+            if (prefixes(k).nonEmpty) digest.update(prefixes(k))
+            digest.update(bytes, i, wLen)
+            val h = hexDigest()
+            if (mins(k) == null || lessThan(h, mins(k))) mins(k) = h
+            k += 1
+          }
+        }
+        i += 1
+      }
+    } else {
+      val len = text.numChars()
+      val nWin = math.max(len - shingleLen + 1, 1)
+      val seen = new java.util.HashSet[UTF8String]()
+      var i = 0
+      while (i < nWin) {
+        val s = text.substringSQL(i + 1, shingleLen)
+        if (seen.add(s)) {
+          val sBytes = s.getBytes
+          var k = 0
+          while (k < numHashes) {
+            val h = md5Hex(prefixes(k), sBytes)
+            if (mins(k) == null || lessThan(h, mins(k))) mins(k) = h
+            k += 1
+          }
+        }
+        i += 1
+      }
+    }
+
+    val out: Array[UTF8String] =
+      if (bands == 1 && rowsPerBand == 1 && numHashes == 1)
+        Array(if (mins(0) == null) null else UTF8String.fromBytes(mins(0)))
+      else Array.tabulate(bands) { j =>
+        val buf = new Array[Byte](32 * rowsPerBand)
+        var r = 0
+        while (r < rowsPerBand) {
+          val m = mins(j * rowsPerBand + r)
+          System.arraycopy(m, 0, buf, 32 * r, 32)
+          r += 1
+        }
+        UTF8String.fromBytes(buf)
+      }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("md5minhashsh", this, classOf[Md5MinHashShingles].getName)
+      s"${ev.value} = (${classOf[ArrayData].getName}) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over an array of tokens, emitted as a 64-char '0'/'1'
+  * string: bit k's vote sums +-1 over tokens t according to bit k of
+  * md5(t) (bit k = bit (3 - k%4) of hex digit k/4 — MSB-first within the
+  * digit), bit set when the vote is non-negative. Matches the SQL
+  * bit-vote form used by the DuckDB oracle. */
+case class SimHash64Md5(child: Expression)
+    extends UnaryExpression with Md5Kernel {
+  override def prettyName: String = "simhash64_md5"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  private val noPrefix = Array.emptyByteArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = md5Hex(noPrefix, arr.getUTF8String(i).getBytes)
+        var k = 0
+        while (k < 64) {
+          val digit = h(k >> 2)
+          val v = if (digit <= '9') digit - '0' else digit - 'a' + 10
+          val bit = (v >> (3 - (k & 3))) & 1
+          votes(k) += (if (bit == 1) 1 else -1)
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Byte](64)
+    var k = 0
+    while (k < 64) {
+      out(k) = if (votes(k) >= 0) '1' else '0'
+      k += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("simhash64", this, classOf[SimHash64Md5].getName)
+      s"${ev.value} = (${classOf[UTF8String].getName}) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextFunctions {
+  def md5MinHash(strings: Column, numHashes: Int): Column =
+    Bridge.column(Md5MinHash(Bridge.expression(strings), numHashes))
+  /** bands=numHashes, rowsPerBand=1 returns the raw min-hash array. */
+  def md5MinHashShingles(text: Column, shingleLen: Int, numHashes: Int,
+                         bands: Int, rowsPerBand: Int,
+                         prefixed: Boolean = true): Column =
+    Bridge.column(Md5MinHashShingles(Bridge.expression(text), shingleLen,
+      numHashes, bands, rowsPerBand, prefixed))
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Md5(Bridge.expression(tokens)))
+}

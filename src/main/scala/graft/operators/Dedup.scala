@@ -80,7 +80,12 @@ object Dedup {
                         dim: Int = 64, seed: Long = 7L): DataFrame = {
     require(bands * rowsPerBand <= nBits, "bands*rowsPerBand must fit in nBits")
     val sig = simhashSig(nBits, dim, seed)
-    val withSig = vectors.select(col(idCol).as("__id"), sig(col(vecCol)).as("__sig"))
+    // repartition: small parquet inputs arrive as one split; the
+    // projection-heavy signature pass should use every core. cache: the
+    // banded rows feed both sides of the bucket self-join.
+    val withSig = vectors
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("__id"), sig(col(vecCol)).as("__sig"))
 
     // band value = the rowsPerBand-bit slice starting at band*rowsPerBand
     val bandExprs = (0 until bands).map { j =>
@@ -97,6 +102,7 @@ object Dedup {
     val banded = withSig.select((col("__id") +: bandExprs): _*)
       .select(col("__id"), posexplode(array((0 until bands).map(j => col(s"b$j")): _*))
         .as(Seq("band_idx", "band_val")))
+      .cache()
 
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

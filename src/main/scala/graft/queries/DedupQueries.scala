@@ -18,12 +18,15 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
   /** MinHash parameters shared by the Spark query and the DuckDB oracle:
-    * K=12 md5-keyed min-hashes over distinct char-8-shingles, banded 4x3,
+    * K=12 md5-keyed min-hashes over distinct char-8-shingles, banded 3x4,
     * exact-Jaccard verify at 0.8 in integer arithmetic (9|I| >= 4(|A|+|B|)
-    * <=> |I|/(|A|+|B|-|I|) >= 0.8). */
+    * <=> |I|/(|A|+|B|-|I|) >= 0.8). Four-row bands keep the
+    * false-candidate rate at background similarity (~0.05 here) to
+    * ~s^4 x bands per pair — the verify stage's cost is proportional to
+    * candidates, so banding width is the knob that keeps it sub-O(n^2). */
   private val MinhashK = 12
-  private val MinhashBands = 4
-  private val MinhashRows = 3
+  private val MinhashBands = 3
+  private val MinhashRows = 4
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -71,25 +74,40 @@ object DedupQueries {
     // 4x3, exact shingle-Jaccard verify at 0.8. All hashing is md5 so the
     // DuckDB oracle runs the identical computation.
     "d_neardup_minhash" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
-          " i -> substring(text, i, 8)))").as("sh"))
-      val mh = sh.select(col("doc_id"), col("sh"),
-        array((0 until MinhashK).map(k =>
-          expr(s"array_min(transform(sh, s -> md5(concat('$k:', s))))")): _*).as("mh"))
-      val banded = mh.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until MinhashBands).map { j =>
-          concat((0 until MinhashRows).map(r =>
-            element_at(col("mh"), j * MinhashRows + r + 1)): _*)
-        }: _*)).as(Seq("band_idx", "band_val")))
+      val d = docs(s, dir)
+      // Native one-pass banded K-minhash straight from text (duplicate
+      // shingles can't change a min; band values emitted directly so the
+      // kernel is evaluated once per row) == the SQL
+      // md5('k:'||s)-over-distinct-shingles + concat form the oracle runs.
+      // repartition: the parquet arrives as one split; spread the
+      // hash-heavy projection across cores (at real scale the scan is
+      // already many splits). cache: three consumers below — without it
+      // the kernel pass re-runs per consumer.
+      val banded = d
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.md5MinHashShingles(
+            col("text"), 8, MinhashK, MinhashBands, MinhashRows))
+            .as(Seq("band_idx", "band_val")))
+        .cache()
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.band_val") === col("y.band_val") &&
             col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("x.sh").as("a_sh"),
-          col("y.doc_id").as("b_id"), col("y.sh").as("b_sh"))
-        .dropDuplicates("a_id", "b_id")
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+        .cache()
+      // Exact-Jaccard verify: shingle sets materialized only for the
+      // (few) candidate docs — the 100 TB shape, where the verify cost is
+      // proportional to candidates, not corpus size.
+      val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val shCand = d.join(broadcast(candIds), "doc_id")
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
+            " i -> substring(text, i, 8)))").as("sh"))
       cand
+        .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
         .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))))
         .filter(col("ni") * 9 >= (size(col("a_sh")) + size(col("b_sh"))) * 4)
         .select(col("a_id"), col("b_id"))
@@ -98,10 +116,12 @@ object DedupQueries {
 
     // SimHash document fingerprint: 64-bit signature from md5-bit votes
     // over whitespace tokens, emitted as a bit-string. Deterministic and
-    // md5-based end to end -> full hash-match oracle.
+    // md5-based end to end -> full hash-match oracle (which runs the SQL
+    // bit-vote form, SimhashSqlForms.duckdb); the Spark side uses the native
+    // one-pass kernel (graft.functions.SimHash64Md5).
     "d_simhash" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        expr(SimhashSql.spark).as("sig64"))
+        graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig64"))
         .orderBy(col("doc_id"))
     })
   )
@@ -153,7 +173,7 @@ object DedupQueries {
     },
 
     "d_simhash" ->
-      s"""SELECT doc_id, ${SimhashSql.duckdb} AS sig64
+      s"""SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig64
          |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
@@ -163,7 +183,7 @@ object DedupQueries {
   * votes from bit k of each token's md5, emit '1' when the vote is
   * non-negative. Bit k of an md5 hex string = bit (3 - k%4) of hex digit
   * k/4. */
-private object SimhashSql {
+object SimhashSqlForms {
   private val hexes = "'0123456789abcdef'"
 
   // Spark: instr is 1-based; tokens hashed once, then 64 bit-votes.

@@ -94,8 +94,8 @@ object Text {
     "t_fingerprint" -> ((s, dir) => {
       t(s, dir)
         .select(col("doc_id"),
-          expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
-            " i -> md5(substring(text, i, 8))))").as("fp"))
+          element_at(graft.functions.TextFunctions.md5MinHashShingles(
+            col("text"), 8, 1, 1, 1, prefixed = false), 1).as("fp"))
         .orderBy(col("doc_id"))
     }),
 

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native md5 fingerprint kernels must agree exactly with the SQL
+  * higher-order-function forms (which the DuckDB oracles keep running). */
+class TextExpressionsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("Md5MinHash == array_min(transform(md5('k:'||s))) for every k") {
+    val sh = docs.select(col("doc_id"),
+      expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
+        " i -> substring(text, i, 8)))").as("sh"))
+    val k = 5
+    val native = sh.select(col("doc_id"),
+      TextFunctions.md5MinHash(col("sh"), k).as("mh"))
+    val sqlForm = sh.select(col("doc_id"),
+      array((0 until k).map(i =>
+        expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))")): _*).as("mh"))
+    val n = native.collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    val s = sqlForm.collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    assert(n == s)
+  }
+
+  test("Md5MinHashShingles == minhash over distinct SQL shingles (mins, bands, unprefixed)") {
+    val k = 4
+    // bands=k, rows=1 -> raw mins
+    val native = docs.select(col("doc_id"),
+      TextFunctions.md5MinHashShingles(col("text"), 8, k, k, 1).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    val shExpr = "array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
+      " i -> substring(text, i, 8)))"
+    val sqlForm = docs.select(col("doc_id"), expr(shExpr).as("sh"))
+      .select(col("doc_id"), array((0 until k).map(i =>
+        expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))")): _*).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    assert(native == sqlForm)
+
+    // banding: bands=2, rows=2 -> concatenated pairs
+    val bandsNative = docs.select(col("doc_id"),
+      TextFunctions.md5MinHashShingles(col("text"), 8, k, 2, 2).as("b"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+    val bandsExpected = sqlForm.map { case (id, mh) =>
+      id -> List(mh(0) + mh(1), mh(2) + mh(3))
+    }
+    assert(bandsNative == bandsExpected)
+
+    val fp = docs.select(col("doc_id"),
+      element_at(TextFunctions.md5MinHashShingles(col("text"), 8, 1, 1, 1, prefixed = false), 1).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val fpSql = docs.select(col("doc_id"),
+      expr("array_min(transform(sequence(1, greatest(length(text) - 7, 1))," +
+        " i -> md5(substring(text, i, 8))))").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(fp == fpSql)
+  }
+
+  test("SimHash64Md5 == the SQL bit-vote form") {
+    val native = docs.select(col("doc_id"),
+      TextFunctions.simhash64(split(col("text"), " ")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val sqlForm = docs.select(col("doc_id"),
+      expr(graft.queries.SimhashSqlForms.spark).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(native == sqlForm)
+    assert(native.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+  }
+}
