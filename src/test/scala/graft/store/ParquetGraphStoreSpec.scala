@@ -1,0 +1,60 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.hnsw.{FurthestQueue, HnswParams, HnswSearcher, Neighbor}
+
+/** Port of the reference graph-store CRUD round-trip test
+  * (graph_pg.rs:231-286 test_db) plus the pg-backed searcher e2e
+  * (graph_pg.rs:288-325, 10-vector self-match). */
+class ParquetGraphStoreSpec extends SparkSpec {
+
+  private def freshStore(): (ParquetGraphStore, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgstore").toString
+    (new ParquetGraphStore(spark, dir), dir)
+  }
+
+  test("entry point upsert/read-back; links set/get equality (test_db port)") {
+    val (store, _) = freshStore()
+    assert(store.getEntryPoint.isEmpty)
+    store.setEntryPoint(7L, 0)
+    assert(store.getEntryPoint.contains(EntryPoint(7L, 0)))
+    // monotone enforcement against the buffered value
+    assertThrows[IllegalArgumentException](store.setEntryPoint(8L, 0))
+    store.setEntryPoint(8L, 2)
+    store.flush()
+    assert(store.getEntryPoint.contains(EntryPoint(8L, 2)))
+
+    val q = FurthestQueue.fromUnsorted(Seq(Neighbor(2, 0.5), Neighbor(3, 0.25)))
+    store.setLinks(1L, q, 0)
+    assert(store.getLinks(1L, 0).toArray.toList == q.toArray.toList) // pre-flush
+    store.flush()
+    assert(store.getLinks(1L, 0).toArray.toList == q.toArray.toList) // post-flush
+    assert(store.getLinks(99L, 0).isEmpty)
+    assert(store.numLayers == 3)
+
+    // overwrite semantics (ON CONFLICT DO UPDATE)
+    val q2 = FurthestQueue.fromUnsorted(Seq(Neighbor(4, 0.1)))
+    store.setLinks(1L, q2, 0)
+    store.flush()
+    assert(store.getLinks(1L, 0).toArray.toList == q2.toArray.toList)
+  }
+
+  test("searcher runs against the parquet store e2e: insert + self-match (pg test port)") {
+    val (store, _) = freshStore()
+    val params = HnswParams.standard(16, 16, 4)
+    val searcher = new HnswSearcher(params)
+    val vectors = new CodeVectorStore()
+    val ids = (0 until 10).map { raw =>
+      val q = vectors.prepareQuery(raw.toLong)
+      searcher.insert(vectors, store, q, searcher.selectLayerByHash(q, 3L))
+    }
+    store.flush()
+    ids.foreach { id =>
+      val w = searcher.search(vectors, store, id, 1)
+      assert(searcher.isMatch(vectors, Seq(w)), s"code $id missing self-match")
+    }
+    // durable: a fresh store instance over the same path sees the graph
+    val reopened = store.loadSnapshot()
+    assert(reopened.numLayers == store.numLayers)
+  }
+}
