@@ -262,6 +262,19 @@ case class SimHash64Md5(child: Expression)
 object TextFunctions {
   def md5MinHash(strings: Column, numHashes: Int): Column =
     Bridge.column(Md5MinHash(Bridge.expression(strings), numHashes))
+
+  /** Register SQL names (args after the first must be foldable ints). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def lit(e: Expression): Int =
+      e.eval(null) match { case i: Int => i; case l: Long => l.toInt }
+    reg.createOrReplaceTempFunction("md5_minhash",
+      es => Md5MinHash(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("md5_minhash_shingles",
+      es => Md5MinHashShingles(es.head, lit(es(1)), lit(es(2)), lit(es(3)), lit(es(4))), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64Md5(es.head), "scala_udf")
+  }
   /** bands=numHashes, rowsPerBand=1 returns the raw min-hash array. */
   def md5MinHashShingles(text: Column, shingleLen: Int, numHashes: Int,
                          bands: Int, rowsPerBand: Int,

@@ -58,6 +58,20 @@ class TextExpressionsSpec extends SparkSpec {
     assert(fp == fpSql)
   }
 
+  test("SQL registration: kernels callable from spark.sql") {
+    TextFunctions.registerAll(spark)
+    VectorFunctions.registerAll(spark)
+    docs.createOrReplaceTempView("docs_t")
+    val r = spark.sql(
+      """SELECT doc_id, simhash64(split(text, ' ')) AS sig,
+        |  element_at(md5_minhash_shingles(text, 8, 1, 1, 1), 1) AS fp
+        |FROM docs_t ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(r.length == 5 && r.forall(_.getString(1).length == 64))
+    val v = spark.sql(
+      "SELECT cosine_sim_f32(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head()
+    assert(math.abs(v.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("SimHash64Md5 == the SQL bit-vote form") {
     val native = docs.select(col("doc_id"),
       TextFunctions.simhash64(split(col("text"), " ")).as("sig"))
