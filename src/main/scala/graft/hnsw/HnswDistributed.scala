@@ -52,6 +52,16 @@ object HnswDistributed {
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
 
+  /** Process-wide model memo: catalog queries over the same static table
+    * + config share one build (the model is pure data — no session refs). */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HnswModel]()
+
+  def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String): HnswModel =
+    modelCache.computeIfAbsent(
+      s"$key|${cfg.metric}|${cfg.seed}|${cfg.params.m.toList}|${cfg.params.efSearch.toList}|${cfg.params.efConstrInsert.toList}",
+      _ => build(vectors, cfg))
+
   /** Build from a (id: long, vec: array<float>) DataFrame. */
   def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig()): HnswModel = {
     val spark = vectors.sparkSession

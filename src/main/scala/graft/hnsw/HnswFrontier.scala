@@ -1,0 +1,145 @@
+package graft.hnsw
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.store.{ArrayVectorStore, EntryPoint, GraphSnapshot, Metrics}
+
+/** Frontier-join HNSW search — the pure-DataFrame variant of
+  * search_layer for graphs too large to broadcast (SURVEY §2 S5 strategy
+  * (b)): layer 0's adjacency stays a distributed links table; each
+  * iteration expands the whole frontier with one join, re-ranks the beam
+  * with a window, and keeps only newly-visited nodes that improved it.
+  *
+  * Versus the reference's one-pop-per-step loop this expands breadth-
+  * first per round (the Pregel/aggregateMessages shape): it evaluates at
+  * least the nodes the sequential beam search would, so the resulting
+  * beam is the same or better; rounds ~ graph diameter instead of
+  * O(ef x M) sequential pops.
+  *
+  * Upper layers are ~n/M^l rows — broadcastable by construction at any
+  * scale — so the greedy descent (ef=1) above layer 0 runs in the
+  * executor-local kernel against a snapshot of just those layers; only
+  * layer 0, the big one, uses the iterative joins.
+  */
+object HnswFrontier {
+
+  /** @param links   layer-0 adjacency (src, layer, links) — only layer 0
+    *                rows are used; pass the full table freely
+    * @param upper   snapshot holding layers >= 1 + the entry point (from
+    *                [[upperSnapshot]])
+    * @param vectors (id, vec) — joined per round for distance evals
+    * @param queries (qid, qvec)
+    * @return (qid, id, dist, rank) top-k per query
+    */
+  def search(links: DataFrame, upper: GraphSnapshot, vectors: DataFrame,
+             queries: DataFrame, k: Int, ef: Int,
+             metricName: String = "cosine", maxRounds: Int = 30): DataFrame = {
+    val spark = queries.sparkSession
+    require(upper.entryPoint.isDefined, "empty index")
+
+    // Greedy descent through the (small) upper layers -> per-query entry.
+    val entrySeeds = descendUpper(spark, upper, vectors, queries, metricName)
+
+    val layer0 = links.filter(col("layer") === 0)
+      .select(col("src"), col("links"))
+
+    val qvecs = queries.select(col("qid"), col("qvec"))
+    def withDist(cand: DataFrame): DataFrame =
+      cand.join(vectors, "id")
+        .join(broadcast(qvecs), "qid")
+        .select(col("qid"), col("id"),
+          distCol(metricName)(col("qvec"), col("vec")).as("dist"))
+
+    // localCheckpoint (eager) truncates lineage every round — iterative
+    // self-referential DataFrames otherwise grow an exponential plan.
+    var beam = withDist(entrySeeds).localCheckpoint()   // (qid, id, dist)
+    var frontier = beam
+    var visited = beam.select("qid", "id").localCheckpoint()
+    var rounds = 0
+
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+
+    while (rounds < maxRounds && !frontier.isEmpty) {
+      // expand every frontier node's neighborhood in one join
+      val discovered = frontier
+        .join(layer0, frontier("id") === layer0("src"))
+        .select(col("qid"), explode(col("links")).as("e"))
+        .select(col("qid"), col("e.dst").as("id"))
+        .distinct()
+        .join(visited, Seq("qid", "id"), "left_anti")
+      val scored = withDist(discovered).localCheckpoint()
+
+      visited = visited.union(scored.select("qid", "id")).localCheckpoint()
+      val newBeam = beam.unionByName(scored)
+        .withColumn("r", row_number().over(rankW))
+        .filter(col("r") <= ef)
+        .drop("r")
+        .localCheckpoint()
+      // continue only from newly-discovered nodes that made the beam
+      frontier = scored.join(newBeam.select("qid", "id"), Seq("qid", "id"), "left_semi")
+        .localCheckpoint()
+      beam = newBeam
+      rounds += 1
+    }
+
+    beam
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("dist"), col("rank"))
+  }
+
+  /** Snapshot carrying only layers >= 1 (empty layer-0 map) + entry. */
+  def upperSnapshot(full: GraphSnapshot): GraphSnapshot =
+    GraphSnapshot(full.entryPoint,
+      full.layers.zipWithIndex.map { case (m, lc) =>
+        if (lc == 0) Map.empty[Long, (Array[Long], Array[Double])] else m
+      })
+
+  /** Greedy (ef=1) kernel descent through layers top..1, returning each
+    * query's layer-0 entry candidate (qid, id). */
+  private def descendUpper(spark: SparkSession, upper: GraphSnapshot,
+                           vectors: DataFrame, queries: DataFrame,
+                           metricName: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val metric = Metrics.byName(metricName)
+    // upper layers hold few distinct ids; ship only the vectors they touch
+    val upperIds: Set[Long] = (upper.entryPoint.map(_.point).toSet ++
+      upper.layers.iterator.flatMap(m =>
+        m.keysIterator ++ m.valuesIterator.flatMap(_._1.iterator))).toSet
+    val idsB = spark.sparkContext.broadcast(upperIds)
+    val vecEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+    val upperVecs = vectors.select(col("id"), col("vec")).as(vecEnc)
+      .filter(r => idsB.value.contains(r._1)).collect().toMap
+    val upperB = spark.sparkContext.broadcast((upper, upperVecs))
+
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    queries.select(col("qid"), col("qvec")).as(vecEnc)
+      .mapPartitions { it =>
+        val (snap, vecs) = upperB.value
+        val searcher = new HnswSearcher(HnswParams.standard(1, 1, 16))
+        it.map { case (qid, qvec) =>
+          val store = new ArrayVectorStore(metric, base = vecs)
+          store.prepareQueryWithId(-1L, qvec)
+          val (w, nLayers) = searcher.searchInit(store, snap, -1L)
+          var lc = nLayers - 1
+          while (lc >= 1) {
+            searcher.searchLayer(store, snap, -1L, w, 1, lc)
+            lc -= 1
+          }
+          (qid, w.getNearest.get.dst)
+        }
+      }(outEnc)
+      .toDF("qid", "id")
+  }
+
+  private def distCol(metricName: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+    metricName match {
+      case "cosine" => (q, v) => lit(1.0) - VectorFunctions.cosineSim(q, v)
+      case "l2"     => (q, v) => VectorFunctions.l2Sq(q, v)
+      case "dot"    => (q, v) => -VectorFunctions.dotF32(q, v)
+      case other    => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+}

@@ -133,9 +133,13 @@ object Dedup {
     * kernel evaluations; k bounds the per-vector duplicate fan-out. */
   def neardupAnn(vectors: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, k: Int = 40,
-                 cfg: BuildConfig = BuildConfig()): DataFrame = {
+                 cfg: BuildConfig = BuildConfig(),
+                 cacheKey: Option[String] = None): DataFrame = {
     val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val model = HnswDistributed.build(vecs, cfg)
+    val model = cacheKey match {
+      case Some(key) => HnswDistributed.buildCached(vecs, cfg, key)
+      case None      => HnswDistributed.build(vecs, cfg)
+    }
     val qs = vectors.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val hits = HnswDistributed.search(qs, model, k)
       .filter(col("qid") < col("id"))

@@ -50,7 +50,8 @@ object DedupQueries {
       val cfg = BuildConfig(HnswParams.standard(64, 128, 16), "cosine", seed = 42L)
       Dedup.neardupAnn(
           emb(s, dir).select(col("vec_id"), col("embedding")),
-          idCol = "vec_id", vecCol = "embedding", threshold = 0.4, k = 48, cfg = cfg)
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.4, k = 48, cfg = cfg,
+          cacheKey = Some(dir))
         .orderBy(col("a_id"), col("b_id"))
     }),
 

