@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.hnsw.{HnswDistributed, HnswParams}
+import graft.hnsw.{GraphFrames, HnswDistributed, HnswFrontier, HnswParams}
 import graft.hnsw.HnswDistributed.BuildConfig
 import graft.operators.ExactKnn
 
@@ -91,6 +91,18 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Frontier-join search: layer 0 stays a distributed links table
+    // (never broadcast), expanded by iterative joins — the path for
+    // graphs beyond executor memory. Exact regime -> exact oracle.
+    "h_knn_frontier" -> ((s, dir) => {
+      val model = HnswDistributed.buildCached(vectorsDf(s, dir), exactishCfg, dir)
+      val links = GraphFrames.toLinksDF(s, model.snapshot)
+      HnswFrontier.search(links, HnswFrontier.upperSnapshot(model.snapshot),
+          vectorsDf(s, dir), queriesDf(s, dir), k = 10, ef = 128)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The beyond-broadcast scale path: independent per-shard graphs +
     // global top-k merge. Exact-regime ef on each shard searching its own
     // subset => the merged top-k equals the exact top-k (each true
@@ -119,6 +131,7 @@ object Hnsw {
   val oracles: Map[String, String] = Map(
     "h_knn_cosine" -> exactKnnOracle(10),
     "h_knn_sharded" -> exactKnnOracle(10),
+    "h_knn_frontier" -> exactKnnOracle(10),
 
     "h_knn_hamming" ->
       s"""WITH c AS (
