@@ -12,14 +12,23 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warm-up: session/codegen/broadcast machinery init, one
+    // touch per table — otherwise the first timed query absorbs ~3-5 s
+    // of one-time cost and round-over-round numbers aren't comparable.
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every output row (column pruning can't
       // eliminate aggregates/sorts the way `.count()` lets it).
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

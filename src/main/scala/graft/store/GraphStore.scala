@@ -122,6 +122,28 @@ final class InMemoryGraph extends GraphStore {
       }
 }
 
+/** Decorator that records which (src, layer) adjacency rows a mutation
+  * touched — the change feed a durable mirror needs to persist exactly
+  * the delta of a batch instead of the whole graph. */
+final class RecordingGraphStore(inner: GraphStore) extends GraphStore {
+  private val touchedKeys = scala.collection.mutable.LinkedHashSet.empty[(Long, Int)]
+  private var entryTouched = false
+
+  override def getEntryPoint: Option[EntryPoint] = inner.getEntryPoint
+  override def setEntryPoint(point: Long, layer: Int): Unit = {
+    inner.setEntryPoint(point, layer); entryTouched = true
+  }
+  override def getLinks(base: Long, lc: Int): FurthestQueue = inner.getLinks(base, lc)
+  override def setLinks(base: Long, links: FurthestQueue, lc: Int): Unit = {
+    inner.setLinks(base, links, lc); touchedKeys += ((base, lc))
+  }
+  override def numLayers: Int = inner.numLayers
+
+  def touched: Seq[(Long, Int)] = touchedKeys.toSeq
+  def entryPointTouched: Boolean = entryTouched
+  def clearRecording(): Unit = { touchedKeys.clear(); entryTouched = false }
+}
+
 object InMemoryGraph {
   /** G7: construct from raw layer maps (reference graph_mem.rs:25-40
     * `from_precomputed`). */

@@ -24,13 +24,33 @@ import graft.store.{ArrayVectorStore, InMemoryGraph, Metrics}
 object StreamingIngest {
 
   /** Mutable index handle shared across micro-batches. Thread-safe for
-    * the single-writer foreachBatch contract. */
-  final class IncrementalIndex(cfg: BuildConfig) extends Serializable {
+    * the single-writer foreachBatch contract.
+    *
+    * @param mirror optional durable graph mirror: after each batch, the
+    *               adjacency rows the batch touched (tracked by a
+    *               [[graft.store.RecordingGraphStore]]) are written
+    *               through to the parquet store — the delta, not the
+    *               whole graph — so the index survives restarts.
+    */
+  final class IncrementalIndex(cfg: BuildConfig,
+                               mirror: Option[graft.store.ParquetGraphStore] = None)
+      extends Serializable {
     private val metric = Metrics.byName(cfg.metric)
     private val searcher = new HnswSearcher(cfg.params)
     private val store = new ArrayVectorStore(metric, matchThreshold = 1e-9)
-    private val graph = new InMemoryGraph
+    private val inner = new InMemoryGraph
+    private val graph = new graft.store.RecordingGraphStore(inner)
     private val vecs = scala.collection.mutable.Map.empty[Long, Array[Float]]
+
+    private def mirrorDelta(): Unit = mirror.foreach { pg =>
+      graph.touched.foreach { case (src, lc) =>
+        pg.setLinks(src, inner.getLinks(src, lc), lc)
+      }
+      if (graph.entryPointTouched)
+        inner.getEntryPoint.foreach(ep => pg.setEntryPoint(ep.point, ep.layer))
+      pg.flush()
+      graph.clearRecording()
+    }
 
     def insertRows(rows: Array[(Long, Array[Float])]): Unit = synchronized {
       // Deterministic order within the batch (reference inserts are
@@ -40,6 +60,7 @@ object StreamingIngest {
         vecs(id) = v
         searcher.insert(store, graph, q, searcher.selectLayerByHash(id, cfg.seed))
       }
+      mirrorDelta()
     }
 
     /** Dedup-inserting variant (LinearDb streaming shape): skip rows that
@@ -58,13 +79,14 @@ object StreamingIngest {
           ins += 1
         }
       }
+      mirrorDelta()
       (ins, skip)
     }
 
     def size: Int = synchronized(vecs.size)
 
     def model: HnswModel = synchronized {
-      HnswModel(cfg.params, cfg.metric, graph.snapshot, vecs.toMap)
+      HnswModel(cfg.params, cfg.metric, inner.snapshot, vecs.toMap)
     }
   }
 

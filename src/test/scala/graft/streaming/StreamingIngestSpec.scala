@@ -58,6 +58,27 @@ class StreamingIngestSpec extends SparkSpec {
     assert(index.size == 30)
   }
 
+  test("durable mirror: batch deltas persist to the parquet graph store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-mirror").toString
+    val pg = new graft.store.ParquetGraphStore(spark, dir)
+    val index = new IncrementalIndex(cfg, mirror = Some(pg))
+    index.insertRows(vecsOf(25).toArray)
+    index.insertRows(vecsOf(25, offset = 25).toArray)
+
+    // reopen from disk: same layer structure and adjacency as the live index
+    val reopened = new graft.store.ParquetGraphStore(spark, dir).loadSnapshot()
+    val live = index.model.snapshot
+    assert(reopened.entryPoint == live.entryPoint)
+    assert(reopened.numLayers == live.numLayers)
+    (0 until live.numLayers).foreach { lc =>
+      assert(reopened.layers(lc).keySet == live.layers(lc).keySet, s"layer $lc")
+      live.layers(lc).foreach { case (src, (dsts, dists)) =>
+        assert(reopened.layers(lc)(src)._1.toList == dsts.toList)
+        assert(reopened.layers(lc)(src)._2.toList == dists.toList)
+      }
+    }
+  }
+
   test("watermarked hourly rollup aggregates by event-time window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
