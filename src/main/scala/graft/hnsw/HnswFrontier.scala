@@ -72,7 +72,10 @@ object HnswFrontier {
         .join(visited, Seq("qid", "id"), "left_anti")
       val scored = withDist(discovered).localCheckpoint()
 
-      visited = visited.union(scored.select("qid", "id")).localCheckpoint()
+      // visited/frontier stay lazy: they are shallow unions/semi-joins of
+      // already-checkpointed leaves, so plan depth stays linear and two
+      // eager materializations per round are saved.
+      visited = visited.union(scored.select("qid", "id"))
       val newBeam = beam.unionByName(scored)
         .withColumn("r", row_number().over(rankW))
         .filter(col("r") <= ef)
@@ -80,7 +83,6 @@ object HnswFrontier {
         .localCheckpoint()
       // continue only from newly-discovered nodes that made the beam
       frontier = scored.join(newBeam.select("qid", "id"), Seq("qid", "id"), "left_semi")
-        .localCheckpoint()
       beam = newBeam
       rounds += 1
     }
