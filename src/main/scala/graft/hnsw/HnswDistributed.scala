@@ -223,7 +223,7 @@ object HnswDistributed {
 }
 
 /** Encoder helpers (Array[Float] has no Encoders.* shortcut). */
-private[hnsw] object ExprEnc {
+private[graft] object ExprEnc {
   import org.apache.spark.sql.Encoder
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   val floatArray: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.HnswSearcher
+import graft.store.Metrics
+
+/** IVF (inverted-file) approximate nearest neighbor — the
+  * coarse-quantizer member of the ANN family (alongside HNSW and
+  * SimHash-LSH): k-means centroids partition the vector space into
+  * cells; each vector lives in its nearest centroid's inverted list;
+  * a query scans only its `nProbe` nearest cells and re-ranks those
+  * candidates exactly.
+  *
+  * Scale shape: training runs on a driver-collected sample (centroid
+  * count is small by design); assignment is one scan; search shuffles
+  * O(|queries| x candidates-in-probed-cells) rows instead of the full
+  * table. `nProbe = nCells` degrades to exhaustive exact search — used
+  * as the oracle regime.
+  *
+  * Training is deterministic: splitmix-seeded initial centroids and a
+  * fixed Lloyd iteration count.
+  */
+object Ivf {
+
+  final case class IvfModel(centroids: Array[Array[Float]], metricName: String)
+      extends Serializable {
+    def nCells: Int = centroids.length
+  }
+
+  private val rowEnc = Encoders.tuple(Encoders.scalaLong, graft.hnsw.ExprEnc.floatArray)
+
+  /** Lloyd's k-means on a driver-collected sample (deterministic). */
+  def train(vectors: DataFrame, nCells: Int, metric: String = "cosine",
+            seed: Long = 11L, iters: Int = 10, maxSample: Int = 100000): IvfModel = {
+    val dist = Metrics.byName(metric)
+    val sample = vectors.select(col("id"), col("vec")).as(rowEnc)
+      .limit(maxSample).collect().map(_._2)
+    require(sample.nonEmpty, "empty training set")
+    val dim = sample.head.length
+
+    // splitmix-seeded distinct starting points
+    var centroids = Array.tabulate(math.min(nCells, sample.length)) { i =>
+      val idx = (HnswSearcher.uniformFromHash(i.toLong, seed) * sample.length).toInt
+        .min(sample.length - 1)
+      sample(idx).clone()
+    }
+
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids, dist)
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    IvfModel(centroids, metric)
+  }
+
+  private def nearestCentroid(v: Array[Float], cs: Array[Array[Float]],
+                              dist: (Array[Float], Array[Float]) => Double): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val d = dist(v, cs(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Cell-assignment column (one scan, no shuffle). */
+  def cellCol(model: IvfModel): Column => Column = {
+    val cs = model.centroids
+    val metricName = model.metricName
+    val f = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.toArray, cs, Metrics.byName(metricName))
+    }
+    c => f(c)
+  }
+
+  /** k-NN through the inverted lists: probe each query's `nProbe`
+    * nearest cells, exact-rerank candidates with the bounded-heap top-k.
+    * Output (qid, id, score, rank) — same contract as ExactKnn.search.
+    */
+  def search(queries: DataFrame, vectors: DataFrame, model: IvfModel,
+             k: Int, nProbe: Int, metric: String = "cosine"): DataFrame = {
+    val cell = cellCol(model)
+    val assigned = vectors.withColumn("cell", cell(col("vec")))
+
+    val cs = model.centroids
+    val metricName = model.metricName
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val dist = Metrics.byName(metricName)
+      val va = v.toArray
+      cs.indices.map(i => (dist(va, cs(i)), i)).sorted.take(nProbe).map(_._2)
+    }
+    val probed = queries
+      .withColumn("cell", explode(probeUdf(col("qvec"))))
+
+    // join inverted lists on cell, then the standard bounded-heap top-k
+    val asc = ExactKnn.metricAscending(metric)
+    val pairs = probed.join(assigned, "cell")
+      .select(col("qid"), col("id"),
+        ExactKnn.scoreCol(metric)(col("qvec"), col("vec")).as("score"))
+    val topk = udaf(new ExactKnn.TopKAggregator(k, asc))
+    pairs
+      .groupBy(col("qid"))
+      .agg(topk(col("id"), col("score")).as("nn"))
+      .select(col("qid"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("qid"), col("n.id").as("id"), col("n.score").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+}

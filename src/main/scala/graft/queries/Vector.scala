@@ -58,6 +58,18 @@ object Vector {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // IVF inverted-list kNN in the exhaustive regime (nProbe = nCells):
+    // every cell probed => identical to exact search => shares the exact
+    // oracle. The ANN regime (nProbe << nCells) is measured by IvfSpec.
+    "v_knn_ivf" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val vecs = vectorsDf(s, dir)
+      val model = Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L)
+      Ivf.search(queriesDf(s, dir), vecs, model, k = 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Exact vector dedup: hash-groupBy on the full embedding.
     "v_dedup_exact" -> ((s, dir) => {
       t(s, dir).agg(
@@ -85,6 +97,9 @@ object Vector {
       desc = true),
     "v_knn_l2" -> knnOracle(10, "list_distance(qv, vv)", desc = false),
     "v_knn_dot" -> knnOracle(10, "list_dot_product(qv, vv)", desc = true),
+    "v_knn_ivf" -> knnOracle(10,
+      "list_dot_product(qv, vv) / sqrt(list_dot_product(qv, qv) * list_dot_product(vv, vv))",
+      desc = true),
 
     "v_knn_hamming" ->
       s"""WITH c AS (
