@@ -77,6 +77,35 @@ object Events {
         .groupBy(col("k"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
         .orderBy(col("k"))
+    }),
+
+    // Funnel: users whose first signup precedes a later purchase — the
+    // event-sequence shape (conditional aggregation, one shuffle by user;
+    // timestamps in us, see e_top_users note).
+    "e_funnel" -> ((s, dir) => {
+      t(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", expr("ts div 1000"))).as("first_signup_us"),
+          max(when(col("event_type") === "purchase", expr("ts div 1000"))).as("last_purchase_us"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("first_signup_us").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+          sum(when(col("first_signup_us") < col("last_purchase_us"), 1L).otherwise(0L))
+            .as("n_converted"))
+    }),
+
+    // Share-of-total by event type: two-level aggregation, the global
+    // total broadcast back (no second scan).
+    "e_type_share" -> ((s, dir) => {
+      val byType = t(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      val total = byType.agg(sum(col("n")).as("total_n"))
+      byType.join(broadcast(total))
+        .withColumn("share_pm", expr("(n * 1000) div total_n"))
+        .select(col("event_type"), col("n"), col("sum_value_c"), col("share_pm"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -117,6 +146,26 @@ object Events {
         | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events
         |GROUP BY 1
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "e_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup_us,
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase_us
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN first_signup_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+        |  CAST(sum(CASE WHEN first_signup_us < last_purchase_us THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM u""".stripMargin,
+
+    "e_type_share" ->
+      """WITH b AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, sum_value_c,
+        |  CAST((n * 1000) // (SELECT sum(n) FROM b) AS BIGINT) AS share_pm
+        |FROM b ORDER BY event_type""".stripMargin
   )
 }
