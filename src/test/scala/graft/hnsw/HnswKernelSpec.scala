@@ -116,6 +116,39 @@ class HnswKernelSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@$k = $recall < 0.9")
   }
 
+  test("param sweep: recall holds across M/ef configurations and metrics") {
+    val configs = Seq(
+      (HnswParams.standard(32, 32, 8), "cosine"),
+      (HnswParams.standard(64, 16, 16), "cosine"),
+      (HnswParams.uniform(24, 8), "l2"),
+      (HnswParams.standard(48, 48, 4), "l2"),
+      (HnswParams.standard(32, 24, 12), "dot"))
+    configs.zipWithIndex.foreach { case ((p, metricName), ci) =>
+      val metric = graft.store.Metrics.byName(metricName)
+      val vecs = randomVectors(250, 8, seed = 100 + ci)
+      val searcher = new HnswSearcher(p)
+      val store = new ArrayVectorStore(metric)
+      val graph = new InMemoryGraph
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        val q = store.prepareQueryWithId(i.toLong, v)
+        searcher.insert(store, graph, q, searcher.selectLayerByHash(q, 1000 + ci))
+      }
+      val rng = new Random(200 + ci)
+      var hits = 0; var total = 0
+      for (_ <- 1 to 20) {
+        val qv = Array.fill(8)(rng.nextGaussian().toFloat)
+        val q = store.prepareQueryWithId(-1L, qv)
+        val got = searcher.search(store, graph, q, 5).toArray.map(_.dst).toSet
+        val exact = vecs.zipWithIndex
+          .map { case (v, i) => (metric(qv, v), i.toLong) }
+          .sorted.take(5).map(_._2).toSet
+        hits += (got intersect exact).size; total += 5
+      }
+      val recall = hits.toDouble / total
+      assert(recall >= 0.85, s"config $ci ($metricName): recall=$recall")
+    }
+  }
+
   test("empty index: search returns empty, isMatch false (S4/S11 edge)") {
     val searcher = new HnswSearcher(params)
     val store = new ArrayVectorStore(Metrics.cosineDist)
