@@ -91,6 +91,39 @@ object Bench {
         f""""hnsw_search_s":$tHnsw%.3f,"linear_search_s":$tLinear%.3f,""" +
         f""""search_speedup":${tLinear / tHnsw}%.2f}"""
     }
-    cells.mkString("{", ",", "}")
+
+    // u64 Hamming cells — the reference's native Criterion scenario
+    // (benches/hnsw.rs: u64 codes, XOR+popcount, sequential inserts):
+    // insert throughput here is the single-node apples-to-apples number
+    // (the driver-sequential build IS single-insert latency x n; capped
+    // at 10k codes to keep the per-round bench bounded).
+    import graft.hnsw.HnswCodes
+    val hammingCells = sizes.filter(_ <= 10000).map { n =>
+      val codes = Array.tabulate(n) { i =>
+        (i.toLong, java.lang.Double.doubleToRawLongBits(
+          HnswSearcher.uniformFromHash(i.toLong, 23L)))
+      }
+      import spark.implicits._
+      val codesDf = spark.createDataset(codes.toSeq).toDF("id", "code").cache()
+      codesDf.count()
+      val qDf = spark.createDataset(
+        codes.indices.by(math.max(1, n / nQueries)).take(nQueries)
+          .map(codes(_)).toSeq).toDF("qid", "qcode").cache()
+      qDf.count()
+
+      val (model, tBuild) = time(HnswCodes.build(codesDf,
+        HnswParams.standard(64, 32, 32), seed = 23L))
+      val (_, tHnsw) = time(materialize(HnswCodes.search(qDf, model, k)))
+      val (_, tLinear) = time(materialize(
+        graft.operators.ExactKnn.search(
+          qDf.withColumnRenamed("qcode", "qvec"),
+          codesDf.withColumnRenamed("code", "vec"), k, "hamming")))
+      codesDf.unpersist(); qDf.unpersist()
+      f""""hamming_n$n":{"hnsw_build_s":$tBuild%.3f,"hnsw_insert_per_s":${n / tBuild}%.0f,""" +
+        f""""hnsw_search_s":$tHnsw%.3f,"linear_search_s":$tLinear%.3f,""" +
+        f""""search_speedup":${tLinear / tHnsw}%.2f}"""
+    }
+
+    (cells ++ hammingCells).mkString("{", ",", "}")
   }
 }

@@ -45,9 +45,9 @@ object HnswCodes {
       .mapPartitions { it =>
         val m = modelB.value
         val searcher = new HnswSearcher(m.params)
-        // one store per partition; the query slot (-1) is re-staged per row
-        val store = new CodeStoreWithIds
-        m.codes.foreach { case (id, c) => store.stage(id, c) }
+        // read-through store over the broadcast map (no per-partition
+        // copy); the query slot (-1) is re-staged per row
+        val store = new CodeStoreWithIds(m.codes)
         it.flatMap { case (qid, qcode) =>
           store.stage(-1L, qcode)
           val w = searcher.search(store, m.snapshot, -1L, k)
@@ -60,16 +60,21 @@ object HnswCodes {
   }
 
   /** CodeVectorStore with caller-assigned ids (the dense auto-id variant
-    * lives in graft.store; HNSW needs the table's own ids). */
-  private final class CodeStoreWithIds extends graft.store.VectorStore {
+    * lives in graft.store; HNSW needs the table's own ids). `base` backs
+    * ids not staged locally — executors wrap the broadcast code table
+    * without copying it. */
+  private final class CodeStoreWithIds(
+      base: collection.Map[Long, Long] = collection.Map.empty)
+      extends graft.store.VectorStore {
     type Raw = Long
-    private val codes = scala.collection.mutable.LongMap.empty[Long]
-    def stage(id: Long, code: Long): Unit = codes(id) = code
+    private val staged = scala.collection.mutable.LongMap.empty[Long]
+    def stage(id: Long, code: Long): Unit = staged(id) = code
+    private def code(id: Long): Long = staged.getOrElse(id, base(id))
     override def prepareQuery(raw: Long): Long =
       throw new UnsupportedOperationException("use stage(id, code)")
     override def insert(q: Long): Long = q
     override def evalDistance(q: Long, v: Long): Double =
-      java.lang.Long.bitCount(codes(q) ^ codes(v)).toDouble
+      java.lang.Long.bitCount(code(q) ^ code(v)).toDouble
     override def isMatch(d: Double): Boolean = d <= 0.0
   }
 }
