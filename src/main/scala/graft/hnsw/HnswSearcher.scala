@@ -70,8 +70,10 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
       if (vectors.lessThan(fq, cq)) {
         continue = false
       } else {
-        val links = graph.getLinks(_c, lc)
-        val unvisited = links.iterator.map(_.dst).filter(visited.add).toArray
+        // no-copy neighbor iteration (read-only hot path)
+        val unvisitedBuf = mutable.ArrayBuilder.make[Long]
+        graph.foreachLink(_c, lc)(e => if (visited.add(e)) unvisitedBuf += e)
+        val unvisited = unvisitedBuf.result()
         val dists = vectors.evalDistanceBatch(q, unvisited)
 
         var i = 0

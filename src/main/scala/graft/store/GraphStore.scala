@@ -30,6 +30,12 @@ trait GraphStore extends Serializable {
   /** G5 (reference traits.rs:116; NB the Postgres impl left this
     * unimplemented — graph_pg.rs:125-127 `todo!()` — ours derives it). */
   def numLayers: Int
+
+  /** Read-only neighbor iteration — the search hot path. getLinks clones
+    * the queue (matching the reference's `links.clone()`); the kernel only
+    * iterates, so impls override this to skip the copy. */
+  def foreachLink(base: Long, lc: Int)(f: Long => Unit): Unit =
+    getLinks(base, lc).iterator.foreach(n => f(n.dst))
 }
 
 /** Immutable, compact adjacency image of a graph for broadcasting to
@@ -52,6 +58,12 @@ final case class GraphSnapshot(
   override def setLinks(base: Long, links: FurthestQueue, lc: Int): Unit =
     throw new UnsupportedOperationException("snapshot is read-only")
   override def numLayers: Int = layers.length
+
+  override def foreachLink(base: Long, lc: Int)(f: Long => Unit): Unit =
+    if (lc < layers.length) layers(lc).get(base).foreach { case (dsts, _) =>
+      var i = 0
+      while (i < dsts.length) { f(dsts(i)); i += 1 }
+    }
 
   def vertexCount(lc: Int): Int = if (lc >= layers.length) 0 else layers(lc).size
   def edgeCount: Long = layers.iterator.flatMap(_.valuesIterator).map(_._1.length.toLong).sum
@@ -79,6 +91,9 @@ final class InMemoryGraph extends GraphStore {
   override def getLinks(base: Long, lc: Int): FurthestQueue =
     if (lc >= layers.size) FurthestQueue.empty
     else layers(lc).getOrElse(base, FurthestQueue.empty).copy()
+
+  override def foreachLink(base: Long, lc: Int)(f: Long => Unit): Unit =
+    if (lc < layers.size) layers(lc).get(base).foreach(_.iterator.foreach(n => f(n.dst)))
 
   override def setLinks(base: Long, links: FurthestQueue, lc: Int): Unit = {
     require(lc < layers.size, s"layer $lc not initialized (have ${layers.size})")
