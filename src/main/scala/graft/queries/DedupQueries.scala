@@ -115,6 +115,31 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The composite curation pipeline — the end-to-end training-data
+    // shape: heuristic quality gate, then near-dup drop (minhash pairs,
+    // lowest doc_id survives), then corpus stats. Each stage is an
+    // operator proven above; this query proves they compose.
+    "p_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val stop = graft.queries.Text.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+      val quality = d
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))")
+            .cast("long").as("n_stop"))
+        .withColumn("quality",
+          (col("n_stop") / col("n_tok")) * 0.5 +
+            least(lit(1.0), col("n_chars") / lit(500.0)) * 0.5)
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"))
+      val dupPairs = defs("d_neardup_minhash")(s, dir) // (a_id, b_id), a < b
+      val dropped = dupPairs.select(col("b_id").as("doc_id")).distinct()
+      val kept = quality.join(dropped, Seq("doc_id"), "left_anti")
+      import s.implicits._
+      Seq((d.count(), quality.count(), kept.count()))
+        .toDF("n_input", "n_after_quality", "n_after_dedup")
+    }),
+
     // SimHash document fingerprint: 64-bit signature from md5-bit votes
     // over whitespace tokens, emitted as a bit-string. Deterministic and
     // md5-based end to end -> full hash-match oracle (which runs the SQL
@@ -175,7 +200,49 @@ object DedupQueries {
 
     "d_simhash" ->
       s"""SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig64
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p_curate" -> {
+      val stop = graft.queries.Text.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+      val mhList = (0 until MinhashK).map(k =>
+        s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
+        .mkString("[", ", ", "]")
+      val bandList = (0 until MinhashBands).map { j =>
+        (0 until MinhashRows).map(r => s"mh[${j * MinhashRows + r + 1}]").mkString(" || ")
+      }.mkString("[", ", ", "]")
+      s"""WITH q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      (CAST(len(list_filter(string_split(text, ' '), tok -> tok IN $stop)) AS BIGINT) * 1.0
+         |        / len(string_split(text, ' '))) * 0.5
+         |      + least(1.0, n_chars / 500.0) * 0.5 AS quality
+         |    FROM documents)
+         |  WHERE quality >= 0.5),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+         |      i -> substring(text, i, 8))) AS sh
+         |  FROM documents),
+         |mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+         |banded AS (
+         |  SELECT doc_id, sh, unnest($bandList) AS band_val,
+         |         unnest(generate_series(1, $MinhashBands)) AS band_idx
+         |  FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM banded x, banded y
+         |  WHERE x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |    AND x.doc_id < y.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN sh a ON a.doc_id = a_id
+         |  JOIN sh b ON b.doc_id = b_id
+         |  WHERE len(list_intersect(a.sh, b.sh)) * 9 >= (len(a.sh) + len(b.sh)) * 4),
+         |dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+         |SELECT (SELECT count(*) FROM documents) AS n_input,
+         |  (SELECT count(*) FROM q) AS n_after_quality,
+         |  (SELECT count(*) FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_after_dedup""".stripMargin
+    }
   )
 }
 
