@@ -115,6 +115,41 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Exact char-8-gram Jaccard similarity for the banded candidates, as
+    // a first-class similarity measure (integer permille so the oracle
+    // compare is exact): the n-gram-Jaccard member of the dedup family.
+    "d_jaccard_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val banded = d
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.md5MinHashShingles(
+            col("text"), 8, MinhashK, MinhashBands, MinhashRows))
+            .as(Seq("band_idx", "band_val")))
+        .cache()
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+        .cache()
+      val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val shCand = d.join(broadcast(candIds), "doc_id")
+        .select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
+            " i -> substring(text, i, 8)))").as("sh"))
+      cand
+        .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+        .withColumn("nu",
+          size(col("a_sh")).cast("long") + size(col("b_sh")).cast("long") - col("ni"))
+        .select(col("a_id"), col("b_id"),
+          expr("(ni * 1000) div nu").as("jaccard_pm"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // The composite curation pipeline — the end-to-end training-data
     // shape: heuristic quality gate, then near-dup drop (minhash pairs,
     // lowest doc_id survives), then corpus stats. Each stage is an
@@ -201,6 +236,37 @@ object DedupQueries {
     "d_simhash" ->
       s"""SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig64
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_jaccard_pairs" -> {
+      val mhList = (0 until MinhashK).map(k =>
+        s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
+        .mkString("[", ", ", "]")
+      val bandList = (0 until MinhashBands).map { j =>
+        (0 until MinhashRows).map(r => s"mh[${j * MinhashRows + r + 1}]").mkString(" || ")
+      }.mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+         |      i -> substring(text, i, 8))) AS sh
+         |  FROM documents),
+         |mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+         |banded AS (
+         |  SELECT doc_id, sh, unnest($bandList) AS band_val,
+         |         unnest(generate_series(1, $MinhashBands)) AS band_idx
+         |  FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM banded x, banded y
+         |  WHERE x.band_idx = y.band_idx AND x.band_val = y.band_val
+         |    AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST((len(list_intersect(a.sh, b.sh)) * 1000)
+         |    // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_pm
+         |FROM cand
+         |JOIN sh a ON a.doc_id = a_id
+         |JOIN sh b ON b.doc_id = b_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "p_curate" -> {
       val stop = graft.queries.Text.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
