@@ -28,6 +28,45 @@ object DedupQueries {
   private val MinhashBands = 3
   private val MinhashRows = 4
 
+  /** Banded-minhash candidate pairs joined with the exact distinct
+    * shingle sets of candidate docs only — shared by the document-dedup
+    * queries. Native one-pass banded K-minhash straight from text
+    * (duplicate shingles can't change a min; band values emitted directly
+    * so the kernel is evaluated once per row) == the SQL
+    * md5('k:'||s)-over-distinct-shingles + concat form the oracles run.
+    * repartition: the parquet arrives as one split; spread the hash-heavy
+    * projection across cores (at real scale the scan is already many
+    * splits). cache: multiple consumers — without it the kernel pass
+    * re-runs per consumer. Verify inputs (shingle sets) are materialized
+    * only for candidate docs — the 100 TB shape, where verify cost is
+    * proportional to candidates, not corpus size. Output columns:
+    * (a_id, b_id, a_sh, b_sh). */
+  private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val banded = d
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.md5MinHashShingles(
+          col("text"), 8, MinhashK, MinhashBands, MinhashRows))
+          .as(Seq("band_idx", "band_val")))
+      .cache()
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .cache()
+    val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+    val shCand = d.join(broadcast(candIds), "doc_id")
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
+          " i -> substring(text, i, 8)))").as("sh"))
+    cand
+      .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // L1 insert-if-not-exists + idempotence (linear_db.rs:17-25, 43-52):
@@ -75,40 +114,7 @@ object DedupQueries {
     // 4x3, exact shingle-Jaccard verify at 0.8. All hashing is md5 so the
     // DuckDB oracle runs the identical computation.
     "d_neardup_minhash" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // Native one-pass banded K-minhash straight from text (duplicate
-      // shingles can't change a min; band values emitted directly so the
-      // kernel is evaluated once per row) == the SQL
-      // md5('k:'||s)-over-distinct-shingles + concat form the oracle runs.
-      // repartition: the parquet arrives as one split; spread the
-      // hash-heavy projection across cores (at real scale the scan is
-      // already many splits). cache: three consumers below — without it
-      // the kernel pass re-runs per consumer.
-      val banded = d
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextFunctions.md5MinHashShingles(
-            col("text"), 8, MinhashK, MinhashBands, MinhashRows))
-            .as(Seq("band_idx", "band_val")))
-        .cache()
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-        .cache()
-      // Exact-Jaccard verify: shingle sets materialized only for the
-      // (few) candidate docs — the 100 TB shape, where the verify cost is
-      // proportional to candidates, not corpus size.
-      val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
-      val shCand = d.join(broadcast(candIds), "doc_id")
-        .select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
-            " i -> substring(text, i, 8)))").as("sh"))
-      cand
-        .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      candidatePairsWithShingles(s, dir)
         .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))))
         .filter(col("ni") * 9 >= (size(col("a_sh")) + size(col("b_sh"))) * 4)
         .select(col("a_id"), col("b_id"))
@@ -119,29 +125,7 @@ object DedupQueries {
     // a first-class similarity measure (integer permille so the oracle
     // compare is exact): the n-gram-Jaccard member of the dedup family.
     "d_jaccard_pairs" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val banded = d
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextFunctions.md5MinHashShingles(
-            col("text"), 8, MinhashK, MinhashBands, MinhashRows))
-            .as(Seq("band_idx", "band_val")))
-        .cache()
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-        .cache()
-      val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
-      val shCand = d.join(broadcast(candIds), "doc_id")
-        .select(col("doc_id"),
-          expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
-            " i -> substring(text, i, 8)))").as("sh"))
-      cand
-        .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      candidatePairsWithShingles(s, dir)
         .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
         .withColumn("nu",
           size(col("a_sh")).cast("long") + size(col("b_sh")).cast("long") - col("ni"))
