@@ -107,6 +107,14 @@ object GraphFrames {
     val forward = newLinks
       .select(col("q").as("src"), col("layer"), explode(col("links")).as("edge"))
 
+    // A new vertex with an EMPTY queue (first insert into a fresh layer)
+    // still gets its row — the reference stores the empty neighborhood
+    // (set_links with an empty FurthestQueue); explode would drop it.
+    // Same-batch reverse edges cannot target it (phase-1 neighbors come
+    // from the pre-batch snapshot), so it passes through untouched.
+    val emptyForward = newLinks.filter(size(col("links")) === 0)
+      .select(col("q").as("src"), col("layer"), col("links"))
+
     // Reverse edges: each neighbor n gains n -> q.
     val reverse = newLinks
       .select(col("q"), col("layer"), explode(col("links")).as("n"))
@@ -137,7 +145,7 @@ object GraphFrames {
       .agg(expr("transform(array_sort(collect_list(struct(edge.dist AS dist, edge.dst AS dst)))," +
         " x -> struct(x.dst AS dst, x.dist AS dist))").as("links"))
 
-    untouched.unionByName(merged)
+    untouched.unionByName(merged).unionByName(emptyForward)
   }
 
   /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):

@@ -62,6 +62,18 @@ class GraphFramesSpec extends SparkSpec {
     assert(mergedLinks == localLinks)
   }
 
+  test("connectBidirMerge stores an empty neighborhood for a first insert (fresh graph)") {
+    import spark.implicits._
+    val emptyLinks = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], GraphFrames.linksSchema)
+    val newLinks = Seq((7L, 0, Seq.empty[(Long, Double)]))
+      .toDF("q", "layer", "raw")
+      .select(col("q"), col("layer"),
+        expr("transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+    val merged = linksAsMap(GraphFrames.connectBidirMerge(emptyLinks, newLinks, params))
+    assert(merged == Map((7L, 0) -> List.empty[(Long, Double)]))
+  }
+
   test("toLinksDF/fromLinksDF round-trips an arbitrary snapshot") {
     val (model, _) = smallModel()
     val back = GraphFrames.fromLinksDF(
