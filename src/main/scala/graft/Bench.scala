@@ -25,13 +25,17 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes every output row (column pruning can't
       // eliminate aggregates/sorts the way `.count()` lets it).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A crashing query reports -1, never its elapsed time — a failure
+      // must not be indistinguishable from a fast success.
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"bench query $name FAILED: ${t.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val grid = vectorGrid(spark)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vector_grid":$grid}""")
     spark.stop()

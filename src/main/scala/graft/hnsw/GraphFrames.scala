@@ -1,6 +1,6 @@
 package graft.hnsw
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -151,20 +151,44 @@ object GraphFrames {
   /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):
     * remap every vertex id through `idMap` (old -> new), preserving
     * structure and distances (metric assumed unchanged, so queue order is
-    * untouched). Joins only; the graph never leaves the cluster. */
+    * untouched). Joins only; the graph never leaves the cluster.
+    *
+    * Structure-preserving like the reference: vertices with EMPTY link
+    * arrays survive (posexplode would drop them), and an id missing from
+    * `idMap` fails the job loudly (left join + raise_error) instead of
+    * silently dropping the vertex or edge.
+    */
   def remap(links: DataFrame, idMap: DataFrame): DataFrame = {
+    // Unmapped id -> runtime error, not a dropped row. raise_error is
+    // NullType; the cast lets it sit inside coalesce(long).
+    def mappedOrFail(newCol: Column, oldCol: Column): Column =
+      coalesce(newCol,
+        raise_error(concat(lit("remap: id missing from idMap: "),
+          oldCol.cast("string"))).cast("long"))
+
     val srcMapped = links
-      .join(idMap.withColumnRenamed("old", "src"), Seq("src"))
-      .select(col("new").as("src"), col("layer"), col("links"))
-    srcMapped
+      .join(idMap.withColumnRenamed("old", "src"), Seq("src"), "left")
+      .select(mappedOrFail(col("new"), col("src")).as("src"),
+        col("layer"), col("links"))
+
+    // Empty neighborhoods pass through with only the src remapped — the
+    // reference's from_another preserves them (graph_mem.rs:46-76), and
+    // connectBidirMerge deliberately keeps them too.
+    val emptyRows = srcMapped.filter(size(col("links")) === 0)
+
+    val nonEmpty = srcMapped.filter(size(col("links")) > 0)
       .select(col("src"), col("layer"), posexplode(col("links")).as(Seq("pos", "edge")))
       .join(idMap.withColumnRenamed("old", "dst_old"),
-        col("edge.dst") === col("dst_old"))
+        col("edge.dst") === col("dst_old"), "left")
       .groupBy(col("src"), col("layer"))
       .agg(array_sort(collect_list(
-        struct(col("pos"), struct(col("new").as("dst"), col("edge.dist").as("dist")).as("edge"))
+        struct(col("pos"),
+          struct(mappedOrFail(col("new"), col("edge.dst")).as("dst"),
+            col("edge.dist").as("dist")).as("edge"))
       )).as("indexed"))
       .select(col("src"), col("layer"),
         expr("transform(indexed, x -> x.edge)").as("links"))
+
+    nonEmpty.unionByName(emptyRows)
   }
 }

@@ -57,10 +57,18 @@ object HnswDistributed {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, HnswModel]()
 
+  /** Full-config memo key: every field that can change the built graph
+    * (all five param arrays, layerProbability, metric, seed, batching). */
+  private def cacheKey(cfg: BuildConfig): String = {
+    val p = cfg.params
+    Seq(cfg.metric, cfg.seed, cfg.seedBatch, cfg.maxBatch,
+      p.m.toList, p.mMax.toList, p.efConstrSearch.toList,
+      p.efConstrInsert.toList, p.efSearch.toList, p.layerProbability
+    ).mkString("|")
+  }
+
   def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String): HnswModel =
-    modelCache.computeIfAbsent(
-      s"$key|${cfg.metric}|${cfg.seed}|${cfg.params.m.toList}|${cfg.params.efSearch.toList}|${cfg.params.efConstrInsert.toList}",
-      _ => build(vectors, cfg))
+    modelCache.computeIfAbsent(s"$key|${cacheKey(cfg)}", _ => build(vectors, cfg))
 
   /** Build from a (id: long, vec: array<float>) DataFrame. */
   def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig()): HnswModel = {

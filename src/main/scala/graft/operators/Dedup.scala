@@ -141,9 +141,14 @@ object Dedup {
       case None      => HnswDistributed.build(vecs, cfg)
     }
     val qs = vectors.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    // Normalize pair direction instead of filtering qid < id: HNSW
+    // neighborhoods are asymmetric, so the higher-id query may be the
+    // only one to discover a pair — least/greatest keeps discoveries
+    // from either side.
     val hits = HnswDistributed.search(qs, model, k)
-      .filter(col("qid") < col("id"))
-      .select(col("qid").as("a_id"), col("id").as("b_id"))
+      .select(least(col("qid"), col("id")).as("a_id"),
+        greatest(col("qid"), col("id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
       .distinct()
     val a = vecs.select(col("id").as("a_id"), col("vec").as("a_vec"))
     val b = vecs.select(col("id").as("b_id"), col("vec").as("b_vec"))

@@ -29,16 +29,25 @@ final class ParquetGraphStore(spark: SparkSession, path: String) extends GraphSt
   private def linksPath = s"$path/links"
   private def entryPath = s"$path/entry"
 
+  // Probe path existence explicitly instead of catching exceptions: a
+  // transient read error must NOT be treated as "table absent", or a
+  // later flush()/mergeBatch() would Overwrite the persisted graph with
+  // only the in-memory delta.
+  private def pathExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   private def linksDF: Option[DataFrame] =
-    try Some(spark.read.parquet(linksPath)
+    if (!pathExists(linksPath)) None
+    else Some(spark.read.parquet(linksPath)
       .select(col("src"), col("layer").cast("int").as("layer"), col("links")))
-    catch { case _: Exception => None }
 
   override def getEntryPoint: Option[EntryPoint] =
     pendingEntry.orElse {
-      try spark.read.parquet(entryPath).collect()
+      if (!pathExists(entryPath)) None
+      else spark.read.parquet(entryPath).collect()
         .headOption.map(r => EntryPoint(r.getLong(0), r.getInt(1)))
-      catch { case _: Exception => None }
     }
 
   override def setEntryPoint(point: Long, layer: Int): Unit = {
