@@ -1,0 +1,209 @@
+package graft.hnsw
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.store.{ArrayVectorStore, Metrics, ParquetGraphStore}
+
+/** Beyond-broadcast HNSW build against a durable [[ParquetGraphStore]] —
+  * the 100 TB build path. Unlike [[HnswDistributed.build]] (which collects
+  * the whole vector table and broadcasts the full vector map), this loop
+  * never materializes the vector table or the layer-0 graph on the driver:
+  *
+  *  - phase 1 (search_to_insert, reference hawk_searcher.rs:350-389) runs
+  *    against the *current persisted graph*: layers >= 1 are broadcast
+  *    (they hold ~n*p^l vertices — the same contract that makes greedy
+  *    upper descent cheap, SURVEY §1.4), while layer 0 — the big one —
+  *    is searched via iterative frontier joins over the links table
+  *    ([[HnswFrontier.searchLayer0]]), seeded with each vector's
+  *    construction beam exiting layer 1;
+  *  - phase 2 (insert_from_search_results / connect_bidir, reference
+  *    hawk_searcher.rs:394-415 and :153-176) is the pure-relational merge
+  *    [[GraphFrames.connectBidirMerge]] applied through
+  *    [[ParquetGraphStore.mergeBatch]].
+  *
+  * Driver-resident state is bounded: the seed batch's vectors (sequential
+  * kernel bootstrap), the upper-layer adjacency + vectors (~n/M rows), and
+  * one row per batch for the entry-point decision. Reference analog: the
+  * pg-backed end-to-end build, which constructs against the durable store
+  * rather than memory (graph_pg.rs:288-325).
+  *
+  * Same-batch vectors don't see each other during phase 1 (batch size is
+  * capped at the current graph size, as in [[HnswDistributed.build]]);
+  * layer assignment is the same hash-based S3, so the deterministic graph
+  * differs from the broadcast build only through the beam-search variant
+  * used at layer 0 (frontier BFS explores a superset of the sequential
+  * beam — recall parity is asserted in HnswDurableSpec).
+  */
+object HnswDurable {
+
+  /** Memo of completed durable builds (key -> store path): catalog
+    * queries over the same static table + config build once per JVM. */
+  private val buildDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String,
+                  maxRounds: Int = 30): String =
+    buildDirCache.computeIfAbsent(key, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_durable_").toString
+      build(vectors, path, cfg, maxRounds)
+      path
+    })
+
+  /** Build the index for `vectors` (id: long, vec: array<float>) into a
+    * fresh [[ParquetGraphStore]] at `path`. Returns the store. */
+  def build(vectors: DataFrame, path: String,
+            cfg: BuildConfig = BuildConfig(),
+            maxRounds: Int = 30): ParquetGraphStore = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val store = new ParquetGraphStore(spark, path)
+    val params = cfg.params
+    val searcher = new HnswSearcher(params)
+    val metric = Metrics.byName(cfg.metric)
+    val pairEnc = ExpressionEncoder[(Long, Array[Float])]()
+
+    // Deterministic dense rank by id without a single-partition window:
+    // sortBy + zipWithIndex (zipWithIndex derives partition offsets with
+    // one count job — scale-safe).
+    val ranked = vectors.select(col("id")).as[Long].rdd
+      .sortBy(identity).zipWithIndex()
+      .toDF("id", "rank").cache()
+    val n = ranked.count()
+    if (n == 0) { ranked.unpersist(); return store }
+
+    def batchVectors(lo: Long, hi: Long): DataFrame =
+      vectors.join(
+        broadcast(ranked.filter(col("rank") >= lo && col("rank") < hi)),
+        "id").select(col("id"), col("vec"))
+
+    // ---- Seed phase: strictly sequential kernel inserts (reference
+    // semantics) until the graph can absorb parallel batches. Only the
+    // seed batch's vectors ever reach the driver.
+    val seedN = math.min(cfg.seedBatch.toLong, n)
+    val seedRows = batchVectors(0, seedN).as(pairEnc).collect().sortBy(_._1)
+    val seedStore = new ArrayVectorStore(metric)
+    seedRows.foreach { case (id, v) => seedStore.prepareQueryWithId(id, v) }
+    val seedGraph = new graft.store.InMemoryGraph
+    seedRows.foreach { case (id, _) =>
+      searcher.insert(seedStore, seedGraph, id, searcher.selectLayerByHash(id, cfg.seed))
+    }
+    store.save(seedGraph.snapshot)
+
+    // ---- Micro-batched phase against the persisted graph.
+    val outEnc = ExpressionEncoder[(Long, Int, Array[Long], Array[Double])]()
+    var pos = seedN
+    while (pos < n) {
+      val batchSize = math.min(math.min(cfg.maxBatch.toLong, pos), n - pos)
+      val batch = batchVectors(pos, pos + batchSize).cache()
+
+      val linksNow = store.linksTable
+      val entry = store.getEntryPoint.getOrElse(
+        throw new IllegalStateException("durable build: store lost its entry point"))
+
+      // Upper layers (>= 1): small by the geometric layer law — collect
+      // the adjacency + only the vectors it touches, broadcast both.
+      val upperSnap = GraphFrames.fromLinksDF(
+        linksNow.filter(col("layer") >= 1), Some(entry))
+      val upperIds: Set[Long] = upperSnap.layers.iterator.drop(1).flatMap(m =>
+        m.keysIterator ++ m.valuesIterator.flatMap(_._1.iterator)).toSet + entry.point
+      val upperVecs = vectors
+        .join(broadcast(upperIds.toSeq.toDF("id")), "id")
+        .select(col("id"), col("vec")).as(pairEnc).collect().toMap
+      val sc = spark.sparkContext
+      val upperB = sc.broadcast((upperSnap, upperVecs))
+      val seed = cfg.seed
+
+      // Phase 1a (executors): kernel descent through layers top..1 per
+      // batch vector — construction beams for layers 1..L (trimmed to M),
+      // empty neighborhoods for fresh top layers, and the beam exiting
+      // layer 1 as the layer-0 frontier seed (tagged layer = -1).
+      val phase1 = batch.as(pairEnc).mapPartitions { it =>
+        val (snap, vecs) = upperB.value
+        it.flatMap { case (id, vec) =>
+          val insLayer = searcher.selectLayerByHash(id, seed)
+          val vs = new ArrayVectorStore(metric, base = vecs)
+          vs.prepareQueryWithId(id, vec)
+          val (w, nLayers) = searcher.searchInit(vs, snap, id)
+          val out = Seq.newBuilder[(Long, Int, Array[Long], Array[Double])]
+          var lc = nLayers - 1
+          while (lc >= 1) {
+            val ef = if (lc > insLayer) params.getEfConstrSearch(lc)
+                     else params.getEfConstrInsert(lc)
+            searcher.searchLayer(vs, snap, id, w, ef, lc)
+            if (lc <= insLayer) {
+              val trimmed = w.copy()
+              trimmed.trimToKNearest(params.getM(lc))
+              val arr = trimmed.toArray
+              out += ((id, lc, arr.map(_.dst), arr.map(_.dist)))
+            }
+            lc -= 1
+          }
+          // fresh top layers: stored as explicit empty neighborhoods
+          var flc = nLayers
+          while (flc <= insLayer) {
+            out += ((id, flc, Array.empty[Long], Array.empty[Double]))
+            flc += 1
+          }
+          val seeds = w.toArray
+          out += ((id, -1, seeds.map(_.dst), seeds.map(_.dist)))
+          out.result()
+        }
+      }(outEnc).toDF("q", "layer", "dsts", "dists").cache()
+
+      val upperLinks = phase1.filter(col("layer") >= 1)
+        .select(col("q"), col("layer"),
+          expr("zip_with(dsts, dists, (d, t) -> struct(d AS dst, t AS dist))").as("links"))
+
+      // Phase 1b: layer-0 construction beam via frontier joins — layer 0
+      // never leaves the cluster.
+      val seeds0 = phase1.filter(col("layer") === -1)
+        .select(col("q").as("qid"), explode(col("dsts")).as("id"))
+      val queries0 = batch.select(col("id").as("qid"), col("vec").as("qvec"))
+      val m0 = params.getM(0)
+      val beam0 = HnswFrontier.searchLayer0(
+        linksNow, vectors, queries0, seeds0,
+        k = m0, ef = params.getEfConstrInsert(0), metricName = cfg.metric,
+        maxRounds = maxRounds)
+      val links0 = beam0
+        .groupBy(col("qid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dist AS dist, id AS dst)))," +
+          " x -> struct(x.dst AS dst, x.dist AS dist))").as("links"))
+        .select(col("qid").as("q"), lit(0).as("layer"), col("links"))
+
+      // Phase 2: relational connect_bidir merge into the parquet store.
+      store.mergeBatch(upperLinks.unionByName(links0), params)
+
+      // Entry point: first-in-id-order vector reaching the batch maximum
+      // insertion layer (matches sequential set_ep: ties never displace).
+      val epCand = phase1.filter(col("layer") >= 1)
+        .groupBy(col("q")).agg(max(col("layer")).as("l"))
+        .orderBy(desc("l"), asc("q")).limit(1).collect()
+      epCand.headOption.foreach { r =>
+        val (q, l) = (r.getLong(0), r.getInt(1))
+        if (l > entry.layer) { store.setEntryPoint(q, l); store.flush() }
+      }
+
+      phase1.unpersist()
+      batch.unpersist()
+      upperB.destroy()
+      pos += batchSize
+    }
+    ranked.unpersist()
+    store
+  }
+
+  /** k-NN search over a durable store without materializing layer 0:
+    * upper layers broadcast, layer 0 via frontier joins. */
+  def search(store: ParquetGraphStore, vectors: DataFrame, queries: DataFrame,
+             k: Int, ef: Int, metricName: String = "cosine",
+             maxRounds: Int = 30): DataFrame = {
+    val links = store.linksTable
+    val upper = GraphFrames.fromLinksDF(
+      links.filter(col("layer") >= 1), store.getEntryPoint)
+    HnswFrontier.search(links, upper, vectors, queries, k, ef, metricName, maxRounds)
+  }
+}

@@ -42,7 +42,16 @@ object HnswFrontier {
 
     // Greedy descent through the (small) upper layers -> per-query entry.
     val entrySeeds = descendUpper(spark, upper, vectors, queries, metricName)
+    searchLayer0(links, vectors, queries, entrySeeds, k, ef, metricName, maxRounds)
+  }
 
+  /** Layer-0 frontier search from caller-supplied seeds (qid, id) — the
+    * shared tail of [[search]] and the durable build's phase 1, whose
+    * seeds are the construction beam exiting layer 1 rather than a greedy
+    * descent. Layer 0 is only ever touched through distributed joins. */
+  def searchLayer0(links: DataFrame, vectors: DataFrame, queries: DataFrame,
+                   seeds: DataFrame, k: Int, ef: Int,
+                   metricName: String, maxRounds: Int = 30): DataFrame = {
     val layer0 = links.filter(col("layer") === 0)
       .select(col("src"), col("links"))
 
@@ -55,7 +64,8 @@ object HnswFrontier {
 
     // localCheckpoint (eager) truncates lineage every round — iterative
     // self-referential DataFrames otherwise grow an exponential plan.
-    var beam = withDist(entrySeeds).localCheckpoint()   // (qid, id, dist)
+    var beam = withDist(seeds.select(col("qid"), col("id")).distinct())
+      .localCheckpoint()   // (qid, id, dist)
     var frontier = beam
     var visited = beam.select("qid", "id").localCheckpoint()
     var rounds = 0

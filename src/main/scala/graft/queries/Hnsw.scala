@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.hnsw.{GraphFrames, HnswDistributed, HnswFrontier, HnswParams}
+import graft.hnsw.{GraphFrames, HnswDistributed, HnswDurable, HnswFrontier, HnswParams}
 import graft.hnsw.HnswDistributed.BuildConfig
 import graft.operators.ExactKnn
 
@@ -103,6 +103,25 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The beyond-broadcast durable BUILD path: micro-batches search the
+    // current persisted graph (upper layers broadcast, layer 0 via
+    // frontier joins) and merge through connectBidirMerge ->
+    // ParquetGraphStore.mergeBatch — no driver-side vector map at any
+    // point (reference analog: the pg-backed e2e build,
+    // graph_pg.rs:288-325). Search runs over the durable links table the
+    // same way. Exact regime -> exact oracle.
+    "h_knn_durable" -> ((s, dir) => {
+      // seed 256: the sequential bootstrap is cheap and fewer durable
+      // micro-batches means fewer parquet merge cycles — while still
+      // exercising the micro-batched path at every scale factor
+      val durableCfg = exactishCfg.copy(seedBatch = 256)
+      val path = HnswDurable.buildCached(vectorsDf(s, dir), durableCfg, dir)
+      val store = new graft.store.ParquetGraphStore(s, path)
+      HnswDurable.search(store, vectorsDf(s, dir), queriesDf(s, dir), k = 10, ef = 128)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The beyond-broadcast scale path: independent per-shard graphs +
     // global top-k merge. Exact-regime ef on each shard searching its own
     // subset => the merged top-k equals the exact top-k (each true
@@ -132,6 +151,7 @@ object Hnsw {
     "h_knn_cosine" -> exactKnnOracle(10),
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
+    "h_knn_durable" -> exactKnnOracle(10),
 
     "h_knn_hamming" ->
       s"""WITH c AS (

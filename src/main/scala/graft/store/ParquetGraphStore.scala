@@ -110,6 +110,13 @@ final class ParquetGraphStore(spark: SparkSession, path: String) extends GraphSt
     }
   }
 
+  /** The persisted links table as a DataFrame (empty-but-typed when the
+    * store is fresh) — the distributed read surface for frontier search
+    * and the durable build, which must never pull layer 0 to the driver. */
+  def linksTable: DataFrame = linksDF.getOrElse(
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      GraphFrames.linksSchema))
+
   /** Bulk write a whole snapshot (the batch-build path). */
   def save(snapshot: GraphSnapshot): Unit = {
     GraphFrames.save(spark, snapshot, path)
