@@ -41,7 +41,23 @@ object DedupQueries {
     * only for candidate docs — the 100 TB shape, where verify cost is
     * proportional to candidates, not corpus size. Output columns:
     * (a_id, b_id, a_sh, b_sh). */
-  private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame = {
+  private val candCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized: d_neardup_minhash, d_jaccard_pairs and p_curate all verify
+    * from the same candidate stage — one catalog run pays the shingle
+    * hashing once (the modelCache pattern). Eagerly materialized so the
+    * intermediate banded/cand caches can be dropped immediately. */
+  private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame =
+    candCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", { _ =>
+      val (result, intermediates) = computeCandidatePairs(s, dir)
+      val out = result.cache()
+      out.count()
+      intermediates.foreach(_.unpersist())
+      out
+    })
+
+  private def computeCandidatePairs(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val d = docs(s, dir)
     val banded = d
       .repartition(s.sparkContext.defaultParallelism)
@@ -62,9 +78,10 @@ object DedupQueries {
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
           " i -> substring(text, i, 8)))").as("sh"))
-    cand
+    val joined = cand
       .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    (joined, Seq(banded, cand))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -95,18 +112,20 @@ object DedupQueries {
     }),
 
     // Banded SimHash-LSH near-dup (512 seeded Rademacher projections,
-    // 64 bands x 8 bits) + exact verify at 0.45. Rows-only check (the
-    // seeded projection matrix is not expressible in the oracle SQL);
-    // recall vs brute force is asserted by DedupSpec. Measured on sf0.01:
-    // 11/14 pairs (0.79) with a 4x candidate-pruning factor — angular LSH
-    // is genuinely weak at moderate thresholds in 64 dims, which is why
-    // the ANN-index path (v_neardup_ann) is the preferred scale route;
-    // this operator's regime is high-similarity dedup (s >= 0.8, where
-    // recall is ~1) and the parameters are tunable per threshold.
+    // 85 bands x 6 bits) + exact verify at 0.45 — banded for this
+    // threshold per the OR-amplification math: p = 1 - arccos(0.45)/pi
+    // = 0.649, per-pair miss (1 - p^6)^85 ~ 6e-8, so the candidate stage
+    // finds every qualifying pair and the exact verify makes the output
+    // identical to brute force -> full hash-match oracle. Honest regime
+    // note: at moderate thresholds in 64 dims the background collision
+    // rate (p_bg = 0.5 per bit) keeps the pruning factor small, so this
+    // operator's efficiency sweet spot is high-similarity dedup; the
+    // ANN-index path (v_neardup_ann) is the preferred scale route here.
     "v_neardup_lsh" -> ((s, dir) => {
       Dedup.neardupLsh(
           emb(s, dir).select(col("vec_id"), col("embedding")),
-          idCol = "vec_id", vecCol = "embedding", threshold = 0.45)
+          idCol = "vec_id", vecCol = "embedding", threshold = 0.45,
+          nBits = 512, bands = 85, rowsPerBand = 6)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -185,6 +204,18 @@ object DedupQueries {
         |WHERE a.vec_id < b.vec_id
         |  AND list_dot_product(a.v, b.v)
         |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // LSH banding at 85x6 recovers every >= 0.45 pair (miss ~ 6e-8 per
+    // pair) and the exact verify removes false candidates, so the output
+    // equals the brute-force self-join at the same threshold.
+    "v_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
 
     "d_neardup_minhash" -> {

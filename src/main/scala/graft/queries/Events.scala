@@ -53,17 +53,18 @@ object Events {
     // Sessionization: a session break is a >30min gap; pure window
     // functions (lag + conditional sum), no driver loop — scales as one
     // shuffle by user_id.
-    // All session math in MICROseconds (see e_top_users note: DuckDB
-    // truncates TIMESTAMP(NANOS) to us, so ns-precision ordering could
-    // tiebreak differently between engines).
+    // Gap math in MICROseconds (see e_top_users note: DuckDB truncates
+    // TIMESTAMP(NANOS) to us). The window sorts on RAW nanos: ns -> us is
+    // monotone, so the sorted us sequence per user is identical to
+    // sorting on us directly (same multiset, sorted) — and the raw-column
+    // sort keeps the pre-window projection out of the shuffle.
     "e_sessions" -> ((s, dir) => {
-      val tsUs = expr("ts div 1000")
-      val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir)
-        .withColumn("ts_us", tsUs)
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("is_new_session",
-          when(col("prev_us").isNull || (col("ts_us") - col("prev_us")) > lit(1800000000L), 1L)
+          when(col("prev_ts").isNull ||
+            (expr("ts div 1000") - expr("prev_ts div 1000")) > lit(1800000000L), 1L)
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("is_new_session")).as("n_sessions"))

@@ -83,7 +83,7 @@ object Text {
     "t_token_counts" -> ((s, dir) => {
       t(s, dir)
         .withColumn("n_tokens",
-          length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit(""))) + 1)
+          length(col("text")) - length(translate(col("text"), " ", "")) + 1)
         .select(col("doc_id"), col("n_chars"), col("n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     }),

@@ -53,7 +53,20 @@ class DedupSpec extends SparkSpec {
     assert(ann == brutePairs(0.4))
   }
 
-  test("LSH near-dup: precision 1.0, recall >= 0.6 at threshold 0.45") {
+  test("LSH near-dup at the catalog banding (85x6): equals brute force at threshold 0.45") {
+    // 85 bands x 6 bits: per-pair miss probability (1 - 0.649^6)^85 ~ 6e-8
+    // at s = 0.45, so candidate recall is total and the exact verify makes
+    // the output identical to the brute-force self-join (the v_neardup_lsh
+    // oracle relies on this).
+    val brute = brutePairs(0.45)
+    val lsh = Dedup.neardupLsh(emb, "vec_id", "embedding", 0.45,
+        nBits = 512, bands = 85, rowsPerBand = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute,
+      s"missing=${(brute -- lsh).size} extra=${(lsh -- brute).size} of ${brute.size}")
+  }
+
+  test("LSH near-dup default banding (64x8): precision 1.0, recall floor holds") {
     val brute = brutePairs(0.45)
     val lsh = Dedup.neardupLsh(emb, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
