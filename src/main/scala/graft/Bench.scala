@@ -97,12 +97,13 @@ object Bench {
     }
 
     // u64 Hamming cells — the reference's native Criterion scenario
-    // (benches/hnsw.rs: u64 codes, XOR+popcount, sequential inserts):
-    // insert throughput here is the single-node apples-to-apples number
-    // (the driver-sequential build IS single-insert latency x n; capped
-    // at 10k codes to keep the per-round bench bounded).
+    // (benches/hnsw.rs: u64 codes, XOR+popcount, sequential inserts),
+    // full grid 1k/10k/100k as in benches/hnsw.rs:15. Up to 10k codes the
+    // build is driver-sequential (that number IS single-insert latency
+    // x n, the apples-to-apples comparison with Criterion); beyond, the
+    // micro-batched build (the scale path) completes the grid.
     import graft.hnsw.HnswCodes
-    val hammingCells = sizes.filter(_ <= 10000).map { n =>
+    val hammingCells = sizes.map { n =>
       val codes = Array.tabulate(n) { i =>
         (i.toLong, java.lang.Double.doubleToRawLongBits(
           HnswSearcher.uniformFromHash(i.toLong, 23L)))
@@ -115,9 +116,13 @@ object Bench {
           .map(codes(_)).toSeq).toDF("qid", "qcode").cache()
       qDf.count()
 
-      val (model, tBuild) = time(HnswCodes.build(codesDf,
-        HnswParams.standard(64, 32, 32), seed = 23L))
-      val (_, tHnsw) = time(materialize(HnswCodes.search(qDf, model, k)))
+      val (model, tBuild) = time(
+        if (n <= 10000) HnswCodes.build(codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
+        else HnswCodes.buildBatched(codesDf, HnswParams.standard(64, 32, 32), seed = 23L))
+      // index distributed once (serving shape); timing covers the query jobs
+      val modelB = HnswCodes.broadcastModel(spark, model)
+      materialize(HnswCodes.searchBroadcast(qDf.limit(1), modelB, k)) // warm
+      val (_, tHnsw) = time(materialize(HnswCodes.searchBroadcast(qDf, modelB, k)))
       val (_, tLinear) = time(materialize(
         graft.operators.ExactKnn.search(
           qDf.withColumnRenamed("qcode", "qvec"),

@@ -35,10 +35,72 @@ object HnswCodes {
     CodeModel(params, graph.snapshot, rows.toMap)
   }
 
-  /** Distributed k-NN over codes: (qid, qcode) -> (qid, id, hamming, rank). */
-  def search(queries: DataFrame, model: CodeModel, k: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val modelB = spark.sparkContext.broadcast(model)
+  /** Micro-batched build for code tables beyond comfortable sequential
+    * range (the u64 twin of [[HnswDistributed.buildFromArray]]): seed
+    * phase strictly sequential, then phase-1 search_to_insert distributed
+    * against a broadcast snapshot of the current graph, phase-2 merges in
+    * deterministic id order. The code table itself broadcasts at any
+    * realistic scale (8 bytes per vector). */
+  def buildBatched(codes: DataFrame, params: HnswParams, seed: Long = 42L,
+                   seedBatch: Int = 128, maxBatch: Int = 4096): CodeModel = {
+    val spark = codes.sparkSession
+    val rows = codes.select(col("id"), col("code")).as(pairEnc).collect().sortBy(_._1)
+    val searcher = new HnswSearcher(params)
+    val codeMap = rows.toMap
+    val store = new CodeStoreWithIds(codeMap)
+    val graph = new InMemoryGraph
+
+    val n = rows.length
+    val insLayers = rows.map { case (id, _) => searcher.selectLayerByHash(id, seed) }
+
+    val seedN = math.min(seedBatch, n)
+    var pos = 0
+    while (pos < seedN) {
+      searcher.insert(store, graph, rows(pos)._1, insLayers(pos))
+      pos += 1
+    }
+
+    val sc = spark.sparkContext
+    val codesB = sc.broadcast(codeMap)
+    while (pos < n) {
+      val batchSize = math.min(math.min(maxBatch, pos), n - pos)
+      val batch = (pos until pos + batchSize).map(i => (rows(i)._1, insLayers(i)))
+      val snapB = sc.broadcast(graph.snapshot)
+      val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
+      val results = sc.parallelize(batch, slices).mapPartitions { it =>
+        val localStore = new CodeStoreWithIds(codesB.value)
+        val snap = snapB.value
+        it.map { case (id, insLayer) =>
+          val (links, _) = searcher.searchToInsert(localStore, snap, id, insLayer)
+          (id, links.map(_.toArray))
+        }
+      }.collect()
+      snapB.destroy()
+
+      results.sortBy(_._1).foreach { case (id, linkArrays) =>
+        val links = linkArrays.map(a => FurthestQueue.fromAscending(a.toSeq))
+        val setEp = links.size > graph.numLayers
+        searcher.insertFromSearchResults(store, graph, id, links, setEp)
+      }
+      pos += batchSize
+    }
+    codesB.destroy()
+    CodeModel(params, graph.snapshot, codeMap)
+  }
+
+  /** Distributed k-NN over codes: (qid, qcode) -> (qid, id, hamming, rank).
+    * Serving workloads should broadcast once ([[broadcastModel]]) and call
+    * [[searchBroadcast]] per batch. */
+  def search(queries: DataFrame, model: CodeModel, k: Int): DataFrame =
+    searchBroadcast(queries, broadcastModel(queries.sparkSession, model), k)
+
+  def broadcastModel(spark: SparkSession,
+                     model: CodeModel): org.apache.spark.broadcast.Broadcast[CodeModel] =
+    spark.sparkContext.broadcast(model)
+
+  def searchBroadcast(queries: DataFrame,
+                      modelB: org.apache.spark.broadcast.Broadcast[CodeModel],
+                      k: Int): DataFrame = {
     val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaInt, Encoders.scalaInt)
     queries.select(col("qid"), col("qcode")).as(pairEnc)

@@ -179,23 +179,32 @@ object HnswDistributed {
       .select(col("qid").as("id"), (col("dist") <= matchThreshold).as("matched"))
   }
 
+  /** One shard of a sharded index: the shard's own vectors + graph, held
+    * executor-side inside a persisted RDD — the serving handle never
+    * routes through the driver. */
+  final case class ShardModel(
+      vectors: Map[Long, Array[Float]],
+      snapshot: GraphSnapshot
+  ) extends Serializable
+
+  /** A prebuilt sharded index: build once, serve many query batches. The
+    * shard RDD is persisted (memory, spilling to disk) so repeated
+    * searches pay zero rebuild — the serving shape the single-fused
+    * [[buildShardedAndSearch]] cannot offer. */
+  final case class ShardedIndex(cfg: BuildConfig,
+                                shards: org.apache.spark.rdd.RDD[ShardModel]) {
+    def unpersist(): Unit = shards.unpersist()
+  }
+
   /** The beyond-broadcast path: build one independent HNSW per shard of
     * the vector table inside mapPartitions (no driver round-trips, no
-    * cross-shard traffic), search = every shard answers top-k from its own
-    * graph, then a tiny global top-k merge. Linear in #shards but each
-    * shard is sub-linear — at 1000 executors the scan-vs-graph gap stays.
-    * Returns (qid, id, dist, rank).
-    */
-  def buildShardedAndSearch(vectors: DataFrame, queries: DataFrame, k: Int,
-                            cfg: BuildConfig = BuildConfig(),
-                            numShards: Int = 0): DataFrame = {
+    * cross-shard traffic). Linear in #shards but each shard is
+    * sub-linear — at 1000 executors the scan-vs-graph gap stays. */
+  def buildSharded(vectors: DataFrame, cfg: BuildConfig = BuildConfig(),
+                   numShards: Int = 0, persist: Boolean = true): ShardedIndex = {
     val spark = vectors.sparkSession
     val nShards = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
-    val qB = spark.sparkContext.broadcast(
-      queries.select(col("qid"), col("qvec")).as(pairEnc).collect())
-
-    val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
-    val perShard = vectors.select(col("id"), col("vec"))
+    val shards = vectors.select(col("id"), col("vec"))
       .repartition(nShards, col("id"))
       .as(pairEnc)
       .mapPartitions { it =>
@@ -211,22 +220,64 @@ object HnswDistributed {
           shard.foreach { case (id, _) =>
             searcher.insert(store, graph, id, searcher.selectLayerByHash(id, cfg.seed))
           }
-          qB.value.iterator.flatMap { case (qid, qvec) =>
-            val qStore = new ArrayVectorStore(metric, base = vecMap)
-            val q = qStore.prepareQueryWithId(-1L, qvec)
-            val w = searcher.search(qStore, graph, q, k)
-            w.iterator.map(nb => (qid, nb.dst, nb.dist))
-          }
+          Iterator.single(ShardModel(vecMap, graph.snapshot))
         }
-      }(resEnc)
-      .toDF("qid", "id", "dist")
+      }(Encoders.kryo[ShardModel])
+      .rdd
+    if (persist) {
+      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-shards")
+      shards.count() // materialize the build eagerly
+    }
+    ShardedIndex(cfg, shards)
+  }
 
-    // Global top-k merge: k rows per (query, shard) -> k per query.
+  /** Search a prebuilt sharded index: every shard answers top-k from its
+    * own graph, then a tiny global top-k merge (k rows per query x shard).
+    * Returns (qid, id, dist, rank). */
+  def searchSharded(index: ShardedIndex, queries: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val cfg = index.cfg
+    val qB = spark.sparkContext.broadcast(
+      queries.select(col("qid"), col("qvec")).as(pairEnc).collect())
+    import spark.implicits._
+    val perShard = index.shards.flatMap { m =>
+      val metric = Metrics.byName(cfg.metric)
+      val searcher = new HnswSearcher(cfg.params)
+      qB.value.iterator.flatMap { case (qid, qvec) =>
+        val qStore = new ArrayVectorStore(metric, base = m.vectors)
+        val q = qStore.prepareQueryWithId(-1L, qvec)
+        val w = searcher.search(qStore, m.snapshot, q, k)
+        w.iterator.map(nb => (qid, nb.dst, nb.dist))
+      }
+    }.toDF("qid", "id", "dist")
+
     import org.apache.spark.sql.expressions.Window
     perShard
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
       .filter(col("rank") <= k)
+  }
+
+  /** Process-wide sharded-index memo (the modelCache pattern): catalog
+    * queries over the same static table + config share one build. */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ShardedIndex]()
+
+  def buildShardedCached(vectors: DataFrame, cfg: BuildConfig,
+                         numShards: Int, key: String): ShardedIndex =
+    shardCache.computeIfAbsent(s"$key|$numShards|${cacheKey(cfg)}",
+      _ => buildSharded(vectors, cfg, numShards))
+
+  /** Fused build+search — batch-only convenience over [[buildSharded]] +
+    * [[searchSharded]]; serving workloads should hold the
+    * [[ShardedIndex]] handle and call [[searchSharded]] per batch. */
+  def buildShardedAndSearch(vectors: DataFrame, queries: DataFrame, k: Int,
+                            cfg: BuildConfig = BuildConfig(),
+                            numShards: Int = 0): DataFrame = {
+    // one-shot: build+search fuse into a single pass, nothing cached
+    val index = buildSharded(vectors, cfg, numShards, persist = false)
+    searchSharded(index, queries, k)
   }
 }
 

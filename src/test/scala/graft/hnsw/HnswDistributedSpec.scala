@@ -122,4 +122,50 @@ class HnswDistributedSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(sharded == exact)
   }
+
+  test("micro-batched code build: self-match + top-k parity with sequential build") {
+    import spark.implicits._
+    val n = 400
+    val rows = Array.tabulate(n) { i =>
+      (i.toLong, java.lang.Double.doubleToRawLongBits(
+        HnswSearcher.uniformFromHash(i.toLong, 23L)))
+    }
+    val codesDf = spark.createDataset(rows.toSeq).toDF("id", "code")
+    val p = HnswParams.standard(64, 128, 16)
+    val seqModel = HnswCodes.build(codesDf, p, seed = 23L)
+    val batModel = HnswCodes.buildBatched(codesDf, p, seed = 23L,
+      seedBatch = 64, maxBatch = 128)
+
+    val qDf = spark.createDataset(rows.take(50).toSeq).toDF("qid", "qcode")
+    def topk(m: HnswCodes.CodeModel) =
+      HnswCodes.search(qDf, m, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous ef: both builds must surface the same exact top-k
+    assert(topk(batModel) == topk(seqModel))
+
+    val self = HnswCodes.search(
+        spark.createDataset(rows.toSeq).toDF("qid", "qcode"), batModel, 1)
+      .filter(col("rank") === 1 && col("hamming") === 0).count()
+    assert(self == n.toLong)
+  }
+
+  test("prebuilt sharded handle serves repeated query batches without rebuild") {
+    val index = HnswDistributed.buildSharded(
+      vectors, BuildConfig(HnswParams.standard(64, 128, 16), "cosine", 42L),
+      numShards = 4)
+    try {
+      // the handle is persisted: the shard models are materialized once
+      assert(index.shards.getStorageLevel.useMemory)
+      def run() = HnswDistributed.searchSharded(index, queries, 10)
+        .select(col("qid"), col("id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val first = run()
+      val second = run()
+      assert(first == second)
+      val exact = ExactKnn.search(queries, vectors, 10, "cosine")
+        .select(col("qid"), col("id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(first == exact)
+    } finally index.unpersist()
+  }
 }

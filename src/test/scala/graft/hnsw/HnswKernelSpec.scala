@@ -211,4 +211,5 @@ class HnswKernelSpec extends AnyFunSuite {
       assert(searcher.isMatch(store, Seq(w)), s"code $id missing self-match")
     }
   }
+
 }
