@@ -78,15 +78,11 @@ object Ivf {
     best
   }
 
-  /** Cell-assignment column (one scan, no shuffle). */
-  def cellCol(model: IvfModel): Column => Column = {
-    val cs = model.centroids
-    val metricName = model.metricName
-    val f = udf { (v: Seq[Float]) =>
-      nearestCentroid(v.toArray, cs, Metrics.byName(metricName))
-    }
-    c => f(c)
-  }
+  /** Cell-assignment column (one scan, no shuffle) — a codegen'd
+    * Catalyst expression, not a UDF: the assignment stays inside
+    * whole-stage codegen on the full-table scan. */
+  def cellCol(model: IvfModel): Column => Column =
+    c => graft.functions.IvfFunctions.ivfCell(c, model.centroids, model.metricName)
 
   /** k-NN through the inverted lists: probe each query's `nProbe`
     * nearest cells, exact-rerank candidates with the bounded-heap top-k.
@@ -97,15 +93,9 @@ object Ivf {
     val cell = cellCol(model)
     val assigned = vectors.withColumn("cell", cell(col("vec")))
 
-    val cs = model.centroids
-    val metricName = model.metricName
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val dist = Metrics.byName(metricName)
-      val va = v.toArray
-      cs.indices.map(i => (dist(va, cs(i)), i)).sorted.take(nProbe).map(_._2)
-    }
     val probed = queries
-      .withColumn("cell", explode(probeUdf(col("qvec"))))
+      .withColumn("cell", explode(graft.functions.IvfFunctions.ivfProbes(
+        col("qvec"), model.centroids, model.metricName, nProbe)))
 
     // join inverted lists on cell, then the standard bounded-heap top-k
     val asc = ExactKnn.metricAscending(metric)

@@ -141,8 +141,20 @@ object HnswCatalog {
   * against the registry model (pure in-memory, no jobs), and the scan
   * gains `id IN (<candidates>)` — at scale that's the difference between
   * a full-table similarity scan and k row lookups. The original
-  * sort+limit stay on top, so output order and schema are untouched. */
+  * sort+limit stay on top, so output order and schema are untouched.
+  *
+  * Plans with a WHERE between the sort and the relation are SKIPPED by
+  * default: the filter changes which rows compete for the top-k, and no
+  * finite candidate over-fetch can guarantee k survivors (a selective
+  * predicate may exclude every index candidate while matching rows exist
+  * beyond them) — so the rewrite stays exact by leaving those plans to
+  * the full scan. Setting [[HnswTopKRewrite.FilterOverfetchConf]] to
+  * F > 0 opts filtered plans into the rewrite with F*k candidates
+  * fetched before the predicate — the usual approximate index-hint
+  * contract: fast, and exact whenever >= k of the F*k nearest survive
+  * the filter. */
 case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+  import HnswTopKRewrite.FilterOverfetchConf
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // column pruning may slide a Project between the limits and the sort
@@ -158,29 +170,34 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(sort: Sort, k: Int): Option[Sort] = sort.order match {
     case Seq(SortOrder(CosineSimilarityF32(attr: AttributeReference, Literal(qv, ArrayType(FloatType, _))), Descending, _, _)) =>
+      val overfetch = spark.conf.getOption(FilterOverfetchConf).map(_.toInt).getOrElse(0)
       for {
-        entry <- relationPaths(sort.child).flatMap(HnswCatalog.lookup)
+        (paths, nFilters) <- relationPathsAndFilters(sort.child)
+        if nFilters == 0 || overfetch > 0 // exact by default: skip filtered plans
+        entry <- HnswCatalog.lookup(paths)
         if attr.name == entry.vecCol && !alreadyFiltered(sort.child, entry.idCol)
         idAttr <- sort.child.output.find(_.name == entry.idCol)
       } yield {
         val qvec = qv.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
-        val ids = driverSearch(entry.model, qvec, k)
+        val fetchK = if (nFilters == 0) k else k * overfetch
+        val ids = driverSearch(entry.model, qvec, fetchK)
         sort.copy(child = LFilter(
           In(idAttr, ids.map(Literal(_)).toSeq), sort.child))
       }
     case _ => None
   }
 
-  /** Only pure column-pruning (Project) chains above the relation are
-    * safe — an intervening Filter would change which rows compete for
-    * the top-k, so those plans are left alone. */
-  private def relationPaths(p: LogicalPlan): Option[Seq[String]] = p match {
+  /** Paths of the underlying file relation plus the count of Filters in
+    * between. Pure column-pruning (Project) chains are always safe;
+    * filters gate on the over-fetch opt-in (see class doc). */
+  private def relationPathsAndFilters(p: LogicalPlan): Option[(Seq[String], Int)] = p match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        Some(fs.location.rootPaths.map(_.toString))
+        Some((fs.location.rootPaths.map(_.toString), 0))
       case _ => None
     }
-    case Project(_, c) => relationPaths(c)
+    case Project(_, c) => relationPathsAndFilters(c)
+    case LFilter(_, c) => relationPathsAndFilters(c).map { case (ps, n) => (ps, n + 1) }
     case _ => None
   }
 
@@ -196,6 +213,14 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     store.prepareQueryWithId(-1L, qvec)
     searcher.search(store, model.snapshot, -1L, k).toArray.map(_.dst)
   }
+}
+
+object HnswTopKRewrite {
+  /** Over-fetch factor F for filtered top-k plans: 0 (default) skips the
+    * rewrite when a WHERE sits between the sort and the relation; F > 0
+    * rewrites with F*k index candidates fetched before the predicate
+    * (approximate index-hint semantics — see the rule's doc). */
+  val FilterOverfetchConf = "spark.graft.hnsw.topk.filterOverfetch"
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` wires both pieces

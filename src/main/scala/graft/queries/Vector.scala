@@ -70,6 +70,26 @@ object Vector {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF recall in the true ANN regime (nProbe = 8 of 16 cells — half
+    // the scan cost) vs the exact in-Spark oracle — the h_recall_ann
+    // pattern. Rows-only check (DuckDB can't run the trained quantizer);
+    // IvfSpec asserts the recall floor for this exact regime.
+    "v_recall_ivf" -> ((s, dir) => {
+      import graft.operators.Ivf
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val model = Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L)
+      val ivf = Ivf.search(qs, vecs, model, k = 10, nProbe = 8)
+        .select(col("qid"), col("id"))
+      val exact = ExactKnn.search(qs, vecs, 10, "cosine").select(col("qid"), col("id"))
+      val hits = ivf.intersect(exact).count()
+      val expected = exact.count()
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hits, hits * 10000L / expected))
+        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+    }),
+
     // Exact vector dedup: hash-groupBy on the full embedding.
     "v_dedup_exact" -> ((s, dir) => {
       t(s, dir).agg(

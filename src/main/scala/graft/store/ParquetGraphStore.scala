@@ -20,7 +20,7 @@ import graft.hnsw.{FurthestQueue, GraphFrames, HnswParams, Neighbor}
   * `num_layers` is derived from the table (the reference pg impl left it
   * `todo!()`, graph_pg.rs:125-127).
   */
-final class ParquetGraphStore(spark: SparkSession, path: String) extends GraphStore {
+final class ParquetGraphStore(val spark: SparkSession, val path: String) extends GraphStore {
 
   // Write-through overlay: pending (src, layer) -> links not yet flushed.
   private val pending = scala.collection.mutable.Map.empty[(Long, Int), FurthestQueue]

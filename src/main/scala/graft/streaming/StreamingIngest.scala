@@ -42,7 +42,15 @@ object StreamingIngest {
     private val graph = new graft.store.RecordingGraphStore(inner)
     private val vecs = scala.collection.mutable.Map.empty[Long, Array[Float]]
 
-    private def mirrorDelta(): Unit = mirror.foreach { pg =>
+    /** Mirror the batch delta: the batch's new vectors first (an orphan
+      * vector is harmless on restore; a graph row referencing a missing
+      * vector is not), then the touched adjacency rows + entry point. */
+    private def mirrorDelta(newRows: Seq[(Long, Array[Float])]): Unit = mirror.foreach { pg =>
+      if (newRows.nonEmpty) {
+        val sess = pg.spark
+        import sess.implicits._
+        newRows.toDF("id", "vec").write.mode("append").parquet(s"${pg.path}/vectors")
+      }
       graph.touched.foreach { case (src, lc) =>
         pg.setLinks(src, inner.getLinks(src, lc), lc)
       }
@@ -55,18 +63,20 @@ object StreamingIngest {
     def insertRows(rows: Array[(Long, Array[Float])]): Unit = synchronized {
       // Deterministic order within the batch (reference inserts are
       // strictly sequential; a micro-batch is our sequential unit).
-      rows.sortBy(_._1).foreach { case (id, v) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.foreach { case (id, v) =>
         val q = store.prepareQueryWithId(id, v)
         vecs(id) = v
         searcher.insert(store, graph, q, searcher.selectLayerByHash(id, cfg.seed))
       }
-      mirrorDelta()
+      mirrorDelta(sorted.toSeq)
     }
 
     /** Dedup-inserting variant (LinearDb streaming shape): skip rows that
       * already match something in the index; returns (inserted, skipped). */
     def insertIfNoMatch(rows: Array[(Long, Array[Float])]): (Int, Int) = synchronized {
       var ins = 0; var skip = 0
+      val inserted = Seq.newBuilder[(Long, Array[Float])]
       rows.sortBy(_._1).foreach { case (id, v) =>
         val q = store.prepareQueryWithId(id, v)
         val lay = searcher.selectLayerByHash(id, cfg.seed)
@@ -76,10 +86,11 @@ object StreamingIngest {
           store.insert(q)
           searcher.insertFromSearchResults(store, graph, q, neighbors, setEp)
           vecs(id) = v
+          inserted += ((id, v))
           ins += 1
         }
       }
-      mirrorDelta()
+      mirrorDelta(inserted.result())
       (ins, skip)
     }
 
@@ -88,6 +99,46 @@ object StreamingIngest {
     def model: HnswModel = synchronized {
       HnswModel(cfg.params, cfg.metric, inner.snapshot, vecs.toMap)
     }
+
+    /** Warm-start from mirrored state (restart recovery): load the
+      * persisted vectors into the store and the adjacency/entry point
+      * into the in-memory graph. Writes bypass the recording decorator —
+      * restored state is already durable and must not re-mirror. */
+    private[streaming] def restoreState(
+        snap: graft.store.GraphSnapshot,
+        rows: Array[(Long, Array[Float])]): Unit = synchronized {
+      rows.foreach { case (id, v) =>
+        store.prepareQueryWithId(id, v)
+        store.insert(id)
+        vecs(id) = v
+      }
+      snap.entryPoint.foreach(ep => inner.setEntryPoint(ep.point, ep.layer))
+      snap.layers.zipWithIndex.foreach { case (m, lc) =>
+        m.foreach { case (src, (dsts, dists)) =>
+          inner.setLinks(src, graft.hnsw.FurthestQueue.fromAscending(
+            Array.tabulate(dsts.length)(i =>
+              graft.hnsw.Neighbor(dsts(i), dists(i))).toSeq), lc)
+        }
+      }
+    }
+  }
+
+  /** Restart recovery: rebuild an [[IncrementalIndex]] from its durable
+    * mirror (graph via [[graft.store.ParquetGraphStore.loadSnapshot]],
+    * vectors from the appended vectors parquet), wired to keep mirroring
+    * to the same path. A fresh/missing mirror yields an empty index. */
+  def restoreIndex(spark: org.apache.spark.sql.SparkSession, cfg: BuildConfig,
+                   mirrorPath: String): IncrementalIndex = {
+    val pg = new graft.store.ParquetGraphStore(spark, mirrorPath)
+    val idx = new IncrementalIndex(cfg, Some(pg))
+    val vecPath = s"$mirrorPath/vectors"
+    val hp = new org.apache.hadoop.fs.Path(vecPath)
+    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)) {
+      val rows = spark.read.parquet(vecPath)
+        .select(col("id"), col("vec")).as(rowEnc).collect()
+      idx.restoreState(pg.loadSnapshot(), rows)
+    }
+    idx
   }
 
   private val rowEnc =

@@ -38,6 +38,13 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall=$recall")
   }
 
+  test("cell assignment and probe list are native expressions (no Scala UDF in the plan)") {
+    val plan = Ivf.search(queries, vectors, model, k = 5, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"UDF left in the IVF plan:\n$plan")
+    assert(plan.contains("ivf_cell") && plan.contains("ivf_probes"), plan)
+  }
+
   test("training is deterministic; cells partition the table") {
     val again = Ivf.train(vectors, nCells = 16, seed = 11L)
     assert(model.centroids.map(_.toList).toList == again.centroids.map(_.toList).toList)

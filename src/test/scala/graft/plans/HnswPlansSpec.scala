@@ -71,4 +71,34 @@ class HnswPlansSpec extends SparkSpec {
       assert(got == truth)
     } finally HnswCatalog.unregister(s"$sfDir/embeddings.parquet")
   }
+
+  test("filtered top-k: skipped by default (exact), rewritten under the over-fetch opt-in") {
+    installed()
+    HnswCatalog.register(s"$sfDir/embeddings.parquet", model,
+      idCol = "vec_id", vecCol = "embedding")
+    try {
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      def filteredTopK = emb
+        .filter(col("vec_id") % 2 === 0) // WHERE between sort and relation
+        .orderBy(VectorFunctions.cosineSim(col("embedding"), typedlit(qvec)).desc)
+        .limit(5)
+        .select("vec_id")
+
+      // Default: the rewrite must NOT touch filtered plans — no finite
+      // over-fetch guarantees k survivors, so exactness wins.
+      val defaultPlan = filteredTopK.queryExecution.optimizedPlan.toString
+      assert(!defaultPlan.contains(" IN "), s"filtered plan was rewritten:\n$defaultPlan")
+      val truth = filteredTopK.collect().map(_.getLong(0)).toList
+
+      // Opt-in: F*k candidates fetched before the predicate; with half the
+      // rows surviving, 8x over-fetch comfortably covers the true top-5.
+      spark.conf.set(HnswTopKRewrite.FilterOverfetchConf, "8")
+      try {
+        val optPlan = filteredTopK.queryExecution.optimizedPlan.toString
+        assert(optPlan.contains(" IN "), s"opt-in did not rewrite:\n$optPlan")
+        assert(filteredTopK.collect().map(_.getLong(0)).toList == truth)
+      } finally spark.conf.unset(HnswTopKRewrite.FilterOverfetchConf)
+    } finally HnswCatalog.unregister(s"$sfDir/embeddings.parquet")
+  }
 }

@@ -79,6 +79,46 @@ class StreamingIngestSpec extends SparkSpec {
     }
   }
 
+  test("restart recovery: restore from mirror, continue ingesting, equal the uninterrupted run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-restart").toString
+    val first = new IncrementalIndex(cfg,
+      mirror = Some(new graft.store.ParquetGraphStore(spark, dir)))
+    first.insertRows(vecsOf(30).toArray)
+    // "process dies" here: drop the live index, warm-start from the mirror
+    val restored = StreamingIngest.restoreIndex(spark, cfg, dir)
+    assert(restored.size == 30)
+    restored.insertRows(vecsOf(30, offset = 30).toArray)
+
+    val unbroken = new IncrementalIndex(cfg)
+    unbroken.insertRows(vecsOf(30).toArray)
+    unbroken.insertRows(vecsOf(30, offset = 30).toArray)
+
+    // identical insert sequence => bit-identical graphs
+    val a = restored.model.snapshot
+    val b = unbroken.model.snapshot
+    assert(a.entryPoint == b.entryPoint)
+    assert(a.numLayers == b.numLayers)
+    (0 until b.numLayers).foreach { lc =>
+      assert(a.layers(lc).keySet == b.layers(lc).keySet, s"layer $lc")
+      b.layers(lc).foreach { case (src, (dsts, dists)) =>
+        assert(a.layers(lc)(src)._1.toList == dsts.toList, s"layer $lc vertex $src")
+        assert(a.layers(lc)(src)._2.toList == dists.toList)
+      }
+    }
+
+    // and search parity end-to-end
+    val queries = vecsOf(30).toDF("qid", "qvec")
+    def hits(m: graft.hnsw.HnswModel) =
+      HnswDistributed.search(queries, m, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(hits(restored.model) == hits(unbroken.model))
+
+    // the restored index keeps mirroring: a second restore sees all 60
+    val again = StreamingIngest.restoreIndex(spark, cfg, dir)
+    assert(again.size == 60)
+  }
+
   test("watermarked hourly rollup aggregates by event-time window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
