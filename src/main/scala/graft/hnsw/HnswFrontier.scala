@@ -52,8 +52,12 @@ object HnswFrontier {
   def searchLayer0(links: DataFrame, vectors: DataFrame, queries: DataFrame,
                    seeds: DataFrame, k: Int, ef: Int,
                    metricName: String, maxRounds: Int = 30): DataFrame = {
+    // every round joins against the adjacency — pin it for the loop
+    // (unpersisted after: the returned frame derives only from the final
+    // localCheckpoint'd beam, never re-reading links)
     val layer0 = links.filter(col("layer") === 0)
       .select(col("src"), col("links"))
+      .cache()
 
     val qvecs = queries.select(col("qid"), col("qvec"))
     def withDist(cand: DataFrame): DataFrame =
@@ -69,10 +73,12 @@ object HnswFrontier {
     var frontier = beam
     var visited = beam.select("qid", "id").localCheckpoint()
     var rounds = 0
+    val debug = sys.env.contains("GRAFT_FRONTIER_DEBUG")
 
     val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
 
     while (rounds < maxRounds && !frontier.isEmpty) {
+      val t0 = if (debug) System.nanoTime() else 0L
       // expand every frontier node's neighborhood in one join
       val discovered = frontier
         .join(layer0, frontier("id") === layer0("src"))
@@ -95,7 +101,10 @@ object HnswFrontier {
       frontier = scored.join(newBeam.select("qid", "id"), Seq("qid", "id"), "left_semi")
       beam = newBeam
       rounds += 1
+      if (debug) System.err.println(
+        f"frontier round $rounds: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    layer0.unpersist(blocking = false)
 
     beam
       .withColumn("rank", row_number().over(rankW))

@@ -113,7 +113,11 @@ object Hnsw {
     "h_knn_durable" -> ((s, dir) => {
       // seed 256: the sequential bootstrap is cheap and fewer durable
       // micro-batches means fewer parquet merge cycles — while still
-      // exercising the micro-batched path at every scale factor
+      // exercising the micro-batched path at every scale factor.
+      // Cost shape at bench scale: ~#batches x ~5 frontier rounds, each
+      // round a fixed ~1s of scheduling overhead in local mode — a bulk
+      // once-per-corpus build; at cluster scale the same plan amortizes
+      // that overhead over vastly more rows per stage.
       val durableCfg = exactishCfg.copy(seedBatch = 256)
       val path = HnswDurable.buildCached(vectorsDf(s, dir), durableCfg, dir)
       val store = new graft.store.ParquetGraphStore(s, path)

@@ -1,5 +1,6 @@
 package graft.store
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,13 +13,20 @@ import graft.hnsw.{FurthestQueue, GraphFrames, HnswParams, Neighbor}
   * `hawk_graph_links`); the entry point in a 1-row parquet
   * (`hawk_graph_entry`).
   *
+  * The links table is stored in VERSIONED directories (`links_v{N}`): a
+  * bulk mutation writes version N+1 while reading version N — one parquet
+  * write per merge (no tmp-dir double write), never overwriting a path
+  * that the merge plan is still reading — then drops version N. Readers
+  * always resolve the highest version present (the plain legacy `links`
+  * dir is also recognized).
+  *
   * Per-op semantics match GraphPg: one storage round-trip per
   * get/set (the reference pays one SQL round-trip per op,
   * graph_pg.rs:82-123). Point ops buffer writes in memory and flush on
   * [[flush]] — the batch path for bulk mutation is
-  * [[GraphFrames.connectBidirMerge]] + [[save]], not per-vertex setLinks.
-  * `num_layers` is derived from the table (the reference pg impl left it
-  * `todo!()`, graph_pg.rs:125-127).
+  * [[GraphFrames.connectBidirMerge]] via [[mergeBatch]], not per-vertex
+  * setLinks. `num_layers` is derived from the table (the reference pg
+  * impl left it `todo!()`, graph_pg.rs:125-127).
   */
 final class ParquetGraphStore(val spark: SparkSession, val path: String) extends GraphStore {
 
@@ -26,22 +34,52 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
   private val pending = scala.collection.mutable.Map.empty[(Long, Int), FurthestQueue]
   private var pendingEntry: Option[EntryPoint] = None
 
-  private def linksPath = s"$path/links"
   private def entryPath = s"$path/entry"
+
+  private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // Probe path existence explicitly instead of catching exceptions: a
   // transient read error must NOT be treated as "table absent", or a
-  // later flush()/mergeBatch() would Overwrite the persisted graph with
+  // later flush()/mergeBatch() would overwrite the persisted graph with
   // only the in-memory delta.
-  private def pathExists(p: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  private def pathExists(p: String): Boolean = fs.exists(new Path(p))
+
+  private val VersionedName = "links_v(\\d+)".r
+
+  /** Highest links version present, if any. -1 denotes the legacy
+    * unversioned `links` directory. */
+  private def currentVersion: Option[Int] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) None
+    else {
+      val versions = fs.listStatus(root).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case VersionedName(n) => Some(n.toInt)
+          case "links"          => Some(-1)
+          case _                => None
+        }
+      }
+      if (versions.isEmpty) None else Some(versions.max)
+    }
   }
 
-  private def linksDF: Option[DataFrame] =
-    if (!pathExists(linksPath)) None
-    else Some(spark.read.parquet(linksPath)
-      .select(col("src"), col("layer").cast("int").as("layer"), col("links")))
+  private def linksPathOf(v: Int): String =
+    if (v == -1) s"$path/links" else s"$path/links_v$v"
+
+  private def linksDF: Option[DataFrame] = currentVersion.map { v =>
+    spark.read.parquet(linksPathOf(v))
+      .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
+  }
+
+  /** Write `df` as the next links version and drop the previous one. The
+    * write executes while the plan may still read the previous version —
+    * distinct paths make that safe with a single parquet write. */
+  private def writeLinks(df: DataFrame): Unit = {
+    val prev = currentVersion
+    val next = prev.map(_ + 1).getOrElse(0)
+    df.write.mode(SaveMode.Overwrite).parquet(linksPathOf(next))
+    prev.foreach(v => fs.delete(new Path(linksPathOf(v)), true))
+  }
 
   override def getEntryPoint: Option[EntryPoint] =
     pendingEntry.orElse {
@@ -97,9 +135,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
             .unionByName(updates)
         case None => updates
       }
-      val tmp = s"$path/links_tmp"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(linksPath)
+      writeLinks(merged)
       pending.clear()
     }
     pendingEntry.foreach { ep =>
@@ -119,24 +155,24 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
 
   /** Bulk write a whole snapshot (the batch-build path). */
   def save(snapshot: GraphSnapshot): Unit = {
-    GraphFrames.save(spark, snapshot, path)
+    writeLinks(GraphFrames.toLinksDF(spark, snapshot))
+    import spark.implicits._
+    snapshot.entryPoint.toSeq.map(e => (e.point, e.layer))
+      .toDF("point", "layer").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(entryPath)
     pending.clear(); pendingEntry = None
   }
 
   def loadSnapshot(): GraphSnapshot = {
     require(pending.isEmpty && pendingEntry.isEmpty, "flush before snapshotting")
-    GraphFrames.load(spark, path)
+    GraphFrames.fromLinksDF(linksTable, getEntryPoint)
   }
 
   /** Apply one batch of new-vertex links via the relational connect_bidir
-    * merge ([[GraphFrames.connectBidirMerge]]) and persist. */
+    * merge ([[GraphFrames.connectBidirMerge]]) and persist — one parquet
+    * write (see the versioning note in the class doc). */
   def mergeBatch(newLinks: DataFrame, params: HnswParams): Unit = {
-    val base = linksDF.getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        GraphFrames.linksSchema))
-    val merged = GraphFrames.connectBidirMerge(base, newLinks, params)
-    val tmp = s"$path/links_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(linksPath)
+    val merged = GraphFrames.connectBidirMerge(linksTable, newLinks, params)
+    writeLinks(merged)
   }
 }
