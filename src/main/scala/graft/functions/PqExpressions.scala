@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{Bridge, Float32UnaryInput}
+import org.apache.spark.sql.types._
+
+/** Product-quantization kernels: 16 subspaces x 16 centroids (4-bit
+  * codes) bit-packed into one long — a 64-dim float vector (256 bytes)
+  * becomes 8 bytes, the compression that lets a 100 TB embedding corpus
+  * be scanned as a 3 TB code column. Shared verbatim by interpreted eval
+  * and the generated Java (static calls, zero boxing, whole-stage
+  * codegen).
+  *
+  * `codebook` layout: codebook(sub)(centroid) = Array[Float] of the
+  * subspace's dims. Distances are squared L2 within each subspace,
+  * accumulated in double — asymmetric distance computation (ADC): query
+  * stays full-precision, stored vectors are quantized.
+  */
+object PqKernels {
+
+  val NumSub = 16
+  val NumCentroids = 16 // 4 bits x 16 subspaces -> exactly 64 bits
+
+  def subDim(dim: Int): Int = (dim + NumSub - 1) / NumSub
+
+  /** Quantize one vector: per subspace, the nearest centroid's index,
+    * packed little-end first (sub 0 in the lowest nibble). */
+  def encode(v: ArrayData, codebook: Array[Array[Array[Float]]]): Long = {
+    val dim = v.numElements()
+    val sd = subDim(dim)
+    var code = 0L
+    var s = 0
+    while (s < NumSub) {
+      val cents = codebook(s)
+      val off = s * sd
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0; var i = 0
+        val n = math.min(cent.length, math.max(dim - off, 0))
+        while (i < n) {
+          val d = v.getFloat(off + i).toDouble - cent(i).toDouble
+          acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      code |= (best.toLong << (4 * s))
+      s += 1
+    }
+    code
+  }
+
+  /** ADC: squared-L2 distance between a full-precision query and a
+    * quantized code. */
+  def adc(q: ArrayData, code: Long, codebook: Array[Array[Array[Float]]]): Double = {
+    val dim = q.numElements()
+    val sd = subDim(dim)
+    var acc = 0.0
+    var s = 0
+    while (s < NumSub) {
+      val cent = codebook(s)(((code >>> (4 * s)) & 15L).toInt)
+      val off = s * sd
+      var i = 0
+      val n = math.min(cent.length, math.max(dim - off, 0))
+      while (i < n) {
+        val d = q.getFloat(off + i).toDouble - cent(i).toDouble
+        acc += d * d; i += 1
+      }
+      s += 1
+    }
+    acc
+  }
+}
+
+/** `pq_encode(vec)` -> packed 32-bit code in a long. */
+case class PqEncodeF32(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression with Float32UnaryInput {
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], codebook)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PqKernels.encode($a, $cb);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `pq_adc(qvec, code)` -> asymmetric squared-L2 distance. */
+case class PqAdcF32(left: Expression, right: Expression,
+                    codebook: Array[Array[Array[Float]]])
+    extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.Float32LongInput {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(q: Any, code: Any): Any =
+    PqKernels.adc(q.asInstanceOf[ArrayData], code.asInstanceOf[Long], codebook)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.PqKernels.adc($q, $c, $cb);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqFunctions {
+  def pqEncode(v: Column, codebook: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqEncodeF32(Bridge.expression(v), codebook))
+  def pqAdc(q: Column, code: Column, codebook: Array[Array[Array[Float]]]): Column =
+    Bridge.column(PqAdcF32(Bridge.expression(q), Bridge.expression(code), codebook))
+}

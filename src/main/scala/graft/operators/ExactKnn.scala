@@ -127,13 +127,20 @@ object ExactKnn {
     */
   def search(queries: DataFrame, vectors: DataFrame, k: Int,
              metric: String = "cosine",
-             queryVecCol: String = "qvec", vecCol: String = "vec"): DataFrame = {
-    val asc = metricAscending(metric)
+             queryVecCol: String = "qvec", vecCol: String = "vec"): DataFrame =
+    searchWith(queries, vectors, k, scoreCol(metric),
+      metricAscending(metric), queryVecCol, vecCol)
+
+  /** [[search]] with a caller-supplied score column (any codegen'd kernel
+    * — e.g. the PQ asymmetric distance over a code column). */
+  def searchWith(queries: DataFrame, vectors: DataFrame, k: Int,
+                 score: (Column, Column) => Column, ascending: Boolean,
+                 queryVecCol: String = "qvec", vecCol: String = "vec"): DataFrame = {
     val pairs = vectors
       .join(broadcast(queries))
       .select(col("qid"), col("id"),
-        scoreCol(metric)(col(queryVecCol), col(vecCol)).as("score"))
-    val topk = udaf(new TopKAggregator(k, asc))
+        score(col(queryVecCol), col(vecCol)).as("score"))
+    val topk = udaf(new TopKAggregator(k, ascending))
     pairs
       .groupBy(col("qid"))
       .agg(topk(col("id"), col("score")).as("nn"))

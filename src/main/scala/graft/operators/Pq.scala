@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PqFunctions, PqKernels}
+import graft.hnsw.HnswSearcher
+
+/** Product quantization — the compression member of the ANN family
+  * (alongside HNSW, IVF and SimHash-LSH): vectors are split into
+  * [[PqKernels.NumSub]] subspaces, each quantized to one of
+  * [[PqKernels.NumCentroids]] centroids; a 64-dim float vector becomes an
+  * 8-nibble code in a single long column. At 100 TB that is the
+  * difference between scanning the raw embedding column and scanning a
+  * ~3% code column; search is asymmetric (ADC): the query stays
+  * full-precision against the codebook.
+  *
+  * The standard serving shape is coarse ADC top-C followed by an exact
+  * re-rank of the C survivors against the raw vectors — [[search]]
+  * implements exactly that (candidate cost O(n) cheap scans + O(C) exact
+  * kernels per query).
+  *
+  * Training is deterministic: per-subspace Lloyd iterations on a
+  * driver-collected sample with splitmix-seeded starts (the same scheme
+  * as [[Ivf.train]]).
+  */
+object Pq {
+
+  final case class PqModel(codebook: Array[Array[Array[Float]]]) extends Serializable
+
+  /** Per-subspace k-means over a sample of (id, vec) rows. */
+  def train(vectors: DataFrame, seed: Long = 13L, iters: Int = 10,
+            maxSample: Int = 100000): PqModel = {
+    val sample = vectors.select(col("vec"))
+      .limit(maxSample).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty training set")
+    val dim = sample.head.length
+    val sd = PqKernels.subDim(dim)
+
+    val codebook = Array.tabulate(PqKernels.NumSub) { s =>
+      val off = s * sd
+      val width = math.max(math.min(sd, dim - off), 0)
+      val slices = sample.map { v =>
+        Array.tabulate(width)(i => v(off + i))
+      }
+      var cents = Array.tabulate(math.min(PqKernels.NumCentroids, slices.length)) { c =>
+        val idx = (HnswSearcher.uniformFromHash(c.toLong * 31 + s, seed) * slices.length).toInt
+          .min(slices.length - 1)
+        slices(idx).clone()
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](width))
+        val counts = new Array[Int](cents.length)
+        slices.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var acc = 0.0; var i = 0
+            while (i < width) { val d = v(i) - cents(c)(i); acc += d.toDouble * d; i += 1 }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < width) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else Array.tabulate(width)(i => (sums(c)(i) / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      cents
+    }
+    PqModel(codebook)
+  }
+
+  /** Encoded table: (id, code) — the compressed scan column. */
+  def encode(vectors: DataFrame, model: PqModel): DataFrame =
+    vectors.select(col("id"),
+      PqFunctions.pqEncode(col("vec"), model.codebook).as("code"))
+
+  def adcCol(model: PqModel)(q: Column, code: Column): Column =
+    PqFunctions.pqAdc(q, code, model.codebook)
+
+  /** ADC top-`candidates` over the code column, then exact re-rank of the
+    * survivors against the raw vectors. Output (qid, id, score, rank)
+    * with score = exact squared L2, rank <= k. */
+  def search(queries: DataFrame, vectors: DataFrame, model: PqModel,
+             k: Int, candidates: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val codes = encode(vectors, model)
+    // coarse stage: scan codes (8 bytes/row), bounded-heap top-C per query
+    val coarse = ExactKnn.searchWith(queries, codes, candidates,
+      (q, c) => adcCol(model)(q, c), ascending = true, vecCol = "code")
+      .select(col("qid"), col("id"))
+    // exact re-rank of C survivors only
+    import org.apache.spark.sql.expressions.Window
+    coarse
+      .join(vectors, "id")
+      .join(broadcast(queries), "qid")
+      .select(col("qid"), col("id"),
+        VectorFunctions.l2Sq(col("qvec"), col("vec")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+}

@@ -90,6 +90,28 @@ object Vector {
         .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // Product-quantization recall: 64-dim floats compressed to one long
+    // (16 subspaces x 4-bit codes), coarse ADC top-100 over the code
+    // column + exact L2 re-rank — the compressed-scan member of the ANN
+    // family (at 100 TB the code column is ~3% of the raw embedding
+    // bytes). Rows-only check (the trained codebook is not expressible
+    // in SQL); recall floor asserted by PqSpec.
+    "v_recall_pq" -> ((s, dir) => {
+      import graft.operators.Pq
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val model = Pq.train(vecs, seed = 13L)
+      val pq = Pq.search(qs, vecs, model, k = 10, candidates = 100)
+        .select(col("qid"), col("id"))
+      val exact = ExactKnn.search(qs, vecs, 10, "l2").select(col("qid"), col("id"))
+      val hits = pq.intersect(exact).count()
+      val expected = exact.count()
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hits, hits * 10000L / expected))
+        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+    }),
+
     // Exact vector dedup: hash-groupBy on the full embedding.
     "v_dedup_exact" -> ((s, dir) => {
       t(s, dir).agg(
