@@ -45,13 +45,21 @@ object HnswDurable {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String,
-                  maxRounds: Int = 30): String =
-    buildDirCache.computeIfAbsent(key, { _ =>
+                  maxRounds: Int = 30): String = {
+    // full-config key (the buildCached lesson from the round-2 advice):
+    // two configs differing in any build-affecting field must not share
+    val p = cfg.params
+    val fullKey = Seq(key, cfg.metric, cfg.seed, cfg.seedBatch, cfg.maxBatch,
+      p.m.toList, p.mMax.toList, p.efConstrSearch.toList,
+      p.efConstrInsert.toList, p.efSearch.toList, p.layerProbability
+    ).mkString("|")
+    buildDirCache.computeIfAbsent(fullKey, { _ =>
       val path = java.nio.file.Files
         .createTempDirectory("graft_durable_").toString
       build(vectors, path, cfg, maxRounds)
       path
     })
+  }
 
   /** Build the index for `vectors` (id: long, vec: array<float>) into a
     * fresh [[ParquetGraphStore]] at `path`. Returns the store. */
