@@ -77,7 +77,7 @@ object PqKernels {
   }
 }
 
-/** `pq_encode(vec)` -> packed 32-bit code in a long. */
+/** `pq_encode(vec)` -> packed 64-bit code (16 x 4-bit nibbles) in a long. */
 case class PqEncodeF32(child: Expression, codebook: Array[Array[Array[Float]]])
     extends UnaryExpression with Float32UnaryInput {
   override def prettyName: String = "pq_encode"

@@ -59,7 +59,7 @@ object HnswDistributed {
 
   /** Full-config memo key: every field that can change the built graph
     * (all five param arrays, layerProbability, metric, seed, batching). */
-  private def cacheKey(cfg: BuildConfig): String = {
+  private[hnsw] def cacheKey(cfg: BuildConfig): String = {
     val p = cfg.params
     Seq(cfg.metric, cfg.seed, cfg.seedBatch, cfg.maxBatch,
       p.m.toList, p.mMax.toList, p.efConstrSearch.toList,
@@ -234,7 +234,9 @@ object HnswDistributed {
 
   /** Search a prebuilt sharded index: every shard answers top-k from its
     * own graph, then a tiny global top-k merge (k rows per query x shard).
-    * Returns (qid, id, dist, rank). */
+    * Returns (qid, id, dist, rank). Each call broadcasts its (small)
+    * query batch; Spark's ContextCleaner reclaims those broadcasts when
+    * the returned frame is no longer referenced. */
   def searchSharded(index: ShardedIndex, queries: DataFrame, k: Int): DataFrame = {
     val spark = queries.sparkSession
     val cfg = index.cfg

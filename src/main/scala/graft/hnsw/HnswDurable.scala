@@ -47,12 +47,9 @@ object HnswDurable {
   def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String,
                   maxRounds: Int = 30): String = {
     // full-config key (the buildCached lesson from the round-2 advice):
-    // two configs differing in any build-affecting field must not share
-    val p = cfg.params
-    val fullKey = Seq(key, cfg.metric, cfg.seed, cfg.seedBatch, cfg.maxBatch,
-      p.m.toList, p.mMax.toList, p.efConstrSearch.toList,
-      p.efConstrInsert.toList, p.efSearch.toList, p.layerProbability
-    ).mkString("|")
+    // every build-affecting input — the shared BuildConfig key plus this
+    // builder's own maxRounds knob (it shapes the construction beams)
+    val fullKey = s"$key|${HnswDistributed.cacheKey(cfg)}|$maxRounds"
     buildDirCache.computeIfAbsent(fullKey, { _ =>
       val path = java.nio.file.Files
         .createTempDirectory("graft_durable_").toString

@@ -9,8 +9,8 @@ import graft.hnsw.HnswSearcher
 /** Product quantization — the compression member of the ANN family
   * (alongside HNSW, IVF and SimHash-LSH): vectors are split into
   * [[PqKernels.NumSub]] subspaces, each quantized to one of
-  * [[PqKernels.NumCentroids]] centroids; a 64-dim float vector becomes an
-  * 8-nibble code in a single long column. At 100 TB that is the
+  * [[PqKernels.NumCentroids]] centroids; a 64-dim float vector becomes a
+  * 16-nibble (64-bit) code in a single long column. At 100 TB that is the
   * difference between scanning the raw embedding column and scanning a
   * ~3% code column; search is asymmetric (ADC): the query stays
   * full-precision against the codebook.
@@ -86,11 +86,17 @@ object Pq {
 
   /** ADC top-`candidates` over the code column, then exact re-rank of the
     * survivors against the raw vectors. Output (qid, id, score, rank)
-    * with score = exact squared L2, rank <= k. */
+    * with score = exact squared L2, rank <= k.
+    *
+    * Serving workloads MUST pass `precomputedCodes` (persist the output
+    * of [[encode]] once per corpus — at scale that is the ~3% compressed
+    * column this operator exists to scan); without it every call pays a
+    * full re-encode of the raw vectors. */
   def search(queries: DataFrame, vectors: DataFrame, model: PqModel,
-             k: Int, candidates: Int): DataFrame = {
+             k: Int, candidates: Int,
+             precomputedCodes: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions
-    val codes = encode(vectors, model)
+    val codes = precomputedCodes.getOrElse(encode(vectors, model))
     // coarse stage: scan codes (8 bytes/row), bounded-heap top-C per query
     val coarse = ExactKnn.searchWith(queries, codes, candidates,
       (q, c) => adcCol(model)(q, c), ascending = true, vecCol = "code")

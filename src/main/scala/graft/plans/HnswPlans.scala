@@ -170,7 +170,10 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(sort: Sort, k: Int): Option[Sort] = sort.order match {
     case Seq(SortOrder(CosineSimilarityF32(attr: AttributeReference, Literal(qv, ArrayType(FloatType, _))), Descending, _, _)) =>
-      val overfetch = spark.conf.getOption(FilterOverfetchConf).map(_.toInt).getOrElse(0)
+      // malformed conf values degrade to "no over-fetch", never to an
+      // exception thrown from inside an optimizer rule
+      val overfetch = spark.conf.getOption(FilterOverfetchConf)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ > 0).getOrElse(0)
       for {
         (paths, nFilters) <- relationPathsAndFilters(sort.child)
         if nFilters == 0 || overfetch > 0 // exact by default: skip filtered plans
@@ -208,7 +211,17 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def driverSearch(model: HnswModel, qvec: Array[Float], k: Int): Array[Long] = {
     val metric = Metrics.byName(model.metricName)
-    val searcher = new HnswSearcher(model.params)
+    // the layer-0 beam must be able to HOLD k candidates: widen efSearch
+    // to k when an over-fetch asks for more than the model's search beam
+    // (otherwise F*k candidates silently truncate to efSearch)
+    val p = model.params
+    val params =
+      if (p.getEfSearch(0) >= k) p
+      else p.copy(efSearch = p.efSearch.zipWithIndex.map {
+        case (ef, 0) => math.max(ef, k)
+        case (ef, _) => ef
+      })
+    val searcher = new HnswSearcher(params)
     val store = new ArrayVectorStore(metric, base = model.vectors)
     store.prepareQueryWithId(-1L, qvec)
     searcher.search(store, model.snapshot, -1L, k).toArray.map(_.dst)

@@ -112,20 +112,22 @@ object DedupQueries {
     }),
 
     // Banded SimHash-LSH near-dup (512 seeded Rademacher projections,
-    // 85 bands x 6 bits) + exact verify at 0.45 — banded for this
+    // 102 bands x 5 bits) + exact verify at 0.45 — banded for this
     // threshold per the OR-amplification math: p = 1 - arccos(0.45)/pi
-    // = 0.649, per-pair miss (1 - p^6)^85 ~ 6e-8, so the candidate stage
-    // finds every qualifying pair and the exact verify makes the output
-    // identical to brute force -> full hash-match oracle. Honest regime
-    // note: at moderate thresholds in 64 dims the background collision
-    // rate (p_bg = 0.5 per bit) keeps the pruning factor small, so this
-    // operator's efficiency sweet spot is high-similarity dedup; the
-    // ANN-index path (v_neardup_ann) is the preferred scale route here.
+    // = 0.6486, per-pair miss (1 - p^5)^102 = (1 - 0.115)^102 ~ 4e-6,
+    // so with the tens of qualifying pairs at these scale factors the
+    // candidate stage finds every pair (any-miss probability < 1e-4) and
+    // the exact verify makes the output identical to brute force -> full
+    // hash-match oracle. Honest regime note: at moderate thresholds in
+    // 64 dims the background collision rate (p_bg = 0.5 per bit) keeps
+    // the pruning factor small, so this operator's efficiency sweet spot
+    // is high-similarity dedup; the ANN-index path (v_neardup_ann) is
+    // the preferred scale route here.
     "v_neardup_lsh" -> ((s, dir) => {
       Dedup.neardupLsh(
           emb(s, dir).select(col("vec_id"), col("embedding")),
           idCol = "vec_id", vecCol = "embedding", threshold = 0.45,
-          nBits = 512, bands = 85, rowsPerBand = 6)
+          nBits = 512, bands = 102, rowsPerBand = 5)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -206,9 +208,10 @@ object DedupQueries {
         |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // LSH banding at 85x6 recovers every >= 0.45 pair (miss ~ 6e-8 per
-    // pair) and the exact verify removes false candidates, so the output
-    // equals the brute-force self-join at the same threshold.
+    // LSH banding at 102x5 recovers every >= 0.45 pair (miss ~ 4e-6 per
+    // pair; < 1e-4 across the corpus's qualifying pairs) and the exact
+    // verify removes false candidates, so the output equals the
+    // brute-force self-join at the same threshold.
     "v_neardup_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -46,17 +46,21 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
 
   private val VersionedName = "links_v(\\d+)".r
 
-  /** Highest links version present, if any. -1 denotes the legacy
-    * unversioned `links` directory. */
+  /** Highest COMPLETE links version present, if any. -1 denotes the
+    * legacy unversioned `links` directory. Completeness = the Spark
+    * committer's `_SUCCESS` marker: a crash mid-write leaves a higher-
+    * numbered partial directory, which must not shadow the intact
+    * previous version (the restart-recovery contract depends on this). */
   private def currentVersion: Option[Int] = {
     val root = new Path(path)
     if (!fs.exists(root)) None
     else {
       val versions = fs.listStatus(root).toSeq.flatMap { st =>
+        val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
         st.getPath.getName match {
-          case VersionedName(n) => Some(n.toInt)
-          case "links"          => Some(-1)
-          case _                => None
+          case VersionedName(n) if complete => Some(n.toInt)
+          case "links" if complete          => Some(-1)
+          case _                            => None
         }
       }
       if (versions.isEmpty) None else Some(versions.max)

@@ -53,14 +53,14 @@ class DedupSpec extends SparkSpec {
     assert(ann == brutePairs(0.4))
   }
 
-  test("LSH near-dup at the catalog banding (85x6): equals brute force at threshold 0.45") {
-    // 85 bands x 6 bits: per-pair miss probability (1 - 0.649^6)^85 ~ 6e-8
-    // at s = 0.45, so candidate recall is total and the exact verify makes
-    // the output identical to the brute-force self-join (the v_neardup_lsh
-    // oracle relies on this).
+  test("LSH near-dup at the catalog banding (102x5): equals brute force at threshold 0.45") {
+    // 102 bands x 5 bits: per-pair miss probability (1 - 0.6486^5)^102
+    // ~ 4e-6 at s = 0.45, so candidate recall is total for the corpus's
+    // qualifying pairs and the exact verify makes the output identical to
+    // the brute-force self-join (the v_neardup_lsh oracle relies on this).
     val brute = brutePairs(0.45)
     val lsh = Dedup.neardupLsh(emb, "vec_id", "embedding", 0.45,
-        nBits = 512, bands = 85, rowsPerBand = 6)
+        nBits = 512, bands = 102, rowsPerBand = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == brute,
       s"missing=${(brute -- lsh).size} extra=${(lsh -- brute).size} of ${brute.size}")

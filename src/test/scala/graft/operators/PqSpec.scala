@@ -16,7 +16,7 @@ class PqSpec extends SparkSpec {
 
   private lazy val model = Pq.train(vectors, seed = 13L)
 
-  test("training and encoding are deterministic; codes pack 8 nibbles") {
+  test("training and encoding are deterministic; codes pack 16 nibbles") {
     val again = Pq.train(vectors, seed = 13L)
     assert(model.codebook.map(_.map(_.toList).toList).toList ==
       again.codebook.map(_.map(_.toList).toList).toList)
