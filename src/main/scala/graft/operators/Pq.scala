@@ -95,13 +95,55 @@ object Pq {
   def search(queries: DataFrame, vectors: DataFrame, model: PqModel,
              k: Int, candidates: Int,
              precomputedCodes: Option[DataFrame] = None): DataFrame = {
-    import graft.functions.VectorFunctions
     val codes = precomputedCodes.getOrElse(encode(vectors, model))
     // coarse stage: scan codes (8 bytes/row), bounded-heap top-C per query
     val coarse = ExactKnn.searchWith(queries, codes, candidates,
       (q, c) => adcCol(model)(q, c), ascending = true, vecCol = "code")
       .select(col("qid"), col("id"))
     // exact re-rank of C survivors only
+    rerank(coarse, vectors, queries, k)
+  }
+
+  /** IVF-PQ — the canonical beyond-memory ANN serving shape (coarse
+    * quantizer + compressed residual scan): each query probes its
+    * `nProbe` nearest IVF cells and runs ADC only over the codes in
+    * those cells, then exact-reranks the C survivors. The scan cost per
+    * query is (nProbe/nCells) of the code column — compressed AND
+    * pruned; the raw vectors are touched only for C rows per query.
+    *
+    * Pass `precomputedCodes` (the persisted output of [[encodeWithCells]])
+    * in serving; otherwise both quantizers run over the raw table. */
+  def searchIvfPq(queries: DataFrame, vectors: DataFrame,
+                  ivfModel: Ivf.IvfModel, pqModel: PqModel,
+                  k: Int, nProbe: Int, candidates: Int,
+                  precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    val codes = precomputedCodes.getOrElse(encodeWithCells(vectors, ivfModel, pqModel))
+    val probed = queries
+      .withColumn("cell", explode(graft.functions.IvfFunctions.ivfProbes(
+        col("qvec"), ivfModel.centroids, ivfModel.metricName, nProbe)))
+    val pairs = probed.join(codes, "cell")
+      .select(col("qid"), col("id"), adcCol(pqModel)(col("qvec"), col("code")).as("score"))
+    val topC = udaf(new ExactKnn.TopKAggregator(candidates, true))
+    val coarse = pairs
+      .groupBy(col("qid"))
+      .agg(topC(col("id"), col("score")).as("nn"))
+      .select(col("qid"), explode(col("nn")).as("n"))
+      .select(col("qid"), col("n.id").as("id"))
+    rerank(coarse, vectors, queries, k)
+  }
+
+  /** Inverted-list + code table: (id, cell, code) — persist once per
+    * corpus; both the cell filter and the ADC scan read only this. */
+  def encodeWithCells(vectors: DataFrame, ivfModel: Ivf.IvfModel,
+                      pqModel: PqModel): DataFrame =
+    vectors.select(col("id"),
+      graft.functions.IvfFunctions.ivfCell(
+        col("vec"), ivfModel.centroids, ivfModel.metricName).as("cell"),
+      graft.functions.PqFunctions.pqEncode(col("vec"), pqModel.codebook).as("code"))
+
+  private def rerank(coarse: DataFrame, vectors: DataFrame,
+                     queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
     import org.apache.spark.sql.expressions.Window
     coarse
       .join(vectors, "id")

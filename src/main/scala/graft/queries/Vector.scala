@@ -112,6 +112,28 @@ object Vector {
         .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // IVF-PQ — the canonical beyond-memory serving compose (coarse
+    // quantizer prunes to nProbe/nCells of the corpus, PQ codes compress
+    // the scan 32x, exact re-rank touches only C rows per query). Rows-
+    // only check; floor asserted by PqSpec.
+    "v_recall_ivfpq" -> ((s, dir) => {
+      import graft.operators.{Ivf, Pq}
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val ivfModel = Ivf.train(vecs, nCells = 16, metric = "l2", seed = 11L)
+      val pqModel = Pq.train(vecs, seed = 13L)
+      val got = Pq.searchIvfPq(qs, vecs, ivfModel, pqModel,
+          k = 10, nProbe = 8, candidates = 100)
+        .select(col("qid"), col("id"))
+      val exact = ExactKnn.search(qs, vecs, 10, "l2").select(col("qid"), col("id"))
+      val hits = got.intersect(exact).count()
+      val expected = exact.count()
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hits, hits * 10000L / expected))
+        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+    }),
+
     // Exact vector dedup: hash-groupBy on the full embedding.
     "v_dedup_exact" -> ((s, dir) => {
       t(s, dir).agg(

@@ -53,6 +53,17 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("pq_encode") && plan.contains("pq_adc"), plan)
   }
 
+  test("IVF-PQ compose: probing half the cells keeps recall@10 >= 0.8") {
+    val ivfModel = Ivf.train(vectors, nCells = 16, metric = "l2", seed = 11L)
+    val got = Pq.searchIvfPq(queries, vectors, ivfModel, model,
+        k = 10, nProbe = 8, candidates = 100)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ExactKnn.search(queries, vectors, 10, "l2")
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("subspace geometry covers uneven dims") {
     assert(PqKernels.subDim(64) == 4)
     assert(PqKernels.subDim(62) == 4) // last subspace narrower: 62 - 15*4 = 2
