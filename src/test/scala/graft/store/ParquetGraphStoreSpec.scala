@@ -57,4 +57,38 @@ class ParquetGraphStoreSpec extends SparkSpec {
     val reopened = store.loadSnapshot()
     assert(reopened.numLayers == store.numLayers)
   }
+
+  test("crash safety: an incomplete higher links version cannot shadow the intact one") {
+    val (store, dir) = freshStore()
+    store.setEntryPoint(1L, 0)
+    store.setLinks(1L, graft.hnsw.FurthestQueue.fromAscending(
+      Seq(graft.hnsw.Neighbor(2L, 0.5))), 0)
+    store.flush()
+    val before = store.loadSnapshot()
+
+    // simulate a merge killed mid-write: a higher-numbered version dir
+    // with data files but NO _SUCCESS marker
+    val crashed = java.nio.file.Paths.get(dir, "links_v99")
+    java.nio.file.Files.createDirectories(crashed)
+    java.nio.file.Files.write(crashed.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+
+    val reopened = new ParquetGraphStore(spark, dir)
+    val after = reopened.loadSnapshot()
+    assert(after.entryPoint == before.entryPoint)
+    assert(after.numLayers == before.numLayers)
+    assert(after.layers(0).keySet == before.layers(0).keySet)
+
+    // and the next merge writes PAST the junk version, still readable
+    import spark.implicits._
+    val newLinks = Seq((3L, 0, Seq((1L, 0.25))))
+      .toDF("q", "layer", "raw")
+      .select(org.apache.spark.sql.functions.col("q"),
+        org.apache.spark.sql.functions.col("layer"),
+        org.apache.spark.sql.functions.expr(
+          "transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+    reopened.mergeBatch(newLinks, HnswParams.standard(16, 16, 4))
+    val merged = new ParquetGraphStore(spark, dir).loadSnapshot()
+    assert(merged.layers(0).contains(3L))
+  }
 }
