@@ -189,6 +189,35 @@ object DedupQueries {
       docs(s, dir).select(col("doc_id"),
         graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig64"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Document near-dup through the reference's NATIVE representation:
+    // SimHash the text to a u64 code, build the Hamming HNSW over the
+    // codes (micro-batched — the scale path), search every doc, keep
+    // pairs within Hamming 5 (planted near-dups sit at <= 5 in this
+    // corpus; background starts at 6). Exact-regime search => the pair
+    // set equals the brute-force Hamming self-join, which DuckDB
+    // reproduces positionally from the identical md5 bit votes.
+    "d_neardup_hamming" -> ((s, dir) => {
+      import graft.hnsw.{HnswCodes, HnswParams}
+      // bitstring -> long: bit k of the code is character k+1 of the sig
+      val bitsToLong =
+        "aggregate(sequence(0, 63), 0L, (acc, k) -> acc | " +
+          "CASE WHEN substring(sig, k + 1, 1) = '1' THEN shiftleft(1L, k) ELSE 0L END)"
+      val codes = docs(s, dir)
+        .select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig"))
+        .select(col("id"), expr(bitsToLong).as("code"))
+      val model = HnswCodes.buildBatched(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16), seed = 42L)
+      HnswCodes.search(
+          codes.select(col("id").as("qid"), col("code").as("qcode")), model, 40)
+        .filter(col("hamming") <= 5)
+        .select(least(col("qid"), col("id")).as("a_id"),
+          greatest(col("qid"), col("id")).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -254,6 +283,14 @@ object DedupQueries {
     "d_simhash" ->
       s"""SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig64
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_neardup_hamming" ->
+      s"""WITH s AS (SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig FROM documents),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      len(list_filter(generate_series(1, 64),
+         |          i -> substring(a.sig, i, 1) != substring(b.sig, i, 1))) AS d
+         |      FROM s a, s b WHERE a.doc_id < b.doc_id)
+         |SELECT a_id, b_id FROM p WHERE d <= 5 ORDER BY a_id, b_id""".stripMargin,
 
     "d_jaccard_pairs" -> {
       val mhList = (0 until MinhashK).map(k =>
