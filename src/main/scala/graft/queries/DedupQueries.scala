@@ -204,10 +204,14 @@ object DedupQueries {
       val bitsToLong =
         "aggregate(sequence(0, 63), 0L, (acc, k) -> acc | " +
           "CASE WHEN substring(sig, k + 1, 1) = '1' THEN shiftleft(1L, k) ELSE 0L END)"
+      // cache: the md5-vote SimHash pass is the expensive part and the
+      // codes feed both the build and the query side
       val codes = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("id"),
           graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig"))
         .select(col("id"), expr(bitsToLong).as("code"))
+        .cache()
       val model = HnswCodes.buildBatched(codes,
         HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16), seed = 42L)
       HnswCodes.search(
