@@ -157,6 +157,22 @@ object StreamingIngest {
       }
       .start()
 
+  /** Gap-based sessionization via `session_window` — the native
+    * Structured-Streaming twin of the batch e_sessions query (lag +
+    * conditional sum): events of one user within `gap` of each other
+    * merge into one session row. Works identically over a batch frame
+    * (same function, no watermark needed) — SessionizeSpec asserts the
+    * two formulations agree. Input: (ts: timestamp, user_id). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: Option[String] = None): DataFrame = {
+    val withWm = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    withWm
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+  }
+
   /** Event-time windowed rollup with a watermark — the streaming twin of
     * the batch e_hourly_rollup query: counts + integerized value sums per
     * (1h window, event_type), late data beyond the watermark dropped.

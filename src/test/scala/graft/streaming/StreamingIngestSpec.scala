@@ -119,6 +119,58 @@ class StreamingIngestSpec extends SparkSpec {
     assert(again.size == 60)
   }
 
+  test("session_window sessionization agrees with the lag-based batch formulation") {
+    import spark.implicits._
+    // the same 30-minute-gap rule as e_sessions, over the real events table
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+
+    val viaSessionWindow = StreamingIngest.sessionize(events, "30 minutes")
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // session_window merges an event iff it lands strictly inside the
+    // previous event's [ts, ts+gap) window, so the lag formulation must
+    // break on diff >= gap (at full microsecond precision)
+    val viaLag = events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800000000L, 1L)
+        .otherwise(0L))
+      .groupBy("user_id").agg(
+        sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    assert(viaSessionWindow == viaLag)
+  }
+
+  test("streaming sessionization emits merged session rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val sessions = StreamingIngest.sessionize(
+      mem.toDF().toDF("ts", "user_id"), "30 minutes", watermark = Some("10 minutes"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("session_test").start()
+
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 10min apart (one session), then a 2h gap (new one)
+    mem.addData((ts(1, 0), 1L), (ts(1, 10), 1L), (ts(3, 0), 1L))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every session above
+    mem.addData((ts(9, 0), 99L))
+    q.processAllAvailable()
+    val rows = spark.table("session_test")
+      .filter(col("user_id") === 1L).orderBy("session_start").collect()
+    q.stop()
+    assert(rows.length == 2, rows.mkString(";"))
+    assert(rows(0).getAs[Long]("n_events") == 2)
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
   test("watermarked hourly rollup aggregates by event-time window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
