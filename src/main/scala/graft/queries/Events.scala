@@ -71,6 +71,21 @@ object Events {
         .orderBy(col("user_id"))
     }),
 
+    // The same sessionization through the NATIVE session_window operator
+    // (graft.streaming.StreamingIngest.sessionize — identical code path
+    // serves watermarked streams). session_window merges an event iff it
+    // lands strictly inside the previous [ts, ts+gap) window, so the
+    // oracle's lag form breaks sessions on diff >= gap; timestamps in us
+    // on both sides (see e_top_users note).
+    "e_sessions_native" -> ((s, dir) => {
+      val ev = t(s, dir)
+        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+      graft.streaming.StreamingIngest.sessionize(ev, "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Semi-structured extraction: JSON props -> typed value histogram.
     "e_json_props" -> ((s, dir) => {
       t(s, dir)
@@ -134,6 +149,17 @@ object Events {
     "e_sessions" ->
       """SELECT user_id, count(*) AS n_events,
         | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |   lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events) x
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "e_sessions_native" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
         |FROM (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
         |   lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
