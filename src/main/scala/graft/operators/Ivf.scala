@@ -89,20 +89,26 @@ object Ivf {
     * Output (qid, id, score, rank) — same contract as ExactKnn.search.
     */
   def search(queries: DataFrame, vectors: DataFrame, model: IvfModel,
-             k: Int, nProbe: Int, metric: String = "cosine"): DataFrame = {
-    val cell = cellCol(model)
-    val assigned = vectors.withColumn("cell", cell(col("vec")))
+             k: Int, nProbe: Int, metric: String = "cosine"): DataFrame =
+    searchWith(queries,
+      vectors.withColumn("cell", cellCol(model)(col("vec"))), model,
+      k, nProbe, ExactKnn.scoreCol(metric), ExactKnn.metricAscending(metric), "vec")
 
+  /** The shared probe pipeline — probe-explode, inverted-list join on
+    * `cell`, caller-supplied score over (qvec, payloadCol), bounded-heap
+    * top-k. `assigned` must carry (id, cell, payloadCol); serves both
+    * the raw-vector path ([[search]]) and the PQ-code path
+    * (Pq.searchIvfPq). */
+  def searchWith(queries: DataFrame, assigned: DataFrame, model: IvfModel,
+                 k: Int, nProbe: Int, score: (Column, Column) => Column,
+                 ascending: Boolean, payloadCol: String): DataFrame = {
     val probed = queries
       .withColumn("cell", explode(graft.functions.IvfFunctions.ivfProbes(
         col("qvec"), model.centroids, model.metricName, nProbe)))
-
-    // join inverted lists on cell, then the standard bounded-heap top-k
-    val asc = ExactKnn.metricAscending(metric)
     val pairs = probed.join(assigned, "cell")
       .select(col("qid"), col("id"),
-        ExactKnn.scoreCol(metric)(col("qvec"), col("vec")).as("score"))
-    val topk = udaf(new ExactKnn.TopKAggregator(k, asc))
+        score(col("qvec"), col(payloadCol)).as("score"))
+    val topk = udaf(new ExactKnn.TopKAggregator(k, ascending))
     pairs
       .groupBy(col("qid"))
       .agg(topk(col("id"), col("score")).as("nn"))

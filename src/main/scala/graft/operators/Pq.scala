@@ -118,17 +118,10 @@ object Pq {
                   k: Int, nProbe: Int, candidates: Int,
                   precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val codes = precomputedCodes.getOrElse(encodeWithCells(vectors, ivfModel, pqModel))
-    val probed = queries
-      .withColumn("cell", explode(graft.functions.IvfFunctions.ivfProbes(
-        col("qvec"), ivfModel.centroids, ivfModel.metricName, nProbe)))
-    val pairs = probed.join(codes, "cell")
-      .select(col("qid"), col("id"), adcCol(pqModel)(col("qvec"), col("code")).as("score"))
-    val topC = udaf(new ExactKnn.TopKAggregator(candidates, true))
-    val coarse = pairs
-      .groupBy(col("qid"))
-      .agg(topC(col("id"), col("score")).as("nn"))
-      .select(col("qid"), explode(col("nn")).as("n"))
-      .select(col("qid"), col("n.id").as("id"))
+    val coarse = Ivf.searchWith(queries, codes, ivfModel,
+        k = candidates, nProbe = nProbe,
+        score = adcCol(pqModel), ascending = true, payloadCol = "code")
+      .select(col("qid"), col("id"))
     rerank(coarse, vectors, queries, k)
   }
 

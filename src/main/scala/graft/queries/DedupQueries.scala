@@ -197,25 +197,31 @@ object DedupQueries {
     // pairs within Hamming 5 (planted near-dups sit at <= 5 in this
     // corpus; background starts at 6). Exact-regime search => the pair
     // set equals the brute-force Hamming self-join, which DuckDB
-    // reproduces positionally from the identical md5 bit votes.
+    // reproduces positionally from the identical md5 bit votes. k bounds
+    // the per-doc duplicate fan-out (same contract as neardupAnn); a
+    // near-dup family larger than k would need a larger k or an
+    // LSH-candidate verify stage.
     "d_neardup_hamming" -> ((s, dir) => {
       import graft.hnsw.{HnswCodes, HnswParams}
       // bitstring -> long: bit k of the code is character k+1 of the sig
       val bitsToLong =
         "aggregate(sequence(0, 63), 0L, (acc, k) -> acc | " +
           "CASE WHEN substring(sig, k + 1, 1) = '1' THEN shiftleft(1L, k) ELSE 0L END)"
-      // cache: the md5-vote SimHash pass is the expensive part and the
-      // codes feed both the build and the query side
+      // repartition: the parquet arrives as one split and the md5-vote
+      // SimHash pass is the expensive part — spread it across cores. The
+      // single materialization happens inside the build's collect; the
+      // query side reuses the model's own code table (no cache to leak).
       val codes = docs(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id").as("id"),
           graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig"))
         .select(col("id"), expr(bitsToLong).as("code"))
-        .cache()
       val model = HnswCodes.buildBatched(codes,
         HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16), seed = 42L)
-      HnswCodes.search(
-          codes.select(col("id").as("qid"), col("code").as("qcode")), model, 40)
+      import s.implicits._
+      val queries = s.createDataset(model.codes.toSeq.sortBy(_._1))
+        .toDF("qid", "qcode")
+      HnswCodes.search(queries, model, 64)
         .filter(col("hamming") <= 5)
         .select(least(col("qid"), col("id")).as("a_id"),
           greatest(col("qid"), col("id")).as("b_id"))

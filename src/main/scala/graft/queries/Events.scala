@@ -73,10 +73,12 @@ object Events {
 
     // The same sessionization through the NATIVE session_window operator
     // (graft.streaming.StreamingIngest.sessionize — identical code path
-    // serves watermarked streams). session_window merges an event iff it
-    // lands strictly inside the previous [ts, ts+gap) window, so the
-    // oracle's lag form breaks sessions on diff >= gap; timestamps in us
-    // on both sides (see e_top_users note).
+    // serves watermarked streams). Boundary semantics (verified against
+    // Spark's MergingSessionsIterator: new session only when the next
+    // event starts strictly AFTER the current session end): an event
+    // exactly `gap` after the previous one still merges, so the oracle's
+    // lag form breaks sessions on diff > gap — same rule as e_sessions.
+    // Timestamps in us on both sides (see e_top_users note).
     "e_sessions_native" -> ((s, dir) => {
       val ev = t(s, dir)
         .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
@@ -158,7 +160,7 @@ object Events {
 
     "e_sessions_native" ->
       """SELECT user_id,
-        | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         | count(*) AS n_events
         |FROM (
         |  SELECT user_id, epoch_us(ts) AS ts_us,

@@ -28,6 +28,20 @@ object Vector {
       .select(col("qid"), col("id"), col("rank"))
       .orderBy(col("qid"), col("rank"))
 
+  /** Shared recall-report shape (the h_recall_ann pattern): intersect an
+    * approximate top-k with the exact one, emit a 1-row summary with
+    * recall in basis points. */
+  private def recallReport(s: SparkSession, qs: DataFrame,
+                           approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select(col("qid"), col("id"))
+      .intersect(exact.select(col("qid"), col("id"))).count()
+    val expected = exact.count()
+    val nq = qs.count()
+    import s.implicits._
+    Seq((nq, expected, hits, hits * 10000L / expected))
+      .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact kNN, three metrics — the LinearDb brute-force path
     // (reference: src/linear_db.rs:27-35) and the recall oracle for ANN.
@@ -79,15 +93,9 @@ object Vector {
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
       val model = Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L)
-      val ivf = Ivf.search(qs, vecs, model, k = 10, nProbe = 8)
-        .select(col("qid"), col("id"))
-      val exact = ExactKnn.search(qs, vecs, 10, "cosine").select(col("qid"), col("id"))
-      val hits = ivf.intersect(exact).count()
-      val expected = exact.count()
-      val nq = qs.count()
-      import s.implicits._
-      Seq((nq, expected, hits, hits * 10000L / expected))
-        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+      recallReport(s, qs,
+        Ivf.search(qs, vecs, model, k = 10, nProbe = 8),
+        ExactKnn.search(qs, vecs, 10, "cosine"))
     }),
 
     // Product-quantization recall: 64-dim floats compressed to one long
@@ -101,15 +109,9 @@ object Vector {
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
       val model = Pq.train(vecs, seed = 13L)
-      val pq = Pq.search(qs, vecs, model, k = 10, candidates = 100)
-        .select(col("qid"), col("id"))
-      val exact = ExactKnn.search(qs, vecs, 10, "l2").select(col("qid"), col("id"))
-      val hits = pq.intersect(exact).count()
-      val expected = exact.count()
-      val nq = qs.count()
-      import s.implicits._
-      Seq((nq, expected, hits, hits * 10000L / expected))
-        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+      recallReport(s, qs,
+        Pq.search(qs, vecs, model, k = 10, candidates = 100),
+        ExactKnn.search(qs, vecs, 10, "l2"))
     }),
 
     // IVF-PQ — the canonical beyond-memory serving compose (coarse
@@ -122,16 +124,10 @@ object Vector {
       val qs = queriesDf(s, dir)
       val ivfModel = Ivf.train(vecs, nCells = 16, metric = "l2", seed = 11L)
       val pqModel = Pq.train(vecs, seed = 13L)
-      val got = Pq.searchIvfPq(qs, vecs, ivfModel, pqModel,
-          k = 10, nProbe = 8, candidates = 100)
-        .select(col("qid"), col("id"))
-      val exact = ExactKnn.search(qs, vecs, 10, "l2").select(col("qid"), col("id"))
-      val hits = got.intersect(exact).count()
-      val expected = exact.count()
-      val nq = qs.count()
-      import s.implicits._
-      Seq((nq, expected, hits, hits * 10000L / expected))
-        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
+      recallReport(s, qs,
+        Pq.searchIvfPq(qs, vecs, ivfModel, pqModel,
+          k = 10, nProbe = 8, candidates = 100),
+        ExactKnn.search(qs, vecs, 10, "l2"))
     }),
 
     // Exact vector dedup: hash-groupBy on the full embedding.

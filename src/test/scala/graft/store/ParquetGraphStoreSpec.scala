@@ -79,7 +79,10 @@ class ParquetGraphStoreSpec extends SparkSpec {
     assert(after.numLayers == before.numLayers)
     assert(after.layers(0).keySet == before.layers(0).keySet)
 
-    // and the next merge writes PAST the junk version, still readable
+    // and the next merge works: writeLinks targets highest COMPLETE
+    // version + 1 (v1 here — the junk v99 is ignored by readers and
+    // writers alike; a name collision with a junk dir would be replaced
+    // by SaveMode.Overwrite)
     import spark.implicits._
     val newLinks = Seq((3L, 0, Seq((1L, 0.25))))
       .toDF("q", "layer", "raw")

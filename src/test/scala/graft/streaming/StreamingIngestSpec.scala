@@ -132,19 +132,35 @@ class StreamingIngestSpec extends SparkSpec {
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    // session_window merges an event iff it lands strictly inside the
-    // previous event's [ts, ts+gap) window, so the lag formulation must
-    // break on diff >= gap (at full microsecond precision)
+    // session_window starts a new session only when the next event is
+    // strictly LATER than the previous session's end (an exactly-gap
+    // event still merges), so the lag formulation breaks on diff > gap
+    // (at full microsecond precision)
     val viaLag = events
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("new_s", when(col("prev").isNull ||
-        unix_micros(col("ts")) - unix_micros(col("prev")) >= 1800000000L, 1L)
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
         .otherwise(0L))
       .groupBy("user_id").agg(
         sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     assert(viaSessionWindow == viaLag)
+  }
+
+  test("session_window boundary: an event exactly gap after the previous one MERGES") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val fixture = Seq(
+      (1L, ts("2024-01-01 01:00:00")),
+      (1L, ts("2024-01-01 01:30:00")),  // exactly 30min later: same session
+      (1L, ts("2024-01-01 02:00:00.000001")) // 1us past the gap: new session
+    ).toDF("user_id", "ts")
+    val sessions = StreamingIngest.sessionize(fixture, "30 minutes")
+      .orderBy("session_start").collect()
+    assert(sessions.length == 2, sessions.mkString(";"))
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
   }
 
   test("streaming sessionization emits merged session rows") {
