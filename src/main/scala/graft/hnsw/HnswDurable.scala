@@ -63,47 +63,69 @@ object HnswDurable {
   def build(vectors: DataFrame, path: String,
             cfg: BuildConfig = BuildConfig(),
             maxRounds: Int = 30): ParquetGraphStore = {
-    val spark = vectors.sparkSession
+    val store = new ParquetGraphStore(vectors.sparkSession, path)
+    ingest(store, vectors, vectors, cfg, maxRounds)
+    store
+  }
+
+  /** Insert `newRows` (id, vec) into a durable store — possibly one that
+    * already holds a graph (the streaming-ingest shape: each micro-batch
+    * lands through here with bounded driver state). `allVectors` must
+    * cover every id reachable in the persisted graph PLUS the new rows
+    * (the frontier distance joins read it; for streaming that is the
+    * appended vectors parquet). Ids must be new to the graph. A fresh
+    * store bootstraps with the sequential seed phase first. */
+  def ingest(store: ParquetGraphStore, newRows: DataFrame,
+             allVectors: DataFrame, cfg: BuildConfig = BuildConfig(),
+             maxRounds: Int = 30): Unit = {
+    val spark = newRows.sparkSession
     import spark.implicits._
-    val store = new ParquetGraphStore(spark, path)
     val params = cfg.params
     val searcher = new HnswSearcher(params)
     val metric = Metrics.byName(cfg.metric)
     val pairEnc = ExpressionEncoder[(Long, Array[Float])]()
 
     // The vector table is read by every frontier round, every batch join
-    // and every upper-vector lookup — pin it for the whole build. (At
+    // and every upper-vector lookup — pin it for the whole ingest. (At
     // cluster scale this is a distributed cache of the id+vec projection,
     // spilling to disk; it never lands on the driver.)
-    val vecs = vectors.select(col("id"), col("vec"))
+    val vecs = allVectors.select(col("id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Deterministic dense rank by id without a single-partition window:
-    // sortBy + zipWithIndex (zipWithIndex derives partition offsets with
-    // one count job — scale-safe).
-    val ranked = vecs.select(col("id")).as[Long].rdd
+    // Deterministic dense rank of the NEW rows by id without a single-
+    // partition window: sortBy + zipWithIndex (zipWithIndex derives
+    // partition offsets with one count job — scale-safe).
+    val ranked = newRows.select(col("id")).as[Long].rdd
       .sortBy(identity).zipWithIndex()
       .toDF("id", "rank").cache()
     val n = ranked.count()
-    if (n == 0) { ranked.unpersist(); vecs.unpersist(); return store }
+    if (n == 0) { ranked.unpersist(); vecs.unpersist(); return }
 
     def batchVectors(lo: Long, hi: Long): DataFrame =
       vecs.join(
         broadcast(ranked.filter(col("rank") >= lo && col("rank") < hi)),
         "id").select(col("id"), col("vec"))
 
-    // ---- Seed phase: strictly sequential kernel inserts (reference
-    // semantics) until the graph can absorb parallel batches. Only the
-    // seed batch's vectors ever reach the driver.
-    val seedN = math.min(cfg.seedBatch.toLong, n)
-    val seedRows = batchVectors(0, seedN).as(pairEnc).collect().sortBy(_._1)
-    val seedStore = new ArrayVectorStore(metric)
-    seedRows.foreach { case (id, v) => seedStore.prepareQueryWithId(id, v) }
-    val seedGraph = new graft.store.InMemoryGraph
-    seedRows.foreach { case (id, _) =>
-      searcher.insert(seedStore, seedGraph, id, searcher.selectLayerByHash(id, cfg.seed))
+    // ---- Seed phase (fresh store only): strictly sequential kernel
+    // inserts (reference semantics) until the graph can absorb parallel
+    // batches. Only the seed batch's vectors ever reach the driver.
+    var pos = 0L
+    var graphSize =
+      if (store.getEntryPoint.isEmpty) 0L
+      else store.linksTable.filter(col("layer") === 0).count()
+    if (graphSize == 0L) {
+      val seedN = math.min(cfg.seedBatch.toLong, n)
+      val seedRows = batchVectors(0, seedN).as(pairEnc).collect().sortBy(_._1)
+      val seedStore = new ArrayVectorStore(metric)
+      seedRows.foreach { case (id, v) => seedStore.prepareQueryWithId(id, v) }
+      val seedGraph = new graft.store.InMemoryGraph
+      seedRows.foreach { case (id, _) =>
+        searcher.insert(seedStore, seedGraph, id, searcher.selectLayerByHash(id, cfg.seed))
+      }
+      store.save(seedGraph.snapshot)
+      pos = seedN
+      graphSize = seedN
     }
-    store.save(seedGraph.snapshot)
 
     // ---- Micro-batched phase against the persisted graph.
     val debug = sys.env.contains("GRAFT_FRONTIER_DEBUG")
@@ -113,9 +135,8 @@ object HnswDurable {
         System.err.println(f"durable $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); a
       }
     val outEnc = ExpressionEncoder[(Long, Int, Array[Long], Array[Double])]()
-    var pos = seedN
     while (pos < n) {
-      val batchSize = math.min(math.min(cfg.maxBatch.toLong, pos), n - pos)
+      val batchSize = math.min(math.min(cfg.maxBatch.toLong, graphSize), n - pos)
       val batch = batchVectors(pos, pos + batchSize).cache()
 
       val linksNow = store.linksTable
@@ -213,10 +234,10 @@ object HnswDurable {
       batch.unpersist()
       upperB.destroy()
       pos += batchSize
+      graphSize += batchSize
     }
     ranked.unpersist()
     vecs.unpersist()
-    store
   }
 
   /** k-NN search over a durable store without materializing layer 0:

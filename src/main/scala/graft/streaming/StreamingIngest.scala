@@ -157,6 +157,35 @@ object StreamingIngest {
       }
       .start()
 
+  /** Beyond-driver-memory streaming ingest: every micro-batch is
+    * appended to the store's durable vectors parquet (written first —
+    * same crash ordering as the mirror) and inserted into the persisted
+    * graph via [[graft.hnsw.HnswDurable.ingest]] (upper layers
+    * broadcast, layer 0 via frontier joins, relational connect_bidir
+    * merges). Unlike [[attach]], no graph or vector state lives on the
+    * driver between batches, so the indexed stream can exceed driver
+    * memory; a restart simply re-attaches to the same store path. Ids
+    * must be unique across the stream. */
+  def attachDurable(stream: DataFrame, store: graft.store.ParquetGraphStore,
+                    cfg: BuildConfig, maxRounds: Int = 30): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = store.spark
+        val rows = batch.select(col("id"), col("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (rows.isEmpty) { rows.unpersist(); () }
+        else {
+          rows.write.mode("append").parquet(s"${store.path}/vectors")
+          val all = sess.read.parquet(s"${store.path}/vectors")
+            .select(col("id"), col("vec"))
+          graft.hnsw.HnswDurable.ingest(store, rows, all, cfg, maxRounds)
+          rows.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Gap-based sessionization via `session_window` — the native
     * Structured-Streaming twin of the batch e_sessions query (lag +
     * conditional sum): events of one user within `gap` of each other

@@ -119,6 +119,57 @@ class StreamingIngestSpec extends SparkSpec {
     assert(again.size == 60)
   }
 
+  test("durable streaming ingest: micro-batches build the parquet graph, no driver state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-durable").toString
+    val cfgD = BuildConfig(HnswParams.standard(32, 64, 8), "cosine",
+      seed = 5L, seedBatch = 16, maxBatch = 32)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val store = new graft.store.ParquetGraphStore(spark, dir)
+    val q = StreamingIngest.attachDurable(mem.toDF().toDF("id", "vec"), store, cfgD)
+    mem.addData(vecsOf(40): _*)
+    q.processAllAvailable()
+    mem.addData(vecsOf(40, offset = 40): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val vectors = spark.read.parquet(s"$dir/vectors").select(col("id"), col("vec"))
+    assert(vectors.count() == 80)
+
+    def checkExactParity(n: Int): Unit = {
+      val queries = (vecsOf(40) ++ (if (n > 40) vecsOf(n - 40, offset = 40) else Nil))
+        .toDF("qid", "qvec")
+      val vecsNow = spark.read.parquet(s"$dir/vectors").select(col("id"), col("vec"))
+      val got = graft.hnsw.HnswDurable.search(
+          new graft.store.ParquetGraphStore(spark, dir), vecsNow, queries, k = 5, ef = 64)
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = graft.operators.ExactKnn.search(queries, vecsNow, 5, "cosine")
+        .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == exact, s"missing=${(exact -- got).size} extra=${(got -- exact).size}")
+    }
+    checkExactParity(80)
+
+    // restart: a fresh attach to the same path continues where it left off
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingIngest.attachDurable(mem2.toDF().toDF("id", "vec"),
+      new graft.store.ParquetGraphStore(spark, dir), cfgD)
+    mem2.addData(vecsOf(40, offset = 80): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$dir/vectors").count() == 120)
+    val queries3 = (vecsOf(40) ++ vecsOf(40, offset = 40) ++ vecsOf(40, offset = 80))
+      .toDF("qid", "qvec")
+    val vecs3 = spark.read.parquet(s"$dir/vectors").select(col("id"), col("vec"))
+    val got3 = graft.hnsw.HnswDurable.search(
+        new graft.store.ParquetGraphStore(spark, dir), vecs3, queries3, k = 5, ef = 64)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact3 = graft.operators.ExactKnn.search(queries3, vecs3, 5, "cosine")
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == exact3)
+  }
+
   test("session_window sessionization agrees with the lag-based batch formulation") {
     import spark.implicits._
     // the same 30-minute-gap rule as e_sessions, over the real events table
