@@ -113,6 +113,16 @@ object HnswDurable {
     var graphSize =
       if (store.getEntryPoint.isEmpty) 0L
       else store.linksTable.filter(col("layer") === 0).count()
+    if (graphSize > 0L) {
+      // re-inserting an id that is already a vertex would silently
+      // corrupt the graph (duplicate layer-0 rows after the merge) —
+      // fail loudly instead. One broadcast semi-join per ingest call.
+      val dupCount = store.linksTable.filter(col("layer") === 0)
+        .join(broadcast(ranked.select(col("id").as("src"))), Seq("src"), "left_semi")
+        .count()
+      require(dupCount == 0L,
+        s"ingest: $dupCount id(s) already present in the graph")
+    }
     if (graphSize == 0L) {
       val seedN = math.min(cfg.seedBatch.toLong, n)
       val seedRows = batchVectors(0, seedN).as(pairEnc).collect().sortBy(_._1)

@@ -78,6 +78,13 @@ class HnswDurableSpec extends SparkSpec {
     assert(durRecall >= 0.95, s"durable recall=$durRecall")
   }
 
+  test("ingest rejects ids already present in the graph") {
+    val ex = intercept[IllegalArgumentException] {
+      HnswDurable.ingest(store, vectors.limit(5), vectors, cfg)
+    }
+    assert(ex.getMessage.contains("already present"))
+  }
+
   test("durable self-match: every inserted vector finds itself at k=1") {
     val selfHits = HnswDurable.search(store, vectors,
         vectors.select(col("id").as("qid"), col("vec").as("qvec")),
