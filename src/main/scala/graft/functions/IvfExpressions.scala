@@ -67,6 +67,16 @@ object IvfKernels {
         if (!taken(c) && ds(c) < bestD) { bestD = ds(c); best = c }
         c += 1
       }
+      if (best == -1) {
+        // every remaining distance is NaN (e.g. a NaN vector component):
+        // fall back to the first untaken index rather than crash —
+        // deterministic, and the exact verify downstream stays correct
+        var c2 = 0
+        while (best == -1 && c2 < cs.length) {
+          if (!taken(c2)) best = c2
+          c2 += 1
+        }
+      }
       taken(best) = true; out(j) = best; j += 1
     }
     out

@@ -49,42 +49,12 @@ object HnswCodes {
     val codeMap = rows.toMap
     val store = new CodeStoreWithIds(codeMap)
     val graph = new InMemoryGraph
-
-    val n = rows.length
     val insLayers = rows.map { case (id, _) => searcher.selectLayerByHash(id, seed) }
 
-    val seedN = math.min(seedBatch, n)
-    var pos = 0
-    while (pos < seedN) {
-      searcher.insert(store, graph, rows(pos)._1, insLayers(pos))
-      pos += 1
-    }
+    HnswDistributed.batchedBuildLoop(spark, rows.map(_._1), insLayers, codeMap,
+      (m: collection.Map[Long, Long]) => new CodeStoreWithIds(m),
+      store, searcher, graph, seedBatch, maxBatch)
 
-    val sc = spark.sparkContext
-    val codesB = sc.broadcast(codeMap)
-    while (pos < n) {
-      val batchSize = math.min(math.min(maxBatch, pos), n - pos)
-      val batch = (pos until pos + batchSize).map(i => (rows(i)._1, insLayers(i)))
-      val snapB = sc.broadcast(graph.snapshot)
-      val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
-      val results = sc.parallelize(batch, slices).mapPartitions { it =>
-        val localStore = new CodeStoreWithIds(codesB.value)
-        val snap = snapB.value
-        it.map { case (id, insLayer) =>
-          val (links, _) = searcher.searchToInsert(localStore, snap, id, insLayer)
-          (id, links.map(_.toArray))
-        }
-      }.collect()
-      snapB.destroy()
-
-      results.sortBy(_._1).foreach { case (id, linkArrays) =>
-        val links = linkArrays.map(a => FurthestQueue.fromAscending(a.toSeq))
-        val setEp = links.size > graph.numLayers
-        searcher.insertFromSearchResults(store, graph, id, links, setEp)
-      }
-      pos += batchSize
-    }
-    codesB.destroy()
     CodeModel(params, graph.snapshot, codeMap)
   }
 

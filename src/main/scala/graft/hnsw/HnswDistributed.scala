@@ -86,29 +86,46 @@ object HnswDistributed {
     val store = new ArrayVectorStore(metric, base = vecMap)
     rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
     val graph = new InMemoryGraph
-
-    val n = rows.length
     val insLayers = rows.map { case (id, _) => searcher.selectLayerByHash(id, cfg.seed) }
 
-    // Seed phase: strictly sequential inserts (reference semantics) until
-    // the graph is big enough to absorb parallel batches.
-    val seedN = math.min(cfg.seedBatch, n)
+    batchedBuildLoop(spark, rows.map(_._1), insLayers, vecMap,
+      (m: collection.Map[Long, Array[Float]]) => new ArrayVectorStore(metric, base = m),
+      store, searcher, graph, cfg.seedBatch, cfg.maxBatch)
+
+    HnswModel(cfg.params, cfg.metric, graph.snapshot, vecMap)
+  }
+
+  /** The shared seed + micro-batched build loop over any broadcastable
+    * store payload (float vectors here, u64 codes in
+    * [[HnswCodes.buildBatched]]): strictly sequential seed inserts, then
+    * per batch a distributed phase-1 search_to_insert against a
+    * broadcast snapshot and an id-ordered driver-side phase-2 merge
+    * (set_ep recomputed against the live graph — another same-batch
+    * element may have raised the top layer). Batch size is capped at the
+    * current graph size. */
+  private[hnsw] def batchedBuildLoop[P: scala.reflect.ClassTag](
+      spark: SparkSession,
+      ids: Array[Long], insLayers: Array[Int],
+      payload: P, mkExecutorStore: P => graft.store.VectorStore,
+      driverStore: graft.store.VectorStore, searcher: HnswSearcher,
+      graph: InMemoryGraph, seedBatch: Int, maxBatch: Int): Unit = {
+    val n = ids.length
+    val seedN = math.min(seedBatch, n)
     var pos = 0
     while (pos < seedN) {
-      searcher.insert(store, graph, rows(pos)._1, insLayers(pos))
+      searcher.insert(driverStore, graph, ids(pos), insLayers(pos))
       pos += 1
     }
 
-    // Batched phase: phase-1 search distributed, phase-2 merge on driver.
     val sc = spark.sparkContext
-    val vecB = sc.broadcast(vecMap)
+    val payloadB = sc.broadcast(payload)
     while (pos < n) {
-      val batchSize = math.min(math.min(cfg.maxBatch, pos), n - pos)
-      val batch = (pos until pos + batchSize).map(i => (rows(i)._1, insLayers(i)))
+      val batchSize = math.min(math.min(maxBatch, pos), n - pos)
+      val batch = (pos until pos + batchSize).map(i => (ids(i), insLayers(i)))
       val snapB = sc.broadcast(graph.snapshot)
       val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
       val results = sc.parallelize(batch, slices).mapPartitions { it =>
-        val localStore = new ArrayVectorStore(metric, base = vecB.value)
+        val localStore = mkExecutorStore(payloadB.value)
         val snap = snapB.value
         it.map { case (id, insLayer) =>
           val (links, _) = searcher.searchToInsert(localStore, snap, id, insLayer)
@@ -117,19 +134,15 @@ object HnswDistributed {
       }.collect()
       snapB.destroy()
 
-      // Phase 2: apply in id order; set_ep recomputed against the live
-      // graph (another same-batch element may have raised the top layer).
       results.sortBy(_._1).foreach { case (id, linkArrays) =>
         val links = linkArrays.map(a => FurthestQueue.fromAscending(a.toSeq))
         val setEp = links.size > graph.numLayers
-        store.insert(id)
-        searcher.insertFromSearchResults(store, graph, id, links, setEp)
+        driverStore.insert(id)
+        searcher.insertFromSearchResults(driverStore, graph, id, links, setEp)
       }
       pos += batchSize
     }
-    vecB.destroy()
-
-    HnswModel(cfg.params, cfg.metric, graph.snapshot, vecMap)
+    payloadB.destroy()
   }
 
   /** Distributed k-NN search (S6): broadcast the model, run the
@@ -268,7 +281,11 @@ object HnswDistributed {
 
   def buildShardedCached(vectors: DataFrame, cfg: BuildConfig,
                          numShards: Int, key: String): ShardedIndex =
-    shardCache.computeIfAbsent(s"$key|$numShards|${cacheKey(cfg)}",
+    // keyed by applicationId too: the cached handle wraps an RDD bound
+    // to the creating SparkContext — a later session in the same JVM
+    // must not receive a handle of a stopped context
+    shardCache.computeIfAbsent(
+      s"${vectors.sparkSession.sparkContext.applicationId}|$key|$numShards|${cacheKey(cfg)}",
       _ => buildSharded(vectors, cfg, numShards))
 
   /** Fused build+search — batch-only convenience over [[buildSharded]] +

@@ -47,9 +47,12 @@ object HnswDurable {
   def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String,
                   maxRounds: Int = 30): String = {
     // full-config key (the buildCached lesson from the round-2 advice):
-    // every build-affecting input — the shared BuildConfig key plus this
-    // builder's own maxRounds knob (it shapes the construction beams)
-    val fullKey = s"$key|${HnswDistributed.cacheKey(cfg)}|$maxRounds"
+    // every build-affecting input — the shared BuildConfig key plus the
+    // EFFECTIVE construction-round cap (ingest clamps maxRounds to
+    // ConstructionRoundCap, so values above it build identical graphs
+    // and must share one memo entry)
+    val effectiveRounds = math.min(maxRounds, ConstructionRoundCap)
+    val fullKey = s"$key|${HnswDistributed.cacheKey(cfg)}|$effectiveRounds"
     buildDirCache.computeIfAbsent(fullKey, { _ =>
       val path = java.nio.file.Files
         .createTempDirectory("graft_durable_").toString
@@ -98,22 +101,39 @@ object HnswDurable {
     val ranked = newRows.select(col("id")).as[Long].rdd
       .sortBy(identity).zipWithIndex()
       .toDF("id", "rank").cache()
+    // the cached frames must not outlive the call on ANY path — the
+    // duplicate-id require below is an expected exit
+    try { ingestRanked(store, vecs, ranked, cfg, maxRounds, searcher, metric, pairEnc) }
+    finally { ranked.unpersist(); vecs.unpersist() }
+  }
+
+  private def ingestRanked(store: ParquetGraphStore, vecs: DataFrame,
+                           ranked: DataFrame, cfg: BuildConfig, maxRounds: Int,
+                           searcher: HnswSearcher,
+                           metric: (Array[Float], Array[Float]) => Double,
+                           pairEnc: org.apache.spark.sql.Encoder[(Long, Array[Float])]): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val params = cfg.params
     val n = ranked.count()
-    if (n == 0) { ranked.unpersist(); vecs.unpersist(); return }
+    if (n == 0) return
 
     def batchVectors(lo: Long, hi: Long): DataFrame =
       vecs.join(
         broadcast(ranked.filter(col("rank") >= lo && col("rank") < hi)),
         "id").select(col("id"), col("vec"))
 
-    // ---- Seed phase (fresh store only): strictly sequential kernel
-    // inserts (reference semantics) until the graph can absorb parallel
-    // batches. Only the seed batch's vectors ever reach the driver.
+    // ---- Freshness is decided by the LINKS table, never by the entry
+    // point: an entry lost to a crash while links survive is corruption
+    // and must fail loudly — re-seeding here would overwrite (and thus
+    // destroy) the existing graph.
     var pos = 0L
-    var graphSize =
-      if (store.getEntryPoint.isEmpty) 0L
-      else store.linksTable.filter(col("layer") === 0).count()
+    var graphSize = store.linksTable.filter(col("layer") === 0).count()
     if (graphSize > 0L) {
+      if (store.getEntryPoint.isEmpty)
+        throw new IllegalStateException(
+          s"durable store at ${store.path} has ${graphSize} graph vertices " +
+            "but no entry point — refusing to re-seed over an existing graph")
       // re-inserting an id that is already a vertex would silently
       // corrupt the graph (duplicate layer-0 rows after the merge) —
       // fail loudly instead. One broadcast semi-join per ingest call.
@@ -123,6 +143,10 @@ object HnswDurable {
       require(dupCount == 0L,
         s"ingest: $dupCount id(s) already present in the graph")
     }
+
+    // ---- Seed phase (fresh store only): strictly sequential kernel
+    // inserts (reference semantics) until the graph can absorb parallel
+    // batches. Only the seed batch's vectors ever reach the driver.
     if (graphSize == 0L) {
       val seedN = math.min(cfg.seedBatch.toLong, n)
       val seedRows = batchVectors(0, seedN).as(pairEnc).collect().sortBy(_._1)
@@ -213,14 +237,14 @@ object HnswDurable {
         .select(col("q").as("qid"), explode(col("dsts")).as("id"))
       val queries0 = batch.select(col("id").as("qid"), col("vec").as("qvec"))
       val m0 = params.getM(0)
-      // Construction beams converge in a handful of rounds with the
-      // 2-hop first expansion; a tight cap bounds the tail rounds where
-      // single stragglers trickle into the beam (graph quality is
-      // insensitive to those — the exact-parity spec holds).
+      // Construction beams converge in a handful of rounds; the cap
+      // bounds the tail rounds where single stragglers trickle into the
+      // beam (graph quality is insensitive to those — the exact-parity
+      // spec holds).
       val beam0 = HnswFrontier.searchLayer0(
         linksNow, vecs, queries0, seeds0,
         k = m0, ef = params.getEfConstrInsert(0), metricName = cfg.metric,
-        maxRounds = math.min(maxRounds, 6))
+        maxRounds = math.min(maxRounds, ConstructionRoundCap))
       val links0 = beam0
         .groupBy(col("qid"))
         .agg(expr("transform(array_sort(collect_list(struct(dist AS dist, id AS dst)))," +
@@ -246,9 +270,12 @@ object HnswDurable {
       pos += batchSize
       graphSize += batchSize
     }
-    ranked.unpersist()
-    vecs.unpersist()
   }
+
+  /** Hard cap on frontier rounds during CONSTRUCTION (search is not
+    * capped): beams converge in a handful of rounds and the tail only
+    * trickles stragglers. */
+  val ConstructionRoundCap = 6
 
   /** k-NN search over a durable store without materializing layer 0:
     * upper layers broadcast, layer 0 via frontier joins. */

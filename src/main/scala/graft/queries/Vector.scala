@@ -33,9 +33,12 @@ object Vector {
     * recall in basis points. */
   private def recallReport(s: SparkSession, qs: DataFrame,
                            approx: DataFrame, exact: DataFrame): DataFrame = {
-    val hits = approx.select(col("qid"), col("id"))
-      .intersect(exact.select(col("qid"), col("id"))).count()
-    val expected = exact.count()
+    // the exact brute-force pipeline is the dominant cost — pin it so
+    // the intersect and the count run it once
+    val exactIds = exact.select(col("qid"), col("id")).cache()
+    val hits = approx.select(col("qid"), col("id")).intersect(exactIds).count()
+    val expected = exactIds.count()
+    exactIds.unpersist(blocking = false)
     val nq = qs.count()
     import s.implicits._
     Seq((nq, expected, hits, hits * 10000L / expected))

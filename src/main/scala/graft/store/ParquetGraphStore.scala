@@ -34,62 +34,67 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
   private val pending = scala.collection.mutable.Map.empty[(Long, Int), FurthestQueue]
   private var pendingEntry: Option[EntryPoint] = None
 
-  private def entryPath = s"$path/entry"
-
   private def fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // Probe path existence explicitly instead of catching exceptions: a
-  // transient read error must NOT be treated as "table absent", or a
-  // later flush()/mergeBatch() would overwrite the persisted graph with
-  // only the in-memory delta.
-  private def pathExists(p: String): Boolean = fs.exists(new Path(p))
+  // Both tables use the same versioned-directory scheme: a writer
+  // produces version N+1 while readers (and its own plan) still see the
+  // intact version N, then drops older versions. Completeness = the
+  // Spark committer's `_SUCCESS` marker — a crash mid-write leaves a
+  // higher-numbered partial directory, which must never shadow the
+  // intact previous version (the restart-recovery contract). Legacy
+  // unversioned dirs (`links`, `entry`) are read as version -1.
 
-  private val VersionedName = "links_v(\\d+)".r
-
-  /** Highest COMPLETE links version present, if any. -1 denotes the
-    * legacy unversioned `links` directory. Completeness = the Spark
-    * committer's `_SUCCESS` marker: a crash mid-write leaves a higher-
-    * numbered partial directory, which must not shadow the intact
-    * previous version (the restart-recovery contract depends on this). */
-  private def currentVersion: Option[Int] = {
+  /** Highest COMPLETE version of `name` present, if any. */
+  private def currentVersion(name: String): Option[Int] = {
     val root = new Path(path)
+    val versioned = s"${name}_v(\\d+)".r
     if (!fs.exists(root)) None
     else {
       val versions = fs.listStatus(root).toSeq.flatMap { st =>
         val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
         st.getPath.getName match {
-          case VersionedName(n) if complete => Some(n.toInt)
-          case "links" if complete          => Some(-1)
-          case _                            => None
+          case versioned(n) if complete  => Some(n.toInt)
+          case `name` if complete        => Some(-1)
+          case _                         => None
         }
       }
       if (versions.isEmpty) None else Some(versions.max)
     }
   }
 
-  private def linksPathOf(v: Int): String =
-    if (v == -1) s"$path/links" else s"$path/links_v$v"
+  private def versionPath(name: String, v: Int): String =
+    if (v == -1) s"$path/$name" else s"$path/${name}_v$v"
 
-  private def linksDF: Option[DataFrame] = currentVersion.map { v =>
-    spark.read.parquet(linksPathOf(v))
-      .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
+  /** Write `df` as the next version of `name`, then drop every OTHER
+    * version directory: older complete versions are superseded, and any
+    * dir that is not the one just written is crash junk (a complete
+    * higher version cannot exist — currentVersion would have resolved
+    * it and `next` would sit above it). Single-writer store. */
+  private def writeVersioned(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).map(_ + 1).getOrElse(0)
+    df.write.mode(SaveMode.Overwrite).parquet(versionPath(name, next))
+    val versioned = s"${name}_v(\\d+)".r
+    fs.listStatus(new Path(path)).foreach { st =>
+      val drop = st.getPath.getName match {
+        case versioned(n) => n.toInt != next
+        case `name`       => true
+        case _            => false
+      }
+      if (drop) fs.delete(st.getPath, true)
+    }
   }
 
-  /** Write `df` as the next links version and drop the previous one. The
-    * write executes while the plan may still read the previous version —
-    * distinct paths make that safe with a single parquet write. */
-  private def writeLinks(df: DataFrame): Unit = {
-    val prev = currentVersion
-    val next = prev.map(_ + 1).getOrElse(0)
-    df.write.mode(SaveMode.Overwrite).parquet(linksPathOf(next))
-    prev.foreach(v => fs.delete(new Path(linksPathOf(v)), true))
+  private def linksDF: Option[DataFrame] = currentVersion("links").map { v =>
+    spark.read.parquet(versionPath("links", v))
+      .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
   }
 
   override def getEntryPoint: Option[EntryPoint] =
     pendingEntry.orElse {
-      if (!pathExists(entryPath)) None
-      else spark.read.parquet(entryPath).collect()
-        .headOption.map(r => EntryPoint(r.getLong(0), r.getInt(1)))
+      currentVersion("entry").flatMap { v =>
+        spark.read.parquet(versionPath("entry", v)).collect()
+          .headOption.map(r => EntryPoint(r.getLong(0), r.getInt(1)))
+      }
     }
 
   override def setEntryPoint(point: Long, layer: Int): Unit = {
@@ -139,13 +144,13 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
             .unionByName(updates)
         case None => updates
       }
-      writeLinks(merged)
+      writeVersioned("links", merged)
       pending.clear()
     }
     pendingEntry.foreach { ep =>
       import spark.implicits._
-      Seq((ep.point, ep.layer)).toDF("point", "layer")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(entryPath)
+      writeVersioned("entry",
+        Seq((ep.point, ep.layer)).toDF("point", "layer").coalesce(1))
       pendingEntry = None
     }
   }
@@ -159,11 +164,11 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
 
   /** Bulk write a whole snapshot (the batch-build path). */
   def save(snapshot: GraphSnapshot): Unit = {
-    writeLinks(GraphFrames.toLinksDF(spark, snapshot))
+    writeVersioned("links", GraphFrames.toLinksDF(spark, snapshot))
     import spark.implicits._
-    snapshot.entryPoint.toSeq.map(e => (e.point, e.layer))
-      .toDF("point", "layer").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(entryPath)
+    writeVersioned("entry",
+      snapshot.entryPoint.toSeq.map(e => (e.point, e.layer))
+        .toDF("point", "layer").coalesce(1))
     pending.clear(); pendingEntry = None
   }
 
@@ -177,6 +182,6 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
     * write (see the versioning note in the class doc). */
   def mergeBatch(newLinks: DataFrame, params: HnswParams): Unit = {
     val merged = GraphFrames.connectBidirMerge(linksTable, newLinks, params)
-    writeLinks(merged)
+    writeVersioned("links", merged)
   }
 }

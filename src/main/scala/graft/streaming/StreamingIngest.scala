@@ -158,33 +158,51 @@ object StreamingIngest {
       .start()
 
   /** Beyond-driver-memory streaming ingest: every micro-batch is
-    * appended to the store's durable vectors parquet (written first —
-    * same crash ordering as the mirror) and inserted into the persisted
-    * graph via [[graft.hnsw.HnswDurable.ingest]] (upper layers
+    * written to the store's durable vectors table and inserted into the
+    * persisted graph via [[graft.hnsw.HnswDurable.ingest]] (upper layers
     * broadcast, layer 0 via frontier joins, relational connect_bidir
     * merges). Unlike [[attach]], no graph or vector state lives on the
     * driver between batches, so the indexed stream can exceed driver
-    * memory; a restart simply re-attaches to the same store path. Ids
-    * must be unique across the stream. */
+    * memory; a restart simply re-attaches to the same store path.
+    *
+    * Restart-safe: batch vectors land in a directory keyed by the
+    * batch's id range (ids are unique across the stream, so the range
+    * identifies the content — a redelivered batch rewrites the same
+    * path instead of duplicating, and batches of a re-attached query
+    * can never collide with earlier ones), and only ids not already in
+    * the graph are inserted (a crash mid-ingest leaves a committed
+    * prefix; redelivery finishes the rest). */
   def attachDurable(stream: DataFrame, store: graft.store.ParquetGraphStore,
                     cfg: BuildConfig, maxRounds: Int = 30): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sess = store.spark
-        val rows = batch.select(col("id"), col("vec"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (rows.isEmpty) { rows.unpersist(); () }
-        else {
-          rows.write.mode("append").parquet(s"${store.path}/vectors")
-          val all = sess.read.parquet(s"${store.path}/vectors")
-            .select(col("id"), col("vec"))
-          graft.hnsw.HnswDurable.ingest(store, rows, all, cfg, maxRounds)
-          rows.unpersist()
-          ()
-        }
+        ingestStreamBatch(store, batch, cfg, maxRounds)
       }
       .start()
+
+  /** One durable micro-batch (the foreachBatch body, idempotent per
+    * batch content — see [[attachDurable]]). */
+  def ingestStreamBatch(store: graft.store.ParquetGraphStore, batch: DataFrame,
+                        cfg: BuildConfig, maxRounds: Int = 30): Unit = {
+    val sess = store.spark
+    val rows = batch.select(col("id"), col("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (!rows.isEmpty) {
+        val r = rows.agg(min(col("id")), max(col("id"))).head()
+        rows.write.mode("overwrite")
+          .parquet(s"${store.path}/vectors/batch=${r.getLong(0)}_${r.getLong(1)}")
+        val all = sess.read.parquet(s"${store.path}/vectors")
+          .select(col("id"), col("vec"))
+        val existing = store.linksTable.filter(col("layer") === 0)
+          .select(col("src").as("id"))
+        val missing = rows.join(existing, Seq("id"), "left_anti")
+        graft.hnsw.HnswDurable.ingest(store, missing, all, cfg, maxRounds)
+      }
+    } finally rows.unpersist()
+    ()
+  }
 
   /** Gap-based sessionization via `session_window` — the native
     * Structured-Streaming twin of the batch e_sessions query (lag +

@@ -85,6 +85,30 @@ class HnswDurableSpec extends SparkSpec {
     assert(ex.getMessage.contains("already present"))
   }
 
+  test("ingest refuses to re-seed a store whose links survived but entry was lost") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_durable_noentry_").toString
+    val s2 = HnswDurable.build(vectors.limit(100), dir, cfg)
+    assert(s2.getEntryPoint.isDefined)
+    // simulate a crash that destroyed only the entry table
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("entry"))
+      .foreach(deleteRec)
+    val fresh = new graft.store.ParquetGraphStore(spark, dir)
+    assert(fresh.getEntryPoint.isEmpty)
+    val more = vectors.filter(col("id") >= 100).limit(10)
+    val ex = intercept[IllegalStateException] {
+      HnswDurable.ingest(fresh, more, vectors, cfg)
+    }
+    assert(ex.getMessage.contains("refusing to re-seed"))
+    // the graph itself must be untouched
+    assert(fresh.linksTable.filter(col("layer") === 0).count() == 100)
+  }
+
   test("durable self-match: every inserted vector finds itself at k=1") {
     val selfHits = HnswDurable.search(store, vectors,
         vectors.select(col("id").as("qid"), col("vec").as("qvec")),

@@ -79,10 +79,10 @@ class ParquetGraphStoreSpec extends SparkSpec {
     assert(after.numLayers == before.numLayers)
     assert(after.layers(0).keySet == before.layers(0).keySet)
 
-    // and the next merge works: writeLinks targets highest COMPLETE
-    // version + 1 (v1 here — the junk v99 is ignored by readers and
-    // writers alike; a name collision with a junk dir would be replaced
-    // by SaveMode.Overwrite)
+    // and the next merge works: the writer targets highest COMPLETE
+    // version + 1 (v1 here) and then reclaims EVERY older version —
+    // including junk a crash left behind (a name collision with a junk
+    // dir would be replaced by SaveMode.Overwrite)
     import spark.implicits._
     val newLinks = Seq((3L, 0, Seq((1L, 0.25))))
       .toDF("q", "layer", "raw")
@@ -93,5 +93,34 @@ class ParquetGraphStoreSpec extends SparkSpec {
     reopened.mergeBatch(newLinks, HnswParams.standard(16, 16, 4))
     val merged = new ParquetGraphStore(spark, dir).loadSnapshot()
     assert(merged.layers(0).contains(3L))
+
+    // older + junk versions are reclaimed: exactly one links version left
+    val linksDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("links"))
+    assert(linksDirs.length == 1, linksDirs.mkString(","))
+  }
+
+  test("crash safety: the entry point is versioned like the links table") {
+    val (store, dir) = freshStore()
+    store.setEntryPoint(5L, 1)
+    store.flush()
+    assert(store.getEntryPoint.contains(graft.store.EntryPoint(5L, 1)))
+
+    // a crash mid-write leaves a higher entry version without _SUCCESS;
+    // readers must keep resolving the intact one
+    val crashed = java.nio.file.Paths.get(dir, "entry_v99")
+    java.nio.file.Files.createDirectories(crashed)
+    java.nio.file.Files.write(crashed.resolve("part-00000.parquet"), Array[Byte](9))
+    val reopened = new ParquetGraphStore(spark, dir)
+    assert(reopened.getEntryPoint.contains(graft.store.EntryPoint(5L, 1)))
+
+    // the next entry write reclaims both the old version and the junk
+    reopened.setEntryPoint(6L, 2)
+    reopened.flush()
+    val entryDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("entry"))
+    assert(entryDirs.length == 1, entryDirs.mkString(","))
+    assert(new ParquetGraphStore(spark, dir).getEntryPoint
+      .contains(graft.store.EntryPoint(6L, 2)))
   }
 }

@@ -170,6 +170,32 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got3 == exact3)
   }
 
+  test("redelivered durable stream batch is idempotent (restart re-runs a batch)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-redeliver").toString
+    val store = new graft.store.ParquetGraphStore(spark, dir)
+    val cfgD = BuildConfig(HnswParams.standard(32, 64, 8), "cosine",
+      seed = 5L, seedBatch = 16, maxBatch = 32)
+    val b0 = vecsOf(40).toDF("id", "vec")
+    val b1 = vecsOf(40, offset = 40).toDF("id", "vec")
+
+    StreamingIngest.ingestStreamBatch(store, b0, cfgD)
+    StreamingIngest.ingestStreamBatch(store, b1, cfgD)
+    def state() = {
+      val vecs = spark.read.parquet(s"$dir/vectors")
+      (vecs.count(),
+        store.linksTable.filter(col("layer") === 0).count(),
+        store.getEntryPoint)
+    }
+    val before = state()
+
+    // Structured Streaming redelivers batch 1 after a crash: the vector
+    // write overwrites the same per-batch path and no id is re-inserted
+    StreamingIngest.ingestStreamBatch(store, b1, cfgD)
+    assert(state() == before)
+    assert(before._1 == 80 && before._2 == 80)
+  }
+
   test("session_window sessionization agrees with the lag-based batch formulation") {
     import spark.implicits._
     // the same 30-minute-gap rule as e_sessions, over the real events table
