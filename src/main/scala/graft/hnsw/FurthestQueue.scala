@@ -22,14 +22,18 @@ final class FurthestQueue private (private val buf: ArrayBuffer[Neighbor])
   def nonEmpty: Boolean = buf.nonEmpty
 
   /** Binary search for the ascending insertion index of (dist, id)
-    * (reference queue.rs:162-182 `search_sorted`). */
+    * (reference queue.rs:162-182 `search_sorted`). Double.compare gives
+    * a TOTAL order with NaN greatest — a corrupt (NaN) distance sorts to
+    * the tail where trimming evicts it, never to the head where it would
+    * become a permanent false "nearest". */
   private def insertionIndex(dist: Double, dst: Long): Int = {
     var left = 0
     var right = buf.size
     while (left < right) {
       val mid = left + (right - left) / 2
       val m = buf(mid)
-      if (m.dist < dist || (m.dist == dist && m.dst < dst)) left = mid + 1
+      val c = java.lang.Double.compare(m.dist, dist)
+      if (c < 0 || (c == 0 && m.dst < dst)) left = mid + 1
       else right = mid
     }
     left
@@ -94,7 +98,9 @@ final class NearestQueue private (private val buf: ArrayBuffer[Neighbor]) {
   def size: Int = buf.size
   def nonEmpty: Boolean = buf.nonEmpty
 
-  /** Ordered insert, descending (reference queue.rs:132-149). */
+  /** Ordered insert, descending (reference queue.rs:132-149).
+    * Double.compare: total order, NaN greatest -> a NaN candidate sits
+    * at the far (popped-last) end. */
   def insert(dst: Long, dist: Double): Unit = {
     var left = 0
     var right = buf.size
@@ -102,7 +108,8 @@ final class NearestQueue private (private val buf: ArrayBuffer[Neighbor]) {
     while (left < right) {
       val mid = left + (right - left) / 2
       val m = buf(mid)
-      if (m.dist > dist || (m.dist == dist && m.dst > dst)) left = mid + 1
+      val c = java.lang.Double.compare(m.dist, dist)
+      if (c > 0 || (c == 0 && m.dst > dst)) left = mid + 1
       else right = mid
     }
     buf.insert(left, Neighbor(dst, dist))

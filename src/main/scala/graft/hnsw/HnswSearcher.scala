@@ -81,7 +81,11 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
           val e = unvisited(i)
           val eq = dists(i)
           var admit = true
-          if (w.size == ef) {
+          // >= not ==: a W that enters the layer wider than ef (legal
+          // when per-layer ef shrinks while descending) must still be
+          // bounded — the reference compares == because its parameter
+          // shapes never shrink mid-descent.
+          if (w.size >= ef) {
             // W full: replace the furthest, or prune this path.
             if (vectors.lessThan(eq, fq)) w.popFurthest()
             else admit = false

@@ -45,10 +45,17 @@ object ExactKnn {
   class TopKAggregator(k: Int, ascending: Boolean)
       extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
 
-    // true when candidate (idA, sA) ranks worse than (idB, sB)
-    private def worse(sA: Double, idA: Long, sB: Double, idB: Long): Boolean =
-      if (ascending) sA > sB || (sA == sB && idA > idB)
+    // true when candidate (idA, sA) ranks worse than (idB, sB).
+    // NaN scores (a corrupt vector under l2/dot) rank worse than
+    // everything regardless of direction — otherwise a NaN row could
+    // occupy a slot that blocks all later candidates.
+    private def worse(sA: Double, idA: Long, sB: Double, idB: Long): Boolean = {
+      val aN = java.lang.Double.isNaN(sA)
+      val bN = java.lang.Double.isNaN(sB)
+      if (aN || bN) aN && (!bN || idA > idB)
+      else if (ascending) sA > sB || (sA == sB && idA > idB)
       else sA < sB || (sA == sB && idA > idB)
+    }
 
     override def zero: TopKBuf = TopKBuf(new Array[Long](k), new Array[Double](k), 0)
 

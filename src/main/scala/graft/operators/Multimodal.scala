@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -71,14 +71,26 @@ object Multimodal {
     out
   }
 
+  /** Frame geometry shared by [[sampleFrames]], [[metaQuery]] and the
+    * oracle SQL (the literals there must track these). */
+  val DefaultFrameBytes = 256
+  val DefaultMaxFrames = 8
+
+  /** Bounded frame count of a payload: one formula for every consumer —
+    * a drifted copy would make m_binary_meta's n_frames disagree with
+    * m_frames' actual row count. */
+  private def nFramesCol(byteLen: Column, frameBytes: Int, maxFrames: Int): Column =
+    least(lit(maxFrames), greatest(lit(1), floor(byteLen / frameBytes))).cast("int")
+
   /** Frame sampling: cut the payload into fixed-size "frames" (every
     * `frameBytes` bytes, up to `maxFrames`), exploded one row per frame so
     * row width stays bounded no matter the payload size. */
-  def sampleFrames(df: DataFrame, frameBytes: Int = 256, maxFrames: Int = 8,
+  def sampleFrames(df: DataFrame, frameBytes: Int = DefaultFrameBytes,
+                   maxFrames: Int = DefaultMaxFrames,
                    payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), col(payloadCol))
       .withColumn("n_frames",
-        least(lit(maxFrames), greatest(lit(1), floor(octet_length(col(payloadCol)) / frameBytes))).cast("int"))
+        nFramesCol(octet_length(col(payloadCol)), frameBytes, maxFrames))
       .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
       .withColumn("frame",
         expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
@@ -86,17 +98,12 @@ object Multimodal {
 
   /** Oracle-able metadata query: payload byte length, content hash, frame
     * count — everything a 100 TB scan can compute without decoding. */
-  def metaQuery(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir)
-    withBinaryPayload(docs)
+  def metaQuery(spark: SparkSession, dir: String): DataFrame =
+    withBinaryPayload(graft.queries.Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         sha2(col("payload"), 256).as("sha256_hex"),
-        least(lit(8), greatest(lit(1), floor(col("n_bytes") / 256))).cast("int").as("n_frames"))
+        nFramesCol(col("n_bytes"), DefaultFrameBytes, DefaultMaxFrames).as("n_frames"))
       .orderBy(col("doc_id"))
-  }
-
-  private def Tables(spark: SparkSession, dir: String) =
-    spark.read.parquet(s"$dir/documents.parquet")
 
   val oracles: Map[String, String] = Map(
     "m_binary_meta" ->
@@ -132,7 +139,7 @@ object Multimodal {
     // Frame sampling end-to-end over the binary payload: bounded rows per
     // payload, frame content hashed so the oracle can compare bytes.
     "m_frames" -> ((s, dir) => {
-      sampleFrames(withBinaryPayload(Tables(s, dir)))
+      sampleFrames(withBinaryPayload(graft.queries.Tables(s, dir, "documents")))
         .select(col("doc_id"), col("frame_idx"),
           md5(col("frame")).as("frame_md5"), col("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))

@@ -161,7 +161,7 @@ object DedupQueries {
     // operator proven above; this query proves they compose.
     "p_curate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val stop = graft.queries.Text.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+      val stop = graft.queries.Text.stopSql
       val quality = d
         .select(col("doc_id"), col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
@@ -334,7 +334,7 @@ object DedupQueries {
     },
 
     "p_curate" -> {
-      val stop = graft.queries.Text.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+      val stop = graft.queries.Text.stopSql
       val mhList = (0 until MinhashK).map(k =>
         s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
         .mkString("[", ", ", "]")

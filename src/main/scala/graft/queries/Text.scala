@@ -52,11 +52,10 @@ object Text {
         df.withColumn(s"score_$lang",
           expr(s"size(filter(split(text, ' '), tok -> tok IN $set))").cast("long"))
       }
-      val best = LangMarkers.map { case (lang, _) =>
-        struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
-      }
-      // greatest(...) on (score, lang) structs: max score, tie -> later
-      // lang alphabetically; flip with reverse-alphabet tiebreak below.
+      // argmax via a strict-> accumulator: ties keep the EARLIEST
+      // language in LangMarkers order — exactly the oracle's first-match
+      // CASE semantics (do not "fix" either side to a later-lang
+      // tie-break; the hash-match depends on this agreement).
       scored
         .withColumn("pred",
           expr(("array(" + LangMarkers.map { case (l, _) => s"struct(score_$l AS score, '$l' AS lang)" }.mkString(",") + ")")))
@@ -115,11 +114,10 @@ object Text {
     // split) — no token explode, no shuffle of O(total_tokens) rows; the
     // whole query is a single codegen'd scan + final sort.
     "t_stopword_profile" -> ((s, dir) => {
-      val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
       t(s, dir)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
-          expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))")
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $stopSql))")
             .cast("long").as("n_stop"))
         .orderBy(col("doc_id"))
     }),
@@ -128,11 +126,10 @@ object Text {
     // (stopword ratio + length normalization), the heuristic-filter shape
     // of LLM data pipelines. Per-row expressions only — no explode.
     "t_quality_score" -> ((s, dir) => {
-      val stop = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
       t(s, dir)
         .select(col("doc_id"), col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
-          expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))")
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $stopSql))")
             .cast("long").as("n_stop"))
         .withColumn("stop_ratio", col("n_stop") / col("n_tok"))
         .withColumn("len_norm", least(lit(1.0), col("n_chars") / lit(500.0)))
@@ -143,7 +140,9 @@ object Text {
     })
   )
 
-  private val stopSql = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+  /** The one stopword IN-list string every Spark def and oracle shares —
+    * a drifted copy would silently split the two sides of the hash gate. */
+  val stopSql: String = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   val oracles: Map[String, String] = Map(
     "t_lang_detect" -> {
