@@ -34,21 +34,25 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.defs ++
+      graft.queries.Relational2.defs ++
       graft.queries.Events.defs ++
       graft.queries.Text.defs ++
       graft.queries.Vector.defs ++
       graft.queries.Hnsw.defs ++
       graft.queries.DedupQueries.defs ++
+      graft.queries.Curation.defs ++
       graft.operators.Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Relational2.oracles ++
       graft.queries.Events.oracles ++
       graft.queries.Text.oracles ++
       graft.queries.Vector.oracles ++
       graft.queries.Hnsw.oracles ++
       graft.queries.DedupQueries.oracles ++
+      graft.queries.Curation.oracles ++
       graft.operators.Multimodal.oracles
 }

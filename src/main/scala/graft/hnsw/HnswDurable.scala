@@ -204,7 +204,18 @@ object HnswDurable {
           val out = Seq.newBuilder[(Long, Int, Array[Long], Array[Double])]
           var lc = nLayers - 1
           while (lc >= 1) {
-            val ef = if (lc > insLayer) params.getEfConstrSearch(lc)
+            // At layer 1 the beam is ALSO the layer-0 frontier seed set:
+            // widen it to the layer-0 construction ef (free — the upper
+            // layers are in this executor's memory) so the frontier BFS
+            // starts near-converged and pays fewer rounds (each round is
+            // a full BSP barrier). Above the insertion layer this only
+            // changes the seeds, never the recorded links (links are
+            // recorded for lc <= insLayer, where ef is already the
+            // construction ef, so max() is the identity there).
+            val ef = if (lc > insLayer)
+                       (if (lc == 1) math.max(params.getEfConstrInsert(0),
+                                              params.getEfConstrSearch(lc))
+                        else params.getEfConstrSearch(lc))
                      else params.getEfConstrInsert(lc)
             searcher.searchLayer(vs, snap, id, w, ef, lc)
             if (lc <= insLayer) {

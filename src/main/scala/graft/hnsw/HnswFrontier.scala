@@ -40,8 +40,15 @@ object HnswFrontier {
     val spark = queries.sparkSession
     require(upper.entryPoint.isDefined, "empty index")
 
-    // Greedy descent through the (small) upper layers -> per-query entry.
-    val entrySeeds = descendUpper(spark, upper, vectors, queries, metricName)
+    // Descent through the (small) upper layers -> per-query seed set.
+    // Greedy (ef=1) down to layer 2, then a WIDE (ef) beam at layer 1:
+    // the upper layers are broadcast, so the wide pass is executor-local
+    // CPU — and seeding layer 0 with up to ef candidates instead of one
+    // cuts the number of frontier ROUNDS (each a full BSP barrier: the
+    // dominant cost locally and the synchronization cost at cluster
+    // scale) roughly in half. Beam quality only improves: searchLayer0
+    // starts from a superset of the greedy entry.
+    val entrySeeds = descendUpper(spark, upper, vectors, queries, metricName, seedEf = ef)
     searchLayer0(links, vectors, queries, entrySeeds, k, ef, metricName, maxRounds)
   }
 
@@ -119,11 +126,13 @@ object HnswFrontier {
         if (lc == 0) Map.empty[Long, (Array[Long], Array[Double])] else m
       })
 
-  /** Greedy (ef=1) kernel descent through layers top..1, returning each
-    * query's layer-0 entry candidate (qid, id). */
+  /** Kernel descent through layers top..1: greedy (ef=1) down to layer 2,
+    * beam width `seedEf` at layer 1. Returns each query's layer-0 seed
+    * candidates (qid, id) — up to seedEf rows per query (exactly the
+    * layer-1 beam; with seedEf=1 this is the classic greedy entry). */
   private def descendUpper(spark: SparkSession, upper: GraphSnapshot,
                            vectors: DataFrame, queries: DataFrame,
-                           metricName: String): DataFrame = {
+                           metricName: String, seedEf: Int = 1): DataFrame = {
     import org.apache.spark.sql.Encoders
     val metric = Metrics.byName(metricName)
     // upper layers hold few distinct ids; ship only the vectors they touch
@@ -141,16 +150,16 @@ object HnswFrontier {
       .mapPartitions { it =>
         val (snap, vecs) = upperB.value
         val searcher = new HnswSearcher(HnswParams.standard(1, 1, 16))
-        it.map { case (qid, qvec) =>
+        it.flatMap { case (qid, qvec) =>
           val store = new ArrayVectorStore(metric, base = vecs)
           store.prepareQueryWithId(-1L, qvec)
           val (w, nLayers) = searcher.searchInit(store, snap, -1L)
           var lc = nLayers - 1
           while (lc >= 1) {
-            searcher.searchLayer(store, snap, -1L, w, 1, lc)
+            searcher.searchLayer(store, snap, -1L, w, if (lc == 1) seedEf else 1, lc)
             lc -= 1
           }
-          (qid, w.getNearest.get.dst)
+          w.toArray.map(n => (qid, n.dst))
         }
       }(outEnc)
       .toDF("qid", "id")

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * missing last stage of every pair-emitting dedup operator (MinHash /
+  * SimHash / ANN near-dup all emit PAIRS; a pipeline must resolve pairs
+  * into duplicate GROUPS before it can pick one canonical survivor per
+  * group, else chains A~B~C drop either too little or too much).
+  *
+  * Algorithm: iterative minimum-label propagation. Every vertex starts
+  * labelled with its own id; each round every vertex takes the minimum
+  * label among itself and its neighbors; converged when no label changed.
+  * Rounds = O(graph diameter) shuffles — near-dup graphs are unions of
+  * small dense clusters (diameter a handful), so the loop terminates in a
+  * few rounds regardless of corpus size; each round is one
+  * join + groupBy on the edge list, fully distributed (no driver state
+  * beyond the changed-count). For adversarially long path graphs the
+  * round count grows with the diameter (the large-star/small-star
+  * alternating-contraction trick from the MapReduce CC literature cuts it
+  * to O(log^2 n)); dedup workloads never look like that, so we keep the
+  * simpler invariant-friendly loop.
+  *
+  * Lineage is truncated every round with localCheckpoint — without it the
+  * iterated plan doubles per round and optimizer time dominates (the
+  * HnswFrontier lesson).
+  */
+object ConnectedComponents {
+
+  /** Resolve components of the undirected graph given by `edges`
+    * (columns `src`, `dst`; direction ignored; self-loops fine).
+    * Returns (id, comp) for every vertex appearing in `edges`, where
+    * `comp` is the minimum vertex id in the component. */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // symmetrize once; min-propagation then only needs src->dst messages
+    val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // message: each vertex offers its current label to every neighbor
+      val offers = sym
+        .join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .unionByName(offers)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

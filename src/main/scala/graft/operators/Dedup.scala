@@ -77,7 +77,16 @@ object Dedup {
     */
   def lshCandidatePairs(vectors: DataFrame, idCol: String, vecCol: String,
                         nBits: Int = 512, bands: Int = 64, rowsPerBand: Int = 8,
-                        dim: Int = 64, seed: Long = 7L): DataFrame = {
+                        dim: Int = 64, seed: Long = 7L): DataFrame =
+    lshCandidateStream(vectors, idCol, vecCol, nBits, bands, rowsPerBand, dim, seed)
+      .distinct()
+
+  /** Banded-LSH candidate pairs WITH band multiplicity (a pair appears
+    * once per colliding band) — the pre-`distinct` stream. Exposed so
+    * verify-first consumers can filter before paying the dedup shuffle. */
+  private def lshCandidateStream(vectors: DataFrame, idCol: String, vecCol: String,
+                                 nBits: Int, bands: Int, rowsPerBand: Int,
+                                 dim: Int, seed: Long): DataFrame = {
     require(bands * rowsPerBand <= nBits, "bands*rowsPerBand must fit in nBits")
     val sig = simhashSig(nBits, dim, seed)
     // repartition: small parquet inputs arrive as one split; the
@@ -86,7 +95,6 @@ object Dedup {
     val withSig = vectors
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"), sig(col(vecCol)).as("__sig"))
-
     // band value = the rowsPerBand-bit slice starting at band*rowsPerBand
     val bandExprs = (0 until bands).map { j =>
       val start = j * rowsPerBand
@@ -103,27 +111,36 @@ object Dedup {
       .select(col("__id"), posexplode(array((0 until bands).map(j => col(s"b$j")): _*))
         .as(Seq("band_idx", "band_val")))
       .cache()
-
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
-      .distinct()
   }
 
   /** Near-duplicate pairs via banded SimHash-LSH + exact cosine verify:
     * precision 1.0 by construction (every emitted pair is re-checked with
-    * the exact kernel); recall governed by the banding parameters. */
+    * the exact kernel); recall governed by the banding parameters.
+    *
+    * Verify-FIRST, dedup after: at moderate thresholds the background
+    * per-band collision rate (0.5 per bit) makes the candidate stream
+    * nearly all-pairs x bands, so a `distinct` before the verify is the
+    * dominant shuffle. The vector sides broadcast (or shuffle
+    * proportionally at scale), the codegen'd cosine kernel filters the
+    * stream down to the few true pairs in-map, and only those survivors
+    * pay the distinct. Band multiplicity re-verifies a true pair once per
+    * colliding band — pure map-side CPU, far cheaper than shuffling the
+    * full candidate stream. */
   def neardupLsh(vectors: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, nBits: Int = 512, bands: Int = 64,
                  rowsPerBand: Int = 8, seed: Long = 7L): DataFrame = {
-    val cand = lshCandidatePairs(vectors, idCol, vecCol, nBits, bands, rowsPerBand, seed = seed)
+    val cand = lshCandidateStream(vectors, idCol, vecCol, nBits, bands, rowsPerBand, 64, seed)
     val a = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
     val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     cand.join(a, "a_id").join(b, "b_id")
       .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
       .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 
   /** Near-duplicate pairs via the HNSW index — the reference-native scale

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+/** Corpus-curation operators a training-data pipeline runs AFTER the
+  * dedup/quality primitives: duplicate-group resolution (pairs ->
+  * connected components -> one survivor per group), train/eval
+  * decontamination by shared n-grams, deterministic stratified sampling
+  * for language-mix control, and token-budget shard packing. Every query
+  * is hash-verified against a DuckDB oracle running the identical
+  * computation (md5-keyed sampling; recursive-CTE reachability for the
+  * components).
+  */
+object Curation {
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+
+  /** Token-budget per shard for s_pack_shards (tokens, not chars). */
+  private val ShardCapacity = 2000L
+
+  /** Per-language deterministic sampling thresholds for s_sample_mix:
+    * keep a doc when the first 4 hex chars of md5("smp:" || doc_id) sort
+    * below the threshold — a 16-bit uniform key both engines compute
+    * identically, so rate = threshold/0x10000. Down-weights the dominant
+    * language (en), up-weights the rarest (zh): the language-rebalancing
+    * move of a training-mix builder. */
+  private val SampleThresholds: Seq[(String, String)] =
+    Seq("en" -> "4000", "zh" -> "c000") // others -> "8000" (50%)
+  private val DefaultThreshold = "8000"
+
+  private def thresholdCol: org.apache.spark.sql.Column =
+    SampleThresholds.foldRight(lit(DefaultThreshold)) { case ((l, t), acc) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+  private def thresholdSql: String =
+    SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+      .mkString("CASE ", " ", s" ELSE '$DefaultThreshold' END")
+
+  /** Distinct 5-token shingles per doc — the decontamination unit. Word
+    * n-grams (not char shingles): contamination checks ask "does a train
+    * doc contain an eval PHRASE", and 5 tokens is the conventional
+    * overlap window. */
+  private def wordShingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
+          " i -> concat_ws(' ', slice(toks, i, 5))))")).as("ngram"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pair lists don't dedup a corpus — GROUPS do: resolve the verified
+    // MinHash near-dup pairs into connected components (A~B, B~C => one
+    // {A,B,C} group). Distributed min-label propagation; the DuckDB
+    // oracle recomputes components via recursive-CTE reachability.
+    "d_dup_groups" -> ((s, dir) => {
+      val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
+      val comp = ConnectedComponents.run(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
+      comp.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("group_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Group-level dedup resolution: keep exactly one canonical doc (the
+    // minimum id = the component label) per duplicate group. The honest
+    // survivor count — pair-level dropping (p_curate's b_id rule) can
+    // over- or under-drop on chains; this can't.
+    "d_dedup_resolve" -> ((s, dir) => {
+      val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
+      val comp = ConnectedComponents.run(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).cache()
+      val nInput = docs(s, dir).count()
+      val nMembers = comp.count()
+      val nGroups = comp.select(col("comp")).distinct().count()
+      comp.unpersist()
+      import s.implicits._
+      Seq((nInput, nGroups, nMembers - nGroups, nInput - (nMembers - nGroups)))
+        .toDF("n_input", "n_groups", "n_dropped", "n_kept")
+    }),
+
+    // Train/eval decontamination: which training docs share a 5-token
+    // phrase with the held-out split (doc_id % 20 = 0)? The n-gram
+    // hash-join shape scales: shuffle is O(total distinct shingles), the
+    // standard overlap-detection plan at corpus scale.
+    "t_contamination" -> ((s, dir) => {
+      val sh = wordShingles(s, dir)
+      val evalSh = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("ngram"))
+      val trainSh = sh.filter(col("doc_id") % 20 =!= 0)
+      trainSh.join(evalSh, "ngram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("ngram")).as("n_shared_ngrams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling: per-language keep rates from an
+    // md5-keyed uniform — reproducible on any engine, no RNG state, the
+    // way a training-mix spec pins its sample. Emits per-language
+    // input/sampled/token counts.
+    "s_sample_mix" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("keep",
+          substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 4)
+            < thresholdCol)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("n_tokens_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // Token-budget shard packing: within each (lang, source) stream, in
+    // doc_id order, a doc opens a new shard when the running token count
+    // crosses the capacity — running-prefix-sum assignment (one window
+    // per stream partition, no driver loop), the shape that builds
+    // ~equal-token training shards from a sorted corpus.
+    "s_pack_shards" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum0", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"cum0 div $ShardCapacity"))
+        .groupBy(col("lang"), col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"), col("source"), col("shard_id"))
+    })
+  )
+
+  private val shinglesCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
+      |    i -> array_to_string(toks[i:i+4], ' ')))) AS ngram
+      |  FROM t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d_dup_groups" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+         |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |      UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM e
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r),
+         |comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, comp_id,
+         |  CAST(count(*) OVER (PARTITION BY comp_id) AS BIGINT) AS group_size
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    "d_dedup_resolve" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+         |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |      UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM e
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r),
+         |comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
+         |k AS (SELECT count(*) AS n_members, count(DISTINCT comp_id) AS n_groups FROM comp)
+         |SELECT (SELECT count(*) FROM documents) AS n_input,
+         |  CAST(n_groups AS BIGINT) AS n_groups,
+         |  CAST(n_members - n_groups AS BIGINT) AS n_dropped,
+         |  CAST((SELECT count(*) FROM documents) - (n_members - n_groups) AS BIGINT) AS n_kept
+         |FROM k""".stripMargin,
+
+    "t_contamination" ->
+      s"""WITH $shinglesCte,
+         |ev AS (SELECT doc_id AS eval_id, ngram FROM sh WHERE doc_id % 20 = 0),
+         |tr AS (SELECT doc_id, ngram FROM sh WHERE doc_id % 20 != 0)
+         |SELECT tr.doc_id,
+         |  CAST(count(DISTINCT tr.ngram) AS BIGINT) AS n_shared_ngrams,
+         |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+         |FROM tr JOIN ev ON tr.ngram = ev.ngram
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "s_sample_mix" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_sampled
+         |FROM (
+         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 4) < ($thresholdSql) AS keep
+         |  FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "s_pack_shards" ->
+      s"""WITH t AS (SELECT lang, source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT lang, source, doc_id, n_tok,
+         |    COALESCE(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+         |  FROM t)
+         |SELECT lang, source, CAST(cum0 // $ShardCapacity AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY lang, source, shard_id
+         |ORDER BY lang, source, shard_id""".stripMargin
+  )
+}

@@ -231,6 +231,40 @@ object DedupQueries {
     })
   )
 
+  /** The sh/mh/banded/cand/pairs CTE chain shared by every oracle that
+    * starts from the verified MinHash near-dup pairs — one definition so
+    * d_neardup_minhash, p_curate and the Curation group oracles stay in
+    * lockstep with the Spark-side candidate stage. `pairs(a_id, b_id)`
+    * with a_id < b_id. */
+  private[queries] val minhashPairsCtes: String = {
+    val mhList = (0 until MinhashK).map(k =>
+      s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
+      .mkString("[", ", ", "]")
+    val bandList = (0 until MinhashBands).map { j =>
+      (0 until MinhashRows).map(r => s"mh[${j * MinhashRows + r + 1}]").mkString(" || ")
+    }.mkString("[", ", ", "]")
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+       |      i -> substring(text, i, 8))) AS sh
+       |  FROM documents),
+       |mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sh, unnest($bandList) AS band_val,
+       |         unnest(generate_series(1, $MinhashBands)) AS band_idx
+       |  FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM banded x, banded y
+       |  WHERE x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |    AND x.doc_id < y.doc_id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN sh a ON a.doc_id = a_id
+       |  JOIN sh b ON b.doc_id = b_id
+       |  WHERE len(list_intersect(a.sh, b.sh)) * 9 >= (len(a.sh) + len(b.sh)) * 4)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "v_dedup_insert" ->
       """SELECT count(*) AS n_input,
@@ -260,35 +294,10 @@ object DedupQueries {
         |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.45
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "d_neardup_minhash" -> {
-      val mhList = (0 until MinhashK).map(k =>
-        s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
-        .mkString("[", ", ", "]")
-      val bandList = (0 until MinhashBands).map { j =>
-        (0 until MinhashRows).map(r => s"mh[${j * MinhashRows + r + 1}]").mkString(" || ")
-      }.mkString("[", ", ", "]")
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
-         |      i -> substring(text, i, 8))) AS sh
-         |  FROM documents),
-         |mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
-         |banded AS (
-         |  SELECT doc_id, sh, unnest($bandList) AS band_val,
-         |         unnest(generate_series(1, $MinhashBands)) AS band_idx
-         |  FROM mh),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM banded x, banded y
-         |  WHERE x.band_idx = y.band_idx AND x.band_val = y.band_val
-         |    AND x.doc_id < y.doc_id)
-         |SELECT a_id, b_id
-         |FROM cand
-         |JOIN sh a ON a.doc_id = a_id
-         |JOIN sh b ON b.doc_id = b_id
-         |WHERE len(list_intersect(a.sh, b.sh)) * 9 >= (len(a.sh) + len(b.sh)) * 4
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "d_neardup_minhash" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT a_id, b_id FROM pairs
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "d_simhash" ->
       s"""SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig64
@@ -302,45 +311,18 @@ object DedupQueries {
          |      FROM s a, s b WHERE a.doc_id < b.doc_id)
          |SELECT a_id, b_id FROM p WHERE d <= 5 ORDER BY a_id, b_id""".stripMargin,
 
-    "d_jaccard_pairs" -> {
-      val mhList = (0 until MinhashK).map(k =>
-        s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
-        .mkString("[", ", ", "]")
-      val bandList = (0 until MinhashBands).map { j =>
-        (0 until MinhashRows).map(r => s"mh[${j * MinhashRows + r + 1}]").mkString(" || ")
-      }.mkString("[", ", ", "]")
-      s"""WITH sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
-         |      i -> substring(text, i, 8))) AS sh
-         |  FROM documents),
-         |mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
-         |banded AS (
-         |  SELECT doc_id, sh, unnest($bandList) AS band_val,
-         |         unnest(generate_series(1, $MinhashBands)) AS band_idx
-         |  FROM mh),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM banded x, banded y
-         |  WHERE x.band_idx = y.band_idx AND x.band_val = y.band_val
-         |    AND x.doc_id < y.doc_id)
+    "d_jaccard_pairs" ->
+      s"""WITH $minhashPairsCtes
          |SELECT a_id, b_id,
          |  CAST((len(list_intersect(a.sh, b.sh)) * 1000)
          |    // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS BIGINT) AS jaccard_pm
          |FROM cand
          |JOIN sh a ON a.doc_id = a_id
          |JOIN sh b ON b.doc_id = b_id
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "p_curate" -> {
       val stop = graft.queries.Text.stopSql
-      val mhList = (0 until MinhashK).map(k =>
-        s"list_aggregate(list_transform(sh, s -> md5('$k' || ':' || s)), 'min')")
-        .mkString("[", ", ", "]")
-      val bandList = (0 until MinhashBands).map { j =>
-        (0 until MinhashRows).map(r => s"mh[${j * MinhashRows + r + 1}]").mkString(" || ")
-      }.mkString("[", ", ", "]")
       s"""WITH q AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id,
@@ -349,26 +331,7 @@ object DedupQueries {
          |      + least(1.0, n_chars / 500.0) * 0.5 AS quality
          |    FROM documents)
          |  WHERE quality >= 0.5),
-         |sh AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
-         |      i -> substring(text, i, 8))) AS sh
-         |  FROM documents),
-         |mh AS (SELECT doc_id, sh, $mhList AS mh FROM sh),
-         |banded AS (
-         |  SELECT doc_id, sh, unnest($bandList) AS band_val,
-         |         unnest(generate_series(1, $MinhashBands)) AS band_idx
-         |  FROM mh),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM banded x, banded y
-         |  WHERE x.band_idx = y.band_idx AND x.band_val = y.band_val
-         |    AND x.doc_id < y.doc_id),
-         |pairs AS (
-         |  SELECT a_id, b_id FROM cand
-         |  JOIN sh a ON a.doc_id = a_id
-         |  JOIN sh b ON b.doc_id = b_id
-         |  WHERE len(list_intersect(a.sh, b.sh)) * 9 >= (len(a.sh) + len(b.sh)) * 4),
+         |$minhashPairsCtes,
          |dropped AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
          |SELECT (SELECT count(*) FROM documents) AS n_input,
          |  (SELECT count(*) FROM q) AS n_after_quality,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Independent oracle: driver-side union-find. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("two clusters and a chain resolve to min-id labels") {
+    // cluster {1,2,3} (triangle), chain 10-11-12-13, isolated pair {20,21}
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3),
+      (10, 11), (11, 12), (12, 13),
+      (21, 20))
+    val got = components(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("agrees with union-find on a random graph") {
+    val rng = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    assert(components(edges) == unionFind(edges))
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val edges = Seq[(Long, Long)]((5, 5), (5, 6), (6, 5), (5, 6))
+    assert(components(edges) == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("long path converges within the iteration budget") {
+    // path 0-1-2-...-19: worst diameter for min-propagation
+    val edges = (0L until 19L).map(i => (i, i + 1))
+    val got = components(edges)
+    assert(got.values.toSet == Set(0L) && got.size == 20)
+  }
+}
