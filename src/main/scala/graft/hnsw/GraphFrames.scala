@@ -93,45 +93,29 @@ object GraphFrames {
     * touched set (small: batch x M rows), broadcast-joined against the
     * big links table.
     */
-  def connectBidirMerge(links: DataFrame, newLinks: DataFrame,
+  /** The CHANGED rows of a connect_bidir merge — every (src, layer)
+    * whose queue this batch creates or rewrites, with its new links
+    * array. [[connectBidirMerge]] = untouched rows ∪ this; the delta
+    * store path persists just this (O(batch), not O(graph)). */
+  def connectBidirDelta(links: DataFrame, newLinks: DataFrame,
                         params: HnswParams): DataFrame = {
     val mMaxExpr = {
-      // M_max(layer) with the NParamLayers clamp, as a column expression
       val cases = (0 until HnswParams.NParamLayers).map { lc =>
         s"WHEN layer >= $lc THEN ${params.getMMax(lc)}"
       }.reverse.mkString(" ")
       expr(s"CASE $cases ELSE ${params.getMMax(0)} END")
     }
-
-    // Forward edges: q -> its (already M-trimmed) neighbor queue.
     val forward = newLinks
       .select(col("q").as("src"), col("layer"), explode(col("links")).as("edge"))
-
-    // A new vertex with an EMPTY queue (first insert into a fresh layer)
-    // still gets its row — the reference stores the empty neighborhood
-    // (set_links with an empty FurthestQueue); explode would drop it.
-    // Same-batch reverse edges cannot target it (phase-1 neighbors come
-    // from the pre-batch snapshot), so it passes through untouched.
     val emptyForward = newLinks.filter(size(col("links")) === 0)
       .select(col("q").as("src"), col("layer"), col("links"))
-
-    // Reverse edges: each neighbor n gains n -> q.
     val reverse = newLinks
       .select(col("q"), col("layer"), explode(col("links")).as("n"))
       .select(col("n.dst").as("src"), col("layer"),
         struct(col("q").as("dst"), col("n.dist").as("dist")).as("edge"))
-
     val newEdges = forward.unionByName(reverse)
     val touchedKeys = newEdges.select(col("src"), col("layer")).distinct()
-
-    // Small side broadcast: the touched key set (batch x (M+1) keys).
     val touched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_semi")
-    val untouched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_anti")
-
-    // One uniform merge: existing queues of touched vertices + all new
-    // edges, re-ranked per (src, layer) by (dist, dst), degree-bounded,
-    // regrouped into ascending arrays. Covers the corner where a new
-    // vertex is itself a reverse target in the same batch.
     val merged = touched
       .select(col("src"), col("layer"), explode(col("links")).as("edge"))
       .unionByName(newEdges)
@@ -140,12 +124,36 @@ object GraphFrames {
           .orderBy(col("edge.dist"), col("edge.dst"))))
       .filter(col("rank") <= mMaxExpr)
       .groupBy(col("src"), col("layer"))
-      // queues are distance-ascending: sort (dist, dst) then re-project
-      // (struct sort is lexicographic by field order)
       .agg(expr("transform(array_sort(collect_list(struct(edge.dist AS dist, edge.dst AS dst)))," +
         " x -> struct(x.dst AS dst, x.dist AS dist))").as("links"))
+    merged.unionByName(emptyForward)
+  }
 
-    untouched.unionByName(merged).unionByName(emptyForward)
+  /** Full connect_bidir merge: the whole links table with the batch
+    * applied. Delegates the changed rows to [[connectBidirDelta]]; the
+    * delta's semantics notes:
+    *  - forward edges: q -> its (already M-trimmed) neighbor queue;
+    *  - a new vertex with an EMPTY queue (first insert into a fresh
+    *    layer) still gets its row — the reference stores the empty
+    *    neighborhood, and same-batch reverse edges cannot target it
+    *    (phase-1 neighbors come from the pre-batch snapshot);
+    *  - reverse edges: each neighbor n gains n -> q, then every touched
+    *    queue is re-ranked by (dist, dst) and degree-bounded to
+    *    M_max(layer) — covers the corner where a new vertex is itself a
+    *    reverse target in the same batch. */
+  def connectBidirMerge(links: DataFrame, newLinks: DataFrame,
+                        params: HnswParams): DataFrame = {
+    val forward = newLinks
+      .select(col("q").as("src"), col("layer"), explode(col("links")).as("edge"))
+    val reverse = newLinks
+      .select(col("q"), col("layer"), explode(col("links")).as("n"))
+      .select(col("n.dst").as("src"), col("layer"),
+        struct(col("q").as("dst"), col("n.dist").as("dist")).as("edge"))
+    val touchedKeys = forward.unionByName(reverse)
+      .select(col("src"), col("layer")).distinct()
+    // Small side broadcast: the touched key set (batch x (M+1) keys).
+    val untouched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_anti")
+    untouched.unionByName(connectBidirDelta(links, newLinks, params))
   }
 
   /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):

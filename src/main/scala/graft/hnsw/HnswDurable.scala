@@ -173,7 +173,12 @@ object HnswDurable {
       val batchSize = math.min(math.min(cfg.maxBatch.toLong, graphSize), n - pos)
       val batch = batchVectors(pos, pos + batchSize).cache()
 
+      // The store's links table is now an LSM resolution (full + deltas,
+      // latest wins) — a shuffle, not a bare scan. It feeds the upper
+      // snapshot, every frontier round and the merge: resolve once per
+      // batch and pin it.
       val linksNow = store.linksTable
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val entry = store.getEntryPoint.getOrElse(
         throw new IllegalStateException("durable build: store lost its entry point"))
 
@@ -263,7 +268,8 @@ object HnswDurable {
         .select(col("qid").as("q"), lit(0).as("layer"), col("links"))
 
       // Phase 2: relational connect_bidir merge into the parquet store.
-      timed("mergeBatch")(store.mergeBatch(upperLinks.unionByName(links0), params))
+      timed("mergeBatch")(
+        store.mergeBatch(upperLinks.unionByName(links0), params, Some(linksNow)))
 
       // Entry point: first-in-id-order vector reaching the batch maximum
       // insertion layer (matches sequential set_ep: ties never displace).
@@ -277,6 +283,7 @@ object HnswDurable {
 
       phase1.unpersist()
       batch.unpersist()
+      linksNow.unpersist(blocking = false)
       upperB.destroy()
       pos += batchSize
       graphSize += batchSize

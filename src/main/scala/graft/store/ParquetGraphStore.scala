@@ -13,12 +13,20 @@ import graft.hnsw.{FurthestQueue, GraphFrames, HnswParams, Neighbor}
   * `hawk_graph_links`); the entry point in a 1-row parquet
   * (`hawk_graph_entry`).
   *
-  * The links table is stored in VERSIONED directories (`links_v{N}`): a
-  * bulk mutation writes version N+1 while reading version N — one parquet
-  * write per merge (no tmp-dir double write), never overwriting a path
-  * that the merge plan is still reading — then drops version N. Readers
-  * always resolve the highest version present (the plain legacy `links`
-  * dir is also recognized).
+  * The links table is stored LSM-style in versioned directories sharing
+  * one monotone counter: FULL versions (`links_v{N}`, the whole table)
+  * and DELTA versions (`links_d{N}`, only the (src, layer) rows one
+  * micro-batch created or rewrote). The live table = the highest full
+  * version plus every delta above it, resolved per (src, layer) by
+  * highest version (latest wins). [[mergeBatch]] writes a DELTA — an
+  * O(batch) write instead of rewriting the O(graph) table per
+  * micro-batch, which is the difference between an O(n^2/b) and an O(n)
+  * total build write volume at corpus scale — and compacts back to one
+  * full version whenever [[CompactionDeltas]] deltas have stacked up, so
+  * read amplification stays bounded. A writer never overwrites a path
+  * its own plan may be reading (new version while old versions stay
+  * intact); readers always resolve complete versions only (the plain
+  * legacy `links` dir is read as version -1).
   *
   * Per-op semantics match GraphPg: one storage round-trip per
   * get/set (the reference pays one SQL round-trip per op,
@@ -44,49 +52,108 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
   // intact previous version (the restart-recovery contract). Legacy
   // unversioned dirs (`links`, `entry`) are read as version -1.
 
-  /** Highest COMPLETE version of `name` present, if any. */
-  private def currentVersion(name: String): Option[Int] = {
+  /** Complete version stack of `name`: (version, isDelta) ascending.
+    * Fulls are `${name}_v{N}`, deltas `${name}_d{N}` (links only), and a
+    * legacy unversioned dir reads as full version -1. Incomplete dirs
+    * (no `_SUCCESS`: crash junk) are never resolved. */
+  private def versionStack(name: String): Seq[(Int, Boolean)] = {
     val root = new Path(path)
-    val versioned = s"${name}_v(\\d+)".r
-    if (!fs.exists(root)) None
-    else {
-      val versions = fs.listStatus(root).toSeq.flatMap { st =>
-        val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
-        st.getPath.getName match {
-          case versioned(n) if complete  => Some(n.toInt)
-          case `name` if complete        => Some(-1)
-          case _                         => None
-        }
+    val full = s"${name}_v(\\d+)".r
+    val delta = s"${name}_d(\\d+)".r
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      val complete = fs.exists(new Path(st.getPath, "_SUCCESS"))
+      st.getPath.getName match {
+        case full(n) if complete  => Some((n.toInt, false))
+        case delta(n) if complete => Some((n.toInt, true))
+        case `name` if complete   => Some((-1, false))
+        case _                    => None
       }
-      if (versions.isEmpty) None else Some(versions.max)
+    }.sortBy(_._1)
+  }
+
+  /** The LIVE stack: the highest full version plus every delta above it
+    * (older fulls/deltas are superseded; kept on disk only until the
+    * next write's cleanup). */
+  private def liveStack(name: String): Seq[(Int, Boolean)] = {
+    val all = versionStack(name)
+    val lastFull = all.filterNot(_._2).map(_._1).maxOption
+    lastFull match {
+      case None    => all // delta-only stack (fresh store built by deltas)
+      case Some(f) => all.filter { case (v, d) => v == f || (d && v > f) }
     }
   }
 
+  private def currentVersion(name: String): Option[Int] =
+    versionStack(name).map(_._1).maxOption
+
   private def versionPath(name: String, v: Int): String =
     if (v == -1) s"$path/$name" else s"$path/${name}_v$v"
+  private def deltaPath(name: String, v: Int): String = s"$path/${name}_d$v"
 
-  /** Write `df` as the next version of `name`, then drop every OTHER
-    * version directory: older complete versions are superseded, and any
-    * dir that is not the one just written is crash junk (a complete
-    * higher version cannot exist — currentVersion would have resolved
-    * it and `next` would sit above it). Single-writer store. */
-  private def writeVersioned(name: String, df: DataFrame): Unit = {
-    val next = currentVersion(name).map(_ + 1).getOrElse(0)
-    df.write.mode(SaveMode.Overwrite).parquet(versionPath(name, next))
-    val versioned = s"${name}_v(\\d+)".r
+  /** Delete every version dir of `name` except `keep` — everything else
+    * is either superseded or crash junk. Single-writer store. */
+  private def dropOtherVersions(name: String, keep: Int): Unit = {
+    val full = s"${name}_v(\\d+)".r
+    val delta = s"${name}_d(\\d+)".r
     fs.listStatus(new Path(path)).foreach { st =>
       val drop = st.getPath.getName match {
-        case versioned(n) => n.toInt != next
-        case `name`       => true
-        case _            => false
+        case full(n)  => n.toInt != keep
+        case delta(n) => n.toInt != keep
+        case `name`   => true
+        case _        => false
       }
       if (drop) fs.delete(st.getPath, true)
     }
   }
 
-  private def linksDF: Option[DataFrame] = currentVersion("links").map { v =>
-    spark.read.parquet(versionPath("links", v))
+  /** Write `df` as the next FULL version of `name` and drop every other
+    * version: older versions are superseded, and a complete higher
+    * version cannot exist (currentVersion would have resolved it). */
+  private def writeVersioned(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).map(_ + 1).getOrElse(0)
+    df.write.mode(SaveMode.Overwrite).parquet(versionPath(name, next))
+    dropOtherVersions(name, next)
+  }
+
+  /** Write `df` as the next DELTA version of the links table. Prior
+    * COMPLETE versions stay (compaction folds the stack back into one
+    * full); incomplete dirs are crash junk — they can never resolve, and
+    * a single-writer store may reclaim them on any write. */
+  private def writeDelta(df: DataFrame): Unit = {
+    val next = currentVersion("links").map(_ + 1).getOrElse(0)
+    df.write.mode(SaveMode.Overwrite).parquet(deltaPath("links", next))
+    val full = s"links_v(\\d+)".r
+    val delta = s"links_d(\\d+)".r
+    fs.listStatus(new Path(path)).foreach { st =>
+      val isLinksDir = st.getPath.getName match {
+        case full(_) | delta(_) | "links" => true
+        case _                            => false
+      }
+      if (isLinksDir && !fs.exists(new Path(st.getPath, "_SUCCESS")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  private def readPiece(v: Int, isDelta: Boolean): DataFrame = {
+    val p = if (isDelta) deltaPath("links", v) else versionPath("links", v)
+    spark.read.parquet(p)
       .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
+  }
+
+  private def linksDF: Option[DataFrame] = {
+    val stack = liveStack("links")
+    if (stack.isEmpty) None
+    else if (stack.size == 1) Some(readPiece(stack.head._1, stack.head._2))
+    else {
+      // latest wins per (src, layer): one max_by aggregation over the
+      // stack — the single resolution shuffle that delta writes buy.
+      val tagged = stack.map { case (v, d) =>
+        readPiece(v, d).withColumn("__v", lit(v))
+      }.reduce(_ unionByName _)
+      Some(tagged.groupBy(col("src"), col("layer"))
+        .agg(max_by(col("links"), col("__v")).as("links")))
+    }
   }
 
   override def getEntryPoint: Option[EntryPoint] =
@@ -178,10 +245,28 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
   }
 
   /** Apply one batch of new-vertex links via the relational connect_bidir
-    * merge ([[GraphFrames.connectBidirMerge]]) and persist — one parquet
-    * write (see the versioning note in the class doc). */
-  def mergeBatch(newLinks: DataFrame, params: HnswParams): Unit = {
-    val merged = GraphFrames.connectBidirMerge(linksTable, newLinks, params)
-    writeVersioned("links", merged)
+    * merge and persist ONLY the changed rows as a delta version
+    * ([[GraphFrames.connectBidirDelta]]) — an O(batch) write. When
+    * [[ParquetGraphStore.CompactionDeltas]] deltas have stacked above the
+    * last full version, fold the stack into one full version (bounded
+    * read amplification; amortized write volume stays O(rows inserted)). */
+  def mergeBatch(newLinks: DataFrame, params: HnswParams,
+                 current: Option[DataFrame] = None): Unit = {
+    // `current` lets a build loop pass its already-pinned resolution of
+    // THIS store's links table (it must be exactly that — stale or
+    // foreign frames would corrupt the merge).
+    val delta = GraphFrames.connectBidirDelta(
+      current.getOrElse(linksTable), newLinks, params)
+    writeDelta(delta)
+    val deltas = liveStack("links").count(_._2)
+    if (deltas >= ParquetGraphStore.CompactionDeltas)
+      writeVersioned("links", linksTable)
   }
+}
+
+object ParquetGraphStore {
+  /** Max delta versions above the last full before [[ParquetGraphStore.mergeBatch]]
+    * compacts. Read amplification is bounded by this count; raising it
+    * trades read-side resolution work for fewer full rewrites. */
+  val CompactionDeltas = 6
 }

@@ -79,10 +79,9 @@ class ParquetGraphStoreSpec extends SparkSpec {
     assert(after.numLayers == before.numLayers)
     assert(after.layers(0).keySet == before.layers(0).keySet)
 
-    // and the next merge works: the writer targets highest COMPLETE
-    // version + 1 (v1 here) and then reclaims EVERY older version —
-    // including junk a crash left behind (a name collision with a junk
-    // dir would be replaced by SaveMode.Overwrite)
+    // and the next merge works: the delta writer targets highest
+    // COMPLETE version + 1 and reclaims incomplete junk; the intact full
+    // version and the new delta both remain (LSM stack)
     import spark.implicits._
     val newLinks = Seq((3L, 0, Seq((1L, 0.25))))
       .toDF("q", "layer", "raw")
@@ -93,11 +92,52 @@ class ParquetGraphStoreSpec extends SparkSpec {
     reopened.mergeBatch(newLinks, HnswParams.standard(16, 16, 4))
     val merged = new ParquetGraphStore(spark, dir).loadSnapshot()
     assert(merged.layers(0).contains(3L))
+    assert(merged.layers(0).contains(1L)) // pre-crash row survives the delta
 
-    // older + junk versions are reclaimed: exactly one links version left
+    // junk is reclaimed; the live stack is the full version + one delta
     val linksDirs = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.startsWith("links"))
-    assert(linksDirs.length == 1, linksDirs.mkString(","))
+      .map(_.getName).filter(_.startsWith("links")).sorted
+    assert(linksDirs.length == 2 && linksDirs.exists(_.startsWith("links_d")),
+      linksDirs.mkString(","))
+  }
+
+  test("delta stack: latest wins per key; compaction folds to one full version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val params = HnswParams.standard(16, 16, 4)
+    def linksOf(rows: Seq[(Long, Int, Seq[(Long, Double)])]) =
+      rows.toDF("q", "layer", "raw")
+        .select(col("q"), col("layer"),
+          expr("transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+
+    val (store, dir) = freshStore()
+    store.setEntryPoint(0L, 0)
+    store.setLinks(0L, FurthestQueue.empty, 0)
+    store.flush() // full v: {0 -> []}
+
+    // each merge adds one vertex linked to vertex 0 -> vertex 0's queue
+    // is REWRITTEN by every delta; latest must win
+    val n = ParquetGraphStore.CompactionDeltas + 2
+    (1 to n).foreach { i =>
+      store.mergeBatch(linksOf(Seq((i.toLong, 0, Seq((0L, i / 100.0))))), params)
+    }
+    val snap = store.loadSnapshot()
+    assert(snap.layers(0).keySet == (0L to n.toLong).toSet)
+    // vertex 0 accumulated reverse edges across deltas, degree-bounded
+    val deg0 = snap.layers(0)(0L)._1.length
+    assert(deg0 == math.min(n, params.getMMax(0)), s"deg0=$deg0")
+
+    // compaction fired at least once and bounded the stack
+    val dirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("links_"))
+    val deltas = dirs.count(_.startsWith("links_d"))
+    assert(dirs.count(_.startsWith("links_v")) == 1, dirs.mkString(","))
+    assert(deltas < ParquetGraphStore.CompactionDeltas, dirs.mkString(","))
+
+    // a reopened store resolves the identical graph
+    val reread = new ParquetGraphStore(spark, dir).loadSnapshot()
+    assert(reread.layers(0).map { case (k, v) => (k, v._1.toList, v._2.toList) } ==
+      snap.layers(0).map { case (k, v) => (k, v._1.toList, v._2.toList) })
   }
 
   test("crash safety: the entry point is versioned like the links table") {
