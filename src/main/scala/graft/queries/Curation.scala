@@ -18,6 +18,21 @@ import graft.operators.ConnectedComponents
 object Curation {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** Memoized components of the MinHash near-dup pair graph (the
+    * modelCache pattern): d_dup_groups and d_dedup_resolve share one CC
+    * run per (app, dir). Eagerly materialized so the iteration's
+    * checkpoints can be dropped. */
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def dupComponents(s: SparkSession, dir: String): DataFrame =
+    compCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", { _ =>
+      val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
+      val comp = ConnectedComponents.run(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).cache()
+      comp.count()
+      comp
+    })
+
   /** Token-budget per shard for s_pack_shards (tokens, not chars). */
   private val ShardCapacity = 2000L
 
@@ -57,9 +72,7 @@ object Curation {
     // {A,B,C} group). Distributed min-label propagation; the DuckDB
     // oracle recomputes components via recursive-CTE reachability.
     "d_dup_groups" -> ((s, dir) => {
-      val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
-      val comp = ConnectedComponents.run(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+      val comp = dupComponents(s, dir)
       val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
       comp.join(sizes, "comp")
         .select(col("id").as("doc_id"), col("comp").as("comp_id"), col("group_size"))
@@ -71,13 +84,10 @@ object Curation {
     // survivor count — pair-level dropping (p_curate's b_id rule) can
     // over- or under-drop on chains; this can't.
     "d_dedup_resolve" -> ((s, dir) => {
-      val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
-      val comp = ConnectedComponents.run(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).cache()
+      val comp = dupComponents(s, dir)
       val nInput = docs(s, dir).count()
       val nMembers = comp.count()
       val nGroups = comp.select(col("comp")).distinct().count()
-      comp.unpersist()
       import s.implicits._
       Seq((nInput, nGroups, nMembers - nGroups, nInput - (nMembers - nGroups)))
         .toDF("n_input", "n_groups", "n_dropped", "n_kept")
