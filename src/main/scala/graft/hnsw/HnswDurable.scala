@@ -300,9 +300,15 @@ object HnswDurable {
   def search(store: ParquetGraphStore, vectors: DataFrame, queries: DataFrame,
              k: Int, ef: Int, metricName: String = "cosine",
              maxRounds: Int = 30): DataFrame = {
+    // One LSM resolution for the upper-snapshot collect AND the frontier
+    // loop's layer-0 cache fill (the result frame derives only from the
+    // loop's final checkpoint, so eager unpersist on return is safe).
     val links = store.linksTable
-    val upper = GraphFrames.fromLinksDF(
-      links.filter(col("layer") >= 1), store.getEntryPoint)
-    HnswFrontier.search(links, upper, vectors, queries, k, ef, metricName, maxRounds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upper = GraphFrames.fromLinksDF(
+        links.filter(col("layer") >= 1), store.getEntryPoint)
+      HnswFrontier.search(links, upper, vectors, queries, k, ef, metricName, maxRounds)
+    } finally links.unpersist(blocking = false)
   }
 }

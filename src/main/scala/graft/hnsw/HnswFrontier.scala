@@ -84,7 +84,14 @@ object HnswFrontier {
 
     val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
 
-    while (rounds < maxRounds && !frontier.isEmpty) {
+    // Termination probes on the CHECKPOINTED scored frame (first-partition
+    // isEmpty on materialized data), not on the lazy frontier semi-join —
+    // the semi-join probe re-ran two joins per round. A frontier that
+    // scored nothing new ends the loop; a frontier whose novelties all
+    // missed the beam ends it one (near-free, empty-expansion) round
+    // later.
+    var done = false
+    while (rounds < maxRounds && !done) {
       val t0 = if (debug) System.nanoTime() else 0L
       // expand every frontier node's neighborhood in one join
       val discovered = frontier
@@ -95,18 +102,21 @@ object HnswFrontier {
         .join(visited, Seq("qid", "id"), "left_anti")
       val scored = withDist(discovered).localCheckpoint()
 
-      // visited/frontier stay lazy: they are shallow unions/semi-joins of
-      // already-checkpointed leaves, so plan depth stays linear and two
-      // eager materializations per round are saved.
-      visited = visited.union(scored.select("qid", "id"))
-      val newBeam = beam.unionByName(scored)
-        .withColumn("r", row_number().over(rankW))
-        .filter(col("r") <= ef)
-        .drop("r")
-        .localCheckpoint()
-      // continue only from newly-discovered nodes that made the beam
-      frontier = scored.join(newBeam.select("qid", "id"), Seq("qid", "id"), "left_semi")
-      beam = newBeam
+      if (scored.isEmpty) done = true
+      else {
+        // visited/frontier stay lazy: they are shallow unions/semi-joins
+        // of already-checkpointed leaves, so plan depth stays linear and
+        // two eager materializations per round are saved.
+        visited = visited.union(scored.select("qid", "id"))
+        val newBeam = beam.unionByName(scored)
+          .withColumn("r", row_number().over(rankW))
+          .filter(col("r") <= ef)
+          .drop("r")
+          .localCheckpoint()
+        // continue only from newly-discovered nodes that made the beam
+        frontier = scored.join(newBeam.select("qid", "id"), Seq("qid", "id"), "left_semi")
+        beam = newBeam
+      }
       rounds += 1
       if (debug) System.err.println(
         f"frontier round $rounds: ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -201,7 +201,7 @@ object Relational2 {
           count(lit(1)).as("n_lines"))
       li.join(broadcast(avgQ), col("l_partkey") === col("ak"))
         .filter(cents(col("l_quantity")) * col("n_lines") * 5 < col("sum_qty_c"))
-        .agg((sum(cents(col("l_extendedprice"))) / 7).cast("long").as("avg_yearly_c"),
+        .agg(expr("sum(CAST(floor(l_extendedprice*100) AS BIGINT)) div 7").as("avg_yearly_c"),
           count(lit(1)).as("n_small"))
     }),
 
@@ -400,7 +400,7 @@ object Relational2 {
         |    count(*) AS n_lines
         |  FROM li GROUP BY l_partkey)
         |SELECT
-        | CAST(CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 7 AS BIGINT) AS avg_yearly_c,
+        | CAST(CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_c,
         | count(*) AS n_small
         |FROM li JOIN a ON l_partkey = ak
         |WHERE CAST(floor(l_quantity*100) AS BIGINT) * n_lines * 5 < sum_qty_c""".stripMargin,
