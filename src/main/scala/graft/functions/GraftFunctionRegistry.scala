@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the native kernels: registers the codegen'd vector /
+  * fingerprint expressions as SQL functions so `spark.sql("SELECT
+  * cosine_sim(a, b) ...")` works — the FunctionRegistry layer of SURVEY
+  * §7.1. Registered two ways:
+  *
+  *  - session-build time via [[graft.plans.GraftExtensions]]
+  *    (`spark.sql.extensions=graft.plans.GraftExtensions`);
+  *  - post-hoc on a live session via [[registerAll]].
+  *
+  * Only stateless kernels register (vector distances, sign-pack,
+  * md5-MinHash/SimHash fingerprints). IVF/PQ expressions carry trained
+  * model state (centroids/codebooks) and stay DataFrame-API-only.
+  */
+object GraftFunctionRegistry {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  /** (name, builder) for every registrable kernel. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> { args =>
+      arity("cosine_sim", 2)(args); CosineSimilarityF32(args(0), args(1))
+    },
+    "l2_sq" -> { args =>
+      arity("l2_sq", 2)(args); L2SquaredF32(args(0), args(1))
+    },
+    "dot_f32" -> { args =>
+      arity("dot_f32", 2)(args); DotProductF32(args(0), args(1))
+    },
+    "signpack64" -> { args =>
+      arity("signpack64", 1)(args); SignPack64(args(0))
+    },
+    "simhash64_md5" -> { args =>
+      arity("simhash64_md5", 1)(args); SimHash64Md5(args(0))
+    },
+    "md5_minhash" -> { args =>
+      arity("md5_minhash", 2)(args)
+      Md5MinHash(args(0), litInt(args(1), "md5_minhash numHashes"))
+    },
+    "md5_minhash_shingles" -> { args =>
+      arity("md5_minhash_shingles", 5)(args)
+      Md5MinHashShingles(args(0),
+        litInt(args(1), "shingleLen"), litInt(args(2), "numHashes"),
+        litInt(args(3), "bands"), litInt(args(4), "rowsPerBand"))
+    }
+  )
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(GraftFunctionRegistry.getClass.getCanonicalName, name)
+
+  /** Session-build-time injection (for SparkSessionExtensions). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+
+  /** Register on an already-built session (temp functions). */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -242,6 +242,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => new HnswStrategy)
     ext.injectOptimizerRule(s => HnswTopKRewrite(s))
+    graft.functions.GraftFunctionRegistry.inject(ext)
   }
 }
 
