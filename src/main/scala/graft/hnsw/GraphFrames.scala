@@ -98,7 +98,24 @@ object GraphFrames {
     * array. [[connectBidirMerge]] = untouched rows ∪ this; the delta
     * store path persists just this (O(batch), not O(graph)). */
   def connectBidirDelta(links: DataFrame, newLinks: DataFrame,
-                        params: HnswParams): DataFrame = {
+                        params: HnswParams): DataFrame =
+    deltaImpl(links, newLinks, params, touchedKeysOf(newLinks))
+
+  /** Every (src, layer) queue the batch creates or rewrites: each new
+    * vertex with a non-empty queue (forward) plus every neighbor it
+    * points at (reverse target). Shared by delta and merge so one plan
+    * builds the key set once (identical broadcast subtrees reuse the
+    * exchange). Extracting `links.dst` keeps it a long-array explode —
+    * no struct materialization. */
+  private def touchedKeysOf(newLinks: DataFrame): DataFrame =
+    newLinks.filter(size(col("links")) > 0)
+      .select(col("q").as("src"), col("layer"))
+      .unionByName(newLinks
+        .select(explode(col("links.dst")).as("src"), col("layer")))
+      .distinct()
+
+  private def deltaImpl(links: DataFrame, newLinks: DataFrame,
+                        params: HnswParams, touchedKeys: DataFrame): DataFrame = {
     val mMaxExpr = {
       val cases = (0 until HnswParams.NParamLayers).map { lc =>
         s"WHEN layer >= $lc THEN ${params.getMMax(lc)}"
@@ -114,7 +131,6 @@ object GraphFrames {
       .select(col("n.dst").as("src"), col("layer"),
         struct(col("q").as("dst"), col("n.dist").as("dist")).as("edge"))
     val newEdges = forward.unionByName(reverse)
-    val touchedKeys = newEdges.select(col("src"), col("layer")).distinct()
     val touched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_semi")
     val merged = touched
       .select(col("src"), col("layer"), explode(col("links")).as("edge"))
@@ -143,17 +159,12 @@ object GraphFrames {
     *    reverse target in the same batch. */
   def connectBidirMerge(links: DataFrame, newLinks: DataFrame,
                         params: HnswParams): DataFrame = {
-    val forward = newLinks
-      .select(col("q").as("src"), col("layer"), explode(col("links")).as("edge"))
-    val reverse = newLinks
-      .select(col("q"), col("layer"), explode(col("links")).as("n"))
-      .select(col("n.dst").as("src"), col("layer"),
-        struct(col("q").as("dst"), col("n.dist").as("dist")).as("edge"))
-    val touchedKeys = forward.unionByName(reverse)
-      .select(col("src"), col("layer")).distinct()
-    // Small side broadcast: the touched key set (batch x (M+1) keys).
+    // One touched-key subtree feeds both the anti-join (untouched rows
+    // pass through) and the delta's semi-join — identical broadcast
+    // exchanges, so the distinct runs once per execution.
+    val touchedKeys = touchedKeysOf(newLinks)
     val untouched = links.join(broadcast(touchedKeys), Seq("src", "layer"), "left_anti")
-    untouched.unionByName(connectBidirDelta(links, newLinks, params))
+    untouched.unionByName(deltaImpl(links, newLinks, params, touchedKeys))
   }
 
   /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):

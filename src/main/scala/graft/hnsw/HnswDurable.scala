@@ -179,6 +179,14 @@ object HnswDurable {
       // batch and pin it.
       val linksNow = store.linksTable
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ingest()'s invariant — cached frames must not outlive the call on
+      // ANY path — applies per batch too: a mid-batch failure (frontier
+      // job, merge IO) must release the pins, or a caller that catches
+      // and retries (the streaming shape) accumulates them until OOM.
+      var phase1: DataFrame = null
+      var upperB: org.apache.spark.broadcast.Broadcast[
+        (graft.store.GraphSnapshot, Map[Long, Array[Float]])] = null
+      try {
       val entry = store.getEntryPoint.getOrElse(
         throw new IllegalStateException("durable build: store lost its entry point"))
 
@@ -192,15 +200,16 @@ object HnswDurable {
         .join(broadcast(upperIds.toSeq.toDF("id")), "id")
         .select(col("id"), col("vec")).as(pairEnc).collect().toMap)
       val sc = spark.sparkContext
-      val upperB = sc.broadcast((upperSnap, upperVecs))
+      upperB = sc.broadcast((upperSnap, upperVecs))
       val seed = cfg.seed
 
       // Phase 1a (executors): kernel descent through layers top..1 per
       // batch vector — construction beams for layers 1..L (trimmed to M),
       // empty neighborhoods for fresh top layers, and the beam exiting
       // layer 1 as the layer-0 frontier seed (tagged layer = -1).
-      val phase1 = batch.as(pairEnc).mapPartitions { it =>
-        val (snap, vecs) = upperB.value
+      val ub = upperB // stable val for closure capture (upperB is a var)
+      phase1 = batch.as(pairEnc).mapPartitions { it =>
+        val (snap, vecs) = ub.value
         it.flatMap { case (id, vec) =>
           val insLayer = searcher.selectLayerByHash(id, seed)
           val vs = new ArrayVectorStore(metric, base = vecs)
@@ -280,11 +289,12 @@ object HnswDurable {
         val (q, l) = (r.getLong(0), r.getInt(1))
         if (l > entry.layer) { store.setEntryPoint(q, l); store.flush() }
       }
-
-      phase1.unpersist()
-      batch.unpersist()
-      linksNow.unpersist(blocking = false)
-      upperB.destroy()
+      } finally {
+        if (phase1 != null) phase1.unpersist()
+        batch.unpersist()
+        linksNow.unpersist(blocking = false)
+        if (upperB != null) upperB.destroy()
+      }
       pos += batchSize
       graphSize += batchSize
     }

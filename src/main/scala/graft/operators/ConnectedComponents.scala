@@ -34,12 +34,14 @@ object ConnectedComponents {
     * `comp` is the minimum vertex id in the component. */
   def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    // symmetrize once; min-propagation then only needs src->dst messages
+    // symmetrize once; min-propagation then only needs src->dst messages.
+    // Vertices are taken BEFORE the self-loop filter: a vertex whose only
+    // edge is a self-loop is still a (singleton) component member.
     val sym = e.unionByName(
         e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    val messages = sym.filter(col("src") =!= col("dst"))
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -49,8 +51,8 @@ object ConnectedComponents {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       // message: each vertex offers its current label to every neighbor
-      val offers = sym
-        .join(labels, sym("src") === labels("id"))
+      val offers = messages
+        .join(labels, messages("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
       val next = labels.select(col("id"), col("comp"))
         .unionByName(offers)
@@ -61,6 +63,12 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
+    // Unconverged labels are not components — a silent partial answer
+    // under-merges duplicate groups; fail loudly instead (raise maxIter
+    // for pathological diameters).
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        s"($changed labels still improving — graph diameter exceeds the budget)")
     labels
   }
 }

@@ -18,20 +18,28 @@ import graft.operators.ConnectedComponents
 object Curation {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
-  /** Memoized components of the MinHash near-dup pair graph (the
-    * modelCache pattern): d_dup_groups and d_dedup_resolve share one CC
-    * run per (app, dir). Eagerly materialized so the iteration's
-    * checkpoints can be dropped. */
-  private val compCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def dupComponents(s: SparkSession, dir: String): DataFrame =
-    compCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", { _ =>
+  /** Memoized components of the MinHash near-dup pair graph:
+    * d_dup_groups and d_dedup_resolve share one CC run per input dir.
+    * The memo holds a parquet PATH, never a live DataFrame (the
+    * buildDirCache pattern — a session-bound frame pinned in a static
+    * map outlives its app and leaks cached blocks); the write also
+    * materializes eagerly so the iteration's checkpoints can drop. The
+    * computation is deterministic in `dir`, so the path is reusable
+    * across sessions in one JVM. */
+  private val compDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dupComponents(s: SparkSession, dir: String): DataFrame = {
+    val path = compDirCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dupcomp_").toString
       val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
-      val comp = ConnectedComponents.run(
-        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))).cache()
-      comp.count()
-      comp
+      ConnectedComponents.run(
+          pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+        .write.mode("overwrite").parquet(out)
+      out
     })
+    s.read.parquet(path)
+  }
 
   /** Token-budget per shard for s_pack_shards (tokens, not chars). */
   private val ShardCapacity = 2000L

@@ -57,4 +57,21 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     val got = components(edges)
     assert(got.values.toSet == Set(0L) && got.size == 20)
   }
+
+  test("a vertex whose only edge is a self-loop is a singleton component") {
+    // exact-dup matchers can emit a ~ a; the contract promises a row for
+    // every vertex appearing in edges
+    val edges = Seq[(Long, Long)]((7, 7), (1, 2))
+    assert(components(edges) == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("exceeding the iteration budget fails loudly, never silently partial") {
+    import spark.implicits._
+    // path of diameter 9 with maxIter = 3: cannot converge
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.run(edges, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
