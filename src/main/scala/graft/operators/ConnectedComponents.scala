@@ -50,17 +50,24 @@ object ConnectedComponents {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // message: each vertex offers its current label to every neighbor
+      // message: each vertex offers its current label to every neighbor.
+      // The previous label rides along in the same aggregation (labels
+      // rows carry comp as `prev`, offers carry +inf), so the
+      // changed-count needs no second join — and the count action
+      // doubles as the lazy checkpoint's materialization: ONE job and
+      // one shuffle barrier per round, not two.
       val offers = messages
         .join(labels, messages("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp"))
+        .select(col("dst").as("id"), col("comp"),
+          lit(Long.MaxValue).as("prev"))
+      val next = labels
+        .select(col("id"), col("comp"), col("comp").as("prev"))
         .unionByName(offers)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).count()
-      labels = next
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     // Unconverged labels are not components — a silent partial answer

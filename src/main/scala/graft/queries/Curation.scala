@@ -94,8 +94,10 @@ object Curation {
     "d_dedup_resolve" -> ((s, dir) => {
       val comp = dupComponents(s, dir)
       val nInput = docs(s, dir).count()
-      val nMembers = comp.count()
-      val nGroups = comp.select(col("comp")).distinct().count()
+      // one pass over the (tiny) component table for both counts
+      val stats = comp.agg(count(lit(1)).as("members"),
+        countDistinct(col("comp")).as("groups")).first()
+      val (nMembers, nGroups) = (stats.getLong(0), stats.getLong(1))
       import s.implicits._
       Seq((nInput, nGroups, nMembers - nGroups, nInput - (nMembers - nGroups)))
         .toDF("n_input", "n_groups", "n_dropped", "n_kept")

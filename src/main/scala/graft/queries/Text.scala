@@ -137,8 +137,48 @@ object Text {
         .select(col("doc_id"), col("n_tok"), col("n_stop"), col("stop_ratio"),
           col("len_norm"), col("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Repetition profile (the Gopher/RefinedWeb repetition-filter shape):
+    // most-frequent unigram and word-2-gram counts per document, as
+    // integer permille of the token count so the cut threshold is
+    // engine-exact. Computed per-row as a longest-run scan over the
+    // SORTED token/gram array — zero explode, zero shuffle, one codegen'd
+    // pass; the oracle computes the same mode via unnest + group-by.
+    "t_repetition" -> ((s, dir) => {
+      val toks = "split(text, ' ')"
+      val grams = s"CASE WHEN size($toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        s"ELSE transform(sequence(1, size($toks) - 1), " +
+        s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1))) END"
+      t(s, dir)
+        .withColumn("n_tok", expr(s"CAST(size($toks) AS BIGINT)"))
+        .withColumn("r1", expr(longestRunSql(s"array_sort($toks)")))
+        .withColumn("r2", expr(longestRunSql(s"array_sort($grams)")))
+        .select(col("doc_id"), col("n_tok"),
+          col("r1.btok").as("top1_tok"), col("r1.best").as("top1_n"),
+          expr("(1000 * r1.best) div n_tok").as("top1_permille"),
+          col("r2.best").as("top2_n"),
+          expr("(1000 * r2.best) div n_tok").as("top2_permille"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Longest-run scan over a SORTED string array — the per-row mode
+    * computation (count of the most frequent element) without any
+    * explode/shuffle. Equal elements are adjacent after the sort, so a
+    * single `aggregate` pass tracking the current run suffices; updating
+    * `best` only on STRICT improvement makes the reported element the
+    * smallest among the max-count ties (runs arrive in ascending element
+    * order) — exactly the oracle's `min(tok) FILTER (n = max_n)`. */
+  private[graft] def longestRunSql(sortedArr: String): String = {
+    val newRun = "CASE WHEN x = acc.prev THEN acc.run + CAST(1 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+    s"""aggregate($sortedArr,
+       |  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+       |         CAST(0 AS BIGINT) AS best, CAST('' AS STRING) AS btok),
+       |  (acc, x) -> struct(x AS prev, $newRun AS run,
+       |    CASE WHEN $newRun > acc.best THEN $newRun ELSE acc.best END AS best,
+       |    CASE WHEN $newRun > acc.best THEN x ELSE acc.btok END AS btok))""".stripMargin
+  }
 
   /** The one stopword IN-list string every Spark def and oracle shares —
     * a drifted copy would silently split the two sides of the hash gate. */
@@ -196,6 +236,32 @@ object Text {
          | CAST(sum(CASE WHEN tok IN $stopSql THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
          |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+        |top1 AS (SELECT doc_id, max(n) AS top1_n FROM cnt GROUP BY 1),
+        |t1 AS (SELECT c.doc_id, t.top1_n, min(c.tok) AS top1_tok
+        |       FROM cnt c JOIN top1 t ON c.doc_id = t.doc_id AND c.n = t.top1_n
+        |       GROUP BY c.doc_id, t.top1_n),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 2 THEN []
+        |         ELSE list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+        |            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) END AS grams
+        |  FROM documents),
+        |gt AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |gcnt AS (SELECT doc_id, gram, count(*) AS n FROM gt GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, max(n) AS top2_n FROM gcnt GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents)
+        |SELECT b.doc_id, b.n_tok, t1.top1_tok, CAST(t1.top1_n AS BIGINT) AS top1_n,
+        |  (1000 * CAST(t1.top1_n AS BIGINT)) // b.n_tok AS top1_permille,
+        |  CAST(coalesce(top2.top2_n, 0) AS BIGINT) AS top2_n,
+        |  (1000 * CAST(coalesce(top2.top2_n, 0) AS BIGINT)) // b.n_tok AS top2_permille
+        |FROM base b JOIN t1 ON b.doc_id = t1.doc_id
+        |LEFT JOIN top2 ON b.doc_id = top2.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "t_quality_score" ->
       s"""SELECT doc_id, n_tok, n_stop,
