@@ -41,6 +41,7 @@ object SparkEntry {
       graft.queries.Hnsw.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.Curation.defs ++
+      graft.queries.LayoutQueries.defs ++
       graft.operators.Multimodal.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       graft.queries.Hnsw.oracles ++
       graft.queries.DedupQueries.oracles ++
       graft.queries.Curation.oracles ++
+      graft.queries.LayoutQueries.oracles ++
       graft.operators.Multimodal.oracles
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.cents
+import graft.sources.Layout
+
+/** Physical-layout catalog queries: prove the bucketed co-located join
+  * and the partition-pruned scan END-TO-END (layout write → layout-aware
+  * read → result), hash-verified against DuckDB running the equivalent
+  * plain-parquet query. The interesting part is the PLAN (asserted in
+  * LayoutSpec: no Exchange below the co-located join's aggregation;
+  * PartitionFilters on the pruned scan) — the oracle proves the layout
+  * round-trip loses nothing.
+  */
+object LayoutQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Fact⋈fact revenue rollup on tables bucketed by order key: the join
+    // shuffles NEITHER side (bucket co-location), the classic pre-paid
+    // shuffle of a warehouse layout. Same result as the plain join.
+    "q_colocated_join" -> ((s, dir) => {
+      Layout.colocatedJoin(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Pruned scan over the type-partitioned events layout: the filter is
+    // a directory listing, not a row filter — only the 'click' partition
+    // is ever read. Same result as filtering the unpartitioned file.
+    "e_pruned_type" -> ((s, dir) => {
+      s.read.parquet(Layout.eventsByType(s, dir))
+        .filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("sum_value_c"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_colocated_join" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "e_pruned_type" ->
+      """SELECT count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events WHERE event_type = 'click'""".stripMargin
+  )
+}

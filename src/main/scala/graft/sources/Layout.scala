@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical data layout for scale: bucketed tables (co-located joins — the
+  * fact⋈fact join with NO shuffle on either side) and partitioned
+  * directories (partition pruning — a filter on the partition column skips
+  * whole directories before any row is read).
+  *
+  * At 100 TB these are the two layout levers that matter most: bucketing
+  * pre-pays the big join's shuffle once at write time and every subsequent
+  * join on the bucket key is exchange-free; partitioning turns
+  * low-cardinality filters into file listings. Both land through the
+  * standard writer API so Catalyst recognizes the layout at read time
+  * (`SortMergeJoin` without `Exchange`; `PartitionFilters` in the scan).
+  *
+  * Writes are memoized per input dir via the path-memo pattern (never a
+  * live DataFrame in a static map) — the catalog queries pay the layout
+  * write once per JVM, mirroring the real-world shape where layout is a
+  * one-time ETL investment amortized over every downstream query.
+  */
+object Layout {
+
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** lineitem + orders as external parquet tables bucketed by order key
+    * (same bucket count, so the join co-locates). Returns the registered
+    * table names. sortBy pre-sorts within buckets: with one file per
+    * bucket Spark also elides the SortMergeJoin's Sort. */
+  private val bucketCache = new ConcurrentHashMap[String, (String, String)]()
+  def bucketedOrderTables(s: SparkSession, dir: String,
+                          nBuckets: Int = 8): (String, String) =
+    bucketCache.computeIfAbsent(dir, { _ =>
+      val tag = sanitize(dir)
+      val (liName, ordName) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_").toString
+      // one file per bucket: repartition on the bucket key first so the
+      // writer emits exactly nBuckets files and the read side can trust
+      // the within-bucket sort order
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(nBuckets, org.apache.spark.sql.functions.col("l_orderkey"))
+        .write.format("parquet")
+        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lineitem")
+        .mode("overwrite").saveAsTable(liName)
+      s.read.parquet(s"$dir/orders.parquet")
+        .repartition(nBuckets, org.apache.spark.sql.functions.col("o_orderkey"))
+        .write.format("parquet")
+        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders")
+        .mode("overwrite").saveAsTable(ordName)
+      (liName, ordName)
+    })
+
+  /** events re-written partitioned by event_type; returns the directory.
+    * A filter on event_type then prunes whole partitions at planning
+    * time (visible as PartitionFilters in the scan node). */
+  private val partCache = new ConcurrentHashMap[String, String]()
+  def eventsByType(s: SparkSession, dir: String): String =
+    partCache.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_evpart_").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .write.partitionBy("event_type")
+        .mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The co-located fact⋈fact join on the bucketed tables — exposed for
+    * the plan spec (asserts zero shuffle below the aggregation). */
+  def colocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (liT, ordT) = bucketedOrderTables(s, dir)
+    val li = s.table(liT).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val ord = s.table(ordT).select(col("o_orderkey"), col("o_orderpriority"))
+    // merge hint: at any real scale this join is fact⋈fact — broadcast is
+    // the local-bench accident, SMJ-on-buckets is the plan being proven
+    li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+  }
+}
