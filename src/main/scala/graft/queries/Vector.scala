@@ -138,6 +138,25 @@ object Vector {
       t(s, dir).agg(
         count(lit(1)).as("n_vectors"),
         countDistinct(col("embedding")).as("n_distinct"))
+    }),
+
+    // Per-label class centroids — the clustering/IVF-bootstrap shape as a
+    // first-class exact operator. Per-dimension sums integerized to
+    // micro-units (floor(x*1e6) as long — float->double widening and the
+    // double multiply are IEEE-exact on both engines) so the distributed
+    // sum is order-independent; the mean is the ONE division, in doubles.
+    // Plan: posexplode -> partial (map-side) agg -> one shuffle of
+    // O(labels x dims x partitions) rows, the canonical dense-vector
+    // aggregation at any scale.
+    "v_centroids" -> ((s, dir) => {
+      t(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("label"), (col("p") + 1).as("dim"),
+          floor(col("x").cast("double") * lit(1000000.0)).as("v"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_u"))
+        .withColumn("mean_u", col("sum_u").cast("double") / col("n"))
+        .orderBy(col("label"), col("dim"))
     })
   )
 
@@ -191,6 +210,17 @@ object Vector {
     "v_dedup_exact" ->
       """SELECT count(*) AS n_vectors,
         | CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "v_centroids" ->
+      """WITH u AS (
+        |  SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+        |    i -> {'d': i, 'v': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)})) AS e
+        |  FROM embeddings)
+        |SELECT label, CAST(e.d AS INTEGER) AS dim, count(*) AS n,
+        |  CAST(sum(e.v) AS BIGINT) AS sum_u,
+        |  CAST(sum(e.v) AS DOUBLE) / count(*) AS mean_u
+        |FROM u GROUP BY label, e.d
+        |ORDER BY label, dim""".stripMargin
   )
 }
