@@ -146,14 +146,20 @@ object Text {
     // SORTED token/gram array — zero explode, zero shuffle, one codegen'd
     // pass; the oracle computes the same mode via unnest + group-by.
     "t_repetition" -> ((s, dir) => {
-      val toks = "split(text, ' ')"
-      val grams = s"CASE WHEN size($toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-        s"ELSE transform(sequence(1, size($toks) - 1), " +
-        s"i -> concat(element_at($toks, i), ' ', element_at($toks, i + 1))) END"
+      // tokenize ONCE via a lateral-view-style inner projection: inlining
+      // split() into the gram lambda would re-split the text on every
+      // element access (element_at(split(..), i) x2 per gram — a silent
+      // O(len^2) blow-up when project collapsing duplicates the alias)
+      val grams = "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
       t(s, dir)
-        .withColumn("n_tok", expr(s"CAST(size($toks) AS BIGINT)"))
-        .withColumn("r1", expr(longestRunSql(s"array_sort($toks)")))
-        .withColumn("r2", expr(longestRunSql(s"array_sort($grams)")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), expr(grams).as("grams"))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("n_tok"),
+          expr(longestRunSql("array_sort(toks)")).as("r1"),
+          expr(longestRunSql("array_sort(grams)")).as("r2"))
         .select(col("doc_id"), col("n_tok"),
           col("r1.btok").as("top1_tok"), col("r1.best").as("top1_n"),
           expr("(1000 * r1.best) div n_tok").as("top1_permille"),
