@@ -30,6 +30,23 @@ object LayoutQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Skew-salted big⋈big join: hot keys split across salt sub-keys
+    // (left) and replicated per salt (right), exactly reproducing the
+    // plain inner join — the oracle proves semantics preservation; the
+    // straggler-splitting efficiency claim is SkewJoinSpec's synthetic
+    // skew test. Hot set auto-detected from a seeded sample, so the plan
+    // is deterministic too.
+    "q_salted_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("user_id"), col("value"))
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .saltedJoin(ev, cust, "user_id", "c_custkey", nSalts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Pruned scan over the type-partitioned events layout: the filter is
     // a directory listing, not a row filter — only the 'click' partition
     // is ever read. Same result as filtering the unpartitioned file.
@@ -50,6 +67,13 @@ object LayoutQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "e_pruned_type" ->
       """SELECT count(*) AS n,
