@@ -17,6 +17,10 @@ import Tables.{cents, tsFromNanos}
 object Events {
   private def t(s: SparkSession, dir: String) = Tables(s, dir, "events")
 
+  /** Pinned pivot columns (see e_pivot_day_type): mirrored in the oracle. */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling-window (hourly) aggregation — the batch shape of the
     // streaming groupBy(window(...)); group count is bounded (
@@ -115,6 +119,34 @@ object Events {
 
     // Share-of-total by event type: two-level aggregation, the global
     // total broadcast back (no second scan).
+    // Pivot (wide aggregation): daily counts with one column per event
+    // type. The value list is EXPLICIT — .pivot(col) alone runs a
+    // distinct-collect job to discover columns and makes the output
+    // schema data-dependent; pinning the list keeps the plan one-pass
+    // and the schema stable (and is the only scalable form: a pivot's
+    // width must be known, not discovered, at 100 TB).
+    "e_pivot_day_type" -> ((s, dir) => {
+      t(s, dir)
+        .withColumn("day_s", date_format(tsFromNanos(col("ts")), "yyyy-MM-dd"))
+        .groupBy(col("day_s"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, EventTypes)
+        .orderBy(col("day_s"))
+    }),
+
+    // Exact percentiles (median / p95) over integer cents — Spark's
+    // linear-interpolation percentile matches DuckDB's quantile_cont
+    // bit-for-bit on integer inputs (same type-7 formula in doubles).
+    "e_value_percentiles" -> ((s, dir) => {
+      t(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(CAST(floor(value*100) AS BIGINT), 0.5)").as("p50_c"),
+          expr("percentile(CAST(floor(value*100) AS BIGINT), 0.95)").as("p95_c"))
+        .orderBy(col("event_type"))
+    }),
+
     "e_type_share" -> ((s, dir) => {
       val byType = t(s, dir)
         .groupBy(col("event_type"))
@@ -128,6 +160,21 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_pivot_day_type" -> {
+      val cols = EventTypes.map(t =>
+        s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"")
+        .mkString(",\n ")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day_s,
+         | $cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "e_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        | quantile_cont(CAST(floor(value*100) AS BIGINT), 0.5) AS p50_c,
+        | quantile_cont(CAST(floor(value*100) AS BIGINT), 0.95) AS p95_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "e_hourly_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_s, event_type,
         | count(*) AS n,
