@@ -141,8 +141,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
       .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
   }
 
-  private def linksDF: Option[DataFrame] = {
-    val stack = liveStack("links")
+  private def resolveStack(stack: Seq[(Int, Boolean)]): Option[DataFrame] = {
     if (stack.isEmpty) None
     else if (stack.size == 1) Some(readPiece(stack.head._1, stack.head._2))
     else {
@@ -154,6 +153,27 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
       Some(tagged.groupBy(col("src"), col("layer"))
         .agg(max_by(col("links"), col("__v")).as("links")))
     }
+  }
+
+  private def linksDF: Option[DataFrame] = resolveStack(liveStack("links"))
+
+  /** Version numbers currently readable, ascending: the last full plus
+    * the deltas stacked above it. Compaction and full writes fold older
+    * history — the LSM retention window, not an infinite log. */
+  def retainedVersions: Seq[Int] = liveStack("links").map(_._1)
+
+  /** Time travel: the links table AS OF version `v` — the same
+    * latest-wins resolution over the live stack truncated to versions
+    * <= `v`. Every version a [[mergeBatch]] delta produced since the
+    * last full write is addressable (a build's recent batches; a
+    * streaming ingest's recent micro-batches). Throws if `v` predates
+    * the retention window. */
+  def linksTableAt(v: Int): DataFrame = {
+    val live = liveStack("links")
+    require(live.headOption.exists(_._1 <= v),
+      s"version $v predates the retention window (retained: " +
+        s"${live.map(_._1).mkString(", ")})")
+    resolveStack(live.filter(_._1 <= v)).get
   }
 
   override def getEntryPoint: Option[EntryPoint] =

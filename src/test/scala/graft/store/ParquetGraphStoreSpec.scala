@@ -163,4 +163,43 @@ class ParquetGraphStoreSpec extends SparkSpec {
     assert(new ParquetGraphStore(spark, dir).getEntryPoint
       .contains(graft.store.EntryPoint(6L, 2)))
   }
+
+  test("time travel: as-of reads reproduce the table as it stood after each batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val params = HnswParams.standard(16, 16, 4)
+    def linksOf(rows: Seq[(Long, Int, Seq[(Long, Double)])]) =
+      rows.toDF("q", "layer", "raw")
+        .select(col("q"), col("layer"),
+          expr("transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+    def tableState(df: org.apache.spark.sql.DataFrame): Map[(Long, Int), Seq[Long]] =
+      df.select(col("src"), col("layer"), col("links.dst").as("dsts"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2).toList)
+        .toMap
+
+    val (store, dir) = freshStore()
+    store.setEntryPoint(0L, 0)
+    store.setLinks(0L, FurthestQueue.empty, 0)
+    store.flush()
+
+    // record the resolved state after every merge, along with the
+    // version number that merge produced (stay under the compaction
+    // threshold so the whole history is retained)
+    val n = ParquetGraphStore.CompactionDeltas - 1
+    val states = (1 to n).map { i =>
+      store.mergeBatch(linksOf(Seq((i.toLong, 0, Seq((0L, i / 100.0))))), params)
+      (store.retainedVersions.max, tableState(store.linksTable))
+    }
+
+    // every retained version must read back exactly as it stood
+    states.foreach { case (v, expected) =>
+      assert(tableState(store.linksTableAt(v)) == expected, s"as-of $v")
+    }
+    // and a version older than the retention window fails loudly
+    val oldest = store.retainedVersions.min
+    val ex = intercept[IllegalArgumentException] {
+      store.linksTableAt(oldest - 1)
+    }
+    assert(ex.getMessage.contains("retention window"))
+  }
 }
