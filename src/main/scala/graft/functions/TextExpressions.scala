@@ -263,6 +263,27 @@ object TextFunctions {
   def md5MinHash(strings: Column, numHashes: Int): Column =
     Bridge.column(Md5MinHash(Bridge.expression(strings), numHashes))
 
+  /** Distinct char-`n`-shingle set of `text` — THE document-dedup unit.
+    * One definition shared by the batch verify stage (DedupQueries), the
+    * streaming dedup state, and (mirrored in SQL) their oracles: the
+    * correctness story of every consumer is "identical shingle sets on
+    * both sides", so this must not fork. Texts shorter than `n` yield
+    * the whole text as the single shingle. */
+  def charShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions._
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+  }
+
+  /** Exact Jaccard >= 0.8 on shingle-set columns in integer arithmetic:
+    * 9|I| >= 4(|A|+|B|)  <=>  |I|/(|A|+|B|-|I|) >= 0.8 — no doubles, so
+    * boundary pairs are engine-independent. */
+  def jaccardAtLeast08(aSh: Column, bSh: Column): Column = {
+    import org.apache.spark.sql.functions._
+    size(array_intersect(aSh, bSh)) * 9 >= (size(aSh) + size(bSh)) * 4
+  }
+
   /** Register SQL names (args after the first must be foldable ints). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

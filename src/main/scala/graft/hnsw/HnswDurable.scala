@@ -171,22 +171,26 @@ object HnswDurable {
     val outEnc = ExpressionEncoder[(Long, Int, Array[Long], Array[Double])]()
     while (pos < n) {
       val batchSize = math.min(math.min(cfg.maxBatch.toLong, graphSize), n - pos)
-      val batch = batchVectors(pos, pos + batchSize).cache()
+      // ingest()'s invariant — cached frames must not outlive the call on
+      // ANY path — applies per batch too: a mid-batch failure (frontier
+      // job, merge IO, even the store's own LSM dir listing) must release
+      // the pins, or a caller that catches and retries (the streaming
+      // shape) accumulates them until OOM. EVERY pin in this batch is
+      // acquired inside the try.
+      val batch = batchVectors(pos, pos + batchSize)
+      var linksNow: DataFrame = null
+      var phase1: DataFrame = null
+      var upperB: org.apache.spark.broadcast.Broadcast[
+        (graft.store.GraphSnapshot, Map[Long, Array[Float]])] = null
+      try {
+      batch.cache()
 
       // The store's links table is now an LSM resolution (full + deltas,
       // latest wins) — a shuffle, not a bare scan. It feeds the upper
       // snapshot, every frontier round and the merge: resolve once per
       // batch and pin it.
-      val linksNow = store.linksTable
+      linksNow = store.linksTable
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // ingest()'s invariant — cached frames must not outlive the call on
-      // ANY path — applies per batch too: a mid-batch failure (frontier
-      // job, merge IO) must release the pins, or a caller that catches
-      // and retries (the streaming shape) accumulates them until OOM.
-      var phase1: DataFrame = null
-      var upperB: org.apache.spark.broadcast.Broadcast[
-        (graft.store.GraphSnapshot, Map[Long, Array[Float]])] = null
-      try {
       val entry = store.getEntryPoint.getOrElse(
         throw new IllegalStateException("durable build: store lost its entry point"))
 
@@ -292,7 +296,7 @@ object HnswDurable {
       } finally {
         if (phase1 != null) phase1.unpersist()
         batch.unpersist()
-        linksNow.unpersist(blocking = false)
+        if (linksNow != null) linksNow.unpersist(blocking = false)
         if (upperB != null) upperB.destroy()
       }
       pos += batchSize

@@ -32,15 +32,25 @@ object SkewJoin {
   def detectHotKeys(df: DataFrame, key: String, hotFraction: Double = 0.005,
                     sampleFraction: Double = 0.05, seed: Long = 42L,
                     maxKeys: Int = 64, minSampleCount: Long = 20L): Seq[Any] = {
-    val sampled = df.select(col(key)).sample(withReplacement = false,
-      sampleFraction, seed)
-    val total = math.max(1L, (sampled.count()))
-    sampled.groupBy(col(key)).count()
-      .filter(col("count") > lit(hotFraction) * lit(total.toDouble) &&
-        col("count") >= lit(minSampleCount))
-      .orderBy(col("count").desc, col(key))
-      .limit(maxKeys)
-      .select(col(key)).collect().map(_.get(0)).toSeq
+    // NULL keys never match an inner equi-join — salting them is
+    // pointless, and a null in the hot list would poison isInCollection
+    // (SQL IN with a null list element is NULL, not false).
+    val counts = df.select(col(key)).filter(col(key).isNotNull)
+      .sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(key)).count()
+      .persist()
+    try {
+      // total derived from the grouped counts: ONE scan of the big
+      // table, not a separate count() pass over the sample
+      val total = math.max(1L,
+        counts.agg(coalesce(sum(col("count")), lit(0L))).head().getLong(0))
+      counts
+        .filter(col("count") > lit(hotFraction) * lit(total.toDouble) &&
+          col("count") >= lit(minSampleCount))
+        .orderBy(col("count").desc, col(key))
+        .limit(maxKeys)
+        .select(col(key)).collect().map(_.get(0)).toSeq
+    } finally counts.unpersist()
   }
 
   /** Inner equi-join `left(leftKey) == right(rightKey)`, hot keys salted.
@@ -56,6 +66,10 @@ object SkewJoin {
                  nSalts: Int = 16, hotKeys: Seq[Any] = Nil): DataFrame = {
     val hot: Seq[Any] =
       if (hotKeys.nonEmpty) hotKeys else detectHotKeys(left, leftKey)
+    // a null in the hot list would turn the cold-side NOT-IN filter into
+    // NULL for every row (silently dropping all cold matches); null keys
+    // never match an inner equi-join anyway
+    require(!hot.contains(null), "hotKeys must not contain null")
     val outCols: Seq[Column] =
       (left.columns.map(left(_)) ++ right.columns.map(right(_))).toSeq
     val plainJoin = left.join(right, left(leftKey) === right(rightKey))

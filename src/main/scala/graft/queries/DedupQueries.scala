@@ -76,8 +76,7 @@ object DedupQueries {
     val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
     val shCand = d.join(broadcast(candIds), "doc_id")
       .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, greatest(length(text)-7, 1))," +
-          " i -> substring(text, i, 8)))").as("sh"))
+        graft.functions.TextFunctions.charShingles(col("text"), 8).as("sh"))
     val joined = cand
       .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -136,8 +135,8 @@ object DedupQueries {
     // DuckDB oracle runs the identical computation.
     "d_neardup_minhash" -> ((s, dir) => {
       candidatePairsWithShingles(s, dir)
-        .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))))
-        .filter(col("ni") * 9 >= (size(col("a_sh")) + size(col("b_sh"))) * 4)
+        .filter(graft.functions.TextFunctions
+          .jaccardAtLeast08(col("a_sh"), col("b_sh")))
         .select(col("a_id"), col("b_id"))
         .orderBy(col("a_id"), col("b_id"))
     }),

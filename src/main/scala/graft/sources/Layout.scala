@@ -24,17 +24,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Layout {
 
   private def sanitize(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_")
+    // the hash suffix keeps distinct dirs distinct even when the
+    // character squash collides ('/data/sf1' vs '/data.sf1')
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
 
   /** lineitem + orders as external parquet tables bucketed by order key
     * (same bucket count, so the join co-locates). Returns the registered
     * table names. sortBy pre-sorts within buckets: with one file per
-    * bucket Spark also elides the SortMergeJoin's Sort. */
+    * bucket Spark also elides the SortMergeJoin's Sort.
+    *
+    * Memo key includes the applicationId (table names resolve in ONE
+    * session's catalog — a memoized name from a stopped session would be
+    * a dangling reference, the session-bound-object-in-static-map trap)
+    * and nBuckets (two bucket counts are two different layouts). */
   private val bucketCache = new ConcurrentHashMap[String, (String, String)]()
   def bucketedOrderTables(s: SparkSession, dir: String,
                           nBuckets: Int = 8): (String, String) =
-    bucketCache.computeIfAbsent(dir, { _ =>
-      val tag = sanitize(dir)
+    bucketCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir|$nBuckets", { _ =>
+      val tag = s"${nBuckets}_${sanitize(dir)}"
       val (liName, ordName) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
       val base = java.nio.file.Files
         .createTempDirectory("graft_bucketed_").toString

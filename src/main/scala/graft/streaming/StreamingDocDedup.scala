@@ -54,20 +54,19 @@ object StreamingDocDedup {
 
   private def shinglesOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      expr(s"array_distinct(transform(sequence(1, greatest(length(text)-${ShingleLen - 1}, 1))," +
-        s" i -> substring(text, i, $ShingleLen)))").as("sh"))
+      graft.functions.TextFunctions
+        .charShingles(col("text"), ShingleLen).as("sh"))
 
   private def exists(s: SparkSession, path: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(path)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
   }
 
-  /** Verified matches between (a_sh-carrying) pairs: Jaccard >= 0.8 in
-    * exact integer arithmetic — identical to the batch verify. */
+  /** Verified matches between (a_sh-carrying) pairs — THE batch verify
+    * (one shared kernel, see TextFunctions.jaccardAtLeast08). */
   private def verified(pairs: DataFrame): DataFrame =
-    pairs
-      .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .filter(col("ni") * 9 >= (size(col("a_sh")) + size(col("b_sh"))) * 4)
+    pairs.filter(graft.functions.TextFunctions
+      .jaccardAtLeast08(col("a_sh"), col("b_sh")))
 
   /** Process one micro-batch of (doc_id, text) against the state at
     * `statePath`. Stateless on the driver between calls — restart = just
@@ -81,11 +80,22 @@ object StreamingDocDedup {
       val bands = bandsOf(docs).persist()
       val sh = shinglesOf(docs).persist()
       try {
-        // --- cross candidates: probe the survivor band index
+        // --- cross candidates: probe the survivor band index.
+        // State rows whose id belongs to THIS batch are excluded: on a
+        // redelivered batch they are the batch's own previous output, and
+        // matching against them would drop every former survivor as a
+        // "duplicate" of itself — then overwrite the state dir with zero
+        // rows. With them excluded the probe sees exactly what the first
+        // delivery saw, the greedy pass recomputes the identical survivor
+        // set, and the overwrite rewrites identical content (the
+        // idempotence contract). Batch-internal duplicates are entirely
+        // the intra-batch stage's job.
+        val batchIds = docs.select(col("doc_id"))
         val crossMatched: Set[Long] =
           if (!exists(spark, s"$statePath/bands")) Set.empty
           else {
             val stBands = spark.read.parquet(s"$statePath/bands")
+              .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
               .select(col("doc_id").as("k_id"), col("band_idx"), col("band_val"))
             val cand = bands.join(stBands, Seq("band_idx", "band_val"))
               .select(col("doc_id"), col("k_id")).distinct()

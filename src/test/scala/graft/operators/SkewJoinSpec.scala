@@ -46,6 +46,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(joined.count() == uniform.join(dim, col("k") === col("dk")).count())
   }
 
+  test("null keys: never detected as hot, and salted == plain inner join") {
+    val withNulls = skewed.withColumn("k",
+      when(col("payload") % 3 === 0, lit(null)).otherwise(col("k")))
+    val hot = SkewJoin.detectHotKeys(withNulls, "k")
+    assert(!hot.contains(null) && hot.contains(7L))
+    val plain = withNulls.join(dim, withNulls("k") === dim("dk"))
+    val salted = SkewJoin.saltedJoin(withNulls, dim, "k", "dk",
+      nSalts = 8, hotKeys = hot)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
   test("the hot key's left rows actually spread across salts") {
     // internal invariant made observable: with 40k rows of one key and 8
     // salts, a whole-row hash cannot land them all in one salt bucket

@@ -74,6 +74,26 @@ class StreamingDocDedupSpec extends SparkSpec {
     assert(k1 == expect && k2 == expect)
   }
 
+  test("a redelivered micro-batch is idempotent — state and kept set unchanged") {
+    val docs = corpus.take(120)
+    val expect = greedyReference(docs.toSeq)
+    val path = freshPath()
+    val batches = docs.grouped(60).toSeq
+    batches.foreach { b =>
+      StreamingDocDedup.processBatch(spark, b.toSeq.toDF("doc_id", "text"), path)
+    }
+    val before = StreamingDocDedup.keptIds(spark, path).as[Long].collect().toSet
+    assert(before == expect)
+    // redeliver BOTH batches (foreachBatch retry semantics): the batch's
+    // own prior state output must not match against itself
+    batches.foreach { b =>
+      val r = StreamingDocDedup.processBatch(spark, b.toSeq.toDF("doc_id", "text"), path)
+      assert(r.kept > 0, "redelivery must re-produce survivors, not drop them")
+    }
+    val after = StreamingDocDedup.keptIds(spark, path).as[Long].collect().toSet
+    assert(after == expect, s"redelivery changed the kept set: ${after.size} vs ${expect.size}")
+  }
+
   test("attach() drives the same pipeline through a real streaming query") {
     val docs = corpus.take(150)
     val expect = greedyReference(docs.toSeq)
