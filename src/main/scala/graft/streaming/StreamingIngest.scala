@@ -220,6 +220,39 @@ object StreamingIngest {
         col("w.end").as("session_end"), col("n_events"))
   }
 
+  /** Token-budget shard packing as a STATEFUL streaming transform — the
+    * arrival-order twin of the batch s_pack_shards query, and the
+    * module's `flatMapGroupsWithState` surface (custom per-group state
+    * the built-in windows can't express: a running prefix sum that must
+    * survive across micro-batches). State per (lang, source) stream is
+    * ONE long (the cumulative token count); each doc is assigned
+    * shard = floor(tokens-before-it / capacity), exactly the batch
+    * window's `cum0 div capacity`. Requires per-group doc_id-ordered
+    * arrival (the sequential-unit contract; rows within a micro-batch
+    * are sorted here). Input: (doc_id, lang, source, n_tok). */
+  def packShards(docs: DataFrame, capacity: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sess = docs.sparkSession
+    import sess.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("source"),
+        col("n_tok").cast("long"))
+      .as[(Long, String, String, Long)]
+      .groupByKey { case (_, lang, source, _) => (lang, source) }
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(Long, String, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, _, nTok) =>
+            val shard = cum / capacity
+            cum += nTok
+            (id, key._1, key._2, shard, nTok)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("doc_id", "lang", "source", "shard_id", "n_tok")
+  }
+
   /** Event-time windowed rollup with a watermark — the streaming twin of
     * the batch e_hourly_rollup query: counts + integerized value sums per
     * (1h window, event_type), late data beyond the watermark dropped.
