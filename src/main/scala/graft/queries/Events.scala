@@ -119,6 +119,29 @@ object Events {
 
     // Share-of-total by event type: two-level aggregation, the global
     // total broadcast back (no second scan).
+    // As-of join (purchase -> latest preceding click per user): the
+    // time-series attribution shape Spark lacks natively, via the
+    // union + running-window composition (AsofJoin.backward — one key
+    // shuffle, no per-key cross product). Clicks pre-aggregated to one
+    // per (user, ts): the as-of contract needs unique right timestamps.
+    // Oracle: DuckDB's native ASOF JOIN, so the operator is checked
+    // against an independent reference implementation of the semantics.
+    "e_attribution" -> ((s, dir) => {
+      val ev = t(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.backward(
+          purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          // integer div, never `/`: 2024-epoch nanos exceed 2^53, double
+          // division would round microseconds
+          expr("(ts div 1000) - (c_ts div 1000)").as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // Pivot (wide aggregation): daily counts with one column per event
     // type. The value list is EXPLICIT — .pivot(col) alone runs a
     // distinct-collect job to discover columns and makes the output
@@ -160,6 +183,18 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "e_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.c_ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+        |ORDER BY p.event_id""".stripMargin,
+
     "e_pivot_day_type" -> {
       val cols = EventTypes.map(t =>
         s"CAST(count(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS \"$t\"")

@@ -47,6 +47,41 @@ object LayoutQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Range (band) join: orders placed within the closed 3-day window
+    // after a same-nation urgent 1997 order. Spark plans the bare
+    // BETWEEN condition as a nested loop; RangeJoin chunks the day axis
+    // so the match is an equi-join on (nation, chunk) with the band as
+    // a post-filter (RangeJoinSpec asserts no nested loop). Oracle is
+    // the plain BETWEEN theta join.
+    "q_range_join" -> ((s, dir) => {
+      val cust = broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val nation = Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      val urgent = base
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey").as("u_key"), col("c_nationkey").as("u_nat"),
+          col("day").as("u_start"), (col("day") + 3).as("u_end"))
+      val followers = base.select(col("o_orderkey").as("f_key"),
+        col("c_nationkey").as("f_nat"), col("day").as("f_day"))
+      graft.operators.RangeJoin.pointInInterval(
+          followers, urgent, "f_day", "u_start", "u_end",
+          chunkWidth = 4, keys = Seq(("f_nat", "u_nat")))
+        .filter(col("f_key") =!= col("u_key"))
+        .join(broadcast(nation), col("u_nat") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("f_key")).as("n_followers"))
+        .orderBy(col("n_name"))
+    }),
+
     // Pruned scan over the type-partitioned events layout: the filter is
     // a directory listing, not a row filter — only the 'click' partition
     // is ever read. Same result as filtering the unpartitioned file.
@@ -74,6 +109,24 @@ object LayoutQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+        |u AS (SELECT o_orderkey AS u_key, c_nationkey AS u_nat, o_orderdate AS u_date
+        |      FROM orders JOIN c ON o_custkey = c_custkey
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |f AS (SELECT o_orderkey AS f_key, c_nationkey AS f_nat, o_orderdate AS f_date
+        |      FROM orders JOIN c ON o_custkey = c_custkey)
+        |SELECT n_name, count(*) AS n_pairs,
+        |  CAST(count(DISTINCT f_key) AS BIGINT) AS n_followers
+        |FROM f JOIN u
+        |  ON f_nat = u_nat
+        | AND f_date BETWEEN u_date AND u_date + INTERVAL 3 DAY
+        | AND f_key != u_key
+        |JOIN nation ON u_nat = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "e_pruned_type" ->
       """SELECT count(*) AS n,
