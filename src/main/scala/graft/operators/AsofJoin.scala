@@ -32,18 +32,27 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String): DataFrame = {
-    val lPay = struct(left.columns.map(col): _*)
-    val rPay = struct(right.columns.map(col): _*)
+    // df(name) + getField keep arbitrary column names intact (a dotted
+    // name inside an interpolated path would parse as nested navigation)
+    val lPay = struct(left.columns.map(left(_)): _*)
+    val rPay = struct(right.columns.map(right(_)): _*)
     val lTagged = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       lPay.as("__lpay"))
-    // the right frame needs the left-payload column for the union; build
-    // a typed null via an empty struct cast
+    // SQL semantics (and DuckDB ASOF, our oracle): a NULL key or NULL
+    // time on the right can never match anything — but a NULL __t sorts
+    // FIRST in the ascending window and a NULL __k forms its own window
+    // partition, so left unfiltered they would fabricate matches.
+    // NULL-key/time LEFT rows stay (they must appear in the output) and
+    // correctly get a null-padded right side: their partition/prefix
+    // contains no surviving right row.
     val lSchema = left.schema
     val rSchema = right.schema
-    val rTagged = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-      lit(null).cast(lSchema).as("__lpay"), rPay.as("__rpay"))
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lSchema).as("__lpay"), rPay.as("__rpay"))
     val unioned = lTagged
       .withColumn("__rpay", lit(null).cast(rSchema))
       .unionByName(rTagged)
@@ -55,7 +64,7 @@ object AsofJoin {
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     matched.select(
-      left.columns.map(c => col(s"__lpay.$c").as(c)) ++
-        right.columns.map(c => col(s"__match.$c").as(c)): _*)
+      left.columns.map(c => col("__lpay").getField(c).as(c)) ++
+        right.columns.map(c => col("__match").getField(c).as(c)): _*)
   }
 }

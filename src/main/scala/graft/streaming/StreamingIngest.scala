@@ -231,6 +231,10 @@ object StreamingIngest {
     * arrival (the sequential-unit contract; rows within a micro-batch
     * are sorted here). Input: (doc_id, lang, source, n_tok). */
   def packShards(docs: DataFrame, capacity: Long): DataFrame = {
+    // fail at call time, not as an ArithmeticException inside a
+    // streaming task (and a negative capacity would silently emit
+    // negative shard ids)
+    require(capacity > 0, s"shard capacity must be positive, got $capacity")
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val sess = docs.sparkSession
     import sess.implicits._

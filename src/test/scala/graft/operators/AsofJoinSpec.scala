@@ -48,4 +48,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.isNullAt(3) && out.isNullAt(6))
     assert(out.getLong(0) == 1L)
   }
+
+  test("NULL right times and NULL keys never match (SQL/ASOF semantics)") {
+    // a NULL tick time would sort first ascending and a NULL key forms
+    // its own window partition — both must be excluded, not matched
+    val l = Seq(
+      (1L, Some(1L), Some(50L)),  // real key/time, only a null-time tick exists
+      (2L, None, Some(60L)),      // null key
+      (3L, Some(2L), None)        // null time
+    ).toDF("lid", "k", "t")
+    val r = Seq(
+      (7L, Some(1L), Option.empty[Long], "nulltime"),
+      (8L, Option.empty[Long], Some(10L), "nullkey"),
+      (9L, Some(2L), Some(10L), "real")
+    ).toDF("rid", "rk", "rt", "v")
+    val rows = AsofJoin.backward(l, r, "k", "rk", "t", "rt")
+      .collect().map(x => x.getLong(0) -> x.isNullAt(3)).toMap
+    assert(rows == Map(1L -> true, 2L -> true, 3L -> true))
+  }
 }
