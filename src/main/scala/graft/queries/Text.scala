@@ -166,7 +166,17 @@ object Text {
           col("r2.best").as("top2_n"),
           expr("(1000 * r2.best) div n_tok").as("top2_permille"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Corpus-level exact heavy hitters via sketch-then-verify: Misra-Gries
+    // candidates per partition (zero shuffle), exact counts restricted to
+    // the broadcastable candidate set — the full-groupBy's
+    // one-row-per-distinct-token-per-partition shuffle never happens.
+    // Exactness is guaranteed (sketch floor) or restored by fallback; the
+    // oracle is the plain full aggregation.
+    "t_heavy_tokens" -> ((s, dir) =>
+      graft.operators.HeavyHitters.topTokens(t(s, dir), "text",
+        topN = 30, capacity = 1024))
   )
 
   /** Longest-run scan over a SORTED string array — the per-row mode
@@ -279,6 +289,14 @@ object Text {
          |   CAST(sum(CASE WHEN tok IN $stopSql THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
          |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents) x
          |  GROUP BY doc_id, n_chars) y
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "t_heavy_tokens" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
+        |r AS (SELECT tok, cnt,
+        |      CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM c)
+        |SELECT tok, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin
   )
 }
