@@ -283,6 +283,30 @@ object Relational2 {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(25)
+    }),
+
+    // Bloom semi-join reduction: the urgent-orders⋈lineitem join with the
+    // fact side pruned by a Bloom filter over the filtered order keys
+    // BEFORE the join shuffle (~1/5 selectivity here; at 100 TB the
+    // shuffle shrinks by the same factor while the result stays
+    // bit-identical to the plain join — FPs die in the exact join, FNs
+    // are impossible). Oracle: the plain join.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val fact = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      // expectedKeys is a sizing hint, not a correctness input; a cheap
+      // count of the already-filtered dim keeps the filter right-sized
+      val expected = dim.count()
+      graft.operators.BloomJoin
+        .join(fact, dim, "l_orderkey", "o_orderkey", expected, fpp = 0.01)
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue_c"))
+        .orderBy(col("o_year"))
     })
   )
 
@@ -458,6 +482,13 @@ object Relational2 {
         |FROM flagged JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_suppkey
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_items,
+        | CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
