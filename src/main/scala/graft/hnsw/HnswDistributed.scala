@@ -181,6 +181,67 @@ object HnswDistributed {
       .toDF("qid", "id", "dist", "rank")
   }
 
+  /** Attribute-filtered k-NN: top-k among only the vectors whose id is in
+    * `allowed` — the "WHERE label = x" companion of vector search, which
+    * plain post-filtering of a k-sized result silently under-returns.
+    *
+    * Strategy: overfetch-with-escalation, executor-local. Each query
+    * searches k' >> k (widening only the layer-0 beam via
+    * [[HnswSearcher.searchWithEf]]), keeps the allowed hits, and doubles
+    * k' until it has k of them or the beam spans the whole index (at which
+    * point the filtered prefix is exhaustive). In the exact-regime
+    * configuration the index returns the true top-k' ranking, so the
+    * allowed prefix is the true filtered top-k — the property the exact
+    * DuckDB oracle checks end-to-end. Escalation is per-query and local:
+    * no driver round-trips, no extra shuffles; selective predicates cost
+    * proportionally wider beams only for the queries that need them.
+    *
+    * The allowed set rides in its own broadcast as a sorted primitive
+    * array (8 bytes/id, binary-search membership) — at serving scale this
+    * is the id-list of a label partition, shipped once per executor like
+    * the model itself.
+    */
+  def searchFiltered(queries: DataFrame, model: HnswModel,
+                     allowed: DataFrame, k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val allowedSorted: Array[Long] = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val allowedB = spark.sparkContext.broadcast(allowedSorted)
+    val modelB = broadcastModel(spark, model)
+    val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaDouble, Encoders.scalaInt)
+    queries.select(col("qid"), col("qvec")).as(pairEnc)
+      .mapPartitions { it =>
+        val m = modelB.value
+        val metric = Metrics.byName(m.metricName)
+        val searcher = new HnswSearcher(m.params)
+        val ids = allowedB.value
+        it.flatMap { case (qid, qvec) =>
+          val store = new ArrayVectorStore(metric, base = m.vectors)
+          val q = store.prepareQueryWithId(-1L, qvec)
+          val n = m.size
+          var kp = math.max(4 * k, m.params.getEfSearch(0))
+          var out: List[(Long, Long, Double, Int)] = Nil
+          var done = ids.isEmpty || n == 0
+          while (!done) {
+            val w = searcher.searchWithEf(store, m.snapshot, q, kp, kp)
+            val hits = w.iterator
+              .filter(nb => java.util.Arrays.binarySearch(ids, nb.dst) >= 0)
+              .take(k).toList
+            if (hits.length >= k || kp >= n) {
+              out = hits.zipWithIndex.map { case (nb, i) =>
+                (qid, nb.dst, nb.dist, i + 1)
+              }
+              done = true
+            } else kp = math.min(n, kp * 4)
+          }
+          out
+        }
+      }(resEnc)
+      .toDF("qid", "id", "dist", "rank")
+  }
+
   /** Self-match check (S11 over the whole store): search every persisted
     * vector with k=1 and test the nearest hit against the store's match
     * threshold — the e2e invariant of the reference test suite

@@ -104,13 +104,24 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
   /** S6: public k-NN — descend from the top layer with ef_search(lc)
     * (greedy above layer 0 in the standard configuration), trim to k
     * (reference hawk_searcher.rs:288-306). */
-  def search(vectors: VectorStore, graph: GraphStore, q: Long, k: Int): FurthestQueue = {
+  def search(vectors: VectorStore, graph: GraphStore, q: Long, k: Int): FurthestQueue =
+    searchWithEf(vectors, graph, q, k, params.getEfSearch(0))
+
+  /** [[search]] with a layer-0 beam floor: ef0 widens only the bottom
+    * layer (upper layers stay at their configured, typically greedy,
+    * widths — the HNSW convention for "ef must be >= k"). Overfetching
+    * callers (filtered search, re-ranking) use this to pull k' > the
+    * configured ef without touching the descent. */
+  def searchWithEf(vectors: VectorStore, graph: GraphStore, q: Long,
+                   k: Int, ef0: Int): FurthestQueue = {
     val (w, layerCount) = searchInit(vectors, graph, q)
     var lc = layerCount - 1
-    while (lc >= 0) {
+    while (lc >= 1) {
       searchLayer(vectors, graph, q, w, params.getEfSearch(lc), lc)
       lc -= 1
     }
+    if (layerCount > 0)
+      searchLayer(vectors, graph, q, w, math.max(params.getEfSearch(0), ef0), 0)
     w.trimToKNearest(k)
     w
   }

@@ -126,6 +126,19 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Attribute-filtered ANN ("top-k WHERE label = 3"): overfetch-with-
+    // escalation inside the executor-local kernel — post-filtering a
+    // k-sized result would under-return; this widens the layer-0 beam
+    // per query until k allowed hits surface. Exact regime -> exact
+    // label-restricted oracle.
+    "h_knn_filtered" -> ((s, dir) => {
+      val model = HnswDistributed.buildCached(vectorsDf(s, dir), exactishCfg, dir)
+      val allowed = t(s, dir).filter(col("label") === 3).select(col("vec_id"))
+      HnswDistributed.searchFiltered(queriesDf(s, dir), model, allowed, 10)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The beyond-broadcast scale path: independent per-shard graphs +
     // global top-k merge, served from a PREBUILT persisted handle
     // (buildShardedCached) so repeated query batches pay zero rebuild.
@@ -154,8 +167,21 @@ object Hnsw {
        |            PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank FROM p)
        |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  private def filteredKnnOracle(k: Int, labelPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE $qFilter),
+       |     v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv
+       |           FROM embeddings WHERE $labelPred),
+       |     p AS (SELECT qid, id,
+       |           list_dot_product(qv, vv) / sqrt(list_dot_product(qv, qv) * list_dot_product(vv, vv)) AS s
+       |           FROM q, v),
+       |     r AS (SELECT qid, id, CAST(row_number() OVER (
+       |            PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank FROM p)
+       |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "h_knn_cosine" -> exactKnnOracle(10),
+    "h_knn_filtered" -> filteredKnnOracle(10, "label = 3"),
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
