@@ -82,6 +82,20 @@ object LayoutQueries {
         .orderBy(col("n_name"))
     }),
 
+    // Box filter over the z-ordered events layout: both range predicates
+    // reach the parquet reader and most row groups are skipped on
+    // min/max stats (ZorderSpec quantifies the skip vs the unsorted
+    // layout). Same result as filtering the original file — the oracle
+    // proves the z-order round-trip is lossless.
+    "e_zorder_scan" -> ((s, dir) => {
+      s.read.parquet(Layout.eventsZordered(s, dir))
+        .filter(col("user_id").between(100, 160) &&
+          col("value") >= 50.0 && col("value") < 80.0)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("sum_value_c"))
+    }),
+
     // Pruned scan over the type-partitioned events layout: the filter is
     // a directory listing, not a row filter — only the 'click' partition
     // is ever read. Same result as filtering the unpartitioned file.
@@ -132,6 +146,13 @@ object LayoutQueries {
       """SELECT count(*) AS n,
         | count(DISTINCT user_id) AS n_users,
         | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
-        |FROM events WHERE event_type = 'click'""".stripMargin
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "e_zorder_scan" ->
+      """SELECT count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 160 AND value >= 50.0 AND value < 80.0""".stripMargin
   )
 }

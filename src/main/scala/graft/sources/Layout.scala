@@ -79,6 +79,51 @@ object Layout {
       out
     })
 
+  /** Z-order (Morton) interleave of two 16-bit quantized columns — the
+    * multi-column data-skipping layout: sorting by the interleaved value
+    * clusters rows so every file/row-group covers a small RECTANGLE in
+    * (a, b) space, making min/max stats tight on BOTH columns at once
+    * (a plain sort is tight on the leading column only). Pure built-in
+    * bit arithmetic (shift/and/or), codegen'd, write-time only. */
+  def zvalue2(a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    def spread16(c: org.apache.spark.sql.Column) = {
+      // classic bit-spread: low 16 bits to even positions of 32
+      var x = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+  }
+
+  /** events rewritten z-ordered on (user_id, floor(value)) — box filters
+    * on the two columns then skip most row groups via parquet min/max
+    * stats. `nFiles` range-partitions the z axis (one z-interval per
+    * file); the small block size gives the local bench row-group-level
+    * granularity — at real scale the default 128 MB block plays the same
+    * role against multi-GB files. Returns the directory. */
+  private val zorderCache = new ConcurrentHashMap[String, String]()
+  def eventsZordered(s: SparkSession, dir: String, nFiles: Int = 24): String =
+    zorderCache.computeIfAbsent(s"$dir|$nFiles", { _ =>
+      import org.apache.spark.sql.functions._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_evzorder_").toString
+      val clamp = (c: org.apache.spark.sql.Column) =>
+        least(greatest(c, lit(0L)), lit(65535L))
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("__z", zvalue2(
+          clamp(col("user_id")), clamp(floor(col("value")).cast("long"))))
+        .repartitionByRange(nFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite").parquet(out)
+      out
+    })
+
   /** The co-located fact⋈fact join on the bucketed tables — exposed for
     * the plan spec (asserts zero shuffle below the aggregation). */
   def colocatedJoin(s: SparkSession, dir: String): DataFrame = {
