@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k per group as a true AGGREGATE, not a window.
+  *
+  * `row_number() OVER (PARTITION BY g ORDER BY v)` materializes and sorts
+  * every row of every group behind one shuffle — at 100 TB the sort is
+  * the job. An aggregator with a k-bounded buffer does the same selection
+  * with map-side partial aggregation: each task keeps at most k rows per
+  * group, the shuffle carries O(#groups x k x #partitions) rows, and no
+  * global per-group sort ever runs. Same discipline as ExactKnn's
+  * bounded-heap top-k, generalized to any groupBy.
+  *
+  * Buffers are primitive long arrays (native Encoders, no Kryo hop),
+  * kept sorted best-first — insertion is O(k) a row, merge O(k). Ordering
+  * is total and deterministic: value DESC, then id ASC.
+  */
+object GroupTopK {
+
+  /** One input row: a ranking value and a tiebreak/payload id. */
+  final case class Ranked(v: Long, id: Long)
+
+  /** Sorted best-first parallel arrays, length <= k. */
+  final case class TopKBuf(vs: Array[Long], ids: Array[Long])
+
+  class GroupTopKAgg(k: Int) extends Aggregator[Ranked, TopKBuf, TopKBuf] {
+    require(k > 0, s"k must be positive, got $k")
+
+    // strict total order: larger v first, then smaller id
+    private def beats(v1: Long, id1: Long, v2: Long, id2: Long): Boolean =
+      v1 > v2 || (v1 == v2 && id1 < id2)
+
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+
+    override def reduce(b: TopKBuf, a: Ranked): TopKBuf = {
+      val n = b.vs.length
+      if (n >= k && !beats(a.v, a.id, b.vs(n - 1), b.ids(n - 1))) b
+      else {
+        var i = 0
+        while (i < n && beats(b.vs(i), b.ids(i), a.v, a.id)) i += 1
+        val m = math.min(n + 1, k)
+        val vs = new Array[Long](m); val ids = new Array[Long](m)
+        System.arraycopy(b.vs, 0, vs, 0, i)
+        System.arraycopy(b.ids, 0, ids, 0, i)
+        vs(i) = a.v; ids(i) = a.id
+        val tail = m - i - 1
+        if (tail > 0) {
+          System.arraycopy(b.vs, i, vs, i + 1, tail)
+          System.arraycopy(b.ids, i, ids, i + 1, tail)
+        }
+        TopKBuf(vs, ids)
+      }
+    }
+
+    override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val m = math.min(b1.vs.length + b2.vs.length, k)
+      val vs = new Array[Long](m); val ids = new Array[Long](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeLeft = j >= b2.vs.length ||
+          (i < b1.vs.length && beats(b1.vs(i), b1.ids(i), b2.vs(j), b2.ids(j)))
+        if (takeLeft) { vs(o) = b1.vs(i); ids(o) = b1.ids(i); i += 1 }
+        else { vs(o) = b2.vs(j); ids(o) = b2.ids(j); j += 1 }
+        o += 1
+      }
+      TopKBuf(vs, ids)
+    }
+
+    override def finish(b: TopKBuf): TopKBuf = b
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  }
+
+  /** Column form: `topK(3)(valueCol, idCol)` aggregates to a TopKBuf
+    * struct (fields vs, ids — best first). */
+  def topK(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new GroupTopKAgg(k), Encoders.product[Ranked])
+    (v: Column, id: Column) => fn(v, id)
+  }
+}

@@ -179,10 +179,61 @@ object Events {
         .withColumn("share_pm", expr("(n * 1000) div total_n"))
         .select(col("event_type"), col("n"), col("sum_value_c"), col("share_pm"))
         .orderBy(col("event_type"))
+    }),
+
+    // Top-3 events by value per type as a bounded AGGREGATE (GroupTopK):
+    // map-side partial top-k, shuffle O(#groups x k x #partitions) — the
+    // window row_number formulation (the oracle) sorts every row of every
+    // group. Same answer, scale-safe plan.
+    "e_top3_per_type" -> ((s, dir) => {
+      val topk = graft.operators.GroupTopK.topK(3)
+      t(s, dir)
+        .select(col("event_type"), cents(col("value")).cast("long").as("v"),
+          col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(topk(col("v"), col("event_id")).as("top"))
+        .select(col("event_type"),
+          posexplode(arrays_zip(col("top.vs"), col("top.ids"))))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.ids").as("event_id"), col("col.vs").as("value_c"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
+    // CUBE over (event_type, weekday): all four grouping combinations in
+    // one pass (Spark expands grouping sets before the single shuffle).
+    // Sentinel coalesces keep the subtotal rows hash-comparable (NULL
+    // ordering differs between engines).
+    "e_cube_type_day" -> ((s, dir) => {
+      t(s, dir)
+        .withColumn("dow", dayofweek(tsFromNanos(col("ts"))).cast("long"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dow"), lit(-1L)).as("dow"),
+          col("n"), col("sum_value_c"))
+        .orderBy(col("etype"), col("dow"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "e_top3_per_type" ->
+      """WITH v AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS value_c,
+        |            event_id FROM events),
+        |r AS (SELECT event_type, value_c, event_id,
+        |      CAST(row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value_c DESC, event_id) AS BIGINT) AS rank FROM v)
+        |SELECT event_type, rank, event_id, value_c FROM r
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday -> +1 aligns
+    "e_cube_type_day" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |  CAST(floor(value*100) AS BIGINT) AS v FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS etype, coalesce(dow, -1) AS dow,
+        |  count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_value_c
+        |FROM e GROUP BY CUBE(event_type, dow) ORDER BY 1, 2""".stripMargin,
+
     "e_attribution" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
