@@ -285,6 +285,46 @@ object Relational2 {
         .limit(25)
     }),
 
+    // Full outer join: per-nation demand vs supply where each side is
+    // filtered so some nations exist on only one side — both
+    // null-extension directions exercised, sentinel-coalesced for
+    // engine-exact hashing.
+    "q_outer_nation_balance" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_acctbal") > 9500)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("cust_bal_c"))
+      val supp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 7500)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"), sum(cents(col("s_acctbal"))).as("supp_bal_c"))
+      cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("cust_bal_c"), lit(0L)).as("cust_bal_c"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          coalesce(col("supp_bal_c"), lit(0L)).as("supp_bal_c"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // Bounded sliding window frame: 4-order moving sum per customer
+    // (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) in integer cents, with
+    // the frame row count so the moving average stays integer-exact.
+    "q_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 150)
+        .withColumn("price_c", cents(col("o_totalprice")))
+        .withColumn("mov_sum_c", sum(col("price_c")).over(w))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("price_c"),
+          col("mov_sum_c"), col("mov_n"),
+          expr("mov_sum_c div mov_n").as("mov_avg_c"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Bloom semi-join reduction: the urgent-orders⋈lineitem join with the
     // fact side pruned by a Bloom filter over the filtered order keys
     // BEFORE the join shuffle (~1/5 selectivity here; at 100 TB the
@@ -483,6 +523,32 @@ object Relational2 {
         |GROUP BY s_suppkey, s_name
         |ORDER BY numwait DESC, s_suppkey
         |LIMIT 25""".stripMargin,
+
+    "q_outer_nation_balance" ->
+      """WITH c AS (SELECT c_nationkey AS nk_c, count(*) AS n_cust,
+        |  CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS cust_bal_c
+        |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9500
+        |  GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk_s, count(*) AS n_supp,
+        |  CAST(sum(CAST(floor(s_acctbal*100) AS BIGINT)) AS BIGINT) AS supp_bal_c
+        |  FROM supplier WHERE s_acctbal > 7500 GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(cust_bal_c, 0) AS cust_bal_c,
+        |  coalesce(n_supp, 0) AS n_supp, coalesce(supp_bal_c, 0) AS supp_bal_c
+        |FROM c FULL OUTER JOIN s ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_moving_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(o_totalprice*100) AS BIGINT) AS price_c,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_c,
+        |  count(*) OVER w AS mov_n,
+        |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) OVER w
+        |       // count(*) OVER w AS BIGINT) AS mov_avg_c
+        |FROM orders WHERE o_custkey <= 150
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_items,
