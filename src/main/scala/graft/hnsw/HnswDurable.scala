@@ -31,7 +31,8 @@ import graft.store.{ArrayVectorStore, Metrics, ParquetGraphStore}
   * rather than memory (graph_pg.rs:288-325).
   *
   * Same-batch vectors don't see each other during phase 1 (batch size is
-  * capped at the current graph size, as in [[HnswDistributed.build]]);
+  * capped at [[BatchGrowth]] x the current graph size — the ramped form
+  * of [[HnswDistributed.build]]'s invariant, gated by the parity specs);
   * layer assignment is the same hash-based S3, so the deterministic graph
   * differs from the broadcast build only through the beam-search variant
   * used at layer 0 (frontier BFS explores a superset of the sequential
@@ -170,7 +171,8 @@ object HnswDurable {
       }
     val outEnc = ExpressionEncoder[(Long, Int, Array[Long], Array[Double])]()
     while (pos < n) {
-      val batchSize = math.min(math.min(cfg.maxBatch.toLong, graphSize), n - pos)
+      val batchSize = math.min(
+        math.min(cfg.maxBatch.toLong, BatchGrowth * graphSize), n - pos)
       // ingest()'s invariant — cached frames must not outlive the call on
       // ANY path — applies per batch too: a mid-batch failure (frontier
       // job, merge IO, even the store's own LSM dir listing) must release
@@ -308,6 +310,17 @@ object HnswDurable {
     * capped): beams converge in a handful of rounds and the tail only
     * trickles stragglers. */
   val ConstructionRoundCap = 6
+
+  /** Batch cap multiplier: batch <= BatchGrowth x current graph size
+    * (strict 1x is the conservative same-batch-blindness bound; with the
+    * construction ef (64) >> M (16) a 4x batch still links every node
+    * through a beam over a graph >= a quarter of its own size, and the
+    * HnswDurableSpec exact-parity/recall-parity gates hold). Each durable
+    * batch costs a fixed stack of frontier-round barriers + one LSM
+    * merge, so halving the batch count nearly halves wall-clock at
+    * bootstrap — this is the geometric ramp that gets the build out of
+    * the tiny-batch regime fastest without abandoning the invariant. */
+  val BatchGrowth = 4L
 
   /** k-NN search over a durable store without materializing layer 0:
     * upper layers broadcast, layer 0 via frontier joins. */
