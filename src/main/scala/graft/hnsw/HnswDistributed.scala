@@ -187,9 +187,9 @@ object HnswDistributed {
     *
     * Strategy: overfetch-with-escalation, executor-local. Each query
     * searches k' >> k (widening only the layer-0 beam via
-    * [[HnswSearcher.searchWithEf]]), keeps the allowed hits, and doubles
-    * k' until it has k of them or the beam spans the whole index (at which
-    * point the filtered prefix is exhaustive). In the exact-regime
+    * [[HnswSearcher.searchWithEf]]), keeps the allowed hits, and grows
+    * k' 4x until it has k of them or the beam spans the whole index (at
+    * which point the filtered prefix is exhaustive). In the exact-regime
     * configuration the index returns the true top-k' ranking, so the
     * allowed prefix is the true filtered top-k — the property the exact
     * DuckDB oracle checks end-to-end. Escalation is per-query and local:
@@ -234,7 +234,7 @@ object HnswDistributed {
                 (qid, nb.dst, nb.dist, i + 1)
               }
               done = true
-            } else kp = math.min(n, kp * 4)
+            } else kp = math.min(n.toLong, kp.toLong * 4L).toInt // long math: no Int wrap before the clamp
           }
           out
         }

@@ -53,9 +53,15 @@ object BloomJoin {
     * filter (empty key set) yields an empty frame — the exact semantics of
     * an inner join against an empty dimension. The predicate is a
     * codegen'd scan-side filter: no shuffle, no join, evaluated before any
-    * exchange the downstream join introduces. */
+    * exchange the downstream join introduces.
+    *
+    * Null keys are excluded STRUCTURALLY (isNotNull), not just
+    * probabilistically: xxhash64(NULL) is the constant seed hash, so
+    * without the guard every null-keyed row would ride on that single
+    * hash being a false positive — fine for the exact join, wrong for any
+    * standalone semi-join-reduction use of this method. */
   def prune(fact: DataFrame, factKey: String, bloom: Array[Byte]): DataFrame =
-    fact.filter(Bridge.column(new BloomFilterMightContain(
+    fact.filter(col(factKey).isNotNull && Bridge.column(new BloomFilterMightContain(
       Literal.create(bloom, BinaryType),
       Bridge.expression(xxhash64(col(factKey))))))
 

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions.udaf
   * Buffers are primitive long arrays (native Encoders, no Kryo hop),
   * kept sorted best-first — insertion is O(k) a row, merge O(k). Ordering
   * is total and deterministic: value DESC, then id ASC.
+  *
+  * PRECONDITION: v and id must be non-null (the primitive input encoder
+  * rejects nulls at runtime, it does not rank them). A null value cannot
+  * hold a leaderboard rank — filter nulls out before the aggregate, as
+  * the catalog query and [[graft.streaming.StreamingTopK]] do.
   */
 object GroupTopK {
 

@@ -188,6 +188,9 @@ object Events {
     "e_top3_per_type" -> ((s, dir) => {
       val topk = graft.operators.GroupTopK.topK(3)
       t(s, dir)
+        // GroupTopK precondition: null values hold no rank (pinned in the
+        // oracle's WHERE so both engines agree if nulls ever appear)
+        .filter(col("value").isNotNull && col("event_id").isNotNull)
         .select(col("event_type"), cents(col("value")).cast("long").as("v"),
           col("event_id"))
         .groupBy(col("event_type"))
@@ -218,7 +221,8 @@ object Events {
   val oracles: Map[String, String] = Map(
     "e_top3_per_type" ->
       """WITH v AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS value_c,
-        |            event_id FROM events),
+        |            event_id FROM events
+        |            WHERE value IS NOT NULL AND event_id IS NOT NULL),
         |r AS (SELECT event_type, value_c, event_id,
         |      CAST(row_number() OVER (PARTITION BY event_type
         |           ORDER BY value_c DESC, event_id) AS BIGINT) AS rank FROM v)

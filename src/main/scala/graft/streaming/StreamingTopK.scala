@@ -26,6 +26,9 @@ object StreamingTopK {
     val sess = rows.sparkSession
     import sess.implicits._
     rows.select(col("g"), col("v").cast("long"), col("id").cast("long"))
+      // a null value/id cannot hold a rank and would crash the primitive
+      // state encoder — drop, don't rank (GroupTopK precondition)
+      .filter(col("g").isNotNull && col("v").isNotNull && col("id").isNotNull)
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
