@@ -56,6 +56,23 @@ object GraftFunctionRegistry {
       Md5MinHashShingles(args(0),
         litInt(args(1), "shingleLen"), litInt(args(2), "numHashes"),
         litInt(args(3), "bands"), litInt(args(4), "rowsPerBand"))
+    },
+    // Morton interleave of two 16-bit-quantized columns (the z-order
+    // layout key). Same bit-spread as Layout.zvalue2 but built as a raw
+    // catalyst tree — a builder must return resolvable expressions, not
+    // bridged Column nodes. The registry spec pins the two forms equal.
+    "zvalue2" -> { args =>
+      arity("zvalue2", 2)(args)
+      import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, ShiftLeft}
+      import org.apache.spark.sql.types.LongType
+      def spread16(e: Expression): Expression = {
+        var x: Expression = BitwiseAnd(Cast(e, LongType), Literal(0xFFFFL))
+        x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(8))), Literal(0x00FF00FFL))
+        x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(4))), Literal(0x0F0F0F0FL))
+        x = BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(2))), Literal(0x33333333L))
+        BitwiseAnd(BitwiseOr(x, ShiftLeft(x, Literal(1))), Literal(0x55555555L))
+      }
+      BitwiseOr(spread16(args(0)), ShiftLeft(spread16(args(1)), Literal(1)))
     }
   )
 

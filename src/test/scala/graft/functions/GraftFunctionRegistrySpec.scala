@@ -45,6 +45,12 @@ class GraftFunctionRegistrySpec extends AnyFunSuite with SparkSpec {
       err.getMessage.contains("rowsPerBand"))
   }
 
+  test("zvalue2 from SQL equals the Column form") {
+    // spread(3)=5, spread(5)=17 -> 5 | (17<<1) = 39
+    assert(sql1("SELECT zvalue2(3, 5)").asInstanceOf[Long] == 39L)
+    assert(sql1("SELECT zvalue2(65535, 65535)").asInstanceOf[Long] == 0xFFFFFFFFL)
+  }
+
   test("registry shape: unique names, arity enforced") {
     val names = GraftFunctionRegistry.functions.map(_._1)
     assert(names.distinct == names)
