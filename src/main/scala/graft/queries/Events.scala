@@ -202,6 +202,32 @@ object Events {
         .orderBy(col("event_type"), col("rank"))
     }),
 
+    // ntile quartiles over per-user spend: the bucketing window shape.
+    // The window input is the per-user AGGREGATE (one row per user), so
+    // the global window is bounded by user cardinality, not event volume.
+    "e_user_quartiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("spend_c"))
+        .withColumn("quartile", ntile(4).over(
+          Window.orderBy(col("spend_c").desc, col("user_id"))).cast("long"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Unpivot (wide stats -> long rows) via stack: the reshape dual of
+    // e_pivot_day_type, schema-stable and one pass.
+    "e_unpivot_stats" -> ((s, dir) => {
+      t(s, dir)
+        .groupBy(col("event_type"))
+        .agg(min(cents(col("value"))).as("min_c"),
+          max(cents(col("value"))).as("max_c"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), expr(
+          "stack(3, 'min_c', min_c, 'max_c', max_c, 'n', n) AS (stat, v)"))
+        .orderBy(col("event_type"), col("stat"))
+    }),
+
     // CUBE over (event_type, weekday): all four grouping combinations in
     // one pass (Spark expands grouping sets before the single shuffle).
     // Sentinel coalesces keep the subtotal rows hash-comparable (NULL
@@ -228,6 +254,25 @@ object Events {
         |           ORDER BY value_c DESC, event_id) AS BIGINT) AS rank FROM v)
         |SELECT event_type, rank, event_id, value_c FROM r
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    "e_user_quartiles" ->
+      """WITH s AS (SELECT user_id,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS spend_c
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, spend_c,
+        |  CAST(ntile(4) OVER (ORDER BY spend_c DESC, user_id) AS BIGINT) AS quartile
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "e_unpivot_stats" ->
+      """WITH s AS (SELECT event_type,
+        |  CAST(min(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS min_c,
+        |  CAST(max(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS max_c,
+        |  count(*) AS n FROM events GROUP BY 1)
+        |SELECT event_type, stat, v FROM (
+        |  SELECT event_type, 'min_c' AS stat, min_c AS v FROM s
+        |  UNION ALL SELECT event_type, 'max_c', max_c FROM s
+        |  UNION ALL SELECT event_type, 'n', n FROM s)
+        |ORDER BY event_type, stat""".stripMargin,
 
     // DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday -> +1 aligns
     "e_cube_type_day" ->
