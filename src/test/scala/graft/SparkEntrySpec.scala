@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Catalog contract checks: the driver consumes `queries`/`oracleSql` as
+  * flat maps built by ++-merging the per-module maps — a duplicate name
+  * across modules would SILENTLY shadow an operator (the merged map keeps
+  * only the last), and an oracle without a query is dead weight the
+  * driver would flag as a missing dump. Cheap meta-assertions, no Spark
+  * session needed. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  private val moduleDefs: Seq[(String, Set[String])] = Seq(
+    "Relational" -> graft.queries.Relational.defs.keySet,
+    "Relational2" -> graft.queries.Relational2.defs.keySet,
+    "Events" -> graft.queries.Events.defs.keySet,
+    "Text" -> graft.queries.Text.defs.keySet,
+    "Vector" -> graft.queries.Vector.defs.keySet,
+    "Hnsw" -> graft.queries.Hnsw.defs.keySet,
+    "DedupQueries" -> graft.queries.DedupQueries.defs.keySet,
+    "Curation" -> graft.queries.Curation.defs.keySet,
+    "LayoutQueries" -> graft.queries.LayoutQueries.defs.keySet,
+    "Multimodal" -> graft.operators.Multimodal.defs.keySet)
+
+  test("no query name is shadowed by the module merge") {
+    val all = moduleDefs.flatMap { case (m, ks) => ks.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"duplicate catalog names across modules: ${dups.map { case (k, ms) =>
+        s"$k in ${ms.map(_._2).mkString("/")}" }.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle has a backing query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("declared rows-only queries are the only ones without oracles") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the intentional rows-only set: recall measurements in the ANN
+    // regime (no SQL engine can run the index)
+    val declared = Set("h_recall_ann", "v_recall_ivf", "v_recall_pq",
+      "v_recall_ivfpq")
+    val undeclared = noOracle -- declared
+    assert(undeclared.isEmpty,
+      s"queries silently missing an oracle (add one or declare here): $undeclared")
+  }
+}
