@@ -33,11 +33,57 @@ object Bench {
           System.err.println(s"bench query $name FAILED: ${t.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    val grid = vectorGrid(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","vector_grid":$grid}""")
+    val cells = vectorGrid(spark)
+    val grid = cells.map { case (n, b, ips, s, lin, sp) =>
+      f""""$n":{"hnsw_build_s":$b%.3f,"hnsw_insert_per_s":$ips%.0f,""" +
+        f""""hnsw_search_s":$s%.3f,"linear_search_s":$lin%.3f,"search_speedup":$sp%.2f}"""
+    }.mkString("{", ",", "}")
+    // columns: [build_s, inserts_per_s, search_s, linear_search_s, speedup]
+    val gridCompact = cells.map { case (n, b, ips, s, lin, sp) =>
+      f""""$n":[$b%.2f,$ips%.0f,$s%.3f,$lin%.2f,$sp%.1f]"""
+    }.mkString("{", ",", "}")
+
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of that window; a flat per-query map for the full
+    // catalog (~90 queries) is ~2800 chars and has never fit (BENCH_r01-03
+    // all show parsed:null). So: full detail goes to BENCH_FULL.json on
+    // disk, and the ONE printed line is a compact, parseable summary —
+    // total, per-family subtotals, the slowest queries (adaptively as many
+    // as fit the budget), any failures, and the vector grid.
+    def jnum(v: Double): String = f"$v%.2f"
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","vector_grid":$grid}"""
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
+
+    // family = leading letters of the query name (q13_… and q_… are both
+    // family "q"), so the rollup stays a handful of buckets
+    val families = results.groupBy(_._1.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
+      .map { case (f, m) => s"\"$f\":${jnum(m.values.filter(_ >= 0).sum)}" }
+      .mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val bySlow = results.toSeq.sortBy(-_._2)
+    def lineFor(topN: Int): String = {
+      val qs = bySlow.take(topN).sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,""" +
+        s""""queries":$qs,"queries_note":"slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
+        s""""family_totals_s":$families,""" +
+        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup"],""" +
+        s""""vector_grid":$gridCompact}"""
+    }
+    // sbt prints ~100 chars of [success]… after us; stay well inside 2000.
+    val budget = 1800
+    val line = (results.size to 1 by -1).map(lineFor).find(_.length <= budget)
+      .getOrElse(lineFor(0))
+    println(line)
     spark.stop()
   }
 
@@ -48,7 +94,8 @@ object Bench {
     * rng). Vectors are seeded-synthetic (the reference bench also draws
     * random vectors), dim 64 float, cosine. 200 queries per size, k=10.
     */
-  private def vectorGrid(spark: SparkSession): String = {
+  /** One grid cell: (name, build_s, inserts_per_s, search_s, linear_s, speedup). */
+  private def vectorGrid(spark: SparkSession): Seq[(String, Double, Double, Double, Double, Double)] = {
     import graft.hnsw.{HnswDistributed, HnswParams, HnswSearcher}
     import graft.hnsw.HnswDistributed.BuildConfig
     import graft.operators.ExactKnn
@@ -91,9 +138,7 @@ object Bench {
       val (_, tLinear) = time(materialize(ExactKnn.search(qDf, vecDf, k, "cosine")))
       vecDf.unpersist(); qDf.unpersist()
 
-      f""""n$n":{"hnsw_build_s":$tBuild%.3f,"hnsw_insert_per_s":${n / tBuild}%.0f,""" +
-        f""""hnsw_search_s":$tHnsw%.3f,"linear_search_s":$tLinear%.3f,""" +
-        f""""search_speedup":${tLinear / tHnsw}%.2f}"""
+      (s"n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw)
     }
 
     // u64 Hamming cells — the reference's native Criterion scenario
@@ -128,11 +173,9 @@ object Bench {
           qDf.withColumnRenamed("qcode", "qvec"),
           codesDf.withColumnRenamed("code", "vec"), k, "hamming")))
       codesDf.unpersist(); qDf.unpersist()
-      f""""hamming_n$n":{"hnsw_build_s":$tBuild%.3f,"hnsw_insert_per_s":${n / tBuild}%.0f,""" +
-        f""""hnsw_search_s":$tHnsw%.3f,"linear_search_s":$tLinear%.3f,""" +
-        f""""search_speedup":${tLinear / tHnsw}%.2f}"""
+      (s"hamming_n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw)
     }
 
-    (cells ++ hammingCells).mkString("{", ",", "}")
+    cells ++ hammingCells
   }
 }

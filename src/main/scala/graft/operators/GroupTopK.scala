@@ -85,4 +85,68 @@ object GroupTopK {
     val fn = udaf(new GroupTopKAgg(k), Encoders.product[Ranked])
     (v: Column, id: Column) => fn(v, id)
   }
+
+  /** One input row with a STRING payload (term leaderboards: tf-idf top
+    * terms per doc, label top-k). Ordering: value DESC, then term ASC —
+    * ASCII-binary string order, the same collation DuckDB applies, so
+    * tie-breaks hash-match the oracle. */
+  final case class RankedStr(v: Long, term: String)
+
+  /** Sorted best-first parallel arrays, length <= k. */
+  final case class TopKStrBuf(vs: Array[Long], terms: Array[String])
+
+  class GroupTopKStrAgg(k: Int) extends Aggregator[RankedStr, TopKStrBuf, TopKStrBuf] {
+    require(k > 0, s"k must be positive, got $k")
+
+    private def beats(v1: Long, t1: String, v2: Long, t2: String): Boolean =
+      v1 > v2 || (v1 == v2 && t1.compareTo(t2) < 0)
+
+    override def zero: TopKStrBuf = TopKStrBuf(Array.empty, Array.empty)
+
+    override def reduce(b: TopKStrBuf, a: RankedStr): TopKStrBuf = {
+      val n = b.vs.length
+      if (n >= k && !beats(a.v, a.term, b.vs(n - 1), b.terms(n - 1))) b
+      else {
+        var i = 0
+        while (i < n && beats(b.vs(i), b.terms(i), a.v, a.term)) i += 1
+        val m = math.min(n + 1, k)
+        val vs = new Array[Long](m); val ts = new Array[String](m)
+        System.arraycopy(b.vs, 0, vs, 0, i)
+        System.arraycopy(b.terms, 0, ts, 0, i)
+        vs(i) = a.v; ts(i) = a.term
+        val tail = m - i - 1
+        if (tail > 0) {
+          System.arraycopy(b.vs, i, vs, i + 1, tail)
+          System.arraycopy(b.terms, i, ts, i + 1, tail)
+        }
+        TopKStrBuf(vs, ts)
+      }
+    }
+
+    override def merge(b1: TopKStrBuf, b2: TopKStrBuf): TopKStrBuf = {
+      val m = math.min(b1.vs.length + b2.vs.length, k)
+      val vs = new Array[Long](m); val ts = new Array[String](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeLeft = j >= b2.vs.length ||
+          (i < b1.vs.length && beats(b1.vs(i), b1.terms(i), b2.vs(j), b2.terms(j)))
+        if (takeLeft) { vs(o) = b1.vs(i); ts(o) = b1.terms(i); i += 1 }
+        else { vs(o) = b2.vs(j); ts(o) = b2.terms(j); j += 1 }
+        o += 1
+      }
+      TopKStrBuf(vs, ts)
+    }
+
+    override def finish(b: TopKStrBuf): TopKStrBuf = b
+    override def bufferEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+    override def outputEncoder: Encoder[TopKStrBuf] = Encoders.product[TopKStrBuf]
+  }
+
+  /** Column form: `topKStr(3)(valueCol, termCol)` aggregates to a
+    * TopKStrBuf struct (fields vs, terms — best first). Same null
+    * precondition as [[topK]]. */
+  def topKStr(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new GroupTopKStrAgg(k), Encoders.product[RankedStr])
+    (v: Column, term: Column) => fn(v, term)
+  }
 }

@@ -176,7 +176,38 @@ object Text {
     // oracle is the plain full aggregation.
     "t_heavy_tokens" -> ((s, dir) =>
       graft.operators.HeavyHitters.topTokens(t(s, dir), "text",
-        topN = 30, capacity = 1024))
+        topN = 30, capacity = 1024)),
+
+    // TF-IDF top terms per document — the keyword-extraction / relevance
+    // shape of a training-data pipeline. Integer idf surrogate
+    // (idf_w = (N * 1e6) div df, linear in 1/df — same ranking as log-idf
+    // for fixed tf) so scores are BIGINT-exact on both engines; the
+    // log-idf variant is a one-expression swap that would make the score
+    // double. Plan: one explode -> (doc, term, tf) two-level agg (the
+    // unavoidable O(distinct (doc,term)) shuffle), df from tf by a second
+    // agg keyed on term, corpus N as a broadcast 1-row cross join (no
+    // driver action), then top-3 per doc via the k-bounded STRING top-k
+    // AGGREGATE — map-side partial agg, no per-doc window sort ever runs.
+    "t_tfidf_topk" -> ((s, dir) => {
+      val docs = t(s, dir).filter(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val topk = graft.operators.GroupTopK.topKStr(3)
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
+        .groupBy(col("doc_id"))
+        .agg(topk(col("score"), col("term")).as("top"))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("top.vs"), col("top.terms"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.terms").as("term"), col("col.vs").as("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    })
   )
 
   /** Longest-run scan over a SORTED string array — the per-row mode
@@ -297,6 +328,22 @@ object Text {
         |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY tok),
         |r AS (SELECT tok, cnt,
         |      CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM c)
-        |SELECT tok, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin
+        |SELECT tok, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    "t_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+        |sc AS (SELECT f.doc_id, f.term,
+        |       f.tf * ((n.n_docs * 1000000) // d.df) AS score
+        |       FROM tf f JOIN df d USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank, term, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
   )
 }
