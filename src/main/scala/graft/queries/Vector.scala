@@ -148,6 +148,21 @@ object Vector {
     // Plan: posexplode -> partial (map-side) agg -> one shuffle of
     // O(labels x dims x partitions) rows, the canonical dense-vector
     // aggregation at any scale.
+    // k-means cluster assignment against the deterministic md5-pick seed
+    // centroids — the Lloyd ASSIGN step as an exact, oracle-checkable
+    // operator (broadcast centroids inside the codegen'd l2 kernel: one
+    // scan, zero shuffle; ties to the smaller cluster id). The full
+    // iterated Lloyd loop is KMeans.train, spec-gated by KMeansSpec
+    // (the trained centroids aren't expressible in one SQL query).
+    "v_kmeans_assign" -> ((s, dir) => {
+      import graft.operators.KMeans
+      val vecs = vectorsDf(s, dir)
+      val centroids = KMeans.initCentroids(vecs, k = 8)
+      KMeans.assign(vecs, centroids)
+        .select(col("id").as("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
+    }),
+
     "v_centroids" -> ((s, dir) => {
       t(s, dir)
         .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
@@ -211,6 +226,19 @@ object Vector {
       """SELECT count(*) AS n_vectors,
         | CAST(count(DISTINCT embedding) AS BIGINT) AS n_distinct
         |FROM embeddings""".stripMargin,
+
+    "v_kmeans_assign" ->
+      """WITH c0 AS (SELECT vec_id, embedding,
+        |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
+        |      CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM c0 ORDER BY h, vec_id LIMIT 8),
+        |p AS (SELECT e.vec_id, c.cid,
+        |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
+        |      FROM embeddings e, c),
+        |r AS (SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
+        |SELECT vec_id, cid FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
 
     "v_centroids" ->
       """WITH u AS (
