@@ -134,8 +134,10 @@ object Pq {
         col("vec"), ivfModel.centroids, ivfModel.metricName).as("cell"),
       graft.functions.PqFunctions.pqEncode(col("vec"), pqModel.codebook).as("code"))
 
-  private def rerank(coarse: DataFrame, vectors: DataFrame,
-                     queries: DataFrame, k: Int): DataFrame = {
+  /** Exact L2 re-rank of coarse candidates — shared by the PQ and SQ8
+    * compressed-scan paths. */
+  private[operators] def rerank(coarse: DataFrame, vectors: DataFrame,
+                                queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
     import org.apache.spark.sql.expressions.Window
     coarse

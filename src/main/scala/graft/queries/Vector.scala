@@ -117,6 +117,21 @@ object Vector {
         ExactKnn.search(qs, vecs, 10, "l2"))
     }),
 
+    // Scalar-quantization recall: int8 affine codes (4x compression, no
+    // codebook in the scan loop), coarse ADC top-100 + exact re-rank —
+    // the third compressed-scan family member beside PQ and IVF-PQ.
+    // Rows-only check (the min/max model is data-derived); Sq8Spec
+    // asserts the 0.95 recall floor for this exact regime.
+    "v_recall_sq8" -> ((s, dir) => {
+      import graft.operators.Sq8
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val model = Sq8.train(vecs)
+      recallReport(s, qs,
+        Sq8.search(qs, vecs, model, k = 10, candidates = 100),
+        ExactKnn.search(qs, vecs, 10, "l2"))
+    }),
+
     // IVF-PQ — the canonical beyond-memory serving compose (coarse
     // quantizer prunes to nProbe/nCells of the corpus, PQ codes compress
     // the scan 32x, exact re-rank touches only C rows per query). Rows-

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, FloatType, LongType}
 
 /** Access bridge into `private[sql]` Spark internals (Column <-> Expression
   * conversion and the `AbstractDataType`-typed `inputTypes` contract).
@@ -34,4 +34,9 @@ trait Float32UnaryInput extends ExpectsInputTypes {
 /** Input-type contract: (array<float>, bigint) — e.g. vector vs packed code. */
 trait Float32LongInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), LongType)
+}
+
+/** Input-type contract: (array<float>, binary) — e.g. vector vs byte codes. */
+trait Float32BytesInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
 }
