@@ -103,6 +103,28 @@ object Curation {
         .toDF("n_input", "n_groups", "n_dropped", "n_kept")
     }),
 
+    // Quality-weighted survivor selection: instead of the min-id
+    // canonical doc, keep the HIGHEST-QUALITY member of each duplicate
+    // group (the t_quality_score heuristic; ties to the smaller id) —
+    // what a curation pipeline actually wants to keep. The ranking window
+    // runs over the component member table only (dup members << corpus),
+    // not the raw corpus.
+    "d_resolve_quality" -> ((s, dir) => {
+      val comp = dupComponents(s, dir)
+      val quality = Text.defs("t_quality_score")(s, dir)
+        .select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      comp.join(quality, comp("id") === quality("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("comp"), col("doc_id").as("survivor_doc"), col("quality"))
+        .join(comp.groupBy(col("comp")).agg(count(lit(1)).as("group_size")), "comp")
+        .select(col("comp").as("comp_id"), col("survivor_doc"),
+          col("quality"), col("group_size"))
+        .orderBy(col("comp_id"))
+    }),
+
     // Train/eval decontamination: which training docs share a 5-token
     // phrase with the held-out split (doc_id % 20 = 0)? The n-gram
     // hash-join shape scales: shuffle is O(total distinct shingles), the
@@ -190,6 +212,32 @@ object Curation {
          |  CAST(n_members - n_groups AS BIGINT) AS n_dropped,
          |  CAST((SELECT count(*) FROM documents) - (n_members - n_groups) AS BIGINT) AS n_kept
          |FROM k""".stripMargin,
+
+    "d_resolve_quality" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+         |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |      UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM e
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r),
+         |comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |  (n_stop / n_tok) * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
+         |  FROM (
+         |    SELECT doc_id, n_chars, count(*) AS n_tok,
+         |     CAST(sum(CASE WHEN tok IN ${Text.stopSql} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+         |          FROM documents) x
+         |    GROUP BY doc_id, n_chars) y),
+         |j AS (SELECT comp.comp_id, comp.id, q.quality,
+         |      row_number() OVER (PARTITION BY comp.comp_id
+         |        ORDER BY q.quality DESC, comp.id) AS rk
+         |      FROM comp JOIN q ON q.doc_id = comp.id),
+         |g AS (SELECT comp_id, CAST(count(*) AS BIGINT) AS group_size
+         |      FROM comp GROUP BY 1)
+         |SELECT j.comp_id, j.id AS survivor_doc, j.quality, g.group_size
+         |FROM j JOIN g USING (comp_id) WHERE rk = 1 ORDER BY comp_id""".stripMargin,
 
     "t_contamination" ->
       s"""WITH $shinglesCte,

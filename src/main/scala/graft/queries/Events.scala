@@ -228,6 +228,28 @@ object Events {
         .orderBy(col("event_type"), col("stat"))
     }),
 
+    // Cohort retention triangle: users grouped by first-active date, then
+    // distinct-user counts at each day offset — the product-analytics
+    // staple. Every shuffle is keyed on user_id (first-touch agg, activity
+    // distinct, cohort join all co-partition); the final (cohort, offset)
+    // rollup is tiny. Dates go out as strings so the hash compare is
+    // engine-neutral.
+    "e_retention" -> ((s, dir) => {
+      val act = t(s, dir)
+        .select(col("user_id"),
+          to_date(expr("timestamp_micros(ts div 1000)")).as("d"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+      act.join(first, "user_id")
+        .select(col("user_id"), col("cohort_d"),
+          datediff(col("d"), col("cohort_d")).cast("long").as("day_offset"))
+        .groupBy(col("cohort_d"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort"), col("day_offset"))
+    }),
+
     // CUBE over (event_type, weekday): all four grouping combinations in
     // one pass (Spark expands grouping sets before the single shuffle).
     // Sentinel coalesces keep the subtotal rows hash-comparable (NULL
@@ -273,6 +295,15 @@ object Events {
         |  UNION ALL SELECT event_type, 'max_c', max_c FROM s
         |  UNION ALL SELECT event_type, 'n', n FROM s)
         |ORDER BY event_type, stat""".stripMargin,
+
+    "e_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort_d FROM act GROUP BY 1)
+        |SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort,
+        |  CAST(act.d - f.cohort_d AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+        |FROM act JOIN f ON act.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
 
     // DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday -> +1 aligns
     "e_cube_type_day" ->

@@ -190,10 +190,15 @@ object Text {
     // AGGREGATE — map-side partial agg, no per-doc window sort ever runs.
     "t_tfidf_topk" -> ((s, dir) => {
       val docs = t(s, dir).filter(col("text").isNotNull)
+      // tf feeds BOTH the score rows and the df rollup (a diamond): an
+      // eager localCheckpoint pays the dominant explode+shuffle exactly
+      // once instead of recomputing it per branch — at corpus scale the
+      // (doc, term) aggregation IS the query cost.
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val topk = graft.operators.GroupTopK.topKStr(3)
