@@ -228,6 +228,49 @@ object Events {
         .orderBy(col("event_type"), col("stat"))
     }),
 
+    // Exact 3-sigma outliers per event type — variance-based filtering
+    // with NO floating comparison at the boundary: the test
+    // |v*n - sum| > 3*sigma*n cross-multiplies to
+    // (v*n - sum)^2 > 9*(n*sum_sq - sum^2), all in DECIMAL(38,0) integer
+    // cents (DuckDB mirrors in HUGEINT), so boundary rows are
+    // engine-independent — the discipline that makes a statistical filter
+    // hash-verifiable. One groupBy for the moments, stats broadcast back,
+    // one scan for the filter.
+    "e_outliers_3sigma" -> ((s, dir) => {
+      // precisions sized so every product fits decimal(38,0) even at
+      // 1e12 rows/group (dev^2 and 9*(n*q - s^2) peak ~4e36); DuckDB
+      // mirrors in HUGEINT (int128, max ~1.7e38)
+      val stats = t(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(14,0)").as("n"),
+          sum(cents(col("value"))).cast("decimal(20,0)").as("s"),
+          sum((cents(col("value")) * cents(col("value"))).cast("decimal(26,0)")).as("q"))
+      t(s, dir)
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("v_c"))
+        .join(broadcast(stats), "event_type")
+        .withColumn("dev", col("v_c").cast("decimal(20,0)") * col("n") - col("s"))
+        .filter(col("dev") * col("dev") >
+          lit(9).cast("decimal(2,0)") * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_type"), col("event_id"), col("v_c"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // HLL++ approximate distinct users vs the exact count, with the
+    // observed error in basis points — the recall_bp discipline applied
+    // to the sketch family: the row itself carries the number the check
+    // needs (rows-only; the 2%-rsd bound is asserted in SparkEntrySpec).
+    // At 100 TB the sketch is THE distinct-count plan: fixed-size
+    // registers merge map-side, no shuffle of distinct keys; the exact
+    // count here is the verification column, not the serving path.
+    "e_hll_users" -> ((s, dir) => {
+      t(s, dir).agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .withColumn("err_bp",
+          abs(col("n_approx") - col("n_exact")) * lit(10000L) / col("n_exact"))
+        .withColumn("err_bp", col("err_bp").cast("long"))
+    }),
+
     // Cohort retention triangle: users grouped by first-active date, then
     // distinct-user counts at each day offset — the product-analytics
     // staple. Every shuffle is keyed on user_id (first-touch agg, activity
@@ -295,6 +338,19 @@ object Events {
         |  UNION ALL SELECT event_type, 'max_c', max_c FROM s
         |  UNION ALL SELECT event_type, 'n', n FROM s)
         |ORDER BY event_type, stat""".stripMargin,
+
+    "e_outliers_3sigma" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS v_c FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(v_c) AS HUGEINT) AS s,
+        |  CAST(sum(CAST(v_c AS HUGEINT) * v_c) AS HUGEINT) AS q
+        |  FROM v GROUP BY 1)
+        |SELECT v.event_type, v.event_id, v.v_c
+        |FROM v JOIN st USING (event_type)
+        |WHERE (CAST(v.v_c AS HUGEINT) * st.n - st.s) * (CAST(v.v_c AS HUGEINT) * st.n - st.s)
+        |      > 9 * (st.n * st.q - st.s * st.s)
+        |ORDER BY v.event_type, v.event_id""".stripMargin,
 
     "e_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -41,9 +41,10 @@ class SparkEntrySpec extends AnyFunSuite {
     // the intentional rows-only set: recall measurements in the ANN
     // regime (no SQL engine can run the index)
     val declared = Set("h_recall_ann", "v_recall_ivf", "v_recall_pq",
-      "v_recall_ivfpq", "v_recall_sq8")
+      "v_recall_ivfpq", "v_recall_sq8", "e_hll_users")
     val undeclared = noOracle -- declared
     assert(undeclared.isEmpty,
       s"queries silently missing an oracle (add one or declare here): $undeclared")
   }
+
 }
