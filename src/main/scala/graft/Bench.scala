@@ -59,21 +59,30 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case t: Throwable =>
+      // the summary line points readers here — a silent failure would
+      // present a STALE file from a previous run as current
+      System.err.println(s"WARNING: BENCH_FULL.json write failed: ${t.getMessage}")
+    }
 
     // family = leading letters of the query name (q13_… and q_… are both
     // family "q"), so the rollup stays a handful of buckets
     val families = results.groupBy(_._1.takeWhile(_.isLetter)).toSeq.sortBy(_._1)
       .map { case (f, m) => s"\"$f\":${jnum(m.values.filter(_ >= 0).sum)}" }
       .mkString("{", ",", "}")
-    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the failed list shrinks with the budget too: in a mass-failure run
+    // an unbounded name list alone would blow the tail window — exactly
+    // when the failure report matters most. n_failed always carries the
+    // true count.
+    val failedAll = results.filter(_._2 < 0).keys.toSeq.sorted
     val bySlow = results.toSeq.sortBy(-_._2)
     def lineFor(topN: Int): String = {
+      val failed = failedAll.take(math.max(topN, 3))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       val qs = bySlow.take(topN).sortBy(_._1)
         .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"failed":$failed,""" +
+        s""""n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,""" +
         s""""queries":$qs,"queries_note":"slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
         s""""family_totals_s":$families,""" +
         s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup"],""" +
@@ -81,7 +90,7 @@ object Bench {
     }
     // sbt prints ~100 chars of [success]… after us; stay well inside 2000.
     val budget = 1800
-    val line = (results.size to 1 by -1).map(lineFor).find(_.length <= budget)
+    val line = (results.size to 0 by -1).view.map(lineFor).find(_.length <= budget)
       .getOrElse(lineFor(0))
     println(line)
     spark.stop()

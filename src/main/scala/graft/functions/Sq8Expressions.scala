@@ -24,7 +24,10 @@ object Sq8Kernels {
     * clamped to [0, 255]. A degenerate dimension (max == min, scale 0)
     * encodes as 0 and decodes back to min_i exactly. */
   def encode(v: ArrayData, mins: Array[Float], scales: Array[Float]): Array[Byte] = {
-    val dim = math.min(v.numElements(), mins.length)
+    val dim = v.numElements()
+    if (dim != mins.length)
+      throw new IllegalArgumentException(
+        s"sq8_encode: vector dim $dim != model dim ${mins.length}")
     val out = new Array[Byte](dim)
     var i = 0
     while (i < dim) {
@@ -40,7 +43,11 @@ object Sq8Kernels {
     * decoding `min_i + code_i * scale_i` inline (double accumulate). */
   def adc(q: ArrayData, code: Array[Byte],
           mins: Array[Float], scales: Array[Float]): Double = {
-    val n = math.min(q.numElements(), code.length)
+    val n = q.numElements()
+    if (n != code.length || n != mins.length)
+      throw new IllegalArgumentException(
+        s"sq8_adc: query dim $n vs code dim ${code.length} vs model dim ${mins.length}" +
+          " — a partial distance would rank candidates silently wrong")
     var acc = 0.0
     var i = 0
     while (i < n) {

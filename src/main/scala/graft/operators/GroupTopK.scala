@@ -87,19 +87,35 @@ object GroupTopK {
   }
 
   /** One input row with a STRING payload (term leaderboards: tf-idf top
-    * terms per doc, label top-k). Ordering: value DESC, then term ASC —
-    * ASCII-binary string order, the same collation DuckDB applies, so
-    * tie-breaks hash-match the oracle. */
+    * terms per doc, label top-k). Ordering: value DESC, then term ASC in
+    * code-point (= UTF-8 byte) order — the collation Spark's UTF8String
+    * and DuckDB both apply, so tie-breaks hash-match the oracle on any
+    * corpus, supplementary-plane characters included. */
   final case class RankedStr(v: Long, term: String)
 
   /** Sorted best-first parallel arrays, length <= k. */
   final case class TopKStrBuf(vs: Array[Long], terms: Array[String])
 
+  /** Lexicographic CODE-POINT order == UTF-8 byte order (what Spark's
+    * UTF8String and DuckDB's binary collation compare). Java's
+    * String.compareTo orders UTF-16 code units, which ranks
+    * supplementary-plane characters (surrogate pairs, 0xD800-0xDFFF)
+    * BEFORE U+E000..U+FFFF — the opposite of byte order. */
+  private[operators] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   class GroupTopKStrAgg(k: Int) extends Aggregator[RankedStr, TopKStrBuf, TopKStrBuf] {
     require(k > 0, s"k must be positive, got $k")
 
     private def beats(v1: Long, t1: String, v2: Long, t2: String): Boolean =
-      v1 > v2 || (v1 == v2 && t1.compareTo(t2) < 0)
+      v1 > v2 || (v1 == v2 && codePointCompare(t1, t2) < 0)
 
     override def zero: TopKStrBuf = TopKStrBuf(Array.empty, Array.empty)
 

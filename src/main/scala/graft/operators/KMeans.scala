@@ -45,7 +45,10 @@ object KMeans {
   def initCentroids(vecs: DataFrame, k: Int,
                     idCol: String = "id", vecCol: String = "vec"): Array[Array[Float]] = {
     require(k > 0, s"k must be positive, got $k")
-    vecs.select(col(idCol), col(vecCol))
+    // same null contract as assign/train: a null vector can't seed a
+    // cluster (it would NPE here and poison every distance downstream)
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k)
       .collect()
@@ -55,11 +58,17 @@ object KMeans {
   /** `(d, cid)` argmin over the centroid set for one vector column —
     * strict `<` keeps the EARLIEST (smallest cid) among equal distances. */
   private def bestCluster(vecCol: Column, centroids: Array[Array[Float]]): Column = {
+    // nanvl: a NaN component makes EVERY distance NaN, and NaN < x is
+    // never true — without the remap the seed (cid = -1) would survive
+    // and train would index centroids(-1). Mapped to MaxValue, a NaN
+    // vector deterministically lands in cluster 0 (all ties, earliest
+    // wins), which is at least a valid cluster id.
     val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Sq(vecCol, typedLit(c)).as("d"), lit(i).as("cid"))
+      struct(nanvl(l2Sq(vecCol, typedLit(c)), lit(Double.MaxValue)).as("d"),
+        lit(i).as("cid"))
     }: _*)
     aggregate(dists,
-      struct(lit(Double.MaxValue).as("d"), lit(-1).as("cid")),
+      struct(lit(Double.PositiveInfinity).as("d"), lit(-1).as("cid")),
       (acc, x) => when(x("d") < acc("d"), x).otherwise(acc))
   }
 

@@ -240,15 +240,22 @@ object Events {
       // precisions sized so every product fits decimal(38,0) even at
       // 1e12 rows/group (dev^2 and 9*(n*q - s^2) peak ~4e36); DuckDB
       // mirrors in HUGEINT (int128, max ~1.7e38)
+      // cast to decimal BEFORE any product/sum: a long*long square or a
+      // long running sum would overflow (ANSI throw / silent wrap) before
+      // the decimal headroom ever applied — the HUGEINT oracle casts
+      // first for the same reason. Sums keep their natural widened
+      // precision (23/37 digits); every downstream product then peaks
+      // ~4e36 < 10^38 even at 1e12 rows/group.
+      val vDec = cents(col("value")).cast("decimal(13,0)")
       val stats = t(s, dir)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("decimal(14,0)").as("n"),
-          sum(cents(col("value"))).cast("decimal(20,0)").as("s"),
-          sum((cents(col("value")) * cents(col("value"))).cast("decimal(26,0)")).as("q"))
+          sum(vDec).as("s"),
+          sum(vDec * vDec).as("q"))
       t(s, dir)
         .select(col("event_id"), col("event_type"), cents(col("value")).as("v_c"))
         .join(broadcast(stats), "event_type")
-        .withColumn("dev", col("v_c").cast("decimal(20,0)") * col("n") - col("s"))
+        .withColumn("dev", col("v_c").cast("decimal(13,0)") * col("n") - col("s"))
         .filter(col("dev") * col("dev") >
           lit(9).cast("decimal(2,0)") * (col("n") * col("q") - col("s") * col("s")))
         .select(col("event_type"), col("event_id"), col("v_c"))

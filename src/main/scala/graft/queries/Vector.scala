@@ -244,13 +244,14 @@ object Vector {
 
     "v_kmeans_assign" ->
       """WITH c0 AS (SELECT vec_id, embedding,
-        |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings),
+        |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+        |            WHERE embedding IS NOT NULL),
         |c AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
         |      CAST(embedding AS DOUBLE[]) AS cv
         |      FROM c0 ORDER BY h, vec_id LIMIT 8),
         |p AS (SELECT e.vec_id, c.cid,
         |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
-        |      FROM embeddings e, c),
+        |      FROM embeddings e, c WHERE e.embedding IS NOT NULL),
         |r AS (SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
         |SELECT vec_id, cid FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,

@@ -79,6 +79,19 @@ class KMeansSpec extends SparkSpec {
     a.centroids.zip(b.centroids).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
   }
 
+  test("a NaN vector lands in a VALID cluster (0), never cid -1") {
+    val df = Seq((1L, Array(Float.NaN, 1.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val got = KMeans.assign(df, cents).select("id", "cid").as[(Long, Int)]
+      .collect().toMap
+    assert(got(1L) == 0, s"NaN vector must tie into cluster 0, got ${got(1L)}")
+    assert(got(2L) == 0 && got(3L) == 1)
+    // and train survives it end-to-end
+    val model = KMeans.train(df, k = 2, iters = 2)
+    assert(model.centroids.length == 2)
+  }
+
   test("assign breaks distance ties to the smallest cluster id") {
     val df = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
     // two identical centroids: both at distance 0 from the vector

@@ -14,9 +14,13 @@ class SketchSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_exact")) > 0)
   }
 
-  test("e_hll_users is deterministic across partitionings (register merge is commutative)") {
-    val a = SparkEntry.queries("e_hll_users")(spark, sfDir).head().getLong(1)
-    val again = SparkEntry.queries("e_hll_users")(spark, sfDir).head().getLong(1)
-    assert(a == again)
+  test("HLL estimate is invariant to partitioning (register merge is commutative)") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(col("user_id"))
+    def approx(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(approx_count_distinct(col("user_id"), 0.02)).head().getLong(0)
+    val a = approx(ev.repartition(2))
+    val b = approx(ev.repartition(19))
+    assert(a == b, s"HLL estimate differs across partitionings: $a vs $b")
   }
 }
