@@ -313,14 +313,16 @@ object HnswDurable {
 
   /** Batch cap multiplier: batch <= BatchGrowth x current graph size
     * (strict 1x is the conservative same-batch-blindness bound; with the
-    * construction ef (64) >> M (16) a 4x batch still links every node
-    * through a beam over a graph >= a quarter of its own size, and the
-    * HnswDurableSpec exact-parity/recall-parity gates hold). Each durable
-    * batch costs a fixed stack of frontier-round barriers + one LSM
-    * merge, so halving the batch count nearly halves wall-clock at
-    * bootstrap — this is the geometric ramp that gets the build out of
-    * the tiny-batch regime fastest without abandoning the invariant. */
-  val BatchGrowth = 4L
+    * construction ef (64) >> M (16) an 8x batch still links every node
+    * through a beam over a graph >= an eighth of its own size, and the
+    * HnswDurableSpec exact-parity/recall-parity gates hold — ramped 1x ->
+    * 4x -> 8x across sessions, each step re-gated on parity + the
+    * h_knn_durable exact-oracle hash). Each durable batch costs a fixed
+    * stack of frontier-round barriers + one LSM merge, so cutting the
+    * batch count cuts wall-clock nearly proportionally at bootstrap
+    * (32 s -> 26 s at sf0.1); at cluster scale each avoided batch is an
+    * avoided stack of BSP barriers. */
+  val BatchGrowth = 8L
 
   /** k-NN search over a durable store without materializing layer 0:
     * upper layers broadcast, layer 0 via frontier joins. */

@@ -262,6 +262,28 @@ object Events {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // Gap-filled hourly timeline: the dense (event_type x hour) grid with
+    // zero-filled missing cells — the reshape that turns sparse event
+    // counts into a complete time series (dashboards, anomaly windows,
+    // forecasting inputs). The timeline derives from one 2-value
+    // aggregate + a generated sequence (never a scan), the grid is a
+    // broadcast cross join of two tiny sides, and the only real shuffle
+    // is the (type, hour) count.
+    "e_gapfill_hours" -> ((s, dir) => {
+      val ev = t(s, dir).select(col("event_type"),
+        date_trunc("hour", expr("timestamp_micros(ts div 1000)")).as("hr"))
+      val timeline = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      types.crossJoin(broadcast(timeline))
+        .join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH").as("hour_s"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("hour_s"))
+    }),
+
     // HLL++ approximate distinct users vs the exact count, with the
     // observed error in basis points — the recall_bp discipline applied
     // to the sketch family: the row itself carries the number the check
@@ -358,6 +380,19 @@ object Events {
         |WHERE (CAST(v.v_c AS HUGEINT) * st.n - st.s) * (CAST(v.v_c AS HUGEINT) * st.n - st.s)
         |      > 9 * (st.n * st.q - st.s * st.s)
         |ORDER BY v.event_type, v.event_id""".stripMargin,
+
+    "e_gapfill_hours" ->
+      """WITH e AS (SELECT event_type,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr FROM events),
+        |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+        |tl AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM e),
+        |c AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2)
+        |SELECT ty.event_type, strftime(tl.hr, '%Y-%m-%d %H') AS hour_s,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM ty CROSS JOIN tl
+        |LEFT JOIN c ON c.event_type = ty.event_type AND c.hr = tl.hr
+        |ORDER BY ty.event_type, hour_s""".stripMargin,
 
     "e_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
