@@ -178,6 +178,27 @@ object Text {
       graft.operators.HeavyHitters.topTokens(t(s, dir), "text",
         topN = 30, capacity = 1024)),
 
+    // Fuzzy near-match pairs by edit distance — the entity-resolution /
+    // fuzzy-dedup family: 32-char prefixes within levenshtein 3, blocked
+    // on the exact 4-char head so the self-join is per-block, never
+    // O(n^2) (the standard blocking trick; at bigger scale you'd union
+    // several blocking keys — length buckets, sorted-token heads — each
+    // with the same bounded shape). Levenshtein is built into both
+    // engines with identical unit-cost semantics, so the pairs hash-match.
+    "t_fuzzy_prefix" -> ((s, dir) => {
+      val p = t(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("pfx"),
+          substring(col("text"), 1, 4).as("blk"))
+      val a = p.select(col("doc_id").as("a_id"), col("pfx").as("a_pfx"), col("blk"))
+      val b = p.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"), col("blk"))
+      a.join(b, "blk")
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist", levenshtein(col("a_pfx"), col("b_pfx")))
+        .filter(col("dist") <= 3)
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // TF-IDF top terms per document — the keyword-extraction / relevance
     // shape of a training-data pipeline. Integer idf surrogate
     // (idf_w = (N * 1e6) div df, linear in 1/df — same ranking as log-idf
@@ -334,6 +355,16 @@ object Text {
         |r AS (SELECT tok, cnt,
         |      CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM c)
         |SELECT tok, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    "t_fuzzy_prefix" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 32) AS pfx,
+        |           substring(text, 1, 4) AS blk
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pfx, b.pfx) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "t_tfidf_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
