@@ -158,6 +158,51 @@ object Curation {
         .orderBy(col("lang"))
     }),
 
+    // The capstone composite: the WHOLE training-mix pipeline as one DAG —
+    // duplicate-group survivors (min-id per MinHash component), eval-split
+    // exclusion + shingle decontamination, quality floor, deterministic
+    // stratified sampling, then token-budget shard packing — reporting
+    // per-language docs/tokens/shards. Every stage is an already-proven
+    // operator; the oracle recomputes the identical composition end-to-end
+    // (recursive-CTE components + shingle join + quality SQL + md5
+    // sampling + prefix-sum packing), so the final numbers are hash-exact.
+    // Per-stage scale shapes are unchanged by composition: Catalyst fuses
+    // the row-local flags into one scan and the left-antis stay
+    // broadcastable (dup/contaminated id sets are small).
+    "p_train_mix" -> ((s, dir) => {
+      val comp = dupComponents(s, dir)
+      val dupDrops = comp.filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val sh = wordShingles(s, dir)
+      val evalSh = sh.filter(col("doc_id") % 20 === 0)
+        .select(col("ngram")).distinct()
+      val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
+        .join(evalSh, "ngram").select(col("doc_id")).distinct()
+      val kept = docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), tok -> tok IN ${Text.stopSql}))").cast("long"))
+        .withColumn("quality",
+          col("n_stop") / col("n_tok") * 0.5 +
+            least(lit(1.0), col("n_chars") / lit(500.0)) * 0.5)
+        .withColumn("keep_sample",
+          substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 4)
+            < thresholdCol)
+        .filter(col("doc_id") % 20 =!= 0) // the eval split never trains
+        .join(dupDrops, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("quality") >= 0.5 && col("keep_sample"))
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      kept
+        .withColumn("cum0", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("shard_id", expr(s"cum0 div $ShardCapacity"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          countDistinct(concat_ws(":", col("source"), col("shard_id"))).as("n_shards"))
+        .orderBy(col("lang"))
+    }),
+
     // Token-budget shard packing: within each (lang, source) stream, in
     // doc_id order, a doc opens a new shard when the running token count
     // crosses the capacity — running-prefix-sum assignment (one window
@@ -248,6 +293,53 @@ object Curation {
          |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
          |FROM tr JOIN ev ON tr.ngram = ev.ngram
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // word-shingle CTEs renamed (wt/wsh) — minhashPairsCtes already owns
+    // the names t/sh
+    "p_train_mix" ->
+      s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
+         |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+         |      UNION SELECT b_id AS s, a_id AS d FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM e
+         |  UNION
+         |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r),
+         |comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
+         |dupdrop AS (SELECT id AS doc_id FROM comp WHERE id != comp_id),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |wsh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
+         |    i -> array_to_string(toks[i:i+4], ' ')))) AS ngram
+         |  FROM wt),
+         |ev AS (SELECT DISTINCT ngram FROM wsh WHERE doc_id % 20 = 0),
+         |cont AS (SELECT DISTINCT wsh.doc_id FROM wsh JOIN ev USING (ngram)
+         |         WHERE wsh.doc_id % 20 != 0),
+         |q AS (SELECT doc_id, n_tok,
+         |  (n_stop / n_tok) * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
+         |  FROM (
+         |    SELECT doc_id, n_chars, count(*) AS n_tok,
+         |     CAST(sum(CASE WHEN tok IN ${Text.stopSql} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+         |          FROM documents) x
+         |    GROUP BY doc_id, n_chars) y),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.source, q.n_tok
+         |  FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |  WHERE d.doc_id % 20 != 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dupdrop)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND q.quality >= 0.5
+         |    AND substring(md5('smp:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+         |        < ($thresholdSql)),
+         |packed AS (
+         |  SELECT lang, source, n_tok,
+         |    COALESCE(sum(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $ShardCapacity
+         |      AS shard_id
+         |  FROM kept)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT source || ':' || CAST(shard_id AS VARCHAR)) AS BIGINT) AS n_shards
+         |FROM packed GROUP BY lang ORDER BY lang""".stripMargin,
 
     "s_sample_mix" ->
       s"""SELECT lang, count(*) AS n_docs,

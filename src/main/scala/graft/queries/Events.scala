@@ -228,6 +228,33 @@ object Events {
         .orderBy(col("event_type"), col("stat"))
     }),
 
+    // Table-statistics profiling (the ANALYZE shape): per-column null
+    // count, exact distinct, min/max — one pass + stack unpivot to a
+    // uniform (column, stat...) schema. Numerics are exposed as integers
+    // (cents / epoch-micros) and stringified, so min/max hash-match with
+    // no float-formatting hazard. Exact countDistinct here because the
+    // oracle needs exactness; a 100 TB profiler swaps in
+    // approx_count_distinct (see e_hll_users) and loses the expand.
+    "e_column_stats" -> ((s, dir) => {
+      val src = t(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"), expr("ts div 1000").as("ts_us"),
+        col("props"))
+      val cols = Seq("event_id", "user_id", "event_type", "value_c", "ts_us", "props")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val stacked = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
+      src.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stacked)" +
+          " AS (column_name, n_nulls, n_distinct, min_s, max_s)"))
+        .orderBy(col("column_name"))
+    }),
+
     // Exact 3-sigma outliers per event type — variance-based filtering
     // with NO floating comparison at the boundary: the test
     // |v*n - sum| > 3*sigma*n cross-multiplies to
@@ -367,6 +394,22 @@ object Events {
         |  UNION ALL SELECT event_type, 'max_c', max_c FROM s
         |  UNION ALL SELECT event_type, 'n', n FROM s)
         |ORDER BY event_type, stat""".stripMargin,
+
+    "e_column_stats" -> {
+      val cols = Seq("event_id", "user_id", "event_type", "value_c", "ts_us", "props")
+      val pieces = cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+           |FROM src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (SELECT event_id, user_id, event_type,
+         |  CAST(floor(value*100) AS BIGINT) AS value_c,
+         |  CAST(epoch_us(ts) AS BIGINT) AS ts_us, props FROM events)
+         |$pieces
+         |ORDER BY column_name""".stripMargin
+    },
 
     "e_outliers_3sigma" ->
       """WITH v AS (SELECT event_id, event_type,
