@@ -178,13 +178,13 @@ object Curation {
         .select(col("ngram")).distinct()
       val contaminated = sh.filter(col("doc_id") % 20 =!= 0)
         .join(evalSh, "ngram").select(col("doc_id")).distinct()
+      // quality/n_tok come from the PROVEN operator, not a re-derivation
+      // (the capstone composes t_quality_score, it must not fork it)
+      val qdf = Text.defs("t_quality_score")(s, dir)
+        .select(col("doc_id"), col("n_tok"), col("quality"))
       val kept = docs(s, dir)
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-        .withColumn("n_stop",
-          expr(s"size(filter(split(text, ' '), tok -> tok IN ${Text.stopSql}))").cast("long"))
-        .withColumn("quality",
-          col("n_stop") / col("n_tok") * 0.5 +
-            least(lit(1.0), col("n_chars") / lit(500.0)) * 0.5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .join(qdf, "doc_id")
         .withColumn("keep_sample",
           substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 4)
             < thresholdCol)
@@ -221,12 +221,17 @@ object Curation {
     })
   )
 
-  private val shinglesCte =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT doc_id,
-      |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
-      |    i -> array_to_string(toks[i:i+4], ' ')))) AS ngram
-      |  FROM t)""".stripMargin
+  /** Word-shingle CTE pair with caller-chosen names (minhashPairsCtes
+    * owns t/sh in composed oracles, so the capstone needs fresh names —
+    * parameterizing keeps the 5-token window defined in ONE place). */
+  private def shinglesCteNamed(t: String, sh: String): String =
+    s"""$t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |$sh AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
+       |    i -> array_to_string(toks[i:i+4], ' ')))) AS ngram
+       |  FROM $t)""".stripMargin
+
+  private val shinglesCte = shinglesCteNamed("t", "sh")
 
   val oracles: Map[String, String] = Map(
     "d_dup_groups" ->
@@ -267,14 +272,7 @@ object Curation {
          |  UNION
          |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r),
          |comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
-         |q AS (SELECT doc_id,
-         |  (n_stop / n_tok) * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
-         |  FROM (
-         |    SELECT doc_id, n_chars, count(*) AS n_tok,
-         |     CAST(sum(CASE WHEN tok IN ${Text.stopSql} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-         |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
-         |          FROM documents) x
-         |    GROUP BY doc_id, n_chars) y),
+         |q AS (SELECT * FROM ${Text.qualitySubquerySql}),
          |j AS (SELECT comp.comp_id, comp.id, q.quality,
          |      row_number() OVER (PARTITION BY comp.comp_id
          |        ORDER BY q.quality DESC, comp.id) AS rk
@@ -306,22 +304,11 @@ object Curation {
          |  SELECT reach.id, e.d FROM reach JOIN e ON e.s = reach.r),
          |comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
          |dupdrop AS (SELECT id AS doc_id FROM comp WHERE id != comp_id),
-         |wt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |wsh AS (SELECT doc_id,
-         |  unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks)-4, 1)),
-         |    i -> array_to_string(toks[i:i+4], ' ')))) AS ngram
-         |  FROM wt),
+         |${shinglesCteNamed("wt", "wsh")},
          |ev AS (SELECT DISTINCT ngram FROM wsh WHERE doc_id % 20 = 0),
          |cont AS (SELECT DISTINCT wsh.doc_id FROM wsh JOIN ev USING (ngram)
          |         WHERE wsh.doc_id % 20 != 0),
-         |q AS (SELECT doc_id, n_tok,
-         |  (n_stop / n_tok) * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
-         |  FROM (
-         |    SELECT doc_id, n_chars, count(*) AS n_tok,
-         |     CAST(sum(CASE WHEN tok IN ${Text.stopSql} THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-         |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
-         |          FROM documents) x
-         |    GROUP BY doc_id, n_chars) y),
+         |q AS (SELECT * FROM ${Text.qualitySubquerySql}),
          |kept AS (
          |  SELECT d.doc_id, d.lang, d.source, q.n_tok
          |  FROM documents d JOIN q ON q.doc_id = d.doc_id

@@ -297,12 +297,20 @@ object Events {
     // broadcast cross join of two tiny sides, and the only real shuffle
     // is the (type, hour) count.
     "e_gapfill_hours" -> ((s, dir) => {
-      val ev = t(s, dir).select(col("event_type"),
-        date_trunc("hour", expr("timestamp_micros(ts div 1000)")).as("hr"))
-      val timeline = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      // ONE scan of events: the sparse (type, hour) aggregate is tiny
+      // (types x hours rows) and pinned eagerly, then the timeline
+      // bounds and the type list both derive from IT — min/max of the
+      // hour-truncated column and its distinct types are identical to
+      // those of the raw table, so the three consumers cost three reads
+      // of the small frame, not three scans of events.
+      val counts = t(s, dir)
+        .select(col("event_type"),
+          date_trunc("hour", expr("timestamp_micros(ts div 1000)")).as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val timeline = counts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
         .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
-      val types = ev.select(col("event_type")).distinct()
-      val counts = ev.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+      val types = counts.select(col("event_type")).distinct()
       types.crossJoin(broadcast(timeline))
         .join(counts, Seq("event_type", "hr"), "left")
         .select(col("event_type"),

@@ -183,12 +183,18 @@ object Text {
     // on the exact 4-char head so the self-join is per-block, never
     // O(n^2) (the standard blocking trick; at bigger scale you'd union
     // several blocking keys — length buckets, sorted-token heads — each
-    // with the same bounded shape). Levenshtein is built into both
-    // engines with identical unit-cost semantics, so the pairs hash-match.
+    // with the same bounded shape). CAVEAT the engines disagree off
+    // ASCII: Spark's levenshtein counts CODE-POINT edits, DuckDB's counts
+    // BYTE edits ('e' -> 'é' is 1 vs 2), so the comparison is restricted
+    // to single-byte prefixes via the engine-exact octet_length ==
+    // char_length predicate — identical row exclusion on both sides. A
+    // multilingual deployment normalizes first or ships the code-point
+    // kernel to both engines.
     "t_fuzzy_prefix" -> ((s, dir) => {
       val p = t(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), substring(col("text"), 1, 32).as("pfx"),
           substring(col("text"), 1, 4).as("blk"))
+        .filter(octet_length(col("pfx")) === length(col("pfx")))
       val a = p.select(col("doc_id").as("a_id"), col("pfx").as("a_pfx"), col("blk"))
       val b = p.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"), col("blk"))
       a.join(b, "blk")
@@ -256,6 +262,21 @@ object Text {
   /** The one stopword IN-list string every Spark def and oracle shares —
     * a drifted copy would silently split the two sides of the hash gate. */
   val stopSql: String = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** The ONE quality-score SQL subquery (doc_id, n_tok, quality) shared
+    * by every oracle that scores documents (t_quality_score's formula;
+    * d_resolve_quality and p_train_mix compose it) — a drifted copy would
+    * silently split the capstone's hash-exact claim from the operator it
+    * composes. */
+  val qualitySubquerySql: String =
+    s"""(SELECT doc_id, n_tok,
+       |  (n_stop / n_tok) * 0.5 + least(1.0, n_chars / 500.0) * 0.5 AS quality
+       |  FROM (
+       |    SELECT doc_id, n_chars, count(*) AS n_tok,
+       |     CAST(sum(CASE WHEN tok IN $stopSql THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |    FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+       |          FROM documents) x
+       |    GROUP BY doc_id, n_chars) y)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t_lang_detect" -> {
@@ -359,7 +380,8 @@ object Text {
     "t_fuzzy_prefix" ->
       """WITH p AS (SELECT doc_id, substring(text, 1, 32) AS pfx,
         |           substring(text, 1, 4) AS blk
-        |           FROM documents WHERE text IS NOT NULL)
+        |           FROM documents WHERE text IS NOT NULL
+        |             AND strlen(substring(text, 1, 32)) = length(substring(text, 1, 32)))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
