@@ -199,7 +199,12 @@ object Text {
       val b = p.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"), col("blk"))
       a.join(b, "blk")
         .filter(col("a_id") < col("b_id"))
-        .withColumn("dist", levenshtein(col("a_pfx"), col("b_pfx")))
+        // banded kernel: exact distance when <= 3, else 4 — so the filter
+        // and the emitted dist are identical to full levenshtein, at
+        // O(len x k) per pair instead of O(len^2)
+        .withColumn("dist",
+          graft.functions.EditDistanceFunctions.levenshteinLe(
+            col("a_pfx"), col("b_pfx"), 3))
         .filter(col("dist") <= 3)
         .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
         .orderBy(col("a_id"), col("b_id"))
