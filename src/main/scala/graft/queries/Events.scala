@@ -228,6 +228,24 @@ object Events {
         .orderBy(col("event_type"), col("stat"))
     }),
 
+    // RANGE-frame window (value-based, vs q_moving_window's ROWS frame):
+    // per event, how many same-type events fall within +-$10 of its
+    // value — density estimation over a sorted attribute. RANGE frames
+    // are value-bounded, so the count is deterministic regardless of tie
+    // order. Honest scale note: a window partitioned by a low-cardinality
+    // key is a per-key sort — the cost IS the sort; at corpus scale this
+    // shape wants the key salted into value buckets first (the counts
+    // then compose by bucket-boundary correction).
+    "e_value_neighbors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
+        .rangeBetween(-1000, 1000)
+      t(s, dir)
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("value_c"))
+        .withColumn("n_near", count(lit(1)).over(w))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // Table-statistics profiling (the ANALYZE shape): per-column null
     // count, exact distinct, min/max — one pass + stack unpivot to a
     // uniform (column, stat...) schema. Numerics are exposed as integers
@@ -402,6 +420,14 @@ object Events {
         |  UNION ALL SELECT event_type, 'max_c', max_c FROM s
         |  UNION ALL SELECT event_type, 'n', n FROM s)
         |ORDER BY event_type, stat""".stripMargin,
+
+    "e_value_neighbors" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS value_c FROM events)
+        |SELECT event_id, event_type, value_c,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY value_c
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS n_near
+        |FROM v ORDER BY event_type, event_id""".stripMargin,
 
     "e_column_stats" -> {
       val cols = Seq("event_id", "user_id", "event_type", "value_c", "ts_us", "props")
