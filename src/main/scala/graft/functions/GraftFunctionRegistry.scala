@@ -57,10 +57,6 @@ object GraftFunctionRegistry {
         litInt(args(1), "shingleLen"), litInt(args(2), "numHashes"),
         litInt(args(3), "bands"), litInt(args(4), "rowsPerBand"))
     },
-    "levenshtein_le" -> { args =>
-      arity("levenshtein_le", 3)(args)
-      LevenshteinLe(args(0), args(1), litInt(args(2), "levenshtein_le threshold"))
-    },
     // Morton interleave of two 16-bit-quantized columns (the z-order
     // layout key). Same bit-spread as Layout.zvalue2 but built as a raw
     // catalyst tree — a builder must return resolvable expressions, not

@@ -199,13 +199,14 @@ object Text {
       val b = p.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"), col("blk"))
       a.join(b, "blk")
         .filter(col("a_id") < col("b_id"))
-        // banded kernel: exact distance when <= 3, else 4 — so the filter
-        // and the emitted dist are identical to full levenshtein, at
-        // O(len x k) per pair instead of O(len^2)
-        .withColumn("dist",
-          graft.functions.EditDistanceFunctions.levenshteinLe(
-            col("a_pfx"), col("b_pfx"), 3))
-        .filter(col("dist") <= 3)
+        // the engine's THRESHOLDED levenshtein (Spark 4's 3-arg form):
+        // banded DP over the bytes in place, codegen'd, returns -1 above
+        // the threshold — O(len x k) per pair instead of O(len^2), and
+        // kept rows carry the exact distance, so the oracle is untouched.
+        // (A hand-rolled banded kernel was reviewed out: never rebuild a
+        // primitive the engine already ships codegen'd.)
+        .withColumn("dist", levenshtein(col("a_pfx"), col("b_pfx"), 3))
+        .filter(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
         .orderBy(col("a_id"), col("b_id"))
     }),

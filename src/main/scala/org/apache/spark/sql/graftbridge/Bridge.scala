@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, FloatType, LongType}
 
 /** Access bridge into `private[sql]` Spark internals (Column <-> Expression
   * conversion and the `AbstractDataType`-typed `inputTypes` contract).
@@ -39,9 +39,4 @@ trait Float32LongInput extends ExpectsInputTypes {
 /** Input-type contract: (array<float>, binary) — e.g. vector vs byte codes. */
 trait Float32BytesInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
-}
-
-/** Input-type contract: (string, string). */
-trait StringPairInput extends ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
 }
