@@ -21,6 +21,26 @@ object HnswCodes {
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
 
+  /** Process-wide model memo (the [[HnswDistributed.buildCached]]
+    * pattern): catalog queries over the same static code table share one
+    * build; the first consumer pays it and the bench attributes it as a
+    * one-time cost via [[graft.BuildLedger]]. The model is pure data (no
+    * session refs), so the memo survives across sessions in one JVM.
+    * `key` must identify the code SOURCE (table dir + code kernel) —
+    * params/seed/mode are folded in here. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CodeModel]()
+
+  def buildCached(codes: DataFrame, params: HnswParams, seed: Long,
+                  key: String, batched: Boolean = false): CodeModel =
+    modelCache.computeIfAbsent(
+      Seq(key, seed, batched, params.m.toList, params.mMax.toList,
+        params.efConstrSearch.toList, params.efConstrInsert.toList,
+        params.efSearch.toList, params.layerProbability).mkString("|"),
+      _ => graft.BuildLedger.timed("hamming_build")(
+        if (batched) buildBatched(codes, params, seed)
+        else build(codes, params, seed)))
+
   /** Build from (id: long, code: long) rows. Deterministic: id-sorted
     * inserts, hash-based layer assignment. */
   def build(codes: DataFrame, params: HnswParams, seed: Long = 42L): CodeModel = {

@@ -68,7 +68,9 @@ object HnswDistributed {
   }
 
   def buildCached(vectors: DataFrame, cfg: BuildConfig, key: String): HnswModel =
-    modelCache.computeIfAbsent(s"$key|${cacheKey(cfg)}", _ => build(vectors, cfg))
+    modelCache.computeIfAbsent(s"$key|${cacheKey(cfg)}", _ =>
+      graft.BuildLedger.timed(s"hnsw_build_ef${cfg.params.efSearch.head}")(
+        build(vectors, cfg)))
 
   /** Build from a (id: long, vec: array<float>) DataFrame. */
   def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig()): HnswModel = {
@@ -347,7 +349,8 @@ object HnswDistributed {
     // must not receive a handle of a stopped context
     shardCache.computeIfAbsent(
       s"${vectors.sparkSession.sparkContext.applicationId}|$key|$numShards|${cacheKey(cfg)}",
-      _ => buildSharded(vectors, cfg, numShards))
+      _ => graft.BuildLedger.timed("hnsw_sharded_build")(
+        buildSharded(vectors, cfg, numShards)))
 
   /** Fused build+search — batch-only convenience over [[buildSharded]] +
     * [[searchSharded]]; serving workloads should hold the

@@ -55,10 +55,12 @@ object HnswDurable {
     val effectiveRounds = math.min(maxRounds, ConstructionRoundCap)
     val fullKey = s"$key|${HnswDistributed.cacheKey(cfg)}|$effectiveRounds"
     buildDirCache.computeIfAbsent(fullKey, { _ =>
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_durable_").toString
-      build(vectors, path, cfg, maxRounds)
-      path
+      graft.BuildLedger.timed("hnsw_durable_build") {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_durable_").toString
+        build(vectors, path, cfg, maxRounds)
+        path
+      }
     })
   }
 

@@ -59,37 +59,47 @@ object HnswFrontier {
   def searchLayer0(links: DataFrame, vectors: DataFrame, queries: DataFrame,
                    seeds: DataFrame, k: Int, ef: Int,
                    metricName: String, maxRounds: Int = 30): DataFrame = {
-    // every round joins against the adjacency — pin it for the loop
-    // (unpersisted after: the returned frame derives only from the final
-    // localCheckpoint'd beam, never re-reading links)
+    // every round joins against the adjacency and the vector table — pin
+    // both for the loop (unpersisted after: the returned frame derives
+    // only from the final localCheckpoint'd frame, never re-reading
+    // either). Caching vectors turns R rounds of distance joins into one
+    // scan + R local probes — at cluster scale the reuse is what keeps
+    // the frontier loop from re-reading the corpus every barrier.
     val layer0 = links.filter(col("layer") === 0)
       .select(col("src"), col("links"))
       .cache()
+    val vecs = vectors.select(col("id"), col("vec")).cache()
 
     val qvecs = queries.select(col("qid"), col("qvec"))
     def withDist(cand: DataFrame): DataFrame =
-      cand.join(vectors, "id")
+      cand.join(vecs, "id")
         .join(broadcast(qvecs), "qid")
         .select(col("qid"), col("id"),
           distCol(metricName)(col("qvec"), col("vec")).as("dist"))
 
-    // localCheckpoint (eager) truncates lineage every round — iterative
-    // self-referential DataFrames otherwise grow an exponential plan.
-    var beam = withDist(seeds.select(col("qid"), col("id")).distinct())
-      .localCheckpoint()   // (qid, id, dist)
-    var frontier = beam
-    var visited = beam.select("qid", "id").localCheckpoint()
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+
+    // ONE eager localCheckpoint per round (round-5; the round-4 loop had
+    // two): each round materializes a single ranked frame
+    // (qid, id, dist, is_new, r) = previous beam UNION newly-scored
+    // candidates, ranked together. Beam, frontier and the visited append
+    // all derive from it as lazy filters over the checkpointed leaf —
+    // plan depth stays linear, and every derived probe reads
+    // materialized partitions. localCheckpoint also truncates lineage:
+    // iterative self-referential DataFrames otherwise grow an
+    // exponential plan.
+    var ranked = withDist(seeds.select(col("qid"), col("id")).distinct())
+      .withColumn("is_new", lit(false))
+      .withColumn("r", row_number().over(rankW))
+      .localCheckpoint()
+    // the initial frontier is EVERY seed (callers may pass more than ef
+    // per query — the durable build's construction beam does); from
+    // round 1 on, expansion is restricted to new beam members
+    var frontier = ranked.select("qid", "id")
+    var visited = ranked.select("qid", "id")
     var rounds = 0
     val debug = sys.env.contains("GRAFT_FRONTIER_DEBUG")
 
-    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
-
-    // Termination probes on the CHECKPOINTED scored frame (first-partition
-    // isEmpty on materialized data), not on the lazy frontier semi-join —
-    // the semi-join probe re-ran two joins per round. A frontier that
-    // scored nothing new ends the loop; a frontier whose novelties all
-    // missed the beam ends it one (near-free, empty-expansion) round
-    // later.
     var done = false
     while (rounds < maxRounds && !done) {
       val t0 = if (debug) System.nanoTime() else 0L
@@ -100,33 +110,39 @@ object HnswFrontier {
         .select(col("qid"), col("e.dst").as("id"))
         .distinct()
         .join(visited, Seq("qid", "id"), "left_anti")
-      val scored = withDist(discovered).localCheckpoint()
+      val prevBeam = ranked.filter(col("r") <= ef)
+        .select(col("qid"), col("id"), col("dist"))
+        .withColumn("is_new", lit(false))
+      ranked = prevBeam
+        .unionByName(withDist(discovered).withColumn("is_new", lit(true)))
+        .withColumn("r", row_number().over(rankW))
+        .localCheckpoint()
 
-      if (scored.isEmpty) done = true
+      // Termination: no newly-discovered node made the beam. (A node
+      // that missed the beam can never seed an expansion, so an empty
+      // next-frontier here IS the round-4 loop's empty-expansion round —
+      // tested one round earlier, on materialized data, for free.)
+      val fNext = ranked.filter(col("is_new") && col("r") <= ef).select("qid", "id")
+      if (fNext.isEmpty) done = true
       else {
-        // visited/frontier stay lazy: they are shallow unions/semi-joins
-        // of already-checkpointed leaves, so plan depth stays linear and
-        // two eager materializations per round are saved.
-        visited = visited.union(scored.select("qid", "id"))
-        val newBeam = beam.unionByName(scored)
-          .withColumn("r", row_number().over(rankW))
-          .filter(col("r") <= ef)
-          .drop("r")
-          .localCheckpoint()
-        // continue only from newly-discovered nodes that made the beam
-        frontier = scored.join(newBeam.select("qid", "id"), Seq("qid", "id"), "left_semi")
-        beam = newBeam
+        // every scored candidate is visited, beam or not — never
+        // re-score a miss
+        visited = visited.union(ranked.filter(col("is_new")).select("qid", "id"))
+        frontier = fNext
       }
       rounds += 1
       if (debug) System.err.println(
         f"frontier round $rounds: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     layer0.unpersist(blocking = false)
+    vecs.unpersist(blocking = false)
 
-    beam
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("dist"), col("rank"))
+    // the final ranked frame's r IS the beam rank: when the loop ended
+    // via termination no is_new row sits at r <= ef, and when it ended
+    // via maxRounds the union's top-k is the beam's top-k by definition
+    ranked
+      .filter(col("r") <= k)
+      .select(col("qid"), col("id"), col("dist"), col("r").as("rank"))
   }
 
   /** Snapshot carrying only layers >= 1 (empty layer-0 map) + entry. */

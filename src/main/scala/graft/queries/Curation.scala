@@ -30,13 +30,15 @@ object Curation {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dupComponents(s: SparkSession, dir: String): DataFrame = {
     val path = compDirCache.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_dupcomp_").toString
-      val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
-      ConnectedComponents.run(
-          pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
-        .write.mode("overwrite").parquet(out)
-      out
+      graft.BuildLedger.timed("dup_components") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_dupcomp_").toString
+        val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
+        ConnectedComponents.run(
+            pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+          .write.mode("overwrite").parquet(out)
+        out
+      }
     })
     s.read.parquet(path)
   }

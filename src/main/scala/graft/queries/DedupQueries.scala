@@ -50,11 +50,13 @@ object DedupQueries {
     * intermediate banded/cand caches can be dropped immediately. */
   private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame =
     candCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", { _ =>
-      val (result, intermediates) = computeCandidatePairs(s, dir)
-      val out = result.cache()
-      out.count()
-      intermediates.foreach(_.unpersist())
-      out
+      graft.BuildLedger.timed("minhash_candidates") {
+        val (result, intermediates) = computeCandidatePairs(s, dir)
+        val out = result.cache()
+        out.count()
+        intermediates.foreach(_.unpersist())
+        out
+      }
     })
 
   private def computeCandidatePairs(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
@@ -215,8 +217,9 @@ object DedupQueries {
         .select(col("doc_id").as("id"),
           graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig"))
         .select(col("id"), expr(bitsToLong).as("code"))
-      val model = HnswCodes.buildBatched(codes,
-        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16), seed = 42L)
+      val model = HnswCodes.buildCached(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        seed = 42L, key = s"$dir|simhash64", batched = true)
       import s.implicits._
       val queries = s.createDataset(model.codes.toSeq.sortBy(_._1))
         .toDF("qid", "qcode")

@@ -232,44 +232,80 @@ object Events {
     // per event, how many same-type events fall within +-$10 of its
     // value — density estimation over a sorted attribute. RANGE frames
     // are value-bounded, so the count is deterministic regardless of tie
-    // order. Honest scale note: a window partitioned by a low-cardinality
-    // key is a per-key sort — the cost IS the sort; at corpus scale this
-    // shape wants the key salted into value buckets first (the counts
-    // then compose by bucket-boundary correction).
+    // order.
+    // Scale shape (round-5): a window partitioned only by the
+    // low-cardinality event_type is a PER-TYPE GLOBAL SORT — one
+    // partition per type no matter the corpus. Salt the partition key
+    // with a value bucket of width W >= the range radius R: every
+    // possible neighbor of a row in bucket k lives in buckets
+    // {k-1, k, k+1}, so replicating each row into its own bucket (owner)
+    // plus both adjacent buckets (contributors) makes the in-bucket
+    // range count EXACT — each neighbor contributes exactly one copy to
+    // the owner's bucket. 3x replication buys (types x buckets)-way
+    // parallelism; counts are kept for owner rows only.
     "e_value_neighbors" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
-        .rangeBetween(-1000, 1000)
+      val R = 1000L // range radius, cents (+-$10)
+      val W = 2000L // bucket width; W >= R confines neighbors to k-1..k+1
+      // null-value rows (if any) bucket at 0: their copies can't leak
+      // into non-null counts (a RANGE frame over a non-null order value
+      // never includes null rows), nulls still share one peer group, and
+      // is_owner stays non-null so the filter keeps them.
+      val b0 = floor(coalesce(col("value_c"), lit(0L)) / W)
+      val w = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("value_c")).rangeBetween(-R, R)
       t(s, dir)
         .select(col("event_id"), col("event_type"), cents(col("value")).as("value_c"))
+        .withColumn("bucket", explode(array(b0 - 1, b0, b0 + 1)))
+        .withColumn("is_owner", col("bucket") === b0)
         .withColumn("n_near", count(lit(1)).over(w))
+        .filter(col("is_owner"))
+        .select(col("event_id"), col("event_type"), col("value_c"), col("n_near"))
         .orderBy(col("event_type"), col("event_id"))
     }),
 
     // Table-statistics profiling (the ANALYZE shape): per-column null
-    // count, exact distinct, min/max — one pass + stack unpivot to a
-    // uniform (column, stat...) schema. Numerics are exposed as integers
-    // (cents / epoch-micros) and stringified, so min/max hash-match with
-    // no float-formatting hazard. Exact countDistinct here because the
-    // oracle needs exactness; a 100 TB profiler swaps in
-    // approx_count_distinct (see e_hll_users) and loses the expand.
+    // count, exact distinct, min/max — stack each row to
+    // (column_name, value) FIRST, then ONE groupBy(column_name) pass.
+    // Six countDistincts in a single global agg (the round-4 shape)
+    // planned an Expand that replicated every input row x7 before the
+    // shuffle — a 700 TB intermediate at corpus scale. Stacked, there is
+    // exactly one distinct aggregate, so Spark's two-stage distinct
+    // rewrite applies (partial dedup on (column_name, value) map-side,
+    // no Expand) — EventsPlanSpec pins the Expand-free plan.
+    // The value carries a typed dual slot (v_long, v_str; exactly one
+    // non-null per column family) so min/max keep NATIVE ordering —
+    // stacking everything to string would order "10" < "9". long <->
+    // canonical string is bijective, so the distinct count over the
+    // coalesced string equals the native distinct count. Numerics are
+    // exposed as integers (cents / epoch-micros) and stringified, so
+    // min/max hash-match with no float-formatting hazard. Exact
+    // countDistinct because the oracle needs exactness; a 100 TB
+    // profiler swaps in approx_count_distinct (see e_hll_users).
     "e_column_stats" -> ((s, dir) => {
       val src = t(s, dir).select(
         col("event_id"), col("user_id"), col("event_type"),
         cents(col("value")).as("value_c"), expr("ts div 1000").as("ts_us"),
         col("props"))
+      val longCols = Set("event_id", "user_id", "value_c", "ts_us")
       val cols = Seq("event_id", "user_id", "event_type", "value_c", "ts_us", "props")
-      val aggs = cols.flatMap { c =>
-        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          countDistinct(col(c)).as(s"${c}_distinct"),
-          min(col(c)).cast("string").as(s"${c}_min"),
-          max(col(c)).cast("string").as(s"${c}_max"))
-      }
-      val stacked = cols.map(c =>
-        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
-      src.agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.size}, $stacked)" +
-          " AS (column_name, n_nulls, n_distinct, min_s, max_s)"))
+      val stackArgs = cols.map { c =>
+        if (longCols(c)) s"'$c', CAST($c AS BIGINT), CAST(NULL AS STRING)"
+        else s"'$c', CAST(NULL AS BIGINT), $c"
+      }.mkString(", ")
+      src
+        .select(expr(
+          s"stack(${cols.size}, $stackArgs) AS (column_name, v_long, v_str)"))
+        .groupBy(col("column_name"))
+        .agg(
+          // the off-family slot is null by construction, so "both null"
+          // == "the source value was null"
+          sum(when(col("v_long").isNull && col("v_str").isNull, 1L)
+            .otherwise(0L)).as("n_nulls"),
+          countDistinct(coalesce(col("v_long").cast("string"), col("v_str")))
+            .as("n_distinct"),
+          coalesce(min(col("v_long")).cast("string"), min(col("v_str"))).as("min_s"),
+          coalesce(max(col("v_long")).cast("string"), max(col("v_str"))).as("max_s"))
         .orderBy(col("column_name"))
     }),
 

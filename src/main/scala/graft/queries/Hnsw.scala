@@ -82,8 +82,9 @@ object Hnsw {
       import graft.hnsw.HnswCodes
       val codes = t(s, dir).select(col("vec_id").as("id"),
         signPack64(col("embedding")).as("code"))
-      val model = HnswCodes.build(codes,
-        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16), seed = 42L)
+      val model = HnswCodes.buildCached(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        seed = 42L, key = s"$dir|signpack64")
       val qs = codes.filter(col("id") % 25 === 0)
         .select(col("id").as("qid"), col("code").as("qcode"))
       HnswCodes.search(qs, model, 5)

@@ -43,6 +43,7 @@ object Layout {
                           nBuckets: Int = 8): (String, String) =
     bucketCache.computeIfAbsent(
       s"${s.sparkContext.applicationId}|$dir|$nBuckets", { _ =>
+      graft.BuildLedger.timed("layout_bucketed") {
       val tag = s"${nBuckets}_${sanitize(dir)}"
       val (liName, ordName) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
       val base = java.nio.file.Files
@@ -63,6 +64,7 @@ object Layout {
         .option("path", s"$base/orders")
         .mode("overwrite").saveAsTable(ordName)
       (liName, ordName)
+      }
     })
 
   /** events re-written partitioned by event_type; returns the directory.
@@ -71,12 +73,14 @@ object Layout {
   private val partCache = new ConcurrentHashMap[String, String]()
   def eventsByType(s: SparkSession, dir: String): String =
     partCache.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_evpart_").toString
-      s.read.parquet(s"$dir/events.parquet")
-        .write.partitionBy("event_type")
-        .mode("overwrite").parquet(out)
-      out
+      graft.BuildLedger.timed("layout_evpart") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_evpart_").toString
+        s.read.parquet(s"$dir/events.parquet")
+          .write.partitionBy("event_type")
+          .mode("overwrite").parquet(out)
+        out
+      }
     })
 
   /** Z-order (Morton) interleave of two 16-bit quantized columns — the
@@ -108,6 +112,7 @@ object Layout {
   private val zorderCache = new ConcurrentHashMap[String, String]()
   def eventsZordered(s: SparkSession, dir: String, nFiles: Int = 24): String =
     zorderCache.computeIfAbsent(s"$dir|$nFiles", { _ =>
+      graft.BuildLedger.timed("layout_zorder") {
       import org.apache.spark.sql.functions._
       val out = java.nio.file.Files
         .createTempDirectory("graft_evzorder_").toString
@@ -122,6 +127,7 @@ object Layout {
         .write.option("parquet.block.size", 64 * 1024)
         .mode("overwrite").parquet(out)
       out
+      }
     })
 
   /** The co-located fact⋈fact join on the bucketed tables — exposed for
