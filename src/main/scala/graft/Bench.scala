@@ -177,6 +177,30 @@ object Bench {
       ts(1)
     }
 
+    // Untimed JIT warm-up: the grid now runs FIRST in the JVM (clean
+    // heap for the big builds), which leaves the small cells paying
+    // compilation of the whole kernel path — a 256-vector dry run of
+    // build + both search shapes warms it for under a second.
+    locally {
+      import spark.implicits._
+      val wRows = mkVectors(256)
+      val wDf = spark.createDataset(wRows.toSeq).toDF("id", "vec")
+      val wq = wDf.limit(32).toDF("qid", "qvec")
+      val m = HnswDistributed.broadcastModel(spark,
+        HnswDistributed.buildFromArray(spark, wRows, cfg))
+      materialize(HnswDistributed.searchBroadcast(wq, m, k))
+      materialize(ExactKnn.search(wq, wDf, k, "cosine"))
+      m.destroy()
+      val wCodes = wRows.map { case (id, _) => (id, id * 0x9E3779B97F4A7C15L) }
+      val wCodesDf = spark.createDataset(wCodes.toSeq).toDF("id", "code")
+      import graft.hnsw.HnswCodes
+      val cm = HnswCodes.broadcastModel(spark,
+        HnswCodes.build(wCodesDf, HnswParams.standard(64, 32, 32), seed = 23L))
+      materialize(HnswCodes.searchBroadcast(
+        wCodesDf.limit(32).toDF("qid", "qcode"), cm, k))
+      cm.destroy()
+    }
+
     val cells = sizes.map { n =>
       System.gc()
       val rows = mkVectors(n)

@@ -39,15 +39,23 @@ object KMeans {
     * non-increasing modulo the +-1-per-row floor noise). */
   final case class KMeansModel(centroids: Array[Array[Float]], inertiaU: Array[Long])
 
+  /** Training's input contract: a vector that is null or carries a
+    * non-finite component holds no position in the distance geometry —
+    * it can neither seed a cluster (a NaN seed makes every distance to
+    * that cluster NaN forever) nor move a centroid (its components null
+    * out of the sums while the row still counts). assign() alone keeps
+    * such rows (mapping them to cluster 0) so serving never drops data. */
+  private def finiteVecs(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.filter(col(vecCol).isNotNull &&
+      forall(col(vecCol), x => !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
+
   /** The k seed vectors whose md5(cast(id as string)) sorts first
     * (tie-break id) — deterministic, engine-reproducible, collects
     * exactly k rows. */
   def initCentroids(vecs: DataFrame, k: Int,
                     idCol: String = "id", vecCol: String = "vec"): Array[Array[Float]] = {
     require(k > 0, s"k must be positive, got $k")
-    // same null contract as assign/train: a null vector can't seed a
-    // cluster (it would NPE here and poison every distance downstream)
-    vecs.filter(col(vecCol).isNotNull)
+    finiteVecs(vecs, vecCol)
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(k)
@@ -90,7 +98,10 @@ object KMeans {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     var centroids = initCentroids(vecs, k, idCol, vecCol)
     val inertias = Array.newBuilder[Long]
-    val src = vecs.filter(col(vecCol).isNotNull)
+    // see finiteVecs: a NaN row would integerize its MaxValue-remapped
+    // distance to floor(MaxValue*1e6), wrapping the long inertia sum,
+    // while its components null out of sum_u with the row still in n
+    val src = finiteVecs(vecs, vecCol)
     for (_ <- 0 until iters) {
       // one pass computes BOTH the inertia and the per-(cid, dim)
       // integerized sums: tag each row with its argmin cluster (keeping

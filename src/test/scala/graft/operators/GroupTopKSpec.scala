@@ -91,7 +91,10 @@ class GroupTopKSpec extends SparkSpec {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.count()
     val ref = tf.join(dfreq, "term")
-      .withColumn("score", col("tf") * (lit(n) * lit(1000000L) / col("df")).cast("long"))
+      // integer `div`, exactly as the query and oracle compute the idf
+      // weight: double division + cast("long") rounds differently when
+      // the true quotient sits at an integer boundary
+      .withColumn("score", col("tf") * expr(s"($n * 1000000L) div df"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))).cast("long"))
       .filter(col("rank") <= 3)

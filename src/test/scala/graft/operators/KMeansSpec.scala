@@ -87,9 +87,18 @@ class KMeansSpec extends SparkSpec {
       .collect().toMap
     assert(got(1L) == 0, s"NaN vector must tie into cluster 0, got ${got(1L)}")
     assert(got(2L) == 0 && got(3L) == 1)
-    // and train survives it end-to-end
+    // and train survives it end-to-end with SANE statistics: the NaN row
+    // is excluded, so the inertia never wraps negative and the finite
+    // rows sit exactly on their seed centroids (inertia 0)
     val model = KMeans.train(df, k = 2, iters = 2)
     assert(model.centroids.length == 2)
+    assert(model.inertiaU.forall(_ >= 0L),
+      s"inertia wrapped: ${model.inertiaU.toSeq}")
+    assert(model.inertiaU.forall(_ == 0L),
+      s"NaN row leaked into training stats: ${model.inertiaU.toSeq}")
+    // the NaN row must not have dragged a centroid off the finite points
+    assert(model.centroids.map(_.toSeq).toSet ==
+      Set(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
   }
 
   test("assign breaks distance ties to the smallest cluster id") {

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape pins for the two Events queries rebuilt in round 5.
+  *
+  * e_column_stats: six exact countDistincts in ONE global agg (the
+  * round-4 shape) planned an Expand that replicated every scanned row
+  * x7 before the shuffle — a 700 TB intermediate at corpus scale. The
+  * stack-first rewrite has exactly one distinct aggregate, so the plan
+  * must contain NO Expand.
+  *
+  * e_value_neighbors: a RANGE window partitioned only by event_type is
+  * a per-type global sort (one partition per type at any corpus size).
+  * The salted rewrite partitions by (event_type, bucket); the spec pins
+  * the salted key in the window spec and cross-checks counts against
+  * the unsalted formulation on real data.
+  */
+class EventsPlanSpec extends SparkSpec {
+
+  test("e_column_stats plans without Expand (single distinct aggregate)") {
+    val df = graft.SparkEntry.queries("e_column_stats")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in plan:\n$plan")
+  }
+
+  test("e_value_neighbors window is salted by value bucket") {
+    val df = graft.SparkEntry.queries("e_value_neighbors")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the window's partition spec must carry the bucket column next to
+    // event_type — a spec of [event_type] alone is the per-type global
+    // sort this rewrite removes
+    assert(optimized.contains("bucket"), s"no bucket salt in plan:\n$optimized")
+    assert(!optimized.matches("(?s).*partitionBy.*\\[event_type#\\d+\\].*"),
+      s"window still partitioned by event_type alone:\n$optimized")
+  }
+
+  test("salted e_value_neighbors equals the unsalted range window") {
+    import org.apache.spark.sql.expressions.Window
+    val salted = graft.SparkEntry.queries("e_value_neighbors")(spark, sfDir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
+      .rangeBetween(-1000, 1000)
+    val unsalted = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        Tables.cents(col("value")).as("value_c"))
+      .withColumn("n_near", count(lit(1)).over(w))
+    assert(salted.count() === unsalted.count())
+    assert(salted.exceptAll(unsalted).isEmpty && unsalted.exceptAll(salted).isEmpty)
+  }
+}
