@@ -264,6 +264,55 @@ object Events {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // The same +-$10 neighborhood count as e_value_neighbors, computed
+    // the way a 100 TB engine actually wants it: SWEEP-LINE PREFIX SUMS
+    // instead of a per-row RANGE frame. Spark re-evaluates a sliding
+    // RANGE frame's aggregate from scratch per row — O(rows x frame
+    // width) (~870-row frames here = 2.6e8 row-touches at sf0.1, the
+    // cost e_value_neighbors pays); this formulation is O(n log n):
+    //   1. collapse rows to per-(type, value) counts — cardinality is
+    //      bounded by the VALUE DOMAIN (integer cents), not the corpus,
+    //      so the downstream sweep stays small at any scale;
+    //   2. one RUNNING sum per type (unbounded-preceding frames are
+    //      incremental in Spark — O(n), no recompute);
+    //   3. count[v-R, v+R] = cum(<= v+R) - cum(< v-R), read by 'hi'/'lo'
+    //      probe markers merged into the sweep at keys v+R / v-R with a
+    //      role tie-break (lo before data = exclusive, hi after = incl).
+    // Integer keys and counts end to end — nothing to drift vs the
+    // oracle. If the value domain were unbounded, the sweep salts by
+    // value bucket with a second pass carrying cross-bucket offsets.
+    "e_value_density" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val R = 1000L
+      val base = t(s, dir)
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("value_c"))
+      val g = base.groupBy(col("event_type"), col("value_c"))
+        .agg(count(lit(1)).as("c"))
+      val sweep = g.select(col("event_type"), col("value_c"), explode(array(
+          struct(col("value_c").as("key"), lit(0).as("ord"),
+            col("c").as("w"), lit("d").as("role")),
+          struct((col("value_c") + R).as("key"), lit(1).as("ord"),
+            lit(0L).as("w"), lit("h").as("role")),
+          struct((col("value_c") - R).as("key"), lit(-1).as("ord"),
+            lit(0L).as("w"), lit("l").as("role")))).as("e"))
+        .select(col("event_type"), col("value_c"),
+          col("e.key"), col("e.ord"), col("e.w"), col("e.role"))
+      val run = Window.partitionBy(col("event_type"))
+        .orderBy(col("key"), col("ord"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cums = sweep.withColumn("cum", sum(col("w")).over(run))
+      val hi = cums.filter(col("role") === "h")
+        .select(col("event_type"), col("value_c"), col("cum").as("hi"))
+      val lo = cums.filter(col("role") === "l")
+        .select(col("event_type"), col("value_c"), col("cum").as("lo"))
+      base
+        .join(hi, Seq("event_type", "value_c"))
+        .join(lo, Seq("event_type", "value_c"))
+        .select(col("event_id"), col("event_type"), col("value_c"),
+          (col("hi") - col("lo")).as("n_near"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // Table-statistics profiling (the ANALYZE shape): per-column null
     // count, exact distinct, min/max — stack each row to
     // (column_name, value) FIRST, then ONE groupBy(column_name) pass.
@@ -458,6 +507,16 @@ object Events {
         |ORDER BY event_type, stat""".stripMargin,
 
     "e_value_neighbors" ->
+      """WITH v AS (SELECT event_id, event_type,
+        |  CAST(floor(value*100) AS BIGINT) AS value_c FROM events)
+        |SELECT event_id, event_type, value_c,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY value_c
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS n_near
+        |FROM v ORDER BY event_type, event_id""".stripMargin,
+
+    // identical semantics, different plan (sweep-line prefix sums) —
+    // the oracle is the window formulation verbatim
+    "e_value_density" ->
       """WITH v AS (SELECT event_id, event_type,
         |  CAST(floor(value*100) AS BIGINT) AS value_c FROM events)
         |SELECT event_id, event_type, value_c,

@@ -37,6 +37,23 @@ class EventsPlanSpec extends SparkSpec {
       s"window still partitioned by event_type alone:\n$optimized")
   }
 
+  test("e_value_density sweeps with running frames only (no RANGE frame recompute)") {
+    val df = graft.SparkEntry.queries("e_value_density")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the whole point: Spark re-evaluates a bounded RANGE frame per row
+    // (O(rows x frame)); the sweep must carry only incremental
+    // unbounded-preceding ROWS frames
+    assert(!optimized.contains("RangeFrame"), s"RangeFrame in plan:\n$optimized")
+    assert(optimized.contains("RowFrame"), s"no running frame in plan:\n$optimized")
+  }
+
+  test("e_value_density equals e_value_neighbors row for row") {
+    val a = graft.SparkEntry.queries("e_value_density")(spark, sfDir)
+    val b = graft.SparkEntry.queries("e_value_neighbors")(spark, sfDir)
+    assert(a.count() === b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("salted e_value_neighbors equals the unsalted range window") {
     import org.apache.spark.sql.expressions.Window
     val salted = graft.SparkEntry.queries("e_value_neighbors")(spark, sfDir)
