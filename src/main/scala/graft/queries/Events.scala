@@ -301,13 +301,17 @@ object Events {
         .orderBy(col("key"), col("ord"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cums = sweep.withColumn("cum", sum(col("w")).over(run))
-      val hi = cums.filter(col("role") === "h")
-        .select(col("event_type"), col("value_c"), col("cum").as("hi"))
-      val lo = cums.filter(col("role") === "l")
-        .select(col("event_type"), col("value_c"), col("cum").as("lo"))
+      // BOTH probe readings pivot out of ONE pass over the sweep —
+      // filtering hi and lo separately and joining twice makes Catalyst
+      // compute the whole scan+agg+window subtree once per branch (the
+      // diamond-reuse pitfall); the pivot keeps a single subtree and a
+      // single join back to the rows
+      val bounds = cums.filter(col("role") =!= "d")
+        .groupBy(col("event_type"), col("value_c"))
+        .agg(max(when(col("role") === "h", col("cum"))).as("hi"),
+          max(when(col("role") === "l", col("cum"))).as("lo"))
       base
-        .join(hi, Seq("event_type", "value_c"))
-        .join(lo, Seq("event_type", "value_c"))
+        .join(bounds, Seq("event_type", "value_c"))
         .select(col("event_id"), col("event_type"), col("value_c"),
           (col("hi") - col("lo")).as("n_near"))
         .orderBy(col("event_type"), col("event_id"))

@@ -45,6 +45,11 @@ class EventsPlanSpec extends SparkSpec {
     // unbounded-preceding ROWS frames
     assert(!optimized.contains("RangeFrame"), s"RangeFrame in plan:\n$optimized")
     assert(optimized.contains("RowFrame"), s"no running frame in plan:\n$optimized")
+    // hi and lo probes must pivot out of ONE window pass — two filter
+    // branches would make Catalyst compute the sweep subtree twice
+    val windows = df.queryExecution.executedPlan.toString
+      .sliding("Window".length).count(_ == "Window")
+    assert(windows === 1, s"sweep subtree duplicated ($windows Window nodes)")
   }
 
   test("e_value_density equals e_value_neighbors row for row") {
