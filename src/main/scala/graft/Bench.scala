@@ -55,7 +55,13 @@ object Bench {
           System.err.println(s"bench query $name FAILED: ${t.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val built = BuildLedger.since(mark)
-      built.foreach(e => oneTime(e.label) = oneTime.getOrElse(e.label, 0.0) + e.seconds)
+      // a FAILED query's wall was always excluded from the totals
+      // (rounds 1-4 contract); its builds must be too, or `value` stops
+      // being comparable exactly when n_failed > 0. (The memo keeps the
+      // artifact, so a later query may reuse an unreported build —
+      // acceptable in a failure run, which is ungradeable anyway.)
+      if (ok) built.foreach(e =>
+        oneTime(e.label) = oneTime.getOrElse(e.label, 0.0) + e.seconds)
       // GC after build-heavy queries (their driver-side structures just
       // became garbage) and periodically — lets the ContextCleaner drop
       // dead broadcasts/checkpoints so later queries aren't taxed.

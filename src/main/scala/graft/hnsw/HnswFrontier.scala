@@ -68,7 +68,16 @@ object HnswFrontier {
     val layer0 = links.filter(col("layer") === 0)
       .select(col("src"), col("links"))
       .cache()
-    val vecs = vectors.select(col("id"), col("vec")).cache()
+    // skip the cache when the caller already persisted the vector table
+    // (HnswDurable pins it for the whole ingest — re-caching here would
+    // materialize a second full copy per micro-batch); the projection
+    // still reads through the caller's InMemoryRelation
+    val vecsCachedHere =
+      vectors.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val vecs = {
+      val projected = vectors.select(col("id"), col("vec"))
+      if (vecsCachedHere) projected.cache() else projected
+    }
 
     val qvecs = queries.select(col("qid"), col("qvec"))
     def withDist(cand: DataFrame): DataFrame =
@@ -135,7 +144,7 @@ object HnswFrontier {
         f"frontier round $rounds: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     layer0.unpersist(blocking = false)
-    vecs.unpersist(blocking = false)
+    if (vecsCachedHere) vecs.unpersist(blocking = false)
 
     // the final ranked frame's r IS the beam rank: when the loop ended
     // via termination no is_new row sits at r <= ef, and when it ended

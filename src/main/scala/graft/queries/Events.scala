@@ -310,10 +310,16 @@ object Events {
         .groupBy(col("event_type"), col("value_c"))
         .agg(max(when(col("role") === "h", col("cum"))).as("hi"),
           max(when(col("role") === "l", col("cum"))).as("lo"))
-      base
-        .join(bounds, Seq("event_type", "value_c"))
-        .select(col("event_id"), col("event_type"), col("value_c"),
-          (col("hi") - col("lo")).as("n_near"))
+      // NULL-SAFE join key: a plain equi-join would silently DROP rows
+      // with null value (null != null), while the oracle's window keeps
+      // them (n_near = null peer-group size — which the sweep computes
+      // correctly: a null group's markers travel with the null key and
+      // its contribution cancels out of every non-null reading)
+      base.as("r")
+        .join(bounds.as("b"), col("r.event_type") === col("b.event_type") &&
+          col("r.value_c") <=> col("b.value_c"))
+        .select(col("r.event_id"), col("r.event_type"), col("r.value_c"),
+          (col("b.hi") - col("b.lo")).as("n_near"))
         .orderBy(col("event_type"), col("event_id"))
     }),
 

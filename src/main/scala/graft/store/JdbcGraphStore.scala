@@ -48,11 +48,16 @@ final class JdbcGraphStore(url: String) extends GraphStore with AutoCloseable {
     } finally st.close()
   }
 
+  // CLOB, not VARCHAR(n): a bounded column truncation-fails mid-build
+  // for neighbor queues above ~1k entries (large ef_construction), where
+  // the reference's jsonb column is unbounded. CLOB is ANSI and Derby /
+  // Oracle / DB2-native; a Postgres deployment pre-creates the schema
+  // with TEXT/jsonb via its own migration (as the reference does).
   ensureTable(
     """CREATE TABLE hawk_graph_links (
       |  source_ref BIGINT NOT NULL,
       |  layer INT NOT NULL,
-      |  links VARCHAR(32000) NOT NULL,
+      |  links CLOB NOT NULL,
       |  PRIMARY KEY (source_ref, layer))""".stripMargin)
   ensureTable(
     """CREATE TABLE hawk_graph_entry (
