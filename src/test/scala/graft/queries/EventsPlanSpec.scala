@@ -89,6 +89,57 @@ class EventsPlanSpec extends SparkSpec {
     assert(density.exceptAll(unsalted).isEmpty && unsalted.exceptAll(density).isEmpty)
   }
 
+  test("sweep == window on randomized value distributions (boundary fuzz)") {
+    // seeded-random tables exercise the marker tie-breaks (values exactly
+    // R apart, heavy ties, single-value types) that curated data misses
+    val rnd = new scala.util.Random(20260813L)
+    import spark.implicits._
+    val rows = (0 until 2000).map { i =>
+      val tpe = s"t${rnd.nextInt(3)}"
+      // cluster values so many pairs land exactly at +-R and at ties
+      val v = (rnd.nextInt(8) * 500 + rnd.nextInt(3) * 1000).toDouble / 100.0
+      (i.toLong, tpe, v)
+    } :+ ((2000L, "t9", 1.23)) // a single-row type: frame = itself
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_").toString
+    rows.toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val density = graft.SparkEntry.queries("e_value_density")(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value_c"))
+      .rangeBetween(-1000, 1000)
+    val window = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("event_type"),
+        Tables.cents(col("value")).as("value_c"))
+      .withColumn("n_near", count(lit(1)).over(w))
+    assert(density.count() === window.count())
+    assert(density.exceptAll(window).isEmpty && window.exceptAll(density).isEmpty)
+  }
+
+  test("e_column_stats counts nulls per column on data that has them") {
+    // production tables carry no nulls, so the dual-slot null logic
+    // ("both slots null == source null") needs synthetic coverage
+    val dir = java.nio.file.Files.createTempDirectory("graft_colnull_").toString
+    spark.read.parquet(s"$sfDir/events.parquet").limit(100)
+      .withColumn("value", when(col("event_id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(col("value")))
+      .withColumn("props", when(col("event_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("props")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.SparkEntry.queries("e_column_stats")(spark, dir)
+      .select("column_name", "n_nulls", "n_distinct").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val src = spark.read.parquet(s"$dir/events.parquet")
+    val nulls = src.filter(col("value").isNull).count()
+    val nullsP = src.filter(col("props").isNull).count()
+    val distinctV = src.filter(col("value").isNotNull)
+      .select(floor(col("value") * 100)).distinct().count()
+    assert(got("value_c") === ((nulls, distinctV)), s"value_c: ${got("value_c")}")
+    assert(got("props")._1 === nullsP, s"props: ${got("props")}")
+    assert(got("event_id") === ((0L, 100L)))
+  }
+
   test("salted e_value_neighbors equals the unsalted range window") {
     import org.apache.spark.sql.expressions.Window
     val salted = graft.SparkEntry.queries("e_value_neighbors")(spark, sfDir)
