@@ -44,7 +44,10 @@ object HnswCodes {
   /** Build from (id: long, code: long) rows. Deterministic: id-sorted
     * inserts, hash-based layer assignment. */
   def build(codes: DataFrame, params: HnswParams, seed: Long = 42L): CodeModel = {
-    val rows = codes.select(col("id"), col("code")).as(pairEnc).collect().sortBy(_._1)
+    // distinctBy: a duplicate id would insert twice (self-links, inflated
+    // degree) while rows.toMap collapsed it silently
+    val rows = codes.select(col("id"), col("code")).as(pairEnc).collect()
+      .sortBy(_._1).distinctBy(_._1)
     val searcher = new HnswSearcher(params)
     val store = new CodeStoreWithIds
     val graph = new InMemoryGraph
@@ -64,7 +67,8 @@ object HnswCodes {
   def buildBatched(codes: DataFrame, params: HnswParams, seed: Long = 42L,
                    seedBatch: Int = 128, maxBatch: Int = 4096): CodeModel = {
     val spark = codes.sparkSession
-    val rows = codes.select(col("id"), col("code")).as(pairEnc).collect().sortBy(_._1)
+    val rows = codes.select(col("id"), col("code")).as(pairEnc).collect()
+      .sortBy(_._1).distinctBy(_._1)
     val searcher = new HnswSearcher(params)
     val codeMap = rows.toMap
     val store = new CodeStoreWithIds(codeMap)

@@ -80,8 +80,12 @@ object HnswDistributed {
     buildFromArray(spark, rows, cfg)
   }
 
-  def buildFromArray(spark: SparkSession, rows: Array[(Long, Array[Float])],
+  def buildFromArray(spark: SparkSession, rows0: Array[(Long, Array[Float])],
                      cfg: BuildConfig): HnswModel = {
+    // duplicate ids would double-insert (rows0.toMap collapses silently
+    // while the insertion loop runs per ROW, linking a vertex to itself
+    // and inflating its degree) — keep the first occurrence
+    val rows = rows0.distinctBy(_._1)
     val metric = Metrics.byName(cfg.metric)
     val searcher = new HnswSearcher(cfg.params)
     val vecMap = rows.toMap
@@ -120,31 +124,37 @@ object HnswDistributed {
     }
 
     val sc = spark.sparkContext
+    // broadcasts released on EVERY path: a transient job failure with a
+    // catch-and-retry caller would otherwise leak one full-graph
+    // snapshot + the whole vector payload per attempt
     val payloadB = sc.broadcast(payload)
-    while (pos < n) {
-      val batchSize = math.min(math.min(maxBatch, pos), n - pos)
-      val batch = (pos until pos + batchSize).map(i => (ids(i), insLayers(i)))
-      val snapB = sc.broadcast(graph.snapshot)
-      val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
-      val results = sc.parallelize(batch, slices).mapPartitions { it =>
-        val localStore = mkExecutorStore(payloadB.value)
-        val snap = snapB.value
-        it.map { case (id, insLayer) =>
-          val (links, _) = searcher.searchToInsert(localStore, snap, id, insLayer)
-          (id, links.map(_.toArray))
-        }
-      }.collect()
-      snapB.destroy()
+    try {
+      while (pos < n) {
+        val batchSize = math.min(math.min(maxBatch, pos), n - pos)
+        val batch = (pos until pos + batchSize).map(i => (ids(i), insLayers(i)))
+        val snapB = sc.broadcast(graph.snapshot)
+        val results =
+          try {
+            val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
+            sc.parallelize(batch, slices).mapPartitions { it =>
+              val localStore = mkExecutorStore(payloadB.value)
+              val snap = snapB.value
+              it.map { case (id, insLayer) =>
+                val (links, _) = searcher.searchToInsert(localStore, snap, id, insLayer)
+                (id, links.map(_.toArray))
+              }
+            }.collect()
+          } finally snapB.destroy()
 
-      results.sortBy(_._1).foreach { case (id, linkArrays) =>
-        val links = linkArrays.map(a => FurthestQueue.fromAscending(a.toSeq))
-        val setEp = links.size > graph.numLayers
-        driverStore.insert(id)
-        searcher.insertFromSearchResults(driverStore, graph, id, links, setEp)
+        results.sortBy(_._1).foreach { case (id, linkArrays) =>
+          val links = linkArrays.map(a => FurthestQueue.fromAscending(a.toSeq))
+          val setEp = links.size > graph.numLayers
+          driverStore.insert(id)
+          searcher.insertFromSearchResults(driverStore, graph, id, links, setEp)
+        }
+        pos += batchSize
       }
-      pos += batchSize
-    }
-    payloadB.destroy()
+    } finally payloadB.destroy()
   }
 
   /** Distributed k-NN search (S6): broadcast the model, run the
@@ -173,8 +183,11 @@ object HnswDistributed {
         val m = modelB.value
         val metric = Metrics.byName(m.metricName)
         val searcher = new HnswSearcher(m.params)
+        // one store per PARTITION, re-staging the -1 query slot per row
+        // (the HnswCodes pattern) — per-row construction is avoidable
+        // allocation on the serving hot path
+        val store = new ArrayVectorStore(metric, base = m.vectors)
         it.flatMap { case (qid, qvec) =>
-          val store = new ArrayVectorStore(metric, base = m.vectors)
           val q = store.prepareQueryWithId(-1L, qvec)
           val w = searcher.search(store, m.snapshot, q, k)
           w.iterator.zipWithIndex.map { case (nb, i) => (qid, nb.dst, nb.dist, i + 1) }
@@ -219,8 +232,9 @@ object HnswDistributed {
         val metric = Metrics.byName(m.metricName)
         val searcher = new HnswSearcher(m.params)
         val ids = allowedB.value
+        // one store per partition, -1 query slot re-staged per row
+        val store = new ArrayVectorStore(metric, base = m.vectors)
         it.flatMap { case (qid, qvec) =>
-          val store = new ArrayVectorStore(metric, base = m.vectors)
           val q = store.prepareQueryWithId(-1L, qvec)
           val n = m.size
           var kp = math.max(4 * k, m.params.getEfSearch(0))
@@ -231,10 +245,25 @@ object HnswDistributed {
             val hits = w.iterator
               .filter(nb => java.util.Arrays.binarySearch(ids, nb.dst) >= 0)
               .take(k).toList
-            if (hits.length >= k || kp >= n) {
+            if (hits.length >= k) {
               out = hits.zipWithIndex.map { case (nb, i) =>
                 (qid, nb.dst, nb.dist, i + 1)
               }
+              done = true
+            } else if (kp >= n) {
+              // the beam spanned the whole index and still came up short.
+              // A graph WALK can never surface a vertex that lost every
+              // in-edge to M_max re-trimming (rare but possible), so an
+              // ef=n beam is not a completeness proof — finish with an
+              // exact executor-local scan over the allowed ids:
+              // O(|allowed|) distance evals, still no driver round-trip,
+              // and the result provably matches the filtered oracle.
+              val exact = ids.iterator
+                .filter(m.vectors.contains)
+                .map(id => (id, store.evalDistance(q, id))).toArray
+              out = exact.sortBy { case (id, d) => (d, id) }.take(k)
+                .zipWithIndex
+                .map { case ((id, d), i) => (qid, id, d, i + 1) }.toList
               done = true
             } else kp = math.min(n.toLong, kp.toLong * 4L).toInt // long math: no Int wrap before the clamp
           }
@@ -322,8 +351,9 @@ object HnswDistributed {
     val perShard = index.shards.flatMap { m =>
       val metric = Metrics.byName(cfg.metric)
       val searcher = new HnswSearcher(cfg.params)
+      // one store per shard, -1 query slot re-staged per query
+      val qStore = new ArrayVectorStore(metric, base = m.vectors)
       qB.value.iterator.flatMap { case (qid, qvec) =>
-        val qStore = new ArrayVectorStore(metric, base = m.vectors)
         val q = qStore.prepareQueryWithId(-1L, qvec)
         val w = searcher.search(qStore, m.snapshot, q, k)
         w.iterator.map(nb => (qid, nb.dst, nb.dist))

@@ -76,7 +76,8 @@ object HnswDurable {
 
   /** Insert `newRows` (id, vec) into a durable store — possibly one that
     * already holds a graph (the streaming-ingest shape: each micro-batch
-    * lands through here with bounded driver state). `allVectors` must
+    * lands through here with bounded driver state). `allVectors` must be
+    * id-UNIQUE (a duplicate id row would fan out every join on it) and
     * cover every id reachable in the persisted graph PLUS the new rows
     * (the frontier distance joins read it; for streaming that is the
     * appended vectors parquet). Ids must be new to the graph. A fresh
@@ -100,9 +101,14 @@ object HnswDurable {
 
     // Deterministic dense rank of the NEW rows by id without a single-
     // partition window: sortBy + zipWithIndex (zipWithIndex derives
-    // partition offsets with one count job — scale-safe).
+    // partition offsets with one count job — scale-safe). distinct():
+    // the existing-graph guard below catches re-inserts of PERSISTED
+    // ids, but an at-least-once source can deliver one id twice WITHIN
+    // a batch — without the dedup both copies would rank, insert twice,
+    // and persist duplicate edges. (allVectors is contractually
+    // id-unique — see the scaladoc.)
     val ranked = newRows.select(col("id")).as[Long].rdd
-      .sortBy(identity).zipWithIndex()
+      .distinct().sortBy(identity).zipWithIndex()
       .toDF("id", "rank").cache()
     // the cached frames must not outlive the call on ANY path — the
     // duplicate-id require below is an expected exit

@@ -59,6 +59,11 @@ object HnswFrontier {
   def searchLayer0(links: DataFrame, vectors: DataFrame, queries: DataFrame,
                    seeds: DataFrame, k: Int, ef: Int,
                    metricName: String, maxRounds: Int = 30): DataFrame = {
+    // the beam must be at least k wide: a node dropped from the beam is
+    // gone for good, so returning ranks beyond the beam width would
+    // surface arbitrary last-round rejects instead of true neighbors
+    // (the kernel's searchWithEf widens the same way)
+    val beamEf = math.max(ef, k)
     // every round joins against the adjacency and the vector table — pin
     // both for the loop (unpersisted after: the returned frame derives
     // only from the final localCheckpoint'd frame, never re-reading
@@ -110,41 +115,49 @@ object HnswFrontier {
     val debug = sys.env.contains("GRAFT_FRONTIER_DEBUG")
 
     var done = false
-    while (rounds < maxRounds && !done) {
-      val t0 = if (debug) System.nanoTime() else 0L
-      // expand every frontier node's neighborhood in one join
-      val discovered = frontier
-        .join(layer0, frontier("id") === layer0("src"))
-        .select(col("qid"), explode(col("links")).as("e"))
-        .select(col("qid"), col("e.dst").as("id"))
-        .distinct()
-        .join(visited, Seq("qid", "id"), "left_anti")
-      val prevBeam = ranked.filter(col("r") <= ef)
-        .select(col("qid"), col("id"), col("dist"))
-        .withColumn("is_new", lit(false))
-      ranked = prevBeam
-        .unionByName(withDist(discovered).withColumn("is_new", lit(true)))
-        .withColumn("r", row_number().over(rankW))
-        .localCheckpoint()
+    // the pins must not outlive the call on ANY path (a mid-loop job
+    // failure would otherwise leak the cached layer-0 table into every
+    // caller's retry — the durable ingest's stated invariant); the
+    // returned frame derives only from the checkpointed leaf, so the
+    // release is safe before the caller materializes it
+    try {
+      while (rounds < maxRounds && !done) {
+        val t0 = if (debug) System.nanoTime() else 0L
+        // expand every frontier node's neighborhood in one join
+        val discovered = frontier
+          .join(layer0, frontier("id") === layer0("src"))
+          .select(col("qid"), explode(col("links")).as("e"))
+          .select(col("qid"), col("e.dst").as("id"))
+          .distinct()
+          .join(visited, Seq("qid", "id"), "left_anti")
+        val prevBeam = ranked.filter(col("r") <= beamEf)
+          .select(col("qid"), col("id"), col("dist"))
+          .withColumn("is_new", lit(false))
+        ranked = prevBeam
+          .unionByName(withDist(discovered).withColumn("is_new", lit(true)))
+          .withColumn("r", row_number().over(rankW))
+          .localCheckpoint()
 
-      // Termination: no newly-discovered node made the beam. (A node
-      // that missed the beam can never seed an expansion, so an empty
-      // next-frontier here IS the round-4 loop's empty-expansion round —
-      // tested one round earlier, on materialized data, for free.)
-      val fNext = ranked.filter(col("is_new") && col("r") <= ef).select("qid", "id")
-      if (fNext.isEmpty) done = true
-      else {
-        // every scored candidate is visited, beam or not — never
-        // re-score a miss
-        visited = visited.union(ranked.filter(col("is_new")).select("qid", "id"))
-        frontier = fNext
+        // Termination: no newly-discovered node made the beam. (A node
+        // that missed the beam can never seed an expansion, so an empty
+        // next-frontier here IS the round-4 loop's empty-expansion round —
+        // tested one round earlier, on materialized data, for free.)
+        val fNext = ranked.filter(col("is_new") && col("r") <= beamEf).select("qid", "id")
+        if (fNext.isEmpty) done = true
+        else {
+          // every scored candidate is visited, beam or not — never
+          // re-score a miss
+          visited = visited.union(ranked.filter(col("is_new")).select("qid", "id"))
+          frontier = fNext
+        }
+        rounds += 1
+        if (debug) System.err.println(
+          f"frontier round $rounds: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
-      rounds += 1
-      if (debug) System.err.println(
-        f"frontier round $rounds: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    } finally {
+      layer0.unpersist(blocking = false)
+      if (vecsCachedHere) vecs.unpersist(blocking = false)
     }
-    layer0.unpersist(blocking = false)
-    if (vecsCachedHere) vecs.unpersist(blocking = false)
 
     // the final ranked frame's r IS the beam rank: when the loop ended
     // via termination no is_new row sits at r <= ef, and when it ended
@@ -185,8 +198,9 @@ object HnswFrontier {
       .mapPartitions { it =>
         val (snap, vecs) = upperB.value
         val searcher = new HnswSearcher(HnswParams.standard(1, 1, 16))
+        // one store per partition, -1 query slot re-staged per row
+        val store = new ArrayVectorStore(metric, base = vecs)
         it.flatMap { case (qid, qvec) =>
-          val store = new ArrayVectorStore(metric, base = vecs)
           store.prepareQueryWithId(-1L, qvec)
           val (w, nLayers) = searcher.searchInit(store, snap, -1L)
           var lc = nLayers - 1

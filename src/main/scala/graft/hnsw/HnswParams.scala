@@ -24,6 +24,15 @@ final case class HnswParams(
     efSearch: Array[Int],
     layerProbability: Double
 ) extends Serializable {
+  // the clamp below indexes arr(min(lc, NParamLayers-1)) — a shorter
+  // array crashes mid-build on the first deep-layer access, a longer one
+  // silently ignores its tail; fail at construction instead
+  require(
+    Seq(m, mMax, efConstrSearch, efConstrInsert, efSearch)
+      .forall(_.length == HnswParams.NParamLayers),
+    s"every param array must have exactly ${HnswParams.NParamLayers} entries " +
+      s"(got m=${m.length}, mMax=${mMax.length}, efConstrSearch=${efConstrSearch.length}, " +
+      s"efConstrInsert=${efConstrInsert.length}, efSearch=${efSearch.length})")
   import HnswParams.clamp
 
   def getM(lc: Int): Int = clamp(m, lc)

@@ -186,7 +186,12 @@ object StreamingIngest {
   def ingestStreamBatch(store: graft.store.ParquetGraphStore, batch: DataFrame,
                         cfg: BuildConfig, maxRounds: Int = 30): Unit = {
     val sess = store.spark
-    val rows = batch.select(col("id"), col("vec"))
+    // dropDuplicates BEFORE the durable write: an at-least-once source
+    // can repeat an id within one batch; without the dedup the repeat
+    // lands in the vectors dir (breaking its id-uniqueness contract)
+    // and inserts twice. Redelivered rows are identical by the source
+    // contract, so which copy survives is immaterial.
+    val rows = batch.select(col("id"), col("vec")).dropDuplicates("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (!rows.isEmpty) {
