@@ -30,6 +30,11 @@ object PqKernels {
     * packed little-end first (sub 0 in the lowest nibble). */
   def encode(v: ArrayData, codebook: Array[Array[Array[Float]]]): Long = {
     val dim = v.numElements()
+    val td = trainedDim(codebook)
+    if (dim != td)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim $dim vs codebook dim $td" +
+          " — misaligned subspaces would produce garbage codes")
     val sd = subDim(dim)
     var code = 0L
     var s = 0
@@ -55,10 +60,23 @@ object PqKernels {
     code
   }
 
+  /** Total input dimension the codebook was trained for: the sum of the
+    * per-subspace centroid widths (the last subspace may be narrower). */
+  def trainedDim(codebook: Array[Array[Array[Float]]]): Int =
+    codebook.iterator.map(s => if (s.isEmpty) 0 else s(0).length).sum
+
   /** ADC: squared-L2 distance between a full-precision query and a
     * quantized code. */
   def adc(q: ArrayData, code: Long, codebook: Array[Array[Array[Float]]]): Double = {
     val dim = q.numElements()
+    // the subspace width derives from the INPUT dim: on a query/codebook
+    // mismatch every subspace would silently compare misaligned slices
+    // (the sq8_adc guard, ported)
+    val td = trainedDim(codebook)
+    if (dim != td)
+      throw new IllegalArgumentException(
+        s"pq_adc: query dim $dim vs codebook dim $td" +
+          " — a misaligned distance would rank candidates silently wrong")
     val sd = subDim(dim)
     var acc = 0.0
     var s = 0

@@ -72,6 +72,10 @@ object BloomJoin {
            factKey: String, dimKey: String,
            expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = buildBloom(dim.select(col(dimKey)), dimKey, expectedKeys, fpp)
-    prune(fact, factKey, bloom).join(dim, col(factKey) === col(dimKey))
+    // keys qualified per side: unqualified col(...) throws an
+    // ambiguous-reference AnalysisException whenever both sides share
+    // the key column name (factKey == dimKey, the commonest shape)
+    val pruned = prune(fact, factKey, bloom)
+    pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 }

@@ -77,16 +77,22 @@ object Dedup {
     */
   def lshCandidatePairs(vectors: DataFrame, idCol: String, vecCol: String,
                         nBits: Int = 512, bands: Int = 64, rowsPerBand: Int = 8,
-                        dim: Int = 64, seed: Long = 7L): DataFrame =
-    lshCandidateStream(vectors, idCol, vecCol, nBits, bands, rowsPerBand, dim, seed)
-      .distinct()
+                        dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val (stream, banded) =
+      lshCandidateStream(vectors, idCol, vecCol, nBits, bands, rowsPerBand, dim, seed)
+    // eager: pay the distinct now so the banded cache can release
+    try stream.distinct().localCheckpoint()
+    finally banded.unpersist(blocking = false)
+  }
 
   /** Banded-LSH candidate pairs WITH band multiplicity (a pair appears
-    * once per colliding band) — the pre-`distinct` stream. Exposed so
-    * verify-first consumers can filter before paying the dedup shuffle. */
+    * once per colliding band) — the pre-`distinct` stream, plus the
+    * cached banded frame backing it. Callers MUST unpersist the returned
+    * `banded` handle once the stream is consumed (the eager consumers
+    * above do, in a finally) — it holds O(n x bands) cached rows. */
   private def lshCandidateStream(vectors: DataFrame, idCol: String, vecCol: String,
                                  nBits: Int, bands: Int, rowsPerBand: Int,
-                                 dim: Int, seed: Long): DataFrame = {
+                                 dim: Int, seed: Long): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= nBits, "bands*rowsPerBand must fit in nBits")
     val sig = simhashSig(nBits, dim, seed)
     // repartition: small parquet inputs arrive as one split; the
@@ -111,11 +117,12 @@ object Dedup {
       .select(col("__id"), posexplode(array((0 until bands).map(j => col(s"b$j")): _*))
         .as(Seq("band_idx", "band_val")))
       .cache()
-    banded.as("x").join(banded.as("y"),
+    val stream = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+    (stream, banded)
   }
 
   /** Near-duplicate pairs via banded SimHash-LSH + exact cosine verify:
@@ -133,14 +140,25 @@ object Dedup {
     * full candidate stream. */
   def neardupLsh(vectors: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, nBits: Int = 512, bands: Int = 64,
-                 rowsPerBand: Int = 8, seed: Long = 7L): DataFrame = {
-    val cand = lshCandidateStream(vectors, idCol, vecCol, nBits, bands, rowsPerBand, 64, seed)
-    val a = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    cand.join(a, "a_id").join(b, "b_id")
-      .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
-      .select(col("a_id"), col("b_id"))
-      .distinct()
+                 rowsPerBand: Int = 8, seed: Long = 7L, dim: Int = 64): DataFrame = {
+    // `dim` must cover the embedding width: simhashSig projects only the
+    // first `dim` components, so a too-small value silently drops the
+    // tail dimensions from every signature and the documented banding
+    // recall bound no longer holds
+    val (cand, banded) =
+      lshCandidateStream(vectors, idCol, vecCol, nBits, bands, rowsPerBand, dim, seed)
+    try {
+      val a = vectors.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+      val b = vectors.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+      // localCheckpoint (eager): the verified pair set is tiny; pinning
+      // IT lets the O(n x bands) banded cache release before returning
+      // instead of leaking until session end
+      cand.join(a, "a_id").join(b, "b_id")
+        .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+        .localCheckpoint()
+    } finally banded.unpersist(blocking = false)
   }
 
   /** Near-duplicate pairs via the HNSW index — the reference-native scale

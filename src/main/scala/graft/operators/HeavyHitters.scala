@@ -35,7 +35,6 @@ object HeavyHitters {
     * matching the t_* query family and the DuckDB `string_split` oracle). */
   def candidateTokens(docs: DataFrame, textCol: String, capacity: Int): DataFrame = {
     require(capacity > 0, s"sketch capacity must be positive, got $capacity")
-    val sess = docs.sparkSession
     val texts = docs.filter(col(textCol).isNotNull)
       .select(col(textCol)).as[String](Encoders.STRING)
     val cands = texts.mapPartitions { it =>

@@ -35,7 +35,15 @@ object Ivf {
   def train(vectors: DataFrame, nCells: Int, metric: String = "cosine",
             seed: Long = 11L, iters: Int = 10, maxSample: Int = 100000): IvfModel = {
     val dist = Metrics.byName(metric)
-    val sample = vectors.select(col("id"), col("vec")).as(rowEnc)
+    // same training contract as KMeans.finiteVecs: a null vec NPEs the
+    // driver loop and a single NaN component makes its cell's running
+    // sum NaN after one Lloyd pass — the centroid then repels every
+    // assignment forever (NaN distances never win), silently killing
+    // one IVF cell and the recall it carried
+    val sample = vectors
+      .filter(col("vec").isNotNull &&
+        forall(col("vec"), x => !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
+      .select(col("id"), col("vec")).as(rowEnc)
       .limit(maxSample).collect().map(_._2)
     require(sample.nonEmpty, "empty training set")
     val dim = sample.head.length

@@ -66,13 +66,16 @@ object KMeans {
   /** `(d, cid)` argmin over the centroid set for one vector column —
     * strict `<` keeps the EARLIEST (smallest cid) among equal distances. */
   private def bestCluster(vecCol: Column, centroids: Array[Array[Float]]): Column = {
-    // nanvl: a NaN component makes EVERY distance NaN, and NaN < x is
-    // never true — without the remap the seed (cid = -1) would survive
-    // and train would index centroids(-1). Mapped to MaxValue, a NaN
-    // vector deterministically lands in cluster 0 (all ties, earliest
-    // wins), which is at least a valid cluster id.
+    // nanvl + least: a NaN component makes EVERY distance NaN (and
+    // NaN < x is never true), an Inf component makes every distance
+    // +Infinity (and Inf < Inf is never true) — either way the strict-
+    // less fold would keep the seed and emit cid = -1, which train
+    // would index. Remapped to MaxValue, such a vector deterministically
+    // lands in cluster 0 (all ties, earliest wins) — a valid cluster id.
     val dists = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(nanvl(l2Sq(vecCol, typedLit(c)), lit(Double.MaxValue)).as("d"),
+      struct(
+        least(nanvl(l2Sq(vecCol, typedLit(c)), lit(Double.MaxValue)),
+          lit(Double.MaxValue)).as("d"),
         lit(i).as("cid"))
     }: _*)
     aggregate(dists,

@@ -92,8 +92,11 @@ object Multimodal {
       .withColumn("n_frames",
         nFramesCol(octet_length(col(payloadCol)), frameBytes, maxFrames))
       .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      // Column.substr, not string-interpolated expr(): a dotted or
+      // reserved payload column name would parse as field navigation /
+      // fail to parse (the AsofJoin dotted-name lesson)
       .withColumn("frame",
-        expr(s"substring($payloadCol, frame_idx * $frameBytes + 1, $frameBytes)"))
+        col(payloadCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .select(col(idCol), col("frame_idx"), col("frame"), octet_length(col("frame")).as("frame_bytes"))
 
   /** Oracle-able metadata query: payload byte length, content hash, frame

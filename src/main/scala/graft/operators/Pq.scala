@@ -31,7 +31,13 @@ object Pq {
   /** Per-subspace k-means over a sample of (id, vec) rows. */
   def train(vectors: DataFrame, seed: Long = 13L, iters: Int = 10,
             maxSample: Int = 100000): PqModel = {
-    val sample = vectors.select(col("vec"))
+    // training contract shared with KMeans/Ivf: null vecs NPE the
+    // driver loop and a NaN component poisons its subspace's centroid 0
+    // permanently (NaN running sums; NaN distances never selected)
+    val sample = vectors
+      .filter(col("vec").isNotNull &&
+        forall(col("vec"), x => !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
+      .select(col("vec"))
       .limit(maxSample).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty training set")
     val dim = sample.head.length

@@ -22,10 +22,15 @@ object Sq8 {
   /** Per-dimension affine dequantization params: x ~ mins(i) + code * scales(i). */
   final case class Sq8Model(mins: Array[Float], scales: Array[Float]) extends Serializable
 
-  /** Per-dimension corpus min/max -> byte range mapping. */
+  /** Per-dimension corpus min/max -> byte range mapping. Non-finite
+    * components are excluded from the range: Spark's max orders NaN
+    * above every float, so one NaN would make that dimension's scale
+    * NaN — and a NaN scale turns EVERY ADC distance NaN, silently
+    * ranking all candidates by the aggregator's tie-break. */
   def train(vectors: DataFrame, vecCol: String = "vec"): Sq8Model = {
     val rows = vectors.filter(col(vecCol).isNotNull)
       .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .filter(!isnan(col("x")) && abs(col("x")) < lit(Float.PositiveInfinity))
       .groupBy(col("dim"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("dim"))

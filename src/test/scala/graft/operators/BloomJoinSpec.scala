@@ -39,6 +39,15 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept.exists(r => r.getLong(0) == 1L), "true member must pass")
   }
 
+  test("join works when both sides share the key column name") {
+    // unqualified col(key) threw AMBIGUOUS_REFERENCE for the commonest
+    // equi-join shape (same key name on both sides)
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val fact = (1L to 10L).toDF("k")
+    val joined = BloomJoin.join(fact, dim, "k", "k", expectedKeys = 3)
+    assert(joined.count() === 3)
+  }
+
   test("empty dimension yields an empty join, not a crash") {
     val keys = Seq.empty[Long].toDF("k")
     val fact = (1L to 10L).toDF("fk")

@@ -16,6 +16,20 @@ class IvfSpec extends SparkSpec {
 
   private lazy val model = Ivf.train(vectors, nCells = 16, seed = 11L)
 
+  test("null / non-finite vectors cannot poison training") {
+    import spark.implicits._
+    // a null vec NPE'd the driver loop; a NaN component made one cell's
+    // running sum NaN — that centroid then repelled every assignment
+    // forever (silently dead cell, degraded recall)
+    val poisoned = vectors.unionByName(
+      Seq((9001L, null.asInstanceOf[Array[Float]]),
+        (9002L, Array.fill(64)(Float.NaN))).toDF("id", "vec"))
+    val m = Ivf.train(poisoned, nCells = 16, seed = 11L)
+    assert(m.centroids.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+    assert(m.centroids.zip(model.centroids).forall { case (a, b) => a.toSeq == b.toSeq },
+      "poisoned rows must not move any centroid")
+  }
+
   test("exhaustive probing (nProbe = nCells) equals exact kNN") {
     val ivf = Ivf.search(queries, vectors, model, k = 10, nProbe = 16)
       .select("qid", "id", "rank").collect()

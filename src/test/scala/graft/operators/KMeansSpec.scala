@@ -101,6 +101,20 @@ class KMeansSpec extends SparkSpec {
       Set(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
   }
 
+  test("an Inf vector lands in a VALID cluster (0), never cid -1") {
+    // Inf < Inf is as false as NaN < x: without the least() clamp the
+    // strict-less fold kept the cid = -1 seed for all-Infinity distances
+    val df = Seq((1L, Array(Float.PositiveInfinity, 1.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val got = KMeans.assign(df, cents).select("id", "cid").as[(Long, Int)]
+      .collect().toMap
+    assert(got(1L) == 0, s"Inf vector must tie into cluster 0, got ${got(1L)}")
+    assert(got(2L) == 0)
+    val model = KMeans.train(df, k = 2, iters = 2)
+    assert(model.inertiaU.forall(_ >= 0L))
+  }
+
   test("assign breaks distance ties to the smallest cluster id") {
     val df = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "vec")
     // two identical centroids: both at distance 0 from the vector

@@ -16,6 +16,21 @@ class PqSpec extends SparkSpec {
 
   private lazy val model = Pq.train(vectors, seed = 13L)
 
+  test("null / NaN rows cannot poison training; dim mismatch fails loudly") {
+    import spark.implicits._
+    val poisoned = vectors.unionByName(
+      Seq((9001L, null.asInstanceOf[Array[Float]]),
+        (9002L, Array.fill(64)(Float.NaN))).toDF("id", "vec"))
+    val m = Pq.train(poisoned, seed = 13L)
+    assert(m.codebook.forall(_.forall(_.forall(v => !v.isNaN && !v.isInfinite))))
+    // query/codebook dim mismatch must throw (misaligned subspaces would
+    // rank candidates silently wrong — the sq8_adc guard, ported)
+    val short = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(Array.fill(32)(0.0f))
+    intercept[IllegalArgumentException](PqKernels.adc(short, 0L, m.codebook))
+    intercept[IllegalArgumentException](PqKernels.encode(short, m.codebook))
+  }
+
   test("training and encoding are deterministic; codes pack 16 nibbles") {
     val again = Pq.train(vectors, seed = 13L)
     assert(model.codebook.map(_.map(_.toList).toList).toList ==

@@ -17,6 +17,20 @@ class Sq8Spec extends SparkSpec {
 
   private lazy val model = Sq8.train(vectors)
 
+  test("a NaN/Inf component cannot poison the trained scales") {
+    // Spark's max orders NaN above every float: without the non-finite
+    // filter one NaN made that dim's scale NaN, which made EVERY ADC
+    // distance NaN (candidates then ranked by tie-break only)
+    val poisoned = vectors.unionByName(
+      Seq((9001L, Array.fill(64)(Float.NaN)),
+        (9002L, Array.fill(64)(Float.PositiveInfinity))).toDF("id", "vec"))
+    val m = Sq8.train(poisoned)
+    assert(m.mins.forall(v => !v.isNaN && !v.isInfinite), "mins poisoned")
+    assert(m.scales.forall(v => !v.isNaN && !v.isInfinite), "scales poisoned")
+    assert(m.mins.toSeq == model.mins.toSeq && m.scales.toSeq == model.scales.toSeq,
+      "non-finite rows must not move the range at all")
+  }
+
   test("training is deterministic and partitioning-invariant (pure min/max)") {
     val again = Sq8.train(vectors.repartition(13))
     assert(model.mins.toSeq == again.mins.toSeq)
