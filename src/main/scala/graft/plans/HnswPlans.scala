@@ -81,12 +81,16 @@ case class HnswKnnExec(output: Seq[Attribute], model: HnswModel, k: Int,
       val proj = UnsafeProjection.create(
         Array[DataType](LongType, LongType, DoubleType, IntegerType))
       val row = new GenericInternalRow(4)
+      // one store per partition, -1 query slot re-staged per row (the
+      // searchBroadcast pattern); searchWithEf floors the layer-0 beam
+      // at k — plain search would silently truncate k > efSearch(0)
+      // results to the model's beam width
+      val store = new ArrayVectorStore(metric, base = m.vectors)
       it.flatMap { r =>
         val qid = r.getLong(qidOrd)
         val qvec = r.getArray(qvecOrd).toFloatArray()
-        val store = new ArrayVectorStore(metric, base = m.vectors)
         store.prepareQueryWithId(-1L, qvec)
-        val w = searcher.search(store, m.snapshot, -1L, kLocal)
+        val w = searcher.searchWithEf(store, m.snapshot, -1L, kLocal, kLocal)
         w.iterator.zipWithIndex.map { case (nb, i) =>
           row.update(0, qid); row.update(1, nb.dst)
           row.update(2, nb.dist); row.update(3, i + 1)
@@ -178,6 +182,11 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         (paths, nFilters) <- relationPathsAndFilters(sort.child)
         if nFilters == 0 || overfetch > 0 // exact by default: skip filtered plans
         entry <- HnswCatalog.lookup(paths)
+        // the matched idiom is COSINE similarity: a registered model
+        // built under another metric would produce its own metric's
+        // nearest set — silently wrong rows for unnormalized vectors —
+        // so such plans are left to the full scan
+        if entry.model.metricName == "cosine"
         if attr.name == entry.vecCol && !alreadyFiltered(sort.child, entry.idCol)
         idAttr <- sort.child.output.find(_.name == entry.idCol)
       } yield {
@@ -211,20 +220,13 @@ case class HnswTopKRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def driverSearch(model: HnswModel, qvec: Array[Float], k: Int): Array[Long] = {
     val metric = Metrics.byName(model.metricName)
-    // the layer-0 beam must be able to HOLD k candidates: widen efSearch
-    // to k when an over-fetch asks for more than the model's search beam
-    // (otherwise F*k candidates silently truncate to efSearch)
-    val p = model.params
-    val params =
-      if (p.getEfSearch(0) >= k) p
-      else p.copy(efSearch = p.efSearch.zipWithIndex.map {
-        case (ef, 0) => math.max(ef, k)
-        case (ef, _) => ef
-      })
-    val searcher = new HnswSearcher(params)
+    val searcher = new HnswSearcher(model.params)
     val store = new ArrayVectorStore(metric, base = model.vectors)
     store.prepareQueryWithId(-1L, qvec)
-    searcher.search(store, model.snapshot, -1L, k).toArray.map(_.dst)
+    // searchWithEf floors the layer-0 beam at k — an over-fetch of F*k
+    // candidates would otherwise silently truncate to the model's
+    // configured efSearch
+    searcher.searchWithEf(store, model.snapshot, -1L, k, k).toArray.map(_.dst)
   }
 }
 

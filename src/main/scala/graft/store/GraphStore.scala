@@ -100,6 +100,13 @@ final class InMemoryGraph extends GraphStore {
     layers(lc)(base) = links
   }
 
+  /** Grow the layer stack to `n` layers without moving the entry point —
+    * for restoring persisted state whose links run AHEAD of its entry
+    * (a mirror crash between the links write and the entry write leaves
+    * exactly that; setLinks would otherwise refuse the restore forever). */
+  def ensureLayers(n: Int): Unit =
+    while (layers.size < n) layers += mutable.LongMap.empty
+
   override def numLayers: Int = layers.size
 
   /** G7: export the adjacency of one layer. */

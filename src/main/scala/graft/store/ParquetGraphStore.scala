@@ -216,15 +216,28 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
     math.max(stored, buffered)
   }
 
-  /** Merge buffered point-writes into the parquet tables. */
+  private def pendingAsDF(): DataFrame = {
+    import spark.implicits._
+    pending.toSeq.map { case ((src, lc), q) =>
+      (src, lc, q.toArray.map(n => (n.dst, n.dist)).toSeq)
+    }.toDF("src", "layer", "raw")
+      .select(col("src"), col("layer"),
+        expr("transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+  }
+
+  private def flushPendingEntry(): Unit = pendingEntry.foreach { ep =>
+    import spark.implicits._
+    writeVersioned("entry",
+      Seq((ep.point, ep.layer)).toDF("point", "layer").coalesce(1))
+    pendingEntry = None
+  }
+
+  /** Merge buffered point-writes into the parquet tables as a new FULL
+    * version — O(graph) write volume; prefer [[flushDelta]] for
+    * repeated small flushes. */
   def flush(): Unit = {
     if (pending.nonEmpty) {
-      import spark.implicits._
-      val updates = pending.toSeq.map { case ((src, lc), q) =>
-        (src, lc, q.toArray.map(n => (n.dst, n.dist)).toSeq)
-      }.toDF("src", "layer", "raw")
-        .select(col("src"), col("layer"),
-          expr("transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+      val updates = pendingAsDF()
       val merged = linksDF match {
         case Some(existing) =>
           existing.join(updates.select("src", "layer"), Seq("src", "layer"), "left_anti")
@@ -234,12 +247,31 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
       writeVersioned("links", merged)
       pending.clear()
     }
-    pendingEntry.foreach { ep =>
-      import spark.implicits._
-      writeVersioned("entry",
-        Seq((ep.point, ep.layer)).toDF("point", "layer").coalesce(1))
-      pendingEntry = None
+    flushPendingEntry()
+  }
+
+  /** Merge buffered point-writes as a DELTA version — O(pending) write
+    * volume per call where [[flush]] rewrites the whole table; identical
+    * read-side semantics (latest-wins per (src, layer) over the stack,
+    * exactly the overwrite contract of the buffered setLinks). The
+    * streaming mirror calls this per micro-batch, so N batches cost
+    * O(rows touched) total instead of O(N x graph); compaction folds the
+    * stack after [[ParquetGraphStore.CompactionDeltas]] deltas, same as
+    * [[mergeBatch]]. */
+  def flushDelta(): Unit = {
+    if (pending.nonEmpty) {
+      val updates = pendingAsDF()
+      // a fresh store takes its first flush as the base full version
+      if (currentVersion("links").isEmpty) writeVersioned("links", updates)
+      else {
+        writeDelta(updates)
+        val deltas = liveStack("links").count(_._2)
+        if (deltas >= ParquetGraphStore.CompactionDeltas)
+          writeVersioned("links", linksTable)
+      }
+      pending.clear()
     }
+    flushPendingEntry()
   }
 
   /** The persisted links table as a DataFrame (empty-but-typed when the

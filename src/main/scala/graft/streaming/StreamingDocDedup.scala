@@ -73,7 +73,13 @@ object StreamingDocDedup {
     * keep calling with the same path. */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    statePath: String): BatchResult = {
+    // null ids cannot participate (the driver-side getLong would NPE on
+    // every redelivery — a permanent crash loop); identical-id repeats
+    // within one at-least-once batch would duplicate every signature
+    // row in the state and double-count in the greedy pass
     val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      .filter(col("doc_id").isNotNull)
+      .dropDuplicates("doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (docs.isEmpty) return BatchResult(0, 0)

@@ -41,6 +41,11 @@ object StreamingIngest {
     private val inner = new InMemoryGraph
     private val graph = new graft.store.RecordingGraphStore(inner)
     private val vecs = scala.collection.mutable.Map.empty[Long, Array[Float]]
+    // ids whose INSERTION completed (graph membership) — distinct from
+    // `vecs`, which after a restore may also hold orphan vectors whose
+    // graph rows never made it to the mirror before a crash; those must
+    // re-insert on redelivery, fully-inserted ids must not
+    private val insertedIds = scala.collection.mutable.Set.empty[Long]
 
     /** Mirror the batch delta: the batch's new vectors first (an orphan
       * vector is harmless on restore; a graph row referencing a missing
@@ -56,18 +61,27 @@ object StreamingIngest {
       }
       if (graph.entryPointTouched)
         inner.getEntryPoint.foreach(ep => pg.setEntryPoint(ep.point, ep.layer))
-      pg.flush()
+      // delta flush: O(rows touched this batch), not a full-table
+      // rewrite per batch — the write volume the class doc promises
+      pg.flushDelta()
       graph.clearRecording()
     }
 
     def insertRows(rows: Array[(Long, Array[Float])]): Unit = synchronized {
       // Deterministic order within the batch (reference inserts are
       // strictly sequential; a micro-batch is our sequential unit).
-      val sorted = rows.sortBy(_._1)
+      // distinctBy + the insertedIds guard make redelivery idempotent:
+      // an at-least-once source repeating an id — within one batch or
+      // across redelivered batches — must not insert twice (the second
+      // insert would find the first at distance 0 and connect_bidir a
+      // self-loop that permanently wastes a degree slot).
+      val sorted = rows.sortBy(_._1).distinctBy(_._1)
+        .filterNot(r => insertedIds(r._1))
       sorted.foreach { case (id, v) =>
         val q = store.prepareQueryWithId(id, v)
         vecs(id) = v
         searcher.insert(store, graph, q, searcher.selectLayerByHash(id, cfg.seed))
+        insertedIds += id
       }
       mirrorDelta(sorted.toSeq)
     }
@@ -77,7 +91,12 @@ object StreamingIngest {
     def insertIfNoMatch(rows: Array[(Long, Array[Float])]): (Int, Int) = synchronized {
       var ins = 0; var skip = 0
       val inserted = Seq.newBuilder[(Long, Array[Float])]
-      rows.sortBy(_._1).foreach { case (id, v) =>
+      // redelivered ids are inherently idempotent here: the first copy's
+      // vector matches itself at distance 0, so the second is skipped by
+      // the isMatch test — only the explicit guard for ids restored from
+      // the mirror is needed
+      rows.sortBy(_._1).distinctBy(_._1)
+        .filterNot(r => insertedIds(r._1)).foreach { case (id, v) =>
         val q = store.prepareQueryWithId(id, v)
         val lay = searcher.selectLayerByHash(id, cfg.seed)
         val (neighbors, setEp) = searcher.searchToInsert(store, graph, q, lay)
@@ -87,6 +106,7 @@ object StreamingIngest {
           searcher.insertFromSearchResults(store, graph, q, neighbors, setEp)
           vecs(id) = v
           inserted += ((id, v))
+          insertedIds += id
           ins += 1
         }
       }
@@ -113,12 +133,25 @@ object StreamingIngest {
         vecs(id) = v
       }
       snap.entryPoint.foreach(ep => inner.setEntryPoint(ep.point, ep.layer))
+      // the links may run AHEAD of the entry point (mirror crash between
+      // the links write and the entry write): grow the layer stack to
+      // the snapshot's height or the restore would refuse that state on
+      // every restart — exactly the scenario this module exists to
+      // recover from
+      inner.ensureLayers(snap.layers.length)
       snap.layers.zipWithIndex.foreach { case (m, lc) =>
         m.foreach { case (src, (dsts, dists)) =>
           inner.setLinks(src, graft.hnsw.FurthestQueue.fromAscending(
             Array.tabulate(dsts.length)(i =>
               graft.hnsw.Neighbor(dsts(i), dists(i))).toSeq), lc)
         }
+      }
+      // only ids the GRAPH knows count as inserted; a vector row with no
+      // graph presence is an orphan from a crash mid-mirror and must
+      // re-insert when its batch is redelivered
+      rows.foreach { case (id, _) =>
+        if (snap.entryPoint.exists(_.point == id) || snap.layers.exists(_.contains(id)))
+          insertedIds += id
       }
     }
   }

@@ -45,6 +45,17 @@ class HnswPlansSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("the physical operator honors k beyond the model's efSearch") {
+    installed()
+    // model efSearch(0) = 128; ask for more than the configured beam —
+    // plain search silently truncated the result to 128 rows per query
+    val k = 150
+    val got = HnswSql.knn(queries.limit(3), model, k)
+      .groupBy("qid").count().collect().map(_.getLong(1))
+    assert(got.nonEmpty && got.forall(_ == k.toLong),
+      s"expected $k rows per query, got ${got.toSeq}")
+  }
+
   test("ORDER BY cosine DESC LIMIT k rewrites to an index candidate filter") {
     installed()
     HnswCatalog.register(s"$sfDir/embeddings.parquet", model,

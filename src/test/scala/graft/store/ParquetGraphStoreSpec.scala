@@ -140,6 +140,24 @@ class ParquetGraphStoreSpec extends SparkSpec {
       snap.layers(0).map { case (k, v) => (k, v._1.toList, v._2.toList) })
   }
 
+  test("flushDelta: point-write overwrite semantics at O(pending) write volume") {
+    val (store, dir) = freshStore()
+    store.setEntryPoint(0L, 0)
+    store.setLinks(0L, FurthestQueue.fromAscending(Seq(Neighbor(1L, 0.5))), 0)
+    store.flushDelta() // fresh store: lands as the base full version
+    store.setLinks(0L, FurthestQueue.fromAscending(Seq(Neighbor(2L, 0.25))), 0)
+    store.setLinks(3L, FurthestQueue.fromAscending(Seq(Neighbor(0L, 0.125))), 0)
+    store.flushDelta() // one DELTA of exactly the two touched rows
+    // latest wins: vertex 0's queue is the rewrite, vertex 3 appended
+    assert(store.getLinks(0L, 0).toArray.toSeq == Seq(Neighbor(2L, 0.25)))
+    assert(store.getLinks(3L, 0).toArray.toSeq == Seq(Neighbor(0L, 0.125)))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+    assert(dirs.count(_.startsWith("links_d")) == 1, dirs.mkString(","))
+    // a reopened store resolves identically (durable, not buffer-only)
+    val reread = new ParquetGraphStore(spark, dir)
+    assert(reread.getLinks(0L, 0).toArray.toSeq == Seq(Neighbor(2L, 0.25)))
+  }
+
   test("crash safety: the entry point is versioned like the links table") {
     val (store, dir) = freshStore()
     store.setEntryPoint(5L, 1)

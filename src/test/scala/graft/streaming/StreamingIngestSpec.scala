@@ -22,6 +22,43 @@ class StreamingIngestSpec extends SparkSpec {
     (0 until n).map(i => ((offset + i, Array.fill(8)(rng.nextGaussian().toFloat))))
   }
 
+
+  test("redelivered / duplicated rows insert once (no self-loops, idempotent mirror)") {
+    val index = new IncrementalIndex(cfg)
+    val batch = vecsOf(30).toArray
+    index.insertRows(batch ++ batch.take(10)) // id repeated WITHIN the batch
+    assert(index.size == 30)
+    index.insertRows(batch)                   // whole batch redelivered
+    assert(index.size == 30)
+    val snap = index.model.snapshot
+    // a double insert finds the first copy at distance 0 and links the
+    // vertex to itself — assert no self-loop survived anywhere
+    snap.layers.foreach(_.foreach { case (src, (dsts, _)) =>
+      assert(!dsts.contains(src), s"self-loop at $src")
+    })
+  }
+
+  test("restore tolerates links written ahead of the entry point (mirror crash window)") {
+    // simulate the crash: a mirror whose links table holds layer-2 rows
+    // while the entry write never landed
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashmirror_").toString
+    val pg = new graft.store.ParquetGraphStore(spark, dir)
+    pg.setLinks(1L, graft.hnsw.FurthestQueue.fromAscending(
+      Seq(graft.hnsw.Neighbor(2L, 0.5))), 2)
+    pg.flushDelta() // links land; no entry point ever written
+    import spark.implicits._
+    Seq((1L, Array.fill(8)(0.1f)), (2L, Array.fill(8)(0.2f)))
+      .toDF("id", "vec").write.mode("overwrite").parquet(s"$dir/vectors")
+
+    // pre-fix this threw from InMemoryGraph.setLinks (layer 2 of 0) on
+    // EVERY restart — the restart-recovery module refusing to restart
+    val idx = StreamingIngest.restoreIndex(spark, cfg, dir)
+    assert(idx.size == 2)
+    // and the restored index keeps working: fresh inserts go through
+    idx.insertRows(vecsOf(5, offset = 100L).toArray)
+    assert(idx.size == 7)
+  }
+
   test("foreachBatch ingest grows the index; inserted vectors self-match") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
