@@ -41,23 +41,28 @@ object DedupQueries {
     * only for candidate docs — the 100 TB shape, where verify cost is
     * proportional to candidates, not corpus size. Output columns:
     * (a_id, b_id, a_sh, b_sh). */
-  private val candCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val candDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Memoized: d_neardup_minhash, d_jaccard_pairs and p_curate all verify
     * from the same candidate stage — one catalog run pays the shingle
-    * hashing once (the modelCache pattern). Eagerly materialized so the
-    * intermediate banded/cand caches can be dropped immediately. */
-  private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame =
-    candCache.computeIfAbsent(s"${s.sparkContext.applicationId}|$dir", { _ =>
+    * hashing once. The memo holds a parquet PATH, never a live DataFrame
+    * (the dupComponents pattern — a session-bound frame pinned in a
+    * static map outlives its app and leaks cached blocks); deterministic
+    * in `dir`, so the path is reusable across sessions in one JVM. */
+  private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    val path = candDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("minhash_candidates") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_minhashcand_").toString
         val (result, intermediates) = computeCandidatePairs(s, dir)
-        val out = result.cache()
-        out.count()
+        result.write.mode("overwrite").parquet(out)
         intermediates.foreach(_.unpersist())
         out
       }
     })
+    s.read.parquet(path)
+  }
 
   private def computeCandidatePairs(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val d = docs(s, dir)
@@ -76,13 +81,17 @@ object DedupQueries {
       .distinct()
       .cache()
     val candIds = cand.select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+    // cached: the shingle projection feeds BOTH sides of the pair join
+    // on different keys, so exchange reuse can't deduplicate it — without
+    // the cache the documents scan + charShingles kernel runs twice
     val shCand = d.join(broadcast(candIds), "doc_id")
       .select(col("doc_id"),
         graft.functions.TextFunctions.charShingles(col("text"), 8).as("sh"))
+      .cache()
     val joined = cand
       .join(shCand.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shCand.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-    (joined, Seq(banded, cand))
+    (joined, Seq(banded, cand, shCand))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,7 +101,12 @@ object DedupQueries {
     "v_dedup_insert" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       val empty = e.limit(0)
+      // localCheckpoint: `once` is consumed three times (its own count,
+      // and as both the store and the dedup target inside `twice`) —
+      // uncached, the window + anti-join pipeline would re-execute per
+      // consumer
       val once = Dedup.insertIfAbsent(empty, e, key = "embedding", idCol = "vec_id")
+        .localCheckpoint()
       val twice = Dedup.insertIfAbsent(once, e, key = "embedding", idCol = "vec_id")
       import s.implicits._
       Seq((e.count(), once.count(), twice.count()))
@@ -187,8 +201,13 @@ object DedupQueries {
     // bit-vote form, SimhashSqlForms.duckdb); the Spark side uses the native
     // one-pass kernel (graft.functions.SimHash64Md5).
     "d_simhash" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig64"))
+      // text IS NOT NULL pinned on BOTH sides: the native kernel is
+      // null-intolerant (NULL sig64) while the SQL bit-vote form's
+      // CASE WHEN NULL >= 0 collapses to the all-zeros string — a
+      // null-text row would hash-diverge (latent: this corpus has none)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(split(col("text"), " ")).as("sig64"))
         .orderBy(col("doc_id"))
     }),
 
@@ -303,7 +322,7 @@ object DedupQueries {
 
     "d_simhash" ->
       s"""SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig64
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "d_neardup_hamming" ->
       s"""WITH s AS (SELECT doc_id, ${SimhashSqlForms.duckdb} AS sig FROM documents),

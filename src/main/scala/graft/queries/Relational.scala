@@ -134,9 +134,15 @@ object Relational {
     // row; the anti join hashes on o_custkey.
     "q22_idle_customers" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg(avg(col("c_acctbal")).as("ab"))
-      val rich = cust.join(broadcast(avgBal)).filter(col("c_acctbal") > col("ab"))
+      // the above-average cut is cross-multiplied in integer cents
+      // (2-decimal balances are exact in cents): c > sum/n <=>
+      // cents(c) * n > sum_c. avg() over raw doubles is partial-sum-
+      // order dependent, and a strict cut exactly AT the mean could
+      // flip at the last ulp between engines — the Tables.scala rule.
+      val stats = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(cents(col("c_acctbal"))).as("sum_c"), count(lit(1)).as("n_pos"))
+      val rich = cust.join(broadcast(stats))
+        .filter(cents(col("c_acctbal")) * col("n_pos") > col("sum_c"))
       val ord = t(s, dir, "orders").select("o_custkey")
       rich.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
@@ -311,7 +317,10 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_cust,
         | CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT))
+        |         FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,

@@ -26,8 +26,12 @@ object Tables {
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark reads as a long
     * (spark.sql.legacy.parquet.nanosAsLong=true, set by all our session
-    * builders); this converts to a proper timestamp. The long->double hop
-    * can be off by <1us at 2024 epochs — only use the result for coarse
-    * bucketing (hour/day strings); exact comparisons use the raw nanos. */
-  def tsFromNanos(c: Column): Column = timestamp_micros((c / 1000).cast("long"))
+    * builders); this converts to a proper timestamp. EXACT integer
+    * division: the former `(c / 1000).cast("long")` went through a
+    * double, whose ulp at 2024-epoch nanos (~1.7e18) is 256 ns — an
+    * event within that window of an hour/day boundary could bucket
+    * differently from the oracle's exact truncation. decimal(25,0)/1000
+    * is exact to 6 fractional digits and the long cast truncates. */
+  def tsFromNanos(c: Column): Column =
+    timestamp_micros((c.cast("decimal(25,0)") / lit(1000)).cast("long"))
 }
