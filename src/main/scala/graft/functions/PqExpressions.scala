@@ -93,6 +93,92 @@ object PqKernels {
     }
     acc
   }
+
+  // ---- scalar twins over Array[Float] -------------------------------
+  // Executor-local kernels (the HNSW-over-PQ serving store in
+  // graft.hnsw.HnswPq) work on plain arrays, not ArrayData. Same math as
+  // the expression kernels above; the LUT split factors the per-query
+  // work out of the per-candidate hot loop: one table of
+  // NumSub x NumCentroids partial squared-L2s per query, then each
+  // candidate distance is 16 table lookups + adds (no per-dimension work
+  // per candidate — the standard ADC serving decomposition).
+
+  def encodeArray(v: Array[Float], codebook: Array[Array[Array[Float]]]): Long = {
+    val dim = v.length
+    val td = trainedDim(codebook)
+    if (dim != td)
+      throw new IllegalArgumentException(
+        s"pq encode: vector dim $dim vs codebook dim $td")
+    val sd = subDim(dim)
+    var code = 0L
+    var s = 0
+    while (s < NumSub) {
+      val cents = codebook(s)
+      val off = s * sd
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0; var i = 0
+        val n = math.min(cent.length, math.max(dim - off, 0))
+        while (i < n) {
+          val d = v(off + i).toDouble - cent(i).toDouble
+          acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      code |= (best.toLong << (4 * s))
+      s += 1
+    }
+    code
+  }
+
+  /** Per-query ADC lookup table: slot s*NumCentroids+c holds the squared
+    * L2 between the query's subspace-s slice and centroid c. Untrained
+    * centroid slots (a codebook trained on < NumCentroids samples) stay
+    * at PositiveInfinity — codes never reference them, and if a corrupt
+    * code did, the candidate would loudly sort last rather than win. */
+  def lutFor(q: Array[Float], codebook: Array[Array[Array[Float]]]): Array[Double] = {
+    val dim = q.length
+    val td = trainedDim(codebook)
+    if (dim != td)
+      throw new IllegalArgumentException(
+        s"pq lut: query dim $dim vs codebook dim $td" +
+          " — a misaligned distance would rank candidates silently wrong")
+    val sd = subDim(dim)
+    val lut = Array.fill(NumSub * NumCentroids)(Double.PositiveInfinity)
+    var s = 0
+    while (s < NumSub) {
+      val cents = codebook(s)
+      val off = s * sd
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = 0.0; var i = 0
+        val n = math.min(cent.length, math.max(dim - off, 0))
+        while (i < n) {
+          val d = q(off + i).toDouble - cent(i).toDouble
+          acc += d * d; i += 1
+        }
+        lut(s * NumCentroids + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** ADC distance from a precomputed query LUT to a packed code. */
+  def adcLut(lut: Array[Double], code: Long): Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < NumSub) {
+      acc += lut(s * NumCentroids + ((code >>> (4 * s)) & 15L).toInt)
+      s += 1
+    }
+    acc
+  }
 }
 
 /** `pq_encode(vec)` -> packed 64-bit code (16 x 4-bit nibbles) in a long. */

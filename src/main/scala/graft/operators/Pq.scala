@@ -141,9 +141,10 @@ object Pq {
       graft.functions.PqFunctions.pqEncode(col("vec"), pqModel.codebook).as("code"))
 
   /** Exact L2 re-rank of coarse candidates — shared by the PQ and SQ8
-    * compressed-scan paths. */
-  private[operators] def rerank(coarse: DataFrame, vectors: DataFrame,
-                                queries: DataFrame, k: Int): DataFrame = {
+    * compressed-scan paths and the HNSW-over-PQ traversal
+    * ([[graft.hnsw.HnswPq]]). */
+  private[graft] def rerank(coarse: DataFrame, vectors: DataFrame,
+                            queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
     import org.apache.spark.sql.expressions.Window
     coarse

@@ -37,6 +37,12 @@ object Hnsw {
     HnswParams.standard(efConstruction = 64, efSearch = 32, m = 16),
     metric = "cosine", seed = 42L)
 
+  /** l2 twin of [[exactishCfg]] for the PQ-compressed serving tier (ADC
+    * reconstructs squared L2, so the graph must be built in that metric). */
+  private def l2Cfg = BuildConfig(
+    HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+    metric = "l2", seed = 42L)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 end-to-end: build the layered graph, search the query subset.
     "h_knn_cosine" -> ((s, dir) => {
@@ -90,6 +96,34 @@ object Hnsw {
       HnswCodes.search(qs, model, 5)
         .select(col("qid"), col("id"), col("hamming"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // HNSW traversal in PQ-compressed space (graft.hnsw.HnswPq): the
+    // executor-side state is graph + 8-byte codes (no raw vectors), and
+    // the full-precision table is touched only by the exact re-rank join
+    // of the ef traversal candidates — the DiskANN-style beyond-memory
+    // serving tier. PQ is lossy (a true neighbor can rank beyond the
+    // ADC beam no matter how exact the graph), so unlike the h_knn_*
+    // family this op is measured, not asserted exact: self-carried
+    // recall vs the in-Spark exact L2 oracle (the h_recall_ann shape;
+    // ~98.5% at sf0.01 with ef=128). Rows-only check; HnswPqSpec
+    // asserts the recall floor and the no-raw-vectors broadcast claim.
+    "h_recall_pq" -> ((s, dir) => {
+      import graft.hnsw.HnswPq
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val model = HnswDistributed.buildCached(vecs, l2Cfg, dir)
+      val pq = HnswPq.fromModelCached(model, dir)
+      val approx = HnswPq.search(qs, pq, vecs, k = 10, ef = 128)
+      val exact = ExactKnn.search(qs, vecs, 10, "l2")
+      val exactIds = exact.select(col("qid"), col("id")).cache()
+      val hits = approx.select(col("qid"), col("id")).intersect(exactIds).count()
+      val expected = exactIds.count()
+      exactIds.unpersist(blocking = false)
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hits, hits * 10000L / expected))
+        .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
     // Frontier-join search: layer 0 stays a distributed links table
@@ -186,6 +220,8 @@ object Hnsw {
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
+    // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed
+    // traversal is lossy by design; the query self-carries its recall.
 
     "h_knn_hamming" ->
       s"""WITH c AS (
