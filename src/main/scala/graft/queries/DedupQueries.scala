@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.hnsw.HnswDistributed.BuildConfig
 import graft.hnsw.HnswParams
-import graft.operators.Dedup
+import graft.operators.{ChunkDedup, Dedup}
 
 /** Dedup operator queries: the LinearDb insert contract plus the LSH /
   * MinHash / SimHash / ANN near-duplicate family over `embeddings` and
@@ -249,7 +249,22 @@ object DedupQueries {
         .filter(col("a_id") =!= col("b_id"))
         .distinct()
         .orderBy(col("a_id"), col("b_id"))
-    })
+    }),
+
+    // Sub-document chunk dedup (graft.operators.ChunkDedup): 20-word
+    // window chunks, exact-string identity. Detection pass — which
+    // chunks recur across documents (boilerplate discovery).
+    "d_chunk_dups" -> ((s, dir) =>
+      ChunkDedup.dupChunks(docs(s, dir), w = 20)
+        .orderBy(col("chunk_hash"))),
+
+    // Keep-first chunk dedup per document: global (doc_id, chunk_no)
+    // occurrence order, first occurrence of each distinct chunk
+    // survives — the paragraph-level pass a training pipeline runs
+    // between doc-level dedup and quality filtering.
+    "d_chunk_dedup" -> ((s, dir) =>
+      ChunkDedup.dedupStats(docs(s, dir), w = 20)
+        .orderBy(col("doc_id")))
   )
 
   /** The sh/mh/banded/cand/pairs CTE chain shared by every oracle that
@@ -357,8 +372,42 @@ object DedupQueries {
          |SELECT (SELECT count(*) FROM documents) AS n_input,
          |  (SELECT count(*) FROM q) AS n_after_quality,
          |  (SELECT count(*) FROM q WHERE doc_id NOT IN (SELECT doc_id FROM dropped)) AS n_after_dedup""".stripMargin
-    }
+    },
+
+    // 20-word chunking expressed positionally: split -> unnest with
+    // subscripts -> per-(doc, floor(pos/20)) ordered string_agg — the
+    // same chunk strings the Spark transform/slice path produces.
+    "d_chunk_dups" ->
+      s"""WITH $chunkCte
+         |SELECT md5(chunk) AS chunk_hash,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occurrences,
+         |  min(doc_id) AS first_doc
+         |FROM chunks GROUP BY md5(chunk)
+         |HAVING count(DISTINCT doc_id) > 1
+         |ORDER BY chunk_hash""".stripMargin,
+
+    "d_chunk_dedup" ->
+      s"""WITH $chunkCte,
+         |r AS (SELECT doc_id, chunk_no, chunk,
+         |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+         |      FROM chunks)
+         |SELECT doc_id,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) AS BIGINT) AS chars_kept
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared 20-word chunking CTE: `chunks(doc_id, chunk_no, chunk)`.
+    * Lazy: referenced by `oracles` above it in declaration order. */
+  private lazy val chunkCte: String =
+    """w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |      generate_subscripts(string_split(text, ' '), 1) AS pos
+      |      FROM documents),
+      |chunks AS (SELECT doc_id, CAST((pos - 1) // 20 AS BIGINT) AS chunk_no,
+      |           string_agg(w, ' ' ORDER BY pos) AS chunk
+      |           FROM w GROUP BY doc_id, CAST((pos - 1) // 20 AS BIGINT))""".stripMargin
 }
 
 /** The 64-bit token SimHash, written twice in the two SQL dialects so the
