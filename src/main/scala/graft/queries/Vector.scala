@@ -187,6 +187,32 @@ object Vector {
         .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_u"))
         .withColumn("mean_u", col("sum_u").cast("double") / col("n"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Semantic dedup (SemDeDup, arXiv:2303.09540) in the oracle-checkable
+    // regime: cluster-bounded near-dup pairs against the DETERMINISTIC
+    // md5-pick seed centroids (0 Lloyd iterations — the same assignment
+    // the v_kmeans_assign oracle reproduces in SQL), exact-cosine
+    // verified. The pair space is one equi-join on cid instead of the
+    // all-pairs cross: ~n^2/k candidate pairs at balanced clusters.
+    "v_semdedup_pairs" -> ((s, dir) => {
+      import graft.operators.{KMeans, SemDedup}
+      val vecs = vectorsDf(s, dir)
+      val seeds = KMeans.initCentroids(vecs, k = 8)
+      SemDedup.pairs(vecs, seeds, threshold = 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // The production regime: Lloyd-trained clusters (k=16, 3 iterations),
+    // keep-lowest-id pruning via connected components, and a self-carried
+    // recall audit against the brute-force pair set. Rows-only (trained
+    // centroids aren't SQL-expressible); invariants — pairs subset of
+    // brute force, k=1 exact parity, survivor pruning — in SemDedupSpec.
+    "v_semdedup" -> ((s, dir) => {
+      import graft.operators.{KMeans, SemDedup}
+      val vecs = vectorsDf(s, dir)
+      val model = KMeans.train(vecs, k = 16, iters = 3)
+      SemDedup.report(vecs, model.centroids, threshold = 0.4)
     })
   )
 
@@ -255,6 +281,31 @@ object Vector {
         |r AS (SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
         |SELECT vec_id, cid FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // Seed assignment (the v_kmeans_assign CTE) composed with the
+    // within-cluster cosine pair join — full SemDeDup parity in SQL.
+    "v_semdedup_pairs" ->
+      """WITH c0 AS (SELECT vec_id, embedding,
+        |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+        |            WHERE embedding IS NOT NULL),
+        |c AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
+        |      CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM c0 ORDER BY h, vec_id LIMIT 8),
+        |p AS (SELECT e.vec_id, c.cid,
+        |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
+        |      FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+        |asg AS (SELECT vec_id, cid FROM (
+        |        SELECT vec_id, cid,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
+        |        WHERE rk = 1),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT aa.vec_id AS a_id, bb.vec_id AS b_id
+        |FROM asg aa JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+        |JOIN e a ON a.vec_id = aa.vec_id
+        |JOIN e b ON b.vec_id = bb.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "v_centroids" ->
       """WITH u AS (
