@@ -264,7 +264,21 @@ object DedupQueries {
     // between doc-level dedup and quality filtering.
     "d_chunk_dedup" -> ((s, dir) =>
       ChunkDedup.dedupStats(docs(s, dir), w = 20)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Corpus-quality report: per-source chunk duplication ratio (basis
+    // points, integer division — no float in the hashed row). The
+    // roll-up a curation run reads to decide which sources need a
+    // boilerplate-stripping pass.
+    "d_source_dup_ratio" -> ((s, dir) =>
+      ChunkDedup.dedupStats(docs(s, dir), w = 20)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_dropped")).as("n_dropped"))
+        .withColumn("dup_bp", expr("n_dropped * 10000 div n_chunks"))
+        .orderBy(col("source")))
   )
 
   /** The sh/mh/banded/cand/pairs CTE chain shared by every oracle that
@@ -396,7 +410,23 @@ object DedupQueries {
          |  count(*) AS n_chunks,
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  CAST(sum(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) AS BIGINT) AS chars_kept
-         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_source_dup_ratio" ->
+      s"""WITH $chunkCte,
+         |r AS (SELECT doc_id, chunk,
+         |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+         |      FROM chunks),
+         |per_doc AS (SELECT doc_id, count(*) AS n_chunks,
+         |            sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+         |            FROM r GROUP BY doc_id)
+         |SELECT d.source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(p.n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(p.n_dropped) AS BIGINT) AS n_dropped,
+         |  CAST(sum(p.n_dropped) * 10000 // sum(p.n_chunks) AS BIGINT) AS dup_bp
+         |FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 
   /** Shared 20-word chunking CTE: `chunks(doc_id, chunk_no, chunk)`.

@@ -470,6 +470,28 @@ object Events {
         .orderBy(col("cohort"), col("day_offset"))
     }),
 
+    // Longest consecutive-day activity streak per user — the
+    // gaps-and-islands shape: distinct activity days, then (day -
+    // row_number) is constant exactly within a consecutive run, so one
+    // window + two aggregations resolve all streaks. Window partitions
+    // by user_id (high cardinality, skew-free); no global sort anywhere.
+    "e_streak_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val act = t(s, dir)
+        .select(col("user_id"),
+          to_date(expr("timestamp_micros(ts div 1000)")).as("d"))
+        .distinct()
+      act
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(col("user_id")).orderBy(col("d"))))
+        .withColumn("island", date_sub(col("d"), col("rn")))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    }),
+
     // CUBE over (event_type, weekday): all four grouping combinations in
     // one pass (Spark expands grouping sets before the single shuffle).
     // Sentinel coalesces keep the subtotal rows hash-comparable (NULL
@@ -575,6 +597,16 @@ object Events {
         |FROM ty CROSS JOIN tl
         |LEFT JOIN c ON c.event_type = ty.event_type AND c.hr = tl.hr
         |ORDER BY ty.event_type, hour_s""".stripMargin,
+
+    "e_streak_users" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT user_id, d,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn FROM act),
+        |i AS (SELECT user_id, d - CAST(rn AS INTEGER) AS island FROM r),
+        |g AS (SELECT user_id, island, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
