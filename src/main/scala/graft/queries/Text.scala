@@ -245,6 +245,43 @@ object Text {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
           col("col.terms").as("term"), col("col.vs").as("score"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // BM25 keyword extraction: tf-idf with the Okapi length-normalized
+    // saturation (k1=1.2, b=0.75). All arithmetic integerized so both
+    // engines hash identically: dl/avgdl in per-mille via integer
+    // division, the saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) as
+    // one integer-div expression scaled x1000 (range [0, 2200]), times
+    // the t_tfidf integer idf. Same diamond-shaped plan as t_tfidf_topk:
+    // the (doc, term) aggregation is checkpointed once and feeds tf, dl,
+    // and df — at corpus scale that explode+shuffle IS the query cost,
+    // everything after it is broadcast-joined integer math.
+    "t_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir).filter(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_toks"))
+      val topk = graft.operators.GroupTopK.topKStr(3)
+      tf.join(dl, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .withColumn("score", expr(
+          """((n_docs * 1000000) div df) *
+            |((tf * 2200 * 1000) div
+            | (tf * 1000 + (1200 * (250 + (750 * ((dl * n_docs * 1000) div total_toks)) div 1000)) div 1000))
+            |""".stripMargin.replace("\n", " ")))
+        .groupBy(col("doc_id"))
+        .agg(topk(col("score"), col("term")).as("top"))
+        .select(col("doc_id"),
+          posexplode(arrays_zip(col("top.vs"), col("top.terms"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.terms").as("term"), col("col.vs").as("score"))
+        .orderBy(col("doc_id"), col("rank"))
     })
   )
 
@@ -404,6 +441,27 @@ object Text {
         |sc AS (SELECT f.doc_id, f.term,
         |       f.tf * ((n.n_docs * 1000000) // d.df) AS score
         |       FROM tf f JOIN df d USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, score, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank, term, CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS total_toks
+        |      FROM documents WHERE text IS NOT NULL),
+        |sc AS (SELECT f.doc_id, f.term,
+        |       ((n.n_docs * 1000000) // d.df) *
+        |       ((f.tf * 2200 * 1000) //
+        |        (f.tf * 1000 + (1200 * (250 + (750 * ((l.dl * n.n_docs * 1000) // n.total_toks)) // 1000)) // 1000))
+        |       AS score
+        |       FROM tf f JOIN dl l USING (doc_id) JOIN df d USING (term) CROSS JOIN n),
         |r AS (SELECT doc_id, term, score, CAST(row_number() OVER (
         |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
         |      FROM sc)
