@@ -282,6 +282,71 @@ object Text {
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
           col("col.terms").as("term"), col("col.vs").as("score"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: BM25 lexical ranking fused with dense-vector
+    // cosine ranking via Reciprocal Rank Fusion (Cormack et al., SIGIR
+    // 2009: score = sum over systems of 1/(60 + rank)). Fusion is
+    // RANK-based, so the whole query is integer-exact: each system
+    // contributes `1000000 div (60 + rank)` micro-units, absent ranks
+    // contribute 0. Query docs are the vec_id%25 subset (doc_id and
+    // vec_id are aligned in the testdata); lexical scores are the
+    // query doc's distinct terms summed over the t_bm25 per-(doc, term)
+    // integer scores; dense ranks come from the exact-cosine kNN
+    // (the LinearDb path). Scale shape: the lexical side is one
+    // term-keyed join (sparse for real vocabularies — the synthetic
+    // corpus' tiny vocab is its dense worst case) + one (qid, doc)
+    // aggregation; the dense side is the bounded-heap ExactKnn; the
+    // fusion join is per-(qid, doc) on the union of two top-10 lists —
+    // O(queries x 20) rows, negligible at any corpus size.
+    "t_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir).filter(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_toks"))
+      val bm25 = tf.join(dl, "doc_id").join(dfreq, "term")
+        .crossJoin(broadcast(totals))
+        .withColumn("score_u", expr(
+          """((n_docs * 1000000) div df) *
+            |((tf * 2200 * 1000) div
+            | (tf * 1000 + (1200 * (250 + (750 * ((dl * n_docs * 1000) div total_toks)) div 1000)) div 1000))
+            |""".stripMargin.replace("\n", " ")))
+        .select(col("doc_id"), col("term"), col("score_u"))
+      val qterms = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("qid"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val lexRanks = qterms.join(bm25, "term")
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("score_u")).as("bm25_u"))
+        .withColumn("rank_t", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("bm25_u").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank_t") <= 10)
+        .select(col("qid"), col("doc_id"), col("rank_t"))
+      val emb = Tables(s, dir, "embeddings")
+      val vecRanks = graft.operators.ExactKnn.search(
+          emb.filter(col("vec_id") % 25 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          k = 10, metric = "cosine")
+        .select(col("qid"), col("id").as("doc_id"), col("rank").cast("long").as("rank_v"))
+      lexRanks.join(vecRanks, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr("1000000 div (60 + rank_t)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_v)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf_u").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("doc_id"), col("rrf_u"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 
@@ -466,6 +531,48 @@ object Text {
         |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
         |      FROM sc)
         |SELECT doc_id, rank, term, CAST(score AS BIGINT) AS score
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "t_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS total_toks
+        |      FROM documents WHERE text IS NOT NULL),
+        |sc AS (SELECT f.doc_id, f.term,
+        |       ((n.n_docs * 1000000) // d.df) *
+        |       ((f.tf * 2200 * 1000) //
+        |        (f.tf * 1000 + (1200 * (250 + (750 * ((l.dl * n.n_docs * 1000) // n.total_toks)) // 1000)) // 1000))
+        |       AS score_u
+        |       FROM tf f JOIN dl l USING (doc_id) JOIN df d USING (term) CROSS JOIN n),
+        |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id % 25 = 0),
+        |lex AS (SELECT q.qid, s.doc_id, sum(s.score_u) AS bm25_u
+        |        FROM q JOIN sc s USING (term) GROUP BY 1, 2),
+        |lt AS (SELECT qid, doc_id, rank_t FROM (
+        |       SELECT qid, doc_id, CAST(row_number() OVER (
+        |       PARTITION BY qid ORDER BY bm25_u DESC, doc_id) AS BIGINT) AS rank_t
+        |       FROM lex) WHERE rank_t <= 10),
+        |qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings WHERE vec_id % 25 = 0),
+        |vv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vt AS (SELECT qid, doc_id, rank_v FROM (
+        |       SELECT qv.qid, vv.id AS doc_id, CAST(row_number() OVER (
+        |       PARTITION BY qv.qid ORDER BY list_dot_product(qv.v, vv.v)
+        |         / sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(vv.v, vv.v)) DESC,
+        |         vv.id) AS BIGINT) AS rank_v
+        |       FROM qv, vv) WHERE rank_v <= 10),
+        |fu AS (SELECT coalesce(lt.qid, vt.qid) AS qid,
+        |       coalesce(lt.doc_id, vt.doc_id) AS doc_id,
+        |       coalesce(1000000 // (60 + lt.rank_t), 0)
+        |         + coalesce(1000000 // (60 + vt.rank_v), 0) AS rrf_u
+        |       FROM lt FULL OUTER JOIN vt
+        |       ON lt.qid = vt.qid AND lt.doc_id = vt.doc_id),
+        |rr AS (SELECT qid, doc_id, rrf_u, CAST(row_number() OVER (
+        |       PARTITION BY qid ORDER BY rrf_u DESC, doc_id) AS BIGINT) AS rank FROM fu)
+        |SELECT qid, rank, doc_id, CAST(rrf_u AS BIGINT) AS rrf_u
+        |FROM rr WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

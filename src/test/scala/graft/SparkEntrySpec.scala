@@ -40,8 +40,12 @@ class SparkEntrySpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the intentional rows-only set: recall measurements in the ANN
     // regime (no SQL engine can run the index)
-    val declared = Set("h_recall_ann", "v_recall_ivf", "v_recall_pq",
-      "v_recall_ivfpq", "v_recall_sq8", "e_hll_users")
+    val declared = Set("h_recall_ann", "h_recall_pq", "v_recall_ivf",
+      "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "e_hll_users",
+      // SemDeDup production regime: Lloyd-trained centroids aren't
+      // SQL-expressible; the seed-centroid regime (v_semdedup_pairs)
+      // carries the hash-parity oracle for the same pair pipeline
+      "v_semdedup")
     val undeclared = noOracle -- declared
     assert(undeclared.isEmpty,
       s"queries silently missing an oracle (add one or declare here): $undeclared")
