@@ -203,6 +203,18 @@ object Vector {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): top-20
+    // exact-cosine candidates greedily re-ranked to 5 diverse results at
+    // lambda=0.5. Integer micro-unit sims + per-mille lambda keep the
+    // greedy integer-exact; the oracle unrolls the 5 selection steps as
+    // list-accumulating CTEs.
+    "v_mmr_rerank" -> ((s, dir) => {
+      import graft.operators.Mmr
+      Mmr.rerank(queriesDf(s, dir), vectorsDf(s, dir),
+          kCandidates = 20, k = 5, lambdaPm = 500)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The production regime: Lloyd-trained clusters (k=16, 3 iterations),
     // keep-lowest-id pruning via connected components, and a self-carried
     // recall audit against the brute-force pair set. Rows-only (trained
@@ -217,6 +229,47 @@ object Vector {
   )
 
   private val qFilter = "vec_id % 25 = 0"
+
+  /** Step-unrolled MMR oracle: candidate top-kCand per query, pairwise
+    * micro-unit sims, then k greedy selections as list-accumulating CTEs
+    * (s1..sk). Same integer math and tie-breaks as [[graft.operators.Mmr]]. */
+  private def mmrOracle(kCand: Int, k: Int, lamPm: Int): String = {
+    val steps = (2 to k).map { m =>
+      s"""ms$m AS (SELECT c.qid, c.id, $lamPm * c.sim_u - ${1000 - lamPm} * max(p.p_u) AS mmr
+         |FROM cand c JOIN s${m - 1} s ON c.qid = s.qid
+         |JOIN pp p ON p.qid = c.qid AND p.a = c.id AND list_contains(s.sel, p.b)
+         |WHERE NOT list_contains(s.sel, c.id)
+         |GROUP BY c.qid, c.id, c.sim_u),
+         |s$m AS (SELECT r.qid, list_append(s.sel, r.id) AS sel, r.id AS picked
+         |FROM (SELECT qid, id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY mmr DESC, id) AS rn FROM ms$m) r
+         |JOIN s${m - 1} s ON s.qid = r.qid WHERE r.rn = 1)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(m => s"SELECT qid, $m AS rank, picked AS id FROM s$m")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+       |     FROM embeddings WHERE $qFilter),
+       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT q.qid, v.id, list_dot_product(q.v, v.v)
+       |       / sqrt(list_dot_product(q.v, q.v) * list_dot_product(v.v, v.v)) AS s
+       |       FROM q, v),
+       |cand AS (SELECT qid, id, CAST(floor(s * 1000000) AS BIGINT) AS sim_u FROM (
+       |     SELECT qid, id, s, row_number() OVER (
+       |     PARTITION BY qid ORDER BY s DESC, id) AS rn FROM sc) WHERE rn <= $kCand),
+       |pp AS (SELECT c1.qid, c1.id AS a, c2.id AS b,
+       |     CAST(floor(list_dot_product(v1.v, v2.v)
+       |       / sqrt(list_dot_product(v1.v, v1.v) * list_dot_product(v2.v, v2.v))
+       |       * 1000000) AS BIGINT) AS p_u
+       |     FROM cand c1 JOIN cand c2 ON c1.qid = c2.qid
+       |     JOIN v v1 ON v1.id = c1.id JOIN v v2 ON v2.id = c2.id),
+       |s1 AS (SELECT qid, [id] AS sel, id AS picked FROM (
+       |     SELECT qid, id, row_number() OVER (
+       |     PARTITION BY qid ORDER BY sim_u DESC, id) AS rn FROM cand) WHERE rn = 1),
+       |${steps.mkString(",\n")}
+       |SELECT qid, CAST(rank AS BIGINT) AS rank, id
+       |FROM ($unions) ORDER BY qid, rank""".stripMargin
+  }
 
   private def knnOracle(k: Int, scoreExpr: String, desc: Boolean): String = {
     val dir = if (desc) "DESC" else "ASC"
@@ -281,6 +334,8 @@ object Vector {
         |r AS (SELECT vec_id, cid,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
         |SELECT vec_id, cid FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "v_mmr_rerank" -> mmrOracle(kCand = 20, k = 5, lamPm = 500),
 
     // Seed assignment (the v_kmeans_assign CTE) composed with the
     // within-cluster cosine pair join — full SemDeDup parity in SQL.
