@@ -12,6 +12,49 @@ import org.apache.spark.sql.functions._
 object Text {
   private def t(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  private val bm25DirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized integer BM25 score table `(doc_id, term, tf, score_u)`:
+    * t_bm25_topk and t_hybrid_rrf consume the same per-(doc, term)
+    * scores, so one catalog run pays the explode + three aggregations
+    * once. Parquet-path memo, never a live DataFrame (the
+    * candidatePairsWithShingles pattern — a session-bound frame pinned
+    * in a static map outlives its app and leaks cached blocks);
+    * deterministic in `dir`. Formula: integer idf (n_docs*1e6 div df)
+    * times the x1000-scaled Okapi saturation at k1=1.2, b=0.75 with
+    * per-mille dl/avgdl — all integer division, no floats. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val path = bm25DirCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("bm25_scores") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_bm25_").toString
+        val docs = t(s, dir).filter(col("text").isNotNull)
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+          .cache()
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val totals = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_toks"))
+        tf.join(dl, "doc_id").join(dfreq, "term")
+          .crossJoin(broadcast(totals))
+          .withColumn("score_u", expr(
+            """((n_docs * 1000000) div df) *
+              |((tf * 2200 * 1000) div
+              | (tf * 1000 + (1200 * (250 + (750 * ((dl * n_docs * 1000) div total_toks)) div 1000)) div 1000))
+              |""".stripMargin.replace("\n", " ")))
+          .select(col("doc_id"), col("term"), col("tf"), col("score_u"))
+          .write.mode("overwrite").parquet(out)
+        tf.unpersist(blocking = false)
+        out
+      }
+    })
+    s.read.parquet(path)
+  }
+
   /** Stopword list used by the profile + quality score (kept tiny and
     * explicit so the SQL oracle states the same set). */
   val Stopwords: Seq[String] =
@@ -252,29 +295,12 @@ object Text {
     // engines hash identically: dl/avgdl in per-mille via integer
     // division, the saturation tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) as
     // one integer-div expression scaled x1000 (range [0, 2200]), times
-    // the t_tfidf integer idf. Same diamond-shaped plan as t_tfidf_topk:
-    // the (doc, term) aggregation is checkpointed once and feeds tf, dl,
-    // and df — at corpus scale that explode+shuffle IS the query cost,
-    // everything after it is broadcast-joined integer math.
+    // the t_tfidf integer idf. The per-(doc, term) score table is the
+    // memoized [[bm25Scores]] stage shared with t_hybrid_rrf.
     "t_bm25_topk" -> ((s, dir) => {
-      val docs = t(s, dir).filter(col("text").isNotNull)
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_toks"))
       val topk = graft.operators.GroupTopK.topKStr(3)
-      tf.join(dl, "doc_id").join(dfreq, "term")
-        .crossJoin(broadcast(totals))
-        .withColumn("score", expr(
-          """((n_docs * 1000000) div df) *
-            |((tf * 2200 * 1000) div
-            | (tf * 1000 + (1200 * (250 + (750 * ((dl * n_docs * 1000) div total_toks)) div 1000)) div 1000))
-            |""".stripMargin.replace("\n", " ")))
+      bm25Scores(s, dir)
+        .withColumn("score", col("score_u"))
         .groupBy(col("doc_id"))
         .agg(topk(col("score"), col("term")).as("top"))
         .select(col("doc_id"),
@@ -302,23 +328,7 @@ object Text {
     "t_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir).filter(col("text").isNotNull)
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = dl.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).as("total_toks"))
-      val bm25 = tf.join(dl, "doc_id").join(dfreq, "term")
-        .crossJoin(broadcast(totals))
-        .withColumn("score_u", expr(
-          """((n_docs * 1000000) div df) *
-            |((tf * 2200 * 1000) div
-            | (tf * 1000 + (1200 * (250 + (750 * ((dl * n_docs * 1000) div total_toks)) div 1000)) div 1000))
-            |""".stripMargin.replace("\n", " ")))
-        .select(col("doc_id"), col("term"), col("score_u"))
+      val bm25 = bm25Scores(s, dir)
       val qterms = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("qid"), explode(split(col("text"), " ")).as("term"))
         .distinct()
