@@ -266,6 +266,17 @@ object DedupQueries {
       ChunkDedup.dedupStats(docs(s, dir), w = 20)
         .orderBy(col("doc_id"))),
 
+    // Asymmetric containment (doc-in-doc duplication): the web-corpus
+    // mode symmetric Jaccard misses — truncated copies, quoted-whole
+    // pages. Exact inverted-index join over distinct char-8 shingles,
+    // both directions from one intersection count, cross-multiplied
+    // integer threshold (0.8 = 4/5). The maxDf cap is the scale lever
+    // (drops non-discriminative shingles); uncapped here for parity.
+    "d_containment" -> ((s, dir) =>
+      graft.operators.Containment.pairs(docs(s, dir), shingleLen = 8,
+          num = 4, den = 5)
+        .orderBy(col("contained_id"), col("container_id"))),
+
     // Corpus-quality report: per-source chunk duplication ratio (basis
     // points, integer division — no float in the hashed row). The
     // roll-up a curation run reads to decide which sources need a
@@ -411,6 +422,30 @@ object DedupQueries {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
          |  CAST(sum(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) AS BIGINT) AS chars_kept
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_containment" ->
+      """WITH sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+        |      i -> substring(text, i, 8))) AS sh
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |          CAST(count(*) AS BIGINT) AS n_inter
+        |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |sized AS (SELECT i.a_id, i.b_id, i.n_inter,
+        |          CAST(len(sa.sh) AS BIGINT) AS a_n, CAST(len(sb.sh) AS BIGINT) AS b_n
+        |          FROM inter i JOIN sh sa ON sa.doc_id = i.a_id
+        |          JOIN sh sb ON sb.doc_id = i.b_id)
+        |SELECT contained_id, container_id, n_shared, containment_bp FROM (
+        |  SELECT a_id AS contained_id, b_id AS container_id, n_inter AS n_shared,
+        |         CAST(n_inter * 10000 // a_n AS BIGINT) AS containment_bp
+        |  FROM sized WHERE n_inter * 5 >= a_n * 4
+        |  UNION ALL
+        |  SELECT b_id, a_id, n_inter,
+        |         CAST(n_inter * 10000 // b_n AS BIGINT)
+        |  FROM sized WHERE n_inter * 5 >= b_n * 4)
+        |ORDER BY contained_id, container_id""".stripMargin,
 
     "d_source_dup_ratio" ->
       s"""WITH $chunkCte,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Containment invariants: directionality, identical-doc symmetry, and
+  * the df-cap's effect on the kept shingle space. */
+class ContainmentSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], maxDf: Int = Int.MaxValue) =
+    Containment.pairs(rows.toDF("doc_id", "text"), shingleLen = 8,
+        num = 4, den = 5, maxDf = maxDf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+
+  test("a prefix copy is contained in the full doc, not vice versa") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = a + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val got = run(Seq((1L, a), (2L, b)))
+    assert(got.length == 1)
+    val (contained, container, bp) = got.head
+    assert(contained == 1L && container == 2L)
+    assert(bp == 10000L) // every shingle of the prefix appears in b
+  }
+
+  test("identical docs contain each other (both directions emitted)") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val got = run(Seq((1L, t), (2L, t))).toSet
+    assert(got == Set((1L, 2L, 10000L), (2L, 1L, 10000L)))
+  }
+
+  test("unrelated docs emit nothing") {
+    assert(run(Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh"),
+      (2L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss"))).isEmpty)
+  }
+
+  test("maxDf drops ubiquitous shingles from both intersection and sizes") {
+    // Three docs share one 8-char boilerplate token; docs 1 and 2 are
+    // otherwise disjoint. Uncapped, the shared boilerplate alone is a
+    // small intersection (below threshold). With maxDf = 2 the
+    // boilerplate shingles (df = 3) drop out entirely, so the 1-2
+    // intersection becomes empty — and doc 3 (boilerplate + doc 1's
+    // unique tail) is still contained in doc 1 over the KEPT space.
+    val boiler = "BOILERPLA"
+    val d1 = s"$boiler unique_one_alpha unique_one_beta unique_one_gamma"
+    val d2 = s"$boiler other_two_alpha other_two_beta other_two_gamma"
+    val d3 = s"$boiler unique_one_alpha"
+    val capped = run(Seq((1L, d1), (2L, d2), (3L, d3)), maxDf = 2)
+    assert(capped.forall { case (c, k, _) => Set((3L, 1L))((c, k)) },
+      s"unexpected pairs: ${capped.mkString(",")}")
+  }
+
+  test("matches brute-force set containment on real docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] =
+      (if (t.length <= 8) Seq(t.take(8)) // greatest(len-7, 1) lower bound
+       else (0 to t.length - 8).map(i => t.substring(i, i + 8))).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      inter = (sa & sb).size if inter * 5 >= sa.size * 4
+    } yield (a, b, inter * 10000L / sa.size)).toSet
+    val got = run(docs.toSeq).toSet
+    assert(got == expected)
+  }
+}
