@@ -108,7 +108,63 @@ object Multimodal {
         nFramesCol(col("n_bytes"), DefaultFrameBytes, DefaultMaxFrames).as("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** 16-bin nibble histogram of the payload's hex encoding — a real
+    * (non-stub) content fingerprint computable without codecs: byte-value
+    * distribution, invariant to reordering, cheap enough for a 100 TB
+    * scan. Output: (id, tot = hex chars = 2 x bytes, hist = 16 longs). */
+  def nibbleHistogram(df: DataFrame, payloadCol: String = "payload",
+                      idCol: String = "doc_id"): DataFrame = {
+    val digits = "0123456789ABCDEF"
+    df.select(col(idCol), col("media_type"),
+        upper(hex(col(payloadCol))).as("hx"))
+      .select(col(idCol), col("media_type"),
+        length(col("hx")).cast("long").as("tot"),
+        array(digits.map { c =>
+          (length(col("hx")) -
+            length(expr(s"replace(hx, '$c', '')"))).cast("long")
+        }: _*).as("hist"))
+  }
+
+  /** Fingerprint near-dup: pairs of same-media payloads whose nibble
+    * histograms differ by relative L1 <= num/den (cross-multiplied
+    * integer compare; rel_bp = l1 * 10000 div (tot_a + tot_b)). The
+    * media_type equi-join is the domain blocking; at corpus scale the
+    * additional lever is size-bucketing (L1 >= |tot_a - tot_b|, so
+    * far-apart sizes can't pass the threshold — bucket by log-size and
+    * probe adjacent buckets only). */
+  def fingerprintPairs(hists: DataFrame, num: Int, den: Int): DataFrame = {
+    val a = hists.select(col("media_type"), col("doc_id").as("a_id"),
+      col("tot").as("a_tot"), col("hist").as("a_hist"))
+    val b = hists.select(col("media_type").as("b_mt"), col("doc_id").as("b_id"),
+      col("tot").as("b_tot"), col("hist").as("b_hist"))
+    a.join(b, col("media_type") === col("b_mt") && col("a_id") < col("b_id"))
+      .withColumn("l1", aggregate(
+        zip_with(col("a_hist"), col("b_hist"), (x, y) => abs(x - y)),
+        lit(0L), (acc, v) => acc + v))
+      .filter(col("l1") * den <= (col("a_tot") + col("b_tot")) * num)
+      .select(col("a_id"), col("b_id"), col("l1"),
+        expr("l1 * 10000 div (a_tot + b_tot)").as("rel_bp"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "m_nibble_neardup" ->
+      """WITH h AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt,
+        |  upper(hex(encode(text))) AS hx FROM documents),
+        |hist AS (SELECT doc_id, mt, CAST(length(hx) AS BIGINT) AS tot,
+        |  list_transform(generate_series(0, 15),
+        |    i -> CAST(length(hx) - length(replace(hx,
+        |         substring('0123456789ABCDEF', CAST(i + 1 AS INT), 1), '')) AS BIGINT)) AS hist
+        |  FROM h),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 16),
+        |    i -> abs(a.hist[i] - b.hist[i]))) AS BIGINT) AS l1,
+        |  a.tot + b.tot AS tot
+        |  FROM hist a JOIN hist b ON a.mt = b.mt AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, l1, CAST(l1 * 10000 // tot AS BIGINT) AS rel_bp
+        |FROM p WHERE l1 * 50 <= tot
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "m_binary_meta" ->
       """SELECT doc_id,
         | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -138,6 +194,16 @@ object Multimodal {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_binary_meta" -> ((s, dir) => metaQuery(s, dir)),
+
+    // Content-fingerprint near-dup without codecs: nibble histograms +
+    // relative-L1 pairs at 2% within media_type. Real math (not the
+    // decode stub) — the cheap first-pass dedup tier for binary assets.
+    "m_nibble_neardup" -> ((s, dir) => {
+      val hists = nibbleHistogram(
+        withBinaryPayload(graft.queries.Tables(s, dir, "documents")))
+      fingerprintPairs(hists, num = 1, den = 50)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // Frame sampling end-to-end over the binary payload: bounded rows per
     // payload, frame content hashed so the oracle can compare bytes.

@@ -40,4 +40,32 @@ class MultimodalSpec extends SparkSpec {
     val n = frames.select("doc_id").distinct().count()
     assert(n == docs.count())
   }
+
+  test("nibble histogram: bins sum to the hex length, known payload exact") {
+    val hists = Multimodal.nibbleHistogram(withBin)
+    val bad = hists.filter(
+      aggregate(col("hist"), lit(0L), (a, x) => a + x) =!= col("tot"))
+    assert(bad.count() == 0)
+    // "AB" = bytes 0x41 0x42 -> hex "4142": nibble '4' x2, '1' x1, '2' x1
+    import spark.implicits._
+    val one = Multimodal.nibbleHistogram(
+      Multimodal.withBinaryPayload(Seq((0L, "AB")).toDF("doc_id", "text")))
+      .head()
+    assert(one.getAs[Long]("tot") == 4L)
+    val h = one.getSeq[Long](one.fieldIndex("hist"))
+    assert(h(4) == 2L && h(1) == 1L && h(2) == 1L && h.sum == 4L)
+  }
+
+  test("fingerprint pairs: exact L1, identical payloads at rel_bp 0") {
+    import spark.implicits._
+    val df = Multimodal.withBinaryPayload(Seq(
+      (0L, "hello world hello"), // media image (0 % 3)
+      (3L, "hello world hello"), // identical, same media
+      (6L, "zzzzzzzzzzzzzzzzz")  // same media, different content
+    ).toDF("doc_id", "text"))
+    val pairs = Multimodal.fingerprintPairs(
+        Multimodal.nibbleHistogram(df), num = 1, den = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.toSeq == Seq((0L, 3L, 0L, 0L)))
+  }
 }
