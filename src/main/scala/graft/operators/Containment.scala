@@ -56,16 +56,20 @@ object Containment {
     val sized = inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
-    val aInB = sized
-      .filter(col("n_inter") * den >= col("a_n") * num)
-      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+    // both directions from ONE pass: a union of two filters re-plans the
+    // whole inverted-index subtree per branch (the explode would run
+    // twice per side); exploding each sized row into its two candidate
+    // directions keeps a single subtree + one trivial Generate
+    sized
+      .select(col("n_inter"), explode(array(
+        struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          col("a_n").as("base_n")),
+        struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          col("b_n").as("base_n")))).as("d"))
+      .filter(col("n_inter") * den >= col("d.base_n") * num)
+      .select(col("d.contained_id").as("contained_id"),
+        col("d.container_id").as("container_id"),
         col("n_inter").as("n_shared"),
-        expr(s"n_inter * 10000 div a_n").as("containment_bp"))
-    val bInA = sized
-      .filter(col("n_inter") * den >= col("b_n") * num)
-      .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
-        col("n_inter").as("n_shared"),
-        expr(s"n_inter * 10000 div b_n").as("containment_bp"))
-    aInB.unionByName(bInA)
+        expr("n_inter * 10000 div d.base_n").as("containment_bp"))
   }
 }
