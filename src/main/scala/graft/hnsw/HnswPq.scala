@@ -47,9 +47,15 @@ object HnswPq {
   /** Derive the serving model from a built l2 HNSW model: train the
     * codebook on the indexed vectors and encode them driver-side. Memoized
     * per source key (the [[HnswDistributed.buildCached]] pattern); the
-    * encode cost is attributed to the build ledger. */
-  def fromModelCached(model: HnswModel, key: String, seed: Long = 13L): PqServingModel =
-    modelCache.computeIfAbsent(s"$key|$seed|${model.metricName}|${model.size}", _ =>
+    * key folds in the graph's BUILD PARAMS — two models over the same
+    * corpus with different ef/M must not serve each other's graphs —
+    * and the encode cost is attributed to the build ledger. */
+  def fromModelCached(model: HnswModel, key: String, seed: Long = 13L): PqServingModel = {
+    val p = model.params
+    val paramKey = Seq(p.m.toList, p.mMax.toList, p.efConstrSearch.toList,
+      p.efConstrInsert.toList, p.efSearch.toList, p.layerProbability).mkString("|")
+    modelCache.computeIfAbsent(
+      s"$key|$seed|${model.metricName}|${model.size}|$paramKey", _ =>
       graft.BuildLedger.timed("hnsw_pq_encode") {
         require(model.metricName == "l2",
           s"HnswPq serves squared-L2 (ADC); graph metric was ${model.metricName}" +
@@ -61,59 +67,41 @@ object HnswPq {
         }.toMap
         PqServingModel(model.params, model.snapshot, codebook, codes)
       })
+  }
 
-  /** Driver-side codebook training on an in-memory sample (the
-    * [[Pq.train]] Lloyd scheme over arrays instead of a DataFrame). */
+  /** Driver-side codebook training on an in-memory sample: filter the
+    * non-finite vectors (the DataFrame-side contract [[Pq.train]] applies
+    * before its collect), then run THE shared Lloyd loop
+    * ([[Pq.trainOnSample]]) — one trainer, no drift. */
   private[hnsw] def trainOnArrays(sample0: Array[Array[Float]], seed: Long): Array[Array[Array[Float]]] = {
     val sample = sample0.filter(v =>
       v != null && v.forall(x => !x.isNaN && !x.isInfinity))
-    require(sample.nonEmpty, "empty training set")
-    val dim = sample.head.length
-    val sd = PqKernels.subDim(dim)
-    Array.tabulate(PqKernels.NumSub) { s =>
-      val off = s * sd
-      val width = math.max(math.min(sd, dim - off), 0)
-      val slices = sample.map(v => Array.tabulate(width)(i => v(off + i)))
-      var cents = Array.tabulate(math.min(PqKernels.NumCentroids, slices.length)) { c =>
-        val idx = (HnswSearcher.uniformFromHash(c.toLong * 31 + s, seed) * slices.length).toInt
-          .min(slices.length - 1)
-        slices(idx).clone()
-      }
-      var it = 0
-      while (it < 10) {
-        val sums = Array.fill(cents.length)(new Array[Double](width))
-        val counts = new Array[Int](cents.length)
-        slices.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var acc = 0.0; var i = 0
-            while (i < width) { val d = v(i) - cents(c)(i); acc += d.toDouble * d; i += 1 }
-            if (acc < bestD) { bestD = acc; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < width) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1
-        }
-        cents = cents.zipWithIndex.map { case (old, c) =>
-          if (counts(c) == 0) old
-          else Array.tabulate(width)(i => (sums(c)(i) / counts(c)).toFloat)
-        }
-        it += 1
-      }
-      cents
-    }
+    Pq.trainOnSample(sample, seed, iters = 10)
   }
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
 
   /** ADC-ranked candidates: (qid, id, adc, rank), rank <= beam where
     * beam = max(ef, k). Pure compressed-space traversal — no raw vectors
-    * anywhere in the plan. */
-  def searchAdc(queries: DataFrame, model: PqServingModel, k: Int, ef: Int): DataFrame = {
-    val spark = queries.sparkSession
-    val modelB = spark.sparkContext.broadcast(model)
+    * anywhere in the plan.
+    *
+    * Broadcasts the serving model per call; serving workloads should
+    * broadcast once via [[broadcastModel]] and reuse the handle across
+    * query batches ([[searchAdcBroadcast]]) so its lifecycle — including
+    * `destroy()` — is theirs (the [[HnswDistributed.searchBroadcast]]
+    * rule; a per-call broadcast can only be reclaimed by the
+    * ContextCleaner after the plan is GC'd). */
+  def searchAdc(queries: DataFrame, model: PqServingModel, k: Int, ef: Int): DataFrame =
+    searchAdcBroadcast(queries,
+      broadcastModel(queries.sparkSession, model), k, ef)
+
+  def broadcastModel(spark: org.apache.spark.sql.SparkSession, model: PqServingModel)
+      : org.apache.spark.broadcast.Broadcast[PqServingModel] =
+    spark.sparkContext.broadcast(model)
+
+  def searchAdcBroadcast(queries: DataFrame,
+                         modelB: org.apache.spark.broadcast.Broadcast[PqServingModel],
+                         k: Int, ef: Int): DataFrame = {
     val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaDouble, Encoders.scalaInt)
     queries.select(col("qid"), col("qvec")).as(pairEnc)

@@ -37,9 +37,14 @@ object ChunkDedup {
       i => concat_ws(" ", slice(words, i * lit(w) + lit(1), lit(w))))
   }
 
-  /** One row per (doc, chunk occurrence): (doc_id, chunk_no, chunk). */
+  /** One row per (doc, chunk occurrence): (doc_id, chunk_no, chunk).
+    * Null text is filtered (matching the oracle, whose unnest emits no
+    * rows for it) — without the filter, size(null) = -1 makes
+    * sequence(0, -1) step backwards to [0, -1] and a null-text doc
+    * would fabricate two phantom empty chunks on the Spark side only. */
   def occurrences(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"),
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
         posexplode(chunksOf(col("text"), w)).as(Seq("chunk_no", "chunk")))
       .withColumn("chunk_no", col("chunk_no").cast("long"))
 

@@ -39,11 +39,19 @@ object Pq {
         forall(col("vec"), x => !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
       .select(col("vec"))
       .limit(maxSample).collect().map(_.getSeq[Float](0).toArray)
+    PqModel(trainOnSample(sample, seed, iters))
+  }
+
+  /** The per-subspace Lloyd loop on an in-memory, already-filtered (no
+    * null / non-finite vectors) sample — the ONE codebook trainer, shared
+    * by [[train]] and the HnswPq serving-model encode so the seeding and
+    * empty-cluster rules can never drift between them. */
+  private[graft] def trainOnSample(sample: Array[Array[Float]], seed: Long,
+                                   iters: Int): Array[Array[Array[Float]]] = {
     require(sample.nonEmpty, "empty training set")
     val dim = sample.head.length
     val sd = PqKernels.subDim(dim)
-
-    val codebook = Array.tabulate(PqKernels.NumSub) { s =>
+    Array.tabulate(PqKernels.NumSub) { s =>
       val off = s * sd
       val width = math.max(math.min(sd, dim - off), 0)
       val slices = sample.map { v =>
@@ -79,7 +87,6 @@ object Pq {
       }
       cents
     }
-    PqModel(codebook)
   }
 
   /** Encoded table: (id, code) — the compressed scan column. */

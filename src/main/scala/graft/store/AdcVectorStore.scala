@@ -28,35 +28,48 @@ final class AdcVectorStore(
 ) extends VectorStore {
   type Raw = Array[Float]
 
-  private final class Staged(val raw: Array[Float], val lut: Array[Double],
-                             var isPersistent: Boolean)
+  private final class Staged(val raw: Array[Float], val lut: Array[Double])
   private val staged = scala.collection.mutable.LongMap.empty[Staged]
+  // points persisted THROUGH this store (incremental inserts): codes only,
+  // exactly like `base` — the graph must never see raw precision
+  private val inserted = scala.collection.mutable.LongMap.empty[Long]
   private var nextId = 0L
 
   def prepareQueryWithId(id: Long, raw: Array[Float]): Long = {
-    staged(id) = new Staged(raw, PqKernels.lutFor(raw, codebook), isPersistent = false)
+    staged(id) = new Staged(raw, PqKernels.lutFor(raw, codebook))
     if (id >= nextId) nextId = id + 1
     id
   }
   override def prepareQuery(raw: Array[Float]): Long =
     prepareQueryWithId(nextId, raw)
 
-  /** Persisting a staged query quantizes it: the graph only ever holds
-    * codes, so an inserted point is searchable at code precision. */
-  override def insert(q: Long): Long = { staged(q).isPersistent = true; q }
+  /** Persisting a staged query QUANTIZES it: the raw array is encoded and
+    * dropped, so from this call on the point is searchable at code
+    * precision only — the same footing as every `base` point, in-session
+    * or after a restart (an inserted point that kept serving exact
+    * distances would rank differently before and after a reload). */
+  override def insert(q: Long): Long = {
+    val sq = staged(q)
+    inserted(q) = PqKernels.encodeArray(sq.raw, codebook)
+    staged.remove(q)
+    q
+  }
+
+  private def codeOf(v: Long): Long =
+    inserted.getOrElse(v, base(v))
 
   override def evalDistance(q: Long, v: Long): Double =
     staged.get(q) match {
       case Some(sq) =>
         staged.get(v) match {
           case Some(sv) => Metrics.l2Sq(sq.raw, sv.raw) // query-vs-query: exact
-          case None     => PqKernels.adcLut(sq.lut, base(v))
+          case None     => PqKernels.adcLut(sq.lut, codeOf(v))
         }
       case None =>
         staged.get(v) match {
-          case Some(sv) => PqKernels.adcLut(sv.lut, base(q))
+          case Some(sv) => PqKernels.adcLut(sv.lut, codeOf(q))
           case None => // code-vs-code (SDC): both sides reconstruct
-            PqKernels.adcLut(lutOfCode(base(q)), base(v))
+            PqKernels.adcLut(lutOfCode(codeOf(q)), codeOf(v))
         }
     }
 

@@ -115,4 +115,24 @@ class HnswPqSpec extends SparkSpec {
     val dSelf = store.evalDistance(q, qid0)
     assert(dSelf >= 0.0 && dSelf < 10.0)
   }
+
+  test("AdcVectorStore.insert quantizes: served at code precision afterwards") {
+    val vmap = vectors.limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val cb = pq.codebook
+    val codes = vmap.map { case (id, v) => (id, PqKernels.encodeArray(v, cb)) }
+    val store = new AdcVectorStore(cb, codes)
+    val newId = 9999L
+    val newVec = vmap.head._2.map(_ + 0.01f)
+    store.insert(store.prepareQueryWithId(newId, newVec))
+    // a fresh query must see the inserted point at CODE precision —
+    // identical to how it would rank after a restart from persisted codes
+    val probe = store.prepareQueryWithId(-1L, vmap.head._2)
+    val got = store.evalDistance(probe, newId)
+    val expected = PqKernels.adcLut(
+      PqKernels.lutFor(vmap.head._2, cb), PqKernels.encodeArray(newVec, cb))
+    assert(got == expected)
+    assert(got != graft.store.Metrics.l2Sq(vmap.head._2, newVec),
+      "inserted point must not serve raw-precision distances")
+  }
 }

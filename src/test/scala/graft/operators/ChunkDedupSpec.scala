@@ -78,6 +78,17 @@ class ChunkDedupSpec extends SparkSpec {
     assert(stats(3L) == ((2L, 2L, 0L)))
   }
 
+  test("null-text docs emit no chunks (matching the oracle's unnest)") {
+    // without the filter, size(null) = -1 walks sequence(0, -1)
+    // backwards and fabricates two phantom "" chunks per null doc
+    val df = Seq((1L, Option("one real doc here")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val occ = ChunkDedup.occurrences(df, 20)
+    assert(occ.filter(col("doc_id") === 2L).count() == 0)
+    assert(occ.count() == 1)
+    assert(ChunkDedup.dedupStats(df, 20).count() == 1)
+  }
+
   test("total kept chars equals distinct chunk char mass") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
