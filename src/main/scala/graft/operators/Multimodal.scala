@@ -127,20 +127,42 @@ object Multimodal {
 
   /** Fingerprint near-dup: pairs of same-media payloads whose nibble
     * histograms differ by relative L1 <= num/den (cross-multiplied
-    * integer compare; rel_bp = l1 * 10000 div (tot_a + tot_b)). The
-    * media_type equi-join is the domain blocking; at corpus scale the
-    * additional lever is size-bucketing (L1 >= |tot_a - tot_b|, so
-    * far-apart sizes can't pass the threshold — bucket by log-size and
-    * probe adjacent buckets only). */
+    * integer compare; rel_bp = l1 * 10000 div (tot_a + tot_b)).
+    *
+    * The join key is (media_type, log-size bucket), NOT media_type
+    * alone: three media values would cap parallelism at three tasks,
+    * each nested-looping its whole partition. Because L1 >= |tot_a -
+    * tot_b|, a qualifying pair satisfies |ln(a) - ln(b)| <=
+    * ln((den+num)/(den-num)) — within one bucket of width 1/20 in
+    * ln-space for the catalog's 2% threshold — so probing each row's
+    * own bucket plus both neighbors (the e_value_neighbors replication
+    * pattern) finds every qualifying pair exactly once, and the exact
+    * integer size filter + L1 run only on near-diagonal candidates.
+    * The bucket value is float-derived but used ONLY for candidate
+    * generation; membership is decided by the exact integer compare.
+    * The L1 is a FLAT 16-term expression over element_at (higher-order
+    * functions fall out of whole-stage codegen; the flat form stays
+    * inside it). Zero-length payloads are excluded (no content to
+    * fingerprint; also keeps ln and the rel_bp division defined). */
   def fingerprintPairs(hists: DataFrame, num: Int, den: Int): DataFrame = {
-    val a = hists.select(col("media_type"), col("doc_id").as("a_id"),
-      col("tot").as("a_tot"), col("hist").as("a_hist"))
-    val b = hists.select(col("media_type").as("b_mt"), col("doc_id").as("b_id"),
-      col("tot").as("b_tot"), col("hist").as("b_hist"))
-    a.join(b, col("media_type") === col("b_mt") && col("a_id") < col("b_id"))
-      .withColumn("l1", aggregate(
-        zip_with(col("a_hist"), col("b_hist"), (x, y) => abs(x - y)),
-        lit(0L), (acc, v) => acc + v))
+    require(num > 0 && den > num, "threshold num/den must be in (0, 1)")
+    val bandWidth = math.log((den + num).toDouble / (den - num))
+    require(bandWidth * 20.0 < 1.0,
+      s"threshold too wide for the 1/20 ln-bucket: band $bandWidth")
+    val positive = hists.filter(col("tot") > 0)
+    val bucket = floor(log(col("tot").cast("double")) * lit(20.0)).cast("long")
+    val a = positive.select(col("media_type"), col("doc_id").as("a_id"),
+        col("tot").as("a_tot"), col("hist").as("a_hist"), bucket.as("k"))
+      .withColumn("kp", explode(array(col("k") - 1, col("k"), col("k") + 1)))
+    val b = positive.select(col("media_type").as("b_mt"), col("doc_id").as("b_id"),
+      col("tot").as("b_tot"), col("hist").as("b_hist"), bucket.as("kb"))
+    val l1 = (1 to 16).map(i =>
+      abs(element_at(col("a_hist"), i) - element_at(col("b_hist"), i)))
+      .reduce(_ + _)
+    a.join(b, col("media_type") === col("b_mt") && col("kp") === col("kb") &&
+        col("a_id") < col("b_id") &&
+        abs(col("a_tot") - col("b_tot")) * den <= (col("a_tot") + col("b_tot")) * num)
+      .withColumn("l1", l1)
       .filter(col("l1") * den <= (col("a_tot") + col("b_tot")) * num)
       .select(col("a_id"), col("b_id"), col("l1"),
         expr("l1 * 10000 div (a_tot + b_tot)").as("rel_bp"))
