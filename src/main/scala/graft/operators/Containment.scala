@@ -39,15 +39,22 @@ object Containment {
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(TextFunctions.charShingles(col("text"), shingleLen)).as("s"))
-    val kept =
-      if (maxDf == Int.MaxValue) exploded
-      else {
-        val dfCounts = exploded.groupBy(col("s"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-          .select(col("s"))
-        exploded.join(dfCounts, "s")
-      }
+    // kept feeds FOUR consumers (both self-join sides + two size joins):
+    // without the eager localCheckpoint each consumer re-runs the
+    // documents scan + shingle explode (+ df-cap join) from scratch —
+    // measured 4x the query cost at sf0.1 (the t_tfidf diamond rule)
+    val kept = {
+      val base =
+        if (maxDf == Int.MaxValue) exploded
+        else {
+          val dfCounts = exploded.groupBy(col("s"))
+            .agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxDf)
+            .select(col("s"))
+          exploded.join(dfCounts, "s")
+        }
+      base.localCheckpoint()
+    }
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = kept.as("x").join(kept.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

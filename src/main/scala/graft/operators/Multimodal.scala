@@ -149,7 +149,9 @@ object Multimodal {
     val bandWidth = math.log((den + num).toDouble / (den - num))
     require(bandWidth * 20.0 < 1.0,
       s"threshold too wide for the 1/20 ln-bucket: band $bandWidth")
-    val positive = hists.filter(col("tot") > 0)
+    // both join sides derive from the same histogram projection; the
+    // eager localCheckpoint computes the 16 replace scans once
+    val positive = hists.filter(col("tot") > 0).localCheckpoint()
     val bucket = floor(log(col("tot").cast("double")) * lit(20.0)).cast("long")
     val a = positive.select(col("media_type"), col("doc_id").as("a_id"),
         col("tot").as("a_tot"), col("hist").as("a_hist"), bucket.as("k"))
