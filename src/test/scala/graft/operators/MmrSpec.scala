@@ -40,6 +40,49 @@ class MmrSpec extends SparkSpec {
     assert(got == Seq(1L, 3L, 2L))
   }
 
+  test("matches a brute-force greedy reference on seeded random vectors") {
+    // independent reference: same integer contract (micro-unit floor of
+    // the kernel cosine, per-mille lambda, (score DESC, id ASC) ties)
+    // computed by plain Scala over collected vectors
+    val rng = new scala.util.Random(43)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+    val qs = Seq((1000L, Array.fill(8)(rng.nextFloat() * 2f - 1f)))
+    val (kCand, k, lamPm) = (12, 4, 700)
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    def simU(a: Array[Float], b: Array[Float]): Long =
+      math.floor(cos(a, b) * 1000000.0).toLong
+
+    val qvec = qs.head._2
+    val cands = vecs.map { case (id, v) => (id, simU(qvec, v), v) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(kCand)
+    val selected = collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    while (selected.length < k) {
+      val remaining = cands.filterNot { case (id, _, _) => selected.exists(_._1 == id) }
+      val pick = remaining.maxBy { case (id, s, v) =>
+        val score =
+          if (selected.isEmpty) s
+          else lamPm * s - (1000L - lamPm) * selected.map(sv => simU(v, sv._2)).max
+        (score, -id)
+      }
+      selected += ((pick._1, pick._3))
+    }
+    val expected = selected.map(_._1).toSeq
+
+    val got = Mmr.rerank(qs.toDF("qid", "qvec"), vecs.toDF("id", "vec"),
+        kCand, k, lamPm)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    assert(got == expected)
+  }
+
   test("emits at most the candidate count and is deterministic") {
     val qs = Seq((7L, Array(1f, 0f))).toDF("qid", "qvec")
     val vs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
