@@ -259,9 +259,62 @@ case class SimHash64Md5(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** 16-bin nibble histogram of a binary payload in ONE pass over the
+  * bytes: bin v counts how often nibble value v appears (hi then lo per
+  * byte) — exactly the per-hex-digit counts of `hex(payload)` without
+  * materializing the 2x hex string or scanning it 16 times (the
+  * `length - length(replace(hx, digit, ''))` SQL form the oracle keeps:
+  * ~34x payload bytes scanned vs 1x here). Sum of bins = 2 x bytes. */
+case class NibbleHist(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nibble_hist"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nibble_hist needs binary input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      counts((b >>> 4) & 0xf) += 1L
+      counts(b & 0xf) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |long[] $counts = new long[16];
+         |for (int $i = 0; $i < $c.length; $i++) {
+         |  byte $b = $c[$i];
+         |  $counts[($b >>> 4) & 0xf] += 1L;
+         |  $counts[$b & 0xf] += 1L;
+         |}
+         |${ev.value} = new ${classOf[GenericArrayData].getName}($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def md5MinHash(strings: Column, numHashes: Int): Column =
     Bridge.column(Md5MinHash(Bridge.expression(strings), numHashes))
+
+  /** One-pass 16-bin nibble histogram of a binary column. */
+  def nibbleHist(payload: Column): Column =
+    Bridge.column(NibbleHist(Bridge.expression(payload)))
 
   /** Distinct char-`n`-shingle set of `text` — THE document-dedup unit.
     * One definition shared by the batch verify stage (DedupQueries), the

@@ -108,22 +108,17 @@ object Multimodal {
         nFramesCol(col("n_bytes"), DefaultFrameBytes, DefaultMaxFrames).as("n_frames"))
       .orderBy(col("doc_id"))
 
-  /** 16-bin nibble histogram of the payload's hex encoding — a real
-    * (non-stub) content fingerprint computable without codecs: byte-value
-    * distribution, invariant to reordering, cheap enough for a 100 TB
-    * scan. Output: (id, tot = hex chars = 2 x bytes, hist = 16 longs). */
+  /** 16-bin nibble histogram of the payload — a real (non-stub) content
+    * fingerprint computable without codecs: byte-value distribution,
+    * invariant to reordering, one codegen'd pass over the payload bytes
+    * (graft.functions.NibbleHist — the SQL replace-per-digit form the
+    * oracle keeps would scan ~34x the payload per row). Output:
+    * (id, tot = 2 x bytes, hist = 16 longs, sum(hist) = tot). */
   def nibbleHistogram(df: DataFrame, payloadCol: String = "payload",
-                      idCol: String = "doc_id"): DataFrame = {
-    val digits = "0123456789ABCDEF"
+                      idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol), col("media_type"),
-        upper(hex(col(payloadCol))).as("hx"))
-      .select(col(idCol), col("media_type"),
-        length(col("hx")).cast("long").as("tot"),
-        array(digits.map { c =>
-          (length(col("hx")) -
-            length(expr(s"replace(hx, '$c', '')"))).cast("long")
-        }: _*).as("hist"))
-  }
+      (octet_length(col(payloadCol)) * 2).cast("long").as("tot"),
+      graft.functions.TextFunctions.nibbleHist(col(payloadCol)).as("hist"))
 
   /** Fingerprint near-dup: pairs of same-media payloads whose nibble
     * histograms differ by relative L1 <= num/den (cross-multiplied
@@ -171,10 +166,14 @@ object Multimodal {
   }
 
   val oracles: Map[String, String] = Map(
+    // the WHERE mirrors fingerprintPairs' tot > 0 exclusion: two empty
+    // same-media payloads would otherwise pass l1=0 <= tot=0 here and
+    // emit a NULL rel_bp row (0//0) that Spark never produces
     "m_nibble_neardup" ->
       """WITH h AS (SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS mt,
-        |  upper(hex(encode(text))) AS hx FROM documents),
+        |  upper(hex(encode(text))) AS hx FROM documents
+        |  WHERE length(text) > 0),
         |hist AS (SELECT doc_id, mt, CAST(length(hx) AS BIGINT) AS tot,
         |  list_transform(generate_series(0, 15),
         |    i -> CAST(length(hx) - length(replace(hx,

@@ -15,6 +15,27 @@ object Text {
   private val bm25DirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shared BM25 oracle CTE chain — `sc(doc_id, term, score_u)` plus the
+    * tok/tf/dl/df/n intermediates. ONE string composed into both the
+    * t_bm25_topk and t_hybrid_rrf oracles (the chunkCte rule: a drifted
+    * copy of the saturation formula would silently split the two sides
+    * of the hash-exact claim). Must mirror [[bm25Scores]] exactly. */
+  private lazy val bm25ScoreCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS total_toks
+      |      FROM documents WHERE text IS NOT NULL),
+      |sc AS (SELECT f.doc_id, f.term,
+      |       ((n.n_docs * 1000000) // d.df) *
+      |       ((f.tf * 2200 * 1000) //
+      |        (f.tf * 1000 + (1200 * (250 + (750 * ((l.dl * n.n_docs * 1000) // n.total_toks)) // 1000)) // 1000))
+      |       AS score_u
+      |       FROM tf f JOIN dl l USING (doc_id) JOIN df d USING (term) CROSS JOIN n)""".stripMargin
+
   /** Memoized integer BM25 score table `(doc_id, term, tf, score_u)`:
     * t_bm25_topk and t_hybrid_rrf consume the same per-(doc, term)
     * scores, so one catalog run pays the explode + three aggregations
@@ -300,9 +321,8 @@ object Text {
     "t_bm25_topk" -> ((s, dir) => {
       val topk = graft.operators.GroupTopK.topKStr(3)
       bm25Scores(s, dir)
-        .withColumn("score", col("score_u"))
         .groupBy(col("doc_id"))
-        .agg(topk(col("score"), col("term")).as("top"))
+        .agg(topk(col("score_u"), col("term")).as("top"))
         .select(col("doc_id"),
           posexplode(arrays_zip(col("top.vs"), col("top.terms"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
@@ -523,41 +543,15 @@ object Text {
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "t_bm25_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |             FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS total_toks
-        |      FROM documents WHERE text IS NOT NULL),
-        |sc AS (SELECT f.doc_id, f.term,
-        |       ((n.n_docs * 1000000) // d.df) *
-        |       ((f.tf * 2200 * 1000) //
-        |        (f.tf * 1000 + (1200 * (250 + (750 * ((l.dl * n.n_docs * 1000) // n.total_toks)) // 1000)) // 1000))
-        |       AS score
-        |       FROM tf f JOIN dl l USING (doc_id) JOIN df d USING (term) CROSS JOIN n),
-        |r AS (SELECT doc_id, term, score, CAST(row_number() OVER (
-        |      PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+      s"""WITH $bm25ScoreCtes,
+        |r AS (SELECT doc_id, term, score_u AS score, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score_u DESC, term) AS BIGINT) AS rank
         |      FROM sc)
         |SELECT doc_id, rank, term, CAST(score AS BIGINT) AS score
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "t_hybrid_rrf" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |             FROM documents WHERE text IS NOT NULL),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs, (SELECT sum(dl) FROM dl) AS total_toks
-        |      FROM documents WHERE text IS NOT NULL),
-        |sc AS (SELECT f.doc_id, f.term,
-        |       ((n.n_docs * 1000000) // d.df) *
-        |       ((f.tf * 2200 * 1000) //
-        |        (f.tf * 1000 + (1200 * (250 + (750 * ((l.dl * n.n_docs * 1000) // n.total_toks)) // 1000)) // 1000))
-        |       AS score_u
-        |       FROM tf f JOIN dl l USING (doc_id) JOIN df d USING (term) CROSS JOIN n),
+      s"""WITH $bm25ScoreCtes,
         |q AS (SELECT DISTINCT doc_id AS qid, term FROM tok WHERE doc_id % 25 = 0),
         |lex AS (SELECT q.qid, s.doc_id, sum(s.score_u) AS bm25_u
         |        FROM q JOIN sc s USING (term) GROUP BY 1, 2),

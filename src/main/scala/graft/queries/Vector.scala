@@ -230,6 +230,26 @@ object Vector {
 
   private val qFilter = "vec_id % 25 = 0"
 
+  /** Shared seed-assignment CTE chain — `asg(vec_id, cid)`: the k=8
+    * md5-pick seed centroids and the argmin assignment, mirroring
+    * KMeans.initCentroids + KMeans.assign. ONE string composed into the
+    * v_kmeans_assign AND v_semdedup_pairs oracles (a drifted copy of
+    * the seed-pick or tie-break rule would silently split them). */
+  private lazy val seedAssignCtes: String =
+    """c0 AS (SELECT vec_id, embedding,
+      |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
+      |            WHERE embedding IS NOT NULL),
+      |c AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
+      |      CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM c0 ORDER BY h, vec_id LIMIT 8),
+      |p AS (SELECT e.vec_id, c.cid,
+      |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
+      |      FROM embeddings e, c WHERE e.embedding IS NOT NULL),
+      |asg AS (SELECT vec_id, cid FROM (
+      |        SELECT vec_id, cid,
+      |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
+      |        WHERE rk = 1)""".stripMargin
+
   /** Step-unrolled MMR oracle: candidate top-kCand per query, pairwise
     * micro-unit sims, then k greedy selections as list-accumulating CTEs
     * (s1..sk). Same integer math and tie-breaks as [[graft.operators.Mmr]]. */
@@ -322,37 +342,15 @@ object Vector {
         |FROM embeddings""".stripMargin,
 
     "v_kmeans_assign" ->
-      """WITH c0 AS (SELECT vec_id, embedding,
-        |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
-        |            WHERE embedding IS NOT NULL),
-        |c AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
-        |      CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM c0 ORDER BY h, vec_id LIMIT 8),
-        |p AS (SELECT e.vec_id, c.cid,
-        |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
-        |      FROM embeddings e, c WHERE e.embedding IS NOT NULL),
-        |r AS (SELECT vec_id, cid,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
-        |SELECT vec_id, cid FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH $seedAssignCtes
+        |SELECT vec_id, cid FROM asg ORDER BY vec_id""".stripMargin,
 
     "v_mmr_rerank" -> mmrOracle(kCand = 20, k = 5, lamPm = 500),
 
     // Seed assignment (the v_kmeans_assign CTE) composed with the
     // within-cluster cosine pair join — full SemDeDup parity in SQL.
     "v_semdedup_pairs" ->
-      """WITH c0 AS (SELECT vec_id, embedding,
-        |            md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings
-        |            WHERE embedding IS NOT NULL),
-        |c AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INT) - 1 AS cid,
-        |      CAST(embedding AS DOUBLE[]) AS cv
-        |      FROM c0 ORDER BY h, vec_id LIMIT 8),
-        |p AS (SELECT e.vec_id, c.cid,
-        |      list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
-        |      FROM embeddings e, c WHERE e.embedding IS NOT NULL),
-        |asg AS (SELECT vec_id, cid FROM (
-        |        SELECT vec_id, cid,
-        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk FROM p)
-        |        WHERE rk = 1),
+      s"""WITH $seedAssignCtes,
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT aa.vec_id AS a_id, bb.vec_id AS b_id
         |FROM asg aa JOIN asg bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
