@@ -217,12 +217,29 @@ object HnswDistributed {
     * the model itself.
     */
   def searchFiltered(queries: DataFrame, model: HnswModel,
-                     allowed: DataFrame, k: Int): DataFrame = {
+                     allowed: DataFrame, k: Int): DataFrame =
+    searchPredicated(queries, model, allowed, negate = false, k)
+
+  /** Tombstone serving: k-NN over the index EXCLUDING a deletion set —
+    * delete-without-rebuild. Only the (small) deleted-id set is
+    * broadcast, never its corpus-sized complement; the traversal is
+    * unchanged and tombstoned vertices still conduct the walk (their
+    * edges remain — the standard soft-delete posture until the next
+    * compaction rebuilds without them). */
+  def searchExcluding(queries: DataFrame, model: HnswModel,
+                      deleted: DataFrame, k: Int): DataFrame =
+    searchPredicated(queries, model, deleted, negate = true, k)
+
+  /** Shared overfetch loop behind [[searchFiltered]] (membership = in
+    * `ids`) and [[searchExcluding]] (membership = NOT in `ids`). */
+  private def searchPredicated(queries: DataFrame, model: HnswModel,
+                               idsDf: DataFrame, negate: Boolean,
+                               k: Int): DataFrame = {
     val spark = queries.sparkSession
-    val allowedSorted: Array[Long] = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
+    val idsSorted: Array[Long] = idsDf
+      .select(col(idsDf.columns.head).cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val allowedB = spark.sparkContext.broadcast(allowedSorted)
+    val idsB = spark.sparkContext.broadcast(idsSorted)
     val modelB = broadcastModel(spark, model)
     val resEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
       Encoders.scalaDouble, Encoders.scalaInt)
@@ -231,7 +248,11 @@ object HnswDistributed {
         val m = modelB.value
         val metric = Metrics.byName(m.metricName)
         val searcher = new HnswSearcher(m.params)
-        val ids = allowedB.value
+        val ids = idsB.value
+        def eligible(id: Long): Boolean = {
+          val in = java.util.Arrays.binarySearch(ids, id) >= 0
+          if (negate) !in else in
+        }
         // one store per partition, -1 query slot re-staged per row
         val store = new ArrayVectorStore(metric, base = m.vectors)
         it.flatMap { case (qid, qvec) =>
@@ -239,12 +260,10 @@ object HnswDistributed {
           val n = m.size
           var kp = math.max(4 * k, m.params.getEfSearch(0))
           var out: List[(Long, Long, Double, Int)] = Nil
-          var done = ids.isEmpty || n == 0
+          var done = n == 0 || (!negate && ids.isEmpty)
           while (!done) {
             val w = searcher.searchWithEf(store, m.snapshot, q, kp, kp)
-            val hits = w.iterator
-              .filter(nb => java.util.Arrays.binarySearch(ids, nb.dst) >= 0)
-              .take(k).toList
+            val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
             if (hits.length >= k) {
               out = hits.zipWithIndex.map { case (nb, i) =>
                 (qid, nb.dst, nb.dist, i + 1)
@@ -255,11 +274,13 @@ object HnswDistributed {
               // A graph WALK can never surface a vertex that lost every
               // in-edge to M_max re-trimming (rare but possible), so an
               // ef=n beam is not a completeness proof — finish with an
-              // exact executor-local scan over the allowed ids:
-              // O(|allowed|) distance evals, still no driver round-trip,
+              // exact executor-local scan over the eligible ids:
+              // O(|eligible|) distance evals, still no driver round-trip,
               // and the result provably matches the filtered oracle.
-              val exact = ids.iterator
-                .filter(m.vectors.contains)
+              val eligibleIter =
+                if (negate) m.vectors.keysIterator.filter(eligible)
+                else ids.iterator.filter(m.vectors.contains)
+              val exact = eligibleIter
                 .map(id => (id, store.evalDistance(q, id))).toArray
               out = exact.sortBy { case (id, d) => (d, id) }.take(k)
                 .zipWithIndex

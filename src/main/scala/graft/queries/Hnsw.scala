@@ -174,6 +174,20 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Tombstone serving: delete-without-rebuild. Only the deletion set
+    // broadcasts (O(deletes), never the corpus-sized complement);
+    // tombstoned vertices still conduct the traversal (soft-delete
+    // until the next compaction), the overfetch loop guarantees k
+    // eligible results, and the exact executor-local fallback makes it
+    // provably equal to the exclusion oracle.
+    "h_knn_tombstone" -> ((s, dir) => {
+      val model = HnswDistributed.buildCached(vectorsDf(s, dir), exactishCfg, dir)
+      val deleted = t(s, dir).filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      HnswDistributed.searchExcluding(queriesDf(s, dir), model, deleted, 10)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The beyond-broadcast scale path: independent per-shard graphs +
     // global top-k merge, served from a PREBUILT persisted handle
     // (buildShardedCached) so repeated query batches pay zero rebuild.
@@ -217,6 +231,7 @@ object Hnsw {
   val oracles: Map[String, String] = Map(
     "h_knn_cosine" -> exactKnnOracle(10),
     "h_knn_filtered" -> filteredKnnOracle(10, "label = 3"),
+    "h_knn_tombstone" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming chunk-level exact dedup — the arrival-order twin of the
+  * batch [[graft.operators.ChunkDedup]] keep-first pass: a chunk
+  * occurrence survives iff its exact content was never seen before
+  * (earlier batch, or earlier (doc_id, chunk_no) in the same batch).
+  * The boilerplate-stripping stage of a streaming ingestion pipeline.
+  *
+  * State is a durable parquet chunk-hash index (`chunks/`: chunk_hash,
+  * first_doc, first_chunk_no), NOT driver memory. Each micro-batch:
+  *
+  *  - probes the state with a LEFT SEMI against the batch's own hash set
+  *    broadcast (the hit set is O(batch), never O(corpus) shuffled);
+  *  - resolves intra-batch repeats with one window over chunk_hash
+  *    (keep-first in global (doc_id, chunk_no) order);
+  *  - appends the fresh survivors under an id-range-keyed directory, so
+  *    a redelivered micro-batch overwrites its own output instead of
+  *    duplicating (the [[StreamingDocDedup]] idempotence pattern —
+  *    state rows FIRST SEEN in this batch's id range are excluded from
+  *    the probe on redelivery, so the recomputation sees exactly what
+  *    the first delivery saw).
+  *
+  * At corpus scale the state probe is one scan of the chunk index per
+  * batch; bucket the state by chunk_hash (graft.sources.Layout) to prune
+  * it to the probed buckets.
+  */
+object StreamingChunkDedup {
+
+  final case class BatchResult(chunks: Long, kept: Long, dropped: Long)
+
+  private def exists(s: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Process one micro-batch of (doc_id, text) against the state at
+    * `statePath`. Stateless on the driver between calls. */
+  def processBatch(spark: SparkSession, batch: DataFrame,
+                   statePath: String, w: Int = 20): BatchResult = {
+    val docs = batch.select(col("doc_id").cast("long"), col("text"))
+      .filter(col("doc_id").isNotNull)
+      .dropDuplicates("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (docs.isEmpty) return BatchResult(0, 0, 0)
+      val occ = graft.operators.ChunkDedup.occurrences(docs, w)
+        .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+        .persist()
+      try {
+        val nOcc = occ.count()
+        val batchIds = docs.select(col("doc_id"))
+        val statePath0 = s"$statePath/chunks"
+        // hashes already owned by SURVIVORS of earlier batches. Rows
+        // first seen by THIS batch's docs are excluded: on redelivery
+        // they are this batch's own previous output, and probing them
+        // would drop every former first-occurrence as a duplicate of
+        // itself (then overwrite the state with the wrong survivors).
+        val seenHashes: DataFrame =
+          if (!exists(spark, statePath0))
+            spark.range(0).select(col("id").cast("string").as("chunk_hash"))
+          else spark.read.parquet(statePath0)
+            .join(broadcast(batchIds),
+              col("first_doc") === col("doc_id"), "left_anti")
+            .join(broadcast(occ.select(col("chunk_hash")).distinct()),
+              Seq("chunk_hash"), "left_semi")
+            .select(col("chunk_hash")).distinct()
+        val fresh = occ
+          .join(broadcast(seenHashes), Seq("chunk_hash"), "left_anti")
+        val surv = fresh
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("chunk_hash"))
+              .orderBy(col("doc_id"), col("chunk_no"))))
+          .filter(col("rn") === 1)
+          .select(col("chunk_hash"), col("doc_id").as("first_doc"),
+            col("chunk_no").as("first_chunk_no"))
+          .persist()
+        val nKept = surv.count()
+        val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).head()
+        surv.write.mode("overwrite")
+          .parquet(s"$statePath0/batch=${ids.getLong(0)}_${ids.getLong(1)}")
+        surv.unpersist(blocking = false)
+        BatchResult(nOcc, nKept, nOcc - nKept)
+      } finally occ.unpersist()
+    } finally docs.unpersist()
+  }
+
+  /** Every distinct chunk's first occurrence accumulated in the state. */
+  def seenChunks(spark: SparkSession, statePath: String): DataFrame =
+    if (!exists(spark, s"$statePath/chunks"))
+      spark.range(0).selectExpr("CAST(id AS STRING) AS chunk_hash",
+        "id AS first_doc", "id AS first_chunk_no")
+    else spark.read.parquet(s"$statePath/chunks")
+      .select(col("chunk_hash"), col("first_doc"), col("first_chunk_no"))
+
+  /** Attach a streaming (doc_id, text) frame: every micro-batch is
+    * deduped against (and folded into) the durable chunk index. */
+  def attach(stream: DataFrame, statePath: String, w: Int = 20): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, batch, statePath, w)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.ChunkDedup
+
+/** Streaming chunk dedup vs the batch keep-first reference, cross-batch
+  * suppression, and redelivery idempotence. */
+class StreamingChunkDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+  private def uniq(tag: String) = (1 to 20).map(i => s"${tag}$i").mkString(" ")
+
+  private val batch1 = Seq(
+    (1L, uniq("x") + " " + boiler),
+    (2L, boiler + " " + uniq("y")))
+  private val batch2 = Seq(
+    (3L, boiler + " " + uniq("z")), // boiler dup of batch 1
+    (4L, uniq("z") + " " + uniq("w")), // intra-batch dup of doc 3's z-chunk
+    (5L, uniq("v")))
+
+  private def freshState(): String =
+    Files.createTempDirectory("graft_chunkstream_").toString
+
+  test("streamed state equals the batch keep-first firsts over the union") {
+    val state = freshState()
+    val r1 = StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state)
+    val r2 = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state)
+    assert(r1.chunks == 4 && r1.kept == 3) // boiler repeats within batch 1
+    assert(r2.chunks == 5 && r2.kept == 3) // boiler dropped, z kept once
+
+    val got = StreamingChunkDedup.seenChunks(spark, state)
+      .select("chunk_hash", "first_doc", "first_chunk_no")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = ChunkDedup
+      .occurrences((batch1 ++ batch2).toDF("doc_id", "text"), 20)
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_no"))))
+      .filter(col("rn") === 1)
+      .select("chunk_hash", "doc_id", "chunk_no")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("redelivered batch is idempotent: same state, same counts") {
+    val state = freshState()
+    StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state)
+    val first = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state)
+    val stateAfterFirst = StreamingChunkDedup.seenChunks(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    val redelivered = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state)
+    val stateAfterRedeliver = StreamingChunkDedup.seenChunks(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    assert(redelivered == first)
+    assert(stateAfterRedeliver == stateAfterFirst)
+  }
+
+  test("null ids and duplicate ids within a batch are dropped, not crashed") {
+    val state = freshState()
+    val messy = Seq(
+      (Option(7L), Option(uniq("q"))),
+      (Option.empty[Long], Option(uniq("r"))),
+      (Option(7L), Option(uniq("q"))))
+      .toDF("doc_id", "text")
+    val r = StreamingChunkDedup.processBatch(spark, messy, state)
+    assert(r.chunks == 1 && r.kept == 1)
+  }
+}
