@@ -203,6 +203,35 @@ object Vector {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Binary quantization serving: 1-bit-per-dim sign codes (64x
+    // compression at dim=64), Hamming top-100 compressed prefilter
+    // (XOR+popcount — the cheapest scan that exists), exact cosine
+    // re-rank of the survivors. The BQ+rescore pattern modern vector
+    // stores ship as their memory-tier default; recall self-carried
+    // (the prefilter is lossy by design). Candidate stage is the
+    // bounded-heap kNN over an 8-byte column; re-rank touches
+    // O(queries x 100) raw vectors only.
+    "v_recall_bq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val coarse = ExactKnn.search(
+          qs.select(col("qid"), signPack64(col("qvec")).as("qvec")),
+          vecs.select(col("id"), signPack64(col("vec")).as("vec")),
+          k = 100, metric = "hamming")
+        .select(col("qid"), col("id"))
+      val reranked = coarse
+        .join(vecs, "id")
+        .join(qs, "qid")
+        .withColumn("sim", cosineSim(col("qvec"), col("vec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("sim").desc, col("id"))))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("id"))
+      recallReport(s, qs, reranked, knn(s, dir, 10, "cosine"))
+    }),
+
     // MMR diversified re-ranking (Carbonell & Goldstein 1998): top-20
     // exact-cosine candidates greedily re-ranked to 5 diverse results at
     // lambda=0.5. Integer micro-unit sims + per-mille lambda keep the

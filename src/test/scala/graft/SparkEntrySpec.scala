@@ -41,7 +41,8 @@ class SparkEntrySpec extends AnyFunSuite {
     // the intentional rows-only set: recall measurements in the ANN
     // regime (no SQL engine can run the index)
     val declared = Set("h_recall_ann", "h_recall_pq", "v_recall_ivf",
-      "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "e_hll_users",
+      "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "v_recall_bq",
+      "e_hll_users",
       // SemDeDup production regime: Lloyd-trained centroids aren't
       // SQL-expressible; the seed-centroid regime (v_semdedup_pairs)
       // carries the hash-parity oracle for the same pair pipeline
