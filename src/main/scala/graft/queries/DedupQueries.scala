@@ -280,6 +280,32 @@ object DedupQueries {
           num = 4, den = 5, maxDf = 200)
         .orderBy(col("contained_id"), col("container_id"))),
 
+    // Round-6 capstone: the sub-document curation pipeline end-to-end —
+    // containment dedup (drop docs >= 0.8-contained in a LOWER-id doc:
+    // arrival-order greedy, the d_dedup_resolve min-id convention),
+    // then keep-first chunk dedup over the SURVIVORS, rolled up per
+    // source. One DAG, one composed oracle; every stage is a proven
+    // operator (Containment at the catalog cap, ChunkDedup).
+    "p_chunk_curate" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val dropped = graft.operators.Containment
+        .pairs(d, shingleLen = 8, num = 4, den = 5, maxDf = 200)
+        .filter(col("container_id") < col("contained_id"))
+        .select(col("contained_id").as("doc_id")).distinct()
+      val kept = d.join(dropped, Seq("doc_id"), "left_anti")
+      val stats = ChunkDedup.dedupStats(kept, w = 20)
+      d.select(col("doc_id"), col("source"))
+        .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+        .join(stats, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_in"),
+          count(col("k")).as("docs_kept"),
+          coalesce(sum(col("n_chunks")), lit(0L)).as("chunks_total"),
+          coalesce(sum(col("n_chunks") - col("n_dropped")), lit(0L)).as("chunks_unique"),
+          coalesce(sum(col("chars_kept")), lit(0L)).as("chars_kept"))
+        .orderBy(col("source"))
+    }),
+
     // Corpus-quality report: per-source chunk duplication ratio (basis
     // points, integer division — no float in the hashed row). The
     // roll-up a curation run reads to decide which sources need a
@@ -427,23 +453,7 @@ object DedupQueries {
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d_containment" ->
-      """WITH sh AS (SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
-        |      i -> substring(text, i, 8))) AS sh
-        |  FROM documents WHERE text IS NOT NULL),
-        |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-        |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM e0 GROUP BY 1)
-        |         WHERE df <= 200),
-        |e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |          CAST(count(*) AS BIGINT) AS n_inter
-        |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |sized AS (SELECT i.a_id, i.b_id, i.n_inter,
-        |          sa.n AS a_n, sb.n AS b_n
-        |          FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
-        |          JOIN sz sb ON sb.doc_id = i.b_id)
+      s"""WITH $containmentCtes
         |SELECT contained_id, container_id, n_shared, containment_bp FROM (
         |  SELECT a_id AS contained_id, b_id AS container_id, n_inter AS n_shared,
         |         CAST(n_inter * 10000 // a_n AS BIGINT) AS containment_bp
@@ -453,6 +463,37 @@ object DedupQueries {
         |         CAST(n_inter * 10000 // b_n AS BIGINT)
         |  FROM sized WHERE n_inter * 5 >= b_n * 4)
         |ORDER BY contained_id, container_id""".stripMargin,
+
+    "p_chunk_curate" ->
+      s"""WITH $containmentCtes,
+         |dropped AS (
+         |  SELECT DISTINCT a_id AS doc_id FROM sized
+         |  WHERE n_inter * 5 >= a_n * 4 AND b_id < a_id
+         |  UNION
+         |  SELECT DISTINCT b_id FROM sized
+         |  WHERE n_inter * 5 >= b_n * 4 AND a_id < b_id),
+         |keepdocs AS (SELECT d.doc_id, d.text FROM documents d
+         |  WHERE d.text IS NOT NULL
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)),
+         |${chunkCteFrom("keepdocs")},
+         |r AS (SELECT doc_id, chunk,
+         |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_no) AS rn
+         |      FROM chunks),
+         |per_doc AS (SELECT doc_id, count(*) AS n_chunks,
+         |            sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_uniq,
+         |            sum(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END) AS chars_kept
+         |            FROM r GROUP BY doc_id)
+         |SELECT d.source,
+         |  count(*) AS docs_in,
+         |  count(k.doc_id) AS docs_kept,
+         |  CAST(coalesce(sum(p.n_chunks), 0) AS BIGINT) AS chunks_total,
+         |  CAST(coalesce(sum(p.n_uniq), 0) AS BIGINT) AS chunks_unique,
+         |  CAST(coalesce(sum(p.chars_kept), 0) AS BIGINT) AS chars_kept
+         |FROM documents d
+         |LEFT JOIN keepdocs k ON k.doc_id = d.doc_id
+         |LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+         |WHERE d.text IS NOT NULL
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "d_source_dup_ratio" ->
       s"""WITH $chunkCte,
@@ -471,15 +512,42 @@ object DedupQueries {
          |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 
-  /** Shared 20-word chunking CTE: `chunks(doc_id, chunk_no, chunk)`.
-    * Lazy: referenced by `oracles` above it in declaration order. */
-  private lazy val chunkCte: String =
-    """w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+  /** Shared capped containment CTE chain — `sized(a_id, b_id, n_inter,
+    * a_n, b_n)` over df<=200 char-8 shingles. ONE string composed into
+    * the d_containment and p_chunk_curate oracles (must mirror
+    * Containment.pairs at the catalog parameters). */
+  private lazy val containmentCtes: String =
+    """sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, greatest(length(text)-7, 1)),
+      |      i -> substring(text, i, 8))) AS sh
+      |  FROM documents WHERE text IS NOT NULL),
+      |e0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM e0 GROUP BY 1)
+      |         WHERE df <= 200),
+      |e AS (SELECT e0.doc_id, e0.s FROM e0 JOIN keep USING (s)),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |          CAST(count(*) AS BIGINT) AS n_inter
+      |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |sized AS (SELECT i.a_id, i.b_id, i.n_inter,
+      |          sa.n AS a_n, sb.n AS b_n
+      |          FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+      |          JOIN sz sb ON sb.doc_id = i.b_id)""".stripMargin
+
+  /** Shared 20-word chunking CTE over any doc relation:
+    * `chunks(doc_id, chunk_no, chunk)`. */
+  private def chunkCteFrom(table: String): String =
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |      generate_subscripts(string_split(text, ' '), 1) AS pos
-      |      FROM documents),
+      |      FROM $table),
       |chunks AS (SELECT doc_id, CAST((pos - 1) // 20 AS BIGINT) AS chunk_no,
       |           string_agg(w, ' ' ORDER BY pos) AS chunk
       |           FROM w GROUP BY doc_id, CAST((pos - 1) // 20 AS BIGINT))""".stripMargin
+
+  /** The documents-table instance — referenced by `oracles` above it in
+    * declaration order (lazy for that reason). */
+  private lazy val chunkCte: String = chunkCteFrom("documents")
 }
 
 /** The 64-bit token SimHash, written twice in the two SQL dialects so the
