@@ -44,6 +44,27 @@ object DedupQueries {
   private val candDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val containDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized containment pairs at the catalog parameters (char-8,
+    * 0.8 = 4/5, df <= 200): d_containment and p_chunk_curate consume the
+    * same inverted-index join — one catalog run pays it once. Parquet-
+    * path memo (the candidatePairsWithShingles pattern). */
+  private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = containDirCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("containment_pairs") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_contain_").toString
+        graft.operators.Containment
+          .pairs(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+    })
+    s.read.parquet(path)
+  }
+
   /** Memoized: d_neardup_minhash, d_jaccard_pairs and p_curate all verify
     * from the same candidate stage — one catalog run pays the shingle
     * hashing once. The memo holds a parquet PATH, never a live DataFrame
@@ -276,8 +297,7 @@ object DedupQueries {
     // — contained docs share RARE shingles; the dropped head is
     // non-discriminative boilerplate vocabulary.
     "d_containment" -> ((s, dir) =>
-      graft.operators.Containment.pairs(docs(s, dir), shingleLen = 8,
-          num = 4, den = 5, maxDf = 200)
+      containmentPairs(s, dir)
         .orderBy(col("contained_id"), col("container_id"))),
 
     // Round-6 capstone: the sub-document curation pipeline end-to-end —
@@ -288,8 +308,7 @@ object DedupQueries {
     // operator (Containment at the catalog cap, ChunkDedup).
     "p_chunk_curate" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("text").isNotNull)
-      val dropped = graft.operators.Containment
-        .pairs(d, shingleLen = 8, num = 4, den = 5, maxDf = 200)
+      val dropped = containmentPairs(s, dir)
         .filter(col("container_id") < col("contained_id"))
         .select(col("contained_id").as("doc_id")).distinct()
       val kept = d.join(dropped, Seq("doc_id"), "left_anti")
