@@ -116,8 +116,10 @@ object Multimodal {
     * (id, tot = 2 x bytes, hist = 16 longs, sum(hist) = tot). */
   def nibbleHistogram(df: DataFrame, payloadCol: String = "payload",
                       idCol: String = "doc_id"): DataFrame =
+    // long BEFORE the doubling: octet_length is int-typed and a >= 1 GiB
+    // payload (this module's stated media scale) would wrap int *2
     df.select(col(idCol), col("media_type"),
-      (octet_length(col(payloadCol)) * 2).cast("long").as("tot"),
+      (octet_length(col(payloadCol)).cast("long") * 2).as("tot"),
       graft.functions.TextFunctions.nibbleHist(col(payloadCol)).as("hist"))
 
   /** Fingerprint near-dup: pairs of same-media payloads whose nibble
@@ -128,11 +130,11 @@ object Multimodal {
     * alone: three media values would cap parallelism at three tasks,
     * each nested-looping its whole partition. Because L1 >= |tot_a -
     * tot_b|, a qualifying pair satisfies |ln(a) - ln(b)| <=
-    * ln((den+num)/(den-num)) — within one bucket of width 1/20 in
-    * ln-space for the catalog's 2% threshold — so probing each row's
-    * own bucket plus both neighbors (the e_value_neighbors replication
-    * pattern) finds every qualifying pair exactly once, and the exact
-    * integer size filter + L1 run only on near-diagonal candidates.
+    * ln((den+num)/(den-num)) — within one threshold-derived ln-space
+    * bucket — so probing each row's own bucket plus both neighbors
+    * (the e_value_neighbors replication pattern) finds every
+    * qualifying pair exactly once, and the exact integer size filter +
+    * L1 run only on near-diagonal candidates.
     * The bucket value is float-derived but used ONLY for candidate
     * generation; membership is decided by the exact integer compare.
     * The L1 is a FLAT 16-term expression over element_at (higher-order
@@ -141,13 +143,20 @@ object Multimodal {
     * fingerprint; also keeps ln and the rel_bp division defined). */
   def fingerprintPairs(hists: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > num, "threshold num/den must be in (0, 1)")
+    // bucket scale DERIVED from the threshold: qualifying pairs satisfy
+    // |ln a - ln b| <= bandWidth, and scale = floor(1/bandWidth) makes
+    // bandWidth * scale <= 1, so floor(ln * scale) buckets differ by at
+    // most 1 — own+adjacent probing stays lossless for ANY threshold.
+    // A threshold so wide that bandWidth >= 1 degrades to one bucket
+    // per media type (correct, just unbucketed).
     val bandWidth = math.log((den + num).toDouble / (den - num))
-    require(bandWidth * 20.0 < 1.0,
-      s"threshold too wide for the 1/20 ln-bucket: band $bandWidth")
+    val scale = math.max(1L, math.floor(1.0 / bandWidth).toLong)
     // both join sides derive from the same histogram projection; the
-    // eager localCheckpoint computes the 16 replace scans once
+    // eager localCheckpoint pays the doc scan + kernel pass once
     val positive = hists.filter(col("tot") > 0).localCheckpoint()
-    val bucket = floor(log(col("tot").cast("double")) * lit(20.0)).cast("long")
+    val bucket =
+      if (bandWidth >= 1.0) lit(0L)
+      else floor(log(col("tot").cast("double")) * lit(scale.toDouble)).cast("long")
     val a = positive.select(col("media_type"), col("doc_id").as("a_id"),
         col("tot").as("a_tot"), col("hist").as("a_hist"), bucket.as("k"))
       .withColumn("kp", explode(array(col("k") - 1, col("k"), col("k") + 1)))

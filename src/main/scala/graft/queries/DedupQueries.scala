@@ -313,12 +313,14 @@ object DedupQueries {
         .select(col("contained_id").as("doc_id")).distinct()
       val kept = d.join(dropped, Seq("doc_id"), "left_anti")
       val stats = ChunkDedup.dedupStats(kept, w = 20)
+      // every kept doc yields >= 1 chunk (chunksOf emits at least one
+      // even for empty text), so the stats row count IS docs_kept — no
+      // second marker join re-running the anti-join subtree
       d.select(col("doc_id"), col("source"))
-        .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
         .join(stats, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs_in"),
-          count(col("k")).as("docs_kept"),
+          count(col("n_chunks")).as("docs_kept"),
           coalesce(sum(col("n_chunks")), lit(0L)).as("chunks_total"),
           coalesce(sum(col("n_chunks") - col("n_dropped")), lit(0L)).as("chunks_unique"),
           coalesce(sum(col("chars_kept")), lit(0L)).as("chars_kept"))
@@ -486,11 +488,10 @@ object DedupQueries {
     "p_chunk_curate" ->
       s"""WITH $containmentCtes,
          |dropped AS (
-         |  SELECT DISTINCT a_id AS doc_id FROM sized
-         |  WHERE n_inter * 5 >= a_n * 4 AND b_id < a_id
-         |  UNION
-         |  SELECT DISTINCT b_id FROM sized
-         |  WHERE n_inter * 5 >= b_n * 4 AND a_id < b_id),
+         |  -- sized guarantees a_id < b_id, so "contained in a lower-id
+         |  -- doc" can only ever be the b side (container a_id < b_id)
+         |  SELECT DISTINCT b_id AS doc_id FROM sized
+         |  WHERE n_inter * 5 >= b_n * 4),
          |keepdocs AS (SELECT d.doc_id, d.text FROM documents d
          |  WHERE d.text IS NOT NULL
          |    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)),

@@ -18,12 +18,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    broadcast (the hit set is O(batch), never O(corpus) shuffled);
   *  - resolves intra-batch repeats with one window over chunk_hash
   *    (keep-first in global (doc_id, chunk_no) order);
-  *  - appends the fresh survivors under an id-range-keyed directory, so
-  *    a redelivered micro-batch overwrites its own output instead of
-  *    duplicating (the [[StreamingDocDedup]] idempotence pattern —
-  *    state rows FIRST SEEN in this batch's id range are excluded from
-  *    the probe on redelivery, so the recomputation sees exactly what
-  *    the first delivery saw).
+  *  - appends the fresh survivors under an epoch-keyed directory, so a
+  *    redelivered micro-batch overwrites its own output instead of
+  *    duplicating: state rows written under THIS batch key are excluded
+  *    from the probe, so the recomputation sees exactly what the first
+  *    delivery saw — and a doc id reappearing in a LATER batch still
+  *    dedups against the earlier occurrence (the exclusion is keyed on
+  *    the batch, never on doc-id membership).
   *
   * At corpus scale the state probe is one scan of the chunk index per
   * batch; bucket the state by chunk_hash (graft.sources.Layout) to prune
@@ -39,9 +40,14 @@ object StreamingChunkDedup {
   }
 
   /** Process one micro-batch of (doc_id, text) against the state at
-    * `statePath`. Stateless on the driver between calls. */
+    * `statePath`. Stateless on the driver between calls. `batchKey`
+    * must be stable across redeliveries of the SAME batch and distinct
+    * between different batches — exactly the contract of foreachBatch's
+    * epoch id, which [[attach]] passes. */
   def processBatch(spark: SparkSession, batch: DataFrame,
-                   statePath: String, w: Int = 20): BatchResult = {
+                   statePath: String, batchKey: String,
+                   w: Int = 20): BatchResult = {
+    require(batchKey.matches("[A-Za-z0-9_.-]+"), s"unsafe batchKey: $batchKey")
     val docs = batch.select(col("doc_id").cast("long"), col("text"))
       .filter(col("doc_id").isNotNull)
       .dropDuplicates("doc_id")
@@ -53,19 +59,23 @@ object StreamingChunkDedup {
         .persist()
       try {
         val nOcc = occ.count()
-        val batchIds = docs.select(col("doc_id"))
         val statePath0 = s"$statePath/chunks"
+        val ownDir = s"batch=$batchKey"
         // hashes already owned by SURVIVORS of earlier batches. Rows
-        // first seen by THIS batch's docs are excluded: on redelivery
-        // they are this batch's own previous output, and probing them
-        // would drop every former first-occurrence as a duplicate of
-        // itself (then overwrite the state with the wrong survivors).
+        // written by THIS batch key are excluded BY DIRECTORY: on
+        // redelivery they are the batch's own previous output, and
+        // probing them would drop every former first-occurrence as a
+        // duplicate of itself. Keying the exclusion on the batch id
+        // (not on first_doc membership) keeps a REAPPEARING doc id in a
+        // later batch correct too: its chunks stay "seen" and dedup
+        // against the earlier occurrence instead of corrupting the
+        // index with a second first-occurrence row.
         val seenHashes: DataFrame =
           if (!exists(spark, statePath0))
             spark.range(0).select(col("id").cast("string").as("chunk_hash"))
           else spark.read.parquet(statePath0)
-            .join(broadcast(batchIds),
-              col("first_doc") === col("doc_id"), "left_anti")
+            .withColumn("_f", input_file_name())
+            .filter(!col("_f").contains(s"/$ownDir/"))
             .join(broadcast(occ.select(col("chunk_hash")).distinct()),
               Seq("chunk_hash"), "left_semi")
             .select(col("chunk_hash")).distinct()
@@ -80,9 +90,7 @@ object StreamingChunkDedup {
             col("chunk_no").as("first_chunk_no"))
           .persist()
         val nKept = surv.count()
-        val ids = docs.select(min(col("doc_id")), max(col("doc_id"))).head()
-        surv.write.mode("overwrite")
-          .parquet(s"$statePath0/batch=${ids.getLong(0)}_${ids.getLong(1)}")
+        surv.write.mode("overwrite").parquet(s"$statePath0/$ownDir")
         surv.unpersist(blocking = false)
         BatchResult(nOcc, nKept, nOcc - nKept)
       } finally occ.unpersist()
@@ -102,8 +110,10 @@ object StreamingChunkDedup {
   def attach(stream: DataFrame, statePath: String, w: Int = 20): StreamingQuery =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, statePath, w)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // epoch id: stable on redelivery, distinct across batches —
+        // exactly the idempotence key processBatch requires
+        processBatch(batch.sparkSession, batch, statePath, epochId.toString, w)
         ()
       }
       .start()

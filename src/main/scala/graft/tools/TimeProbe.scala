@@ -2,7 +2,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object TimeProbe {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, names @ _*) = args
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.queries.keys.toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkEntry.applyConfigs(SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)

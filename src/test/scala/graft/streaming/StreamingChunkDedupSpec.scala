@@ -30,8 +30,8 @@ class StreamingChunkDedupSpec extends SparkSpec {
 
   test("streamed state equals the batch keep-first firsts over the union") {
     val state = freshState()
-    val r1 = StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state)
-    val r2 = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state)
+    val r1 = StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state, "b1")
+    val r2 = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state, "b2")
     assert(r1.chunks == 4 && r1.kept == 3) // boiler repeats within batch 1
     assert(r2.chunks == 5 && r2.kept == 3) // boiler dropped, z kept once
 
@@ -51,15 +51,31 @@ class StreamingChunkDedupSpec extends SparkSpec {
 
   test("redelivered batch is idempotent: same state, same counts") {
     val state = freshState()
-    StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state)
-    val first = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state)
+    StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state, "b1")
+    val first = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state, "b2")
     val stateAfterFirst = StreamingChunkDedup.seenChunks(spark, state)
       .collect().map(_.toString).sorted.toSeq
-    val redelivered = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state)
+    val redelivered = StreamingChunkDedup.processBatch(spark, batch2.toDF("doc_id", "text"), state, "b2")
     val stateAfterRedeliver = StreamingChunkDedup.seenChunks(spark, state)
       .collect().map(_.toString).sorted.toSeq
     assert(redelivered == first)
     assert(stateAfterRedeliver == stateAfterFirst)
+  }
+
+  test("a reappearing doc id dedups against its earlier occurrence") {
+    // doc 1 re-sent in a LATER batch (a new epoch, not a redelivery):
+    // its chunks are already owned by the state, so they all drop, and
+    // the index gains no second first-occurrence row
+    val state = freshState()
+    StreamingChunkDedup.processBatch(spark, batch1.toDF("doc_id", "text"), state, "b1")
+    val before = StreamingChunkDedup.seenChunks(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    val r = StreamingChunkDedup.processBatch(
+      spark, batch1.take(1).toDF("doc_id", "text"), state, "b9")
+    assert(r.kept == 0 && r.dropped == r.chunks)
+    val after = StreamingChunkDedup.seenChunks(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
   }
 
   test("null ids and duplicate ids within a batch are dropped, not crashed") {
@@ -69,7 +85,7 @@ class StreamingChunkDedupSpec extends SparkSpec {
       (Option.empty[Long], Option(uniq("r"))),
       (Option(7L), Option(uniq("q"))))
       .toDF("doc_id", "text")
-    val r = StreamingChunkDedup.processBatch(spark, messy, state)
+    val r = StreamingChunkDedup.processBatch(spark, messy, state, "b1")
     assert(r.chunks == 1 && r.kept == 1)
   }
 }
