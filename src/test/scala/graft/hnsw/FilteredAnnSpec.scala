@@ -59,4 +59,35 @@ class FilteredAnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == plain)
   }
+
+  test("empty deletion set degenerates searchExcluding to the plain search") {
+    val deleted = emb.filter(col("vec_id") < 0).select(col("vec_id"))
+    val got = HnswDistributed.searchExcluding(qs, model, deleted, 10)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = HnswDistributed.search(qs, model, 10)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == plain)
+  }
+
+  test("searchExcluding matches brute force minus the deleted set") {
+    val deleted = emb.filter(col("vec_id") % 3 === 1).select(col("vec_id"))
+    val deletedSet = deleted.collect().map(_.getLong(0)).toSet
+    val got = HnswDistributed.searchExcluding(qs, model, deleted, 5)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall { case (_, id, _) => !deletedSet.contains(id) })
+    val exact = graft.operators.ExactKnn.search(
+        qs, vecs.join(deleted,
+          vecs("id") === deleted("vec_id"), "left_anti"), 5, "cosine")
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.toSet == exact)
+  }
+
+  test("deleting everything yields zero rows, not a hang or crash") {
+    val deleted = emb.select(col("vec_id"))
+    assert(HnswDistributed.searchExcluding(qs, model, deleted, 10).count() == 0)
+  }
 }
