@@ -220,6 +220,77 @@ object Curation {
         .groupBy(col("lang"), col("source"), col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("lang"), col("source"), col("shard_id"))
+    }),
+
+    // Curriculum shard packing: the whole corpus in ONE global quality
+    // order (integer quality key, ties by doc_id), token-budget packed
+    // in that order — easy-to-hard data ordering for training. The
+    // global running sum is a TWO-PHASE distributed prefix sum (range-
+    // partition on the order key, per-partition window, driver-side
+    // offsets over num-partitions rows), never a single-partition
+    // window; range boundaries are sampled but the prefix over a TOTAL
+    // order is boundary-invariant, so the output is deterministic.
+    "s_curriculum_shards" -> ((s, dir) => {
+      val stop = Text.stopSql
+      val scored = docs(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))").cast("long"))
+        .withColumn("quality_u",
+          expr("(n_stop * 1000000) div n_tok") +
+            least(lit(1000000L), expr("(n_chars * 1000000) div 500")))
+      val ranged = scored
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("quality_u").desc, col("doc_id"))
+        .sortWithinPartitions(col("quality_u").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint() // pin the partitioning: both consumers below
+      val localW = Window.partitionBy(col("pid"))
+        .orderBy(col("quality_u").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy(col("pid"))
+        .agg(sum(col("n_tok")).as("ptotal"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+        .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+        .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
+        .toMap
+      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("pid") === pid, lit(off)).otherwise(acc)
+      }
+      ranged
+        .withColumn("cum0", coalesce(sum(col("n_tok")).over(localW), lit(0L)) + offCol)
+        .withColumn("shard_id", expr(s"cum0 div $ShardCapacity"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          max(col("quality_u")).as("max_quality_u"),
+          min(col("quality_u")).as("min_quality_u"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // Corpus forensics: source x source 5-token-shingle overlap — which
+    // sources copy from each other (syndication, mirrors) BEFORE they
+    // pollute a train/eval split. One inverted shingle index, one
+    // self-join keyed on the shingle, integer Jaccard in basis points.
+    "d_source_overlap" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
+            " i -> concat_ws(' ', slice(toks, i, 5))))")).as("ngram"))
+        .distinct()
+        .localCheckpoint() // feeds the sizes agg + both join sides
+      val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = grams.as("x").join(grams.as("y"),
+          col("x.ngram") === col("y.ngram") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("a_source"), col("y.source").as("b_source"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("source").as("a_source"), col("n").as("a_n")), "a_source")
+        .join(sizes.select(col("source").as("b_source"), col("n").as("b_n")), "b_source")
+        .withColumn("jaccard_bp",
+          expr("n_shared * 10000 div (a_n + b_n - n_shared)"))
+        .select(col("a_source"), col("b_source"), col("n_shared"), col("jaccard_bp"))
+        .orderBy(col("a_source"), col("b_source"))
     })
   )
 
@@ -350,6 +421,47 @@ object Curation {
          |SELECT lang, source, CAST(cum0 // $ShardCapacity AS BIGINT) AS shard_id,
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          |FROM c GROUP BY lang, source, shard_id
-         |ORDER BY lang, source, shard_id""".stripMargin
+         |ORDER BY lang, source, shard_id""".stripMargin,
+
+    // the oracle states the global prefix sum directly as one window —
+    // the Spark side's two-phase partitioned form computes the same
+    // totals because the order (quality_u DESC, doc_id) is TOTAL
+    "s_curriculum_shards" -> {
+      val stop = Text.stopSql
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(string_split(text, ' '), tok -> tok IN $stop)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_tok,
+         |    (n_stop * 1000000) // n_tok
+         |      + least(1000000, (n_chars * 1000000) // 500) AS quality_u
+         |  FROM t),
+         |c AS (SELECT doc_id, n_tok, quality_u,
+         |    COALESCE(sum(n_tok) OVER (ORDER BY quality_u DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+         |  FROM q)
+         |SELECT CAST(cum0 // $ShardCapacity AS BIGINT) AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(max(quality_u) AS BIGINT) AS max_quality_u,
+         |  CAST(min(quality_u) AS BIGINT) AS min_quality_u
+         |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin
+    },
+
+    "d_source_overlap" ->
+      """WITH g AS (SELECT DISTINCT d.source, sh.ngram
+        |  FROM documents d, LATERAL (
+        |    SELECT unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(d.text, ' '))-4, 1)),
+        |      i -> array_to_string(string_split(d.text, ' ')[i:i+4], ' ')))) AS ngram) sh),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |sharedg AS (SELECT a.source AS a_source, b.source AS b_source,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.ngram = b.ngram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s.a_source, s.b_source, s.n_shared,
+        |  CAST(s.n_shared * 10000 // (sa.n + sb.n - s.n_shared) AS BIGINT) AS jaccard_bp
+        |FROM sharedg s JOIN sz sa ON sa.source = s.a_source
+        |JOIN sz sb ON sb.source = s.b_source
+        |ORDER BY a_source, b_source""".stripMargin
   )
 }
