@@ -3,6 +3,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** Measurement instrumentation (round-8): the n100k build cell swung
+    * 115.7 s → 66.0 s across rounds on IDENTICAL code, so every grid
+    * cell now carries enough telemetry to attribute its own number —
+    * JVM GC time, executor task-time distribution (skew), and a fixed
+    * single-thread CPU calibration loop that measures the machine
+    * itself (a contended/slow host shows up here directly, independent
+    * of Spark). */
+  private object Instr {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+
+    def gcMs(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+
+    /** Fixed 50M-iteration FNV-style integer loop, single thread. On an
+      * unloaded modern core this is a stable ~40-80 ms; a 2x reading
+      * means the HOST is 2x slower/contended and every driver-sequential
+      * phase (the HNSW seed inserts, phase-2 merges) inflates with it. */
+    def cpuCalibMs(): Double = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 50000000) { h = (h ^ i) * 0x100000001B3L; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e6
+      // data-dependent sink so the loop cannot be dead-code-eliminated
+      if (h == 42L) System.err.print("")
+      dt
+    }
+  }
+
+  /** Collects per-task wall durations between reset() calls; median/max
+    * expose executor-side skew (one straggler partition vs a uniformly
+    * slow machine read very differently). */
+  private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
+    private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (e.taskInfo != null) durs.add(e.taskInfo.duration)
+    def reset(): Unit = durs.clear()
+    /** (taskCount, medianSec, maxSec) since the last reset. */
+    def snapshot(): (Int, Double, Double) = {
+      import scala.jdk.CollectionConverters._
+      val a = durs.asScala.map(_.longValue).toArray.sorted
+      if (a.isEmpty) (0, 0.0, 0.0)
+      else (a.length, a(a.length / 2) / 1e3, a.last / 1e3)
+    }
+  }
+
+  /** One grid cell with its attribution telemetry. */
+  private final case class Cell(
+      name: String, buildS: Double, insertsPerS: Double,
+      searchS: Double, linearS: Double, speedup: Double,
+      gcS: Double, taskN: Int, taskMedS: Double, taskMaxS: Double,
+      calibMs: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,7 +84,15 @@ object Bench {
     // catalog's accumulated cached blocks / pinned localCheckpoint RDDs
     // — driver-measured builds swung 3-9x vs the same cells measured
     // standalone. Catalog queries are warmed independently above.
-    val cells = vectorGrid(spark)
+    val taskStats = new TaskStats
+    spark.sparkContext.addSparkListener(taskStats)
+    // Host/session facts, measured not configured: requested CPUs vs the
+    // parallelism Spark actually got vs what the kernel exposes, and the
+    // single-thread calibration before any bench load.
+    val measuredPar = spark.sparkContext.defaultParallelism
+    val procs = Runtime.getRuntime.availableProcessors
+    val calibStart = Instr.cpuCalibMs()
+    val cells = vectorGrid(spark, taskStats)
     spark.catalog.clearCache()
     System.gc()
 
@@ -74,13 +138,17 @@ object Bench {
     // `value` stays the FULL wall (serve + one-time builds) so the
     // headline remains comparable with rounds 1-4.
     val total = serveTotal + oneTimeTotal
-    val grid = cells.map { case (n, b, ips, s, lin, sp) =>
-      f""""$n":{"hnsw_build_s":$b%.3f,"hnsw_insert_per_s":$ips%.0f,""" +
-        f""""hnsw_search_s":$s%.3f,"linear_search_s":$lin%.3f,"search_speedup":$sp%.2f}"""
+    val grid = cells.map { c =>
+      f""""${c.name}":{"hnsw_build_s":${c.buildS}%.3f,"hnsw_insert_per_s":${c.insertsPerS}%.0f,""" +
+        f""""hnsw_search_s":${c.searchS}%.3f,"linear_search_s":${c.linearS}%.3f,"search_speedup":${c.speedup}%.2f,""" +
+        f""""gc_s":${c.gcS}%.2f,"task_n":${c.taskN},"task_med_s":${c.taskMedS}%.3f,"task_max_s":${c.taskMaxS}%.3f,""" +
+        f""""cpu_calib_ms":${c.calibMs}%.0f}"""
     }.mkString("{", ",", "}")
-    // columns: [build_s, inserts_per_s, search_s, linear_search_s, speedup]
-    val gridCompact = cells.map { case (n, b, ips, s, lin, sp) =>
-      f""""$n":[$b%.2f,$ips%.0f,$s%.3f,$lin%.2f,$sp%.1f]"""
+    // columns: [build_s, inserts_per_s, search_s, linear_search_s, speedup,
+    //           gc_s, task_med_s, task_max_s, cpu_calib_ms]
+    val gridCompact = cells.map { c =>
+      f""""${c.name}":[${c.buildS}%.2f,${c.insertsPerS}%.0f,${c.searchS}%.3f,${c.linearS}%.2f,${c.speedup}%.1f,""" +
+        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f]"""
     }.mkString("{", ",", "}")
 
     // The driver captures only the LAST ~2000 chars of output and parses
@@ -95,9 +163,15 @@ object Bench {
       .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val calibEnd = Instr.cpuCalibMs()
+    val gcTotalS = Instr.gcMs() / 1e3
+    val envJson =
+      f"""{"cpus_req":"$cpus","parallelism":$measuredPar,"procs":$procs,""" +
+        f""""cpu_calib_ms_start":$calibStart%.0f,"cpu_calib_ms_end":$calibEnd%.0f,""" +
+        f""""gc_total_s":$gcTotalS%.1f}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","serve_total_s":$serveTotal,""" +
-        s""""one_time_s":$oneTimeJson,"queries":$fullQs,"sf":"$sfDir","vector_grid":$grid}"""
+        s""""env":$envJson,"one_time_s":$oneTimeJson,"queries":$fullQs,"sf":"$sfDir","vector_grid":$grid}"""
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
       try w.println(fullLine) finally w.close()
@@ -125,10 +199,10 @@ object Bench {
         .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,""" +
-        s""""serve_total_s":${jnum(serveTotal)},"one_time_s":$oneTimeJson,""" +
+        s""""serve_total_s":${jnum(serveTotal)},"env":$envJson,"one_time_s":$oneTimeJson,""" +
         s""""queries":$qs,"queries_note":"serving time (one-time builds excluded); slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
         s""""family_totals_s":$families,""" +
-        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup"],""" +
+        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms"],""" +
         s""""vector_grid":$gridCompact}"""
     }
     // sbt prints ~100 chars of [success]… after us; stay well inside 2000.
@@ -154,8 +228,7 @@ object Bench {
     * single-shot (repeating a 100k build would double the bench wall
     * for a number that varies less than search).
     */
-  /** One grid cell: (name, build_s, inserts_per_s, search_s, linear_s, speedup). */
-  private def vectorGrid(spark: SparkSession): Seq[(String, Double, Double, Double, Double, Double)] = {
+  private def vectorGrid(spark: SparkSession, taskStats: TaskStats): Seq[Cell] = {
     import graft.hnsw.{HnswDistributed, HnswParams, HnswSearcher}
     import graft.hnsw.HnswDistributed.BuildConfig
     import graft.operators.ExactKnn
@@ -212,6 +285,13 @@ object Bench {
 
     val cells = sizes.map { n =>
       System.gc()
+      // Per-cell attribution: calibration measures the HOST at this
+      // moment (contention drifts over a 3-min run), GC delta and the
+      // task-time distribution cover the build's two cost centers
+      // (driver-sequential merge phases vs distributed search tasks).
+      val calib = Instr.cpuCalibMs()
+      val gc0 = Instr.gcMs()
+      taskStats.reset()
       val rows = mkVectors(n)
       import spark.implicits._
       val vecDf = spark.createDataset(rows.toSeq).toDF("id", "vec")
@@ -223,6 +303,8 @@ object Bench {
       qDf.count()
 
       val (model, tBuild) = time(HnswDistributed.buildFromArray(spark, rows, cfg))
+      val (taskN, taskMed, taskMax) = taskStats.snapshot()
+      val gcBuild = (Instr.gcMs() - gc0) / 1e3
       // index distributed once (serving shape); timing covers the query jobs
       val modelB = HnswDistributed.broadcastModel(spark, model)
       materialize(HnswDistributed.searchBroadcast(qDf.limit(1), modelB, k)) // warm
@@ -230,7 +312,8 @@ object Bench {
       val tLinear = bestOf(2)(ExactKnn.search(qDf, vecDf, k, "cosine"))
       vecDf.unpersist(); qDf.unpersist(); modelB.destroy()
 
-      (s"n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw)
+      Cell(s"n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw,
+        gcBuild, taskN, taskMed, taskMax, calib)
     }
 
     // u64 Hamming cells — the reference's native Criterion scenario
@@ -242,6 +325,9 @@ object Bench {
     import graft.hnsw.HnswCodes
     val hammingCells = sizes.map { n =>
       System.gc()
+      val calib = Instr.cpuCalibMs()
+      val gc0 = Instr.gcMs()
+      taskStats.reset()
       val codes = Array.tabulate(n) { i =>
         (i.toLong, java.lang.Double.doubleToRawLongBits(
           HnswSearcher.uniformFromHash(i.toLong, 23L)))
@@ -257,6 +343,8 @@ object Bench {
       val (model, tBuild) = time(
         if (n <= 10000) HnswCodes.build(codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
         else HnswCodes.buildBatched(codesDf, HnswParams.standard(64, 32, 32), seed = 23L))
+      val (taskN, taskMed, taskMax) = taskStats.snapshot()
+      val gcBuild = (Instr.gcMs() - gc0) / 1e3
       // index distributed once (serving shape); timing covers the query jobs
       val modelB = HnswCodes.broadcastModel(spark, model)
       materialize(HnswCodes.searchBroadcast(qDf.limit(1), modelB, k)) // warm
@@ -266,7 +354,8 @@ object Bench {
           qDf.withColumnRenamed("qcode", "qvec"),
           codesDf.withColumnRenamed("code", "vec"), k, "hamming"))
       codesDf.unpersist(); qDf.unpersist(); modelB.destroy()
-      (s"hamming_n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw)
+      Cell(s"hamming_n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw,
+        gcBuild, taskN, taskMed, taskMax, calib)
     }
 
     cells ++ hammingCells

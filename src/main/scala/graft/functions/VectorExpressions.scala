@@ -145,6 +145,164 @@ case class SignPack64(child: Expression) extends UnaryExpression with Float32Una
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multi-bit SimHash signature: project the embedding onto `nBits` seeded
+  * Rademacher (+-1) hyperplanes and pack the sign bits into nBits/64
+  * longs — the banded-LSH signature kernel ([[graft.operators.Dedup]]).
+  *
+  * Was a Scala UDF (boxed Seq[Float] access, no codegen): at 512 bits x
+  * 64 dims the signature pass alone dominated the LSH query's cost. As a
+  * native expression the projection loop runs on primitive arrays inside
+  * whole-stage codegen. The flat projection matrix is deterministic in
+  * (nBits, dim, seed) and regenerated on each executor from the
+  * expression's own fields — nothing is shipped but three scalars.
+  */
+case class SimHashSigF32(child: Expression, nBits: Int, dim: Int, seed: Long)
+    extends UnaryExpression with Float32UnaryInput {
+  require(nBits % 64 == 0, "nBits must be a multiple of 64")
+  override def prettyName: String = "simhash_sig_f32"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val proj: Array[Float] =
+    SimHashSigF32.flatProjections(nBits, dim, seed)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    val vec = new Array[Float](n)
+    var i = 0
+    while (i < n) { vec(i) = a.getFloat(i); i += 1 }
+    val words = new Array[Long](nBits / 64)
+    var b = 0
+    while (b < nBits) {
+      val off = b * dim
+      var acc = 0.0
+      i = 0
+      // float multiply widened to double — bit-identical to the original
+      // UDF's accumulation (signatures are stable across the migration)
+      while (i < n) { acc += proj(off + i) * vec(i); i += 1 }
+      if (acc >= 0) words(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val projRef = ctx.addReferenceObj("simhashProj", proj, "float[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |int n = Math.min($dim, $a.numElements());
+       |float[] vec = new float[n];
+       |for (int i = 0; i < n; i++) vec[i] = $a.getFloat(i);
+       |long[] words = new long[${nBits / 64}];
+       |for (int b = 0; b < $nBits; b++) {
+       |  int off = b * $dim;
+       |  double acc = 0.0;
+       |  for (int i = 0; i < n; i++) acc += $projRef[off + i] * vec[i];
+       |  if (acc >= 0.0) words[b >> 6] |= (1L << (b & 63));
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(words);
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHashSigF32 {
+  /** Row-major (bit-then-dim) +-1 matrix from scala.util.Random(seed) —
+    * the exact draw order of the original generator, so signatures (and
+    * every LSH oracle hash downstream) are unchanged. */
+  def flatProjections(nBits: Int, dim: Int, seed: Long): Array[Float] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits * dim)(if (rng.nextBoolean()) 1f else -1f)
+  }
+}
+
+/** Fused SimHash signature + banded slicing: element j of the output is
+  * the `rowsPerBand`-bit slice of the signature starting at bit
+  * j*rowsPerBand — exactly the value the LSH bucket join keys on, so
+  * `posexplode` over this array yields (band_idx, band_val) directly.
+  *
+  * Replaces signature-then-`bands` string-parsed slice expressions: that
+  * shape generated one enormous projection method (cold Janino compile
+  * measured in SECONDS at 61-102 bands, risking the huge-method
+  * interpreted fallback), where this is one short loop. Slice semantics
+  * are bit-identical to the SQL form
+  * `shiftrightunsigned(element_at(sig, w+1), off) | shiftleft(...)` —
+  * band values, hence candidates, hence query hashes, are unchanged. */
+case class SimHashBandsF32(child: Expression, nBits: Int, dim: Int, seed: Long,
+                           bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with Float32UnaryInput {
+  require(nBits % 64 == 0, "nBits must be a multiple of 64")
+  require(bands * rowsPerBand <= nBits, "bands*rowsPerBand must fit in nBits")
+  require(rowsPerBand >= 1 && rowsPerBand <= 63, "rowsPerBand in [1,63]")
+  override def prettyName: String = "simhash_bands_f32"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val proj: Array[Float] =
+    SimHashSigF32.flatProjections(nBits, dim, seed)
+
+  private def mask: Long = (1L << rowsPerBand) - 1
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    val vec = new Array[Float](n)
+    var i = 0
+    while (i < n) { vec(i) = a.getFloat(i); i += 1 }
+    val words = new Array[Long](nBits / 64)
+    var b = 0
+    while (b < nBits) {
+      val off = b * dim
+      var acc = 0.0
+      i = 0
+      while (i < n) { acc += proj(off + i) * vec(i); i += 1 }
+      if (acc >= 0) words(b >> 6) |= (1L << (b & 63))
+      b += 1
+    }
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      val start = j * rowsPerBand
+      val w = start >> 6
+      val o = start & 63
+      val lo = words(w) >>> o
+      val value =
+        if (o + rowsPerBand <= 64) lo
+        else lo | (words(w + 1) << (64 - o))
+      out(j) = value & mask
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val projRef = ctx.addReferenceObj("simhashProj", proj, "float[]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |int n = Math.min($dim, $a.numElements());
+       |float[] vec = new float[n];
+       |for (int i = 0; i < n; i++) vec[i] = $a.getFloat(i);
+       |long[] words = new long[${nBits / 64}];
+       |for (int b = 0; b < $nBits; b++) {
+       |  int off = b * $dim;
+       |  double acc = 0.0;
+       |  for (int i = 0; i < n; i++) acc += $projRef[off + i] * vec[i];
+       |  if (acc >= 0.0) words[b >> 6] |= (1L << (b & 63));
+       |}
+       |long[] out = new long[$bands];
+       |for (int j = 0; j < $bands; j++) {
+       |  int start = j * $rowsPerBand;
+       |  int w = start >> 6;
+       |  int o = start & 63;
+       |  long lo = words[w] >>> o;
+       |  long value = (o + $rowsPerBand <= 64) ? lo : (lo | (words[w + 1] << (64 - o)));
+       |  out[j] = value & ${mask}L;
+       |}
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+     """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API over the kernels (plus built-in compositions). */
 object VectorFunctions {
   import org.apache.spark.sql.functions._
@@ -159,6 +317,11 @@ object VectorFunctions {
   /** Cosine distance = 1 - similarity (a metric-ish dissimilarity). */
   def cosineDist(a: Column, b: Column): Column = lit(1.0) - cosineSim(a, b)
   def signPack64(a: Column): Column = col(SignPack64(expr(a)))
+  def simhashSig(a: Column, nBits: Int, dim: Int, seed: Long): Column =
+    col(SimHashSigF32(expr(a), nBits, dim, seed))
+  def simhashBands(a: Column, nBits: Int, dim: Int, seed: Long,
+                   bands: Int, rowsPerBand: Int): Column =
+    col(SimHashBandsF32(expr(a), nBits, dim, seed, bands, rowsPerBand))
 
   /** Hamming distance between two u64 bit-codes — pure built-ins
     * (`bit_count(a ^ b)`), whole-stage codegen'd. Mirrors the reference's

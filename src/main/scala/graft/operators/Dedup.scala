@@ -39,7 +39,9 @@ object Dedup {
 
   /** Seeded Rademacher (+-1) projection matrix for SimHash signatures:
     * `nBits` hyperplanes over `dim` input dims. Deterministic in (seed,
-    * nBits, dim) — executors regenerate it from the closure. */
+    * nBits, dim) — executors regenerate it locally. Kept as the specs'
+    * independent reference for [[graft.functions.SimHashSigF32]]'s flat
+    * matrix (same draw order). */
   private[operators] def projections(nBits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
     val rng = new Random(seed)
     Array.fill(nBits)(Array.fill(dim)(if (rng.nextBoolean()) 1f else -1f))
@@ -47,25 +49,12 @@ object Dedup {
 
   /** SimHash signature column: pack the signs of `nBits` random
     * projections of the embedding into nBits/64 longs. One scan, no
-    * shuffle; the signature is the bucketing key for banded LSH. */
-  def simhashSig(nBits: Int, dim: Int, seed: Long): Column => Column = {
-    val proj = projections(nBits, dim, seed)
-    val f = udf { (v: Seq[Float]) =>
-      val words = new Array[Long](nBits / 64)
-      var b = 0
-      while (b < nBits) {
-        val p = proj(b)
-        var acc = 0.0
-        var i = 0
-        val n = math.min(p.length, v.length)
-        while (i < n) { acc += p(i) * v(i); i += 1 }
-        if (acc >= 0) words(b >> 6) |= (1L << (b & 63))
-        b += 1
-      }
-      words
-    }
-    c => f(c)
-  }
+    * shuffle; the signature is the bucketing key for banded LSH.
+    * Codegen'd native expression — the 512-projection pass is the
+    * dominant per-row cost of the LSH queries and must not run through
+    * a boxed UDF. */
+  def simhashSig(nBits: Int, dim: Int, seed: Long): Column => Column =
+    c => graft.functions.VectorFunctions.simhashSig(c, nBits, dim, seed)
 
   /** Banded-LSH candidate pairs over an embedding column: signature ->
     * `bands` buckets of `rowsPerBand` bits -> self-join within buckets.
@@ -94,28 +83,17 @@ object Dedup {
                                  nBits: Int, bands: Int, rowsPerBand: Int,
                                  dim: Int, seed: Long): (DataFrame, DataFrame) = {
     require(bands * rowsPerBand <= nBits, "bands*rowsPerBand must fit in nBits")
-    val sig = simhashSig(nBits, dim, seed)
     // repartition: small parquet inputs arrive as one split; the
     // projection-heavy signature pass should use every core. cache: the
-    // banded rows feed both sides of the bucket self-join.
-    val withSig = vectors
+    // banded rows feed both sides of the bucket self-join. Signature +
+    // band slicing are ONE fused codegen'd kernel (SimHashBandsF32) —
+    // posexplode over its output array IS (band_idx, band_val).
+    val banded = vectors
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("__id"), sig(col(vecCol)).as("__sig"))
-    // band value = the rowsPerBand-bit slice starting at band*rowsPerBand
-    val bandExprs = (0 until bands).map { j =>
-      val start = j * rowsPerBand
-      val w = start >> 6
-      val off = start & 63
-      // slice may straddle a word boundary
-      val lo = s"shiftrightunsigned(element_at(__sig, ${w + 1}), $off)"
-      val value =
-        if (off + rowsPerBand <= 64) lo
-        else s"($lo | shiftleft(element_at(__sig, ${w + 2}), ${64 - off}))"
-      expr(s"($value & ${(1L << rowsPerBand) - 1}L)").as(s"b$j")
-    }
-    val banded = withSig.select((col("__id") +: bandExprs): _*)
-      .select(col("__id"), posexplode(array((0 until bands).map(j => col(s"b$j")): _*))
-        .as(Seq("band_idx", "band_val")))
+      .select(col(idCol).as("__id"),
+        posexplode(graft.functions.VectorFunctions.simhashBands(
+          col(vecCol), nBits, dim, seed, bands, rowsPerBand))
+          .as(Seq("band_idx", "band_val")))
       .cache()
     val stream = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -167,6 +167,42 @@ object DedupQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // The SCALE regime of the same operator: banding chosen by the
+    // closed-form calculator (LshPlan) for a 0.95 recall target instead
+    // of the oracle-parity near-certainty above — wider bands (7 bits vs
+    // 5) and fewer of them (~61 vs 102), so the background candidate
+    // stream (the whole cost at moderate thresholds: b * 0.5^r per
+    // unrelated pair) shrinks ~6.7x. Rows-only by necessity (the output
+    // is recall-bounded, not exact); the recall audit is self-carried
+    // v_recall_*-style: one row comparing found pairs against the
+    // in-Spark brute-force truth (checkpointed — it is this query's
+    // oracle and runs exactly once), with the plan's predicted floor
+    // alongside. LshPlanRecallSpec asserts the floor holds on data.
+    "v_neardup_lsh_recall" -> ((s, dir) => {
+      import graft.operators.LshPlan
+      val threshold = 0.45
+      val p = LshPlan.plan(threshold, targetRecall = 0.95, nBits = 512, n = 10000L)
+      val vecs = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val found = Dedup.neardupLsh(vecs, idCol = "vec_id", vecCol = "embedding",
+        threshold = threshold, nBits = 512,
+        bands = p.bands, rowsPerBand = p.rowsPerBand)
+      val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+      val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      val truth = a.join(b, col("a_id") < col("b_id"))
+        .filter(graft.functions.VectorFunctions
+          .cosineSim(col("a_vec"), col("b_vec")) >= threshold)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      val nTrue = truth.count()
+      val nFound = found.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      import s.implicits._
+      Seq((p.bands, p.rowsPerBand, nTrue, nFound,
+          if (nTrue == 0) 10000L else nFound * 10000L / nTrue,
+          (p.recallBound * 10000).toLong))
+        .toDF("bands", "rows_per_band", "n_true", "n_found",
+          "recall_bp", "predicted_floor_bp")
+    }),
+
     // Document near-dup: MinHash over distinct char-8-shingles, banded
     // 4x3, exact shingle-Jaccard verify at 0.8. All hashing is md5 so the
     // DuckDB oracle runs the identical computation.
