@@ -172,18 +172,25 @@ object GraphFrames {
     * structure and distances (metric assumed unchanged, so queue order is
     * untouched). Joins only; the graph never leaves the cluster.
     *
-    * Structure-preserving like the reference: vertices with EMPTY link
-    * arrays survive (posexplode would drop them), and an id missing from
-    * `idMap` fails the job loudly (left join + raise_error) instead of
-    * silently dropping the vertex or edge.
+    * Type-generic like the reference (`GraphMem<U> -> GraphMem<V>`): the
+    * `new` column of `idMap` may be ANY type — long, string, struct — and
+    * the output graph's id space follows it; `distMap` optionally rewrites
+    * the distance ref type too (e.g. double -> string handle into a
+    * secret-shared store). Structure-preserving like the reference:
+    * vertices with EMPTY link arrays survive (posexplode would drop
+    * them), and an id missing from `idMap` fails the job loudly (left
+    * join + raise_error) instead of silently dropping the vertex or edge.
     */
-  def remap(links: DataFrame, idMap: DataFrame): DataFrame = {
+  def remap(links: DataFrame, idMap: DataFrame,
+            distMap: Column => Column = identity): DataFrame = {
     // Unmapped id -> runtime error, not a dropped row. raise_error is
-    // NullType; the cast lets it sit inside coalesce(long).
+    // NullType; the cast (to the TARGET id type — whatever `new` is)
+    // lets it sit inside coalesce.
+    val newIdType = idMap.schema(idMap.schema.fieldIndex("new")).dataType
     def mappedOrFail(newCol: Column, oldCol: Column): Column =
       coalesce(newCol,
         raise_error(concat(lit("remap: id missing from idMap: "),
-          oldCol.cast("string"))).cast("long"))
+          oldCol.cast("string"))).cast(newIdType))
 
     val srcMapped = links
       .join(idMap.withColumnRenamed("old", "src"), Seq("src"), "left")
@@ -203,11 +210,18 @@ object GraphFrames {
       .agg(array_sort(collect_list(
         struct(col("pos"),
           struct(mappedOrFail(col("new"), col("edge.dst")).as("dst"),
-            col("edge.dist").as("dist")).as("edge"))
+            distMap(col("edge.dist")).as("dist")).as("edge"))
       )).as("indexed"))
       .select(col("src"), col("layer"),
         expr("transform(indexed, x -> x.edge)").as("links"))
 
-    nonEmpty.unionByName(emptyRows)
+    // Under a type-CHANGING remap the empty rows still carry the OLD
+    // element type in their (empty) arrays — retype them to the mapped
+    // side's schema so the union resolves.
+    val targetLinksType = nonEmpty.schema(nonEmpty.schema.fieldIndex("links")).dataType
+    val emptyTyped = emptyRows.select(col("src"), col("layer"),
+      array().cast(targetLinksType).as("links"))
+
+    nonEmpty.unionByName(emptyTyped)
   }
 }

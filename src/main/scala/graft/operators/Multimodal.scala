@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata, processed batch-at-a-time.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[stubDecodeFeatures]]) — the
-  * Spark-side contract that matters at 100 TB is real and tested here:
-  * binary schema, per-partition batch processing (mapPartitions — one
-  * decoder init per partition, not per row), bounded row widths (frames
-  * exploded rather than materialized as giant arrays), and pushdown-safe
-  * metadata columns that let a scan skip payload bytes entirely.
+  * IMAGE decode is REAL ([[decodeImageFeatures]]): the JVM's own
+  * `javax.imageio` codecs (PNG/BMP/GIF/JPEG) run an actual byte-level
+  * decode, hash-proven end-to-end by `m_image_decode`. Audio/video
+  * remain codec-less in this container, so their DECODE step is a
+  * clearly-marked deterministic stub ([[stubDecodeFeatures]]) — for
+  * those, the Spark-side contract that matters at 100 TB is what's real
+  * and tested: binary schema, per-partition batch processing
+  * (mapPartitions — one decoder init per partition, not per row),
+  * bounded row widths (frames exploded rather than materialized as
+  * giant arrays), and pushdown-safe metadata columns that let a scan
+  * skip payload bytes entirely.
   *
   * Testdata has no binary table, so [[withBinaryPayload]] derives a
   * deterministic payload column from `documents.text` — the plumbing is
@@ -69,6 +73,119 @@ object Multimodal {
     var d = 0
     while (d < dim) { out(d) = out(d) / math.max(1, bytes.length / dim).toFloat; d += 1 }
     out
+  }
+
+  /** REAL image decode for the formats whose codecs the JVM itself ships
+    * (`javax.imageio`: PNG, BMP, GIF, JPEG — no external libraries). The
+    * decode stub above remains only for genuinely codec-less media
+    * (audio/video); images now run an actual byte-level encode/decode.
+    *
+    * Same 100 TB contract as the stub documented: typed Dataset
+    * mapPartitions (no Row boxing), decoder configured once per
+    * partition (`ImageIO.setUseCache(false)` — never spill scratch to
+    * executor disk per image), bounded output width (scalar stats, not
+    * pixel arrays). Output per payload: decoded flag, width, height,
+    * bands, integer luminance sum of band 0 (exact — oracle-comparable),
+    * and the container format sniffed from magic bytes. Undecodable or
+    * corrupt payloads report `decoded = false` with zeroed stats — a
+    * poisoned blob must not kill a 100 TB scan. */
+  def decodeImageFeatures(df: DataFrame, payloadCol: String = "payload",
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val outEnc: Encoder[(Long, Boolean, Int, Int, Int, Long, String)] =
+      ExpressionEncoder[(Long, Boolean, Int, Int, Int, Long, String)]()
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(inEnc)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (id, false, 0, 0, 0, 0L, sniffFormat(bytes))
+            else {
+              val raster = img.getRaster
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              (id, true, img.getWidth, img.getHeight, raster.getNumBands,
+                sum, sniffFormat(bytes))
+            }
+          } catch {
+            case _: Exception => (id, false, 0, 0, 0, 0L, sniffFormat(bytes))
+          }
+        }
+      }(outEnc)
+      .toDF(idCol, "decoded", "width", "height", "channels", "sum_lum", "fmt")
+  }
+
+  /** Container format from magic bytes (decode-free; what a 100 TB scan
+    * uses to ROUTE payloads to decoders). */
+  private def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 3 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xD8) "jpeg"
+    else "unknown"
+
+  /** Deterministic pixel value — one formula shared by the image
+    * GENERATOR below and the DuckDB oracle's closed form, so the
+    * encode -> PNG/BMP bytes -> decode -> stats pipeline is end-to-end
+    * hash-provable: if either codec direction corrupted anything, the
+    * decoded luminance sum would not reproduce this arithmetic. */
+  private[operators] def pixelValue(id: Long, x: Int, y: Int): Int =
+    (((id * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+
+  /** Render-and-encode a real image payload per row (even ids -> 16x16
+    * grayscale PNG, odd -> 24-bit BMP), executor-side in mapPartitions.
+    * Testdata carries no binary media, so the bytes are generated — but
+    * they are REAL PNG/BMP containers produced by the platform encoder,
+    * and [[decodeImageFeatures]] genuinely decodes them. */
+  def imagePayload(docs: DataFrame, idCol: String = "doc_id",
+                   side: Int = 16): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[Long] = Encoders.scalaLong
+    val outEnc: Encoder[(Long, Array[Byte])] =
+      ExpressionEncoder[(Long, Array[Byte])]()
+    docs.select(col(idCol).cast("long")).as(inEnc)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val fmt = if (id % 2 == 0) "png" else "bmp"
+          (id, renderEncode(id, side, fmt))
+        }
+      }(outEnc)
+      .toDF(idCol, "payload")
+  }
+
+  private def renderEncode(id: Long, side: Int, fmt: String): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img =
+      if (fmt == "png") new BufferedImage(side, side, BufferedImage.TYPE_BYTE_GRAY)
+      else new BufferedImage(side, side, BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val v = pixelValue(id, x, y)
+        var b = 0
+        while (b < raster.getNumBands) { raster.setSample(x, y, b, v); b += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
   }
 
   /** Frame geometry shared by [[sampleFrames]], [[metaQuery]] and the
@@ -205,6 +322,23 @@ object Multimodal {
         | CAST(least(8, greatest(1, floor(octet_length(encode(text)) / 256))) AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // The oracle recomputes the decoded stats from the shared pixel
+    // formula — it never sees the PNG/BMP bytes, so a hash match proves
+    // the Spark side's encode -> container bytes -> platform decode
+    // round-trip preserved every pixel (and the sniffed format column
+    // proves the bytes really are the advertised containers).
+    "m_image_decode" ->
+      """WITH g AS (SELECT unnest(generate_series(0, 15)) AS v),
+        |s AS (SELECT d.doc_id,
+        |         SUM((d.doc_id * 31 + gx.v * 7 + gy.v * 13) % 256) AS sum_lum
+        |       FROM documents d, g gx, g gy GROUP BY d.doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CAST(sum_lum AS BIGINT) AS sum_lum,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Byte-positional framing equals char-positional here: the testdata
     // text is pure ASCII (verified octet_length == length at all SFs).
     "m_frames" ->
@@ -235,6 +369,16 @@ object Multimodal {
         withBinaryPayload(graft.queries.Tables(s, dir, "documents")))
       fingerprintPairs(hists, num = 1, den = 50)
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // REAL codec round-trip: render deterministic images, encode them as
+    // genuine PNG/BMP containers with the platform encoder, decode them
+    // back with the platform decoder, emit scalar stats. Hash-proven
+    // against the closed-form pixel arithmetic (see the oracle note).
+    "m_image_decode" -> ((s, dir) => {
+      decodeImageFeatures(
+          imagePayload(graft.queries.Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))
     }),
 
     // Frame sampling end-to-end over the binary payload: bounded rows per

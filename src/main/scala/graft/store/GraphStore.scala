@@ -124,7 +124,8 @@ final class InMemoryGraph extends GraphStore {
 
   /** G6: rebuild this graph with vertex ids / distances rewritten,
     * preserving structure; the metric is assumed unchanged so order is
-    * preserved (reference graph_mem.rs:43-76 `from_another`). */
+    * preserved (reference graph_mem.rs:43-76 `from_another`). The
+    * same-type fast path of [[remapTo]] (stays on LongMap + queues). */
   def remap(vectorMap: Long => Long, distMap: Double => Double = identity): InMemoryGraph = {
     val out = new InMemoryGraph
     entry.foreach(ep => out.setEntryPoint(vectorMap(ep.point), ep.layer))
@@ -137,11 +138,69 @@ final class InMemoryGraph extends GraphStore {
     out
   }
 
+  /** G6, type-GENERIC: the reference's `from_another` converts a graph
+    * between vector-ref and distance-ref TYPES (`GraphMem<U> ->
+    * GraphMem<V>` via `F1: U::VectorRef -> V::VectorRef`, `F2:
+    * U::DistanceRef -> V::DistanceRef`, graph_mem.rs:46-76 — built to
+    * move a plaintext graph into a secret-shared store's ref space).
+    * Adjacency structure, layer count, and every queue's ORDER are
+    * preserved verbatim; only the refs are rewritten (the metric is
+    * assumed semantics-preserving, exactly the reference's WARNING). */
+  def remapTo[V, D](vectorMap: Long => V, distMap: Double => D): TypedGraph[V, D] =
+    TypedGraph(
+      entry.map(ep => (vectorMap(ep.point), ep.layer)),
+      layers.map { layer =>
+        layer.iterator.map { case (src, q) =>
+          vectorMap(src) -> q.toArray.toIndexedSeq
+            .map(n => (vectorMap(n.dst), distMap(n.dist)))
+        }.toMap
+      }.toIndexedSeq
+    )
+
   def structurallyEquals(other: InMemoryGraph): Boolean =
     entry == other.entry && layers.size == other.layers.size &&
       layers.zip(other.layers).forall { case (a, b) =>
         a.size == b.size && a.forall { case (k, q) => b.get(k).contains(q) }
       }
+}
+
+/** A graph image over ARBITRARY vertex-ref type `V` and distance-ref
+  * type `D` — the target of type-changing `from_another` conversions
+  * (reference graph_mem.rs:11-15: `GraphMem<V: VectorStore>` is generic
+  * in `V::VectorRef` / `V::DistanceRef`; our runtime stores fix
+  * Long/Double for Spark-friendliness, and this carrier holds every
+  * other ref space). Each neighborhood is an ORDERED sequence — the
+  * source queue's nearest-to-furthest order, which a conversion must
+  * not disturb (graph_mem.rs:43-44's metric warning). */
+final case class TypedGraph[V, D](
+    entryPoint: Option[(V, Int)],
+    layers: IndexedSeq[Map[V, IndexedSeq[(V, D)]]]) {
+
+  def numLayers: Int = layers.length
+
+  def links(base: V, lc: Int): IndexedSeq[(V, D)] =
+    if (lc >= layers.length) IndexedSeq.empty
+    else layers(lc).getOrElse(base, IndexedSeq.empty)
+
+  /** Chain another ref-space conversion (from_another composes). */
+  def map[V2, D2](vectorMap: V => V2, distMap: D => D2): TypedGraph[V2, D2] =
+    TypedGraph(
+      entryPoint.map { case (p, l) => (vectorMap(p), l) },
+      layers.map(_.map { case (src, ns) =>
+        vectorMap(src) -> ns.map { case (dst, d) => (vectorMap(dst), distMap(d)) }
+      })
+    )
+
+  /** Land back in the runtime representation once refs are Long/Double
+    * again (e.g. after a round-trip through an external ref space). */
+  def toInMemory(implicit evV: V =:= Long, evD: D =:= Double): InMemoryGraph =
+    InMemoryGraph.fromPrecomputed(
+      entryPoint.map { case (p, l) => EntryPoint(evV(p), l) },
+      layers.map(_.map { case (src, ns) =>
+        evV(src) -> FurthestQueue.fromAscending(
+          ns.map { case (dst, d) => Neighbor(evV(dst), evD(d)) })
+      })
+    )
 }
 
 /** Decorator that records which (src, layer) adjacency rows a mutation

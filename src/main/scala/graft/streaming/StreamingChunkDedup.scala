@@ -26,13 +26,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    dedups against the earlier occurrence (the exclusion is keyed on
   *    the batch, never on doc-id membership).
   *
-  * At corpus scale the state probe is one scan of the chunk index per
-  * batch; bucket the state by chunk_hash (graft.sources.Layout) to prune
-  * it to the probed buckets.
+  * The state is BUCKETED by chunk_hash (hive-style `bucket=` partition
+  * dirs under each batch dir): the probe lists only the buckets the
+  * incoming batch actually touches, so probe I/O scales with the BATCH's
+  * bucket footprint (<= min(batch chunks, nBuckets)/nBuckets of the
+  * state), not with corpus size. The exclusion of the batch's own prior
+  * output on redelivery rides the same partition column (`batch=`), so
+  * both filters prune at file-listing time — no state row outside the
+  * touched buckets of other batches is ever read.
   */
 object StreamingChunkDedup {
 
   final case class BatchResult(chunks: Long, kept: Long, dropped: Long)
+
+  /** State bucket count. 64 keeps per-bucket files big enough at test
+    * scale; a production deployment sizes it so one bucket of one batch
+    * is a few hundred MB. */
+  val DefaultBuckets = 64
+
+  private def bucketOf(nBuckets: Int) =
+    pmod(xxhash64(col("chunk_hash")), lit(nBuckets.toLong))
+
+  /** The pruned state read: rows of OTHER batches in the TOUCHED buckets
+    * only — both predicates are partition-column filters, evaluated
+    * against the directory listing before any parquet is opened.
+    * Package-private so the spec can assert the pruning on the plan. */
+  private[streaming] def probeState(spark: SparkSession, statePath0: String,
+                                    excludeBatchKey: String,
+                                    touchedBuckets: Seq[Long]): DataFrame =
+    spark.read.parquet(statePath0)
+      .filter(col("batch").cast("string") =!= excludeBatchKey &&
+        col("bucket").isin(touchedBuckets: _*))
+      .select(col("chunk_hash"))
 
   private def exists(s: SparkSession, path: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -46,7 +71,7 @@ object StreamingChunkDedup {
     * epoch id, which [[attach]] passes. */
   def processBatch(spark: SparkSession, batch: DataFrame,
                    statePath: String, batchKey: String,
-                   w: Int = 20): BatchResult = {
+                   w: Int = 20, nBuckets: Int = DefaultBuckets): BatchResult = {
     require(batchKey.matches("[A-Za-z0-9_.-]+"), s"unsafe batchKey: $batchKey")
     val docs = batch.select(col("doc_id").cast("long"), col("text"))
       .filter(col("doc_id").isNotNull)
@@ -56,26 +81,31 @@ object StreamingChunkDedup {
       if (docs.isEmpty) return BatchResult(0, 0, 0)
       val occ = graft.operators.ChunkDedup.occurrences(docs, w)
         .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+        .withColumn("bucket", bucketOf(nBuckets))
         .persist()
       try {
         val nOcc = occ.count()
         val statePath0 = s"$statePath/chunks"
         val ownDir = s"batch=$batchKey"
-        // hashes already owned by SURVIVORS of earlier batches. Rows
-        // written by THIS batch key are excluded BY DIRECTORY: on
-        // redelivery they are the batch's own previous output, and
-        // probing them would drop every former first-occurrence as a
-        // duplicate of itself. Keying the exclusion on the batch id
-        // (not on first_doc membership) keeps a REAPPEARING doc id in a
-        // later batch correct too: its chunks stay "seen" and dedup
-        // against the earlier occurrence instead of corrupting the
-        // index with a second first-occurrence row.
+        // The batch's bucket footprint — bounded by nBuckets, so this
+        // collect is O(64), never O(batch) or O(corpus).
+        val touched = occ.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        // hashes already owned by SURVIVORS of earlier batches, read
+        // through the partition-pruned probe: only the TOUCHED buckets
+        // of OTHER batch dirs are listed/opened. Rows written by THIS
+        // batch key are excluded BY PARTITION: on redelivery they are
+        // the batch's own previous output, and probing them would drop
+        // every former first-occurrence as a duplicate of itself.
+        // Keying the exclusion on the batch id (not on first_doc
+        // membership) keeps a REAPPEARING doc id in a later batch
+        // correct too: its chunks stay "seen" and dedup against the
+        // earlier occurrence instead of corrupting the index with a
+        // second first-occurrence row.
         val seenHashes: DataFrame =
           if (!exists(spark, statePath0))
             spark.range(0).select(col("id").cast("string").as("chunk_hash"))
-          else spark.read.parquet(statePath0)
-            .withColumn("_f", input_file_name())
-            .filter(!col("_f").contains(s"/$ownDir/"))
+          else probeState(spark, statePath0, batchKey, touched)
             .join(broadcast(occ.select(col("chunk_hash")).distinct()),
               Seq("chunk_hash"), "left_semi")
             .select(col("chunk_hash")).distinct()
@@ -86,11 +116,16 @@ object StreamingChunkDedup {
             Window.partitionBy(col("chunk_hash"))
               .orderBy(col("doc_id"), col("chunk_no"))))
           .filter(col("rn") === 1)
-          .select(col("chunk_hash"), col("doc_id").as("first_doc"),
+          .select(col("chunk_hash"), col("bucket"),
+            col("doc_id").as("first_doc"),
             col("chunk_no").as("first_chunk_no"))
           .persist()
         val nKept = surv.count()
-        surv.write.mode("overwrite").parquet(s"$statePath0/$ownDir")
+        // static partition-overwrite of the whole batch dir: redelivery
+        // replaces the batch's previous output atomically even if the
+        // recomputed bucket set shrank
+        surv.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$statePath0/$ownDir")
         surv.unpersist(blocking = false)
         BatchResult(nOcc, nKept, nOcc - nKept)
       } finally occ.unpersist()

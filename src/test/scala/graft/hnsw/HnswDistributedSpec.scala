@@ -111,6 +111,44 @@ class HnswDistributedSpec extends SparkSpec {
     }
   }
 
+  test("DataFrame remap (G6): type-changing map (long -> string ids, double -> string dist refs)") {
+    import spark.implicits._
+    val links = GraphFrames.toLinksDF(spark, model.snapshot)
+    val ids = model.vectors.keys.toSeq
+    val idMapStr = ids.map(i => (i, s"node-$i")).toDF("old", "new")
+    val remapped = GraphFrames.remap(links, idMapStr,
+      distMap = d => concat(lit("dist:"), d.cast("string")))
+    val schema = remapped.schema
+    val linksType = schema(schema.fieldIndex("links")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema(schema.fieldIndex("src")).dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(linksType("dst").dataType == org.apache.spark.sql.types.StringType)
+    assert(linksType("dist").dataType == org.apache.spark.sql.types.StringType)
+
+    // every layer-0 neighborhood translates pairwise in order
+    val got = remapped.filter(col("layer") === 0)
+      .select(col("src"), col("links"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getString(0), e.getString(1))))
+      .toMap
+    val orig = model.snapshot.layers(0)
+    assert(got.size == orig.size)
+    orig.foreach { case (src, (dsts, dists)) =>
+      val expected = dsts.zip(dists)
+        .map { case (d, dist) => (s"node-$d", s"dist:$dist") }.toSeq
+      assert(got(s"node-$src") == expected)
+    }
+
+    // vertices with empty neighborhoods survive with the NEW types
+    // (the union's empty arrays are retyped, not dropped)
+    val emptySrcs = orig.collect { case (src, (dsts, _)) if dsts.isEmpty => src }
+    emptySrcs.foreach(src => assert(got(s"node-$src").isEmpty))
+  }
+
   test("sharded build+search equals the exact top-k at exact-regime ef") {
     val sharded = HnswDistributed.buildShardedAndSearch(
         vectors, queries, 10,

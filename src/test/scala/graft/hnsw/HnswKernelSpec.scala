@@ -186,6 +186,51 @@ class HnswKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("type-generic remapTo (G6): refs translate between TYPES, order preserved (test_from_another port, graph_mem.rs:232-331)") {
+    val vecs = randomVectors(60, 8, seed = 23)
+    val (_, _, graph) = buildLocal(vecs)
+    // the reference's maps: point_ids: PointId -> TestPointId (random
+    // draw per vertex), distances: DistanceRef -> u32 (lookup). Ours
+    // cross TYPE boundaries: Long -> String ids, Double -> (String,Long)
+    // struct-ish distance handles.
+    val rng = new Random(17)
+    val pointIds: Map[Long, String] =
+      (0L until 60L).map(i => i -> s"pt-${rng.nextInt(1000000)}-$i").toMap
+    def distRef(d: Double): (String, Long) =
+      ("d", java.lang.Double.doubleToRawLongBits(d))
+
+    val typed = graph.remapTo(pointIds, distRef)
+
+    // entry point translates, layer unchanged (graph_mem.rs:306-311)
+    val ep = graph.getEntryPoint.get
+    assert(typed.entryPoint.contains((pointIds(ep.point), ep.layer)))
+    assert(typed.numLayers == graph.numLayers)
+
+    // every queue: ids and distances translate PAIRWISE IN ORDER
+    // (graph_mem.rs:313-330)
+    (0 until graph.numLayers).foreach { lc =>
+      val old = graph.layerLinks(lc)
+      assert(typed.layers(lc).size == old.size)
+      old.foreach { case (src, q) =>
+        val newQ = typed.links(pointIds(src), lc)
+        val oldQ = q.toArray
+        assert(newQ.size == oldQ.length)
+        oldQ.zip(newQ).foreach { case (n, (nid, nd)) =>
+          assert(nid == pointIds(n.dst))
+          assert(nd == distRef(n.dist))
+        }
+      }
+    }
+
+    // conversions compose and round-trip: map back through the inverse
+    // refs and land in the runtime representation unchanged
+    val inverse = pointIds.map(_.swap)
+    val back = typed
+      .map(inverse, { case (_, bits) => java.lang.Double.longBitsToDouble(bits) })
+      .toInMemory
+    assert(graph.structurallyEquals(back))
+  }
+
   test("hamming code store: distance + self-match (lazy_memory_store.rs:94-107 port)") {
     val store = new CodeVectorStore()
     val a = store.prepareQuery(0xFFL)

@@ -11,6 +11,45 @@ class MultimodalSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val withBin = Multimodal.withBinaryPayload(docs)
 
+  test("real image decode: PNG and BMP payloads round-trip through the platform codecs") {
+    val sub = docs.limit(20)
+    val decoded = Multimodal.decodeImageFeatures(Multimodal.imagePayload(sub))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5), r.getString(6)))
+      .toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, (ok, w, h, ch, sum, fmt)) =>
+      assert(ok, s"doc $id must decode")
+      assert(w == 16 && h == 16)
+      assert(ch == (if (id % 2 == 0) 1 else 3))
+      assert(fmt == (if (id % 2 == 0) "png" else "bmp"),
+        s"sniffed format must match the written container for doc $id")
+      val expected = (for (y <- 0 until 16; x <- 0 until 16)
+        yield Multimodal.pixelValue(id, x, y).toLong).sum
+      assert(sum == expected,
+        s"decoded luminance sum must equal the generator's arithmetic for doc $id")
+    }
+  }
+
+  test("real image decode: corrupt and non-image payloads report decoded=false, not a crash") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),                          // garbage
+      (2L, "plain text".getBytes("UTF-8")),                // not a container
+      (3L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0)), // truncated PNG header
+      (4L, Array.empty[Byte])                              // empty
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageFeatures(junk).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(!r.getBoolean(1))
+      assert(r.getLong(5) == 0L)
+    }
+    // the truncated-PNG row still SNIFFS as png (routing is header-based)
+    assert(out.find(_.getLong(0) == 3L).get.getString(6) == "png")
+  }
+
   test("stub decode: typed mapPartitions yields deterministic fixed-dim features") {
     val f1 = Multimodal.stubDecodeFeatures(withBin)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toMap

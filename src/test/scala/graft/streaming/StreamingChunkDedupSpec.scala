@@ -78,6 +78,38 @@ class StreamingChunkDedupSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("state probe prunes by partition: only touched buckets of other batches are listed") {
+    val state = freshState()
+    // many docs across many buckets in the state...
+    val big = (10L to 60L).map(i => (i, uniq(s"s${i}_"))).toDF("doc_id", "text")
+    StreamingChunkDedup.processBatch(spark, big, state, "b1")
+    // ...then a tiny batch: its probe must touch ONLY its own buckets
+    val tiny = Seq((100L, uniq("t"))).toDF("doc_id", "text")
+    val occ = ChunkDedup.occurrences(tiny, 20)
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+      .withColumn("bucket",
+        pmod(xxhash64(col("chunk_hash")), lit(StreamingChunkDedup.DefaultBuckets.toLong)))
+    val touched = occ.select("bucket").distinct().collect().map(_.getLong(0)).toIndexedSeq
+
+    val probe = StreamingChunkDedup.probeState(spark, s"$state/chunks", "b2", touched)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val pf = scans.flatMap(_.partitionFilters).map(_.sql).mkString(" ")
+    // both predicates reached the scan as PARTITION filters — evaluated
+    // against the directory listing, before any parquet file is opened
+    assert(pf.toLowerCase.contains("bucket"), s"bucket filter not a partition filter: $pf")
+    assert(pf.toLowerCase.contains("batch"), s"batch filter not a partition filter: $pf")
+    // and the pruned read lists at most the touched-bucket partitions,
+    // not the state's full bucket footprint
+    val allBuckets = spark.read.parquet(s"$state/chunks")
+      .select("bucket").distinct().count()
+    val listed = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(listed <= touched.size, s"listed $listed partitions for ${touched.size} touched buckets")
+    assert(allBuckets > touched.size, "state must span more buckets than the tiny batch for this test to bite")
+  }
+
   test("null ids and duplicate ids within a batch are dropped, not crashed") {
     val state = freshState()
     val messy = Seq(
