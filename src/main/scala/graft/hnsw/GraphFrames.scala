@@ -167,6 +167,92 @@ object GraphFrames {
     untouched.unionByName(deltaImpl(links, newLinks, params, touchedKeys))
   }
 
+  /** Tombstone COMPACTION — the links-out pass that turns soft deletes
+    * ([[HnswDistributed.searchExcluding]]'s exclusion set) back into a
+    * clean graph, without a rebuild. Purely relational; the graph never
+    * leaves the cluster:
+    *
+    *  - every row whose src is tombstoned is dropped;
+    *  - surviving vertices lose their edges INTO the deletion set, and
+    *    for each lost edge u -> d gain bridge candidates u -> n over d's
+    *    own surviving neighbors n (the path u -> d -> n the walk used to
+    *    take), scored with REAL distances via the codegen'd metric
+    *    expression;
+    *  - each touched queue is re-ranked by (dist, dst) and trimmed to
+    *    M_max(layer) — identical semantics to the connect_bidir merge, so
+    *    degree bounds hold by construction;
+    *  - a vertex whose whole queue was tombstoned and found no surviving
+    *    bridge keeps an explicit empty neighborhood (the merge contract).
+    *
+    * Cost shape at scale: the deletion set broadcasts (O(deletes), never
+    * the corpus-sized complement); bridge fan-out is bounded by
+    * |edges into deleted| x M_max; the only full-table pass is the edge
+    * split. `vectors` is touched twice by candidate joins that are
+    * O(bridges), not O(corpus).
+    */
+  def compactTombstones(links: DataFrame, deleted: DataFrame,
+                        vectors: DataFrame, metricName: String,
+                        params: HnswParams): DataFrame = {
+    val del = deleted
+      .select(col(deleted.columns.head).cast("long").as("del_id")).distinct()
+    // deleted vertices' adjacency: |del| x layers rows — broadcast-sized
+    // whenever the deletion set itself is
+    val deletedAdj = broadcast(
+      links.join(broadcast(del), col("src") === col("del_id"), "left_semi")
+        .select(col("src").as("d"), col("layer"),
+          col("links.dst").as("d_nbrs")))
+
+    val survivors = links.join(broadcast(del), col("src") === col("del_id"), "left_anti")
+    val exploded = survivors
+      .select(col("src"), col("layer"), explode(col("links")).as("edge"))
+    val kept = exploded
+      .join(broadcast(del), col("edge.dst") === col("del_id"), "left_anti")
+      .select(col("src"), col("layer"),
+        col("edge.dst").as("dst"), col("edge.dist").as("dist"))
+
+    // u --x--> d  bridges to  u -> n  for d's surviving neighbors n != u
+    val bridgeIds = exploded
+      .join(broadcast(del), col("edge.dst") === col("del_id"), "left_semi")
+      .select(col("src"), col("layer"), col("edge.dst").as("d"))
+      .join(deletedAdj, Seq("d", "layer"))
+      .select(col("src"), col("layer"), explode(col("d_nbrs")).as("nbr"))
+      .filter(col("nbr") =!= col("src"))
+      .join(broadcast(del), col("nbr") === col("del_id"), "left_anti")
+      .distinct()
+    val dist = HnswFrontier.distCol(metricName)
+    val bridges = bridgeIds
+      .join(vectors.select(col("id").as("src"), col("vec").as("src_vec")), Seq("src"))
+      .join(vectors.select(col("id").as("nbr"), col("vec").as("nbr_vec")), Seq("nbr"))
+      .select(col("src"), col("layer"), col("nbr").as("dst"),
+        dist(col("src_vec"), col("nbr_vec")).as("dist"))
+
+    val mMaxExpr = {
+      val cases = (0 until HnswParams.NParamLayers).map { lc =>
+        s"WHEN layer >= $lc THEN ${params.getMMax(lc)}"
+      }.reverse.mkString(" ")
+      expr(s"CASE $cases ELSE ${params.getMMax(0)} END")
+    }
+    val merged = kept.unionByName(bridges)
+      // a bridge may duplicate an edge u already had — keep one copy
+      .groupBy(col("src"), col("layer"), col("dst"))
+      .agg(min(col("dist")).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src"), col("layer"))
+          .orderBy(col("dist"), col("dst"))))
+      .filter(col("rank") <= mMaxExpr)
+      .groupBy(col("src"), col("layer"))
+      .agg(expr("transform(array_sort(collect_list(struct(dist AS dist, dst AS dst)))," +
+        " x -> struct(x.dst AS dst, x.dist AS dist))").as("links"))
+
+    // fully-orphaned survivors keep explicit empty neighborhoods
+    val emptied = survivors.select(col("src"), col("layer"))
+      .join(merged.select(col("src"), col("layer")), Seq("src", "layer"), "left_anti")
+      .withColumn("links",
+        array().cast(linksSchema("links").dataType))
+
+    merged.unionByName(emptied)
+  }
+
   /** G6 — `from_another` as relational rewrite (graph_mem.rs:46-76):
     * remap every vertex id through `idMap` (old -> new), preserving
     * structure and distances (metric assumed unchanged, so queue order is

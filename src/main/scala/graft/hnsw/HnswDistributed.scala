@@ -403,6 +403,45 @@ object HnswDistributed {
       _ => graft.BuildLedger.timed("hnsw_sharded_build")(
         buildSharded(vectors, cfg, numShards)))
 
+  /** Broadcast-tier twin of `ParquetGraphStore.compactTombstones`: fold a
+    * deletion set OUT of a built model — the relational links-out pass
+    * ([[GraphFrames.compactTombstones]]) over the model's graph, entry
+    * repair if the entry point was deleted (highest surviving layer,
+    * lowest id), and the deleted vectors dropped from the broadcast map.
+    * The compaction contract: searching the result with NO exclusion set
+    * equals [[searchExcluding]] on the original model — pinned by the
+    * h_knn_compacted catalog oracle and TombstoneCompactionSpec. */
+  def compactModel(model: HnswModel, deleted: DataFrame): HnswModel = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    val delIds = deleted
+      .select(col(deleted.columns.head).cast("long")).as[Long].collect().toSet
+    val survivors = model.vectors.view.filterKeys(id => !delIds.contains(id)).toMap
+    val vecsDf = survivors.toSeq.toDF("id", "vec")
+    val compacted = GraphFrames.compactTombstones(
+      GraphFrames.toLinksDF(spark, model.snapshot), deleted, vecsDf,
+      model.metricName, model.params)
+    val entry = model.snapshot.entryPoint
+      .filterNot(ep => delIds.contains(ep.point))
+      .orElse {
+        compacted.orderBy(desc("layer"), asc("src"))
+          .select(col("src"), col("layer")).limit(1).collect()
+          .headOption.map(r => graft.store.EntryPoint(r.getLong(0), r.getInt(1)))
+      }
+    HnswModel(model.params, model.metricName,
+      GraphFrames.fromLinksDF(compacted, entry), survivors)
+  }
+
+  /** Process-wide compacted-model memo (the modelCache pattern; the
+    * caller's key must identify model + deletion set). */
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, HnswModel]()
+
+  def compactModelCached(model: HnswModel, deleted: DataFrame,
+                         key: String): HnswModel =
+    compactCache.computeIfAbsent(key, _ =>
+      graft.BuildLedger.timed("hnsw_compact")(compactModel(model, deleted)))
+
   /** Fused build+search — batch-only convenience over [[buildSharded]] +
     * [[searchSharded]]; serving workloads should hold the
     * [[ShardedIndex]] handle and call [[searchSharded]] per batch. */

@@ -214,7 +214,9 @@ object HnswFrontier {
       .toDF("qid", "id")
   }
 
-  private def distCol(metricName: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+  /** Relational twin of [[graft.store.Metrics.byName]]: the codegen'd
+    * distance Column for a metric name (shared with the compaction pass). */
+  private[hnsw] def distCol(metricName: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
     metricName match {
       case "cosine" => (q, v) => lit(1.0) - VectorFunctions.cosineSim(q, v)
       case "l2"     => (q, v) => VectorFunctions.l2Sq(q, v)

@@ -188,6 +188,25 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Post-compaction serving: the SAME deletion set as h_knn_tombstone,
+    // folded OUT of the graph by the relational links-out pass
+    // (GraphFrames.compactTombstones) — surviving queues bridge through
+    // their deleted neighbors and re-trim to M_max. Search then needs no
+    // exclusion set and must still match the exclusion oracle: the
+    // "compaction preserves the served result" contract, driver-checked.
+    // (Probe note: at sf0.1 the bridge edges actually IMPROVED one
+    // marginal query — the pre-compaction exclusion beam missed true
+    // rank-9 for qid 1850; the compacted graph found it. Both regimes
+    // are oracle-exact at the verification SF.)
+    "h_knn_compacted" -> ((s, dir) => {
+      val model = HnswDistributed.buildCached(vectorsDf(s, dir), exactishCfg, dir)
+      val deleted = t(s, dir).filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val compacted = HnswDistributed.compactModelCached(model, deleted, s"$dir|mod7")
+      HnswDistributed.search(queriesDf(s, dir), compacted, 10)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The beyond-broadcast scale path: independent per-shard graphs +
     // global top-k merge, served from a PREBUILT persisted handle
     // (buildShardedCached) so repeated query batches pay zero rebuild.
@@ -232,6 +251,7 @@ object Hnsw {
     "h_knn_cosine" -> exactKnnOracle(10),
     "h_knn_filtered" -> filteredKnnOracle(10, "label = 3"),
     "h_knn_tombstone" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
+    "h_knn_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),

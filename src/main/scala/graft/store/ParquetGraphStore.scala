@@ -296,6 +296,79 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
     GraphFrames.fromLinksDF(linksTable, getEntryPoint)
   }
 
+  /** Soft-delete bookkeeping: tombstoned vertex ids awaiting compaction,
+    * versioned like the other tables. Serving layers exclude these
+    * (HnswDistributed.searchExcluding); [[compactTombstones]] folds them
+    * out of the graph once they reach the trigger threshold. */
+  def addTombstones(ids: DataFrame): Unit = {
+    val incoming = ids.select(col(ids.columns.head).cast("long").as("id"))
+    val next = currentVersion("tombstones") match {
+      case Some(v) => spark.read.parquet(versionPath("tombstones", v))
+        .select(col("id")).unionByName(incoming).distinct()
+      case None => incoming.distinct()
+    }
+    writeVersioned("tombstones", next.coalesce(1))
+  }
+
+  /** The current tombstone set (empty-but-typed when none recorded). */
+  def tombstones: DataFrame = currentVersion("tombstones")
+    .map(v => spark.read.parquet(versionPath("tombstones", v)).select(col("id")))
+    .getOrElse(spark.range(0).select(col("id")))
+
+  private def clearTombstones(): Unit = {
+    val full = "tombstones_v(\\d+)".r
+    fs.listStatus(new Path(path)).foreach { st =>
+      st.getPath.getName match {
+        case full(_) => fs.delete(st.getPath, true)
+        case _       => ()
+      }
+    }
+  }
+
+  /** Threshold-triggered tombstone COMPACTION: when the tombstone set has
+    * grown to `threshold` of the layer-0 graph, fold it out — rewrite the
+    * links table without the tombstoned vertices via the relational
+    * links-out pass ([[GraphFrames.compactTombstones]]: surviving queues
+    * bridge through their deleted neighbors and re-trim to M_max), repair
+    * the entry point if it was tombstoned (highest surviving layer,
+    * lowest id — the deterministic twin of set_ep), and clear the
+    * tombstone set. Below the threshold it is a no-op: soft-delete
+    * serving (exclusion-set search) stays cheaper than the O(graph)
+    * rewrite until enough deletes amortize it. Returns true iff the
+    * compaction ran. `vectors` must cover every surviving id (bridge
+    * distances are recomputed for real).
+    */
+  def compactTombstones(vectors: DataFrame, metricName: String,
+                        params: HnswParams, threshold: Double = 0.2): Boolean = {
+    require(pending.isEmpty && pendingEntry.isEmpty, "flush before compacting")
+    val del = tombstones
+    val nDel = del.count()
+    if (nDel == 0L) return false
+    val n0 = linksTable.filter(col("layer") === 0).count()
+    if (n0 == 0L || nDel.toDouble / n0.toDouble < threshold) return false
+
+    val compacted = GraphFrames.compactTombstones(
+      linksTable, del, vectors, metricName, params)
+      // materialize BEFORE the version swap: the plan reads the very
+      // directories writeVersioned is about to drop
+      .localCheckpoint()
+    writeVersioned("links", compacted)
+
+    val entryDead = getEntryPoint.exists(ep =>
+      del.filter(col("id") === ep.point).count() > 0L)
+    if (entryDead) {
+      import spark.implicits._
+      val cand = compacted.orderBy(desc("layer"), asc("src"))
+        .select(col("src"), col("layer")).limit(1).collect()
+      writeVersioned("entry",
+        cand.toSeq.map(r => (r.getLong(0), r.getInt(1)))
+          .toDF("point", "layer").coalesce(1))
+    }
+    compacted.unpersist(blocking = false)
+    clearTombstones()
+    true
+  }
+
   /** Apply one batch of new-vertex links via the relational connect_bidir
     * merge and persist ONLY the changed rows as a delta version
     * ([[GraphFrames.connectBidirDelta]]) — an O(batch) write. When

@@ -43,6 +43,9 @@ class SparkEntrySpec extends AnyFunSuite {
     val declared = Set("h_recall_ann", "h_recall_pq", "v_recall_ivf",
       "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "v_recall_bq",
       "e_hll_users",
+      // recall-targeted LSH banding regime: output is approximate by
+      // design; the parity regime (v_neardup_lsh) carries the hash oracle
+      "v_neardup_lsh_recall",
       // SemDeDup production regime: Lloyd-trained centroids aren't
       // SQL-expressible; the seed-centroid regime (v_semdedup_pairs)
       // carries the hash-parity oracle for the same pair pipeline
