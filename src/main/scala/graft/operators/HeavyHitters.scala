@@ -79,50 +79,52 @@ object HeavyHitters {
       .select(sum(size(split(col(textCol), " "))).cast("long"))
       .collect()(0) match { case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
 
-    // top-N via limit (TakeOrderedAndProject: per-partition top-N, driver
-    // merge), NEVER a partition-less row_number window — in the fallback
-    // the window's single-partition sort over every distinct token is the
-    // exact long-tail bottleneck this operator exists to avoid. The rank
-    // window then runs over <= topN rows.
-    def rank(counts: DataFrame): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      counts
-        .orderBy(col("cnt").desc, col("tok"))
-        .limit(topN)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
-        .orderBy(col("rank"))
+    // top-N via orderBy+limit+collect (TakeOrderedAndProject: per-
+    // partition top-N, driver merge — the scale-safe reduction), NEVER a
+    // partition-less row_number window: in the fallback the window's
+    // single-partition sort over every distinct token is the exact
+    // long-tail bottleneck this operator exists to avoid. Ranks are then
+    // pure arithmetic over the <= topN collected rows — no WindowExec at
+    // all (a lit-partitioned window doesn't survive constant folding and
+    // still logs the single-partition degradation warning).
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def rankedTopN(counts: DataFrame): Array[org.apache.spark.sql.Row] =
+      counts.orderBy(col("cnt").desc, col("tok")).limit(topN).collect()
+        .sortBy(r => (-r.getLong(1), r.getString(0)))
+        .zipWithIndex
+        .map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i + 1L)
+        }
+    def asDF(rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      docs.sparkSession.createDataFrame(rows.toSeq.asJava, outSchema)
     }
 
     val cands = candidateTokens(docs, textCol, capacity)
-    val got = rank(
+    val got = rankedTopN(
       tokens.join(broadcast(cands), Seq("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
-      .collect()
     val floor = totalTokens / (capacity.toLong + 1L)
     // exact iff the candidate-only top-N is full AND its smallest count
     // clears the sketch floor — every non-candidate token has true count
     // <= floor, so none can displace a row (ties broken by token can't
     // strike either: a tied non-candidate would need cnt = last.cnt >
     // floor, contradiction)
-    val guaranteed = got.length == topN && got.last.getAs[Long]("cnt") > floor
+    val guaranteed = got.length == topN && got.last.getLong(1) > floor
     if (guaranteed || totalTokens == 0L) {
       // return the already-computed rows — re-materializing the lazy
       // plan would run the whole MG + join + agg pipeline a second time
-      val sess = docs.sparkSession
-      import scala.jdk.CollectionConverters._
-      sess.createDataFrame(got.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("tok",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("rank",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      asDF(got)
     } else {
       // sketch floor not cleared (flat distribution or fewer distinct
       // tokens than N) — fall back to the always-correct full aggregation
-      rank(tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+      asDF(rankedTopN(tokens.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))))
     }
   }
 }
