@@ -332,6 +332,34 @@ object HnswDurable {
     * avoided stack of BSP barriers. */
   val BatchGrowth = 8L
 
+  /** Tombstone-aware durable serving: k-NN over the store EXCLUDING its
+    * recorded tombstone set ([[ParquetGraphStore.tombstones]]) — the
+    * soft-delete regime between compactions, on the beyond-broadcast
+    * path. Provably returns k eligible results without an escalation
+    * loop: the frontier beam is widened to k' = k + |tombstones| (capped
+    * by the graph — at most |tombstones| beam slots can be ineligible,
+    * so the top k' always contains k eligible rows), tombstoned hits are
+    * anti-joined out, and survivors re-rank. Tombstoned vertices still
+    * CONDUCT the walk (their adjacency rows remain), identical to the
+    * broadcast tier's [[HnswDistributed.searchExcluding]]. The widened
+    * beam costs O(|tombstones|) extra beam slots per query — cheap
+    * below the compaction threshold, which is the regime this serves. */
+  def searchExcluding(store: ParquetGraphStore, vectors: DataFrame,
+                      queries: DataFrame, k: Int, ef: Int,
+                      metricName: String = "cosine",
+                      maxRounds: Int = 30): DataFrame = {
+    val tombs = store.tombstones
+    val nTomb = tombs.count()
+    if (nTomb == 0L) return search(store, vectors, queries, k, ef, metricName, maxRounds)
+    val kBig = math.min(k.toLong + nTomb, Int.MaxValue.toLong).toInt
+    import org.apache.spark.sql.expressions.Window
+    search(store, vectors, queries, kBig, math.max(ef, kBig), metricName, maxRounds)
+      .join(broadcast(tombs), Seq("id"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** k-NN search over a durable store without materializing layer 0:
     * upper layers broadcast, layer 0 via frontier joins. */
   def search(store: ParquetGraphStore, vectors: DataFrame, queries: DataFrame,

@@ -242,6 +242,76 @@ object StreamingIngest {
     ()
   }
 
+  /** CDC streaming ingest against the durable store: each micro-batch
+    * carries inserts AND deletes — `(id, vec, op)` with op `"insert"`
+    * (alias `"upsert"`) or `"delete"` (`vec` ignored for deletes). Per
+    * batch:
+    *
+    *  1. inserts land through [[ingestStreamBatch]] (durable vectors
+    *     append + frontier-join graph insert);
+    *  2. deletes record into the store's tombstone set (soft delete —
+    *     serving excludes them via
+    *     [[graft.hnsw.HnswDurable.searchExcluding]]) and into a
+    *     permanent `deleted_log`;
+    *  3. when tombstones reach `compactThreshold` of the graph, the
+    *     links-out compaction folds them out mid-stream
+    *     ([[graft.store.ParquetGraphStore.compactTombstones]]).
+    *
+    * Id-space contract: ids are NEVER reused — a deleted id stays dead
+    * (the `deleted_log` filters any later insert of it). Reusing an id
+    * after compaction would otherwise duplicate its row in the durable
+    * vectors table, breaking the id-uniqueness every frontier join
+    * relies on. Deletes win over same-batch inserts of the same id
+    * (the CDC "net effect" convention), redelivered batches are
+    * idempotent on both paths, and deletes of never-inserted ids are
+    * harmless no-ops at serving time. */
+  def attachCdcDurable(stream: DataFrame, store: graft.store.ParquetGraphStore,
+                       cfg: BuildConfig, compactThreshold: Double = 0.2,
+                       maxRounds: Int = 30): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cdcStreamBatch(store, batch, cfg, compactThreshold, maxRounds)
+      }
+      .start()
+
+  /** One CDC micro-batch (the [[attachCdcDurable]] foreachBatch body). */
+  def cdcStreamBatch(store: graft.store.ParquetGraphStore, batch: DataFrame,
+                     cfg: BuildConfig, compactThreshold: Double = 0.2,
+                     maxRounds: Int = 30): Unit = {
+    val sess = store.spark
+    val dels = batch.filter(col("op") === "delete")
+      .select(col("id").cast("long").as("id")).dropDuplicates("id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val logPath = s"${store.path}/deleted_log"
+      val hp = new org.apache.hadoop.fs.Path(logPath)
+      val logExists =
+        hp.getFileSystem(sess.sparkContext.hadoopConfiguration).exists(hp)
+      def deletedLog: DataFrame = sess.read.parquet(logPath).select(col("id"))
+
+      // inserts: minus same-batch deletes (net effect), minus every id
+      // ever deleted (the id-reuse ban)
+      val ins0 = batch.filter(col("op") =!= "delete")
+        .select(col("id").cast("long").as("id"), col("vec"))
+        .join(dels, Seq("id"), "left_anti")
+      val ins = if (logExists) ins0.join(deletedLog, Seq("id"), "left_anti") else ins0
+      ingestStreamBatch(store, ins, cfg, maxRounds)
+
+      if (!dels.isEmpty) {
+        // the log is append-only and never cleared (unlike the tombstone
+        // set, which compaction consumes); a redelivered delete appends a
+        // duplicate row — harmless, the read side dedups
+        dels.write.mode("append").parquet(logPath)
+        store.addTombstones(dels)
+        val all = sess.read.parquet(s"${store.path}/vectors")
+          .select(col("id"), col("vec"))
+        store.compactTombstones(all, cfg.metric, cfg.params, compactThreshold)
+      }
+    } finally dels.unpersist()
+    ()
+  }
+
   /** Gap-based sessionization via `session_window` — the native
     * Structured-Streaming twin of the batch e_sessions query (lag +
     * conditional sum): events of one user within `gap` of each other

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.hnsw.{HnswDurable, HnswParams}
+import graft.operators.ExactKnn
+import graft.store.ParquetGraphStore
+
+/** CDC streaming against the durable store: inserts and deletes in one
+  * stream, soft-delete serving between compactions, threshold-triggered
+  * links-out compaction mid-stream, and the id-reuse ban. */
+class StreamingCdcSpec extends SparkSpec {
+
+  // exact regime at spec scale: ef spans the whole graph, so the served
+  // top-k is comparable against the exact brute-force oracle
+  private val cfg = BuildConfig(
+    HnswParams.standard(efConstruction = 64, efSearch = 256, m = 16),
+    metric = "cosine", seed = 7L, seedBatch = 64)
+
+  private def vecsOf(n: Int, offset: Long = 0L): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(offset + 17)
+    (0 until n).map(i => ((offset + i, Array.fill(8)(rng.nextGaussian().toFloat))))
+  }
+
+  private def served(store: ParquetGraphStore, vectors: org.apache.spark.sql.DataFrame,
+                     queries: org.apache.spark.sql.DataFrame, k: Int) =
+    HnswDurable.searchExcluding(store, vectors, queries, k, ef = 256)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def exact(vectors: org.apache.spark.sql.DataFrame,
+                    queries: org.apache.spark.sql.DataFrame, k: Int) =
+    ExactKnn.search(queries, vectors, k, "cosine")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cdc stream: soft-delete serving, mid-stream compaction, id-reuse ban") {
+    val sess = spark
+    import sess.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val store = new ParquetGraphStore(spark, dir)
+
+    val all = vecsOf(200) ++ vecsOf(100, offset = 200)
+    val byId = all.toMap
+    val mem = MemoryStream[(Long, Array[Float], String)]
+    // high threshold first: deletes stay soft (tombstones), no compaction
+    val q = StreamingIngest.attachCdcDurable(
+      mem.toDF.toDF("id", "vec", "op"), store, cfg, compactThreshold = 0.9)
+    try {
+      mem.addData(vecsOf(200).map { case (id, v) => (id, v, "insert") }: _*)
+      q.processAllAvailable()
+      // batch 2: more inserts + deletes of ids % 7 == 0 — the 14 ids in
+      // [200, 300) divisible by 7 are inserted AND deleted in this same
+      // batch, so they must net out deleted (never enter the graph)
+      val b2ins = vecsOf(100, offset = 200).map { case (id, v) => (id, v, "insert") }
+      val b2del = (0L until 300L).filter(_ % 7 == 0)
+        .map(id => (id, Array.empty[Float], "delete"))
+      mem.addData(b2ins ++ b2del: _*)
+      q.processAllAvailable()
+      // redelivered deletes: idempotent
+      mem.addData(b2del: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val survivors = all.filterNot(_._1 % 7 == 0)
+    val vectorsDf = sess.read.parquet(s"$dir/vectors").select(col("id"), col("vec"))
+    val survivorsDf = survivors.toDF("id", "vec")
+    val queriesDf = survivors.filter(_._1 % 25 == 3).take(12)
+      .toDF("qid", "qvec").select(col("qid"), col("qvec"))
+
+    // soft-delete regime: tombstones recorded; the graph still holds the
+    // batch-1 tombstoned vertices (29 of 0..199) but NOT the 14 net-out
+    // ids — 200 + (100 - 14) = 286 vertices
+    assert(store.tombstones.count() == (0L until 300L).count(_ % 7 == 0))
+    assert(store.linksTable.filter(col("layer") === 0).count() == 286)
+    assert(served(store, vectorsDf, queriesDf, 5) == exact(survivorsDf, queriesDf, 5))
+
+    // threshold crossing: one more delete batch with a low threshold
+    // triggers the links-out compaction mid-stream
+    val mem2 = MemoryStream[(Long, Array[Float], String)]
+    val q2 = StreamingIngest.attachCdcDurable(
+      mem2.toDF.toDF("id", "vec", "op"), store, cfg, compactThreshold = 0.05)
+    try {
+      mem2.addData((1L, Array.empty[Float], "delete"))
+      q2.processAllAvailable()
+      // id-reuse ban: re-inserting a deleted id is a filtered no-op
+      mem2.addData((7L, byId(14L), "insert"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    assert(store.tombstones.count() == 0L, "compaction must consume the tombstone set")
+    val delSet = ((0L until 300L).filter(_ % 7 == 0) :+ 1L).toSet
+    val srcs = store.linksTable.select(col("src")).collect().map(_.getLong(0)).toSet
+    assert(srcs.intersect(delSet).isEmpty, "compacted graph must not contain deleted vertices")
+    assert(!srcs.contains(7L) || delSet.contains(7L), "re-inserted deleted id must stay dead")
+
+    // post-compaction serving needs no exclusion set and stays exact
+    val survivors2 = survivors.filterNot(_._1 == 1L)
+    val s2Df = survivors2.toDF("id", "vec")
+    val q2Df = survivors2.filter(_._1 % 25 == 3).take(12)
+      .toDF("qid", "qvec").select(col("qid"), col("qvec"))
+    assert(served(store, vectorsDf, q2Df, 5) == exact(s2Df, q2Df, 5))
+  }
+
+  test("durable searchExcluding widens the beam by the tombstone count") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc2_").toString
+    val store = new ParquetGraphStore(spark, dir)
+    val rows = vecsOf(120)
+    val vectorsDf = rows.toDF("id", "vec")
+    HnswDurable.ingest(store, vectorsDf, vectorsDf, cfg)
+    // tombstone the exact top-5 of one query: a naive post-filter of a
+    // k-deep result would return NOTHING from the top block
+    val probe = rows.filter(_._1 == 60L).toDF("qid", "qvec")
+    val top5 = ExactKnn.search(probe, vectorsDf, 5, "cosine")
+      .select(col("id")).collect().map(_.getLong(0))
+    store.addTombstones(top5.toSeq.toDF("id"))
+    val got = served(store, vectorsDf, probe, 5)
+    val expect = exact(rows.filterNot(r => top5.contains(r._1)).toDF("id", "vec"), probe, 5)
+    assert(got == expect)
+  }
+}
