@@ -47,6 +47,27 @@ object DedupQueries {
   private val containDirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val spanDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized duplicated spans at the catalog parameters (L = 20):
+    * d_substring_spans and p_span_excise consume the same anchor/merge
+    * stage — one catalog run pays the token scan once. Parquet-path memo
+    * (the candidatePairsWithShingles pattern). */
+  private def substringSpans(s: SparkSession, dir: String): DataFrame = {
+    val path = spanDirCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("substring_spans") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_spans_").toString
+        graft.operators.SubstringDedup
+          .duplicatedSpans(docs(s, dir), "text", "doc_id", minTokens = 20)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+    })
+    s.read.parquet(path)
+  }
+
   /** Memoized containment pairs at the catalog parameters (char-8,
     * 0.8 = 4/5, df <= 200): d_containment and p_chunk_curate consume the
     * same inverted-index join — one catalog run pays it once. Parquet-
@@ -116,6 +137,47 @@ object DedupQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact substring-level duplication: the maximal >= 20-token spans of
+    // each document that occur verbatim in another document — anchor
+    // hashes (8-byte shuffle keys), min != max distinct-doc test, gaps-
+    // and-islands merge (graft.operators.SubstringDedup). The oracle runs
+    // the identical anchor/merge logic string-keyed, so the hash compare
+    // doubles as a 64-bit-collision audit at test scale.
+    "d_substring_spans" -> ((s, dir) =>
+      substringSpans(s, dir).orderBy(col("doc_id"), col("span_start"))),
+
+    // Span excision accounting: per document, how many tokens sit inside
+    // SOME cross-doc duplicated >= 20-token window — the number a
+    // curation pass removes when excising spans instead of dropping
+    // docs. Adjacent islands can overlap textually (two runs of anchors
+    // separated by a < L gap cover overlapping token ranges), so the
+    // spans go through a proper interval-union merge (running-max window
+    // + group flag) before counting; summing span_len would double-count.
+    // Integer permille — exact.
+    "p_span_excise" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val spans = substringSpans(s, dir)
+      val prevMax = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val runGrp = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+      val dup = spans
+        .withColumn("pme", max(col("span_end")).over(prevMax))
+        .withColumn("new_grp",
+          when(col("pme").isNull || col("span_start") > col("pme"), 1L).otherwise(0L))
+        .withColumn("grp", sum(col("new_grp")).over(runGrp))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("span_start")).as("s"), max(col("span_end")).as("e"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("e") - col("s") + 1).as("dup_tok"))
+      d.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("dup_tok"), lit(0L)).as("dup_tok"))
+        .withColumn("dup_permille", expr("dup_tok * 1000 div n_tok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // L1 insert-if-not-exists + idempotence (linear_db.rs:17-25, 43-52):
     // inserting the corpus twice leaves the store where one insert put it.
@@ -413,6 +475,61 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "d_substring_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |anchors AS (
+        |  SELECT doc_id, i.i AS pos, array_to_string(t[i.i:i.i+19], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) i
+        |  WHERE len(t) >= 20),
+        |dup AS (
+        |  SELECT gram FROM anchors GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (
+        |  SELECT a.doc_id, a.pos FROM anchors a JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM hits)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 19 AS BIGINT) AS span_end,
+        |       CAST(max(pos) + 19 - min(pos) + 1 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "p_span_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |anchors AS (
+        |  SELECT doc_id, i.i AS pos, array_to_string(t[i.i:i.i+19], ' ') AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 18)) AS i) i
+        |  WHERE len(t) >= 20),
+        |dup0 AS (
+        |  SELECT gram FROM anchors GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        |hits AS (
+        |  SELECT a.doc_id, a.pos FROM anchors a JOIN dup0 USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 19 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |m AS (
+        |  SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM spans),
+        |g AS (
+        |  SELECT doc_id, s, e, sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        |  FROM m),
+        |mi AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM g GROUP BY doc_id, grp),
+        |dup AS (SELECT doc_id, sum(e - s + 1) AS dup_tok FROM mi GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+        |SELECT n.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(COALESCE(dup_tok, 0) AS BIGINT) AS dup_tok,
+        |       CAST(COALESCE(dup_tok, 0) * 1000 // n_tok AS BIGINT) AS dup_permille
+        |FROM n LEFT JOIN dup USING (doc_id) ORDER BY n.doc_id""".stripMargin,
+
     "v_dedup_insert" ->
       """SELECT count(*) AS n_input,
         | CAST(count(DISTINCT embedding) AS BIGINT) AS n_after_first,

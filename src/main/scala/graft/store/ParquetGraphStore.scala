@@ -352,8 +352,16 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
       // materialize BEFORE the version swap: the plan reads the very
       // directories writeVersioned is about to drop
       .localCheckpoint()
-    writeVersioned("links", compacted)
 
+    // Crash-ordering: entry repair FIRST, then the links swap, then the
+    // tombstone clear — every interruption window leaves a servable
+    // store. The repaired entry is a SURVIVOR, a valid entry in the old
+    // graph too (it exists there, and serving descends from any vertex);
+    // links-then-entry would instead leave a window where the entry
+    // references a vertex the compacted graph no longer contains.
+    // Crash after links, before clear: stale tombstones only re-exclude
+    // already-removed ids — harmless; the next threshold crossing folds
+    // nothing and clears them.
     val entryDead = getEntryPoint.exists(ep =>
       del.filter(col("id") === ep.point).count() > 0L)
     if (entryDead) {
@@ -364,6 +372,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
         cand.toSeq.map(r => (r.getLong(0), r.getInt(1)))
           .toDF("point", "layer").coalesce(1))
     }
+    writeVersioned("links", compacted)
     compacted.unpersist(blocking = false)
     clearTombstones()
     true
