@@ -290,8 +290,6 @@ object Bench {
       // task-time distribution cover the build's two cost centers
       // (driver-sequential merge phases vs distributed search tasks).
       val calib = Instr.cpuCalibMs()
-      val gc0 = Instr.gcMs()
-      taskStats.reset()
       val rows = mkVectors(n)
       import spark.implicits._
       val vecDf = spark.createDataset(rows.toSeq).toDF("id", "vec")
@@ -302,6 +300,11 @@ object Bench {
           .map(rows(_)).toSeq).toDF("qid", "qvec").cache()
       qDf.count()
 
+      // open the GC/task windows AFTER input materialization: the stats
+      // must attribute the BUILD alone, or a straggling createDataset
+      // task reads as build-side executor skew
+      val gc0 = Instr.gcMs()
+      taskStats.reset()
       val (model, tBuild) = time(HnswDistributed.buildFromArray(spark, rows, cfg))
       val (taskN, taskMed, taskMax) = taskStats.snapshot()
       val gcBuild = (Instr.gcMs() - gc0) / 1e3
@@ -326,8 +329,6 @@ object Bench {
     val hammingCells = sizes.map { n =>
       System.gc()
       val calib = Instr.cpuCalibMs()
-      val gc0 = Instr.gcMs()
-      taskStats.reset()
       val codes = Array.tabulate(n) { i =>
         (i.toLong, java.lang.Double.doubleToRawLongBits(
           HnswSearcher.uniformFromHash(i.toLong, 23L)))
@@ -340,6 +341,9 @@ object Bench {
           .map(codes(_)).toSeq).toDF("qid", "qcode").cache()
       qDf.count()
 
+      // build-only GC/task windows (see float cell above)
+      val gc0 = Instr.gcMs()
+      taskStats.reset()
       val (model, tBuild) = time(
         if (n <= 10000) HnswCodes.build(codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
         else HnswCodes.buildBatched(codesDf, HnswParams.standard(64, 32, 32), seed = 23L))

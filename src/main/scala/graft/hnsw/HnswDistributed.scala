@@ -421,6 +421,10 @@ object HnswDistributed {
     val compacted = GraphFrames.compactTombstones(
       GraphFrames.toLinksDF(spark, model.snapshot), deleted, vecsDf,
       model.metricName, model.params)
+      // materialize once: the entry-repair probe and fromLinksDF's
+      // collect would otherwise each re-run the whole compaction job
+      // (broadcast tier — the graph is driver-sized by definition)
+      .localCheckpoint()
     val entry = model.snapshot.entryPoint
       .filterNot(ep => delIds.contains(ep.point))
       .orElse {
@@ -428,8 +432,9 @@ object HnswDistributed {
           .select(col("src"), col("layer")).limit(1).collect()
           .headOption.map(r => graft.store.EntryPoint(r.getLong(0), r.getInt(1)))
       }
-    HnswModel(model.params, model.metricName,
-      GraphFrames.fromLinksDF(compacted, entry), survivors)
+    val snap = GraphFrames.fromLinksDF(compacted, entry)
+    compacted.unpersist(blocking = false)
+    HnswModel(model.params, model.metricName, snap, survivors)
   }
 
   /** Process-wide compacted-model memo (the modelCache pattern; the

@@ -335,15 +335,21 @@ object HnswDurable {
   /** Tombstone-aware durable serving: k-NN over the store EXCLUDING its
     * recorded tombstone set ([[ParquetGraphStore.tombstones]]) — the
     * soft-delete regime between compactions, on the beyond-broadcast
-    * path. Provably returns k eligible results without an escalation
-    * loop: the frontier beam is widened to k' = k + |tombstones| (capped
-    * by the graph — at most |tombstones| beam slots can be ineligible,
-    * so the top k' always contains k eligible rows), tombstoned hits are
-    * anti-joined out, and survivors re-rank. Tombstoned vertices still
-    * CONDUCT the walk (their adjacency rows remain), identical to the
-    * broadcast tier's [[HnswDistributed.searchExcluding]]. The widened
-    * beam costs O(|tombstones|) extra beam slots per query — cheap
-    * below the compaction threshold, which is the regime this serves. */
+    * path. Tombstoned vertices still CONDUCT the walk (their adjacency
+    * rows remain), identical to the broadcast tier's
+    * [[HnswDistributed.searchExcluding]].
+    *
+    * Two-phase escalation keeps the common case cheap without giving up
+    * the guarantee: phase 1 widens the beam by a BOUNDED margin
+    * (min(|tombstones|, max(ef, 4k)) — tombstones are scattered, so a
+    * query's top-of-beam rarely concentrates them) and anti-joins the
+    * tombstoned hits out; only queries left with fewer than k eligible
+    * rows re-run at the provable width k + |tombstones| (at most
+    * |tombstones| beam slots can be ineligible, so that top always
+    * contains k eligible rows). An unconditional k + |tombstones| beam
+    * would make EVERY query pay O(|tombstones|) beam slots — near the
+    * compaction threshold that is a fixed fraction of the corpus,
+    * degrading the walk toward a scan. */
   def searchExcluding(store: ParquetGraphStore, vectors: DataFrame,
                       queries: DataFrame, k: Int, ef: Int,
                       metricName: String = "cosine",
@@ -351,13 +357,32 @@ object HnswDurable {
     val tombs = store.tombstones
     val nTomb = tombs.count()
     if (nTomb == 0L) return search(store, vectors, queries, k, ef, metricName, maxRounds)
-    val kBig = math.min(k.toLong + nTomb, Int.MaxValue.toLong).toInt
     import org.apache.spark.sql.expressions.Window
-    search(store, vectors, queries, kBig, math.max(ef, kBig), metricName, maxRounds)
-      .join(broadcast(tombs), Seq("id"), "left_anti")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
-      .filter(col("rank") <= k)
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    def searchMinus(qs: DataFrame, kWide: Int): DataFrame =
+      search(store, vectors, qs, kWide, math.max(ef, kWide), metricName, maxRounds)
+        .join(broadcast(tombs), Seq("id"), "left_anti")
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= k)
+
+    val provable = math.min(k.toLong + nTomb, Int.MaxValue.toLong).toInt
+    val bounded = math.min(provable.toLong,
+      k.toLong + math.max(ef.toLong, 4L * k)).toInt
+    val phase1 = searchMinus(queries, bounded).localCheckpoint()
+    if (bounded == provable) return phase1
+
+    // derive the short set from QUERIES, not from phase1: a query whose
+    // phase-1 beam was entirely tombstoned has NO phase-1 rows at all,
+    // so a groupBy over phase1 would never see it — exactly the query
+    // that most needs the escalation
+    val short = queries.select(col("qid")).distinct()
+      .join(phase1.groupBy(col("qid")).agg(count(lit(1)).as("n")),
+        Seq("qid"), "left")
+      .filter(coalesce(col("n"), lit(0L)) < k).select(col("qid"))
+    val shortQs = queries.join(broadcast(short), Seq("qid"), "left_semi")
+    if (shortQs.isEmpty) phase1
+    else phase1.join(broadcast(short), Seq("qid"), "left_anti")
+      .unionByName(searchMinus(shortQs, provable))
   }
 
   /** k-NN search over a durable store without materializing layer 0:

@@ -81,7 +81,10 @@ object LshPlan {
   def plan(threshold: Double, targetRecall: Double, nBits: Int = 512,
            n: Long = 1000000L, verifyWeight: Double = 1.0): Plan = {
     require(nBits >= 1, "nBits >= 1")
-    val candidates = (1 to 64).flatMap { r =>
+    // 63, not 64: the fused SimHashBandsF32 kernel packs band values into
+    // signed longs and rejects rowsPerBand = 64, so a 64-row plan would
+    // be unexecutable by the operator this calculator feeds
+    val candidates = (1 to 63).flatMap { r =>
       val b = bandsFor(threshold, targetRecall, r)
       if (b.toLong * r <= nBits) {
         val bg = b * math.pow(0.5, r)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed global prefix sum — the scaffolding that turns
+  * "one global window" (a single-partition sort at scale) into a
+  * distributed plan:
+  *
+  *  1. range-partition the frame on a TOTAL order and sort within each
+  *     partition (range boundaries are sampled, but a prefix over a
+  *     total order is boundary-invariant, so results are deterministic);
+  *  2. pin that partitioning (localCheckpoint) so the two consumers —
+  *     the per-partition totals and the caller's per-partition window —
+  *     see the SAME placement;
+  *  3. collect ONE row per partition (bounded by parallelism, never by
+  *     data) and prefix-scan the totals on the driver;
+  *  4. hand back the pinned frame (with its `pid` column) plus an
+  *     offset column mapping each partition to the total weight of all
+  *     earlier partitions.
+  *
+  * The caller composes `offset` with its own per-partition window —
+  * `row_number().over(byPid) + offset` for a global rank,
+  * `sum(w).over(byPidPreceding) + offset` for a global running sum.
+  * Used by `e_user_quartiles` (distributed ntile) and
+  * `s_curriculum_shards` (token-budget curriculum packing).
+  */
+object PrefixSum {
+
+  /** The pinned range-partitioned frame (carrying a `pid` column), the
+    * per-partition exclusive-prefix offset column, and the grand total
+    * of `weight` (free — it's the last prefix plus the last total). */
+  final case class Ranged(df: DataFrame, offset: Column, total: Long)
+
+  /** @param order  a TOTAL order (include a tiebreaker column): both the
+    *               range partitioner and the caller's within-partition
+    *               window must sort by exactly this
+    * @param weight per-row weight summed into the offsets — `lit(1L)`
+    *               ranks rows, a token count packs budgets. Must be
+    *               integral and non-null. */
+  def ranged(df: DataFrame, numPartitions: Int, order: Seq[Column],
+             weight: Column): Ranged = {
+    val pinned = df
+      .repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = pinned.groupBy(col("pid"))
+      .agg(sum(weight).cast("long").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive scan: partition pid's offset = sum of all earlier
+    // partitions' totals (empty partitions never surface a pid — no row
+    // can reference them, so their absence from the map is harmless)
+    val offsets = totals
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, w)) => (pid, acc + w) }
+      .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
+      .toMap
+    val offset = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+    Ranged(pinned, offset, totals.map(_._2).sum)
+  }
+}

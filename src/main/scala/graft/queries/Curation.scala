@@ -239,26 +239,14 @@ object Curation {
         .withColumn("quality_u",
           expr("(n_stop * 1000000) div n_tok") +
             least(lit(1000000L), expr("(n_chars * 1000000) div 500")))
-      val ranged = scored
-        .repartitionByRange(s.sparkContext.defaultParallelism,
-          col("quality_u").desc, col("doc_id"))
-        .sortWithinPartitions(col("quality_u").desc, col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint() // pin the partitioning: both consumers below
+      val pre = graft.operators.PrefixSum.ranged(scored,
+        s.sparkContext.defaultParallelism,
+        Seq(col("quality_u").desc, col("doc_id")), col("n_tok"))
       val localW = Window.partitionBy(col("pid"))
         .orderBy(col("quality_u").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = ranged.groupBy(col("pid"))
-        .agg(sum(col("n_tok")).as("ptotal"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
-        .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
-        .toMap
-      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-        when(col("pid") === pid, lit(off)).otherwise(acc)
-      }
-      ranged
-        .withColumn("cum0", coalesce(sum(col("n_tok")).over(localW), lit(0L)) + offCol)
+      pre.df
+        .withColumn("cum0", coalesce(sum(col("n_tok")).over(localW), lit(0L)) + pre.offset)
         .withColumn("shard_id", expr(s"cum0 div $ShardCapacity"))
         .groupBy(col("shard_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),

@@ -204,37 +204,24 @@ object Events {
 
     // ntile quartiles over per-user spend: the bucketing window shape —
     // WITHOUT the global single-partition window ntile itself implies.
-    // Global rank is assembled distributed: range-partition on the sort
-    // key, row_number within each partition, plus a per-partition row
-    // offset (a bounded collect of one count per partition, the
-    // s_curriculum_shards two-phase prefix-sum shape). The quartile is
+    // Global rank = PrefixSum.ranged (two-phase distributed prefix sum,
+    // weight 1) + row_number within each partition. The quartile is
     // then pure arithmetic on the rank — SQL ntile(k) semantics: with n
     // rows, the first n%k buckets hold n/k+1 rows, the rest n/k.
     "e_user_quartiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ranged = t(s, dir)
-        .groupBy(col("user_id"))
-        .agg(sum(cents(col("value"))).as("spend_c"))
-        .repartitionByRange(s.sparkContext.defaultParallelism,
-          col("spend_c").desc, col("user_id"))
-        .sortWithinPartitions(col("spend_c").desc, col("user_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint() // pin the partitioning: counts + rank consumers
-      val counts = ranged.groupBy(col("pid")).agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = counts.map(_._2).sum
+      val pre = graft.operators.PrefixSum.ranged(
+        t(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(cents(col("value"))).as("spend_c")),
+        s.sparkContext.defaultParallelism,
+        Seq(col("spend_c").desc, col("user_id")), lit(1L))
+      val n = pre.total
       val (base, rem) = (n / 4, n % 4)
-      val offsets = counts
-        .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
-        .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
-        .toMap
-      val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-        when(col("pid") === pid, lit(off)).otherwise(acc)
-      }
       val localW = Window.partitionBy(col("pid"))
         .orderBy(col("spend_c").desc, col("user_id"))
-      ranged
-        .withColumn("rank", row_number().over(localW).cast("long") + offCol)
+      pre.df
+        .withColumn("rank", row_number().over(localW).cast("long") + pre.offset)
         // first `rem` buckets are one row taller; the otherwise-branch
         // divisor is guarded but unreachable when base == 0 (then every
         // rank <= rem)

@@ -47,6 +47,27 @@ object StreamingChunkDedup {
   private def bucketOf(nBuckets: Int) =
     pmod(xxhash64(col("chunk_hash")), lit(nBuckets.toLong))
 
+  /** Explicit read schema for the state. Declaring the `batch` partition
+    * column STRING matters for correctness, not just hygiene: left to
+    * partition-type inference, a numeric-looking key like "007" is read
+    * as int 7 and renders back as "7", so an inferred-value comparison
+    * against the raw key would FAIL to exclude the batch's own rows on
+    * redelivery — every former first-occurrence would drop as a
+    * duplicate of itself and the overwrite would erase it from the
+    * index. With the user schema the directory string is taken
+    * literally and the exclusion is exact for every legal key. */
+  private val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("chunk_hash",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("first_doc",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("first_chunk_no",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType)))
+
   /** The pruned state read: rows of OTHER batches in the TOUCHED buckets
     * only — both predicates are partition-column filters, evaluated
     * against the directory listing before any parquet is opened.
@@ -54,8 +75,8 @@ object StreamingChunkDedup {
   private[streaming] def probeState(spark: SparkSession, statePath0: String,
                                     excludeBatchKey: String,
                                     touchedBuckets: Seq[Long]): DataFrame =
-    spark.read.parquet(statePath0)
-      .filter(col("batch").cast("string") =!= excludeBatchKey &&
+    spark.read.schema(stateSchema).parquet(statePath0)
+      .filter(col("batch") =!= excludeBatchKey &&
         col("bucket").isin(touchedBuckets: _*))
       .select(col("chunk_hash"))
 

@@ -226,19 +226,43 @@ object StreamingIngest {
     // contract, so which copy survives is immaterial.
     val rows = batch.select(col("id"), col("vec")).dropDuplicates("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var newRows: DataFrame = null
     try {
       if (!rows.isEmpty) {
-        val r = rows.agg(min(col("id")), max(col("id"))).head()
-        rows.write.mode("overwrite")
-          .parquet(s"${store.path}/vectors/batch=${r.getLong(0)}_${r.getLong(1)}")
-        val all = sess.read.parquet(s"${store.path}/vectors")
-          .select(col("id"), col("vec"))
+        val vecDir = s"${store.path}/vectors"
+        val hp = new org.apache.hadoop.fs.Path(vecDir)
+        val dirExists =
+          hp.getFileSystem(sess.sparkContext.hadoopConfiguration).exists(hp)
+        // Never (re)write an id the vectors table already holds — the
+        // id-uniqueness guard for BOTH redelivery (whole batch present ->
+        // no write, the dir is already there) and a re-send of a live id
+        // (an "upsert" of an existing id is an ignored no-op under the
+        // append-only id-space contract; without this filter its row
+        // would land in a second dir and duplicate the id). The written
+        // remainder is keyed by its OWN id range: each id is written
+        // exactly once across the stream, so two writes can never share
+        // a min id, and the dir names stay collision-free.
+        newRows = (if (dirExists)
+          rows.join(sess.read.parquet(vecDir).select(col("id")), Seq("id"), "left_anti")
+        else rows).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!newRows.isEmpty) {
+          val r = newRows.agg(min(col("id")), max(col("id"))).head()
+          newRows.write.mode("overwrite")
+            .parquet(s"$vecDir/batch=${r.getLong(0)}_${r.getLong(1)}")
+        }
+        // graph insert still derives from the FULL batch: after a crash
+        // between the vector write and the graph merge, redelivery finds
+        // newRows empty but the graph-missing ids still pending
+        val all = sess.read.parquet(vecDir).select(col("id"), col("vec"))
         val existing = store.linksTable.filter(col("layer") === 0)
           .select(col("src").as("id"))
         val missing = rows.join(existing, Seq("id"), "left_anti")
         graft.hnsw.HnswDurable.ingest(store, missing, all, cfg, maxRounds)
       }
-    } finally rows.unpersist()
+    } finally {
+      rows.unpersist()
+      if (newRows != null) newRows.unpersist()
+    }
     ()
   }
 
@@ -258,13 +282,16 @@ object StreamingIngest {
     *     ([[graft.store.ParquetGraphStore.compactTombstones]]).
     *
     * Id-space contract: ids are NEVER reused — a deleted id stays dead
-    * (the `deleted_log` filters any later insert of it). Reusing an id
-    * after compaction would otherwise duplicate its row in the durable
-    * vectors table, breaking the id-uniqueness every frontier join
-    * relies on. Deletes win over same-batch inserts of the same id
-    * (the CDC "net effect" convention), redelivered batches are
-    * idempotent on both paths, and deletes of never-inserted ids are
-    * harmless no-ops at serving time. */
+    * (the `deleted_log` filters any later insert of it), and an
+    * "upsert" of a LIVE id is an ignored no-op, not a content update
+    * (the vectors table is append-only per id; in-place re-embedding =
+    * delete old id + insert new id). Reuse or rewrite would otherwise
+    * duplicate the id's row in the durable vectors table, breaking the
+    * id-uniqueness every frontier join relies on. Deletes win over
+    * same-batch inserts of the same id (the CDC "net effect"
+    * convention), redelivered batches are idempotent on both paths, and
+    * deletes of never-inserted ids are harmless no-ops at serving
+    * time. */
   def attachCdcDurable(stream: DataFrame, store: graft.store.ParquetGraphStore,
                        cfg: BuildConfig, compactThreshold: Double = 0.2,
                        maxRounds: Int = 30): StreamingQuery =
@@ -304,9 +331,14 @@ object StreamingIngest {
         // duplicate row — harmless, the read side dedups
         dels.write.mode("append").parquet(logPath)
         store.addTombstones(dels)
-        val all = sess.read.parquet(s"${store.path}/vectors")
-          .select(col("id"), col("vec"))
-        store.compactTombstones(all, cfg.metric, cfg.params, compactThreshold)
+        // a delete-only stream may tombstone before any insert created
+        // the vectors dir — nothing to compact then (the graph is empty)
+        val vecDir = s"${store.path}/vectors"
+        val vp = new org.apache.hadoop.fs.Path(vecDir)
+        if (vp.getFileSystem(sess.sparkContext.hadoopConfiguration).exists(vp)) {
+          val all = sess.read.parquet(vecDir).select(col("id"), col("vec"))
+          store.compactTombstones(all, cfg.metric, cfg.params, compactThreshold)
+        }
       }
     } finally dels.unpersist()
     ()

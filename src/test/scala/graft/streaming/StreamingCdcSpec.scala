@@ -106,7 +106,7 @@ class StreamingCdcSpec extends SparkSpec {
     assert(served(store, vectorsDf, q2Df, 5) == exact(s2Df, q2Df, 5))
   }
 
-  test("durable searchExcluding widens the beam by the tombstone count") {
+  test("durable searchExcluding serves past a fully-tombstoned top block") {
     val sess = spark
     import sess.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc2_").toString
@@ -123,5 +123,46 @@ class StreamingCdcSpec extends SparkSpec {
     val got = served(store, vectorsDf, probe, 5)
     val expect = exact(rows.filterNot(r => top5.contains(r._1)).toDF("id", "vec"), probe, 5)
     assert(got == expect)
+  }
+
+  test("two-phase searchExcluding escalates under-filled queries to the provable width") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc3_").toString
+    val store = new ParquetGraphStore(spark, dir)
+    val rows = vecsOf(150)
+    val vectorsDf = rows.toDF("id", "vec")
+    HnswDurable.ingest(store, vectorsDf, vectorsDf, cfg)
+    // tombstone the exact top-40 of one query, then serve with k=2,
+    // ef=8: the bounded phase-1 width (k + max(ef, 4k) = 10) cannot
+    // yield 2 eligible rows, so the query must re-run at the provable
+    // width k + |tombstones| = 42
+    val probe = rows.filter(_._1 == 75L).toDF("qid", "qvec")
+    val top40 = ExactKnn.search(probe, vectorsDf, 40, "cosine")
+      .select(col("id")).collect().map(_.getLong(0))
+    store.addTombstones(top40.toSeq.toDF("id"))
+    val (k, ef) = (2, 8)
+
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))
+    def minusAt(width: Int) =
+      HnswDurable.search(store, vectorsDf, probe, width, math.max(ef, width), "cosine")
+        .join(broadcast(store.tombstones), Seq("id"), "left_anti")
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // phase 1 alone genuinely under-fills (the escalation is exercised,
+    // not vacuously skipped)...
+    assert(minusAt(k + math.max(ef, 4 * k)).size < k)
+    // ...and the two-phase result equals the unconditional provable-width
+    // serving the escalation replaces, eligible and exactly k rows
+    val got = HnswDurable.searchExcluding(store, vectorsDf, probe, k, ef)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == minusAt(k + top40.length))
+    assert(got.size == k)
+    assert(got.forall { case (_, id) => !top40.contains(id) })
   }
 }

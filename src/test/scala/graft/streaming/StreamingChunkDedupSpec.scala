@@ -110,6 +110,26 @@ class StreamingChunkDedupSpec extends SparkSpec {
     assert(allBuckets > touched.size, "state must span more buckets than the tiny batch for this test to bite")
   }
 
+  test("a batch key that breaks partition-type round-trip ('007') is still idempotent") {
+    // partition inference would read batch=007 back as int 7 ("7" as a
+    // string), so an inferred-value exclusion misses the batch's own
+    // rows on redelivery and drops every first occurrence as a dup of
+    // itself; the explicit STRING schema on the state read keeps the
+    // directory value literal
+    val state = freshState()
+    val first = StreamingChunkDedup.processBatch(
+      spark, batch1.toDF("doc_id", "text"), state, "007")
+    val stateFirst = StreamingChunkDedup.seenChunks(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    val redelivered = StreamingChunkDedup.processBatch(
+      spark, batch1.toDF("doc_id", "text"), state, "007")
+    val stateAfter = StreamingChunkDedup.seenChunks(spark, state)
+      .collect().map(_.toString).sorted.toSeq
+    assert(redelivered == first, s"redelivery diverged: $redelivered vs $first")
+    assert(redelivered.kept == 3L)
+    assert(stateAfter == stateFirst)
+  }
+
   test("null ids and duplicate ids within a batch are dropped, not crashed") {
     val state = freshState()
     val messy = Seq(
