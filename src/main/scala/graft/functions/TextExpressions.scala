@@ -329,6 +329,20 @@ object TextFunctions {
       i => text.substr(i, lit(n))))
   }
 
+  /** 64-bit-hashed distinct character shingles: the [[charShingles]] set
+    * with xxhash64 applied INSIDE the transform, so the per-doc
+    * `array_distinct` compares 8-byte longs instead of n-char strings
+    * and no string array ever materializes. Set-equal to hashing
+    * [[charShingles]] afterwards absent a 64-bit collision; for
+    * consumers that only count/join shingles (containment, overlap)
+    * the string form is never needed. */
+  def charShingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions._
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => xxhash64(text.substr(i, lit(n)))))
+  }
+
   /** Exact Jaccard >= 0.8 on shingle-set columns in integer arithmetic:
     * 9|I| >= 4(|A|+|B|)  <=>  |I|/(|A|+|B|-|I|) >= 0.8 — no doubles, so
     * boundary pairs are engine-independent. */

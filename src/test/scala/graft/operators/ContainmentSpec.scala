@@ -52,6 +52,19 @@ class ContainmentSpec extends SparkSpec {
       s"unexpected pairs: ${capped.mkString(",")}")
   }
 
+  test("fused capped shape equals the join shape when the cap never binds") {
+    // same corpus through both physical paths: maxDf = Int.MaxValue
+    // takes the self-join, any finite cap takes the fused
+    // collect_list + map-side pair generator — with a cap above every
+    // df the kept shingle space is identical, so outputs must be
+    // row-for-row equal
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(run(docs, maxDf = Int.MaxValue - 1).sorted.toSeq ==
+      run(docs).sorted.toSeq)
+  }
+
   test("matches brute-force set containment on real docs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
