@@ -18,8 +18,28 @@ import org.apache.spark.sql.functions._
   *  - Every query ends with a deterministic ORDER BY on a unique key.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The catalog's internal convention for events.ts is NANOSECONDS AS
+    * LONG; the generator has shipped the column both as parquet
+    * TIMESTAMP(NANOS) (which Spark reads as a raw long under
+    * spark.sql.legacy.parquet.nanosAsLong, set by all our session
+    * builders) and as a micro-precision TIMESTAMP (which Spark reads as
+    * TIMESTAMP_NTZ). Normalize by ACTUAL read type, so every downstream
+    * `ts div 1000` keeps working against either vintage. The NTZ →
+    * instant cast is exact under the session's pinned UTC timezone, and
+    * micros*1000 loses nothing the oracle sees: DuckDB reads the same
+    * column as a native timestamp in both vintages and all oracle SQL
+    * goes through epoch_us/strftime, which agree with this mapping. */
+  private def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
 
   /** Deterministic money integerization: floor(x*100) as long ("cents"). */
   def cents(c: Column): Column = floor(c * 100)

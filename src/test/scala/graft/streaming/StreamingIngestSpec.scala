@@ -236,7 +236,7 @@ class StreamingIngestSpec extends SparkSpec {
   test("session_window sessionization agrees with the lag-based batch formulation") {
     import spark.implicits._
     // the same 30-minute-gap rule as e_sessions, over the real events table
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = graft.queries.Tables(spark, sfDir, "events")
       .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
 
     val viaSessionWindow = StreamingIngest.sessionize(events, "30 minutes")
