@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    // Synthetic/minimal events tables (spec fixtures) may omit ts entirely;
+    // they only exercise non-ts queries, so pass them through untouched.
+    if (name == "events" && df.columns.contains("ts")) normalizeEventTs(df)
+    else df
   }
 
   /** The catalog's internal convention for events.ts is NANOSECONDS AS
@@ -34,12 +37,17 @@ object Tables {
     * micros*1000 loses nothing the oracle sees: DuckDB reads the same
     * column as a native timestamp in both vintages and all oracle SQL
     * goes through epoch_us/strftime, which agree with this mapping. */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn(
+      case LongType => df
+      case TimestampType | TimestampNTZType => df.withColumn(
         "ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      // An unexpected vintage must fail loudly, not silently null out ts.
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected long nanos or timestamp)")
     }
+  }
 
   /** Deterministic money integerization: floor(x*100) as long ("cents"). */
   def cents(c: Column): Column = floor(c * 100)
