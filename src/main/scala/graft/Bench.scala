@@ -37,18 +37,33 @@ object Bench {
 
   /** Collects per-task wall durations between reset() calls; median/max
     * expose executor-side skew (one straggler partition vs a uniformly
-    * slow machine read very differently). */
+    * slow machine read very differently). Round-9: also totals
+    * shuffle-spill bytes and the max per-task peak execution memory, so
+    * a degraded cell can be attributed to heap pressure from the JSON
+    * alone (the r8 n100k cells read 4x with a healthy cpu calib — the
+    * open question was heap ceiling vs host, unanswerable without
+    * these). */
   private final class TaskStats extends org.apache.spark.scheduler.SparkListener {
     private val durs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
-    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    private val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    private val peakExecBytes = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       if (e.taskInfo != null) durs.add(e.taskInfo.duration)
-    def reset(): Unit = durs.clear()
-    /** (taskCount, medianSec, maxSec) since the last reset. */
-    def snapshot(): (Int, Double, Double) = {
+      val m = e.taskMetrics
+      if (m != null) {
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakExecBytes.accumulateAndGet(m.peakExecutionMemory, Math.max(_: Long, _: Long))
+      }
+    }
+    def reset(): Unit = { durs.clear(); spillBytes.set(0L); peakExecBytes.set(0L) }
+    /** (taskCount, medianSec, maxSec, spillMB, peakExecMB) since reset. */
+    def snapshot(): (Int, Double, Double, Double, Double) = {
       import scala.jdk.CollectionConverters._
       val a = durs.asScala.map(_.longValue).toArray.sorted
-      if (a.isEmpty) (0, 0.0, 0.0)
-      else (a.length, a(a.length / 2) / 1e3, a.last / 1e3)
+      val spillMb = spillBytes.get / 1e6
+      val peakMb = peakExecBytes.get / 1e6
+      if (a.isEmpty) (0, 0.0, 0.0, spillMb, peakMb)
+      else (a.length, a(a.length / 2) / 1e3, a.last / 1e3, spillMb, peakMb)
     }
   }
 
@@ -57,7 +72,8 @@ object Bench {
       name: String, buildS: Double, insertsPerS: Double,
       searchS: Double, linearS: Double, speedup: Double,
       gcS: Double, taskN: Int, taskMedS: Double, taskMaxS: Double,
-      calibMs: Double)
+      calibMs: Double, spillMb: Double, peakExecMb: Double,
+      heapUsedMb: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -142,13 +158,16 @@ object Bench {
       f""""${c.name}":{"hnsw_build_s":${c.buildS}%.3f,"hnsw_insert_per_s":${c.insertsPerS}%.0f,""" +
         f""""hnsw_search_s":${c.searchS}%.3f,"linear_search_s":${c.linearS}%.3f,"search_speedup":${c.speedup}%.2f,""" +
         f""""gc_s":${c.gcS}%.2f,"task_n":${c.taskN},"task_med_s":${c.taskMedS}%.3f,"task_max_s":${c.taskMaxS}%.3f,""" +
-        f""""cpu_calib_ms":${c.calibMs}%.0f}"""
+        f""""cpu_calib_ms":${c.calibMs}%.0f,"spill_mb":${c.spillMb}%.1f,"peak_exec_mb":${c.peakExecMb}%.1f,""" +
+        f""""heap_used_mb":${c.heapUsedMb}%.0f}"""
     }.mkString("{", ",", "}")
     // columns: [build_s, inserts_per_s, search_s, linear_search_s, speedup,
-    //           gc_s, task_med_s, task_max_s, cpu_calib_ms]
+    //           gc_s, task_med_s, task_max_s, cpu_calib_ms, spill_mb,
+    //           peak_exec_mb, heap_used_mb]
     val gridCompact = cells.map { c =>
       f""""${c.name}":[${c.buildS}%.2f,${c.insertsPerS}%.0f,${c.searchS}%.3f,${c.linearS}%.2f,${c.speedup}%.1f,""" +
-        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f]"""
+        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f,${c.spillMb}%.0f,""" +
+        f"""${c.peakExecMb}%.0f,${c.heapUsedMb}%.0f]"""
     }.mkString("{", ",", "}")
 
     // The driver captures only the LAST ~2000 chars of output and parses
@@ -165,10 +184,26 @@ object Bench {
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val calibEnd = Instr.cpuCalibMs()
     val gcTotalS = Instr.gcMs() / 1e3
+    // Memory facts (round-9): heap ceiling (-Xmx via SPARK_DRIVER_MEM,
+    // default 8g in build.sbt), what Spark thinks driver memory is, and
+    // the host's physical RAM — together with per-cell spill/peak-exec/
+    // heap-used these let a reader adjudicate "heap-bound vs host-bound"
+    // for any degraded cell from this JSON alone.
+    val heapMaxMb = Runtime.getRuntime.maxMemory / 1e6
+    val driverMemConf = spark.conf.getOption("spark.driver.memory").getOrElse("unset")
+    val memTotalMb =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("MemTotal:") =>
+            l.split("\\s+")(1).toLong / 1024
+        }.getOrElse(-1L) finally src.close()
+      } catch { case _: Throwable => -1L }
     val envJson =
       f"""{"cpus_req":"$cpus","parallelism":$measuredPar,"procs":$procs,""" +
         f""""cpu_calib_ms_start":$calibStart%.0f,"cpu_calib_ms_end":$calibEnd%.0f,""" +
-        f""""gc_total_s":$gcTotalS%.1f}"""
+        f""""gc_total_s":$gcTotalS%.1f,"heap_max_mb":$heapMaxMb%.0f,""" +
+        f""""driver_mem_conf":"$driverMemConf","host_mem_total_mb":$memTotalMb}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","serve_total_s":$serveTotal,""" +
         s""""env":$envJson,"one_time_s":$oneTimeJson,"queries":$fullQs,"sf":"$sfDir","vector_grid":$grid}"""
@@ -202,7 +237,7 @@ object Bench {
         s""""serve_total_s":${jnum(serveTotal)},"env":$envJson,"one_time_s":$oneTimeJson,""" +
         s""""queries":$qs,"queries_note":"serving time (one-time builds excluded); slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
         s""""family_totals_s":$families,""" +
-        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms"],""" +
+        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms","spill_mb","peak_exec_mb","heap_used_mb"],""" +
         s""""vector_grid":$gridCompact}"""
     }
     // sbt prints ~100 chars of [success]… after us; stay well inside 2000.
@@ -306,7 +341,9 @@ object Bench {
       val gc0 = Instr.gcMs()
       taskStats.reset()
       val (model, tBuild) = time(HnswDistributed.buildFromArray(spark, rows, cfg))
-      val (taskN, taskMed, taskMax) = taskStats.snapshot()
+      val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
+      val rt = Runtime.getRuntime
+      val heapUsedMb = (rt.totalMemory - rt.freeMemory) / 1e6
       val gcBuild = (Instr.gcMs() - gc0) / 1e3
       // index distributed once (serving shape); timing covers the query jobs
       val modelB = HnswDistributed.broadcastModel(spark, model)
@@ -316,7 +353,7 @@ object Bench {
       vecDf.unpersist(); qDf.unpersist(); modelB.destroy()
 
       Cell(s"n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw,
-        gcBuild, taskN, taskMed, taskMax, calib)
+        gcBuild, taskN, taskMed, taskMax, calib, spillMb, peakExecMb, heapUsedMb)
     }
 
     // u64 Hamming cells — the reference's native Criterion scenario
@@ -347,7 +384,9 @@ object Bench {
       val (model, tBuild) = time(
         if (n <= 10000) HnswCodes.build(codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
         else HnswCodes.buildBatched(codesDf, HnswParams.standard(64, 32, 32), seed = 23L))
-      val (taskN, taskMed, taskMax) = taskStats.snapshot()
+      val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
+      val rt = Runtime.getRuntime
+      val heapUsedMb = (rt.totalMemory - rt.freeMemory) / 1e6
       val gcBuild = (Instr.gcMs() - gc0) / 1e3
       // index distributed once (serving shape); timing covers the query jobs
       val modelB = HnswCodes.broadcastModel(spark, model)
@@ -359,7 +398,7 @@ object Bench {
           codesDf.withColumnRenamed("code", "vec"), k, "hamming"))
       codesDf.unpersist(); qDf.unpersist(); modelB.destroy()
       Cell(s"hamming_n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw,
-        gcBuild, taskN, taskMed, taskMax, calib)
+        gcBuild, taskN, taskMed, taskMax, calib, spillMb, peakExecMb, heapUsedMb)
     }
 
     cells ++ hammingCells

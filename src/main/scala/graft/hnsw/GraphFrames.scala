@@ -32,8 +32,8 @@ object GraphFrames {
   /** Snapshot -> links DataFrame (G7 export, graph_mem.rs:141-155). */
   def toLinksDF(spark: SparkSession, snapshot: GraphSnapshot): DataFrame = {
     val rows = for {
-      (layerMap, lc) <- snapshot.layers.iterator.zipWithIndex
-      (src, (dsts, dists)) <- layerMap.iterator
+      (layer, lc) <- snapshot.layers.iterator.zipWithIndex
+      (src, dsts, dists) <- layer.entriesIterator
     } yield Row(src, lc,
       dsts.indices.map(i => Row(dsts(i), dists(i))))
     spark.createDataFrame(
@@ -56,7 +56,7 @@ object GraphFrames {
       layerMaps(r.getInt(1)) += r.getLong(0) ->
         (ns.map(_.getLong(0)).toArray, ns.map(_.getDouble(1)).toArray)
     }
-    GraphSnapshot(entryPoint, layerMaps.map(_.result()))
+    GraphSnapshot.fromMaps(entryPoint, layerMaps.map(_.result()).toSeq)
   }
 
   /** Persist graph (links parquet partitioned by layer + 1-row entry

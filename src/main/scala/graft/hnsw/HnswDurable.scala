@@ -208,8 +208,8 @@ object HnswDurable {
       // the adjacency + only the vectors it touches, broadcast both.
       val upperSnap = timed("upperSnap")(GraphFrames.fromLinksDF(
         linksNow.filter(col("layer") >= 1), Some(entry)))
-      val upperIds: Set[Long] = upperSnap.layers.iterator.drop(1).flatMap(m =>
-        m.keysIterator ++ m.valuesIterator.flatMap(_._1.iterator)).toSet + entry.point
+      val upperIds: Set[Long] = upperSnap.layers.iterator.drop(1).flatMap(l =>
+        l.srcs.iterator ++ l.dsts.iterator).toSet + entry.point
       val upperVecs = timed("upperVecs")(vecs
         .join(broadcast(upperIds.toSeq.toDF("id")), "id")
         .select(col("id"), col("vec")).as(pairEnc).collect().toMap)

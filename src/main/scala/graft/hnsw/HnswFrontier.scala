@@ -171,7 +171,7 @@ object HnswFrontier {
   def upperSnapshot(full: GraphSnapshot): GraphSnapshot =
     GraphSnapshot(full.entryPoint,
       full.layers.zipWithIndex.map { case (m, lc) =>
-        if (lc == 0) Map.empty[Long, (Array[Long], Array[Double])] else m
+        if (lc == 0) graft.store.LayerCsr.empty else m
       })
 
   /** Kernel descent through layers top..1: greedy (ef=1) down to layer 2,
@@ -185,8 +185,8 @@ object HnswFrontier {
     val metric = Metrics.byName(metricName)
     // upper layers hold few distinct ids; ship only the vectors they touch
     val upperIds: Set[Long] = (upper.entryPoint.map(_.point).toSet ++
-      upper.layers.iterator.flatMap(m =>
-        m.keysIterator ++ m.valuesIterator.flatMap(_._1.iterator))).toSet
+      upper.layers.iterator.flatMap(l =>
+        l.srcs.iterator ++ l.dsts.iterator)).toSet
     val idsB = spark.sparkContext.broadcast(upperIds)
     val vecEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
     val upperVecs = vectors.select(col("id"), col("vec")).as(vecEnc)

@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL ([[decodeImageFeatures]]): the JVM's own
   * `javax.imageio` codecs (PNG/BMP/GIF/JPEG) run an actual byte-level
-  * decode, hash-proven end-to-end by `m_image_decode`. Audio/video
-  * remain codec-less in this container, so their DECODE step is a
+  * decode, hash-proven end-to-end by `m_image_decode`. AUDIO decode is
+  * REAL too ([[decodeAudioFeatures]]): `javax.sound.sampled` parses
+  * WAV/AIFF/AU natively, hash-proven by `m_audio_decode`. Only VIDEO
+  * remains codec-less in this container, so its DECODE step is a
   * clearly-marked deterministic stub ([[stubDecodeFeatures]]) — for
-  * those, the Spark-side contract that matters at 100 TB is what's real
+  * video, the Spark-side contract that matters at 100 TB is what's real
   * and tested: binary schema, per-partition batch processing
   * (mapPartitions — one decoder init per partition, not per row),
   * bounded row widths (frames exploded rather than materialized as
@@ -35,7 +37,7 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
       .withColumn("n_bytes", octet_length(col("text")).cast("long"))
 
-  /** STUB decoder: stands in for image/audio decode + feature extraction.
+  /** STUB decoder — VIDEO only (images and audio decode for real above).
     * Deterministic 8-dim float features from payload bytes (stride
     * sampling), so downstream similarity/dedup plumbing is exercised
     * end-to-end. A real deployment swaps `decodeOne` for a codec call; the
@@ -188,6 +190,126 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit PCM sample value — one formula shared by the
+    * audio GENERATOR below and the DuckDB oracle's closed form (the
+    * pixelValue pattern): if either codec direction corrupted a sample,
+    * the decoded |amplitude| sum would not reproduce this arithmetic.
+    * Range [-2048, 2047]; ids are nonnegative so % stays nonnegative. */
+  private[operators] def sampleValue(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7) % 4096) - 2048).toInt
+
+  /** Per-doc sample count (varied so duration is a real decoded fact,
+    * not a constant the decode could fake). */
+  private[operators] def numSamples(id: Long): Int = (200 + (id % 5) * 50).toInt
+
+  val AudioSampleRate = 8000
+
+  /** Render-and-encode a real audio payload per row (even ids -> WAV,
+    * odd -> AIFF — both containers the JVM's `javax.sound.sampled`
+    * writes natively, zero external libraries): 16-bit signed PCM mono
+    * at [[AudioSampleRate]], sample data from [[sampleValue]]. WAV is
+    * little-endian, AIFF big-endian — the decode must get byte order
+    * right per container or the amplitude sum explodes. */
+  def audioPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[Long] = Encoders.scalaLong
+    val outEnc: Encoder[(Long, Array[Byte])] =
+      ExpressionEncoder[(Long, Array[Byte])]()
+    docs.select(col(idCol).cast("long")).as(inEnc)
+      .mapPartitions { it =>
+        it.map { id =>
+          val fmt = if (id % 2 == 0) "wav" else "aiff"
+          (id, renderEncodeAudio(id, fmt))
+        }
+      }(outEnc)
+      .toDF(idCol, "payload")
+  }
+
+  private def renderEncodeAudio(id: Long, fmt: String): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = numSamples(id)
+    val big = fmt == "aiff"
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = sampleValue(id, i)
+      if (big) { pcm(2 * i) = (v >> 8).toByte; pcm(2 * i + 1) = v.toByte }
+      else { pcm(2 * i) = v.toByte; pcm(2 * i + 1) = (v >> 8).toByte }
+      i += 1
+    }
+    val af = new AudioFormat(AudioSampleRate.toFloat, 16, 1, true, big)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), af, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      if (fmt == "wav") AudioFileFormat.Type.WAVE else AudioFileFormat.Type.AIFF,
+      bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode for the containers the JVM itself parses
+    * (`javax.sound.sampled`: WAV, AIFF, AU — no external libraries).
+    * Same 100 TB contract as [[decodeImageFeatures]]: typed Dataset
+    * mapPartitions, bounded scalar output (format facts + the exact
+    * integer |amplitude| sum — oracle-comparable), poisoned payloads
+    * report `decoded = false` instead of killing the scan. With this,
+    * the deterministic decode stub is scoped to VIDEO only (the one
+    * genuinely codec-less media type in this container). */
+  def decodeAudioFeatures(df: DataFrame, payloadCol: String = "payload",
+                          idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val outEnc: Encoder[(Long, Boolean, Int, Int, Int, Long, Long, String)] =
+      ExpressionEncoder[(Long, Boolean, Int, Int, Int, Long, Long, String)]()
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(inEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val f = ais.getFormat
+            val data = ais.readAllBytes()
+            val nSamples = data.length / f.getFrameSize
+            var sumAbs = 0L
+            if (f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) {
+              val bigE = f.isBigEndian
+              var i = 0
+              while (i < nSamples) {
+                val hi = if (bigE) data(2 * i) else data(2 * i + 1)
+                val lo = if (bigE) data(2 * i + 1) else data(2 * i)
+                val v = (hi.toInt << 8) | (lo & 0xff)
+                sumAbs += math.abs(v)
+                i += 1
+              }
+            }
+            (id, true, f.getSampleRate.toInt, f.getChannels,
+              f.getSampleSizeInBits, nSamples.toLong, sumAbs,
+              sniffAudioFormat(bytes))
+          } catch {
+            case _: Exception =>
+              (id, false, 0, 0, 0, 0L, 0L, sniffAudioFormat(bytes))
+          }
+        }
+      }(outEnc)
+      .toDF(idCol, "decoded", "sample_rate", "channels", "bits",
+        "n_samples", "sum_abs", "fmt")
+  }
+
+  /** Audio container from magic bytes (decode-free routing). */
+  private def sniffAudioFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else if (bytes.length >= 12 && bytes(0) == 'F' && bytes(1) == 'O' &&
+      bytes(2) == 'R' && bytes(3) == 'M' &&
+      bytes(8) == 'A' && bytes(9) == 'I' && bytes(10) == 'F' && bytes(11) == 'F') "aiff"
+    else "unknown"
+
   /** Frame geometry shared by [[sampleFrames]], [[metaQuery]] and the
     * oracle SQL (the literals there must track these). */
   val DefaultFrameBytes = 256
@@ -339,6 +461,27 @@ object Multimodal {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // The audio twin of m_image_decode: the oracle recomputes the
+    // decoded facts from the shared sample formula — a hash match proves
+    // the PCM -> WAV/AIFF container -> platform decode round-trip
+    // preserved every 16-bit sample in BOTH byte orders (WAV little-,
+    // AIFF big-endian), and the sniffed container column proves the
+    // bytes really are the advertised formats.
+    "m_audio_decode" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(200 + (doc_id % 5) * 50 AS BIGINT) AS ns FROM documents),
+        |x AS (SELECT doc_id, ns,
+        |    unnest(generate_series(0, CAST(ns AS INT) - 1)) AS i FROM f),
+        |s AS (SELECT doc_id, MAX(ns) AS ns,
+        |    SUM(ABS(((doc_id * 31 + i * 7) % 4096) - 2048)) AS sum_abs
+        |  FROM x GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits, CAST(ns AS BIGINT) AS n_samples,
+        |  CAST(sum_abs AS BIGINT) AS sum_abs,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS fmt
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Byte-positional framing equals char-positional here: the testdata
     // text is pure ASCII (verified octet_length == length at all SFs).
     "m_frames" ->
@@ -378,6 +521,16 @@ object Multimodal {
     "m_image_decode" -> ((s, dir) => {
       decodeImageFeatures(
           imagePayload(graft.queries.Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL audio codec round-trip: deterministic PCM rendered into
+    // genuine WAV/AIFF containers by the platform encoder, decoded back
+    // by the platform decoder, scalar facts out. Hash-proven against
+    // the closed-form sample arithmetic (see the oracle note).
+    "m_audio_decode" -> ((s, dir) => {
+      decodeAudioFeatures(
+          audioPayload(graft.queries.Tables(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
 

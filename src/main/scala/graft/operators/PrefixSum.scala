@@ -40,6 +40,7 @@ object PrefixSum {
     *               integral and non-null. */
   def ranged(df: DataFrame, numPartitions: Int, order: Seq[Column],
              weight: Column): Ranged = {
+    val spark = df.sparkSession
     val pinned = df
       .repartitionByRange(numPartitions, order: _*)
       .sortWithinPartitions(order: _*)
@@ -54,10 +55,16 @@ object PrefixSum {
     val offsets = totals
       .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, w)) => (pid, acc + w) }
       .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }
-      .toMap
-    val offset = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("pid") === pid, lit(off)).otherwise(acc)
-    }
-    Ranged(pinned, offset, totals.map(_._2).sum)
+    // Deliver the offsets as a tiny broadcast-joined (pid, offset) frame,
+    // NOT a folded when()-chain: the chain's O(numPartitions) expression
+    // depth blows past JIT/codegen method limits at the thousands of
+    // partitions a 100x scale-up implies, falling back to interpreted
+    // eval. The broadcast side is numPartitions rows — driver-bounded by
+    // parallelism, never by data.
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("pid", "__ps_offset")
+    val joined = pinned.join(broadcast(offsetsDf), Seq("pid"), "left")
+      .withColumn("__ps_offset", coalesce(col("__ps_offset"), lit(0L)))
+    Ranged(joined, col("__ps_offset"), totals.map(_._2).sum)
   }
 }

@@ -58,23 +58,39 @@ object SemDedup {
       .join(dropped, Seq("id"), "left_anti")
   }
 
+  /** The exact all-pairs truth count for [[report]]'s recall audit — the
+    * audit's oracle, O(n^2) by definition. Callers measuring serving time
+    * should compute this ONCE per corpus (memoized + BuildLedger) and
+    * pass it to [[reportWithTruth]]. */
+  def bruteForcePairCount(vecs: DataFrame, threshold: Double,
+                          idCol: String = "id", vecCol: String = "vec"): Long = {
+    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
+      .count()
+  }
+
   /** One-row audit of the cluster-bounded pass against brute force:
     * how many pairs the cluster restriction found vs the exact all-pairs
     * set, recall in basis points, and the survivor count after pruning.
     * The brute pair scan is the measurement cost — run at audit scale
     * factors, not the full corpus. */
   def report(vecs: DataFrame, centroids: Array[Array[Float]], threshold: Double,
-             idCol: String = "id", vecCol: String = "vec"): DataFrame = {
+             idCol: String = "id", vecCol: String = "vec"): DataFrame =
+    reportWithTruth(vecs, centroids, threshold,
+      bruteForcePairCount(vecs, threshold, idCol, vecCol), idCol, vecCol)
+
+  /** [[report]] against a precomputed truth count: every found pair is
+    * exact-cosine verified within a cluster, hence a subset of the brute
+    * set — recall is a pure count ratio, no join needed. */
+  def reportWithTruth(vecs: DataFrame, centroids: Array[Array[Float]],
+                      threshold: Double, nBrute: Long,
+                      idCol: String = "id", vecCol: String = "vec"): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val found = pairs(vecs, centroids, threshold, idCol, vecCol).cache()
-    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    val brute = a.join(b, col("a_id") < col("b_id"))
-      .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)
-      .select(col("a_id"), col("b_id"))
     val nFound = found.count()
-    val nBrute = brute.count()
     val nKept = survivors(vecs, found, idCol).count()
     found.unpersist(blocking = false)
     val recallBp = if (nBrute == 0) 10000L else nFound * 10000L / nBrute

@@ -139,8 +139,8 @@ object StreamingIngest {
       // every restart — exactly the scenario this module exists to
       // recover from
       inner.ensureLayers(snap.layers.length)
-      snap.layers.zipWithIndex.foreach { case (m, lc) =>
-        m.foreach { case (src, (dsts, dists)) =>
+      snap.layers.zipWithIndex.foreach { case (layer, lc) =>
+        layer.entriesIterator.foreach { case (src, dsts, dists) =>
           inner.setLinks(src, graft.hnsw.FurthestQueue.fromAscending(
             Array.tabulate(dsts.length)(i =>
               graft.hnsw.Neighbor(dsts(i), dists(i))).toSeq), lc)

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup family (not part of the library
+  * surface): run the capped/banded operators on a seeded synthetic
+  * corpus at 1x and 10x and print how the bounding mechanisms engage as
+  * n grows — measured shuffle-record counts straight from TaskMetrics,
+  * not projections. The claim under test: candidate/shuffle volume
+  * grows ~linearly (the caps bite), never quadratically (what the
+  * uncapped operators would do).
+  *
+  * Corpus shape mirrors the testdata generator's dup structure: ~60%
+  * unique docs, ~20% near-verbatim mirrors (a contained copy inside
+  * boilerplate), ~20% docs sharing a long boilerplate run (substring
+  * spans); embeddings ~10% perturbed near-dup copies.
+  */
+object ScaleRehearsal {
+
+  private final class ShuffleStats extends org.apache.spark.scheduler.SparkListener {
+    private val recs = new java.util.concurrent.atomic.AtomicLong()
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) recs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+    }
+    def reset(): Unit = recs.set(0L)
+    def records: Long = recs.get
+  }
+
+  private def word(h: Long): String = {
+    val n = ((h % 797) + 797) % 797
+    s"w$n"
+  }
+
+  /** Seeded doc text: `len` tokens drawn from a hash stream. */
+  private def tokens(seed: Long, len: Int): Seq[String] =
+    (0 until len).map(i => word(seed * 6364136223846793005L + i * 1442695040888963407L))
+
+  private def mkDocs(spark: SparkSession, n: Int): DataFrame = {
+    val boiler = tokens(99L, 80) // the shared boilerplate run
+    val rows = (0 until n).map { i =>
+      val base = tokens(i.toLong * 31 + 7, 120 + (i % 5) * 30)
+      val kind = i % 10
+      val text =
+        if (kind <= 5) base // unique
+        else if (kind <= 7) {
+          // mirror: doc (i - n/10) wrapped in small unique boilerplate
+          val src = tokens(((i - n / 10).toLong max 0L) * 31 + 7, 120)
+          (tokens(i.toLong + 5000, 10) ++ src ++ tokens(i.toLong + 9000, 10))
+        } else base.take(40) ++ boiler ++ base.drop(40) // shared long run
+      (i.toLong, text.mkString(" "))
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text").repartition(32)
+  }
+
+  private def mkVecs(spark: SparkSession, n: Int): DataFrame = {
+    import graft.hnsw.HnswSearcher.uniformFromHash
+    val dim = 64
+    val rows = (0 until n).map { i =>
+      val srcId = if (i % 10 == 9) i - 1 else i // 10% near-dup of neighbor
+      val eps = if (i % 10 == 9) 0.05f else 0.0f
+      val v = Array.tabulate(dim)(d =>
+        (uniformFromHash(srcId.toLong * 131 + d, 17L) * 2.0 - 1.0).toFloat +
+          eps * (uniformFromHash(i.toLong * 31 + d, 23L) * 2.0 - 1.0).toFloat)
+      (i.toLong, v)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding").repartition(32)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
+                 else Seq(1000, 10000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.SparkEntry.applyConfigs(SparkSession.builder()
+      .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stats = new ShuffleStats
+    spark.sparkContext.addSparkListener(stats)
+
+    def run(label: String, n: Int)(mk: => (Long, String)): Unit = {
+      System.gc()
+      stats.reset()
+      val t0 = System.nanoTime()
+      val (outRows, extra) = mk
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"REHEARSAL $label n=$n out_rows=$outRows shuffle_records=${stats.records} " +
+        f"wall=$sec%.2fs $extra")
+    }
+
+    scales.foreach { n =>
+      val docs = mkDocs(spark, n).localCheckpoint()
+      val vecs = mkVecs(spark, n).localCheckpoint()
+
+      run("containment_df200", n) {
+        val out = graft.operators.Containment.pairs(
+          docs, shingleLen = 8, num = 4, den = 5, maxDf = 200)
+        (out.count(), "")
+      }
+      run("substring_spans", n) {
+        val out = graft.operators.SubstringDedup.duplicatedSpans(
+          docs, "text", "doc_id", minTokens = 20)
+        (out.count(), "")
+      }
+      run("neardup_lsh_planned", n) {
+        val p = graft.operators.LshPlan.plan(
+          threshold = 0.45, targetRecall = 0.95, nBits = 512, n = n.toLong)
+        val out = graft.operators.Dedup.neardupLsh(
+          vecs, "vec_id", "embedding", threshold = 0.45,
+          nBits = 512, bands = p.bands, rowsPerBand = p.rowsPerBand)
+        (out.count(), s"bands=${p.bands} rows_per_band=${p.rowsPerBand}")
+      }
+    }
+    spark.stop()
+  }
+}

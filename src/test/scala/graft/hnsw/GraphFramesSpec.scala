@@ -80,9 +80,9 @@ class GraphFramesSpec extends SparkSpec {
       GraphFrames.toLinksDF(spark, model.snapshot), model.snapshot.entryPoint)
     assert(back.numLayers == model.snapshot.numLayers)
     (0 until back.numLayers).foreach { lc =>
-      assert(back.layers(lc).keySet == model.snapshot.layers(lc).keySet)
-      back.layers(lc).foreach { case (src, (dsts, dists)) =>
-        val (od, odist) = model.snapshot.layers(lc)(src)
+      assert(back.layerMap(lc).keySet == model.snapshot.layerMap(lc).keySet)
+      back.layerMap(lc).foreach { case (src, (dsts, dists)) =>
+        val (od, odist) = model.snapshot.layerMap(lc)(src)
         assert(dsts.toList == od.toList && dists.toList == odist.toList)
       }
     }

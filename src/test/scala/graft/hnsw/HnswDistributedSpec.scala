@@ -42,8 +42,8 @@ class HnswDistributedSpec extends SparkSpec {
     assert(model.snapshot.entryPoint == again.snapshot.entryPoint)
     assert(model.snapshot.numLayers == again.snapshot.numLayers)
     (0 until model.snapshot.numLayers).foreach { lc =>
-      val a = model.snapshot.layers(lc)
-      val b = again.snapshot.layers(lc)
+      val a = model.snapshot.layerMap(lc)
+      val b = again.snapshot.layerMap(lc)
       assert(a.keySet == b.keySet, s"layer $lc vertex set differs")
       a.foreach { case (src, (dsts, dists)) =>
         assert(dsts.toList == b(src)._1.toList, s"layer $lc vertex $src links differ")
@@ -55,7 +55,7 @@ class HnswDistributedSpec extends SparkSpec {
   test("degree bounds hold in the distributed build") {
     (0 until model.snapshot.numLayers).foreach { lc =>
       val bound = cfg.params.getMMax(lc)
-      model.snapshot.layers(lc).foreach { case (src, (dsts, _)) =>
+      model.snapshot.layerMap(lc).foreach { case (src, (dsts, _)) =>
         assert(dsts.length <= bound, s"vertex $src layer $lc degree ${dsts.length} > $bound")
       }
     }
@@ -76,7 +76,7 @@ class HnswDistributedSpec extends SparkSpec {
     assert(loaded.entryPoint == model.snapshot.entryPoint)
     assert(loaded.numLayers == model.snapshot.numLayers)
     (0 until loaded.numLayers).foreach { lc =>
-      val a = model.snapshot.layers(lc); val b = loaded.layers(lc)
+      val a = model.snapshot.layerMap(lc); val b = loaded.layerMap(lc)
       assert(a.keySet == b.keySet)
       a.foreach { case (src, (dsts, dists)) =>
         assert(b(src)._1.toList == dsts.toList)
@@ -92,9 +92,9 @@ class HnswDistributedSpec extends SparkSpec {
     val idMapSame = ids.map(i => (i, i)).toDF("old", "new")
     val same = GraphFrames.fromLinksDF(
       GraphFrames.remap(links, idMapSame), model.snapshot.entryPoint)
-    assert(same.layers(0).keySet == model.snapshot.layers(0).keySet)
-    same.layers(0).foreach { case (src, (dsts, dists)) =>
-      val (odsts, odists) = model.snapshot.layers(0)(src)
+    assert(same.layerMap(0).keySet == model.snapshot.layerMap(0).keySet)
+    same.layerMap(0).foreach { case (src, (dsts, dists)) =>
+      val (odsts, odists) = model.snapshot.layerMap(0)(src)
       assert(dsts.toList == odsts.toList && dists.toList == odists.toList)
     }
 
@@ -102,8 +102,8 @@ class HnswDistributedSpec extends SparkSpec {
     val doubled = GraphFrames.fromLinksDF(
       GraphFrames.remap(links, idMapDouble),
       model.snapshot.entryPoint.map(ep => EntryPoint(ep.point * 2, ep.layer)))
-    val orig = model.snapshot.layers(0)
-    doubled.layers(0).foreach { case (src, (dsts, dists)) =>
+    val orig = model.snapshot.layerMap(0)
+    doubled.layerMap(0).foreach { case (src, (dsts, dists)) =>
       assert(src % 2 == 0)
       val (odsts, odists) = orig(src / 2)
       assert(dsts.toList == odsts.map(_ * 2).toList)
@@ -135,7 +135,7 @@ class HnswDistributedSpec extends SparkSpec {
         r.getSeq[org.apache.spark.sql.Row](1)
           .map(e => (e.getString(0), e.getString(1))))
       .toMap
-    val orig = model.snapshot.layers(0)
+    val orig = model.snapshot.layerMap(0)
     assert(got.size == orig.size)
     orig.foreach { case (src, (dsts, dists)) =>
       val expected = dsts.zip(dists)

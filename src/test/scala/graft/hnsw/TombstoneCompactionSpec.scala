@@ -30,7 +30,7 @@ class TombstoneCompactionSpec extends SparkSpec {
 
   test("compacted graph contains no tombstoned vertex or edge") {
     (0 until compacted.snapshot.numLayers).foreach { lc =>
-      compacted.snapshot.layers(lc).foreach { case (src, (dsts, _)) =>
+      compacted.snapshot.layerMap(lc).foreach { case (src, (dsts, _)) =>
         assert(!delSet.contains(src), s"tombstoned src $src survived at layer $lc")
         dsts.foreach(d => assert(!delSet.contains(d),
           s"edge $src -> $d points at a tombstoned vertex (layer $lc)"))
@@ -42,7 +42,7 @@ class TombstoneCompactionSpec extends SparkSpec {
   test("degree bounds hold after the bridge-and-trim pass") {
     (0 until compacted.snapshot.numLayers).foreach { lc =>
       val bound = cfg.params.getMMax(lc)
-      compacted.snapshot.layers(lc).foreach { case (src, (dsts, _)) =>
+      compacted.snapshot.layerMap(lc).foreach { case (src, (dsts, _)) =>
         assert(dsts.length <= bound,
           s"vertex $src layer $lc degree ${dsts.length} > $bound")
       }
@@ -51,9 +51,9 @@ class TombstoneCompactionSpec extends SparkSpec {
 
   test("every surviving vertex keeps a row (none silently dropped)") {
     val before = (0 until model.snapshot.numLayers).flatMap(lc =>
-      model.snapshot.layers(lc).keysIterator.filterNot(delSet.contains).map((_, lc))).toSet
+      model.snapshot.layerMap(lc).keysIterator.filterNot(delSet.contains).map((_, lc))).toSet
     val after = (0 until compacted.snapshot.numLayers).flatMap(lc =>
-      compacted.snapshot.layers(lc).keysIterator.map((_, lc))).toSet
+      compacted.snapshot.layerMap(lc).keysIterator.map((_, lc))).toSet
     assert(after == before)
   }
 
@@ -102,7 +102,7 @@ class TombstoneCompactionSpec extends SparkSpec {
     assert(snap.entryPoint == compacted.snapshot.entryPoint)
     assert(snap.numLayers == compacted.snapshot.numLayers)
     (0 until snap.numLayers).foreach { lc =>
-      val a = snap.layers(lc); val b = compacted.snapshot.layers(lc)
+      val a = snap.layerMap(lc); val b = compacted.snapshot.layerMap(lc)
       assert(a.keySet == b.keySet, s"layer $lc vertex set differs")
       a.foreach { case (src, (dsts, dists)) =>
         assert(dsts.toList == b(src)._1.toList, s"layer $lc vertex $src links differ")

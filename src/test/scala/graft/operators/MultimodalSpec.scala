@@ -50,6 +50,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 3L).get.getString(6) == "png")
   }
 
+  test("real audio decode: WAV and AIFF payloads round-trip through the platform codecs") {
+    val sub = docs.limit(20)
+    val decoded = Multimodal.decodeAudioFeatures(Multimodal.audioPayload(sub))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getLong(5), r.getLong(6), r.getString(7)))
+      .toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, (ok, rate, ch, bits, nSamples, sumAbs, fmt)) =>
+      assert(ok, s"doc $id must decode")
+      assert(rate == Multimodal.AudioSampleRate && ch == 1 && bits == 16)
+      assert(nSamples == Multimodal.numSamples(id).toLong)
+      assert(fmt == (if (id % 2 == 0) "wav" else "aiff"),
+        s"sniffed container must match the written one for doc $id")
+      val expected = (0 until Multimodal.numSamples(id))
+        .map(i => math.abs(Multimodal.sampleValue(id, i)).toLong).sum
+      assert(sumAbs == expected,
+        s"decoded |amplitude| sum must equal the generator's arithmetic for doc $id")
+    }
+  }
+
+  test("real audio decode: corrupt and non-audio payloads report decoded=false, not a crash") {
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, "plain text".getBytes("UTF-8")),
+      (3L, "RIFFxxxxWAVE".getBytes("UTF-8")), // sniffs wav, truncated body
+      (4L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioFeatures(junk).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(!r.getBoolean(1))
+      assert(r.getLong(5) == 0L && r.getLong(6) == 0L)
+    }
+    assert(out.find(_.getLong(0) == 3L).get.getString(7) == "wav")
+  }
+
   test("stub decode: typed mapPartitions yields deterministic fixed-dim features") {
     val f1 = Multimodal.stubDecodeFeatures(withBin)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toMap

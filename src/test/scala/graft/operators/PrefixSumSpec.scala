@@ -80,6 +80,32 @@ class PrefixSumSpec extends SparkSpec {
       "found a global (empty partitionBy) window — the shape PrefixSum exists to kill")
   }
 
+  test("1024 partitions: offsets survive a partition count that would " +
+    "choke a folded when()-chain's codegen") {
+    // pre-broadcast-join, the offset was a numPartitions-deep nested
+    // when() expression — at ~1000 partitions the generated code blows
+    // past JIT method limits and falls back to interpreted eval; the
+    // (pid, offset) broadcast join must deliver identical ranks at any
+    // partition count.
+    val df = rows.toDF("id", "key", "w")
+    val pre = PrefixSum.ranged(df, 1024, Seq(col("key").desc, col("id")), col("w"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("key").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val got = pre.df
+      .withColumn("cum0", coalesce(sum(col("w")).over(localW), lit(0L)) + pre.offset)
+      .select(col("id"), col("cum0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = df
+      .withColumn("cum0", coalesce(sum(col("w")).over(
+        Window.orderBy(col("key").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("id"), col("cum0"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre.total == rows.map(_._3).sum)
+    assert(got == expected)
+  }
+
   test("empty input yields zero total and a usable frame") {
     val df = spark.range(0).selectExpr("id", "id AS key", "id AS w")
     val pre = PrefixSum.ranged(df, 4, Seq(col("key"), col("id")), col("w"))

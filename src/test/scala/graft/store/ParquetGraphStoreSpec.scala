@@ -77,7 +77,7 @@ class ParquetGraphStoreSpec extends SparkSpec {
     val after = reopened.loadSnapshot()
     assert(after.entryPoint == before.entryPoint)
     assert(after.numLayers == before.numLayers)
-    assert(after.layers(0).keySet == before.layers(0).keySet)
+    assert(after.layerMap(0).keySet == before.layerMap(0).keySet)
 
     // and the next merge works: the delta writer targets highest
     // COMPLETE version + 1 and reclaims incomplete junk; the intact full
@@ -91,8 +91,8 @@ class ParquetGraphStoreSpec extends SparkSpec {
           "transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
     reopened.mergeBatch(newLinks, HnswParams.standard(16, 16, 4))
     val merged = new ParquetGraphStore(spark, dir).loadSnapshot()
-    assert(merged.layers(0).contains(3L))
-    assert(merged.layers(0).contains(1L)) // pre-crash row survives the delta
+    assert(merged.layerMap(0).contains(3L))
+    assert(merged.layerMap(0).contains(1L)) // pre-crash row survives the delta
 
     // junk is reclaimed; the live stack is the full version + one delta
     val linksDirs = new java.io.File(dir).listFiles()
@@ -122,9 +122,9 @@ class ParquetGraphStoreSpec extends SparkSpec {
       store.mergeBatch(linksOf(Seq((i.toLong, 0, Seq((0L, i / 100.0))))), params)
     }
     val snap = store.loadSnapshot()
-    assert(snap.layers(0).keySet == (0L to n.toLong).toSet)
+    assert(snap.layerMap(0).keySet == (0L to n.toLong).toSet)
     // vertex 0 accumulated reverse edges across deltas, degree-bounded
-    val deg0 = snap.layers(0)(0L)._1.length
+    val deg0 = snap.layerMap(0)(0L)._1.length
     assert(deg0 == math.min(n, params.getMMax(0)), s"deg0=$deg0")
 
     // compaction fired at least once and bounded the stack
@@ -136,8 +136,8 @@ class ParquetGraphStoreSpec extends SparkSpec {
 
     // a reopened store resolves the identical graph
     val reread = new ParquetGraphStore(spark, dir).loadSnapshot()
-    assert(reread.layers(0).map { case (k, v) => (k, v._1.toList, v._2.toList) } ==
-      snap.layers(0).map { case (k, v) => (k, v._1.toList, v._2.toList) })
+    assert(reread.layerMap(0).map { case (k, v) => (k, v._1.toList, v._2.toList) } ==
+      snap.layerMap(0).map { case (k, v) => (k, v._1.toList, v._2.toList) })
   }
 
   test("flushDelta: point-write overwrite semantics at O(pending) write volume") {

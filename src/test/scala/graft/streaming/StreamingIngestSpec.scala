@@ -33,7 +33,7 @@ class StreamingIngestSpec extends SparkSpec {
     val snap = index.model.snapshot
     // a double insert finds the first copy at distance 0 and links the
     // vertex to itself — assert no self-loop survived anywhere
-    snap.layers.foreach(_.foreach { case (src, (dsts, _)) =>
+    snap.layerMaps.foreach(_.foreach { case (src, (dsts, _)) =>
       assert(!dsts.contains(src), s"self-loop at $src")
     })
   }
@@ -108,10 +108,10 @@ class StreamingIngestSpec extends SparkSpec {
     assert(reopened.entryPoint == live.entryPoint)
     assert(reopened.numLayers == live.numLayers)
     (0 until live.numLayers).foreach { lc =>
-      assert(reopened.layers(lc).keySet == live.layers(lc).keySet, s"layer $lc")
-      live.layers(lc).foreach { case (src, (dsts, dists)) =>
-        assert(reopened.layers(lc)(src)._1.toList == dsts.toList)
-        assert(reopened.layers(lc)(src)._2.toList == dists.toList)
+      assert(reopened.layerMap(lc).keySet == live.layerMap(lc).keySet, s"layer $lc")
+      live.layerMap(lc).foreach { case (src, (dsts, dists)) =>
+        assert(reopened.layerMap(lc)(src)._1.toList == dsts.toList)
+        assert(reopened.layerMap(lc)(src)._2.toList == dists.toList)
       }
     }
   }
@@ -137,10 +137,10 @@ class StreamingIngestSpec extends SparkSpec {
     assert(a.entryPoint == b.entryPoint)
     assert(a.numLayers == b.numLayers)
     (0 until b.numLayers).foreach { lc =>
-      assert(a.layers(lc).keySet == b.layers(lc).keySet, s"layer $lc")
-      b.layers(lc).foreach { case (src, (dsts, dists)) =>
-        assert(a.layers(lc)(src)._1.toList == dsts.toList, s"layer $lc vertex $src")
-        assert(a.layers(lc)(src)._2.toList == dists.toList)
+      assert(a.layerMap(lc).keySet == b.layerMap(lc).keySet, s"layer $lc")
+      b.layerMap(lc).foreach { case (src, (dsts, dists)) =>
+        assert(a.layerMap(lc)(src)._1.toList == dsts.toList, s"layer $lc vertex $src")
+        assert(a.layerMap(lc)(src)._2.toList == dists.toList)
       }
     }
 
