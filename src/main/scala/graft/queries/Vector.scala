@@ -253,13 +253,25 @@ object Vector {
     // memoized + ledgered so the bench attributes it to one_time_s (the
     // v_recall_* checkpointed-truth pattern).
     "v_semdedup" -> ((s, dir) => {
-      import graft.operators.{KMeans, SemDedup}
+      import graft.operators.SemDedup
       val vecs = vectorsDf(s, dir)
-      val model = KMeans.train(vecs, k = 16, iters = 3)
+      val model = semdedupModel(s, dir)
       SemDedup.reportWithTruth(vecs, model.centroids, threshold = 0.4,
         nBrute = semdedupTruthCount(s, dir, 0.4))
     })
   )
+
+  /** Process-wide memo of the semdedup row's trained k-means model — a
+    * build artifact exactly like the HNSW models (one Lloyd training per
+    * static corpus, shared across queries), ledgered so bench wall
+    * attributes it to one_time_s. */
+  private val semdedupModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.KMeans.KMeansModel]()
+  private def semdedupModel(s: SparkSession, dir: String): graft.operators.KMeans.KMeansModel =
+    semdedupModels.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir", _ =>
+        graft.BuildLedger.timed("kmeans_train")(
+          graft.operators.KMeans.train(vectorsDf(s, dir), k = 16, iters = 3)))
 
   /** Process-wide memo of the semdedup audit's brute-force truth count,
     * keyed by (app, dir, threshold); computed once per corpus inside

@@ -28,26 +28,38 @@ object ScaleRehearsal {
     def records: Long = recs.get
   }
 
-  private def word(h: Long): String = {
-    val n = ((h % 797) + 797) % 797
+  /** Vocabulary SCALES with corpus size (Heaps' law posture): with a
+    * fixed vocab, background per-word document frequency grows ~n/vocab
+    * and at n=100k every 1-word shingle sat just under the df cap,
+    * yielding ~1e9 "legitimate" background pairs (66 GB of single-node
+    * spill) — a corpus artifact real text doesn't have. Keeping vocab
+    * proportional to n pins background df (~15) across scales so the
+    * rehearsal measures the PLANTED structure's scaling. */
+  private def word(h: Long, vocab: Long): String = {
+    val n = ((h % vocab) + vocab) % vocab
     s"w$n"
   }
 
   /** Seeded doc text: `len` tokens drawn from a hash stream. */
-  private def tokens(seed: Long, len: Int): Seq[String] =
-    (0 until len).map(i => word(seed * 6364136223846793005L + i * 1442695040888963407L))
+  private def tokens(seed: Long, len: Int, vocab: Long): Seq[String] =
+    (0 until len).map(i =>
+      word(seed * 6364136223846793005L + i * 1442695040888963407L, vocab))
 
   private def mkDocs(spark: SparkSession, n: Int): DataFrame = {
-    val boiler = tokens(99L, 80) // the shared boilerplate run
+    val vocab = math.max(99991L, n.toLong * 15)
+    val boiler = tokens(99L, 80, vocab) // the shared boilerplate run
     val rows = (0 until n).map { i =>
-      val base = tokens(i.toLong * 31 + 7, 120 + (i % 5) * 30)
+      val base = tokens(i.toLong * 31 + 7, 120 + (i % 5) * 30, vocab)
       val kind = i % 10
       val text =
         if (kind <= 5) base // unique
         else if (kind <= 7) {
-          // mirror: doc (i - n/10) wrapped in small unique boilerplate
-          val src = tokens(((i - n / 10).toLong max 0L) * 31 + 7, 120)
-          (tokens(i.toLong + 5000, 10) ++ src ++ tokens(i.toLong + 9000, 10))
+          // mirror: a KIND-0 (always-unique) doc wrapped in small unique
+          // boilerplate — i-kind lands on kind 0, so the planted pair
+          // structure is identical at every scale (no mirror chains)
+          val src = tokens(((i - kind).toLong max 0L) * 31 + 7, 120, vocab)
+          (tokens(i.toLong + 5000, 10, vocab) ++ src ++
+            tokens(i.toLong + 9000, 10, vocab))
         } else base.take(40) ++ boiler ++ base.drop(40) // shared long run
       (i.toLong, text.mkString(" "))
     }
@@ -73,6 +85,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq
                  else Seq(1000, 10000)
+    val ops: String => Boolean =
+      if (args.length > 1) args(1).split(",").toSet else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.SparkEntry.applyConfigs(SparkSession.builder()
       .master(s"local[$cpus]").config("spark.sql.shuffle.partitions", cpus)
@@ -92,24 +106,46 @@ object ScaleRehearsal {
     }
 
     scales.foreach { n =>
-      val docs = mkDocs(spark, n).localCheckpoint()
-      val vecs = mkVecs(spark, n).localCheckpoint()
+      // durable corpus, not localCheckpoint: under heavy execution-memory
+      // pressure (the 100k-doc containment shuffle) Spark can evict
+      // non-replicated checkpoint blocks, which are unrecoverable —
+      // parquet round-trip makes the input re-readable at any pressure
+      val base = s"/tmp/graft-rehearsal-$n"
+      mkDocs(spark, n).write.mode("overwrite").parquet(s"$base/docs")
+      mkVecs(spark, n).write.mode("overwrite").parquet(s"$base/vecs")
+      val docs = spark.read.parquet(s"$base/docs")
+      val vecs = spark.read.parquet(s"$base/vecs")
 
-      run("containment_df200", n) {
+      if (ops("containment")) run("containment_df200", n) {
         val out = graft.operators.Containment.pairs(
           docs, shingleLen = 8, num = 4, den = 5, maxDf = 200)
         (out.count(), "")
       }
-      run("substring_spans", n) {
+      // the counterfactual: same operator with the cap OFF — the
+      // boilerplate shingles' df^2 pair fan-out is what the cap exists
+      // to bound (df grows with n, so the uncapped gap WIDENS with n)
+      if (ops("containment") && sys.env.contains("REHEARSAL_UNCAPPED")) run("containment_uncapped", n) {
+        val out = graft.operators.Containment.pairs(
+          docs, shingleLen = 8, num = 4, den = 5)
+        (out.count(), "")
+      }
+      if (ops("spans")) run("substring_spans", n) {
         val out = graft.operators.SubstringDedup.duplicatedSpans(
           docs, "text", "doc_id", minTokens = 20)
         (out.count(), "")
       }
-      run("neardup_lsh_planned", n) {
+      // the DEDUP regime (threshold 0.85): planted near-dups sit at
+      // cosine ~0.99 and banding prunes the background hard — the
+      // documented sweet spot of SimHash LSH. (At moderate thresholds
+      // like 0.45 the background collision rate 0.5^r keeps candidates
+      // ~all-pairs; that regime's scale path is the ANN index, per the
+      // v_neardup_lsh catalog note — measured here once: 434 s at
+      // n=1e5 vs 13 s for the same corpus at 0.85.)
+      if (ops("lsh")) run("neardup_lsh_planned", n) {
         val p = graft.operators.LshPlan.plan(
-          threshold = 0.45, targetRecall = 0.95, nBits = 512, n = n.toLong)
+          threshold = 0.85, targetRecall = 0.95, nBits = 512, n = n.toLong)
         val out = graft.operators.Dedup.neardupLsh(
-          vecs, "vec_id", "embedding", threshold = 0.45,
+          vecs, "vec_id", "embedding", threshold = 0.85,
           nBits = 512, bands = p.bands, rowsPerBand = p.rowsPerBand)
         (out.count(), s"bands=${p.bands} rows_per_band=${p.rowsPerBand}")
       }
