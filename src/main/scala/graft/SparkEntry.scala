@@ -20,7 +20,17 @@ object SparkEntry {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.session.timeZone" -> "UTC"
+    "spark.sql.session.timeZone" -> "UTC",
+    // Kryo for broadcast + RDD-record serialization: SQL/Dataset paths
+    // run Tungsten regardless, so this targets the HNSW build's
+    // per-batch snapshot broadcasts, phase-1 RDD records, and the
+    // model/query broadcasts of the serving paths. Spark's Kryo ships
+    // chill's AllScalaRegistrar, so the Scala collections inside
+    // HnswModel/ShardModel serialize correctly. Measured on the n100k
+    // grid build: snapshot+broadcast slice 5.1 -> 4.4 s (the remainder
+    // is CSR construction + lz4 broadcast compression, kept on because
+    // a real cluster wants compressed torrent blocks).
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer"
   )
   def applyConfigs(b: SparkSession.Builder): SparkSession.Builder =
     sessionConfigs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
