@@ -55,8 +55,12 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
     */
   def searchLayer(vectors: VectorStore, graph: GraphStore, q: Long,
                   w: FurthestQueue, ef: Int, lc: Int): Unit = {
-    val visited = mutable.HashSet.empty[Long]
-    w.iterator.foreach(n => visited += n.dst)
+    // primitive visited set + reusable scratch: this loop performs ~1e8
+    // set ops per 100k-vector build — a boxing HashSet[Long] and a
+    // fresh ArrayBuilder per expansion were measurable allocation churn
+    val visited = new LongSet(math.max(64, ef * 4))
+    w.iterator.foreach(n => visited.add(n.dst))
+    var scratch = new Array[Long](64)
 
     val c = NearestQueue.fromFurthestQueue(w)
     var fq = w.getFurthest.getOrElse(
@@ -71,9 +75,16 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
         continue = false
       } else {
         // no-copy neighbor iteration (read-only hot path)
-        val unvisitedBuf = mutable.ArrayBuilder.make[Long]
-        graph.foreachLink(_c, lc)(e => if (visited.add(e)) unvisitedBuf += e)
-        val unvisited = unvisitedBuf.result()
+        var m = 0
+        graph.foreachLink(_c, lc) { e =>
+          if (visited.add(e)) {
+            if (m == scratch.length)
+              scratch = java.util.Arrays.copyOf(scratch, m * 2)
+            scratch(m) = e
+            m += 1
+          }
+        }
+        val unvisited = java.util.Arrays.copyOf(scratch, m)
         val dists = vectors.evalDistanceBatch(q, unvisited)
 
         var i = 0

@@ -1,0 +1,91 @@
+package graft.hnsw
+
+/** Minimal open-addressing primitive long hash set (linear probing,
+  * power-of-two table, growth at 2/3 load, no removal) — the visited
+  * set of the search kernel. `scala.collection.mutable.HashSet[Long]`
+  * boxes every element; a 100k-vector build performs on the order of
+  * 1e8 visited-set operations, so boxing is measurable allocation +
+  * cache pressure in the kernel's hottest loop.
+  *
+  * `Long.MinValue` marks empty slots; that one value is tracked by a
+  * side flag so ANY long is a valid member (vertex ids are normally
+  * nonnegative, but the set must not silently corrupt if they aren't).
+  */
+final class LongSet(initialCapacity: Int = 64) {
+  private[this] val Empty = Long.MinValue
+  private[this] var mask = {
+    var cap = 16
+    while (cap < initialCapacity * 2) cap <<= 1
+    cap - 1
+  }
+  private[this] var table = {
+    val t = new Array[Long](mask + 1)
+    java.util.Arrays.fill(t, Empty)
+    t
+  }
+  private[this] var n = 0
+  private[this] var hasEmptySentinel = false
+
+  /** Mix the id into a table slot (finalizer from splitmix64). */
+  @inline private[this] def slot(x: Long): Int = {
+    var h = x
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    (h ^ (h >>> 31)).toInt & mask
+  }
+
+  /** Add; returns true iff `x` was not already present. */
+  def add(x: Long): Boolean =
+    if (x == Empty) {
+      val fresh = !hasEmptySentinel
+      hasEmptySentinel = true
+      fresh
+    } else {
+      var i = slot(x)
+      var v = table(i)
+      while (v != Empty && v != x) {
+        i = (i + 1) & mask
+        v = table(i)
+      }
+      if (v == x) false
+      else {
+        table(i) = x
+        n += 1
+        if (n * 3 > table.length * 2) grow()
+        true
+      }
+    }
+
+  def contains(x: Long): Boolean =
+    if (x == Empty) hasEmptySentinel
+    else {
+      var i = slot(x)
+      var v = table(i)
+      while (v != Empty && v != x) {
+        i = (i + 1) & mask
+        v = table(i)
+      }
+      v == x
+    }
+
+  def size: Int = n + (if (hasEmptySentinel) 1 else 0)
+
+  private[this] def grow(): Unit = {
+    val old = table
+    mask = (mask << 1) | 1
+    table = new Array[Long](mask + 1)
+    java.util.Arrays.fill(table, Empty)
+    n = 0
+    var j = 0
+    while (j < old.length) {
+      val v = old(j)
+      if (v != Empty) {
+        var i = slot(v)
+        while (table(i) != Empty) i = (i + 1) & mask
+        table(i) = v
+        n += 1
+      }
+      j += 1
+    }
+  }
+}
