@@ -51,14 +51,29 @@ object Bench {
       if (e.taskInfo != null) durs.add(e.taskInfo.duration)
       val m = e.taskMetrics
       if (m != null) {
-        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        // diskBytesSpilled ONLY: memoryBytesSpilled is the in-memory
+        // size of the SAME spill events (the UI's two 'Spill' columns);
+        // summing them would double-count every spill ~2x
+        spillBytes.addAndGet(m.diskBytesSpilled)
         peakExecBytes.accumulateAndGet(m.peakExecutionMemory, Math.max(_: Long, _: Long))
       }
     }
     def reset(): Unit = { durs.clear(); spillBytes.set(0L); peakExecBytes.set(0L) }
-    /** (taskCount, medianSec, maxSec, spillMB, peakExecMB) since reset. */
+    /** (taskCount, medianSec, maxSec, spillMB, peakExecMB) since reset.
+      * Task-end events arrive on the async listener bus, so the
+      * last-finishing task — exactly the straggler these columns exist
+      * to expose — may still be in flight when the job action returns:
+      * poll until the task count is stable (two consecutive equal
+      * readings, 1 s cap) before reading. */
     def snapshot(): (Int, Double, Double, Double, Double) = {
       import scala.jdk.CollectionConverters._
+      var prev = -1
+      var waited = 0
+      while (durs.size != prev && waited < 1000) {
+        prev = durs.size
+        Thread.sleep(50)
+        waited += 50
+      }
       val a = durs.asScala.map(_.longValue).toArray.sorted
       val spillMb = spillBytes.get / 1e6
       val peakMb = peakExecBytes.get / 1e6
@@ -166,7 +181,7 @@ object Bench {
     //           peak_exec_mb, heap_used_mb]
     val gridCompact = cells.map { c =>
       f""""${c.name}":[${c.buildS}%.2f,${c.insertsPerS}%.0f,${c.searchS}%.3f,${c.linearS}%.2f,${c.speedup}%.1f,""" +
-        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f,${c.spillMb}%.0f,""" +
+        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f,${c.spillMb}%.1f,""" +
         f"""${c.peakExecMb}%.0f,${c.heapUsedMb}%.0f]"""
     }.mkString("{", ",", "}")
 
@@ -341,10 +356,14 @@ object Bench {
       val gc0 = Instr.gcMs()
       taskStats.reset()
       val (model, tBuild) = time(HnswDistributed.buildFromArray(spark, rows, cfg))
+      // gc delta BEFORE the explicit System.gc below (which would inflate it)
+      val gcBuild = (Instr.gcMs() - gc0) / 1e3
       val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
+      // live-set heap sample: collect floating build garbage first, or a
+      // lazy collector reads near heap_max on a perfectly healthy cell
+      System.gc()
       val rt = Runtime.getRuntime
       val heapUsedMb = (rt.totalMemory - rt.freeMemory) / 1e6
-      val gcBuild = (Instr.gcMs() - gc0) / 1e3
       // index distributed once (serving shape); timing covers the query jobs
       val modelB = HnswDistributed.broadcastModel(spark, model)
       materialize(HnswDistributed.searchBroadcast(qDf.limit(1), modelB, k)) // warm
@@ -384,10 +403,12 @@ object Bench {
       val (model, tBuild) = time(
         if (n <= 10000) HnswCodes.build(codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
         else HnswCodes.buildBatched(codesDf, HnswParams.standard(64, 32, 32), seed = 23L))
+      // gc delta BEFORE the explicit System.gc below (see float cell)
+      val gcBuild = (Instr.gcMs() - gc0) / 1e3
       val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
+      System.gc()
       val rt = Runtime.getRuntime
       val heapUsedMb = (rt.totalMemory - rt.freeMemory) / 1e6
-      val gcBuild = (Instr.gcMs() - gc0) / 1e3
       // index distributed once (serving shape); timing covers the query jobs
       val modelB = HnswCodes.broadcastModel(spark, model)
       materialize(HnswCodes.searchBroadcast(qDf.limit(1), modelB, k)) // warm

@@ -128,7 +128,7 @@ object HnswDistributed {
     // GRAFT_BUILD_PHASES=true in the env): snapshot+broadcast /
     // distributed phase 1 / sequential phase-2 merge — the Amdahl
     // split of this build shape
-    var tSnap, tPhase1, tMerge = 0L
+    var tSnap, tBcast, tPhase1, tMerge = 0L
     def now() = System.nanoTime()
     // broadcasts released on EVERY path: a transient job failure with a
     // catch-and-retry caller would otherwise leak one full-graph
@@ -139,8 +139,11 @@ object HnswDistributed {
         val batchSize = math.min(math.min(maxBatch, pos), n - pos)
         val batch = (pos until pos + batchSize).map(i => (ids(i), insLayers(i)))
         val t0 = now()
-        val snapB = sc.broadcast(graph.snapshot)
-        tSnap += now() - t0
+        val snap = graph.snapshot
+        val tMid = now()
+        tSnap += tMid - t0
+        val snapB = sc.broadcast(snap)
+        tBcast += now() - tMid
         val results =
           try {
             val slices = math.max(1, math.min(batch.size / 16, sc.defaultParallelism))
@@ -171,7 +174,8 @@ object HnswDistributed {
       payloadB.destroy()
       if (sys.env.get("GRAFT_BUILD_PHASES").contains("true"))
         System.err.println(
-          f"build phases: snapshot+bcast ${tSnap / 1e9}%.2fs phase1 ${tPhase1 / 1e9}%.2fs merge ${tMerge / 1e9}%.2fs")
+          f"build phases: snapshot ${tSnap / 1e9}%.2fs bcast ${tBcast / 1e9}%.2fs " +
+            f"phase1 ${tPhase1 / 1e9}%.2fs merge ${tMerge / 1e9}%.2fs")
     }
   }
 

@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
-  /** The pinned range-partitioned frame (carrying a `pid` column), the
+  /** The pinned range-partitioned frame (carrying a `pid` column AND the
+    * hidden `__ps_offset` column the broadcast join delivered), the
     * per-partition exclusive-prefix offset column, and the grand total
-    * of `weight` (free — it's the last prefix plus the last total). */
+    * of `weight` (free — it's the last prefix plus the last total).
+    *
+    * CONTRACT: `offset` references `__ps_offset`, so it resolves only
+    * against `df` (or a projection of it that keeps that column) —
+    * compose your window arithmetic BEFORE projecting columns away. */
   final case class Ranged(df: DataFrame, offset: Column, total: Long)
 
   /** @param order  a TOTAL order (include a tiebreaker column): both the
@@ -40,6 +45,8 @@ object PrefixSum {
     *               integral and non-null. */
   def ranged(df: DataFrame, numPartitions: Int, order: Seq[Column],
              weight: Column): Ranged = {
+    require(!df.columns.contains("__ps_offset") && !df.columns.contains("pid"),
+      "input frame must not carry reserved columns pid/__ps_offset")
     val spark = df.sparkSession
     val pinned = df
       .repartitionByRange(numPartitions, order: _*)

@@ -68,28 +68,43 @@ object LayerCsr {
   val empty: LayerCsr = LayerCsr(Array.emptyLongArray, Array(0),
     Array.emptyLongArray, Array.emptyDoubleArray)
 
+  /** The ONE two-pass CSR construction (sorted srcs -> prefix offsets ->
+    * fill), shared by every import path so the layout and the
+    * distance-ascending-per-vertex invariant live in a single place.
+    * `emitEdges(src, emit)` must call `emit(dst, dist)` in the vertex's
+    * neighbor order. */
+  def build(srcsSorted: Array[Long], edgeCountOf: Long => Int,
+            emitEdges: (Long, (Long, Double) => Unit) => Unit): LayerCsr = {
+    val offsets = new Array[Int](srcsSorted.length + 1)
+    var total = 0
+    var i = 0
+    while (i < srcsSorted.length) {
+      offsets(i) = total; total += edgeCountOf(srcsSorted(i)); i += 1
+    }
+    offsets(srcsSorted.length) = total
+    val dsts = new Array[Long](total)
+    val dists = new Array[Double](total)
+    i = 0
+    while (i < srcsSorted.length) {
+      var j = offsets(i)
+      emitEdges(srcsSorted(i), (dst, dist) => {
+        dsts(j) = dst; dists(j) = dist; j += 1
+      })
+      i += 1
+    }
+    LayerCsr(srcsSorted, offsets, dsts, dists)
+  }
+
   /** Boxed-map import (DataFrame/parquet load paths — never the
     * per-batch build hot path). */
   def fromMap(m: Map[Long, (Array[Long], Array[Double])]): LayerCsr = {
     val srcs = m.keysIterator.toArray
     java.util.Arrays.sort(srcs)
-    val offsets = new Array[Int](srcs.length + 1)
-    var total = 0
-    var i = 0
-    while (i < srcs.length) {
-      offsets(i) = total; total += m(srcs(i))._1.length; i += 1
-    }
-    offsets(srcs.length) = total
-    val dsts = new Array[Long](total)
-    val dists = new Array[Double](total)
-    i = 0
-    while (i < srcs.length) {
-      val (d, t) = m(srcs(i))
-      System.arraycopy(d, 0, dsts, offsets(i), d.length)
-      System.arraycopy(t, 0, dists, offsets(i), t.length)
-      i += 1
-    }
-    LayerCsr(srcs, offsets, dsts, dists)
+    build(srcs, src => m(src)._1.length, (src, emit) => {
+      val (d, t) = m(src)
+      var k = 0
+      while (k < d.length) { emit(d(k), t(k)); k += 1 }
+    })
   }
 }
 
@@ -189,30 +204,16 @@ final class InMemoryGraph extends GraphStore {
 
   /** CSR export, allocation-lean: the distributed build takes one
     * snapshot per micro-batch, so this runs ~n/maxBatch times per build
-    * over a growing graph — primitive arrays only, no boxed maps. */
+    * over a growing graph — primitive arrays only, no boxed maps
+    * (construction shared with [[LayerCsr.fromMap]] via
+    * [[LayerCsr.build]]). */
   def snapshot: GraphSnapshot = GraphSnapshot(
     entry,
     layers.map { layer =>
       val srcs = layer.keysIterator.toArray
       java.util.Arrays.sort(srcs)
-      val offsets = new Array[Int](srcs.length + 1)
-      var total = 0
-      var i = 0
-      while (i < srcs.length) {
-        offsets(i) = total; total += layer(srcs(i)).size; i += 1
-      }
-      offsets(srcs.length) = total
-      val dsts = new Array[Long](total)
-      val dists = new Array[Double](total)
-      i = 0
-      while (i < srcs.length) {
-        var j = offsets(i)
-        layer(srcs(i)).iterator.foreach { n =>
-          dsts(j) = n.dst; dists(j) = n.dist; j += 1
-        }
-        i += 1
-      }
-      LayerCsr(srcs, offsets, dsts, dists)
+      LayerCsr.build(srcs, src => layer(src).size, (src, emit) =>
+        layer(src).iterator.foreach(n => emit(n.dst, n.dist)))
     }.toArray
   )
 
