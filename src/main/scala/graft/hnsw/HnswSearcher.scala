@@ -59,16 +59,19 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
     // set ops per 100k-vector build — a boxing HashSet[Long] and a
     // fresh ArrayBuilder per expansion were measurable allocation churn
     val visited = new LongSet(math.max(64, ef * 4))
-    w.iterator.foreach(n => visited.add(n.dst))
+    var vi = 0
+    while (vi < w.size) { visited.add(w.dstAt(vi)); vi += 1 }
     var scratch = new Array[Long](64)
 
     val c = NearestQueue.fromFurthestQueue(w)
-    var fq = w.getFurthest.getOrElse(
-      throw new IllegalStateException("W cannot be empty")).dist
+    if (w.isEmpty) throw new IllegalStateException("W cannot be empty")
+    var fq = w.furthestDist
 
     var continue = true
     while (continue && c.nonEmpty) {
-      val Neighbor(_c, cq) = c.popNearest().get
+      // non-allocating pop: read best dist, then pop its id
+      val cq = c.nearestDist
+      val _c = c.popNearestDst()
 
       // Nearest open candidate already worse than the furthest result.
       if (vectors.lessThan(fq, cq)) {
@@ -104,7 +107,7 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
           if (admit) {
             c.insert(e, eq)
             w.insert(e, eq)
-            fq = w.getFurthest.get.dist
+            fq = w.furthestDist
           }
           i += 1
         }

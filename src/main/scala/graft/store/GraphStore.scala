@@ -212,8 +212,11 @@ final class InMemoryGraph extends GraphStore {
     layers.map { layer =>
       val srcs = layer.keysIterator.toArray
       java.util.Arrays.sort(srcs)
-      LayerCsr.build(srcs, src => layer(src).size, (src, emit) =>
-        layer(src).iterator.foreach(n => emit(n.dst, n.dist)))
+      LayerCsr.build(srcs, src => layer(src).size, (src, emit) => {
+        val q = layer(src)
+        var k = 0
+        while (k < q.size) { emit(q.dstAt(k), q.distAt(k)); k += 1 }
+      })
     }.toArray
   )
 
