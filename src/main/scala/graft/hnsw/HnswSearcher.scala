@@ -178,11 +178,15 @@ final class HnswSearcher(val params: HnswParams) extends Serializable {
     val maxLinks = params.getMMax(lc)
     neighbors.trimToKNearest(m)
 
-    neighbors.iterator.foreach { case Neighbor(n, nq) =>
+    var i = 0
+    while (i < neighbors.size) {
+      val n = neighbors.dstAt(i)
+      val nq = neighbors.distAt(i)
       val links = graph.getLinks(n, lc)
       links.insert(q, nq)
       links.trimToKNearest(maxLinks)
       graph.setLinks(n, links, lc)
+      i += 1
     }
     graph.setLinks(q, neighbors, lc)
   }
