@@ -16,7 +16,10 @@ final case class HnswModel(
     params: HnswParams,
     metricName: String,
     snapshot: GraphSnapshot,
-    vectors: Map[Long, Array[Float]]
+    // collection.Map so the hot constructors can pass a primitive-keyed
+    // mutable.LongMap (no boxed-trie lookup per distance eval) while the
+    // import paths keep plain immutable maps
+    vectors: collection.Map[Long, Array[Float]]
 ) extends Serializable {
   def size: Int = vectors.size
 }
@@ -88,7 +91,10 @@ object HnswDistributed {
     val rows = rows0.distinctBy(_._1)
     val metric = Metrics.byName(cfg.metric)
     val searcher = new HnswSearcher(cfg.params)
-    val vecMap = rows.toMap
+    // primitive-keyed: this map backs EVERY distance eval of the build
+    // (executor-side through the broadcast payload, driver-side in the
+    // merge) — a boxed trie here costs a Long box + trie walk per eval
+    val vecMap = scala.collection.mutable.LongMap.from(rows.iterator)
     val store = new ArrayVectorStore(metric, base = vecMap)
     rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
     val graph = new InMemoryGraph
@@ -331,7 +337,7 @@ object HnswDistributed {
     * executor-side inside a persisted RDD — the serving handle never
     * routes through the driver. */
   final case class ShardModel(
-      vectors: Map[Long, Array[Float]],
+      vectors: collection.Map[Long, Array[Float]],
       snapshot: GraphSnapshot
   ) extends Serializable
 
@@ -361,7 +367,7 @@ object HnswDistributed {
         else {
           val metric = Metrics.byName(cfg.metric)
           val searcher = new HnswSearcher(cfg.params)
-          val vecMap = shard.toMap
+          val vecMap = scala.collection.mutable.LongMap.from(shard.iterator)
           val store = new ArrayVectorStore(metric, base = vecMap)
           shard.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
           val graph = new InMemoryGraph

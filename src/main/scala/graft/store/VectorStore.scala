@@ -121,8 +121,14 @@ final class ArrayVectorStore(
     metric(vector(q), vector(v))
   override def isMatch(d: Double): Boolean = d <= matchThreshold
 
-  def vector(id: Long): Array[Float] =
-    points.get(id).map(_.data).getOrElse(base(id))
+  def vector(id: Long): Array[Float] = {
+    // getOrNull, not get: this runs twice per distance eval — the single
+    // hottest lookup in the engine — and LongMap.get allocates a Some
+    // per call. Callers pass `base` as a primitive-keyed LongMap where
+    // it matters (the broadcast build payload / serving model).
+    val p = points.getOrNull(id)
+    if (p != null) p.data else base(id)
+  }
   def isPersistent(id: Long): Boolean = points.get(id).exists(_.isPersistent)
   def persistedCount: Int = points.count(_._2.isPersistent)
 }
