@@ -16,7 +16,7 @@ object HnswCodes {
   final case class CodeModel(
       params: HnswParams,
       snapshot: GraphSnapshot,
-      codes: Map[Long, Long]
+      codes: LongLongMap // primitive-keyed AND -valued: probed twice per Hamming eval
   ) extends Serializable
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -55,7 +55,7 @@ object HnswCodes {
       store.stage(id, code)
       searcher.insert(store, graph, id, searcher.selectLayerByHash(id, seed))
     }
-    CodeModel(params, graph.snapshot, rows.toMap)
+    CodeModel(params, graph.snapshot, LongLongMap.from(rows.iterator, rows.length))
   }
 
   /** Micro-batched build for code tables beyond comfortable sequential
@@ -70,13 +70,13 @@ object HnswCodes {
     val rows = codes.select(col("id"), col("code")).as(pairEnc).collect()
       .sortBy(_._1).distinctBy(_._1)
     val searcher = new HnswSearcher(params)
-    val codeMap = rows.toMap
+    val codeMap = LongLongMap.from(rows.iterator, rows.length)
     val store = new CodeStoreWithIds(codeMap)
     val graph = new InMemoryGraph
     val insLayers = rows.map { case (id, _) => searcher.selectLayerByHash(id, seed) }
 
     HnswDistributed.batchedBuildLoop(spark, rows.map(_._1), insLayers, codeMap,
-      (m: collection.Map[Long, Long]) => new CodeStoreWithIds(m),
+      (m: LongLongMap) => new CodeStoreWithIds(m),
       store, searcher, graph, seedBatch, maxBatch)
 
     CodeModel(params, graph.snapshot, codeMap)
@@ -120,12 +120,14 @@ object HnswCodes {
     * ids not staged locally — executors wrap the broadcast code table
     * without copying it. */
   private final class CodeStoreWithIds(
-      base: collection.Map[Long, Long] = collection.Map.empty)
+      base: LongLongMap = new LongLongMap())
       extends graft.store.VectorStore {
     type Raw = Long
-    private val staged = scala.collection.mutable.LongMap.empty[Long]
-    def stage(id: Long, code: Long): Unit = staged(id) = code
-    private def code(id: Long): Long = staged.getOrElse(id, base(id))
+    private val staged = new LongLongMap()
+    def stage(id: Long, code: Long): Unit = staged.put(id, code)
+    // two primitive probes (staged miss -> base hit) — no Option, no boxing
+    private def code(id: Long): Long =
+      if (staged.contains(id)) staged(id) else base(id)
     override def prepareQuery(raw: Long): Long =
       throw new UnsupportedOperationException("use stage(id, code)")
     override def insert(q: Long): Long = q

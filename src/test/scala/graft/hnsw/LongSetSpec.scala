@@ -41,6 +41,27 @@ class LongSetSpec extends AnyFunSuite {
     }
   }
 
+  test("LongLongMap: put/apply/contains/toSeq vs mutable.Map oracle, sentinel key included") {
+    val rnd = new scala.util.Random(43)
+    (1 to 30).foreach { _ =>
+      val m = new LongLongMap(4)
+      val oracle = scala.collection.mutable.Map.empty[Long, Long]
+      (1 to rnd.nextInt(300)).foreach { _ =>
+        val k = if (rnd.nextInt(20) == 0) Long.MinValue
+                else if (rnd.nextBoolean()) rnd.nextInt(40).toLong else rnd.nextLong()
+        val v = rnd.nextLong()
+        m.put(k, v); oracle(k) = v // last write wins, both sides
+      }
+      assert(m.size == oracle.size)
+      oracle.foreach { case (k, v) =>
+        assert(m.contains(k) && m(k) == v, s"key $k")
+      }
+      assert(m.toSeq.sortBy(_._1) == oracle.toSeq.sortBy(_._1))
+      assert(!m.contains(999999999999L))
+      intercept[NoSuchElementException](m(999999999999L))
+    }
+  }
+
   test("dense sequential ids (the build's actual key shape) at scale") {
     val s = new LongSet(64)
     (0L until 100000L).foreach(i => assert(s.add(i)))
