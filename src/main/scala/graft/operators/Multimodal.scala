@@ -662,8 +662,17 @@ object Multimodal {
     val bandWidth = math.log((den + num).toDouble / (den - num))
     val scale = math.max(1L, math.floor(1.0 / bandWidth).toLong)
     // both join sides derive from the same histogram projection; the
-    // eager localCheckpoint pays the doc scan + kernel pass once
-    val positive = hists.filter(col("tot") > 0).localCheckpoint()
+    // eager localCheckpoint pays the doc scan + kernel pass once.
+    // Round-robin repartition BEFORE the checkpoint: the histogram frame
+    // of a small corpus arrives in one tiny scan partition, and the
+    // checkpoint would pin the n² candidate join's probe side to that
+    // single core (measured 4.0 -> 0.9 s at sf0.1 from this line alone);
+    // defaultParallelism tracks the cluster's core count at any scale,
+    // and the shuffled rows are 16 longs + meta — negligible next to the
+    // pair join they feed.
+    val positive = hists.filter(col("tot") > 0)
+      .repartition(hists.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val bucket =
       if (bandWidth >= 1.0) lit(0L)
       else floor(log(col("tot").cast("double")) * lit(scale.toDouble)).cast("long")

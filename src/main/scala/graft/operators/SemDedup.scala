@@ -64,7 +64,11 @@ object SemDedup {
     * pass it to [[reportWithTruth]]. */
   def bruteForcePairCount(vecs: DataFrame, threshold: Double,
                           idCol: String = "id", vecCol: String = "vec"): Long = {
+    // streamed side repartitioned: this non-equi self-join plans as
+    // BroadcastNestedLoop, whose parallelism is a's partition count — a
+    // small scan's single partition would run the O(n²) audit one-core
     val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+      .repartition(vecs.sparkSession.sparkContext.defaultParallelism)
     val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, col("a_id") < col("b_id"))
       .filter(cosineSim(col("a_vec"), col("b_vec")) >= threshold)

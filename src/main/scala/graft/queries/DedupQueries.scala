@@ -248,7 +248,11 @@ object DedupQueries {
       val found = Dedup.neardupLsh(vecs, idCol = "vec_id", vecCol = "embedding",
         threshold = threshold, nBits = 512,
         bands = p.bands, rowsPerBand = p.rowsPerBand)
+      // streamed side repartitioned: the non-equi self-join is a
+      // BroadcastNestedLoop whose parallelism is a's partition count,
+      // and the small embeddings scan arrives as one partition
       val a = vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
       val truth = a.join(b, col("a_id") < col("b_id"))
         .filter(graft.functions.VectorFunctions

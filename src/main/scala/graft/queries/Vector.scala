@@ -67,7 +67,12 @@ object Vector {
     // threshold — brute force here as the correctness oracle; the scale
     // path is the LSH-bucketed variant in graft.operators.Dedup.
     "v_neardup_pairs" -> ((s, dir) => {
+      // repartition the STREAMED side: this non-equi self-join plans as
+      // BroadcastNestedLoop, whose parallelism is the streamed side's
+      // partition count — a small parquet scan arrives as ONE partition
+      // and would run the O(n²) cosine filter on one core
       val a = t(s, dir).select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = t(s, dir).select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
       a.join(b, col("a_id") < col("b_id"))
         .filter(cosineSim(col("a_vec"), col("b_vec")) >= 0.4)
