@@ -511,7 +511,8 @@ object Multimodal {
   }
 
   private final case class AviFacts(width: Int, height: Int, nFrames: Int,
-                                    fps: Int, sumLum: Long)
+                                    fps: Int, sumLum: Long,
+                                    frameSums: Array[Long])
 
   /** Bounds-checked RIFF walk; throws on any malformed structure (the
     * caller maps that to decoded=false). */
@@ -530,6 +531,7 @@ object Multimodal {
 
     var width = 0; var height = 0; var fps = 0
     var nFrames = 0; var sumLum = 0L
+    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
 
     // walk one chunk level [from, to); recurse into LISTs we care about
     def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
@@ -558,12 +560,15 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes.slice(dataOff, dataEnd)))
           if (img == null) throw new IllegalArgumentException("undecodable frame")
           val raster = img.getRaster
+          var fSum = 0L
           var y = 0
           while (y < img.getHeight) {
             var x = 0
-            while (x < img.getWidth) { sumLum += raster.getSample(x, y, 0); x += 1 }
+            while (x < img.getWidth) { fSum += raster.getSample(x, y, 0); x += 1 }
             y += 1
           }
+          sumLum += fSum
+          frameSums += fSum
           nFrames += 1
         } // else: strf, idx1, JUNK, other streams — structural skip
         p = dataEnd + (sz.toInt & 1)
@@ -571,7 +576,39 @@ object Multimodal {
     }
     walk(12, riffEnd, inMovi = false)
     if (nFrames == 0) throw new IllegalArgumentException("no video frames")
-    AviFacts(width, height, nFrames, fps, sumLum)
+    AviFacts(width, height, nFrames, fps, sumLum, frameSums.toArray)
+  }
+
+  /** Per-frame demux rows — frame SAMPLING on real video: every
+    * `stride`-th decoded frame becomes one bounded-width row
+    * (doc_id, frame_idx, width, height, sum_lum). The row-per-frame
+    * explode shape is [[sampleFrames]]' contract applied to genuinely
+    * decoded frames; undecodable containers contribute zero rows (the
+    * scan-survival contract — a poisoned blob drops out instead of
+    * killing the job). */
+  def demuxVideoFrames(df: DataFrame, stride: Int = 1,
+                       payloadCol: String = "payload",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val outEnc: Encoder[(Long, Int, Int, Int, Long)] =
+      ExpressionEncoder[(Long, Int, Int, Int, Long)]()
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as(inEnc)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          try {
+            val d = demuxAvi(bytes)
+            (0 until d.nFrames by stride).iterator
+              .map(f => (id, f, d.width, d.height, d.frameSums(f)))
+          } catch { case _: Exception => Iterator.empty }
+        }
+      }(outEnc)
+      .toDF(idCol, "frame_idx", "width", "height", "sum_lum")
   }
 
   /** Video container from magic bytes (decode-free routing). */
@@ -785,6 +822,24 @@ object Multimodal {
         |  CAST(sum_lum AS BIGINT) AS sum_lum, 'avi' AS fmt
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // Per-frame twin of m_video_decode at stride 2 (sample every other
+    // frame): the oracle enumerates (doc, even frame) and recomputes each
+    // frame's luminance sum — row count AND values prove the demuxer
+    // emitted exactly the sampled frames in container order.
+    "m_video_frames" ->
+      """WITH f AS (SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, unnest(generate_series(0, CAST(nf AS INT) - 1, 2)) AS fi
+        |       FROM f),
+        |g AS (SELECT unnest(generate_series(0, 15)) AS v),
+        |s AS (SELECT fr.doc_id, fi,
+        |        SUM(((fr.doc_id * 8 + fi) * 31 + gx.v * 7 + gy.v * 13) % 256) AS sum_lum
+        |      FROM fr, g gx, g gy GROUP BY fr.doc_id, fi)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(sum_lum AS BIGINT) AS sum_lum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
     // Byte-positional framing equals char-positional here: the testdata
     // text is pure ASCII (verified octet_length == length at all SFs).
     "m_frames" ->
@@ -846,6 +901,14 @@ object Multimodal {
       decodeVideoFeatures(
           videoPayload(graft.queries.Tables(s, dir, "documents")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Frame SAMPLING on real video: every other decoded frame, one
+    // bounded row each — hash-proven per frame (see the oracle note).
+    "m_video_frames" -> ((s, dir) => {
+      demuxVideoFrames(
+          videoPayload(graft.queries.Tables(s, dir, "documents")), stride = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Frame sampling end-to-end over the binary payload: bounded rows per
