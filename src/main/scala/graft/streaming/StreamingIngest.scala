@@ -83,6 +83,7 @@ object StreamingIngest {
         searcher.insert(store, graph, q, searcher.selectLayerByHash(id, cfg.seed))
         insertedIds += id
       }
+      if (sorted.nonEmpty) bumpVersion()
       mirrorDelta(sorted.toSeq)
     }
 
@@ -110,14 +111,31 @@ object StreamingIngest {
           ins += 1
         }
       }
+      if (ins > 0) bumpVersion()
       mirrorDelta(inserted.result())
       (ins, skip)
     }
 
     def size: Int = synchronized(vecs.size)
 
+    // model snapshots memoized by mutation count: a search stream calls
+    // model once per micro-batch, and unmemoized each call would copy
+    // the whole graph + vector map — O(index) driver work per batch on
+    // an index that only grows between some batches. The counter bumps
+    // on any successful insert or restore; a hit returns the previous
+    // immutable snapshot.
+    private var mutations = 0L
+    private var snapAt = -1L
+    private var snapCache: HnswModel = null
+
+    private[streaming] def bumpVersion(): Unit = mutations += 1
+
     def model: HnswModel = synchronized {
-      HnswModel(cfg.params, cfg.metric, inner.snapshot, vecs.toMap)
+      if (snapAt != mutations) {
+        snapCache = HnswModel(cfg.params, cfg.metric, inner.snapshot, vecs.toMap)
+        snapAt = mutations
+      }
+      snapCache
     }
 
     /** Warm-start from mirrored state (restart recovery): load the
@@ -153,6 +171,7 @@ object StreamingIngest {
         if (snap.entryPoint.exists(_.point == id) || snap.layers.exists(_.contains(id)))
           insertedIds += id
       }
+      bumpVersion()
     }
   }
 

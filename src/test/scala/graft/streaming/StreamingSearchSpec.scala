@@ -73,6 +73,18 @@ class StreamingSearchSpec extends SparkSpec {
     } finally { ingestQ.stop(); searchQ.stop() }
   }
 
+  test("model snapshots are memoized between inserts (per-batch serving cost is O(1) when idle)") {
+    val index = new IncrementalIndex(cfg)
+    index.insertRows(vecsOf(20).toArray)
+    val m1 = index.model
+    assert(index.model eq m1, "no mutation => the same snapshot instance")
+    index.insertRows(vecsOf(5, offset = 100L).toArray)
+    assert(!(index.model eq m1), "an insert must invalidate the snapshot")
+    index.insertRows(vecsOf(5, offset = 100L).toArray) // full redelivery: no-op
+    val m2 = index.model
+    assert(index.model eq m2, "an idempotent-skipped batch must not invalidate")
+  }
+
   test("durable serving stream: answers from the parquet store, tombstones excluded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
