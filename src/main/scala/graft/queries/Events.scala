@@ -267,17 +267,32 @@ object Events {
       val R = 1000L // range radius, cents (+-$10)
       val W = 2000L // bucket width; W >= R confines neighbors to k-1..k+1
       // null-value rows (if any) bucket at 0: their copies can't leak
-      // into non-null counts (a RANGE frame over a non-null order value
-      // never includes null rows), nulls still share one peer group, and
-      // is_owner stays non-null so the filter keeps them.
+      // into non-null counts (the null-cancellation note below), nulls
+      // still share one peer group, and is_owner stays non-null so the
+      // filter keeps them.
       val b0 = floor(coalesce(col("value_c"), lit(0L)) / W)
-      val w = Window.partitionBy(col("event_type"), col("bucket"))
-        .orderBy(col("value_c")).rangeBetween(-R, R)
+      // The sliding count is computed as a DIFFERENCE of two cumulative
+      // counts: count[v-R, v+R] = cum(<= v+R) - cum(<= v-R-1) (integer
+      // cents make the strict bound exact). Spark re-aggregates a
+      // SLIDING range frame from scratch per row — O(rows x frame
+      // width), ~870-row frames at sf0.1 — while UNBOUNDED-PRECEDING
+      // frames advance incrementally, O(rows); both cumulative frames
+      // share one partition+order, so this is still a single sort and a
+      // single WindowExec (measured 4.9-7.4 -> ~1.5 s at sf0.1).
+      // Nulls sort first, so both cumulative frames of a NON-null row
+      // include every null peer and they cancel in the subtraction; for
+      // a NULL row both frames degenerate to the null peer group, so
+      // cumHi alone IS the old RANGE frame's answer (its own peers).
+      val ord = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("value_c"))
+      val cumHi = count(lit(1)).over(ord.rangeBetween(Window.unboundedPreceding, R))
+      val cumLo = count(lit(1)).over(ord.rangeBetween(Window.unboundedPreceding, -(R + 1)))
       t(s, dir)
         .select(col("event_id"), col("event_type"), cents(col("value")).as("value_c"))
         .withColumn("bucket", explode(array(b0 - 1, b0, b0 + 1)))
         .withColumn("is_owner", col("bucket") === b0)
-        .withColumn("n_near", count(lit(1)).over(w))
+        .withColumn("n_near",
+          when(col("value_c").isNull, cumHi).otherwise(cumHi - cumLo))
         .filter(col("is_owner"))
         .select(col("event_id"), col("event_type"), col("value_c"), col("n_near"))
         .orderBy(col("event_type"), col("event_id"))
