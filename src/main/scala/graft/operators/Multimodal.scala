@@ -164,7 +164,11 @@ object Multimodal {
     val inEnc: Encoder[Long] = Encoders.scalaLong
     val outEnc: Encoder[(Long, Array[Byte])] =
       ExpressionEncoder[(Long, Array[Byte])]()
+    // repartition BEFORE rendering: a small documents scan is one
+    // partition, which would serialize every encode on one core — and
+    // here only 8-byte ids shuffle, the payloads are generated after
     docs.select(col(idCol).cast("long")).as(inEnc)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
@@ -223,6 +227,12 @@ object Multimodal {
     val inEnc: Encoder[Long] = Encoders.scalaLong
     val outEnc: Encoder[(Long, Array[Byte])] =
       ExpressionEncoder[(Long, Array[Byte])]()
+    // NO repartition here, unlike imagePayload/videoPayload: every
+    // AudioSystem.write / getAudioInputStream call goes through the
+    // JDK's synchronized audio-provider lookup, and 32 threads convoy
+    // on that lock (measured: fused encode+decode 1.9 s single-thread
+    // vs 3.9 s at 32 threads on the same corpus). ImageIO has no such
+    // global lock, so the image/video paths do scale with cores.
     docs.select(col(idCol).cast("long")).as(inEnc)
       .mapPartitions { it =>
         it.map { id =>
@@ -358,7 +368,9 @@ object Multimodal {
     val inEnc: Encoder[Long] = Encoders.scalaLong
     val outEnc: Encoder[(Long, Array[Byte])] =
       ExpressionEncoder[(Long, Array[Byte])]()
+    // id-only repartition before the CPU-bound encode (imagePayload note)
     docs.select(col(idCol).cast("long")).as(inEnc)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map(id => (id, renderEncodeAvi(id)))
