@@ -270,9 +270,9 @@ object Multimodal {
     * Same 100 TB contract as [[decodeImageFeatures]]: typed Dataset
     * mapPartitions, bounded scalar output (format facts + the exact
     * integer |amplitude| sum — oracle-comparable), poisoned payloads
-    * report `decoded = false` instead of killing the scan. With this,
-    * the deterministic decode stub is scoped to VIDEO only (the one
-    * genuinely codec-less media type in this container). */
+    * report `decoded = false` instead of killing the scan. (Video
+    * decodes for real too — [[decodeVideoFeatures]]; the deterministic
+    * stub covers only inter-frame codecs.) */
   def decodeAudioFeatures(df: DataFrame, payloadCol: String = "payload",
                           idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders}
@@ -522,13 +522,20 @@ object Multimodal {
         "sum_lum", "fmt")
   }
 
+  /** `sampled` holds (frameIdx, luminanceSum) for every DECODED frame
+    * (all frames at stride 1); `nFrames` counts every frame chunk in
+    * the container, decoded or structurally skipped. */
   private final case class AviFacts(width: Int, height: Int, nFrames: Int,
                                     fps: Int, sumLum: Long,
-                                    frameSums: Array[Long])
+                                    sampled: Array[(Int, Long)])
 
   /** Bounds-checked RIFF walk; throws on any malformed structure (the
-    * caller maps that to decoded=false). */
-  private def demuxAvi(bytes: Array[Byte]): AviFacts = {
+    * caller maps that to decoded=false). `stride` > 1 decodes only
+    * every stride-th video frame — the others are counted by walking
+    * chunk headers WITHOUT running the pixel codec, so stride-N
+    * sampling pays ~1/N of the decode cost, not just emits 1/N of the
+    * rows. */
+  private def demuxAvi(bytes: Array[Byte], stride: Int = 1): AviFacts = {
     def u32(off: Int): Long = {
       if (off < 0 || off + 4 > bytes.length) throw new IllegalArgumentException("truncated")
       ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
@@ -543,10 +550,16 @@ object Multimodal {
 
     var width = 0; var height = 0; var fps = 0
     var nFrames = 0; var sumLum = 0L
-    val frameSums = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
 
-    // walk one chunk level [from, to); recurse into LISTs we care about
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+    // walk one chunk level [from, to); recurse into LISTs we care about.
+    // Depth-capped: a valid AVI nests at most RIFF > hdrl > strl (movi's
+    // rec sublists would add one more), so a payload that recurses past
+    // 8 levels is hostile or corrupt — throw (=> decoded=false) instead
+    // of letting crafted nested LIST headers drive a StackOverflowError,
+    // which is an Error the decoded=false catch would NOT absorb.
+    def walk(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+      if (depth > 8) throw new IllegalArgumentException("LIST nesting too deep")
       var p = from
       while (p + 8 <= to) {
         val id = cc(p)
@@ -557,7 +570,7 @@ object Multimodal {
         if (id == "LIST") {
           val listType = cc(dataOff)
           if (listType == "hdrl" || listType == "strl" || listType == "movi")
-            walk(dataOff + 4, dataEnd, inMovi = listType == "movi")
+            walk(dataOff + 4, dataEnd, inMovi = listType == "movi", depth + 1)
         } else if (id == "avih") {
           width = u32(dataOff + 32).toInt
           height = u32(dataOff + 36).toInt
@@ -568,27 +581,29 @@ object Multimodal {
             if (scale > 0) fps = (rate / scale).toInt
           }
         } else if (inMovi && (id == "00dc" || id == "00db")) {
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes.slice(dataOff, dataEnd)))
-          if (img == null) throw new IllegalArgumentException("undecodable frame")
-          val raster = img.getRaster
-          var fSum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { fSum += raster.getSample(x, y, 0); x += 1 }
-            y += 1
-          }
-          sumLum += fSum
-          frameSums += fSum
+          if (nFrames % stride == 0) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes.slice(dataOff, dataEnd)))
+            if (img == null) throw new IllegalArgumentException("undecodable frame")
+            val raster = img.getRaster
+            var fSum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { fSum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            sumLum += fSum
+            sampled += ((nFrames, fSum))
+          } // non-sampled frames: header-counted only, no codec run
           nFrames += 1
         } // else: strf, idx1, JUNK, other streams — structural skip
         p = dataEnd + (sz.toInt & 1)
       }
     }
-    walk(12, riffEnd, inMovi = false)
+    walk(12, riffEnd, inMovi = false, depth = 0)
     if (nFrames == 0) throw new IllegalArgumentException("no video frames")
-    AviFacts(width, height, nFrames, fps, sumLum, frameSums.toArray)
+    AviFacts(width, height, nFrames, fps, sumLum, sampled.toArray)
   }
 
   /** Per-frame demux rows — frame SAMPLING on real video: every
@@ -614,9 +629,11 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
           try {
-            val d = demuxAvi(bytes)
-            (0 until d.nFrames by stride).iterator
-              .map(f => (id, f, d.width, d.height, d.frameSums(f)))
+            // stride is pushed INTO the demux: non-sampled frames are
+            // counted from chunk headers without running the pixel codec
+            val d = demuxAvi(bytes, stride)
+            d.sampled.iterator
+              .map { case (f, s) => (id, f, d.width, d.height, s) }
           } catch { case _: Exception => Iterator.empty }
         }
       }(outEnc)

@@ -138,6 +138,25 @@ object StreamingIngest {
       snapCache
     }
 
+    @transient private var bcastAt = -1L
+    @transient private var bcastCache: org.apache.spark.broadcast.Broadcast[HnswModel] = null
+
+    /** Broadcast of [[model]], memoized with it: a serving stream asks
+      * for the model once per micro-batch, and re-broadcasting an
+      * UNCHANGED model would re-serialize and re-ship the whole index
+      * each batch — the driver-side snapshot memoization alone doesn't
+      * prevent that. The stale broadcast is dropped by reference only
+      * (Spark's ContextCleaner unpersists garbage-collected broadcasts);
+      * never destroyed eagerly, an in-flight batch may still read it. */
+    def modelBroadcast(spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.broadcast.Broadcast[HnswModel] = synchronized {
+      if (bcastAt != mutations || bcastCache == null) {
+        bcastCache = spark.sparkContext.broadcast(model)
+        bcastAt = mutations
+      }
+      bcastCache
+    }
+
     /** Warm-start from mirrored state (restart recovery): load the
       * persisted vectors into the store and the adjacency/entry point
       * into the in-memory graph. Writes bypass the recording decorator —

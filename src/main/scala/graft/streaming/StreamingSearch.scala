@@ -44,14 +44,18 @@ object StreamingSearch {
   private def emptyResult(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], resultSchema)
 
-  /** One serving micro-batch against a live [[IncrementalIndex]]: one
-    * model snapshot + broadcast per batch (not per query). An empty
-    * index serves an empty result — a search stream may legitimately
-    * start before its ingest stream has delivered anything. */
+  /** One serving micro-batch against a live [[IncrementalIndex]]. The
+    * model snapshot AND its broadcast are memoized by the index's
+    * mutation count, so an idle index pays neither the snapshot copy
+    * nor a re-broadcast per batch — only a changed index re-ships. An
+    * empty index serves an empty result — a search stream may
+    * legitimately start before its ingest stream has delivered
+    * anything. */
   def searchBatch(batch: DataFrame, index: IncrementalIndex, k: Int): DataFrame = {
     val qs = batch.select(col("id").as("qid"), col("vec").as("qvec"))
     if (index.size == 0) emptyResult(batch.sparkSession)
-    else HnswDistributed.search(qs, index.model, k)
+    else HnswDistributed.searchBroadcast(
+      qs, index.modelBroadcast(batch.sparkSession), k)
   }
 
   /** Attach a query stream to a live index; each micro-batch's results

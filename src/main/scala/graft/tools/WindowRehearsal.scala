@@ -87,7 +87,11 @@ object WindowRehearsal {
         println(f"WINDOWREHEARSAL n=$n frame~${frameRows}%.0f cumulative=${cum}%.1fs " +
           f"sliding=${sld}%.1fs speedup=${sld / cum}%.1fx")
       }
-      df.unpersist()
+      // no unpersist: Dataset.unpersist is a no-op on localCheckpoint'd
+      // frames (they persist their RDD outside the CacheManager); the
+      // ContextCleaner reclaims them once the reference is dropped, and
+      // the per-decade frames (<= ~300 MB at 1e7) fit comfortably beside
+      // the run in any case
     }
     spark.stop()
   }
