@@ -105,6 +105,23 @@ object LayoutQueries {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
           sum(cents(col("value"))).as("sum_value_c"))
+    }),
+
+    // JSONL ingestion round-trip END-TO-END through real files: the
+    // documents table written as line-delimited JSON (codegen'd
+    // to_json), three guaranteed-corrupt lines appended, read back by
+    // the schema-explicit reader with malformed lines dropped. The
+    // oracle reads the parquet directly, so a hash match proves (a)
+    // parse(serialize(x)) == x for every row and field, and (b) not
+    // one corrupt line leaked into the good split. Quarantine counts
+    // and the CSV twin are IngestSpec's.
+    "s_jsonl_roundtrip" -> ((s, dir) => {
+      import graft.sources.Ingest
+      val path = Ingest.documentsJsonlMirror(s, dir)
+      Ingest.readJsonl(s, path, Ingest.DocumentsSchema)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -153,6 +170,13 @@ object LayoutQueries {
         | count(DISTINCT user_id) AS n_users,
         | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events
-        |WHERE user_id BETWEEN 100 AND 160 AND value >= 50.0 AND value < 80.0""".stripMargin
+        |WHERE user_id BETWEEN 100 AND 160 AND value >= 50.0 AND value < 80.0""".stripMargin,
+
+    // the oracle never sees the JSONL bytes (the media-decode oracle
+    // rule): reading the parquet directly is the ground truth the
+    // serialize -> file -> parse chain must reproduce bit-for-bit
+    "s_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+/** Text-format ingestion for raw corpora — the formats 100 TB of
+  * training data actually arrives in (JSONL shards, CSV dumps) before
+  * it becomes parquet. Design rules for scale:
+  *
+  *  - **Schema is always EXPLICIT.** Inference (`spark.read.json` with
+  *    no schema) scans the whole input once just to guess types — at
+  *    corpus scale that doubles the read, and a schema drifting with
+  *    the data is how silent column corruption ships. Callers pass the
+  *    `StructType`; the reader only adds the corrupt-record column.
+  *  - **A poisoned line must not kill the scan** (the media-decode
+  *    contract, applied to text): the good-row readers drop malformed
+  *    lines, and the paired quarantine scans ([[jsonlQuarantine]],
+  *    [[csvQuarantine]]) recover each rejected line's raw text for
+  *    accounting and repair — at ingest scale "how many lines failed
+  *    and why" is a product metric, not noise.
+  *  - **JSONL stays splittable.** One JSON document per line is the
+  *    only JSON layout a distributed reader can split on byte ranges;
+  *    multiLine JSON serializes a whole file into one task. The writer
+  *    emits exactly this layout via the codegen'd `to_json`.
+  */
+object Ingest {
+
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(StructField(CorruptCol, StringType, nullable = true))
+
+  // Good rows and quarantine are BOTH built from one text scan + an
+  // explicit from_json/from_csv parse, never from the file-source
+  // readers' mode options:
+  //  - a PERMISSIVE file read can't be split afterwards (Spark
+  //    disallows querying only the corrupt-record column off a raw
+  //    scan, and the documented cache() workaround pins the corpus —
+  //    a non-starter at 100 TB);
+  //  - DROPMALFORMED's semantics are PROJECTION-DEPENDENT: CSV column
+  //    pruning means `count()` parses nothing and counts malformed
+  //    rows as good (measured: a type-broken line survives count()
+  //    but not a field projection).
+  // The text scan stays splittable and pushes down; the parse is one
+  // catalyst expression evaluated identically on both sides, so good +
+  // quarantine partitions the input EXACTLY, under any projection —
+  // IngestSpec asserts the counts.
+
+  private def parsedLines(spark: SparkSession, path: String,
+                          schema: StructType, csv: Boolean,
+                          skipLine: Option[String]): DataFrame = {
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol)
+    val full = withCorrupt(schema)
+    val lines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0) // json readers skip blanks; so do we
+    val kept = skipLine.fold(lines)(h => lines.filter(col("value") =!= h))
+    kept.withColumn("__p",
+      if (csv) from_csv(col("value"), full, opts)
+      else from_json(col("value"), full, opts))
+  }
+
+  private def goodOf(parsed: DataFrame, schema: StructType): DataFrame =
+    parsed
+      .filter(col("__p").isNotNull && col(s"__p.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f")).toIndexedSeq: _*)
+
+  private def quarantineOf(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("__p").isNull || col(s"__p.$CorruptCol").isNotNull)
+      .select(col("value").as("raw_line"))
+
+  /** Good rows of a JSONL path: schema-explicit, malformed lines
+    * dropped (their accounting lives in [[jsonlQuarantine]]). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    goodOf(parsedLines(spark, path, schema, csv = false, None), schema)
+
+  /** Quarantine side of a JSONL path: the RAW text of every line the
+    * schema-parse rejects, preserved verbatim for a repair pass. */
+  def jsonlQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    quarantineOf(parsedLines(spark, path, schema, csv = false, None))
+
+  /** Good rows of a headered CSV path. Header lines (the schema's
+    * column names joined by the delimiter) are structural, not data. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    goodOf(parsedLines(spark, path, schema, csv = true,
+      Some(schema.fieldNames.mkString(","))), schema)
+
+  /** Quarantine side of a CSV path (headers excluded, not corrupt). */
+  def csvQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    quarantineOf(parsedLines(spark, path, schema, csv = true,
+      Some(schema.fieldNames.mkString(","))))
+
+  /** Write a frame as JSONL (one codegen'd `to_json(struct(...))` per
+    * row — no driver involvement, splittable output). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** The documents table's explicit ingest schema (the reader contract:
+    * callers name their types, nothing is inferred). */
+  val DocumentsSchema: StructType = StructType.fromDDL(
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+
+  /** Lines guaranteed unparseable as the documents schema — appended to
+    * the mirror so the quarantine path runs on every catalog read. */
+  val CorruptLines: Seq[String] = Seq(
+    """{"doc_id": 900001, "text": "truncated""",
+    "not json at all",
+    """[{"an": "array"}, "not an object line"]""")
+
+  /** Path-memoized JSONL mirror of the documents table + the injected
+    * corrupt shard (the Layout write-once pattern, BuildLedger-timed):
+    * the s_jsonl_roundtrip catalog query reads THIS, so the proof runs
+    * the real file-based reader — schema-explicit, splittable,
+    * quarantine-routing — not an in-memory from_json shortcut. */
+  private val jsonlCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def documentsJsonlMirror(spark: SparkSession, dir: String): String =
+    jsonlCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir", { _ =>
+        graft.BuildLedger.timed("jsonl_mirror") {
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_jsonl_").toString + "/documents"
+          writeJsonl(spark.read.parquet(s"$dir/documents.parquet"), base)
+          import spark.implicits._
+          CorruptLines.toDF("value").coalesce(1)
+            .write.mode("append").text(base)
+          base
+        }
+      })
+}

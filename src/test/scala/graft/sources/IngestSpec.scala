@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text-format ingestion: JSONL/CSV round-trips with explicit schemas
+  * and corrupt-line quarantine (the scan-survival contract for text). */
+class IngestSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("jsonl mirror: good rows round-trip exactly, corrupt lines quarantine with raw text") {
+    val path = Ingest.documentsJsonlMirror(spark, sfDir)
+    val good = Ingest.readJsonl(spark, path, Ingest.DocumentsSchema)
+    val bad = Ingest.jsonlQuarantine(spark, path, Ingest.DocumentsSchema)
+    assert(good.count() == docs.count())
+    // field-exact round-trip (join on id, compare every column null-safely)
+    val mismatch = good.as("g").join(docs.as("d"), Seq("doc_id"))
+      .filter(!(col("g.text") <=> col("d.text")) ||
+        !(col("g.lang") <=> col("d.lang")) ||
+        !(col("g.source") <=> col("d.source")) ||
+        !(col("g.n_chars") <=> col("d.n_chars")))
+      .count()
+    assert(mismatch == 0L)
+    // every injected corrupt line survives in quarantine, raw
+    val rawBad = bad.collect().map(_.getString(0)).toSet
+    assert(rawBad == Ingest.CorruptLines.toSet)
+  }
+
+  test("csv ingest: malformed lines quarantine; well-formed rows parse with the explicit schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    val lines = Seq(
+      "id,name,score",        // header
+      "1,alpha,10",
+      "2,beta,20",
+      "3,gamma,not_a_number", // type error -> quarantine
+      "4,delta,40")
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, score BIGINT")
+    val good = Ingest.readCsv(spark, dir, schema)
+    val bad = Ingest.csvQuarantine(spark, dir, schema)
+    assert(good.count() == 3)
+    assert(good.agg(sum(col("score"))).head.getLong(0) == 70L)
+    assert(bad.count() == 1)
+    assert(bad.head.getString(0).contains("not_a_number"))
+  }
+
+  test("writeJsonl emits one self-contained JSON object per line (splittable layout)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_w_").toString
+    Ingest.writeJsonl(Seq((1L, "a\nb"), (2L, "c\"d")).toDF("id", "s"), dir)
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.length == 2, "embedded newlines must be escaped, not emitted")
+    lines.foreach { l =>
+      assert(l.startsWith("{") && l.endsWith("}"), s"not an object line: $l")
+    }
+  }
+}
