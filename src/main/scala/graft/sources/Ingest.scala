@@ -93,6 +93,26 @@ object Ingest {
     quarantineOf(parsedLines(spark, path, schema, csv = true,
       Some(schema.fieldNames.mkString(","))))
 
+  /** Streaming twin of [[readJsonl]]: tail a landing directory of JSONL
+    * shards as a Structured Stream (the 100 TB ingest front door — new
+    * files become micro-batches; downstream is the same dedup/index
+    * pipeline the batch readers feed). Same shared-parse design, so
+    * malformed lines drop out of the good stream under any projection;
+    * run [[jsonlQuarantine]] as a batch sweep over the same directory
+    * for the accounting side. */
+  def streamJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val lines = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType, nullable = true))))
+      .text(path)
+      .filter(length(trim(col("value"))) > 0)
+    val parsed = lines.withColumn("__p",
+      from_json(col("value"), withCorrupt(schema),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
+    parsed
+      .filter(col("__p").isNotNull && col(s"__p.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"__p.$f")).toIndexedSeq: _*)
+  }
+
   /** Write a frame as JSONL (one codegen'd `to_json(struct(...))` per
     * row — no driver involvement, splittable output). */
   def writeJsonl(df: DataFrame, path: String): Unit =

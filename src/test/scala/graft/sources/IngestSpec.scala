@@ -48,6 +48,31 @@ class IngestSpec extends SparkSpec {
     assert(bad.head.getString(0).contains("not_a_number"))
   }
 
+  test("streamJsonl tails a landing directory: new shards arrive as batches, corrupt lines drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s_").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, s STRING")
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+    }
+    shard("a.jsonl", Seq("""{"id": 1, "s": "x"}""", "garbage line", """{"id": 2, "s": "y"}"""))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Ingest.streamJsonl(spark, dir, schema).writeStream
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= b.as[(Long, String)].collect(); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted == Seq((1L, "x"), (2L, "y")))
+      shard("b.jsonl", Seq("""{"id": 3, "s": "z"}""", """{"broken"""))
+      q.processAllAvailable()
+      assert(seen.sorted == Seq((1L, "x"), (2L, "y"), (3L, "z")),
+        "a newly landed shard must arrive as a later micro-batch, minus its corrupt line")
+    } finally q.stop()
+  }
+
   test("writeJsonl emits one self-contained JSON object per line (splittable layout)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_w_").toString
