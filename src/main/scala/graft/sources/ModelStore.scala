@@ -16,10 +16,18 @@ import graft.operators.{Ivf, Pq, Sq8}
   * model reproduces the original's codes and search results
   * (ModelStoreSpec pins this).
   */
+/** The artifact row (public + top-level: encoder codegen cannot access
+  * a private nested class and would silently fall back to interpreted
+  * projections). */
+final case class ModelRow(kind: String, meta: String,
+                          i: Int, j: Int, vals: Array[Float])
+
 object ModelStore {
 
-  private case class FlatRow(kind: String, meta: String,
-                             i: Int, j: Int, vals: Array[Float])
+  private type FlatRow = ModelRow
+  private def FlatRow(kind: String, meta: String, i: Int, j: Int,
+                      vals: Array[Float]): ModelRow =
+    ModelRow(kind, meta, i, j, vals)
 
   private def write(spark: SparkSession, path: String, rows: Seq[FlatRow]): Unit = {
     import spark.implicits._
