@@ -523,8 +523,9 @@ object Multimodal {
   }
 
   /** `sampled` holds (frameIdx, luminanceSum) for every DECODED frame
-    * (all frames at stride 1); `nFrames` counts every frame chunk in
-    * the container, decoded or structurally skipped. */
+    * (all frames at stride 1) and `sumLum` sums exactly those — both
+    * are PARTIAL at stride > 1 by design; `nFrames` counts every frame
+    * chunk in the container, decoded or structurally skipped. */
   private final case class AviFacts(width: Int, height: Int, nFrames: Int,
                                     fps: Int, sumLum: Long,
                                     sampled: Array[(Int, Long)])
@@ -610,9 +611,14 @@ object Multimodal {
     * `stride`-th decoded frame becomes one bounded-width row
     * (doc_id, frame_idx, width, height, sum_lum). The row-per-frame
     * explode shape is [[sampleFrames]]' contract applied to genuinely
-    * decoded frames; undecodable containers contribute zero rows (the
+    * decoded frames; a container that fails structurally or whose
+    * SAMPLED frames don't decode contributes zero rows (the
     * scan-survival contract — a poisoned blob drops out instead of
-    * killing the job). */
+    * killing the job). Note the deliberate asymmetry of stride > 1:
+    * non-sampled frames are never run through the codec — that is the
+    * entire cost saving — so corruption confined to a skipped frame is
+    * not probed here; stride 1 (and [[decodeVideoFeatures]], always
+    * stride 1) validates every frame. */
   def demuxVideoFrames(df: DataFrame, stride: Int = 1,
                        payloadCol: String = "payload",
                        idCol: String = "doc_id"): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
@@ -32,6 +32,13 @@ object Ingest {
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(StructField(CorruptCol, StringType, nullable = true))
 
+  /** Backtick-quoted field access into the parsed struct: a field named
+    * `user.id` (common in flattened telemetry JSON) must navigate ONE
+    * struct level, not parse as dotted navigation (the AsofJoin
+    * dotted-name lesson). Embedded backticks double per SQL quoting. */
+  private def pField(f: String): Column =
+    col(s"__p.`${f.replace("`", "``")}`")
+
   // Good rows and quarantine are BOTH built from one text scan + an
   // explicit from_json/from_csv parse, never from the file-source
   // readers' mode options:
@@ -44,32 +51,40 @@ object Ingest {
   //    rows as good (measured: a type-broken line survives count()
   //    but not a field projection).
   // The text scan stays splittable and pushes down; the parse is one
-  // catalyst expression evaluated identically on both sides, so good +
-  // quarantine partitions the input EXACTLY, under any projection —
-  // IngestSpec asserts the counts.
+  // catalyst expression evaluated identically on both sides, so
+  // good + quarantine (+ the structurally skipped blank/header lines)
+  // partitions the input EXACTLY, under any projection — IngestSpec
+  // asserts the counts.
 
-  private def parsedLines(spark: SparkSession, path: String,
-                          schema: StructType, csv: Boolean,
-                          skipLine: Option[String]): DataFrame = {
+  /** Attach the parse column to a lines frame (batch or streaming —
+    * ONE definition, so the two can never drift). Blank = no non-
+    * whitespace character (`\S`), matching the native JSON reader's
+    * skip for tabs/NBSP too, not just spaces. */
+  private def parseWith(lines: DataFrame, schema: StructType,
+                        csv: Boolean, skipLine: Option[String]): DataFrame = {
     val opts = Map("mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> CorruptCol)
     val full = withCorrupt(schema)
-    val lines = spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0) // json readers skip blanks; so do we
-    val kept = skipLine.fold(lines)(h => lines.filter(col("value") =!= h))
+    val nonBlank = lines.filter(col("value").rlike("\\S"))
+    val kept = skipLine.fold(nonBlank)(h => nonBlank.filter(col("value") =!= h))
     kept.withColumn("__p",
       if (csv) from_csv(col("value"), full, opts)
       else from_json(col("value"), full, opts))
   }
 
+  private def parsedLines(spark: SparkSession, path: String,
+                          schema: StructType, csv: Boolean,
+                          skipLine: Option[String]): DataFrame =
+    parseWith(spark.read.text(path), schema, csv, skipLine)
+
   private def goodOf(parsed: DataFrame, schema: StructType): DataFrame =
     parsed
-      .filter(col("__p").isNotNull && col(s"__p.$CorruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"__p.$f")).toIndexedSeq: _*)
+      .filter(col("__p").isNotNull && pField(CorruptCol).isNull)
+      .select(schema.fieldNames.map(f => pField(f).as(f)).toIndexedSeq: _*)
 
   private def quarantineOf(parsed: DataFrame): DataFrame =
     parsed
-      .filter(col("__p").isNull || col(s"__p.$CorruptCol").isNotNull)
+      .filter(col("__p").isNull || pField(CorruptCol).isNotNull)
       .select(col("value").as("raw_line"))
 
   /** Good rows of a JSONL path: schema-explicit, malformed lines
@@ -82,41 +97,54 @@ object Ingest {
   def jsonlQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
     quarantineOf(parsedLines(spark, path, schema, csv = false, None))
 
-  /** Good rows of a headered CSV path. Header lines (the schema's
-    * column names joined by the delimiter) are structural, not data. */
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    goodOf(parsedLines(spark, path, schema, csv = true,
-      Some(schema.fieldNames.mkString(","))), schema)
+  /** The header line [[readCsv]]/[[csvQuarantine]] skip by default: the
+    * schema's field names joined bare by commas. */
+  def canonicalHeader(schema: StructType): String =
+    schema.fieldNames.mkString(",")
 
-  /** Quarantine side of a CSV path (headers excluded, not corrupt). */
-  def csvQuarantine(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  /** Good rows of a headered CSV path. Header skipping is an EXACT
+    * text match on `headerLine` (default [[canonicalHeader]]) — a
+    * distributed text read cannot know "the first line of each file",
+    * so headers are a third structural class next to good/quarantine:
+    * skipped from both. Two consequences callers must own: a shard
+    * whose header is formatted differently (quoted fields, spaces)
+    * needs that exact string passed here or its header lands in
+    * quarantine (visible, not silent); and a DATA line textually equal
+    * to the header is skipped as a header — with an all-string schema
+    * that is the only way to keep per-file header lines out of the
+    * data at all. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              headerLine: Option[String] = None): DataFrame =
+    goodOf(parsedLines(spark, path, schema, csv = true,
+      Some(headerLine.getOrElse(canonicalHeader(schema)))), schema)
+
+  /** Quarantine side of a CSV path (header lines are structural — see
+    * [[readCsv]] — and excluded here with the same exact match). */
+  def csvQuarantine(spark: SparkSession, path: String, schema: StructType,
+                    headerLine: Option[String] = None): DataFrame =
     quarantineOf(parsedLines(spark, path, schema, csv = true,
-      Some(schema.fieldNames.mkString(","))))
+      Some(headerLine.getOrElse(canonicalHeader(schema)))))
 
   /** Streaming twin of [[readJsonl]]: tail a landing directory of JSONL
     * shards as a Structured Stream (the 100 TB ingest front door — new
     * files become micro-batches; downstream is the same dedup/index
-    * pipeline the batch readers feed). Same shared-parse design, so
-    * malformed lines drop out of the good stream under any projection;
+    * pipeline the batch readers feed). The parse and good-row filter
+    * are the SAME code as the batch reader, so the two cannot drift;
     * run [[jsonlQuarantine]] as a batch sweep over the same directory
     * for the accounting side. */
   def streamJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val lines = spark.readStream
       .schema(StructType(Seq(StructField("value", StringType, nullable = true))))
       .text(path)
-      .filter(length(trim(col("value"))) > 0)
-    val parsed = lines.withColumn("__p",
-      from_json(col("value"), withCorrupt(schema),
-        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol)))
-    parsed
-      .filter(col("__p").isNotNull && col(s"__p.$CorruptCol").isNull)
-      .select(schema.fieldNames.map(f => col(s"__p.$f")).toIndexedSeq: _*)
+    goodOf(parseWith(lines, schema, csv = false, None), schema)
   }
 
   /** Write a frame as JSONL (one codegen'd `to_json(struct(...))` per
     * row — no driver involvement, splittable output). */
   def writeJsonl(df: DataFrame, path: String): Unit =
-    df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    df.select(to_json(struct(
+        df.columns.map(c => col(s"`${c.replace("`", "``")}`")).toIndexedSeq: _*))
+      .as("value"))
       .write.mode("overwrite").text(path)
 
   /** The documents table's explicit ingest schema (the reader contract:

@@ -24,19 +24,14 @@ final case class ModelRow(kind: String, meta: String,
 
 object ModelStore {
 
-  private type FlatRow = ModelRow
-  private def FlatRow(kind: String, meta: String, i: Int, j: Int,
-                      vals: Array[Float]): ModelRow =
-    ModelRow(kind, meta, i, j, vals)
-
-  private def write(spark: SparkSession, path: String, rows: Seq[FlatRow]): Unit = {
+  private def write(spark: SparkSession, path: String, rows: Seq[ModelRow]): Unit = {
     import spark.implicits._
     rows.toDF().repartition(1).write.mode("overwrite").parquet(path)
   }
 
   private def read(spark: SparkSession, path: String, kind: String) = {
     import spark.implicits._
-    val rows = spark.read.parquet(path).as[FlatRow].collect()
+    val rows = spark.read.parquet(path).as[ModelRow].collect()
     require(rows.nonEmpty && rows.forall(_.kind == kind),
       s"model at $path is not a $kind artifact")
     rows
@@ -44,7 +39,7 @@ object ModelStore {
 
   def saveIvf(spark: SparkSession, model: Ivf.IvfModel, path: String): Unit =
     write(spark, path, model.centroids.zipWithIndex.map { case (c, i) =>
-      FlatRow("ivf", model.metricName, i, 0, c)
+      ModelRow("ivf", model.metricName, i, 0, c)
     }.toSeq)
 
   def loadIvf(spark: SparkSession, path: String): Ivf.IvfModel = {
@@ -56,7 +51,7 @@ object ModelStore {
     write(spark, path, (for {
       (sub, i) <- model.codebook.zipWithIndex
       (cent, j) <- sub.zipWithIndex
-    } yield FlatRow("pq", "", i, j, cent)).toSeq)
+    } yield ModelRow("pq", "", i, j, cent)).toSeq)
 
   def loadPq(spark: SparkSession, path: String): Pq.PqModel = {
     val rows = read(spark, path, "pq")
@@ -66,13 +61,14 @@ object ModelStore {
 
   def saveSq8(spark: SparkSession, model: Sq8.Sq8Model, path: String): Unit =
     write(spark, path, Seq(
-      FlatRow("sq8", "mins", 0, 0, model.mins),
-      FlatRow("sq8", "scales", 1, 0, model.scales)))
+      ModelRow("sq8", "mins", 0, 0, model.mins),
+      ModelRow("sq8", "scales", 1, 0, model.scales)))
 
   def loadSq8(spark: SparkSession, path: String): Sq8.Sq8Model = {
     val rows = read(spark, path, "sq8")
-    Sq8.Sq8Model(
-      rows.find(_.meta == "mins").get.vals,
-      rows.find(_.meta == "scales").get.vals)
+    def part(meta: String): Array[Float] =
+      rows.find(_.meta == meta).getOrElse(throw new IllegalArgumentException(
+        s"sq8 artifact at $path is missing its '$meta' row")).vals
+    Sq8.Sq8Model(part("mins"), part("scales"))
   }
 }

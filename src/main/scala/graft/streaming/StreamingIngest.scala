@@ -139,6 +139,7 @@ object StreamingIngest {
     }
 
     @transient private var bcastAt = -1L
+    @transient private var bcastApp: String = null
     @transient private var bcastCache: org.apache.spark.broadcast.Broadcast[HnswModel] = null
 
     /** Broadcast of [[model]], memoized with it: a serving stream asks
@@ -150,9 +151,14 @@ object StreamingIngest {
       * never destroyed eagerly, an in-flight batch may still read it. */
     def modelBroadcast(spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.broadcast.Broadcast[HnswModel] = synchronized {
-      if (bcastAt != mutations || bcastCache == null) {
+      // keyed by applicationId too: an index outliving a SparkContext
+      // restart must not serve a broadcast created on the dead context
+      // (tasks would fail "Attempted to use Broadcast after destroy")
+      val app = spark.sparkContext.applicationId
+      if (bcastAt != mutations || bcastCache == null || bcastApp != app) {
         bcastCache = spark.sparkContext.broadcast(model)
         bcastAt = mutations
+        bcastApp = app
       }
       bcastCache
     }

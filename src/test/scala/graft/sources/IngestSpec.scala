@@ -73,6 +73,23 @@ class IngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dotted field names survive the readers (no struct-navigation misparse)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dotted_").toString
+    Seq("""{"user.id": 7, "payload.text": "hi"}""", "junk {")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user.id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload.text",
+        org.apache.spark.sql.types.StringType)))
+    val good = Ingest.readJsonl(spark, dir, schema)
+    assert(good.columns.toSeq == Seq("user.id", "payload.text"))
+    val row = good.collect()
+    assert(row.length == 1 && row(0).getLong(0) == 7L && row(0).getString(1) == "hi")
+    assert(Ingest.jsonlQuarantine(spark, dir, schema).count() == 1)
+  }
+
   test("writeJsonl emits one self-contained JSON object per line (splittable layout)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_w_").toString
