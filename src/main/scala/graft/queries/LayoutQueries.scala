@@ -122,6 +122,21 @@ object LayoutQueries {
         .select(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ORC round-trip END-TO-END through real files: the part table
+    // written as ORC by Spark's built-in source and read back, vs the
+    // oracle reading the original parquet. A hash match proves the
+    // second columnar format in the estate (Hive-side ORC) is a
+    // lossless citizen across bigint/varchar/int/double. The pushdown
+    // posture (PushedFilters into the ORC scan) is IngestSpec's plan
+    // assertion; this row is the data fidelity proof.
+    "s_orc_roundtrip" -> ((s, dir) => {
+      val path = graft.sources.Ingest.partOrcMirror(s, dir)
+      s.read.orc(path)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_type"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -177,6 +192,10 @@ object LayoutQueries {
     // serialize -> file -> parse chain must reproduce bit-for-bit
     "s_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s_orc_roundtrip" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }

@@ -94,6 +94,14 @@ object Text {
     * symbols — ASCII classes only so Java (Spark) and RE2 (DuckDB) agree. */
   val BpeTokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
 
+  /** PII patterns for t_pii_redact — ASCII classes, greedy quantifiers,
+    * `\b` word boundaries only: the subset where Java (Spark) and RE2
+    * (DuckDB) regex semantics provably agree, so the redacted TEXT
+    * itself can be hash-compared, not just the match counts. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\b555-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Regex  = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus profile by language.
     "t_lang_stats" -> ((s, dir) => {
@@ -200,6 +208,47 @@ object Text {
         .withColumn("quality", col("stop_ratio") * 0.5 + col("len_norm") * 0.5)
         .select(col("doc_id"), col("n_tok"), col("n_stop"), col("stop_ratio"),
           col("len_norm"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII detect + redact (the privacy-filter pass every training-data
+    // pipeline runs before release). The synthetic corpus carries no PII,
+    // so both sides first inject deterministic PII — an email built from
+    // (doc_id, source), a second email on even ids, a 555 phone number,
+    // and a 10.x.y.z address, all closed-form in doc_id — then scan and
+    // redact with the same three patterns in the same order. The hash
+    // compare covers the REDACTED TEXT itself: a single character of
+    // regex-dialect drift between Java and RE2 would break it. Per-row
+    // codegen'd expressions only — no shuffle beyond the final sort.
+    "t_pii_redact" -> ((s, dir) => {
+      val ds = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val aug = concat(
+        col("text"),
+        lit(" contact user"), ds(col("doc_id")), lit("@"), col("source"), lit(".org"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" or admin"), ds(col("doc_id")), lit("@example.com")))
+          .otherwise(lit("")),
+        lit(" call 555-"), lpad(ds(col("doc_id") % 1000), 3, "0"),
+        lit("-"), lpad(ds(col("doc_id") % 10000), 4, "0"),
+        lit(" from 10."), ds(col("doc_id") % 256),
+        lit("."), ds(expr("(doc_id div 7) % 256")),
+        lit("."), ds(col("doc_id") % 100))
+      t(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          // lit()-passed patterns, never SQL-literal-interpolated: a
+          // Spark SQL string literal would eat the \b as an escape
+          size(regexp_extract_all(col("aug"), lit(EmailRegex), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("aug"), lit(PhoneRegex), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("aug"), lit(Ipv4Regex), lit(0)))
+            .cast("long").as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), EmailRegex, "<EMAIL>"),
+              PhoneRegex, "<PHONE>"),
+            Ipv4Regex, "<IP>").as("redacted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -506,6 +555,32 @@ object Text {
          |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents) x
          |  GROUP BY doc_id, n_chars) y
          |ORDER BY doc_id""".stripMargin,
+
+    // the same three pattern constants interpolated into RE2 — one
+    // source of truth for both dialects; injection is the same
+    // closed-form expression chain over (doc_id, source)
+    "t_pii_redact" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org' ||
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |         ELSE '' END ||
+         |    ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |    CAST((doc_id // 7) % 256 AS VARCHAR) || '.' ||
+         |    CAST(doc_id % 100 AS VARCHAR) AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$EmailRegex')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$PhoneRegex')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '$Ipv4Regex')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    aug, '$EmailRegex', '<EMAIL>', 'g'),
+         |    '$PhoneRegex', '<PHONE>', 'g'),
+         |    '$Ipv4Regex', '<IP>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "t_heavy_tokens" ->
       """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok

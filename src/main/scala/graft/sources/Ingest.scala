@@ -178,4 +178,24 @@ object Ingest {
           base
         }
       })
+
+  /** Path-memoized ORC mirror of the part table. ORC is the second
+    * columnar interchange format a 100 TB estate actually holds (Hive
+    * warehouses); Spark's built-in source gives it the same scale
+    * posture as parquet — splittable stripes, column pruning, min/max
+    * predicate pushdown — with zero extra dependencies. The
+    * s_orc_roundtrip catalog query reads THIS while the oracle reads
+    * the original parquet, so a hash match proves the write+read chain
+    * loses nothing across bigint/varchar/int/double columns. */
+  private val orcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def partOrcMirror(spark: SparkSession, dir: String): String =
+    orcCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("orc_mirror") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_orc_").toString + "/part"
+        spark.read.parquet(s"$dir/part.parquet")
+          .write.mode("overwrite").orc(out)
+        out
+      }
+    })
 }

@@ -90,6 +90,30 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.jsonlQuarantine(spark, dir, schema).count() == 1)
   }
 
+  test("orc mirror: full-row round-trip vs parquet; filters push into the ORC scan") {
+    val path = Ingest.partOrcMirror(spark, sfDir)
+    val orc = spark.read.orc(path)
+    val pq = spark.read.parquet(s"$sfDir/part.parquet")
+    assert(orc.count() == pq.count())
+    val mismatch = orc.as("o").join(pq.as("p"), Seq("p_partkey"))
+      .filter(!(col("o.p_name") <=> col("p.p_name")) ||
+        !(col("o.p_brand") <=> col("p.p_brand")) ||
+        !(col("o.p_type") <=> col("p.p_type")) ||
+        !(col("o.p_size") <=> col("p.p_size")) ||
+        !(col("o.p_retailprice") <=> col("p.p_retailprice")))
+      .count()
+    assert(mismatch == 0L)
+    // scale posture: the predicate must reach the ORC reader (stripe
+    // skipping on min/max), and the projection must prune columns
+    val plan = orc.filter(col("p_size") > 40)
+      .select(col("p_partkey"), col("p_size"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,40)]"),
+      s"ORC pushdown missing:\n$plan")
+    assert(plan.contains("ReadSchema: struct<p_partkey:bigint,p_size:int>"),
+      s"ORC column pruning missing:\n$plan")
+  }
+
   test("writeJsonl emits one self-contained JSON object per line (splittable layout)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_w_").toString
