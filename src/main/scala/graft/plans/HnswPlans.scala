@@ -244,6 +244,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => new HnswStrategy)
     ext.injectOptimizerRule(s => HnswTopKRewrite(s))
+    ext.injectOptimizerRule(s => SlidingRangeCountRewrite(s))
     graft.functions.GraftFunctionRegistry.inject(ext)
   }
 }
