@@ -71,7 +71,10 @@ object Hnsw {
       val qs = queriesDf(s, dir)
       val model = HnswDistributed.buildCached(vecs, annCfg, dir)
       val hnsw = HnswDistributed.search(qs, model, 10).select(col("qid"), col("id"))
-      val exact = ExactKnn.search(qs, vecs, 10, "cosine").select(col("qid"), col("id"))
+      // memoized truth table (Vector.exactTruthIds): the brute-force
+      // audit oracle is a per-corpus one_time cost shared by six rows
+      val exact = Vector.exactTruthIds(s, dir, "cosine", 10)
+        .select(col("qid"), col("id"))
       val hits = hnsw.intersect(exact).count()
       val expected = exact.count()
       val nq = qs.count()
@@ -115,7 +118,7 @@ object Hnsw {
       val model = HnswDistributed.buildCached(vecs, l2Cfg, dir)
       val pq = HnswPq.fromModelCached(model, dir)
       val approx = HnswPq.search(qs, pq, vecs, k = 10, ef = 128)
-      val exact = ExactKnn.search(qs, vecs, 10, "l2")
+      val exact = Vector.exactTruthIds(s, dir, "l2", 10)
       val exactIds = exact.select(col("qid"), col("id")).cache()
       val hits = approx.select(col("qid"), col("id")).intersect(exactIds).count()
       val expected = exactIds.count()

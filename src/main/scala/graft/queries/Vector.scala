@@ -28,6 +28,32 @@ object Vector {
       .select(col("qid"), col("id"), col("rank"))
       .orderBy(col("qid"), col("rank"))
 
+  /** Memoized exact brute-force top-k `(qid, id)` TRUTH TABLE for the
+    * recall-audit rows (v_recall_*, h_recall_*): six catalog rows audit
+    * an approximate index against the same exact answer, so the O(n x q)
+    * brute-force pipeline runs once per (dir, metric) and lands in
+    * `one_time_s` via BuildLedger — the audit cost is a per-corpus
+    * investment, not a per-query serving cost (the semdedup_recall_audit
+    * adjudication applied to the whole family). Parquet-path memo, never
+    * a live DataFrame. The v_knn_* serving rows deliberately do NOT use
+    * this: they MEASURE the brute-force path, hash-checked vs DuckDB. */
+  private val truthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def exactTruthIds(s: SparkSession, dir: String,
+                                     metric: String, k: Int): DataFrame = {
+    val path = truthCache.computeIfAbsent(s"$dir|$metric|$k", { _ =>
+      graft.BuildLedger.timed(s"exact_truth_$metric") {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_truth_").toString
+        ExactKnn.search(queriesDf(s, dir), vectorsDf(s, dir), k, metric)
+          .select(col("qid"), col("id"))
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+    })
+    s.read.parquet(path)
+  }
+
   /** Shared recall-report shape (the h_recall_ann pattern): intersect an
     * approximate top-k with the exact one, emit a 1-row summary with
     * recall in basis points. */
@@ -103,7 +129,7 @@ object Vector {
       val model = Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L)
       recallReport(s, qs,
         Ivf.search(qs, vecs, model, k = 10, nProbe = 8),
-        ExactKnn.search(qs, vecs, 10, "cosine"))
+        exactTruthIds(s, dir, "cosine", 10))
     }),
 
     // Product-quantization recall: 64-dim floats compressed to one long
@@ -119,7 +145,7 @@ object Vector {
       val model = Pq.train(vecs, seed = 13L)
       recallReport(s, qs,
         Pq.search(qs, vecs, model, k = 10, candidates = 100),
-        ExactKnn.search(qs, vecs, 10, "l2"))
+        exactTruthIds(s, dir, "l2", 10))
     }),
 
     // Scalar-quantization recall: int8 affine codes (4x compression, no
@@ -134,7 +160,7 @@ object Vector {
       val model = Sq8.train(vecs)
       recallReport(s, qs,
         Sq8.search(qs, vecs, model, k = 10, candidates = 100),
-        ExactKnn.search(qs, vecs, 10, "l2"))
+        exactTruthIds(s, dir, "l2", 10))
     }),
 
     // IVF-PQ — the canonical beyond-memory serving compose (coarse
@@ -150,7 +176,7 @@ object Vector {
       recallReport(s, qs,
         Pq.searchIvfPq(qs, vecs, ivfModel, pqModel,
           k = 10, nProbe = 8, candidates = 100),
-        ExactKnn.search(qs, vecs, 10, "l2"))
+        exactTruthIds(s, dir, "l2", 10))
     }),
 
     // Exact vector dedup: hash-groupBy on the full embedding.
@@ -234,7 +260,7 @@ object Vector {
             .orderBy(col("sim").desc, col("id"))))
         .filter(col("rank") <= 10)
         .select(col("qid"), col("id"))
-      recallReport(s, qs, reranked, knn(s, dir, 10, "cosine"))
+      recallReport(s, qs, reranked, exactTruthIds(s, dir, "cosine", 10))
     }),
 
     // MMR diversified re-ranking (Carbonell & Goldstein 1998): top-20
