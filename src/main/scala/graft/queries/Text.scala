@@ -409,12 +409,10 @@ object Text {
             .orderBy(col("bm25_u").desc, col("doc_id"))).cast("long"))
         .filter(col("rank_t") <= 10)
         .select(col("qid"), col("doc_id"), col("rank_t"))
-      val emb = Tables(s, dir, "embeddings")
-      val vecRanks = graft.operators.ExactKnn.search(
-          emb.filter(col("vec_id") % 25 === 0)
-            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-          emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-          k = 10, metric = "cosine")
+      // dense ranks from the memoized exact-cosine truth table (the
+      // bm25Scores sharing pattern: one corpus artifact, many consumers
+      // — the recall-audit family already pays for this build)
+      val vecRanks = Vector.exactTruthIds(s, dir, "cosine", 10)
         .select(col("qid"), col("id").as("doc_id"), col("rank").cast("long").as("rank_v"))
       lexRanks.join(vecRanks, Seq("qid", "doc_id"), "full_outer")
         .withColumn("rrf_u",

@@ -28,15 +28,15 @@ object Vector {
       .select(col("qid"), col("id"), col("rank"))
       .orderBy(col("qid"), col("rank"))
 
-  /** Memoized exact brute-force top-k `(qid, id)` TRUTH TABLE for the
-    * recall-audit rows (v_recall_*, h_recall_*): six catalog rows audit
-    * an approximate index against the same exact answer, so the O(n x q)
-    * brute-force pipeline runs once per (dir, metric) and lands in
-    * `one_time_s` via BuildLedger — the audit cost is a per-corpus
-    * investment, not a per-query serving cost (the semdedup_recall_audit
-    * adjudication applied to the whole family). Parquet-path memo, never
-    * a live DataFrame. The v_knn_* serving rows deliberately do NOT use
-    * this: they MEASURE the brute-force path, hash-checked vs DuckDB. */
+  /** Memoized exact brute-force top-k `(qid, id, rank)` TRUTH TABLE for
+    * the recall-audit rows (v_recall_*, h_recall_*) and the dense side
+    * of t_hybrid_rrf: seven catalog rows consume the same exact answer,
+    * so the O(n x q) brute-force pipeline runs once per (dir, metric)
+    * and lands in `one_time_s` via BuildLedger — the bm25Scores sharing
+    * pattern (and the semdedup_recall_audit adjudication) applied to the
+    * whole family. Parquet-path memo, never a live DataFrame. The
+    * v_knn_* serving rows deliberately do NOT use this: they MEASURE
+    * the brute-force path, hash-checked vs DuckDB. */
   private val truthCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[queries] def exactTruthIds(s: SparkSession, dir: String,
@@ -46,7 +46,7 @@ object Vector {
         val out = java.nio.file.Files
           .createTempDirectory("graft_truth_").toString
         ExactKnn.search(queriesDf(s, dir), vectorsDf(s, dir), k, metric)
-          .select(col("qid"), col("id"))
+          .select(col("qid"), col("id"), col("rank"))
           .write.mode("overwrite").parquet(out)
         out
       }
