@@ -119,10 +119,14 @@ object Text {
     // is deterministic so the oracle hash-matches even though the corpus
     // labels are synthetic).
     "t_lang_detect" -> ((s, dir) => {
-      val scored = LangMarkers.foldLeft(t(s, dir)) { case (df, (lang, words)) =>
+      // tokenize ONCE via an inner projection (the t_repetition lesson):
+      // inlining split() into each language's filter lambda re-splits
+      // the text four times per row
+      val toks = t(s, dir).withColumn("toks", split(col("text"), " "))
+      val scored = LangMarkers.foldLeft(toks) { case (df, (lang, words)) =>
         val set = words.map(w => s"'$w'").mkString("(", ",", ")")
         df.withColumn(s"score_$lang",
-          expr(s"size(filter(split(text, ' '), tok -> tok IN $set))").cast("long"))
+          expr(s"size(filter(toks, tok -> tok IN $set))").cast("long"))
       }
       // argmax via a strict-> accumulator: ties keep the EARLIEST
       // language in LangMarkers order — exactly the oracle's first-match
