@@ -237,22 +237,13 @@ object Text {
         lit(" from 10."), ds(col("doc_id") % 256),
         lit("."), ds(expr("(doc_id div 7) % 256")),
         lit("."), ds(col("doc_id") % 100))
+      // scan + redact through the first-class operator (graft.operators
+      // .Pii) — the catalog row is its hash-proven end-to-end exercise
+      val counts = graft.operators.Pii.countCols(col("aug"))
       t(s, dir)
         .select(col("doc_id"), aug.as("aug"))
-        .select(col("doc_id"),
-          // lit()-passed patterns, never SQL-literal-interpolated: a
-          // Spark SQL string literal would eat the \b as an escape
-          size(regexp_extract_all(col("aug"), lit(EmailRegex), lit(0)))
-            .cast("long").as("n_email"),
-          size(regexp_extract_all(col("aug"), lit(PhoneRegex), lit(0)))
-            .cast("long").as("n_phone"),
-          size(regexp_extract_all(col("aug"), lit(Ipv4Regex), lit(0)))
-            .cast("long").as("n_ip"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("aug"), EmailRegex, "<EMAIL>"),
-              PhoneRegex, "<PHONE>"),
-            Ipv4Regex, "<IP>").as("redacted"))
+        .select(Seq(col("doc_id")) ++ counts :+
+          graft.operators.Pii.redactCol(col("aug")).as("redacted"): _*)
         .orderBy(col("doc_id"))
     }),
 
