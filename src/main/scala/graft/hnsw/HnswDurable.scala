@@ -56,8 +56,7 @@ object HnswDurable {
     val fullKey = s"$key|${HnswDistributed.cacheKey(cfg)}|$effectiveRounds"
     buildDirCache.computeIfAbsent(fullKey, { _ =>
       graft.BuildLedger.timed("hnsw_durable_build") {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_durable_").toString
+        val path = graft.TempDirs.create("graft_durable_")
         build(vectors, path, cfg, maxRounds)
         path
       }

@@ -33,26 +33,45 @@ object Pii {
     Rule("phone", graft.queries.Text.PhoneRegex, "<PHONE>"),
     Rule("ip", graft.queries.Text.Ipv4Regex, "<IP>"))
 
-  /** Per-rule match count columns, named `n_<rule>`. lit()-passed
-    * patterns, never SQL-literal-interpolated: a Spark SQL string
-    * literal would eat `\b` as an escape. */
+  /** Counts and redaction built in ONE stage-wise fold: each rule
+    * counts its matches on the text as redacted by the EARLIER rules,
+    * then redacts them — so `n_<rule>` always equals the number of
+    * `<RULE>` placeholders in the final text, even when categories
+    * overlap (e.g. a phone number embedded in an email address is the
+    * email rule's redaction, and counts as such — raw-text counting
+    * would report a phone the redacted output doesn't show). */
+  private def stages(text: Column, rules: Seq[Rule]): (Seq[Column], Column) =
+    rules.foldLeft((Seq.empty[Column], text)) { case ((counts, t), r) =>
+      // lit()-passed patterns, never SQL-literal-interpolated: a Spark
+      // SQL string literal would eat `\b` as an escape
+      (counts :+ size(regexp_extract_all(t, lit(r.regex), lit(0)))
+          .cast("long").as(s"n_${r.name}"),
+        regexp_replace(t, r.regex, r.placeholder))
+    }
+
+  /** Per-rule redaction-count columns, named `n_<rule>` (stage-wise
+    * semantics — see [[stages]]). */
   def countCols(text: Column, rules: Seq[Rule] = Rules): Seq[Column] =
-    rules.map(r =>
-      size(regexp_extract_all(text, lit(r.regex), lit(0)))
-        .cast("long").as(s"n_${r.name}"))
+    stages(text, rules)._1
 
   /** The redacted text: rules applied in order, each replacing every
     * match with its placeholder. */
   def redactCol(text: Column, rules: Seq[Rule] = Rules): Column =
-    rules.foldLeft(text)((c, r) => regexp_replace(c, r.regex, r.placeholder))
+    stages(text, rules)._2
+
+  /** Backtick-quoted column access: a name containing dots must stay
+    * ONE top-level column, not parse as struct navigation (the ingest
+    * readers' dotted-field lesson). Embedded backticks double. */
+  private def qcol(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
 
   /** Scan: the input frame plus one `n_<rule>` count column per rule —
     * the audit/report shape (how much PII does this corpus carry?). */
   def scan(df: DataFrame, textCol: String, rules: Seq[Rule] = Rules): DataFrame =
-    df.select(df.columns.map(col).toIndexedSeq ++ countCols(col(textCol), rules): _*)
+    df.select(df.columns.map(qcol).toIndexedSeq ++ countCols(qcol(textCol), rules): _*)
 
   /** Redact: the input frame with `textCol` replaced by its redacted
     * form — the release-gate shape. Schema is otherwise unchanged. */
   def redact(df: DataFrame, textCol: String, rules: Seq[Rule] = Rules): DataFrame =
-    df.withColumn(textCol, redactCol(col(textCol), rules))
+    df.withColumn(textCol, redactCol(qcol(textCol), rules))
 }

@@ -29,15 +29,25 @@ import org.apache.spark.sql.types._
   *    SUM is deliberately NOT rewritten (an empty sliding frame yields
   *    NULL, while the difference of two equal cumulative sums yields
   *    0 — the one observable divergence).
-  *  - a single ASCENDING, NULLS FIRST, integral-typed ordering key:
+  *  - a single ASCENDING, NULLS FIRST, LONG-typed ordering key:
   *    integer keys make the open bound `v+lo-1` exact; nulls-first
   *    puts every null peer in BOTH cumulative prefixes of a non-null
   *    row, so they cancel. For a NULL row Spark degenerates every
   *    RANGE frame to the null peer group, so `cumLo` is zeroed via an
   *    IS NULL guard (both cumulative frames equal the peer-group count
   *    there — subtracting would yield 0, not the peer count).
+  *    Narrower integral keys (byte/short/int) are deliberately NOT
+  *    rewritten: the cumulative form evaluates `key + (lo-1)` per row,
+  *    one closer to the type minimum than anything the original frame
+  *    computes, so a key within |lo|+1 of the minimum would overflow
+  *    (ANSI throw / wrapped bound) where the original succeeds — and
+  *    min-adjacent sentinel values are REALISTIC in 32-bit-and-under
+  *    domains. For longs the divergence window is
+  *    (Long.MinValue, Long.MinValue+|lo|], keys no real ordering
+  *    domain (ids, cents, epoch times) produces, and one step from
+  *    where the ORIGINAL query's own `key + lo` bound overflows too.
   *  - both bounds are literals (or CURRENT ROW); a literal lower bound
-  *    at the type's minimum cannot be decremented and is skipped.
+  *    at Long.MinValue cannot be decremented and is skipped.
   *
   * Installed by [[GraftExtensions]]; disable per session with
   * `spark.graft.window.cumulativeRangeRewrite=false`.
@@ -51,60 +61,46 @@ case class SlidingRangeCountRewrite(spark: SparkSession) extends Rule[LogicalPla
     if (!enabled) plan
     else plan.transformDown {
       case w: Window =>
+        var changed = false
         val rewritten = w.windowExpressions.map {
           case a @ Alias(WindowExpression(
               agg @ AggregateExpression(_: Count, Complete, false, None, _),
               spec @ WindowSpecDefinition(_,
                 Seq(SortOrder(key, Ascending, NullsFirst, _)),
                 SpecifiedWindowFrame(RangeFrame, lower, upper))), _)
-              if integral(key.dataType) && upperOk(upper) =>
-            decrementedBound(lower, key.dataType).map { loMinus1 =>
+              if key.dataType == LongType && upperOk(upper) =>
+            decrementedBound(lower).map { loMinus1 =>
               val cumHi = WindowExpression(agg, spec.copy(frameSpecification =
                 SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, upper)))
               val cumLo = WindowExpression(agg, spec.copy(frameSpecification =
                 SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, loMinus1)))
               val loTerm =
                 if (key.nullable) If(IsNull(key), Literal(0L), cumLo) else cumLo
+              changed = true
               Alias(Subtract(cumHi, loTerm), a.name)(
                 a.exprId, a.qualifier, a.explicitMetadata,
                 a.nonInheritableMetadataKeys)
             }.getOrElse(a)
           case other => other
         }
-        if (rewritten eq w.windowExpressions) w
-        else w.copy(windowExpressions = rewritten)
+        if (!changed) w else w.copy(windowExpressions = rewritten)
     }
   }
 
-  private def integral(t: DataType): Boolean = t match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
-  }
-
   private def upperOk(e: Expression): Boolean = e match {
-    case l: Literal => integral(l.dataType)
+    case Literal(_: Long, LongType) => true
     case CurrentRow => true
-    case _ => false // unbounded / expression bounds: leave untouched
+    case _ => false // unbounded / expression / non-long bounds: untouched
   }
 
-  /** `lo - 1` as a literal of the original bound's type, or None when
-    * the bound shape is ineligible or the decrement would underflow.
-    * CURRENT ROW is offset 0, typed like the ordering key. */
-  private def decrementedBound(lower: Expression, keyType: DataType): Option[Literal] =
+  /** `lo - 1` as a long literal, or None when the bound shape is
+    * ineligible or the decrement would underflow. CURRENT ROW is
+    * offset 0. (Long-typed keys take long-typed bounds, so no other
+    * literal type can appear on an eligible frame.) */
+  private def decrementedBound(lower: Expression): Option[Literal] =
     lower match {
       case Literal(v: Long, LongType) if v != Long.MinValue => Some(Literal(v - 1))
-      case Literal(v: Int, IntegerType) if v != Int.MinValue => Some(Literal(v - 1))
-      case Literal(v: Short, ShortType) if v != Short.MinValue =>
-        Some(Literal((v - 1).toShort))
-      case Literal(v: Byte, ByteType) if v != Byte.MinValue =>
-        Some(Literal((v - 1).toByte))
-      case CurrentRow => keyType match {
-        case LongType => Some(Literal(-1L))
-        case IntegerType => Some(Literal(-1))
-        case ShortType => Some(Literal((-1).toShort))
-        case ByteType => Some(Literal((-1).toByte))
-        case _ => None
-      }
+      case CurrentRow => Some(Literal(-1L))
       case _ => None // unbounded-preceding (already cumulative) or expression
     }
 }

@@ -31,8 +31,7 @@ object Curation {
   private def dupComponents(s: SparkSession, dir: String): DataFrame = {
     val path = compDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("dup_components") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_dupcomp_").toString
+        val out = graft.TempDirs.create("graft_dupcomp_")
         val pairs = DedupQueries.defs("d_neardup_minhash")(s, dir)
         ConnectedComponents.run(
             pairs.select(col("a_id").as("src"), col("b_id").as("dst")))

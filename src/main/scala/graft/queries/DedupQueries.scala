@@ -57,8 +57,7 @@ object DedupQueries {
   private def substringSpans(s: SparkSession, dir: String): DataFrame = {
     val path = spanDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("substring_spans") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_spans_").toString
+        val out = graft.TempDirs.create("graft_spans_")
         graft.operators.SubstringDedup
           .duplicatedSpans(docs(s, dir), "text", "doc_id", minTokens = 20)
           .write.mode("overwrite").parquet(out)
@@ -75,8 +74,7 @@ object DedupQueries {
   private def containmentPairs(s: SparkSession, dir: String): DataFrame = {
     val path = containDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("containment_pairs") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_contain_").toString
+        val out = graft.TempDirs.create("graft_contain_")
         graft.operators.Containment
           .pairs(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200)
           .write.mode("overwrite").parquet(out)
@@ -95,8 +93,7 @@ object DedupQueries {
   private def candidatePairsWithShingles(s: SparkSession, dir: String): DataFrame = {
     val path = candDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("minhash_candidates") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_minhashcand_").toString
+        val out = graft.TempDirs.create("graft_minhashcand_")
         val (result, intermediates) = computeCandidatePairs(s, dir)
         result.write.mode("overwrite").parquet(out)
         intermediates.foreach(_.unpersist())

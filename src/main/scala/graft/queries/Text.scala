@@ -48,8 +48,7 @@ object Text {
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val path = bm25DirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("bm25_scores") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_bm25_").toString
+        val out = graft.TempDirs.create("graft_bm25_")
         val docs = t(s, dir).filter(col("text").isNotNull)
         val tf = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))

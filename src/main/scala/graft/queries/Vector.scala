@@ -43,8 +43,7 @@ object Vector {
                                      metric: String, k: Int): DataFrame = {
     val path = truthCache.computeIfAbsent(s"$dir|$metric|$k", { _ =>
       graft.BuildLedger.timed(s"exact_truth_$metric") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_truth_").toString
+        val out = graft.TempDirs.create("graft_truth_")
         ExactKnn.search(queriesDf(s, dir), vectorsDf(s, dir), k, metric)
           .select(col("qid"), col("id"), col("rank"))
           .write.mode("overwrite").parquet(out)

@@ -169,8 +169,7 @@ object Ingest {
     jsonlCache.computeIfAbsent(
       s"${spark.sparkContext.applicationId}|$dir", { _ =>
         graft.BuildLedger.timed("jsonl_mirror") {
-          val base = java.nio.file.Files
-            .createTempDirectory("graft_jsonl_").toString + "/documents"
+          val base = graft.TempDirs.create("graft_jsonl_") + "/documents"
           writeJsonl(spark.read.parquet(s"$dir/documents.parquet"), base)
           import spark.implicits._
           CorruptLines.toDF("value").coalesce(1)
@@ -191,8 +190,7 @@ object Ingest {
   def partOrcMirror(spark: SparkSession, dir: String): String =
     orcCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("orc_mirror") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_orc_").toString + "/part"
+        val out = graft.TempDirs.create("graft_orc_") + "/part"
         spark.read.parquet(s"$dir/part.parquet")
           .write.mode("overwrite").orc(out)
         out

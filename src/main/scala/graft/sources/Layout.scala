@@ -46,8 +46,7 @@ object Layout {
       graft.BuildLedger.timed("layout_bucketed") {
       val tag = s"${nBuckets}_${sanitize(dir)}"
       val (liName, ordName) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_").toString
+      val base = graft.TempDirs.create("graft_bucketed_")
       // one file per bucket: repartition on the bucket key first so the
       // writer emits exactly nBuckets files and the read side can trust
       // the within-bucket sort order
@@ -74,8 +73,7 @@ object Layout {
   def eventsByType(s: SparkSession, dir: String): String =
     partCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("layout_evpart") {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_evpart_").toString
+        val out = graft.TempDirs.create("graft_evpart_")
         s.read.parquet(s"$dir/events.parquet")
           .write.partitionBy("event_type")
           .mode("overwrite").parquet(out)
@@ -114,8 +112,7 @@ object Layout {
     zorderCache.computeIfAbsent(s"$dir|$nFiles", { _ =>
       graft.BuildLedger.timed("layout_zorder") {
       import org.apache.spark.sql.functions._
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_evzorder_").toString
+      val out = graft.TempDirs.create("graft_evzorder_")
       val clamp = (c: org.apache.spark.sql.Column) =>
         least(greatest(c, lit(0L)), lit(65535L))
       s.read.parquet(s"$dir/events.parquet")

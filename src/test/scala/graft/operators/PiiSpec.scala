@@ -46,6 +46,29 @@ class PiiSpec extends SparkSpec {
     assert(r4 == "<EMAIL> and <EMAIL>; ping <IP> then dial <PHONE>")
   }
 
+  test("overlapping categories: counts are stage-wise, so n_<rule> always equals placeholders") {
+    import spark.implicits._
+    // the phone digits sit INSIDE a valid email local part: the email
+    // rule (first in redaction order) consumes them, so stage-wise
+    // counting reports 1 email / 0 phones — matching the placeholders
+    // in the output, which is the invariant an auditor reconciles
+    val odf = Seq((1L, "dial 555-123-4567@corp.net now")).toDF("id", "text")
+    val got = Pii.scan(odf, "text")
+      .select(col("n_email"), col("n_phone"), col("n_ip")).head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((1L, 0L, 0L)))
+    val red = Pii.redact(odf, "text").head.getString(1)
+    assert(red == "dial <EMAIL> now")
+  }
+
+  test("scan and redact survive dotted column names") {
+    import spark.implicits._
+    val ddf = Seq((1L, "a@b.co")).toDF("id", "payload.text")
+    val s1 = Pii.scan(ddf, "payload.text")
+    assert(s1.columns.toSeq == Seq("id", "payload.text", "n_email", "n_phone", "n_ip"))
+    assert(s1.head.getLong(2) == 1L)
+    assert(Pii.redact(ddf, "payload.text").head.getString(1) == "<EMAIL>")
+  }
+
   test("the operator is stateless per row: a stream redacts identically") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_pii_s_").toString

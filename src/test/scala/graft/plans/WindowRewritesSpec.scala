@@ -64,10 +64,17 @@ class WindowRewritesSpec extends SparkSpec {
       s"sliding frame survived the rewrite:\n$plan")
     assert(plan.contains("specifiedwindowframe(RangeFrame, unboundedpreceding$()"),
       s"cumulative frames missing:\n$plan")
-    // one WindowExec: the two cumulative frames share the pass
+    // one WindowExec: the two cumulative frames share the pass. The
+    // baseline plan comes from a FRESH query (queryExecution is lazily
+    // cached on `q` by the rule-on read above — re-reading it under
+    // conf=false would return the same rule-on plan and the comparison
+    // would be vacuous).
+    val freshBaselinePlan = baseline(
+      slidingCount(df, -30L, 30L).queryExecution.executedPlan.toString)
+    assert(freshBaselinePlan.contains("specifiedwindowframe(RangeFrame, -30"),
+      "baseline must really be unrewritten")
     assert(plan.linesIterator.count(_.contains("Window")) ==
-      baseline(q.queryExecution.executedPlan.toString)
-        .linesIterator.count(_.contains("Window")),
+      freshBaselinePlan.linesIterator.count(_.contains("Window")),
       "rewrite must not add a second WindowExec")
   }
 
@@ -99,7 +106,11 @@ class WindowRewritesSpec extends SparkSpec {
 
   test("ineligible shapes are left untouched") {
     val df = fuzz(seed = 31L, n = 500, nullEvery = 0)
-    // sum (empty-frame NULL vs 0 divergence), descending order, double key
+    // sum (empty-frame NULL vs 0 divergence), descending order, double
+    // key, and an INT key (the rewrite's key+(lo-1) would sit one step
+    // closer to Int.MinValue than anything the original evaluates —
+    // min-adjacent sentinels are realistic in 32-bit domains, so
+    // narrower-than-long keys are excluded by design)
     val sumQ = df.withColumn("s", sum(col("v")).over(
       Window.partitionBy(col("grp")).orderBy(col("v")).rangeBetween(-5, 5)))
     val descQ = df.withColumn("n", count(lit(1)).over(
@@ -107,8 +118,11 @@ class WindowRewritesSpec extends SparkSpec {
     val dblQ = df.withColumn("d", col("v").cast("double"))
       .withColumn("n", count(lit(1)).over(
         Window.partitionBy(col("grp")).orderBy(col("d")).rangeBetween(-5, 5)))
+    val intQ = df.withColumn("i", col("v").cast("int"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("grp")).orderBy(col("i")).rangeBetween(-5, 5)))
     withRule {
-      for (q <- Seq(sumQ, descQ, dblQ)) {
+      for (q <- Seq(sumQ, descQ, dblQ, intQ)) {
         val plan = q.queryExecution.optimizedPlan.toString
         assert(plan.contains("specifiedwindowframe(RangeFrame, -5"),
           s"ineligible frame was rewritten:\n$plan")
