@@ -27,6 +27,12 @@ object GraftFunctionRegistry {
       s"$what must be an integer literal, got: $other")
   }
 
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got: $other")
+  }
+
   private def arity(name: String, n: Int)(args: Seq[Expression]): Unit =
     require(args.length == n, s"$name expects $n arguments, got ${args.length}")
 
@@ -46,6 +52,10 @@ object GraftFunctionRegistry {
     },
     "simhash64_md5" -> { args =>
       arity("simhash64_md5", 1)(args); SimHash64Md5(args(0))
+    },
+    "unicode_normalize" -> { args =>
+      arity("unicode_normalize", 2)(args)
+      UnicodeNormalize(args(0), litString(args(1), "unicode_normalize form"))
     },
     "md5_minhash" -> { args =>
       arity("md5_minhash", 2)(args)

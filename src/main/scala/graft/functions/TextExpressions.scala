@@ -308,9 +308,60 @@ case class NibbleHist(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Unicode canonicalization (java.text.Normalizer) — the text-dedup
+  * pre-pass Spark has no built-in for: composed vs decomposed forms of
+  * the same glyph ("é" as U+00E9 vs "e"+U+0301) hash differently, so
+  * every exact/MinHash/shingle dedup silently misses them until the
+  * corpus is normalized. NFC/NFD are canonical (lossless); NFKC/NFKD
+  * additionally fold compatibility forms (fullwidth, ligatures) — the
+  * usual choice for dedup keys. The form is bound at plan time (a
+  * literal), so the per-row work is one library call over the string;
+  * ASCII-only rows short-circuit inside the JDK (Normalizer checks
+  * isNormalized cheaply), which is why running it over a mostly-ASCII
+  * corpus costs near nothing. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  override def prettyName: String = "unicode_normalize"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize needs a string input, got ${child.dataType}")
+    else if (!UnicodeNormalize.Forms.contains(form))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unknown normalization form '$form' (expected one of ${UnicodeNormalize.Forms.mkString(", ")})")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, nf)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("unorm", this, classOf[UnicodeNormalize].getName)
+      s"${ev.value} = (${classOf[UTF8String].getName}) $expr.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+}
+
 object TextFunctions {
   def md5MinHash(strings: Column, numHashes: Int): Column =
     Bridge.column(Md5MinHash(Bridge.expression(strings), numHashes))
+
+  /** Unicode-normalize a string column (form: NFC/NFD/NFKC/NFKD). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
 
   /** One-pass 16-bin nibble histogram of a binary column. */
   def nibbleHist(payload: Column): Column =

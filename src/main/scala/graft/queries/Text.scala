@@ -246,6 +246,31 @@ object Text {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC canonicalization — the dedup pre-pass Spark has no
+    // built-in for: composed vs decomposed forms of the same glyph hash
+    // differently, so shingle/MinHash/exact dedup misses them until the
+    // corpus is normalized. The ASCII corpus is augmented with a
+    // deterministic suffix carrying decomposed (e+U+0301, a+U+0300) AND
+    // precomposed (U+00E9) forms; the codegen'd UnicodeNormalize
+    // expression must fold them exactly as DuckDB's nfc_normalize —
+    // the hash covers the normalized TEXT, so one mis-folded codepoint
+    // breaks it. (Spark's chr() is mod-256, not codepoint, so the
+    // suffix is a Scala unicode literal here and chr() in the oracle —
+    // byte-identical either way.)
+    "t_unicode_nfc" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" cafe\u0301 \u00e9clair a\u0300propos"))
+      t(s, dir)
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          length(col("aug")).cast("long").as("len_raw"),
+          graft.functions.TextFunctions.unicodeNormalize(col("aug"), "NFC")
+            .as("norm"))
+        .withColumn("len_norm", length(col("norm")).cast("long"))
+        .select(col("doc_id"), col("len_raw"), col("len_norm"), col("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Repetition profile (the Gopher/RefinedWeb repetition-filter shape):
     // most-frequent unigram and word-2-gram counts per document, as
     // integer permille of the token count so the cut threshold is
@@ -547,6 +572,21 @@ object Text {
          |  FROM (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok FROM documents) x
          |  GROUP BY doc_id, n_chars) y
          |ORDER BY doc_id""".stripMargin,
+
+    // same decomposed/precomposed suffix via chr(); DuckDB's
+    // nfc_normalize is the independent NFC implementation the codegen'd
+    // expression must agree with, character for character
+    "t_unicode_nfc" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(233) || 'clair a'
+        |         || chr(768) || 'propos' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(aug) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(aug)) AS BIGINT) AS len_norm,
+        |  nfc_normalize(aug) AS norm
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     // the same three pattern constants interpolated into RE2 — one
     // source of truth for both dialects; injection is the same

@@ -82,4 +82,40 @@ class TextExpressionsSpec extends SparkSpec {
     assert(native == sqlForm)
     assert(native.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
   }
+
+  test("UnicodeNormalize folds decomposed forms; precomposed and ASCII pass through") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "cafe\u0301"),          // decomposed e + combining acute
+      (2L, "caf\u00e9"),           // precomposed
+      (3L, "a\u0300propos"),       // decomposed a + combining grave
+      (4L, "plain ascii"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = rows.select(col("id"),
+      TextFunctions.unicodeNormalize(col("s"), "NFC").as("n"))
+      .orderBy(col("id")).collect()
+    assert(out(0).getString(1) == "caf\u00e9")
+    assert(out(1).getString(1) == "caf\u00e9", "precomposed must be unchanged")
+    assert(out(2).getString(1) == "\u00e0propos")
+    assert(out(3).getString(1) == "plain ascii")
+    assert(out(4).isNullAt(1), "null in, null out")
+    // idempotence: normalizing twice equals once
+    val twice = rows.filter(col("s").isNotNull).select(
+      TextFunctions.unicodeNormalize(
+        TextFunctions.unicodeNormalize(col("s"), "NFC"), "NFC").as("a"),
+      TextFunctions.unicodeNormalize(col("s"), "NFC").as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(twice == 0L)
+  }
+
+  test("unicode_normalize resolves as a SQL function; bad form fails at analysis") {
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    val r = spark.sql("SELECT unicode_normalize('cafe' || 'e', 'NFKC') AS x").head
+    assert(r.getString(0) == "cafee")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
+    assert(bad.getMessage.contains("NFX"))
+  }
 }
