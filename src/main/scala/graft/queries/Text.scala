@@ -15,6 +15,9 @@ object Text {
   private val bm25DirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val bpeCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Seq[graft.operators.BpeTrain.Merge]]()
+
   /** Shared BM25 oracle CTE chain — `sc(doc_id, term, score_u)` plus the
     * tok/tf/dl/df/n intermediates. ONE string composed into both the
     * t_bm25_topk and t_hybrid_rrf oracles (the chunkCte rule: a drifted
@@ -140,6 +143,29 @@ object Text {
         .select(col("doc_id"), col("best.lang").as("pred_lang"),
           col("best.score").as("n_markers"))
         .orderBy(col("doc_id"))
+    }),
+
+    // BPE tokenizer TRAINING on the corpus (Sennrich 2016): learn the
+    // first 12 merges distributed — per-round O(distinct words) pair
+    // counting, a 1-row argmax collect, executor-local merge apply.
+    // Iterated corpus-state recursion is not SQL-expressible, so this
+    // row is rows-only by declared necessity; BpeTrainSpec proves the
+    // merge table EQUAL rank-for-rank to an independent single-node
+    // reference on the real sf0.001 corpus (same deterministic
+    // tie-break: max count, then lexicographically smallest pair).
+    // Training cost is a per-corpus investment -> BuildLedger'd; the
+    // memo holds plain merge values, never a session-bound DataFrame.
+    "t_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val merges = bpeCache.computeIfAbsent(dir, { _ =>
+        graft.BuildLedger.timed("bpe_train") {
+          graft.operators.BpeTrain.train(
+            t(s, dir).filter(col("text").isNotNull), "text", nMerges = 12)
+        }
+      })
+      merges.map(m => (m.rank.toLong, m.left, m.right, m.freq))
+        .toDF("rank", "left", "right", "freq")
+        .orderBy(col("rank"))
     }),
 
     // BPE-ish token counting: regex token runs (alnum words or single

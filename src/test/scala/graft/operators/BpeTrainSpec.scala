@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed BPE training vs an independent single-node reference
+  * with the same tie-break contract (max count, then lexicographically
+  * smallest pair): the merge tables must be IDENTICAL, rank for rank.
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  /** Straightforward in-memory BPE — deliberately naive (recount from
+    * scratch every round) so it shares no code with the operator. */
+  private def refBpe(weighted: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    var state: Map[Vector[String], Long] =
+      weighted.groupMapReduce(kv => kv._1.map(_.toString).toVector)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    while (k < nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- state; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      if (counts.isEmpty) k = nMerges
+      else {
+        val ((l, r), f) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, f))
+        state = state.toSeq.map { case (syms, n) =>
+          (BpeTrain.applyMerge(syms.toArray, l, r).toVector, n)
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordCounts(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+
+  test("toy corpus: distributed merges equal the reference, rank for rank") {
+    import spark.implicits._
+    val texts = Seq("low lower lowest", "new newer newest", "low low new",
+      "wide wider widest", "newest newest")
+    val got = BpeTrain.train(texts.toDF("text"), "text", nMerges = 8)
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == refBpe(wordCounts(texts), 8))
+  }
+
+  test("real corpus (sf0.001 documents): first 10 merges equal the reference") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+    val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
+    val got = BpeTrain.train(docs, "text", nMerges = 10)
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == refBpe(wordCounts(texts), 10))
+  }
+
+  test("merge application is greedy, leftmost, non-overlapping") {
+    assert(BpeTrain.applyMerge(Array("a", "a", "a"), "a", "a").toSeq == Seq("aa", "a"))
+    assert(BpeTrain.applyMerge(Array("a", "a", "a", "a"), "a", "a").toSeq == Seq("aa", "aa"))
+    assert(BpeTrain.applyMerge(Array("x"), "a", "a").toSeq == Seq("x"))
+    assert(BpeTrain.applyMerge(Array.empty[String], "a", "b").toSeq == Seq())
+  }
+
+  test("encodeWord replays the learned merges in rank order") {
+    import spark.implicits._
+    val texts = Seq("banana bandana", "banana banana")
+    val merges = BpeTrain.train(texts.toDF("text"), "text", nMerges = 6)
+    val enc = BpeTrain.encodeWord("banana", merges)
+    // re-encoding a training word must reproduce its final trained form:
+    // apply all merges to the char split via the same kernel
+    var syms = "banana".map(_.toString).toArray
+    merges.foreach(m => syms = BpeTrain.applyMerge(syms, m.left, m.right))
+    assert(enc.toSeq == syms.toSeq && enc.mkString == "banana")
+  }
+
+  test("degenerate corpora: empty text and single-char words terminate early") {
+    import spark.implicits._
+    assert(BpeTrain.train(Seq("a b c").toDF("text"), "text", 5).isEmpty)
+    assert(BpeTrain.train(Seq("").toDF("text"), "text", 3).isEmpty)
+    val one = BpeTrain.train(Seq("ab ab").toDF("text"), "text", 5)
+    assert(one.map(m => (m.left, m.right, m.freq)) == Seq(("a", "b", 2L)))
+  }
+}
