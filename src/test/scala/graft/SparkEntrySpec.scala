@@ -49,7 +49,12 @@ class SparkEntrySpec extends AnyFunSuite {
       // SemDeDup production regime: Lloyd-trained centroids aren't
       // SQL-expressible; the seed-centroid regime (v_semdedup_pairs)
       // carries the hash-parity oracle for the same pair pipeline
-      "v_semdedup")
+      "v_semdedup",
+      // BPE training: iterated corpus-state recursion (merge round k
+      // rewrites the input of round k+1) is not SQL-expressible;
+      // BpeTrainSpec pins the merge table equal rank-for-rank to an
+      // independent single-node reference on the real corpus
+      "t_bpe_merges")
     val undeclared = noOracle -- declared
     assert(undeclared.isEmpty,
       s"queries silently missing an oracle (add one or declare here): $undeclared")
