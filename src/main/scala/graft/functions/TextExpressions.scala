@@ -337,7 +337,19 @@ case class UnicodeNormalize(child: Expression, form: String)
   @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val u = input.asInstanceOf[UTF8String]
+    // ASCII fast path on the raw bytes: all-ASCII is normalized under
+    // every form, so a mostly-ASCII corpus never pays the String
+    // allocation + UTF-8 decode that toString would cost per row
+    var i = 0
+    val n = u.numBytes
+    var ascii = true
+    while (ascii && i < n) {
+      if (u.getByte(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return input
+    val s = u.toString
     if (java.text.Normalizer.isNormalized(s, nf)) input
     else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
   }

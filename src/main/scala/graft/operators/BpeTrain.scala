@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed BPE (byte-pair-encoding) tokenizer TRAINING — learning
   * the merge table from the corpus itself, the step upstream of every
@@ -24,9 +23,9 @@ import org.apache.spark.storage.StorageLevel
   * frequency, so the per-round work is O(distinct words), not
   * O(corpus) — at 100 TB the distinct-word table is orders of
   * magnitude smaller than the corpus and the rounds never touch the
-  * raw text again. Lineage is truncated with a persisted snapshot per
-  * round (the frontier-search pattern) so round k does not replay
-  * rounds 1..k-1.
+  * raw text again. Lineage is truncated with an eager localCheckpoint
+  * per round so round k starts from materialized blocks, never a
+  * k-deep map chain.
   *
   * The merge APPLY step is an executor-local imperative kernel (the
   * HNSW-kernel precedent: genuinely sequential per-row work), one
@@ -38,15 +37,40 @@ object BpeTrain {
   /** One learned merge: rank = merge order (0-based). */
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
+  /** Split a word into CODE POINT symbols — never UTF-16 code units: a
+    * lone surrogate from a split non-BMP char (emoji, CJK-ext) would be
+    * corrupted to '?' by the UTF-8 round-trip through Spark's
+    * UTF8String, silently merging counts of every non-BMP character. */
+  private[operators] def codePointSymbols(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Greedy left-to-right application of one merge to a symbol array —
-    * non-overlapping, leftmost-first (the standard BPE apply). */
+    * non-overlapping, leftmost-first (the standard BPE apply). The
+    * overwhelmingly common case as training proceeds is "pair absent":
+    * a scan-first pass keeps it allocation-free. */
   private[operators] def applyMerge(
       syms: Array[String], left: String, right: String): Array[String] = {
     val n = syms.length
     if (n < 2) return syms
+    var first = -1
+    var s = 0
+    while (first < 0 && s < n - 1) {
+      if (syms(s) == left && syms(s + 1) == right) first = s
+      s += 1
+    }
+    if (first < 0) return syms
     val out = new Array[String](n)
-    var i = 0
-    var o = 0
+    System.arraycopy(syms, 0, out, 0, first)
+    var i = first
+    var o = first
     while (i < n) {
       if (i + 1 < n && syms(i) == left && syms(i + 1) == right) {
         out(o) = left + right
@@ -57,7 +81,7 @@ object BpeTrain {
       }
       o += 1
     }
-    if (o == n) syms else java.util.Arrays.copyOfRange(out, 0, o)
+    java.util.Arrays.copyOfRange(out, 0, o)
   }
 
   /** Learn `nMerges` merges from `docs(textCol)`. Whitespace-word BPE:
@@ -66,15 +90,26 @@ object BpeTrain {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // distinct words with multiplicity; then char-split once
+    // distinct words with multiplicity; then code-point-split once.
+    // localCheckpoint (not persist): a persisted Dataset still CHAINS
+    // its logical plan, so k rounds of .map would nest k plans deep
+    // (O(k) analysis per round, driver stack overflow at real vocab
+    // sizes) and a lost cached partition would replay every round from
+    // the raw words. localCheckpoint truncates the plan to the
+    // materialized blocks; superseded rounds are freed by the
+    // ContextCleaner when their reference drops — including when a
+    // mid-training failure unwinds the loop. (Known trade-off, already
+    // recorded in BASELINE.md: localCheckpoint blocks are evictable
+    // under memory pressure; a production-scale run with tens of
+    // thousands of merges wants reliable checkpoint() against a
+    // checkpoint dir instead.)
     var state = docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => (w.map(_.toString).toArray, n) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    state.count() // materialize before the loop
+      .map { case (w, n) => (codePointSymbols(w), n) }
+      .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
@@ -100,18 +135,15 @@ object BpeTrain {
         val (left, right, freq) =
           (pair.getString(0), pair.getString(1), row.getLong(1))
         merges += Merge(rank, left, right, freq)
-        // apply everywhere; snapshot to truncate lineage (else round k
-        // replays rounds 1..k-1 through the map chain)
-        val next = state
+        // apply everywhere; eager localCheckpoint truncates the plan so
+        // round k+1 starts from materialized blocks, not a k-deep map
+        // chain (see the head-of-loop comment)
+        state = state
           .map { case (syms, n) => (applyMerge(syms, left, right), n) }
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        state.unpersist(blocking = false)
-        state = next
+          .localCheckpoint(true)
         rank += 1
       }
     }
-    state.unpersist(blocking = false)
     merges.toSeq
   }
 
@@ -128,7 +160,7 @@ object BpeTrain {
   /** Tokenize with a learned merge table: merges applied in rank order
     * per word (how the trained vocab is USED downstream). */
   def encodeWord(word: String, merges: Seq[Merge]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codePointSymbols(word)
     merges.foreach(m => syms = applyMerge(syms, m.left, m.right))
     syms
   }

@@ -13,8 +13,10 @@ class BpeTrainSpec extends SparkSpec {
   /** Straightforward in-memory BPE — deliberately naive (recount from
     * scratch every round) so it shares no code with the operator. */
   private def refBpe(weighted: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    // code-point split (not UTF-16 units) — the operator's contract
     var state: Map[Vector[String], Long] =
-      weighted.groupMapReduce(kv => kv._1.map(_.toString).toVector)(_._2)(_ + _)
+      weighted.groupMapReduce(kv =>
+        BpeTrain.codePointSymbols(kv._1).toVector)(_._2)(_ + _)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var k = 0
     while (k < nMerges) {
@@ -55,6 +57,21 @@ class BpeTrainSpec extends SparkSpec {
     val got = BpeTrain.train(docs, "text", nMerges = 10)
       .map(m => (m.left, m.right, m.freq))
     assert(got == refBpe(wordCounts(texts), 10))
+  }
+
+  test("non-BMP corpus: code-point symbols survive the UTF-8 round-trip") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair in UTF-16) and U+1F601: UTF-16-unit
+    // splitting would shuffle lone surrogates, which UTF8String
+    // corrupts to '?', merging the two emoji into one bogus symbol
+    val g1 = new String(Character.toChars(0x1F600))
+    val g2 = new String(Character.toChars(0x1F601))
+    val texts = Seq(s"$g1$g2 $g1$g2 $g1$g2", s"$g1$g1 ab ab")
+    val got = BpeTrain.train(texts.toDF("text"), "text", nMerges = 3)
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == refBpe(wordCounts(texts), 3))
+    assert(got.head == ((g1, g2, 3L)), s"expected the emoji pair merge first: $got")
+    assert(!got.exists { case (l, r, _) => l.contains("?") || r.contains("?") })
   }
 
   test("merge application is greedy, leftmost, non-overlapping") {
