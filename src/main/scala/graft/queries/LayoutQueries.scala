@@ -124,6 +124,28 @@ object LayoutQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dynamic partition pruning over the type-partitioned events
+    // layout: the pruning predicate is NOT statically known — it comes
+    // from a joined dimension's filter (priority = 1), so Catalyst
+    // inserts a DynamicPruningSubquery that broadcasts the dim first
+    // and prunes the fact's partition listing at RUNTIME. At 100 TB
+    // this is THE warehouse join shape (fact partitioned by date/type,
+    // dim filtered by the query) — static pruning can't see through
+    // the join, DPP skips the unneeded partitions anyway. LayoutSpec
+    // asserts dynamicpruningexpression in the scan; the oracle inlines
+    // the dim as VALUES, so the hash proves semantics.
+    "e_dpp_join" -> ((s, dir) => {
+      val dim = s.read.parquet(Layout.priorityDim(s))
+      s.read.parquet(Layout.eventsByType(s, dir))
+        .join(broadcast(dim.filter(col("priority") === 1)),
+          col("event_type") === col("t"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy(col("event_type"))
+    }),
+
     // ORC round-trip END-TO-END through real files: the part table
     // written as ORC by Spark's built-in source and read back, vs the
     // oracle reading the original parquet. A hash match proves the
@@ -196,6 +218,15 @@ object LayoutQueries {
 
     "s_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "e_dpp_join" ->
+      """WITH dim(t, priority) AS (VALUES ('click', 1), ('purchase', 1),
+        |  ('view', 0), ('signup', 0), ('error', 0))
+        |SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events JOIN dim ON event_type = t AND priority = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -127,6 +127,23 @@ object Layout {
       }
     })
 
+  /** A tiny event-type priority DIM as a real parquet table (memoized
+    * write-once). It must live in a FILE relation, not a literal
+    * LocalRelation: ConvertToLocalRelation folds a literal dim's filter
+    * into its rows, and with no Filter node left the dynamic-partition-
+    * pruning rule sees no selective predicate to prune with — the DPP
+    * demo needs the genuine warehouse shape (dim on disk). */
+  private val dppDimCache = new ConcurrentHashMap[String, String]()
+  def priorityDim(s: SparkSession): String =
+    dppDimCache.computeIfAbsent(s.sparkContext.applicationId, { _ =>
+      import s.implicits._
+      val out = graft.TempDirs.create("graft_dppdim_")
+      Seq(("click", 1), ("purchase", 1), ("view", 0),
+        ("signup", 0), ("error", 0)).toDF("t", "priority")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** The co-located fact⋈fact join on the bucketed tables — exposed for
     * the plan spec (asserts zero shuffle below the aggregation). */
   def colocatedJoin(s: SparkSession, dir: String): DataFrame = {

@@ -34,4 +34,23 @@ class LayoutSpec extends SparkSpec {
       .filter(col("event_type") === "click").count()
     assert(pruned.count() == expected)
   }
+
+  test("joining the partitioned fact on its partition column prunes DYNAMICALLY") {
+    // the pruning predicate comes from the dim's filter, invisible to
+    // static pruning — Catalyst must insert a DynamicPruningSubquery
+    // (dim must be a FILE relation: a literal local dim's filter folds
+    // into its rows and DPP sees no selective predicate — see
+    // Layout.priorityDim)
+    val dim = spark.read.parquet(Layout.priorityDim(spark))
+    val q = spark.read.parquet(Layout.eventsByType(spark, sfDir))
+      .join(broadcast(dim.filter(col("priority") === 1)),
+        col("event_type") === col("t"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic pruning expression in the fact scan:\n$plan")
+    // and the runtime-pruned join returns exactly the statically-known rows
+    val expected = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(q.count() == expected)
+  }
 }
