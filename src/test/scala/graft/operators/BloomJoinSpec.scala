@@ -68,4 +68,44 @@ class BloomJoinSpec extends SparkSpec {
     assert(plan.contains("might_contain"))
     assert(!plan.contains("Exchange"), "prune alone must not shuffle")
   }
+
+  test("Spark's own runtime bloom injection fires on our join shape (thresholds lowered)") {
+    import org.apache.spark.sql.functions._
+    // the injection rule is SIZE-gated (application side >= 10 GB by
+    // default), so at bench scale it never fires; lowering the
+    // thresholds proves the catalog's equi-join-with-selective-build
+    // SHAPE is exactly what InjectRuntimeFilter rewrites at 100 TB —
+    // where the explicit BloomJoin operator and Spark's automatic
+    // filter meet.
+    // autoBroadcast off too: the rule (correctly) refuses to inject
+    // when the creation side is broadcastable by size — a broadcast
+    // join needs no runtime filter; at 100 TB neither side broadcasts
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      // assert on the optimized logical plan: the physical string
+      // renders the filter's scalar subquery out-of-line under AQE
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      // and the filter must not change the answer
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
