@@ -146,6 +146,26 @@ object LayoutQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Small-files compaction END-TO-END: events deliberately shattered
+    // into 64 tiny shards (the post-streaming-ingest layout), compacted
+    // back to byte-sized-from-disk file counts, then aggregated — vs
+    // the oracle on the ORIGINAL table, so a hash match proves the
+    // fragment -> compact chain loses nothing. The file-count and
+    // size-uniformity claims are LayoutSpec's; this row is the data
+    // fidelity proof.
+    "s_compact_scan" -> ((s, dir) => {
+      val frag = Layout.fragmentedEvents(s, dir)
+      val compacted = Layout.compactDir(s, frag, targetBytes = 4L * 1024 * 1024)
+      s.read.parquet(compacted)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("sum_value_c"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
     // ORC round-trip END-TO-END through real files: the part table
     // written as ORC by Spark's built-in source and read back, vs the
     // oracle reading the original parquet. A hash match proves the
@@ -219,6 +239,13 @@ object LayoutQueries {
     "s_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s_compact_scan" ->
+      """SELECT event_type, count(*) AS n,
+        | count(DISTINCT user_id) AS n_users,
+        | CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "e_dpp_join" ->
       """WITH dim(t, priority) AS (VALUES ('click', 1), ('purchase', 1),

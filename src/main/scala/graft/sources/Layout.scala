@@ -144,6 +144,47 @@ object Layout {
       out
     })
 
+  /** Compact a parquet directory into ~`targetBytes` output files —
+    * the OPTIMIZE/small-files pass every long-running ingest needs:
+    * streaming ingest and over-parallel writers leave directories of
+    * KB-sized files, and at 100 TB a scan's cost becomes per-file
+    * overhead (listing, footer reads, task scheduling) instead of
+    * bytes. File count is sized from the ACTUAL on-disk bytes (not row
+    * counts — compression ratios vary wildly); a round-robin
+    * repartition gives uniform output sizes. Returns the new
+    * directory; the input is left untouched (swap is the caller's
+    * atomic-rename concern). */
+  def compactDir(s: SparkSession, inDir: String,
+                 targetBytes: Long = 128L * 1024 * 1024): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir match {
+        case d if d.contains("://") => d
+        case d => s"file:$d"
+      }),
+      s.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val out = graft.TempDirs.create("graft_compact_")
+    s.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** A deliberately fragmented copy of the events table (64 shards of
+    * ~1k rows each) — the post-streaming-ingest layout the compaction
+    * pass exists to fix. Memoized write-once. */
+  private val fragCache = new ConcurrentHashMap[String, String]()
+  def fragmentedEvents(s: SparkSession, dir: String, nShards: Int = 64): String =
+    fragCache.computeIfAbsent(s"$dir|$nShards", { _ =>
+      val out = graft.TempDirs.create("graft_frag_")
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(nShards)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** The co-located fact⋈fact join on the bucketed tables — exposed for
     * the plan spec (asserts zero shuffle below the aggregation). */
   def colocatedJoin(s: SparkSession, dir: String): DataFrame = {

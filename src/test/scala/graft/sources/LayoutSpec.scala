@@ -35,6 +35,28 @@ class LayoutSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("compaction: 64 tiny shards become byte-sized file counts, rows intact") {
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+    val frag = Layout.fragmentedEvents(spark, sfDir)
+    val before = parquetFiles(frag)
+    assert(before.size == 64, s"expected 64 shards, got ${before.size}")
+    val target = 256L * 1024
+    val out = Layout.compactDir(spark, frag, targetBytes = target)
+    val after = parquetFiles(out)
+    val totalBytes = before.map(_.length()).sum
+    val expectedFiles = math.max(1L, (totalBytes + target - 1) / target)
+    assert(after.size == expectedFiles,
+      s"expected $expectedFiles files for $totalBytes bytes at $target, got ${after.size}")
+    assert(after.size < before.size / 4, "compaction must collapse the file count")
+    // lossless: full row multiset equality via a null-safe anti-join both ways
+    val a = spark.read.parquet(frag)
+    val b = spark.read.parquet(out)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("joining the partitioned fact on its partition column prunes DYNAMICALLY") {
     // the pruning predicate comes from the dim's filter, invisible to
     // static pruning — Catalyst must insert a DynamicPruningSubquery
