@@ -170,6 +170,32 @@ object Curation {
     // Per-stage scale shapes are unchanged by composition: Catalyst fuses
     // the row-local flags into one scan and the left-antis stay
     // broadcastable (dup/contaminated id sets are small).
+    // RELEASE-PIPELINE CAPSTONE: the whole pre-release chain as ONE
+    // hash-exact query — inject (deterministic PII + unicode forms, the
+    // t_pii_redact/t_unicode_nfc injections via the SHARED fragments),
+    // NFC-normalize, redact, quality-gate (integer token floor on the
+    // original text), exact-dedup (keep min doc_id per identical text —
+    // live duplicates exist at sf0.1). A single character of drift in
+    // any stage breaks the released-text hash. Plan shape: per-row
+    // codegen'd expressions + one window over the text key + the final
+    // sort — two shuffles total at any corpus size.
+    "p_release_pipeline" -> ((s, dir) => {
+      import graft.operators.Pii
+      val aug = concat(col("text"), Text.piiSuffixCol, lit(Text.uniSuffix))
+      val norm = graft.functions.TextFunctions.unicodeNormalize(aug, "NFC")
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("source"), norm.as("norm"))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      base
+        .filter(col("n_tok") >= 30 && col("rn") === 1)
+        .select(Seq(col("doc_id"), col("n_tok")) ++
+          Pii.countCols(col("norm")) :+
+          Pii.redactCol(col("norm")).as("released"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "p_train_mix" -> ((s, dir) => {
       val comp = dupComponents(s, dir)
       val dupDrops = comp.filter(col("id") =!= col("comp"))
@@ -360,6 +386,28 @@ object Curation {
 
     // word-shingle CTEs renamed (wt/wsh) — minhashPairsCtes already owns
     // the names t/sh
+    // composed from the SAME shared fragments as the stage rows
+    "p_release_pipeline" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text,
+         |    text || ${Text.piiSuffixSql} || ${Text.uniSuffixSql} AS aug
+         |  FROM documents),
+         |n AS (SELECT doc_id, text, nfc_normalize(aug) AS norm FROM aug),
+         |g AS (SELECT doc_id, norm,
+         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |      FROM n)
+         |SELECT doc_id, n_tok,
+         |  CAST(len(regexp_extract_all(norm, '${Text.EmailRegex}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(regexp_replace(norm, '${Text.EmailRegex}', '<EMAIL>', 'g'), '${Text.PhoneRegex}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(norm, '${Text.EmailRegex}', '<EMAIL>', 'g'), '${Text.PhoneRegex}', '<PHONE>', 'g'), '${Text.Ipv4Regex}')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    norm, '${Text.EmailRegex}', '<EMAIL>', 'g'),
+         |    '${Text.PhoneRegex}', '<PHONE>', 'g'),
+         |    '${Text.Ipv4Regex}', '<IP>', 'g') AS released
+         |FROM g WHERE n_tok >= 30 AND rn = 1
+         |ORDER BY doc_id""".stripMargin,
+
     "p_train_mix" ->
       s"""WITH RECURSIVE ${DedupQueries.minhashPairsCtes},
          |e AS (SELECT a_id AS s, b_id AS d FROM pairs

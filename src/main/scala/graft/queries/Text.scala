@@ -104,6 +104,42 @@ object Text {
   val PhoneRegex = "\\b555-[0-9]{3}-[0-9]{4}\\b"
   val Ipv4Regex  = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** Deterministic PII suffix (closed-form in doc_id/source) — ONE
+    * definition feeding t_pii_redact and the release-pipeline capstone
+    * on the Spark side, [[piiSuffixSql]] its oracle twin (the chunkCte
+    * rule: a drifted copy would split the hash-exact claim). */
+  private[queries] def piiSuffixCol: org.apache.spark.sql.Column = {
+    val ds = (c: org.apache.spark.sql.Column) => c.cast("string")
+    concat(
+      lit(" contact user"), ds(col("doc_id")), lit("@"), col("source"), lit(".org"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" or admin"), ds(col("doc_id")), lit("@example.com")))
+        .otherwise(lit("")),
+      lit(" call 555-"), lpad(ds(col("doc_id") % 1000), 3, "0"),
+      lit("-"), lpad(ds(col("doc_id") % 10000), 4, "0"),
+      lit(" from 10."), ds(col("doc_id") % 256),
+      lit("."), ds(expr("(doc_id div 7) % 256")),
+      lit("."), ds(col("doc_id") % 100))
+  }
+
+  private[queries] val piiSuffixSql: String =
+    """' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org' ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |    CAST((doc_id // 7) % 256 AS VARCHAR) || '.' ||
+      |    CAST(doc_id % 100 AS VARCHAR)""".stripMargin
+
+  /** Unicode suffix with decomposed (e+U+0301, a+U+0300) and
+    * precomposed (U+00E9) forms — shared by t_unicode_nfc and the
+    * capstone; [[uniSuffixSql]] is its chr()-built oracle twin. */
+  private[queries] val uniSuffix = " cafe\u0301 \u00e9clair a\u0300propos"
+  private[queries] val uniSuffixSql: String =
+    "' cafe' || chr(769) || ' ' || chr(233) || 'clair a' || chr(768) || 'propos'"
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Corpus profile by language.
     "t_lang_stats" -> ((s, dir) => {
@@ -250,18 +286,7 @@ object Text {
     // regex-dialect drift between Java and RE2 would break it. Per-row
     // codegen'd expressions only — no shuffle beyond the final sort.
     "t_pii_redact" -> ((s, dir) => {
-      val ds = (c: org.apache.spark.sql.Column) => c.cast("string")
-      val aug = concat(
-        col("text"),
-        lit(" contact user"), ds(col("doc_id")), lit("@"), col("source"), lit(".org"),
-        when(col("doc_id") % 2 === 0,
-          concat(lit(" or admin"), ds(col("doc_id")), lit("@example.com")))
-          .otherwise(lit("")),
-        lit(" call 555-"), lpad(ds(col("doc_id") % 1000), 3, "0"),
-        lit("-"), lpad(ds(col("doc_id") % 10000), 4, "0"),
-        lit(" from 10."), ds(col("doc_id") % 256),
-        lit("."), ds(expr("(doc_id div 7) % 256")),
-        lit("."), ds(col("doc_id") % 100))
+      val aug = concat(col("text"), piiSuffixCol)
       // scan + redact through the first-class operator (graft.operators
       // .Pii) — the catalog row is its hash-proven end-to-end exercise
       val counts = graft.operators.Pii.countCols(col("aug"))
@@ -284,8 +309,7 @@ object Text {
     // suffix is a Scala unicode literal here and chr() in the oracle —
     // byte-identical either way.)
     "t_unicode_nfc" -> ((s, dir) => {
-      val aug = concat(col("text"),
-        lit(" cafe\u0301 \u00e9clair a\u0300propos"))
+      val aug = concat(col("text"), lit(uniSuffix))
       t(s, dir)
         .select(col("doc_id"), aug.as("aug"))
         .select(col("doc_id"),
@@ -603,10 +627,8 @@ object Text {
     // nfc_normalize is the independent NFC implementation the codegen'd
     // expression must agree with, character for character
     "t_unicode_nfc" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    text || ' cafe' || chr(769) || ' ' || chr(233) || 'clair a'
-        |         || chr(768) || 'propos' AS aug
+      s"""WITH aug AS (
+        |  SELECT doc_id, text || $uniSuffixSql AS aug
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(length(aug) AS BIGINT) AS len_raw,
@@ -619,16 +641,7 @@ object Text {
     // closed-form expression chain over (doc_id, source)
     "t_pii_redact" ->
       s"""WITH aug AS (
-         |  SELECT doc_id,
-         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org' ||
-         |    CASE WHEN doc_id % 2 = 0
-         |         THEN ' or admin' || CAST(doc_id AS VARCHAR) || '@example.com'
-         |         ELSE '' END ||
-         |    ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
-         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
-         |    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
-         |    CAST((doc_id // 7) % 256 AS VARCHAR) || '.' ||
-         |    CAST(doc_id % 100 AS VARCHAR) AS aug
+         |  SELECT doc_id, text || $piiSuffixSql AS aug
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(aug, '$EmailRegex')) AS BIGINT) AS n_email,
