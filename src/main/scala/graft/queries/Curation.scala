@@ -18,6 +18,26 @@ import graft.operators.ConnectedComponents
 object Curation {
   private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** The STATELESS stage chain of the release pipeline — inject
+    * (deterministic PII + unicode forms), NFC-normalize, redact, count,
+    * token floor — as one reusable transform over any (doc_id, text,
+    * source) frame. ONE definition drives the batch capstone
+    * (p_release_pipeline) and the streaming twin
+    * ([[graft.streaming.StreamingRelease]]), so the two cannot drift;
+    * only the DEDUP stage differs (batch: min-doc_id window; streaming:
+    * durable first-arrival state). Output keeps `text` for the caller's
+    * dedup key. */
+  private[graft] def releaseTransform(df: DataFrame): DataFrame = {
+    import graft.operators.Pii
+    val aug = concat(col("text"), Text.piiSuffixCol, lit(Text.uniSuffix))
+    val norm = graft.functions.TextFunctions.unicodeNormalize(aug, "NFC")
+    df.select(col("doc_id"), col("text"), col("source"), norm.as("norm"))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .select(Seq(col("doc_id"), col("text"), col("n_tok")) ++
+        Pii.countCols(col("norm")) :+
+        Pii.redactCol(col("norm")).as("released"): _*)
+  }
+
   /** Memoized components of the MinHash near-dup pair graph:
     * d_dup_groups and d_dedup_resolve share one CC run per input dir.
     * The memo holds a parquet PATH, never a live DataFrame (the
@@ -180,19 +200,11 @@ object Curation {
     // codegen'd expressions + one window over the text key + the final
     // sort — two shuffles total at any corpus size.
     "p_release_pipeline" -> ((s, dir) => {
-      import graft.operators.Pii
-      val aug = concat(col("text"), Text.piiSuffixCol, lit(Text.uniSuffix))
-      val norm = graft.functions.TextFunctions.unicodeNormalize(aug, "NFC")
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("text"), col("source"), norm.as("norm"))
-        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      Curation.releaseTransform(docs(s, dir))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-      base
         .filter(col("n_tok") >= 30 && col("rn") === 1)
-        .select(Seq(col("doc_id"), col("n_tok")) ++
-          Pii.countCols(col("norm")) :+
-          Pii.redactCol(col("norm")).as("released"): _*)
+        .drop("text", "rn")
         .orderBy(col("doc_id"))
     }),
 
