@@ -45,7 +45,7 @@ object ScaleRehearsal {
     (0 until len).map(i =>
       word(seed * 6364136223846793005L + i * 1442695040888963407L, vocab))
 
-  private def mkDocs(spark: SparkSession, n: Int): DataFrame = {
+  private[tools] def mkDocs(spark: SparkSession, n: Int): DataFrame = {
     val vocab = math.max(99991L, n.toLong * 15)
     val boiler = tokens(99L, 80, vocab) // the shared boilerplate run
     val rows = (0 until n).map { i =>
