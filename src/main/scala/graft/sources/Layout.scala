@@ -136,12 +136,14 @@ object Layout {
   private val dppDimCache = new ConcurrentHashMap[String, String]()
   def priorityDim(s: SparkSession): String =
     dppDimCache.computeIfAbsent(s.sparkContext.applicationId, { _ =>
-      import s.implicits._
-      val out = graft.TempDirs.create("graft_dppdim_")
-      Seq(("click", 1), ("purchase", 1), ("view", 0),
-        ("signup", 0), ("error", 0)).toDF("t", "priority")
-        .coalesce(1).write.mode("overwrite").parquet(out)
-      out
+      graft.BuildLedger.timed("layout_dppdim") {
+        import s.implicits._
+        val out = graft.TempDirs.create("graft_dppdim_")
+        Seq(("click", 1), ("purchase", 1), ("view", 0),
+          ("signup", 0), ("error", 0)).toDF("t", "priority")
+          .coalesce(1).write.mode("overwrite").parquet(out)
+        out
+      }
     })
 
   /** Compact a parquet directory into ~`targetBytes` output files —
@@ -156,13 +158,11 @@ object Layout {
     * atomic-rename concern). */
   def compactDir(s: SparkSession, inDir: String,
                  targetBytes: Long = 128L * 1024 * 1024): String = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(inDir match {
-        case d if d.contains("://") => d
-        case d => s"file:$d"
-      }),
-      s.sparkContext.hadoopConfiguration)
+    // Path.getFileSystem resolves against fs.defaultFS exactly like the
+    // read side will — a hand-rolled file: fallback would size the
+    // LOCAL fs for schemeless paths on an hdfs-default deployment
     val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val out = graft.TempDirs.create("graft_compact_")
@@ -178,11 +178,13 @@ object Layout {
   private val fragCache = new ConcurrentHashMap[String, String]()
   def fragmentedEvents(s: SparkSession, dir: String, nShards: Int = 64): String =
     fragCache.computeIfAbsent(s"$dir|$nShards", { _ =>
-      val out = graft.TempDirs.create("graft_frag_")
-      s.read.parquet(s"$dir/events.parquet")
-        .repartition(nShards)
-        .write.mode("overwrite").parquet(out)
-      out
+      graft.BuildLedger.timed("layout_fragmented") {
+        val out = graft.TempDirs.create("graft_frag_")
+        s.read.parquet(s"$dir/events.parquet")
+          .repartition(nShards)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
     })
 
   /** The co-located fact⋈fact join on the bucketed tables — exposed for

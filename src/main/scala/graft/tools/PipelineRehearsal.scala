@@ -44,12 +44,16 @@ object PipelineRehearsal {
       val bpeS = (System.nanoTime() - t0) / 1e9
 
       val t1 = System.nanoTime()
-      val released = graft.queries.Curation.releaseTransform(docs)
+      val relFrame = graft.queries.Curation.releaseTransform(docs)
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id"))))
         .filter(col("n_tok") >= 30 && col("rn") === 1)
-        .count()
+      // noop sink, not count(): count() lets column pruning skip the
+      // normalize + redaction expressions — the dominant per-row work
+      // this timing exists to measure (the Bench sink rule)
+      relFrame.write.format("noop").mode("overwrite").save()
       val relS = (System.nanoTime() - t1) / 1e9
+      val released = relFrame.count()
 
       println(f"n=$n%7d distinct_words=$distinctWords%8d " +
         f"bpe12_s=$bpeS%7.2f top_merge=${merges.head.left}+${merges.head.right}(${merges.head.freq}) " +

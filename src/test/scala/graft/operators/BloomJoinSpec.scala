@@ -80,6 +80,16 @@ class BloomJoinSpec extends SparkSpec {
     // autoBroadcast off too: the rule (correctly) refuses to inject
     // when the creation side is broadcastable by size — a broadcast
     // join needs no runtime filter; at 100 TB neither side broadcasts
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    def joined() = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).count()
+    // baseline BEFORE the confs: an expected built while injection is
+    // active would be rewritten identically to q, and a filter that
+    // wrongly dropped rows would drop them from both sides
+    val expected = joined()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
@@ -87,20 +97,13 @@ class BloomJoinSpec extends SparkSpec {
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag")).count()
+      val q = joined()
       // assert on the optimized logical plan: the physical string
       // renders the filter's scalar subquery out-of-line under AQE
       val plan = q.queryExecution.optimizedPlan.toString
       assert(plan.contains("might_contain"),
         s"expected an injected runtime bloom filter:\n$plan")
       // and the filter must not change the answer
-      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("l_returnflag")).count()
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(got == expected)
     } finally saved.foreach {
