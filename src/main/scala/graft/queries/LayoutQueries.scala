@@ -124,6 +124,21 @@ object LayoutQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Avro round-trip END-TO-END through real container files — the
+    // third interchange format of the estate, served by OUR
+    // avro-mapred-based source (the spark-avro connector is not a
+    // dependency): supplier written as Avro and read back with the
+    // explicit reader schema, vs the oracle on the parquet. Hash match
+    // proves write+read lossless; reuse-safety and per-type coverage
+    // are AvroSpec's.
+    "s_avro_roundtrip" -> ((s, dir) => {
+      val path = graft.sources.Avro.supplierAvroMirror(s, dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      graft.sources.Avro.read(s, path, schema)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Dynamic partition pruning over the type-partitioned events
     // layout: the pruning predicate is NOT statically known — it comes
     // from a joined dimension's filter (priority = 1), so Catalyst
@@ -239,6 +254,10 @@ object LayoutQueries {
     "s_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s_avro_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "s_compact_scan" ->
       """SELECT event_type, count(*) AS n,
