@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-record Avro payload decode as a Catalyst EXPRESSION — the
+  * message-bus shape: a binary column of Avro-encoded records (Kafka
+  * values, event-bus payloads) decoded to a typed STRUCT inline in the
+  * plan, no UDF, no connector jar. The schema is a plan-time string
+  * literal, so the output StructType is fixed at analysis and column
+  * pruning / filter pushdown work above the decode as usual.
+  *
+  * THE SCHEMA MUST BE THE WRITER'S EXACT SCHEMA, nullability included:
+  * single-record encoding carries no writer schema to resolve against,
+  * so a union where the producer wrote a bare long mis-frames every
+  * subsequent byte (decoding then nulls the row via the survival
+  * path, it does not mis-decode silently — but the fix is the right
+  * schema, the one [[AvroFunctions.encodeMessages]] derives from the
+  * producing frame).
+  *
+  * Poisoned payloads return NULL instead of killing the scan (the
+  * media-decode contract): at bus scale a malformed message is an
+  * accounting row, not a job failure — pair with an `IS NULL` filter
+  * for the quarantine side.
+  */
+case class AvroDecode(child: Expression, schemaJson: String)
+    extends UnaryExpression {
+  override def prettyName: String = "avro_decode"
+  override def nullable: Boolean = true // malformed payloads decode to null
+
+  @transient private lazy val avroSchema =
+    new Schema.Parser().parse(schemaJson)
+  @transient private lazy val reader =
+    new GenericDatumReader[GenericRecord](avroSchema)
+
+  override val dataType: DataType = AvroDecode.catalystType(schemaJson)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"avro_decode needs a binary payload, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    try {
+      val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
+      val rec = reader.read(null, decoder)
+      val st = dataType.asInstanceOf[StructType]
+      val vals = new Array[Any](st.length)
+      var i = 0
+      while (i < st.length) {
+        val raw = rec.get(i)
+        vals(i) =
+          if (raw == null) null
+          else st(i).dataType match {
+            case StringType => UTF8String.fromString(raw.toString)
+            case BinaryType =>
+              val bb = raw.asInstanceOf[java.nio.ByteBuffer]
+              val out = new Array[Byte](bb.remaining())
+              bb.duplicate().get(out); out
+            case _ => raw
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    } catch {
+      case _: Exception => null // scan-survival: poisoned payload -> null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val expr = ctx.addReferenceObj("avrodec", this, classOf[AvroDecode].getName)
+      s"""
+         |Object r = $expr.nullSafeEval($c);
+         |if (r == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = (${classOf[InternalRow].getName}) r;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object AvroDecode {
+  /** Avro record schema JSON -> Catalyst StructType (the analytics
+    * subset; unions must be (null, T)). */
+  def catalystType(schemaJson: String): StructType = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    require(schema.getType == Schema.Type.RECORD,
+      s"avro_decode needs a record schema, got ${schema.getType}")
+    def leaf(s: Schema): DataType = s.getType match {
+      case Schema.Type.LONG => LongType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro type: $other")
+    }
+    StructType(schema.getFields.toArray.map { f0 =>
+      val f = f0.asInstanceOf[Schema.Field]
+      val (t, nullable) = f.schema().getType match {
+        case Schema.Type.UNION =>
+          val branches = f.schema().getTypes
+          require(branches.size == 2 &&
+            branches.get(0).getType == Schema.Type.NULL,
+            s"only (null, T) unions supported: ${f.schema()}")
+          (leaf(branches.get(1)), true)
+        case _ => (leaf(f.schema()), false)
+      }
+      StructField(f.name(), t, nullable)
+    })
+  }
+}
+
+object AvroFunctions {
+  /** Decode a binary Avro-payload column to a struct. */
+  def avroDecode(payload: Column, schemaJson: String): Column =
+    Bridge.column(AvroDecode(Bridge.expression(payload), schemaJson))
+
+  /** Encode each row of `df` to single-record Avro bytes — the message
+    * PRODUCER side, for round-trip proofs and bus-landing simulation.
+    * One encoder per partition, re-used buffer, no driver involvement. */
+  def encodeMessages(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val structType = df.schema
+    val avroJson = graft.sources.Avro.avroSchemaFor(structType).toString
+    val enc = df.rdd.mapPartitions { rows =>
+      val schema = new Schema.Parser().parse(avroJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val bos = new java.io.ByteArrayOutputStream(256)
+      rows.map { r =>
+        bos.reset()
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        var i = 0
+        while (i < structType.length) {
+          val v = if (r.isNullAt(i)) null else structType(i).dataType match {
+            case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+            case _ => r.get(i).asInstanceOf[AnyRef]
+          }
+          rec.put(i, v)
+          i += 1
+        }
+        val e = EncoderFactory.get().binaryEncoder(bos, null)
+        writer.write(rec, e)
+        e.flush()
+        org.apache.spark.sql.Row(bos.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(enc,
+      StructType(Seq(StructField("payload", BinaryType, nullable = false))))
+  }
+}

@@ -57,6 +57,10 @@ object GraftFunctionRegistry {
       arity("unicode_normalize", 2)(args)
       UnicodeNormalize(args(0), litString(args(1), "unicode_normalize form"))
     },
+    "avro_decode" -> { args =>
+      arity("avro_decode", 2)(args)
+      AvroDecode(args(0), litString(args(1), "avro_decode schema"))
+    },
     "md5_minhash" -> { args =>
       arity("md5_minhash", 2)(args)
       Md5MinHash(args(0), litInt(args(1), "md5_minhash numHashes"))

@@ -139,6 +139,22 @@ object LayoutQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Message-bus payload decode: every supplier row encoded to
+    // single-record Avro bytes (the Kafka-value shape) and decoded back
+    // INLINE in the plan by the avro_decode expression — no UDF, no
+    // connector. Hash match vs the parquet oracle proves the
+    // encode -> binary column -> expression-decode chain is lossless;
+    // poisoned-payload null-routing is AvroSpec's.
+    "s_avro_messages" -> ((s, dir) => {
+      import graft.functions.AvroFunctions
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val schemaJson = graft.sources.Avro.avroSchemaFor(sup.schema).toString
+      AvroFunctions.encodeMessages(sup)
+        .select(AvroFunctions.avroDecode(col("payload"), schemaJson).as("m"))
+        .select(col("m.*"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Dynamic partition pruning over the type-partitioned events
     // layout: the pruning predicate is NOT statically known — it comes
     // from a joined dimension's filter (priority = 1), so Catalyst
@@ -256,6 +272,11 @@ object LayoutQueries {
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "s_avro_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // the oracle never sees the payload bytes (the media-decode rule)
+    "s_avro_messages" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
 

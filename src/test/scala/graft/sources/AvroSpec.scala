@@ -75,6 +75,60 @@ class AvroSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("avro_decode: message round-trip across the type matrix; poisoned payloads null out") {
+    import graft.functions.AvroFunctions
+    val schema = StructType.fromDDL(
+      "l BIGINT, i INT, d DOUBLE, s STRING, bin BINARY")
+    val rows = Seq(
+      Row(1L, 2, 3.5, "alpha", Array[Byte](9, 8)),
+      Row(null, null, null, null, null),
+      Row(7L, -1, 0.0, "", Array.empty[Byte]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val schemaJson = Avro.avroSchemaFor(schema).toString
+    val decoded = AvroFunctions.encodeMessages(df)
+      .select(AvroFunctions.avroDecode(col("payload"), schemaJson).as("m"))
+      .select(col("m.*"))
+    val got = decoded.collect().sortBy(r =>
+      Option(r.get(0)).map(_.toString).getOrElse(""))
+    assert(got.length == 3)
+    val full = got.find(_.get(0) == 1L).get
+    assert(full.getInt(1) == 2 && full.getString(3) == "alpha" &&
+      full.getAs[Array[Byte]](4).toSeq == Seq[Byte](9, 8))
+    assert(got.exists(r => r.isNullAt(0) && r.isNullAt(3)))
+    // scan survival: truncated/garbage payloads decode to NULL, the
+    // good rows keep flowing (quarantine via IS NULL)
+    import spark.implicits._
+    val poisoned = AvroFunctions.encodeMessages(df)
+      .union(Seq(Array[Byte](1), Array.empty[Byte]).toDF("payload"))
+    val m = poisoned
+      .select(AvroFunctions.avroDecode(col("payload"), schemaJson).as("m"))
+    assert(m.filter(col("m").isNull).count() >= 1)
+    assert(m.filter(col("m").isNotNull).count() == 3)
+  }
+
+  test("avro_decode resolves from SQL; non-record schema fails loudly") {
+    graft.functions.GraftFunctionRegistry.registerAll(spark)
+    // the decode schema must be the WRITER'S exact schema — including
+    // nullability (toDF makes tuple fields non-nullable; a union where
+    // the writer wrote a bare long mis-frames every later byte, since
+    // single-record encoding carries no writer schema to resolve
+    // against). Derive it from the same frame that encodes.
+    import spark.implicits._
+    val df = Seq((5L, "x")).toDF("id", "s")
+    val schemaJson = Avro.avroSchemaFor(df.schema).toString.replace("\"", "\\\"")
+    val msgs = graft.functions.AvroFunctions.encodeMessages(df)
+    msgs.createOrReplaceTempView("graft_avro_msgs")
+    val r = spark.sql(
+      s"""SELECT avro_decode(payload, "${schemaJson}").s AS s
+         |FROM graft_avro_msgs""".stripMargin).head
+    assert(r.getString(0) == "x")
+    val bad = intercept[Exception](
+      graft.functions.AvroDecode(org.apache.spark.sql.catalyst.expressions.Literal(
+        Array[Byte](1)), "\"long\"").dataType)
+    assert(bad.getMessage.contains("record"))
+  }
+
   test("supplier mirror round-trips against the parquet ground truth") {
     val path = Avro.supplierAvroMirror(spark, sfDir)
     val schema = StructType.fromDDL(
