@@ -41,7 +41,10 @@ case class AvroDecode(child: Expression, schemaJson: String)
   @transient private lazy val reader =
     new GenericDatumReader[GenericRecord](avroSchema)
 
-  override val dataType: DataType = AvroDecode.catalystType(schemaJson)
+  // lazy: tree copies (withNewChildInternal etc.) happen dozens of
+  // times per plan; re-parsing the schema JSON on each would be
+  // plan-time waste growing with schema size
+  override lazy val dataType: DataType = AvroDecode.catalystType(schemaJson)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -55,6 +58,11 @@ case class AvroDecode(child: Expression, schemaJson: String)
     try {
       val decoder = DecoderFactory.get().binaryDecoder(bytes, null)
       val rec = reader.read(null, decoder)
+      // a decode that leaves trailing bytes consumed a prefix under a
+      // wrong-but-prefix-compatible schema — that is a mis-framed
+      // payload, not a success (the documented null-don't-mis-decode
+      // contract)
+      if (!decoder.isEnd) return null
       val st = dataType.asInstanceOf[StructType]
       val vals = new Array[Any](st.length)
       var i = 0
@@ -81,10 +89,12 @@ case class AvroDecode(child: Expression, schemaJson: String)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val expr = ctx.addReferenceObj("avrodec", this, classOf[AvroDecode].getName)
+      // freshName: two decodes in one codegen scope must not collide
+      val r = ctx.freshName("avroRec")
       s"""
-         |Object r = $expr.nullSafeEval($c);
-         |if (r == null) { ${ev.isNull} = true; } else {
-         |  ${ev.value} = (${classOf[InternalRow].getName}) r;
+         |Object $r = $expr.nullSafeEval($c);
+         |if ($r == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = (${classOf[InternalRow].getName}) $r;
          |}
        """.stripMargin
     })
@@ -142,20 +152,14 @@ object AvroFunctions {
       val schema = new Schema.Parser().parse(avroJson)
       val writer = new GenericDatumWriter[GenericRecord](schema)
       val bos = new java.io.ByteArrayOutputStream(256)
+      // encoder REUSED across the partition via the factory's reuse
+      // parameter (a fresh buffered encoder per row is ~2KB of garbage
+      // on the hot path)
+      var e: org.apache.avro.io.BinaryEncoder = null
       rows.map { r =>
         bos.reset()
-        val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        var i = 0
-        while (i < structType.length) {
-          val v = if (r.isNullAt(i)) null else structType(i).dataType match {
-            case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-            case _ => r.get(i).asInstanceOf[AnyRef]
-          }
-          rec.put(i, v)
-          i += 1
-        }
-        val e = EncoderFactory.get().binaryEncoder(bos, null)
-        writer.write(rec, e)
+        e = EncoderFactory.get().binaryEncoder(bos, e)
+        writer.write(graft.sources.Avro.rowToRecord(schema, structType, r), e)
         e.flush()
         org.apache.spark.sql.Row(bos.toByteArray)
       }

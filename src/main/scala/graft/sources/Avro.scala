@@ -56,6 +56,24 @@ object Avro {
     rec
   }
 
+  /** Row -> GenericRecord under the field-type contract — ONE
+    * definition shared by the container writer and the message encoder
+    * (a drifted copy would fork the type mapping). */
+  private[graft] def rowToRecord(schema: Schema, structType: StructType,
+                                 r: Row): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < structType.length) {
+      val v = if (r.isNullAt(i)) null else structType(i).dataType match {
+        case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+        case _ => r.get(i).asInstanceOf[AnyRef]
+      }
+      rec.put(i, v)
+      i += 1
+    }
+    rec
+  }
+
   /** Write a frame as Avro container files under `path`. */
   def write(df: DataFrame, path: String): Unit = {
     val structType = df.schema
@@ -63,17 +81,8 @@ object Avro {
     val rdd = df.rdd.mapPartitions { rows =>
       val schema = new Schema.Parser().parse(avroJson)
       rows.map { r =>
-        val rec = new GenericData.Record(schema)
-        var i = 0
-        while (i < structType.length) {
-          val v = if (r.isNullAt(i)) null else structType(i).dataType match {
-            case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-            case _ => r.get(i).asInstanceOf[AnyRef]
-          }
-          rec.put(i, v)
-          i += 1
-        }
-        (new AvroKey[GenericRecord](rec), NullWritable.get)
+        (new AvroKey[GenericRecord](rowToRecord(schema, structType, r)),
+          NullWritable.get)
       }
     }
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)

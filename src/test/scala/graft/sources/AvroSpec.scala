@@ -107,6 +107,24 @@ class AvroSpec extends SparkSpec {
     assert(m.filter(col("m").isNotNull).count() == 3)
   }
 
+  test("avro_decode: a prefix-compatible wrong schema NULLS, never mis-decodes; two decodes coexist in one projection") {
+    import graft.functions.AvroFunctions
+    import spark.implicits._
+    val df = Seq((5L, "x")).toDF("id", "s")
+    val rightJson = Avro.avroSchemaFor(df.schema).toString
+    // field-prefix schema: would decode id and leave s's bytes trailing
+    val prefixJson = Avro.avroSchemaFor(
+      StructType(Seq(df.schema.fields.head))).toString
+    val msgs = AvroFunctions.encodeMessages(df)
+    val both = msgs.select(
+      AvroFunctions.avroDecode(col("payload"), rightJson).as("good"),
+      AvroFunctions.avroDecode(col("payload"), prefixJson).as("bad"))
+    val r = both.head
+    assert(!r.isNullAt(0) && r.getStruct(0).getLong(0) == 5L)
+    assert(r.isNullAt(1),
+      "a decode that leaves trailing bytes must null, not return a prefix")
+  }
+
   test("avro_decode resolves from SQL; non-record schema fails loudly") {
     graft.functions.GraftFunctionRegistry.registerAll(spark)
     // the decode schema must be the WRITER'S exact schema — including
