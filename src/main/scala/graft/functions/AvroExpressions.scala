@@ -63,24 +63,7 @@ case class AvroDecode(child: Expression, schemaJson: String)
       // payload, not a success (the documented null-don't-mis-decode
       // contract)
       if (!decoder.isEnd) return null
-      val st = dataType.asInstanceOf[StructType]
-      val vals = new Array[Any](st.length)
-      var i = 0
-      while (i < st.length) {
-        val raw = rec.get(i)
-        vals(i) =
-          if (raw == null) null
-          else st(i).dataType match {
-            case StringType => UTF8String.fromString(raw.toString)
-            case BinaryType =>
-              val bb = raw.asInstanceOf[java.nio.ByteBuffer]
-              val out = new Array[Byte](bb.remaining())
-              bb.duplicate().get(out); out
-            case _ => raw
-          }
-        i += 1
-      }
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      AvroDecode.toInternalStruct(dataType.asInstanceOf[StructType], rec)
     } catch {
       case _: Exception => null // scan-survival: poisoned payload -> null
     }
@@ -104,36 +87,75 @@ case class AvroDecode(child: Expression, schemaJson: String)
 }
 
 object AvroDecode {
-  /** Avro record schema JSON -> Catalyst StructType (the analytics
-    * subset; unions must be (null, T)). */
+  /** Avro record schema JSON -> Catalyst StructType. Arrays map to
+    * ArrayType (element nullability from a (null, T) union on the
+    * element), nested records to nested StructTypes — recursively,
+    * mirroring [[graft.sources.Avro.avroSchemaFor]]. Unions must be
+    * (null, T). */
   def catalystType(schemaJson: String): StructType = {
     val schema = new Schema.Parser().parse(schemaJson)
     require(schema.getType == Schema.Type.RECORD,
       s"avro_decode needs a record schema, got ${schema.getType}")
-    def leaf(s: Schema): DataType = s.getType match {
-      case Schema.Type.LONG => LongType
-      case Schema.Type.INT => IntegerType
-      case Schema.Type.DOUBLE => DoubleType
-      case Schema.Type.FLOAT => FloatType
-      case Schema.Type.BOOLEAN => BooleanType
-      case Schema.Type.STRING => StringType
-      case Schema.Type.BYTES => BinaryType
-      case other => throw new IllegalArgumentException(
-        s"unsupported Avro type: $other")
-    }
-    StructType(schema.getFields.toArray.map { f0 =>
+    struct(schema)
+  }
+
+  /** (datatype, nullable) for a possibly-union-wrapped Avro schema. */
+  private def convert(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes
+      require(branches.size == 2 &&
+        branches.get(0).getType == Schema.Type.NULL,
+        s"only (null, T) unions supported: $s")
+      (convert(branches.get(1))._1, true)
+    case Schema.Type.LONG => (LongType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = convert(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.RECORD => (struct(s), false)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Avro type: $other")
+  }
+
+  private def struct(s: Schema): StructType =
+    StructType(s.getFields.toArray.map { f0 =>
       val f = f0.asInstanceOf[Schema.Field]
-      val (t, nullable) = f.schema().getType match {
-        case Schema.Type.UNION =>
-          val branches = f.schema().getTypes
-          require(branches.size == 2 &&
-            branches.get(0).getType == Schema.Type.NULL,
-            s"only (null, T) unions supported: ${f.schema()}")
-          (leaf(branches.get(1)), true)
-        case _ => (leaf(f.schema()), false)
-      }
+      val (t, nullable) = convert(f.schema())
       StructField(f.name(), t, nullable)
     })
+
+  /** Decoded Avro value -> Catalyst INTERNAL value (UTF8String,
+    * GenericArrayData, GenericInternalRow), recursively. */
+  private def toInternal(dt: DataType, raw: Any): Any =
+    if (raw == null) null else dt match {
+      case StringType => UTF8String.fromString(raw.toString)
+      case BinaryType =>
+        val bb = raw.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out); out
+      case ArrayType(et, _) =>
+        val c = raw.asInstanceOf[java.util.Collection[_]]
+        val out = new Array[Any](c.size)
+        val it = c.iterator(); var i = 0
+        while (it.hasNext) { out(i) = toInternal(et, it.next()); i += 1 }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case st: StructType => toInternalStruct(st, raw.asInstanceOf[GenericRecord])
+      case _ => raw
+    }
+
+  private[functions] def toInternalStruct(st: StructType, rec: GenericRecord): InternalRow = {
+    val vals = new Array[Any](st.length)
+    var i = 0
+    while (i < st.length) {
+      vals(i) = toInternal(st(i).dataType, rec.get(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }
 

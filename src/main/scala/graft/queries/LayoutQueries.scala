@@ -155,6 +155,47 @@ object LayoutQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Vector round-trip through the Avro layer — the engine's own
+    // native column type (embedding: array<float>) through its own
+    // container format: embeddings written as Avro (array-of-float
+    // fields as Avro arrays) and read back, every element pinned by a
+    // position-weighted integer digest vs the parquet oracle. A hash
+    // match proves element values AND order AND length survive; a
+    // dropped, reordered, or truncated element shifts the digest.
+    "s_avro_embeddings" -> ((s, dir) => {
+      val path = graft.sources.Avro.embeddingsAvroMirror(s, dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+      graft.sources.Avro.read(s, path, schema)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p0", "x")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("dim"),
+          sum(floor(col("x").cast("double") * lit(1000000L)).cast("long")
+            * (col("p0") + 1)).as("digest"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Embeddings over the message bus: each embeddings row encoded to
+    // single-record Avro bytes and decoded back INLINE by avro_decode
+    // (array-carrying payloads — the shape a training-data pipeline
+    // actually ingests from Kafka), digested as above vs the same
+    // parquet oracle.
+    "s_avro_vec_messages" -> ((s, dir) => {
+      import graft.functions.AvroFunctions
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val schemaJson = graft.sources.Avro.avroSchemaFor(emb.schema).toString
+      AvroFunctions.encodeMessages(emb)
+        .select(AvroFunctions.avroDecode(col("payload"), schemaJson).as("m"))
+        .select(col("m.vec_id").as("vec_id"), col("m.label").as("label"),
+          posexplode(col("m.embedding")).as(Seq("p0", "x")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("dim"),
+          sum(floor(col("x").cast("double") * lit(1000000L)).cast("long")
+            * (col("p0") + 1)).as("digest"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Dynamic partition pruning over the type-partitioned events
     // layout: the pruning predicate is NOT statically known — it comes
     // from a joined dimension's filter (priority = 1), so Catalyst
@@ -274,6 +315,24 @@ object LayoutQueries {
     "s_avro_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    // the oracle never sees the Avro bytes: it digests the PARQUET
+    // embeddings with the same position-weighted integer formula (both
+    // sides quantize identical float->double-exact values in identical
+    // order, so the integer arithmetic is bit-for-bit)
+    "s_avro_embeddings" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST((SELECT sum(CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) * p)
+        |   FROM (SELECT unnest(embedding) AS x,
+        |                generate_subscripts(embedding, 1) AS p)) AS BIGINT) AS digest
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "s_avro_vec_messages" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+        | CAST((SELECT sum(CAST(floor(CAST(x AS DOUBLE)*1000000) AS BIGINT) * p)
+        |   FROM (SELECT unnest(embedding) AS x,
+        |                generate_subscripts(embedding, 1) AS p)) AS BIGINT) AS digest
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // the oracle never sees the payload bytes (the media-decode rule)
     "s_avro_messages" ->

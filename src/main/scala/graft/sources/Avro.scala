@@ -24,16 +24,25 @@ import org.apache.spark.sql.types._
   *    copied out (Utf8 -> String, ByteBuffer -> Array[Byte]) inside
   *    the same iterator step that received it — holding a datum across
   *    steps would silently see later rows' values.
-  *  - Supported field types are the analytics subset both sides of the
-  *    catalog use: long/int/double/float/boolean/string/binary,
-  *    nullable via union(null, T). Anything else throws at plan time,
-  *    not null-corrupts at runtime (the Tables.normalizeEventTs rule).
+  *  - Supported field types: long/int/double/float/boolean/string/
+  *    binary, plus `array<T>` (Avro array, element nullability as a
+  *    (null, T) union on the element) and nested structs (nested
+  *    named records) — recursively, so `array<struct<...>>` and
+  *    deeper shapes work too. Nullable via union(null, T). Maps and
+  *    anything else throw at plan time, not null-corrupt at runtime
+  *    (the Tables.normalizeEventTs rule).
   */
 object Avro {
 
-  /** StructType -> Avro record schema (nullable unions per field). */
+  /** StructType -> Avro record schema (nullable unions per field).
+    * Arrays map to Avro arrays (element nullability as a (null, T)
+    * union on the ELEMENT schema) and nested structs to nested named
+    * records — so the engine's own native column type
+    * (`embedding: array<float>`, the testdata contract) rides its own
+    * bus. Nested record names are parent-qualified: Avro requires
+    * distinct full names per named type in one schema. */
   def avroSchemaFor(schema: StructType, recordName: String = "row"): Schema = {
-    def leaf(dt: DataType): Schema = dt match {
+    def convert(dt: DataType, path: String): Schema = dt match {
       case LongType => Schema.create(Schema.Type.LONG)
       case IntegerType => Schema.create(Schema.Type.INT)
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
@@ -41,20 +50,83 @@ object Avro {
       case BooleanType => Schema.create(Schema.Type.BOOLEAN)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case ArrayType(elem, containsNull) =>
+        Schema.createArray(nullableWrap(convert(elem, path + "_item"), containsNull))
+      case st: StructType => record(st, path)
       case other => throw new IllegalArgumentException(
         s"unsupported Avro field type: $other")
     }
-    val fields = schema.fields.map { f =>
-      val base = leaf(f.dataType)
-      val t = if (f.nullable)
-        Schema.createUnion(Schema.create(Schema.Type.NULL), base)
-      else base
-      new Schema.Field(f.name, t, null, null)
+    def record(st: StructType, name: String): Schema = {
+      val fields = st.fields.map { f =>
+        val t = nullableWrap(convert(f.dataType, s"${name}_${f.name}"), f.nullable)
+        new Schema.Field(f.name, t, null, null)
+      }
+      val rec = Schema.createRecord(name, null, "graft", false)
+      rec.setFields(java.util.Arrays.asList(fields: _*))
+      rec
     }
-    val rec = Schema.createRecord(recordName, null, "graft", false)
-    rec.setFields(java.util.Arrays.asList(fields: _*))
-    rec
+    record(schema, recordName)
   }
+
+  private def nullableWrap(base: Schema, nullable: Boolean): Schema =
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+    else base
+
+  /** A possibly-(null, T)-union schema -> its value branch. */
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) s.getTypes.get(1) else s
+
+  /** Spark EXTERNAL value -> Avro value under the matching (possibly
+    * union-wrapped) Avro schema — the recursive arm rowToRecord and the
+    * container writer share. */
+  private def toAvro(dt: DataType, fieldSchema: Schema, v: Any): AnyRef =
+    if (v == null) null else dt match {
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ArrayType(elem, _) =>
+        val arr = unwrap(fieldSchema)
+        val seq = v.asInstanceOf[scala.collection.Seq[_]]
+        val out = new java.util.ArrayList[AnyRef](seq.length)
+        val it = seq.iterator
+        while (it.hasNext) out.add(toAvro(elem, arr.getElementType, it.next()))
+        out
+      case st: StructType =>
+        val rs = unwrap(fieldSchema)
+        val r = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(rs)
+        var i = 0
+        while (i < st.length) {
+          rec.put(i, toAvro(st(i).dataType, rs.getFields.get(i).schema(),
+            if (r.isNullAt(i)) null else r.get(i)))
+          i += 1
+        }
+        rec
+      case _ => v.asInstanceOf[AnyRef]
+    }
+
+  /** Avro value -> Spark EXTERNAL value. COPIES every string/binary/
+    * array/record out (the record-reuse contract: the avro-mapred
+    * reader reuses datum objects across next() calls). */
+  private def fromAvro(dt: DataType, raw: Any): Any =
+    if (raw == null) null else dt match {
+      case StringType => raw.toString
+      case BinaryType =>
+        val bb = raw.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out); out
+      case ArrayType(elem, _) =>
+        val c = raw.asInstanceOf[java.util.Collection[_]]
+        val out = new Array[Any](c.size)
+        val it = c.iterator(); var i = 0
+        while (it.hasNext) { out(i) = fromAvro(elem, it.next()); i += 1 }
+        out.toIndexedSeq
+      case st: StructType =>
+        val rec = raw.asInstanceOf[GenericRecord]
+        val vals = new Array[Any](st.length)
+        var i = 0
+        while (i < st.length) { vals(i) = fromAvro(st(i).dataType, rec.get(i)); i += 1 }
+        Row.fromSeq(vals.toIndexedSeq)
+      case _ => raw
+    }
 
   /** Row -> GenericRecord under the field-type contract — ONE
     * definition shared by the container writer and the message encoder
@@ -64,11 +136,8 @@ object Avro {
     val rec = new GenericData.Record(schema)
     var i = 0
     while (i < structType.length) {
-      val v = if (r.isNullAt(i)) null else structType(i).dataType match {
-        case BinaryType => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-        case _ => r.get(i).asInstanceOf[AnyRef]
-      }
-      rec.put(i, v)
+      rec.put(i, toAvro(structType(i).dataType, schema.getFields.get(i).schema(),
+        if (r.isNullAt(i)) null else r.get(i)))
       i += 1
     }
     rec
@@ -87,6 +156,13 @@ object Avro {
     }
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avroJson))
+    // pin the writer's data model to GenericData: the format's default
+    // ReflectDatumWriter resolves union-typed ARRAY ELEMENTS through
+    // Java reflection against our record names (which are schema names,
+    // not classes) and NPEs; GenericDatumWriter resolves unions by
+    // datum shape, which is what GenericRecord rows are
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      job.getConfiguration, classOf[GenericData])
     rdd.saveAsNewAPIHadoopFile(path,
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
       classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
@@ -98,6 +174,11 @@ object Avro {
     val avroJson = avroSchemaFor(schema).toString
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
     AvroJob.setInputKeySchema(job, new Schema.Parser().parse(avroJson))
+    // GenericData reader for the same reason as the writer: the default
+    // ReflectDatumReader resolves our schema-only record names through
+    // Java reflection and NPEs on union-typed array elements
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      job.getConfiguration, classOf[GenericData])
     val n = schema.length
     val types = schema.fields.map(_.dataType)
     val rdd = spark.sparkContext.newAPIHadoopFile(
@@ -113,17 +194,7 @@ object Avro {
           val vals = new Array[Any](n)
           var i = 0
           while (i < n) {
-            val raw = rec.get(i)
-            vals(i) =
-              if (raw == null) null
-              else types(i) match {
-                case StringType => raw.toString
-                case BinaryType =>
-                  val bb = raw.asInstanceOf[java.nio.ByteBuffer]
-                  val out = new Array[Byte](bb.remaining())
-                  bb.duplicate().get(out); out
-                case _ => raw
-              }
+            vals(i) = fromAvro(types(i), rec.get(i))
             i += 1
           }
           Row.fromSeq(vals.toIndexedSeq)
@@ -142,6 +213,20 @@ object Avro {
       graft.BuildLedger.timed("avro_mirror") {
         val out = graft.TempDirs.create("graft_avro_") + "/supplier"
         write(spark.read.parquet(s"$dir/supplier.parquet"), out)
+        out
+      }
+    })
+
+  /** Path-memoized Avro mirror of the embeddings table — the engine's
+    * own native vector type (`embedding: array<float>`) through its own
+    * Avro layer. The s_avro_embeddings catalog row reads THIS and
+    * digests every element positionally vs the parquet oracle. */
+  private val vecCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def embeddingsAvroMirror(spark: SparkSession, dir: String): String =
+    vecCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("avro_vec_mirror") {
+        val out = graft.TempDirs.create("graft_avro_") + "/embeddings"
+        write(spark.read.parquet(s"$dir/embeddings.parquet"), out)
         out
       }
     })

@@ -68,6 +68,57 @@ class AvroSpec extends SparkSpec {
       .agg(sum(col("id"))).head.getLong(0) == (0 until 1000).map(_.toLong).sum)
   }
 
+  test("array<float> + element nullability round-trips exactly (the embeddings shape)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType, containsNull = true), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -1.25f, 3.0f), Seq("a", "b")),
+      Row(2L, Seq(1.0f, null, 2.0f), Seq.empty[String]), // null ELEMENT survives
+      Row(3L, null, null), // null ARRAY survives
+      Row(4L, Seq.empty[Float], Seq("only")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp()
+    Avro.write(df, path)
+    val back = Avro.read(spark, path, schema).collect().sortBy(_.getLong(0))
+    assert(back.length == 4)
+    assert(back(0).getSeq[Float](1) == Seq(0.5f, -1.25f, 3.0f) &&
+      back(0).getSeq[String](2) == Seq("a", "b"))
+    assert(back(1).getSeq[Any](1) == Seq(1.0f, null, 2.0f),
+      "a null element must survive, in position")
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+    assert(back(3).getSeq[Float](1).isEmpty,
+      "empty array must stay empty, not become null")
+  }
+
+  test("nested struct and array<struct> round-trip (one level and beyond)") {
+    val inner = StructType(Seq(
+      StructField("x", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", inner, nullable = true),
+      StructField("parts", ArrayType(inner, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, Row(1.5, "m1"), Seq(Row(2.5, "p1"), Row(null, "p2"))),
+      Row(2L, null, Seq(null, Row(9.0, null))),
+      Row(3L, Row(null, null), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = tmp()
+    Avro.write(df, path)
+    val back = Avro.read(spark, path, schema).collect().sortBy(_.getLong(0))
+    assert(back(0).getStruct(1).getDouble(0) == 1.5 &&
+      back(0).getStruct(1).getString(1) == "m1")
+    val parts0 = back(0).getSeq[Row](2)
+    assert(parts0.length == 2 && parts0(0).getDouble(0) == 2.5 &&
+      parts0(1).isNullAt(0) && parts0(1).getString(1) == "p2")
+    assert(back(1).isNullAt(1) && back(1).getSeq[Row](2).head == null)
+    assert(back(2).getStruct(1).isNullAt(0) && back(2).isNullAt(2))
+  }
+
   test("unsupported field types fail loudly at plan time") {
     val bad = StructType(Seq(StructField("m",
       MapType(StringType, LongType), nullable = true)))
@@ -145,6 +196,54 @@ class AvroSpec extends SparkSpec {
       graft.functions.AvroDecode(org.apache.spark.sql.catalyst.expressions.Literal(
         Array[Byte](1)), "\"long\"").dataType)
     assert(bad.getMessage.contains("record"))
+  }
+
+  test("avro_decode: array-carrying messages decode inline (embeddings over the bus)") {
+    import graft.functions.AvroFunctions
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = true),
+      StructField("embedding", ArrayType(FloatType, containsNull = true), nullable = true),
+      StructField("label", IntegerType, nullable = true)))
+    val rows = Seq(
+      Row(1L, Seq(0.25f, -0.5f, 2.0f), 7),
+      Row(2L, Seq(1.0f, null), null),
+      Row(3L, null, 0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val schemaJson = Avro.avroSchemaFor(schema).toString
+    val got = AvroFunctions.encodeMessages(df)
+      .select(AvroFunctions.avroDecode(col("payload"), schemaJson).as("m"))
+      .select(col("m.*"))
+      .collect().sortBy(_.getLong(0))
+    assert(got.length == 3)
+    assert(got(0).getSeq[Float](1) == Seq(0.25f, -0.5f, 2.0f) &&
+      got(0).getInt(2) == 7)
+    assert(got(1).getSeq[Any](1) == Seq(1.0f, null) && got(1).isNullAt(2),
+      "null element and null scalar must survive the bus")
+    assert(got(2).isNullAt(1))
+    // the decoded array is a first-class column: expression arithmetic
+    // (aggregate over elements) works directly on it
+    val s = AvroFunctions.encodeMessages(df)
+      .select(AvroFunctions.avroDecode(col("payload"), schemaJson).as("m"))
+      .filter(col("m.vec_id") === 1L)
+      .select(aggregate(col("m.embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double")).as("s"))
+      .head.getDouble(0)
+    assert(math.abs(s - 1.75) < 1e-9)
+  }
+
+  test("embeddings mirror round-trips against the parquet ground truth") {
+    val path = Avro.embeddingsAvroMirror(spark, sfDir)
+    val schema = StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+    val avro = Avro.read(spark, path, schema)
+    val pq = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    assert(avro.count() == pq.count())
+    val mismatch = avro.as("a").join(pq.as("p"), Seq("vec_id"))
+      .filter(!(col("a.embedding") <=> col("p.embedding")) ||
+        !(col("a.label") <=> col("p.label")))
+      .count()
+    assert(mismatch == 0L, "every float element must round-trip bit-exactly")
   }
 
   test("supplier mirror round-trips against the parquet ground truth") {
