@@ -36,6 +36,12 @@ object Containment {
             num: Int = 4, den: Int = 5,
             maxDf: Int = Int.MaxValue): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
+    pairsExact(explodedShingles(docs, shingleLen), num, den, maxDf)
+  }
+
+  /** (doc_id, s) distinct shingle-hash rows — the shared front end of
+    * both routes. */
+  private def explodedShingles(docs: DataFrame, shingleLen: Int): DataFrame =
     // charShingleHashes is array_distinct per doc, so (doc_id, s) is
     // already unique after the explode — no dedup shuffle needed. The
     // shingle is 64-bit-HASHED inside the per-doc transform, before the
@@ -46,10 +52,13 @@ object Containment {
     // absent a 64-bit collision (P ~ n^2/2^65 — immaterial even at
     // 100 TB), so the string-keyed oracle still applies (the
     // d_source_overlap argument).
-    val exploded = docs
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         explode(TextFunctions.charShingleHashes(col("text"), shingleLen)).as("s"))
+
+  private def pairsExact(exploded: DataFrame, num: Int, den: Int,
+                         maxDf: Int): DataFrame = {
     // Two physical shapes for the same exact semantics:
     //
     // CAPPED (the at-scale regime): the df cap needs a groupBy(s)
@@ -102,10 +111,15 @@ object Containment {
     val sized = inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
-    // both directions from ONE pass: a union of two filters re-plans the
-    // whole inverted-index subtree per branch (the explode would run
-    // twice per side); exploding each sized row into its two candidate
-    // directions keeps a single subtree + one trivial Generate
+    thresholdBothDirections(sized, num, den)
+  }
+
+  /** (a_id, b_id, n_inter, a_n, b_n) -> directed containment rows.
+    * Both directions from ONE pass: a union of two filters re-plans the
+    * whole candidate subtree per branch; exploding each sized row into
+    * its two candidate directions keeps a single subtree + one trivial
+    * Generate. */
+  private def thresholdBothDirections(sized: DataFrame, num: Int, den: Int): DataFrame =
     sized
       .select(col("n_inter"), explode(array(
         struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
@@ -117,5 +131,142 @@ object Containment {
         col("d.container_id").as("container_id"),
         col("n_inter").as("n_shared"),
         expr("n_inter * 10000 div d.base_n").as("containment_bp"))
+
+  /** Candidate-pair rows the capped inverted index would materialize:
+    * Σ over kept shingles of C(df, 2). ONE narrow aggregation over
+    * 8-byte keys with map-side partial combine — a small, bounded
+    * fraction of the pair join it predicts (the join additionally
+    * materializes and re-shuffles every one of those rows). */
+  def estimateCandidateRows(docs: DataFrame, shingleLen: Int = 8,
+                            maxDf: Int = Int.MaxValue): Long =
+    estimateFromExploded(explodedShingles(docs, shingleLen), maxDf)
+
+  /** `sampleMod` > 1 samples the SHINGLE SPACE (keep s where
+    * hash(s) % mod == 0) and scales the sum back up: per-shingle df is
+    * EXACT for every sampled shingle (sampling keys, not rows), so the
+    * scaled sum is an unbiased estimate with mod× less aggregation
+    * state — the router's pass over a ~1e8-distinct-shingle corpus
+    * drops from a spill-storm to a fast scan. mod=1 is the exact sum
+    * (what [[estimateCandidateRows]] exposes). */
+  private def estimateFromExploded(exploded: DataFrame, maxDf: Int,
+                                   sampleMod: Int = 1): Long = {
+    val base =
+      if (sampleMod <= 1) exploded
+      else exploded.filter(pmod(col("s"), lit(sampleMod.toLong)) === 0L)
+    val c = base.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L)).as("c"))
+      .head.getAs[Number](0).longValue
+    c * math.max(1, sampleMod)
+  }
+
+  /** Regime-routed containment: the capped inverted index has a
+    * measured super-linear regime (flat-df corpora where the Σdf²
+    * candidate term survives the per-shingle cap — the r9 rehearsal hit
+    * 3.31G candidate rows / 445 s at 100k docs), so this entry point
+    * ESTIMATES the candidate volume first (one cheap df aggregation)
+    * and picks the plan:
+    *
+    *  - estimate <= `candidateBudget`: the exact inverted-index shape —
+    *    identical output to [[pairs]].
+    *  - above budget: MinHash-banded LSH candidates (r rows per band ->
+    *    a band collides with prob J^r; b bands -> recall 1-(1-J^r)^b)
+    *    VERIFIED by the exact capped-containment arithmetic over each
+    *    candidate's kept shingle sets. Precision stays 1.0 (every
+    *    emitted pair passes the same integer threshold over the same
+    *    kept-shingle space); recall is bounded by the banding curve on
+    *    the pair's JACCARD — high-asymmetry containments (tiny doc in
+    *    huge doc) have low Jaccard and can be missed, which is the
+    *    documented cost of leaving the quadratic regime. Band defaults
+    *    (r=7, b=18) put the knee at J ~ 0.7: an equal-size
+    *    0.8-containment pair has J >= 0.67 (caught at ~0.68, rising
+    *    fast — J=0.75 at 0.92, J=0.86 at 0.999), while sub-knee
+    *    similarity CLIQUES — the regime that forces the route here in
+    *    the first place (e.g. 20k docs sharing boilerplate at
+    *    J ~ 0.27) — collide at ~2e-3 per pair instead of quadratically.
+    *    Looser bands would buy recall down the asymmetry curve but
+    *    readmit the clique blow-up through the candidate stream.
+    *
+    * `onRoute` receives one line naming the chosen route + the estimate
+    * (the rehearsal logs it; library users can pass their own sink). */
+  def pairsAuto(docs: DataFrame, shingleLen: Int = 8,
+                num: Int = 4, den: Int = 5,
+                maxDf: Int = Int.MaxValue,
+                candidateBudget: Long = 200000000L,
+                minhashBands: Int = 18, minhashRows: Int = 7,
+                onRoute: String => Unit = s => System.err.println(s)): DataFrame = {
+    require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
+    // exploded is NOT checkpointed: at the corpus sizes where this
+    // router matters it is ~1e8 narrow rows (~3 GB) — pinning that in
+    // storage starves the very aggregations downstream of execution
+    // memory (measured: the df histogram's partial hash agg dies with
+    // AGGREGATE_OUT_OF_MEMORY at n=1e5 on an 8 GB heap with the
+    // checkpoint in, completes with it out). Recomputing the shingle
+    // kernel per consumer is one extra codegen'd scan — cheap.
+    val exploded = explodedShingles(docs, shingleLen)
+    // 1-in-16 shingle-space sample: routing needs the ORDER of the
+    // candidate volume, not its exact value (both routes are correct;
+    // only the plan differs) — and the full-histogram version of this
+    // pass was itself a material slice of the routed wall at n=1e5
+    val est = estimateFromExploded(exploded, maxDf, sampleMod = 16)
+    if (est <= candidateBudget) {
+      onRoute(s"[containment] route=exact est_candidate_rows=$est budget=$candidateBudget")
+      pairsExact(exploded, num, den, maxDf)
+    } else {
+      onRoute(s"[containment] route=lsh est_candidate_rows=$est budget=$candidateBudget " +
+        s"bands=$minhashBands rows_per_band=$minhashRows")
+      pairsLshVerified(docs, exploded, shingleLen, num, den, maxDf,
+        minhashBands, minhashRows)
+    }
+  }
+
+  /** The routed scale path: banded-MinHash candidates + exact verify.
+    * Candidate volume is Σ over (band, bucket) of C(bucket_size, 2) —
+    * near-true-pair-count for banded 64-bit mins (random collisions are
+    * ~n²/2^192 per band) instead of Σ C(df, 2) over every shared
+    * shingle. */
+  private def pairsLshVerified(docs: DataFrame, exploded: DataFrame,
+                               shingleLen: Int, num: Int, den: Int,
+                               maxDf: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    // kept shingle sets under the SAME df cap the exact plan applies —
+    // the verify arithmetic is then identical, pair for pair. The cap
+    // is applied as an anti-join against the HEAVY shingles (df >
+    // maxDf): that set is tiny by construction (high-df boilerplate),
+    // so the join broadcasts — vs joining the full ~1e8-row kept
+    // histogram back onto every exploded row
+    val heavy = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    val keptSets = exploded.join(broadcast(heavy), Seq("s"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val sized = minhashCandidates(docs, shingleLen, bands, rowsPerBand)
+      .join(keptSets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("n").as("a_n")), "a_id")
+      .join(keptSets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("n").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"))
+      .filter(col("n_inter") > 0)
+    thresholdBothDirections(sized, num, den)
+  }
+
+  /** Banded-MinHash candidate pairs (a_id < b_id, distinct) — the
+    * routed path's candidate stream, public so the rehearsal can count
+    * candidates against true pairs. */
+  def minhashCandidates(docs: DataFrame, shingleLen: Int,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.md5MinHashShingles(col("text"), shingleLen,
+          bands * rowsPerBand, bands, rowsPerBand)).as(Seq("band_idx", "band_val")))
+      .localCheckpoint()
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
   }
 }

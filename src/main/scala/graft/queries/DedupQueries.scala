@@ -75,8 +75,12 @@ object DedupQueries {
     val path = containDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("containment_pairs") {
         val out = graft.TempDirs.create("graft_contain_")
+        // the ROUTED entry point (round-10): at catalog scale the Σdf²
+        // estimate lands under budget and the plan is the exact shape —
+        // same rows — while a flat-df corpus would be diverted to the
+        // LSH-verified path instead of the r9 rehearsal's 445 s regime
         graft.operators.Containment
-          .pairs(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200)
+          .pairsAuto(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200)
           .write.mode("overwrite").parquet(out)
         out
       }

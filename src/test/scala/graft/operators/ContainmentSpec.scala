@@ -65,6 +65,65 @@ class ContainmentSpec extends SparkSpec {
       run(docs).sorted.toSeq)
   }
 
+  test("pairsAuto routes exact under budget and emits the identical result") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    var route = ""
+    val auto = Containment.pairsAuto(docs, shingleLen = 8, num = 4, den = 5,
+        maxDf = 200, onRoute = route = _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(route.contains("route=exact"), route)
+    val exact = Containment.pairs(docs, shingleLen = 8, num = 4, den = 5,
+        maxDf = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(auto.sorted.toSeq == exact.sorted.toSeq)
+  }
+
+  test("pairsAuto above budget takes the LSH route: precision 1.0, full recall on the mirror corpus") {
+    // planted structure mirrors the rehearsal's: sources wrapped whole
+    // in small boilerplate (high-Jaccard containments the banding
+    // curve must catch); a forced 1-row budget exercises the routed
+    // plan end-to-end at test scale
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    var route = ""
+    val lsh = Containment.pairsAuto(docs, shingleLen = 8, num = 4, den = 5,
+        maxDf = 200, candidateBudget = 1L, onRoute = route = _)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(route.contains("route=lsh"), route)
+    val exact = Containment.pairs(docs, shingleLen = 8, num = 4, den = 5,
+        maxDf = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exactSet = exact.toSet
+    assert(lsh.forall(exactSet), // every routed pair verifies exactly
+      s"false positives: ${lsh.filterNot(exactSet).take(3).mkString(",")}")
+    // recall: the routed plan must find every exact pair here (testdata
+    // containments are near-verbatim copies -> Jaccard well above the
+    // banding knee)
+    val lshSet = lsh.toSet
+    assert(exact.forall(lshSet),
+      s"missed: ${exact.filterNot(lshSet).take(5).mkString(",")}")
+  }
+
+  test("estimateCandidateRows equals the closed-form sum over the df histogram") {
+    // 3 docs sharing one boilerplate token (df=3 -> C(3,2)=3 per
+    // boilerplate shingle) plus doc-unique shingles (df=1 -> 0)
+    val boiler = "BOILERPLA"
+    val est = Containment.estimateCandidateRows(Seq(
+        (1L, s"$boiler aaaa1111"), (2L, s"$boiler bbbb2222"),
+        (3L, s"$boiler cccc3333")).toDF("doc_id", "text"),
+      shingleLen = 8)
+    // shingles of "BOILERPLA " prefix shared by all 3 docs: the first
+    // 3 windows of each text are identical ("BOILERPL", "OILERPLA",
+    // "ILERPLA ") -> 3 shingles at df=3 -> 9 candidate rows
+    assert(est == 9L, s"got $est")
+    // capping at maxDf=2 drops them all
+    assert(Containment.estimateCandidateRows(Seq(
+        (1L, s"$boiler aaaa1111"), (2L, s"$boiler bbbb2222"),
+        (3L, s"$boiler cccc3333")).toDF("doc_id", "text"),
+      shingleLen = 8, maxDf = 2) == 0L)
+  }
+
   test("matches brute-force set containment on real docs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
