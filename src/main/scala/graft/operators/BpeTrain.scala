@@ -84,8 +84,44 @@ object BpeTrain {
     java.util.Arrays.copyOfRange(out, 0, o)
   }
 
+  /** Signed pair-count deltas one word contributes when its symbols go
+    * `oldS -> newS` with multiplicity `n`: every adjacent pair of oldS
+    * at -n, every adjacent pair of newS at +n, netted within the word.
+    * Only pairs whose count actually changes survive — for a typical
+    * merge that is a handful of rows per AFFECTED word and zero for the
+    * (overwhelming majority of) untouched words. */
+  private[operators] def pairDeltas(oldS: Array[String], newS: Array[String],
+                                    n: Long): Array[(String, String, Long)] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var i = 0
+    while (i < oldS.length - 1) {
+      m.updateWith((oldS(i), oldS(i + 1)))(v => Some(v.getOrElse(0L) - n)); i += 1
+    }
+    i = 0
+    while (i < newS.length - 1) {
+      m.updateWith((newS(i), newS(i + 1)))(v => Some(v.getOrElse(0L) + n)); i += 1
+    }
+    m.iterator.collect { case ((l, r), d) if d != 0L => (l, r, d) }.toArray
+  }
+
   /** Learn `nMerges` merges from `docs(textCol)`. Whitespace-word BPE:
-    * merges never cross word boundaries. Returns merges in rank order. */
+    * merges never cross word boundaries. Returns merges in rank order.
+    *
+    * INCREMENTAL pair counting (the standard delta trick): the full
+    * corpus-wide pair count is paid ONCE, then each round's merge-apply
+    * pass emits signed deltas only for the words that contained the
+    * merged pair, and the running pair-count frame absorbs them. Per
+    * round the shuffle is O(changed pairs) + the count-frame merge —
+    * not a re-explode + re-count of every word (which at vocab 10^7 and
+    * hundreds of merges is rounds x full-corpus shuffles for counts
+    * that overwhelmingly did not change).
+    *
+    * Tie-break ordering contract: (freq DESC, left ASC, right ASC)
+    * where the string comparisons are Spark's UTF8String BINARY order —
+    * i.e. UTF-8 BYTE order, equivalently code-POINT order. This differs
+    * from Java String's UTF-16 code-UNIT order only when a non-BMP
+    * symbol ties with a BMP symbol in U+E000..U+FFFF; the spec's
+    * single-node reference compares by code point to match. */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -111,39 +147,91 @@ object BpeTrain {
       .map { case (w, n) => (codePointSymbols(w), n) }
       .localCheckpoint(true)
 
+    // the ONE full corpus-wide pair count — every later round merges
+    // signed deltas into this frame instead of recounting
+    var pairCounts = state
+      .flatMap { case (syms, n) =>
+        if (syms.length < 2) Iterator.empty
+        else (0 until syms.length - 1).iterator
+          .map(i => (syms(i), syms(i + 1), n))
+      }
+      .toDF("l", "r", "n")
+      .groupBy(col("l"), col("r")).agg(sum(col("n")).as("freq"))
+      .localCheckpoint(true)
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
+    var chainDepth = 0
+    val ckptEvery = 6
+    // Amdahl split of the training loop (GRAFT_BPE_PHASES=1): which of
+    // the four per-round jobs actually carries the wall — the argmax,
+    // the apply+checkpoint pass, the delta extraction, or the count
+    // merge. The r9->r10 rewrite was steered by exactly this split.
+    val phases = scala.collection.mutable.LinkedHashMap(
+      "argmax" -> 0.0, "apply_ckpt" -> 0.0, "delta_counts" -> 0.0)
+    def timed[A](k: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      phases(k) += (System.nanoTime() - t0) / 1e9
+      a
+    }
     while (rank < nMerges && !done) {
-      // corpus-wide weighted pair counts; argmax with the deterministic
-      // (count desc, left asc, right asc) tie-break — a 1-row collect
-      val top = state
-        .flatMap { case (syms, n) =>
-          if (syms.length < 2) Iterator.empty
-          else (0 until syms.length - 1).iterator
-            .map(i => ((syms(i), syms(i + 1)), n))
-        }
-        .toDF("pair", "n")
-        .groupBy(col("pair")).agg(sum(col("n")).as("freq"))
-        .orderBy(col("freq").desc, col("pair._1"), col("pair._2"))
+      // argmax over the RUNNING counts with the deterministic
+      // (freq desc, left asc, right asc) tie-break — a 1-row collect
+      val top = timed("argmax")(pairCounts
+        .orderBy(col("freq").desc, col("l"), col("r"))
         .limit(1)
-        .collect()
+        .collect())
       if (top.isEmpty) done = true
       else {
         val row = top(0)
-        val pair = row.getStruct(0)
         val (left, right, freq) =
-          (pair.getString(0), pair.getString(1), row.getLong(1))
+          (row.getString(0), row.getString(1), row.getLong(2))
         merges += Merge(rank, left, right, freq)
-        // apply everywhere; eager localCheckpoint truncates the plan so
-        // round k+1 starts from materialized blocks, not a k-deep map
-        // chain (see the head-of-loop comment)
-        state = state
-          .map { case (syms, n) => (applyMerge(syms, left, right), n) }
-          .localCheckpoint(true)
+        // ONE pass applies the merge AND emits each affected word's
+        // signed pair deltas (applyMerge returns the original array
+        // reference when the pair is absent — the eq check makes the
+        // untouched-word case allocation- and delta-free). The eager
+        // localCheckpoint materializes the pass once for its two
+        // consumers (next state + delta extraction) and truncates the
+        // plan so round k+1 never replays round k.
+        // State stays LAZY: the merge-apply is a narrow kernel chained
+        // onto the last checkpoint, so a round costs ONE evaluated job
+        // (the delta scan below) instead of a full state
+        // rewrite-and-read-back. Every ckptEvery rounds the chain is
+        // truncated with an eager checkpoint — bounding both plan depth
+        // and the kernel re-application the delta scans pay.
+        val prev = state
+        state = prev.map { case (syms, n) => (applyMerge(syms, left, right), n) }
+        chainDepth += 1
+        // signed deltas from the words the merge touched — the ONLY
+        // per-round full pass over the word state
+        val delta = prev
+          .flatMap { case (syms, n) =>
+            val ns = applyMerge(syms, left, right)
+            if (ns eq syms) Iterator.empty else pairDeltas(syms, ns, n).iterator
+          }
+          .toDF("l", "r", "freq")
+        // merge deltas in; counts netted to zero leave the frame (freq
+        // can never go negative — a delta only subtracts what was
+        // counted). The union-groupBy shuffles O(|pairCounts| + |delta|)
+        // narrow rows — no re-explode of the word table. The eager
+        // checkpoint here is what forces the delta scan.
+        pairCounts = timed("delta_counts")(pairCounts.unionByName(delta)
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("freq"))
+          .filter(col("freq") > 0)
+          .localCheckpoint(true))
+        if (chainDepth >= ckptEvery) {
+          state = timed("apply_ckpt")(state.localCheckpoint(true))
+          chainDepth = 0
+        }
         rank += 1
       }
     }
+    if (sys.env.contains("GRAFT_BPE_PHASES"))
+      System.err.println("BPE_PHASES " + phases.map { case (k, v) =>
+        f"$k=$v%.2fs" }.mkString(" "))
     merges.toSeq
   }
 

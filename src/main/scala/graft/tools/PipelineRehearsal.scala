@@ -28,6 +28,8 @@ object PipelineRehearsal {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val stats = new ScaleRehearsal.ShuffleStats
+    spark.sparkContext.addSparkListener(stats)
 
     for (n <- Seq(1000, 10000, 100000)) {
       val docs = ScaleRehearsal.mkDocs(spark, n)
@@ -39,9 +41,11 @@ object PipelineRehearsal {
         .select(explode(split(col("text"), " ")).as("w"))
         .agg(countDistinct(col("w"))).head.getLong(0)
 
+      stats.reset()
       val t0 = System.nanoTime()
       val merges = graft.operators.BpeTrain.train(docs, "text", nMerges = 12)
       val bpeS = (System.nanoTime() - t0) / 1e9
+      val bpeShuffleRecords = stats.records
 
       val t1 = System.nanoTime()
       val relFrame = graft.queries.Curation.releaseTransform(docs)
@@ -56,7 +60,8 @@ object PipelineRehearsal {
       val released = relFrame.count()
 
       println(f"n=$n%7d distinct_words=$distinctWords%8d " +
-        f"bpe12_s=$bpeS%7.2f top_merge=${merges.head.left}+${merges.head.right}(${merges.head.freq}) " +
+        f"bpe12_s=$bpeS%7.2f bpe_shuffle_records=$bpeShuffleRecords%10d " +
+        f"top_merge=${merges.head.left}+${merges.head.right}(${merges.head.freq}) " +
         f"release_s=$relS%6.2f released=$released%7d")
     }
     spark.stop()

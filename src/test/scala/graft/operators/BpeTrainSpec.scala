@@ -10,6 +10,11 @@ import graft.SparkSpec
   */
 class BpeTrainSpec extends SparkSpec {
 
+  private val utf8Order: Ordering[String] = (x: String, y: String) =>
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Straightforward in-memory BPE — deliberately naive (recount from
     * scratch every round) so it shares no code with the operator. */
   private def refBpe(weighted: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
@@ -25,8 +30,13 @@ class BpeTrainSpec extends SparkSpec {
         counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + n
       if (counts.isEmpty) k = nMerges
       else {
+        // tie-break compares in UTF-8 BYTE order (== code-point order),
+        // the operator's documented contract — Java String's natural
+        // order is UTF-16 code-UNIT order, which diverges when a
+        // non-BMP symbol ties against U+E000..U+FFFF
         val ((l, r), f) = counts.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }
+          .minBy { case ((a, b), c) => (-c, a, b) }(
+            Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))
         out += ((l, r, f))
         state = state.toSeq.map { case (syms, n) =>
           (BpeTrain.applyMerge(syms.toArray, l, r).toVector, n)
@@ -72,6 +82,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == refBpe(wordCounts(texts), 3))
     assert(got.head == ((g1, g2, 3L)), s"expected the emoji pair merge first: $got")
     assert(!got.exists { case (l, r, _) => l.contains("?") || r.contains("?") })
+  }
+
+  test("tie between a non-BMP symbol and U+E000..U+FFFF breaks in UTF-8 byte order") {
+    import spark.implicits._
+    // (U+E000, a) and (U+10000, a) tie at count 2. UTF-16 code-UNIT
+    // order would rank U+10000 (surrogates 0xD800...) BEFORE U+E000;
+    // the documented contract is UTF-8 byte (code-point) order, which
+    // ranks U+E000 first — the operator and the reference must agree.
+    val bmp = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    val texts = Seq(s"${bmp}a ${supp}a", s"${bmp}a ${supp}a")
+    val got = BpeTrain.train(texts.toDF("text"), "text", nMerges = 1)
+      .map(m => (m.left, m.right, m.freq))
+    assert(got == refBpe(wordCounts(texts), 1))
+    assert(got.head == ((bmp, "a", 2L)),
+      s"tie must break to the code-point-smaller pair: $got")
   }
 
   test("merge application is greedy, leftmost, non-overlapping") {
