@@ -137,7 +137,15 @@ object Bench {
     // one_time_s.
     val oneTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var sinceGc = 0
+    // Per-FAMILY calibration stamps (round-10): the r9 driver run's host
+    // slowed 1.9x mid-run and the start/end bracket could prove drift
+    // happened but not which families absorbed it — one 50M-iteration
+    // loop at each family boundary (~9 x ~60 ms) localizes it.
+    val familyCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var curFam = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val fam = name.takeWhile(_.isLetter)
+      if (fam != curFam) { curFam = fam; familyCalib(fam) = Instr.cpuCalibMs() }
       val mark = BuildLedger.size
       val t0 = System.nanoTime()
       // noop sink materializes every output row (column pruning can't
@@ -214,9 +222,12 @@ object Bench {
             l.split("\\s+")(1).toLong / 1024
         }.getOrElse(-1L) finally src.close()
       } catch { case _: Throwable => -1L }
+    val familyCalibJson = familyCalib
+      .map { case (f, v) => f""""$f":$v%.0f""" }.mkString("{", ",", "}")
     val envJson =
       f"""{"cpus_req":"$cpus","parallelism":$measuredPar,"procs":$procs,""" +
         f""""cpu_calib_ms_start":$calibStart%.0f,"cpu_calib_ms_end":$calibEnd%.0f,""" +
+        f""""family_calib_ms":$familyCalibJson,""" +
         f""""gc_total_s":$gcTotalS%.1f,"heap_max_mb":$heapMaxMb%.0f,""" +
         f""""driver_mem_conf":"$driverMemConf","host_mem_total_mb":$memTotalMb}"""
     val fullLine =
