@@ -56,8 +56,19 @@ case class SlidingRangeCountRewrite(spark: SparkSession) extends Rule[LogicalPla
   import SlidingRangeCountRewrite.ConfKey
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val enabled = spark.conf.getOption(ConfKey).forall(v =>
-      scala.util.Try(v.trim.toBoolean).getOrElse(true))
+    // accept the common falsy/truthy spellings; an unparsable value must
+    // NOT silently keep the rewrite on (the user typed it to disable) —
+    // warn once and treat it as disabled, the conservative reading
+    val enabled = spark.conf.getOption(ConfKey).forall { v =>
+      v.trim.toLowerCase match {
+        case "true" | "1" | "on" | "yes" | "enabled" => true
+        case "false" | "0" | "off" | "no" | "disabled" => false
+        case other =>
+          logWarning(s"unrecognized $ConfKey value '$other' — treating as " +
+            "disabled; use true/false")
+          false
+      }
+    }
     if (!enabled) plan
     else plan.transformDown {
       case w: Window =>

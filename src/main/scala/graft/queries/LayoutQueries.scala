@@ -226,8 +226,8 @@ object LayoutQueries {
     // size-uniformity claims are LayoutSpec's; this row is the data
     // fidelity proof.
     "s_compact_scan" -> ((s, dir) => {
-      val frag = Layout.fragmentedEvents(s, dir)
-      val compacted = Layout.compactDir(s, frag, targetBytes = 4L * 1024 * 1024)
+      val compacted = Layout.compactedFragmentedEvents(s, dir,
+        targetBytes = 4L * 1024 * 1024)
       s.read.parquet(compacted)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -203,6 +203,48 @@ object Avro {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Write a frame as base64-lines Avro message shards — the bus
+    * LANDING shape (one single-record Avro message per line, base64
+    * over the text transport, the Kinesis/Firehose convention):
+    * producer twin of [[streamMessageLines]]. */
+  def writeMessageLines(df: DataFrame, path: String): Unit =
+    graft.functions.AvroFunctions.encodeMessages(df)
+      .select(org.apache.spark.sql.functions.base64(
+        org.apache.spark.sql.functions.col("payload")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Batch reader for base64-lines Avro message shards: decode INLINE
+    * via the avro_decode expression. Output is one nullable struct
+    * column `m` — null rows are the quarantine side (bad base64 or
+    * mis-framed payloads), `m.*` the good side; the caller splits,
+    * exactly the [[Ingest.readJsonl]] contract. */
+  def readMessageLines(spark: SparkSession, path: String,
+                       schemaJson: String): DataFrame =
+    decodeLines(spark.read.text(path), schemaJson)
+
+  /** Streaming twin of [[readMessageLines]]: tail the landing directory
+    * as a Structured Stream — new shards become micro-batches feeding
+    * the same two-phase index ingest the batch path feeds. The decode
+    * is the SAME expression as the batch reader, so the two cannot
+    * drift. */
+  def streamMessageLines(spark: SparkSession, path: String,
+                         schemaJson: String): DataFrame =
+    decodeLines(
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType, nullable = true))))
+        .text(path),
+      schemaJson)
+
+  private def decodeLines(lines: DataFrame, schemaJson: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, try_to_binary, lit}
+    // try_to_binary, NOT unbase64: unbase64 THROWS on malformed base64
+    // (killing the whole scan on one bad line); try_to_binary nulls it,
+    // and avro_decode's null-intolerant input turns that into the same
+    // null-quarantine row a mis-framed payload gets
+    lines.select(graft.functions.AvroFunctions
+      .avroDecode(try_to_binary(col("value"), lit("base64")), schemaJson).as("m"))
+  }
+
   /** Path-memoized Avro mirror of the supplier table — the
     * s_avro_roundtrip catalog row reads THIS while the oracle reads
     * the parquet, proving write+read lossless across

@@ -187,6 +187,22 @@ object Layout {
       }
     })
 
+  /** Memoized compaction of the fragmented events copy — the catalog's
+    * s_compact_scan consumes THIS: compactDir itself stays
+    * memoization-free (a library user compacting a live directory wants
+    * a fresh pass), but the catalog's input is the immutable fragmented
+    * mirror, and before this memo every bench/verify execution rewrote
+    * the full table into a fresh TempDirs leaf — one abandoned copy per
+    * run on disk and a full write folded into measured serving time. */
+  private val compactCache = new ConcurrentHashMap[String, String]()
+  def compactedFragmentedEvents(s: SparkSession, dir: String,
+                                targetBytes: Long): String =
+    compactCache.computeIfAbsent(s"$dir|$targetBytes", { _ =>
+      graft.BuildLedger.timed("layout_compacted") {
+        compactDir(s, fragmentedEvents(s, dir), targetBytes)
+      }
+    })
+
   /** The co-located fact⋈fact join on the bucketed tables — exposed for
     * the plan spec (asserts zero shuffle below the aggregation). */
   def colocatedJoin(s: SparkSession, dir: String): DataFrame = {

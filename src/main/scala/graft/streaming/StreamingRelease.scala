@@ -81,13 +81,21 @@ object StreamingRelease {
       .coalesce(1).write.mode("overwrite").parquet(s"$statePath/seen/$tag")
   }
 
-  /** Attach to a (doc_id, text, source) stream. */
+  /** Attach to a (doc_id, text, source) stream. Pass `checkpointLocation`
+    * for restartable deployments: without it Spark assigns a TEMPORARY
+    * checkpoint, so a restarted application replays the whole source —
+    * the state probe keeps results exactly-once regardless, but every
+    * landed file is re-transformed and re-hashed on each restart. */
   def attach(stream: DataFrame, statePath: String,
-             outPath: String): StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch {
+             outPath: String,
+             checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = stream.writeStream.outputMode("append").foreachBatch {
       (b: DataFrame, _: Long) =>
         processBatch(b.sparkSession, b, statePath, outPath)
-    }.start()
+    }
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
 
   /** Everything released so far, ascending doc_id (empty frame before
     * the first batch lands — never a path error). */

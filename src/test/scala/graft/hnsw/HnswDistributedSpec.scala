@@ -187,6 +187,27 @@ class HnswDistributedSpec extends SparkSpec {
     assert(self == n.toLong)
   }
 
+  test("batched code build at grid params holds the self-match recall floor") {
+    // the ScaleRehearsal 1e6 rung runs THESE params (standard(64,32,32),
+    // splitmix-style codes) — this pins its recall floor at spec scale:
+    // every inserted code must find itself (the is_match contract),
+    // allowing a small HNSW miss rate at serving ef
+    import spark.implicits._
+    val n = 20000
+    val rows = Array.tabulate(n) { i =>
+      (i.toLong, i.toLong * -7046029254386353131L + 6364136223846793005L)
+    }
+    val codesDf = spark.createDataset(rows.toSeq).toDF("id", "code")
+    val model = HnswCodes.buildBatched(
+      codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
+    val modelB = HnswCodes.broadcastModel(spark, model)
+    val self = HnswCodes.searchBroadcast(
+        spark.createDataset(rows.toSeq).toDF("qid", "qcode"), modelB, 1)
+      .filter(col("qid") === col("id")).count()
+    modelB.destroy()
+    assert(self >= (n * 0.98).toLong, s"self-match $self/$n below the 0.98 floor")
+  }
+
   test("prebuilt sharded handle serves repeated query batches without rebuild") {
     val index = HnswDistributed.buildSharded(
       vectors, BuildConfig(HnswParams.standard(64, 128, 16), "cosine", 42L),

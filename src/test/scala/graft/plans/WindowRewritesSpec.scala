@@ -140,6 +140,29 @@ class WindowRewritesSpec extends SparkSpec {
       assert(q.queryExecution.optimizedPlan.toString
         .contains("specifiedwindowframe(RangeFrame, -5"))
     }
+    // falsy spellings AND unparsable values must all disable — a typo'd
+    // "disable" intent silently keeping the rewrite active contradicts
+    // the user (treat-unknown-as-disabled is the conservative reading)
+    installed()
+    for (v <- Seq("0", "off", "no", "False", "bogus-typo")) {
+      spark.conf.set(SlidingRangeCountRewrite.ConfKey, v)
+      try {
+        val q = slidingCount(df, -5L, 5L)
+        assert(q.queryExecution.optimizedPlan.toString
+          .contains("specifiedwindowframe(RangeFrame, -5"),
+          s"value '$v' did not disable the rewrite")
+      } finally spark.conf.set(SlidingRangeCountRewrite.ConfKey, "false")
+    }
+    // truthy spellings keep it on
+    for (v <- Seq("1", "on", "yes", "TRUE")) {
+      spark.conf.set(SlidingRangeCountRewrite.ConfKey, v)
+      try {
+        val q = slidingCount(df, -5L, 5L)
+        assert(!q.queryExecution.optimizedPlan.toString
+          .contains("specifiedwindowframe(RangeFrame, -5"),
+          s"value '$v' did not enable the rewrite")
+      } finally spark.conf.set(SlidingRangeCountRewrite.ConfKey, "false")
+    }
   }
 
   test("the catalog's manual cumulative form and the rule-rewritten naive form agree on events") {

@@ -57,6 +57,48 @@ class StreamingReleaseSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("restart with a checkpointLocation resumes from source progress (no replay)") {
+    import graft.sources.Ingest
+    val land = tmp("graft_rel3_land_")
+    val state = tmp("graft_rel3_state_")
+    val out = tmp("graft_rel3_out_")
+    val ckpt = tmp("graft_rel3_ckpt_")
+    def landWave(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val stage = tmp(s"graft_rel3_w_$tag")
+      Ingest.writeJsonl(df, stage)
+      new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            java.nio.file.Path.of(land, s"${tag}_$i.jsonl"))
+        }
+    }
+    val n = docs.count()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, source STRING")
+    landWave(docs.filter(col("doc_id") < n / 2), "w0")
+    val q1 = StreamingRelease.attach(
+      Ingest.streamJsonl(spark, land, schema), state, out, Some(ckpt))
+    try q1.processAllAvailable() finally q1.stop()
+    // restart against the SAME checkpoint: already-landed files must not
+    // be re-read (without the checkpoint a restart re-transforms and
+    // re-hashes the whole landing directory every time)
+    val q2 = StreamingRelease.attach(
+      Ingest.streamJsonl(spark, land, schema), state, out, Some(ckpt))
+    try {
+      q2.processAllAvailable()
+      val replayed = q2.recentProgress.map(_.numInputRows).sum
+      assert(replayed == 0L, s"restart replayed $replayed rows")
+      landWave(docs.filter(col("doc_id") >= n / 2), "w1")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = StreamingRelease.released(spark, out)
+      .collect().map(_.toSeq).toSeq
+    val expected = graft.SparkEntry.queries("p_release_pipeline")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected, s"stream ${got.size} rows vs batch ${expected.size}")
+  }
+
   test("duplicate texts across batches: only the first arrival releases; redelivery is idempotent") {
     import spark.implicits._
     val state = tmp("graft_rel2_state_")
