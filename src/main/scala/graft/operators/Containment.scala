@@ -253,14 +253,20 @@ object Containment {
 
   /** Banded-MinHash candidate pairs (a_id < b_id, distinct) — the
     * routed path's candidate stream, public so the rehearsal can count
-    * candidates against true pairs. */
+    * candidates against true pairs. Permutations run over the 64-bit
+    * shingle hashes via [[graft.functions.MinHashBandsU64]] (~3
+    * multiplies per element-permutation), not the md5 kernel — at
+    * K=126 the md5 banding alone was 60% of the routed wall at n=1e5,
+    * and candidates need no oracle-parity hash family (the verify
+    * stage is exact). */
   def minhashCandidates(docs: DataFrame, shingleLen: Int,
                         bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        posexplode(TextFunctions.md5MinHashShingles(col("text"), shingleLen,
-          bands * rowsPerBand, bands, rowsPerBand)).as(Seq("band_idx", "band_val")))
+        posexplode(TextFunctions.minhashBandsU64(
+          TextFunctions.charShingleHashes(col("text"), shingleLen),
+          bands, rowsPerBand)).as(Seq("band_idx", "band_val")))
       .localCheckpoint()
     banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

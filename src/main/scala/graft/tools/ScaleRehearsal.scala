@@ -129,10 +129,11 @@ object ScaleRehearsal {
       if (ops("annserve")) run("ann_serve_hamming", n) {
         import graft.hnsw.{HnswCodes, HnswParams}
         import spark.implicits._
-        val codesDf = spark.range(n.toLong)
-          .select(col("id"), expr(
-            // splitmix64-style deterministic code per id
-            "id * -7046029254386353131L + 6364136223846793005L").as("code"))
+        // typed map, not a SQL expr: the splitmix-style multiply WRAPS
+        // by design, which ANSI mode (Spark 4 default) rejects in SQL
+        val codesDf = spark.range(n.toLong).as[Long]
+          .map(id => (id, id * -7046029254386353131L + 6364136223846793005L))
+          .toDF("id", "code")
           .localCheckpoint(true)
         val t0 = System.nanoTime()
         val model = HnswCodes.buildBatched(

@@ -118,4 +118,45 @@ class TextExpressionsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("NFX"))
   }
+
+  test("minhash_bands_u64: deterministic, band-counted, Jaccard-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (1 to 400).map(i => s"tok$i ").mkString
+    val near = base + "tail one two"              // high Jaccard
+    val far = (1000 to 1400).map(i => s"tok$i ").mkString // disjoint
+    val df = Seq((1L, base), (2L, near), (3L, far), (4L, base))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.minhashBandsU64(
+        TextFunctions.charShingleHashes(col("text"), 8), 18, 7).as("bands"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.values.forall(_.length == 18), "one value per band")
+    assert(rows(1L) == rows(4L), "identical docs -> identical bands (deterministic)")
+    assert(rows(1L).zip(rows(2L)).exists { case (a, b) => a == b },
+      "a near-duplicate must share at least one band (J~0.98 at r=7)")
+    assert(!rows(1L).zip(rows(3L)).exists { case (a, b) => a == b },
+      "disjoint docs must not collide in any band")
+    // empty shingle set (null text filtered upstream; empty array here)
+    val empty = Seq(Tuple1(Array.empty[Long])).toDF("sh")
+      .select(TextFunctions.minhashBandsU64(col("sh"), 4, 2).as("b"))
+    assert(empty.head.isNullAt(0), "empty set has no minima -> null")
+  }
+
+  test("minhash_bands_u64 band-collision probability tracks J^r") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two docs sharing half their shingles: J ~ 1/3 -> per-band
+    // collision ~ (1/3)^2 ~ 0.11 at r=2; with 64 bands expect ~7, and
+    // essentially never 0 or 64 — a coarse distribution check that the
+    // permutations are actually independent-ish
+    val shared = (1 to 300).map(i => s"s$i ").mkString
+    val a = shared + (1 to 300).map(i => s"a$i ").mkString
+    val b = shared + (1 to 300).map(i => s"b$i ").mkString
+    val rows = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.minhashBandsU64(
+        TextFunctions.charShingleHashes(col("text"), 8), 64, 2).as("bands"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hits = rows(1L).zip(rows(2L)).count { case (x, y) => x == y }
+    assert(hits > 0 && hits < 32, s"collisions $hits/64 far from J^r expectation")
+  }
 }
