@@ -196,6 +196,27 @@ object LayoutQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Nested-struct round-trip through the Avro layer: orders rows
+    // packed as (o_orderkey, meta: struct<priority, clerk, total_c>),
+    // written as Avro (nested named record), read back and FLATTENED —
+    // vs the oracle reading the plain parquet columns. Flattening on
+    // the Spark side keeps the hash compare scalar (struct stringify
+    // differs across engines); the values proving the nested path are
+    // identical either way.
+    "s_avro_nested" -> ((s, dir) => {
+      val path = graft.sources.Avro.ordersNestedAvroMirror(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "priority STRING, status STRING, total_c BIGINT"))))
+      graft.sources.Avro.read(s, path, schema)
+        .select(col("o_orderkey"), col("meta.priority").as("priority"),
+          col("meta.status").as("status"), col("meta.total_c").as("total_c"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Dynamic partition pruning over the type-partitioned events
     // layout: the pruning predicate is NOT statically known — it comes
     // from a joined dimension's filter (priority = 1), so Catalyst
@@ -333,6 +354,11 @@ object LayoutQueries {
         |   FROM (SELECT unnest(embedding) AS x,
         |                generate_subscripts(embedding, 1) AS p)) AS BIGINT) AS digest
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "s_avro_nested" ->
+      """SELECT o_orderkey, o_orderpriority AS priority, o_orderstatus AS status,
+        | CAST(floor(o_totalprice*100) AS BIGINT) AS total_c
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // the oracle never sees the payload bytes (the media-decode rule)
     "s_avro_messages" ->

@@ -245,6 +245,26 @@ object Avro {
       .avroDecode(try_to_binary(col("value"), lit("base64")), schemaJson).as("m"))
   }
 
+  /** Path-memoized Avro mirror of orders packed as a NESTED record
+    * (o_orderkey, meta: struct<priority, status, total_c>) — the
+    * s_avro_nested catalog row reads and flattens this vs the plain
+    * parquet oracle, proving nested named records round-trip. */
+  private val nestedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ordersNestedAvroMirror(spark: SparkSession, dir: String): String =
+    nestedCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("avro_nested_mirror") {
+        import org.apache.spark.sql.functions.{col, struct, floor}
+        val out = graft.TempDirs.create("graft_avro_") + "/orders_nested"
+        write(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"),
+            struct(col("o_orderpriority").as("priority"),
+              col("o_orderstatus").as("status"),
+              floor(col("o_totalprice") * 100).cast("long").as("total_c"))
+              .as("meta")), out)
+        out
+      }
+    })
+
   /** Path-memoized Avro mirror of the supplier table — the
     * s_avro_roundtrip catalog row reads THIS while the oracle reads
     * the parquet, proving write+read lossless across

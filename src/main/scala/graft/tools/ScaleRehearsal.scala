@@ -155,6 +155,38 @@ object ScaleRehearsal {
           f"self_match=${hits * 100.0 / nq}%.1f%%")
       }
 
+      // Float-vector twin of the annserve rung (dim 64, cosine — the
+      // reference's primary representation): distributed vector
+      // synthesis, geometric-batch build, self-match probe.
+      if (ops("annserve_float")) run("ann_serve_float", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswSearcher}
+        import graft.hnsw.HnswDistributed.BuildConfig
+        import spark.implicits._
+        val dim = 64
+        def vecOf(id: Long): Array[Float] = Array.tabulate(dim)(d =>
+          (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        val rows = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).collect()
+        val cfg = BuildConfig(HnswParams.standard(64, 32, 32), "cosine", seed = 9L)
+        val t0 = System.nanoTime()
+        val model = HnswDistributed.buildFromArray(spark, rows, cfg)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val modelB = HnswDistributed.broadcastModel(spark, model)
+        val nq = 2000
+        val qDf = spark.createDataset(
+          (0L until n.toLong by math.max(1L, n.toLong / nq)).take(nq)
+            .map(id => (id, vecOf(id)))).toDF("qid", "qvec")
+        HnswDistributed.searchBroadcast(qDf.limit(1), modelB, 10)
+          .write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        val hits = HnswDistributed.searchBroadcast(qDf, modelB, 1)
+          .filter(col("qid") === col("id")).count()
+        val searchS = (System.nanoTime() - t1) / 1e9
+        modelB.destroy()
+        (hits, f"build_s=$buildS%.1f search_${nq}q_s=$searchS%.2f " +
+          f"self_match=${hits * 100.0 / nq}%.1f%%")
+      }
+
       if (ops("containment")) run("containment_df200", n) {
         // the ROUTED entry point: the estimate decides exact vs
         // LSH-verified (the r9 finding — 3.31G candidate rows / 445 s at
