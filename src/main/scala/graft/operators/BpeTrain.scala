@@ -104,8 +104,100 @@ object BpeTrain {
     m.iterator.collect { case ((l, r), d) if d != 0L => (l, r, d) }.toArray
   }
 
+  /** UTF-8 byte order (== code-point order) — the tie-break contract;
+    * matches Spark's UTF8String binary comparison on the distributed
+    * path. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver-local BPE over the AGGREGATED word table — the classic
+    * sequential algorithm with an inverted pair->words index, so a
+    * round touches only the words containing the merged pair. This is
+    * the regime-router insight applied to training: the CORPUS is
+    * cluster-sized (the one-shuffle word aggregation upstream), but
+    * the distinct-word state is vocab-sized — hundreds of MB at 1e7
+    * words — and the optimal engine for vocab-sized sequential state
+    * is one machine, not a per-round distributed pass. Argmax is a
+    * scan over the pair-count map per round (fine into the thousands
+    * of merges; a lazy-deletion heap is the named upgrade if merge
+    * counts grow beyond that). Semantics identical to the distributed
+    * loop, tie-break included (spec-pinned both ways). */
+  private[operators] def trainLocal(words: Array[(Array[String], Long)],
+                                    nMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms = words.map(_._1.clone())
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def indexWord(i: Int): Unit = {
+      val w = syms(i); val n = words(i)._2
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        counts(p) = counts.getOrElse(p, 0L) + n
+        where.getOrElseUpdate(p, mutable.BitSet.empty) += i
+        j += 1
+      }
+    }
+    def unindexWord(i: Int): Unit = {
+      val w = syms(i); val n = words(i)._2
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        val c = counts(p) - n
+        if (c == 0L) { counts.remove(p); where.remove(p) }
+        else {
+          counts(p) = c
+          // membership cleared lazily: a stale index in where(p) is
+          // re-checked at merge time (the word may still contain p
+          // via another position, so eager removal would need a scan
+          // anyway)
+        }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { indexWord(i); i += 1 }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    while (rank < nMerges && counts.nonEmpty) {
+      var bl: String = null; var br: String = null; var bf = -1L
+      counts.foreach { case ((l, r), f) =>
+        if (f > bf || (f == bf && (utf8Lt(l, bl) ||
+            (l == bl && utf8Lt(r, br))))) { bl = l; br = r; bf = f }
+      }
+      merges += Merge(rank, bl, br, bf)
+      val hits = where.getOrElse((bl, br), mutable.BitSet.empty).toArray
+      var h = 0
+      while (h < hits.length) {
+        val w = hits(h)
+        val ns = applyMerge(syms(w), bl, br)
+        if (!(ns eq syms(w))) { // stale index entries skip here
+          unindexWord(w)
+          syms(w) = ns
+          indexWord(w)
+        }
+        h += 1
+      }
+      counts.remove((bl, br)); where.remove((bl, br))
+      rank += 1
+    }
+    merges.toSeq
+  }
+
   /** Learn `nMerges` merges from `docs(textCol)`. Whitespace-word BPE:
     * merges never cross word boundaries. Returns merges in rank order.
+    *
+    * REGIME-ROUTED (the containment-router pattern applied to
+    * training): the corpus-sized work — word aggregation with
+    * multiplicities — always runs distributed; the per-round merge
+    * loop runs DRIVER-LOCAL with an inverted pair index whenever the
+    * distinct-word table fits (`localVocabThreshold`, default 2M
+    * words ~ a few hundred MB), because a round there touches only
+    * the affected words instead of a full vocab pass. Beyond the
+    * threshold the distributed incremental loop below takes over.
     *
     * INCREMENTAL pair counting (the standard delta trick): the full
     * corpus-wide pair count is paid ONCE, then each round's merge-apply
@@ -122,7 +214,8 @@ object BpeTrain {
     * from Java String's UTF-16 code-UNIT order only when a non-BMP
     * symbol ties with a BMP symbol in U+E000..U+FFFF; the spec's
     * single-node reference compares by code point to match. */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int,
+            localVocabThreshold: Long = 2000000L): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -146,6 +239,12 @@ object BpeTrain {
       .as[(String, Long)]
       .map { case (w, n) => (codePointSymbols(w), n) }
       .localCheckpoint(true)
+
+    // route: vocab-sized state on one machine when it fits (a round
+    // then touches only affected words); distributed loop beyond
+    val nWords = state.count()
+    if (nWords <= localVocabThreshold)
+      return trainLocal(state.collect(), nMerges)
 
     // the ONE full corpus-wide pair count — every later round merges
     // signed deltas into this frame instead of recounting

@@ -46,6 +46,16 @@ object PipelineRehearsal {
       val merges = graft.operators.BpeTrain.train(docs, "text", nMerges = 12)
       val bpeS = (System.nanoTime() - t0) / 1e9
       val bpeShuffleRecords = stats.records
+      // the beyond-driver-memory route, forced (threshold 0) — the
+      // auto route picks local below 2M distinct words, so both paths
+      // stay measured per decade
+      val t0d = System.nanoTime()
+      val mergesD = graft.operators.BpeTrain.train(docs, "text", nMerges = 12,
+        localVocabThreshold = 0L)
+      val bpeDistS = (System.nanoTime() - t0d) / 1e9
+      require(mergesD.map(m => (m.left, m.right, m.freq)) ==
+        merges.map(m => (m.left, m.right, m.freq)),
+        "routes diverged — the router must be invisible in output")
 
       val t1 = System.nanoTime()
       val relFrame = graft.queries.Curation.releaseTransform(docs)
@@ -60,7 +70,8 @@ object PipelineRehearsal {
       val released = relFrame.count()
 
       println(f"n=$n%7d distinct_words=$distinctWords%8d " +
-        f"bpe12_s=$bpeS%7.2f bpe_shuffle_records=$bpeShuffleRecords%10d " +
+        f"bpe12_s=$bpeS%7.2f bpe12_dist_s=$bpeDistS%7.2f " +
+        f"bpe_shuffle_records=$bpeShuffleRecords%10d " +
         f"top_merge=${merges.head.left}+${merges.head.right}(${merges.head.freq}) " +
         f"release_s=$relS%6.2f released=$released%7d")
     }

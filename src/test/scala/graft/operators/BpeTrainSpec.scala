@@ -60,13 +60,21 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == refBpe(wordCounts(texts), 8))
   }
 
-  test("real corpus (sf0.001 documents): first 10 merges equal the reference") {
+  test("real corpus (sf0.001 documents): first 10 merges equal the reference on BOTH routes") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("text").isNotNull)
     val texts = docs.select(col("text")).collect().map(_.getString(0)).toSeq
-    val got = BpeTrain.train(docs, "text", nMerges = 10)
+    val expected = refBpe(wordCounts(texts), 10)
+    // default threshold -> driver-local inverted-index path
+    val local = BpeTrain.train(docs, "text", nMerges = 10)
       .map(m => (m.left, m.right, m.freq))
-    assert(got == refBpe(wordCounts(texts), 10))
+    assert(local == expected)
+    // threshold 0 forces the distributed incremental loop — identical
+    // merges, rank for rank (the router must be invisible in output)
+    val dist = BpeTrain.train(docs, "text", nMerges = 10,
+        localVocabThreshold = 0L)
+      .map(m => (m.left, m.right, m.freq))
+    assert(dist == expected)
   }
 
   test("non-BMP corpus: code-point symbols survive the UTF-8 round-trip") {
@@ -93,11 +101,14 @@ class BpeTrainSpec extends SparkSpec {
     val bmp = "\uE000"
     val supp = new String(Character.toChars(0x10000))
     val texts = Seq(s"${bmp}a ${supp}a", s"${bmp}a ${supp}a")
-    val got = BpeTrain.train(texts.toDF("text"), "text", nMerges = 1)
-      .map(m => (m.left, m.right, m.freq))
-    assert(got == refBpe(wordCounts(texts), 1))
-    assert(got.head == ((bmp, "a", 2L)),
-      s"tie must break to the code-point-smaller pair: $got")
+    for (thr <- Seq(0L, 1000L)) { // both routes must break the tie alike
+      val got = BpeTrain.train(texts.toDF("text"), "text", nMerges = 1,
+          localVocabThreshold = thr)
+        .map(m => (m.left, m.right, m.freq))
+      assert(got == refBpe(wordCounts(texts), 1))
+      assert(got.head == ((bmp, "a", 2L)),
+        s"tie must break to the code-point-smaller pair (thr=$thr): $got")
+    }
   }
 
   test("merge application is greedy, leftmost, non-overlapping") {
