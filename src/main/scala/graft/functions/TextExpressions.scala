@@ -439,10 +439,13 @@ case class MinHashBandsU64(child: Expression, bands: Int, rowsPerBand: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val expr = ctx.addReferenceObj("minhashU64", this, classOf[MinHashBandsU64].getName)
+    // freshName: two instances in one codegen scope must not collide
+    // (the AvroDecode precedent)
+    val r = ctx.freshName("mhBands")
     nullSafeCodeGen(ctx, ev, a => s"""
-       |Object r = $expr.evalArray($a);
-       |if (r == null) { ${ev.isNull} = true; } else {
-       |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r;
+       |Object $r = $expr.evalArray($a);
+       |if ($r == null) { ${ev.isNull} = true; } else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r;
        |}
      """.stripMargin)
   }

@@ -236,10 +236,17 @@ object Containment {
     // histogram back onto every exploded row
     val heavy = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
+    // persist (MEMORY_AND_DISK), NOT localCheckpoint: keptSets carries
+    // roughly the full kept-shingle payload (~GBs at the scales this
+    // route engages) and feeds BOTH candidate-join sides — but a
+    // pinned unrecoverable checkpoint under the verify joins' memory
+    // pressure is the same squeeze the exploded-frame checkpoint
+    // caused (and an EVICTED localCheckpoint block is fatal, while an
+    // evicted persisted block just recomputes from lineage)
     val keptSets = exploded.join(broadcast(heavy), Seq("s"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("n"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sized = minhashCandidates(docs, shingleLen, bands, rowsPerBand)
       .join(keptSets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
         col("n").as("a_n")), "a_id")

@@ -58,14 +58,17 @@ case class SlidingRangeCountRewrite(spark: SparkSession) extends Rule[LogicalPla
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // accept the common falsy/truthy spellings; an unparsable value must
     // NOT silently keep the rewrite on (the user typed it to disable) —
-    // warn once and treat it as disabled, the conservative reading
+    // warn once PER VALUE (the rule fires per query per fixed-point
+    // iteration; an unguarded warning floods the log) and treat it as
+    // disabled, the conservative reading
     val enabled = spark.conf.getOption(ConfKey).forall { v =>
       v.trim.toLowerCase match {
         case "true" | "1" | "on" | "yes" | "enabled" => true
         case "false" | "0" | "off" | "no" | "disabled" => false
         case other =>
-          logWarning(s"unrecognized $ConfKey value '$other' — treating as " +
-            "disabled; use true/false")
+          if (SlidingRangeCountRewrite.warnedValues.add(other))
+            logWarning(s"unrecognized $ConfKey value '$other' — treating as " +
+              "disabled; use true/false")
           false
       }
     }
@@ -118,4 +121,7 @@ case class SlidingRangeCountRewrite(spark: SparkSession) extends Rule[LogicalPla
 
 object SlidingRangeCountRewrite {
   val ConfKey = "spark.graft.window.cumulativeRangeRewrite"
+  /** Unparsable conf values already warned about (once per value). */
+  private[plans] val warnedValues =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

@@ -197,7 +197,7 @@ object LayoutQueries {
     }),
 
     // Nested-struct round-trip through the Avro layer: orders rows
-    // packed as (o_orderkey, meta: struct<priority, clerk, total_c>),
+    // packed as (o_orderkey, meta: struct<priority, status, total_c>),
     // written as Avro (nested named record), read back and FLATTENED —
     // vs the oracle reading the plain parquet columns. Flattening on
     // the Spark side keeps the hash compare scalar (struct stringify

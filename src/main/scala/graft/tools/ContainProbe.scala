@@ -31,7 +31,9 @@ object ContainProbe {
 
     t("exploded_scan")(exploded.count())
     t("estimate_sampled") {
-      exploded.filter(pmod(col("s"), lit(16L)) === 0L)
+      // x16 scale-up mirrors estimateFromExploded — the printed number
+      // is the one the router compares against candidateBudget
+      16L * exploded.filter(pmod(col("s"), lit(16L)) === 0L)
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 200)
         .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L)))

@@ -122,9 +122,8 @@ object ScaleRehearsal {
 
       // ANN SERVING rung (round-10): build + serve the Hamming-code HNSW
       // beyond the Criterion grid's 100k — codes are 8 B/row, so n=1e6
-      // is the natural next decade of the 100 TB ladder. Codes are
-      // synthesized DISTRIBUTED (spark.range, no driver array); recall
-      // is self-match over a 2000-query sample (every inserted code must
+      // is the natural next decade of the 100 TB ladder. Recall is
+      // self-match over a ~2000-query sample (every inserted code must
       // find itself — the reference's is_match contract).
       if (ops("annserve")) run("ann_serve_hamming", n) {
         import graft.hnsw.{HnswCodes, HnswParams}
@@ -140,9 +139,12 @@ object ScaleRehearsal {
           codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
         val buildS = (System.nanoTime() - t0) / 1e9
         val modelB = HnswCodes.broadcastModel(spark, model)
-        val nq = 2000
-        val qDf = codesDf.filter(col("id") % (n.toLong / nq) === 0L)
-          .limit(nq).toDF("qid", "qcode").localCheckpoint(true)
+        // stride guarded for n < 2000 (ANSI mode would throw on % 0);
+        // the recall denominator is the ACTUAL sampled query count
+        val qDf = codesDf
+          .filter(col("id") % math.max(1L, n.toLong / 2000) === 0L)
+          .limit(2000).toDF("qid", "qcode").localCheckpoint(true)
+        val nq = qDf.count()
         // warm, then time the serving job alone
         HnswCodes.searchBroadcast(qDf.limit(1), modelB, 10)
           .write.format("noop").mode("overwrite").save()
@@ -156,8 +158,10 @@ object ScaleRehearsal {
       }
 
       // Float-vector twin of the annserve rung (dim 64, cosine — the
-      // reference's primary representation): distributed vector
-      // synthesis, geometric-batch build, self-match probe.
+      // reference's primary representation). buildFromArray takes a
+      // driver-side Array regardless, so vectors are synthesized
+      // directly on the driver (a Spark-job round-trip would ship the
+      // same ~n x 64 floats through serialization twice for nothing).
       if (ops("annserve_float")) run("ann_serve_float", n) {
         import graft.hnsw.{HnswDistributed, HnswParams, HnswSearcher}
         import graft.hnsw.HnswDistributed.BuildConfig
@@ -165,17 +169,16 @@ object ScaleRehearsal {
         val dim = 64
         def vecOf(id: Long): Array[Float] = Array.tabulate(dim)(d =>
           (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
-        val rows = spark.range(n.toLong).as[Long]
-          .map(id => (id, vecOf(id))).collect()
+        val rows = Array.tabulate(n)(i => (i.toLong, vecOf(i.toLong)))
         val cfg = BuildConfig(HnswParams.standard(64, 32, 32), "cosine", seed = 9L)
         val t0 = System.nanoTime()
         val model = HnswDistributed.buildFromArray(spark, rows, cfg)
         val buildS = (System.nanoTime() - t0) / 1e9
         val modelB = HnswDistributed.broadcastModel(spark, model)
-        val nq = 2000
-        val qDf = spark.createDataset(
-          (0L until n.toLong by math.max(1L, n.toLong / nq)).take(nq)
-            .map(id => (id, vecOf(id)))).toDF("qid", "qvec")
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 2000)).take(2000)
+        val nq = qIds.length
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec")
         HnswDistributed.searchBroadcast(qDf.limit(1), modelB, 10)
           .write.format("noop").mode("overwrite").save()
         val t1 = System.nanoTime()

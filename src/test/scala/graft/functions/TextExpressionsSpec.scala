@@ -140,6 +140,15 @@ class TextExpressionsSpec extends SparkSpec {
     val empty = Seq(Tuple1(Array.empty[Long])).toDF("sh")
       .select(TextFunctions.minhashBandsU64(col("sh"), 4, 2).as("b"))
     assert(empty.head.isNullAt(0), "empty set has no minima -> null")
+    // two instances in ONE projection over a non-nullable child: the
+    // codegen temps must not collide (freshName regression guard —
+    // nullSafeExec emits unbraced code when the child is non-nullable)
+    val two = Seq(Tuple1(Array(1L, 2L, 3L))).toDF("sh")
+      .select(col("sh")) // non-nullable from the encoder
+      .select(TextFunctions.minhashBandsU64(col("sh"), 4, 2).as("b1"),
+        TextFunctions.minhashBandsU64(col("sh"), 8, 2, seed = 7L).as("b2"))
+      .head
+    assert(two.getSeq[Long](0).length == 4 && two.getSeq[Long](1).length == 8)
   }
 
   test("minhash_bands_u64 band-collision probability tracks J^r") {
