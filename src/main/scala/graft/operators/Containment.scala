@@ -234,8 +234,7 @@ object Containment {
     // maxDf): that set is tiny by construction (high-df boilerplate),
     // so the join broadcasts — vs joining the full ~1e8-row kept
     // histogram back onto every exploded row
-    val heavy = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("s"))
+    val heavy = heavyShingles(exploded, maxDf)
     // persist (MEMORY_AND_DISK), NOT localCheckpoint: keptSets carries
     // roughly the full kept-shingle payload (~GBs at the scales this
     // route engages) and feeds BOTH candidate-join sides — but a
@@ -256,6 +255,74 @@ object Containment {
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"))
       .filter(col("n_inter") > 0)
     thresholdBothDirections(sized, num, den)
+  }
+
+  /** Exact set of shingle hashes with global df > `maxDf`, WITHOUT a
+    * full ~|distinct shingles|-key aggregation (the one remaining
+    * spill-heavy stage of the routed plan — a ~1e8-distinct-key
+    * partial hash agg degrades to sort-fallback at single-node
+    * memory). Two-phase pigeonhole (the HeavyHitters pattern on long
+    * keys):
+    *
+    *  1. Coalesce the shingle stream to at most A=64 partitions
+    *     (narrow, no shuffle) and, per partition, SORT the local longs
+    *     (bounded: the partition's own rows, spill-free primitive
+    *     sort) and emit keys with local count >= t = ceil((maxDf+1)/A).
+    *     Pigeonhole: a key with global df > maxDf must reach local
+    *     count t somewhere, so the union is a SUPERSET of the heavy
+    *     set. (Using A even when fewer partitions exist only lowers t
+    *     — still a superset.)
+    *  2. Recount ONLY the candidates exactly (broadcast semi-join —
+    *     the aggregation state is now |candidates|, not |distinct
+    *     shingles|) and keep df > maxDf.
+    *
+    * Candidates are bounded by rows/t per partition; a corpus where
+    * that bound actually materializes (~everything repeats exactly t
+    * times per partition) would blow the broadcast, so a count guard
+    * falls back to the plain full histogram — correct at any scale,
+    * just with the aggregation this path exists to avoid. */
+  private[operators] def heavyShingles(exploded: DataFrame, maxDf: Int): DataFrame = {
+    if (maxDf == Int.MaxValue)
+      return exploded.sparkSession.range(0).select(col("id").as("s"))
+    val parts = 64
+    // below parts partitions the pigeonhole threshold degenerates to 1
+    // (= every key a candidate); the plain histogram is the honest plan
+    // there — and a cap that small makes the heavy set huge anyway
+    if (maxDf + 1 <= parts)
+      return exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("s"))
+    val t = (maxDf + parts) / parts // ceil((maxDf+1)/parts) >= 2 here
+    import org.apache.spark.sql.Encoders
+    val cand = exploded.select(col("s"))
+      .as[java.lang.Long](Encoders.LONG)
+      .coalesce(parts)
+      .mapPartitions { it =>
+        val b = scala.collection.mutable.ArrayBuilder.make[Long]
+        while (it.hasNext) b += it.next()
+        val a = b.result()
+        java.util.Arrays.sort(a)
+        val out = scala.collection.mutable.ArrayBuffer.empty[java.lang.Long]
+        var i = 0
+        while (i < a.length) {
+          var j = i + 1
+          while (j < a.length && a(j) == a(i)) j += 1
+          if (j - i >= t) out += a(i)
+          i = j
+        }
+        out.iterator
+      }(Encoders.LONG)
+      .toDF("s").distinct()
+      .localCheckpoint() // tiny by contract; the guard below verifies
+    val nCand = cand.count()
+    if (nCand > 5000000L) {
+      // adversarial repeat structure — fall back to the exact histogram
+      exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("s"))
+    } else {
+      exploded.join(broadcast(cand), Seq("s"), "left_semi")
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select(col("s"))
+    }
   }
 
   /** Banded-MinHash candidate pairs (a_id < b_id, distinct) — the

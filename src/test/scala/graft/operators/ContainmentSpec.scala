@@ -124,6 +124,40 @@ class ContainmentSpec extends SparkSpec {
       shingleLen = 8, maxDf = 2) == 0L)
   }
 
+  test("heavyShingles (two-phase pigeonhole) equals the full-histogram heavy set") {
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    import graft.functions.TextFunctions
+    // synthetic corpus with a genuinely heavy run: 300 docs share one
+    // 12-char boilerplate (its shingles hit df=300 > caps below),
+    // background shingles stay unique-ish. Also exercised on the real
+    // documents table.
+    val boiler = "HEAVYRUN9012"
+    val synth = (1 to 300).map(i => (i.toLong, s"$boiler unique_tail_number_$i")) ++
+      (301 to 340).map(i => (i.toLong, s"plain_text_body_$i with no shared run"))
+    val corpora = Seq(
+      synth.toDF("doc_id", "text"),
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text"))
+    for (docs <- corpora; cap <- Seq(100, 200)) {
+      val exploded = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.charShingleHashes(col("text"), 8)).as("s"))
+      val expected = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("s"))
+        .collect().map(_.getLong(0)).toSet
+      val got = Containment.heavyShingles(exploded, cap)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"cap=$cap: two-phase ${got.size} vs full ${expected.size}")
+    }
+    // small caps route to the histogram internally — still exact
+    val small = synth.toDF("doc_id", "text")
+    val ex = small.select(col("doc_id"),
+      explode(TextFunctions.charShingleHashes(col("text"), 8)).as("s"))
+    val expSmall = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 10).select(col("s")).collect().map(_.getLong(0)).toSet
+    assert(Containment.heavyShingles(ex, 10)
+      .collect().map(_.getLong(0)).toSet == expSmall)
+  }
+
   test("matches brute-force set containment on real docs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
