@@ -65,7 +65,8 @@ object HnswCodes {
     * deterministic id order. The code table itself broadcasts at any
     * realistic scale (8 bytes per vector). */
   def buildBatched(codes: DataFrame, params: HnswParams, seed: Long = 42L,
-                   seedBatch: Int = 128, maxBatch: Int = 4096): CodeModel = {
+                   seedBatch: Int = 128, maxBatch: Int = 4096,
+                   growthDenom: Int = 4, batchCeiling: Int = 262144): CodeModel = {
     val spark = codes.sparkSession
     val rows = codes.select(col("id"), col("code")).as(pairEnc).collect()
       .sortBy(_._1).distinctBy(_._1)
@@ -77,7 +78,7 @@ object HnswCodes {
 
     HnswDistributed.batchedBuildLoop(spark, rows.map(_._1), insLayers, codeMap,
       (m: LongLongMap) => new CodeStoreWithIds(m),
-      store, searcher, graph, seedBatch, maxBatch)
+      store, searcher, graph, seedBatch, maxBatch, growthDenom, batchCeiling)
 
     CodeModel(params, graph.snapshot, codeMap)
   }

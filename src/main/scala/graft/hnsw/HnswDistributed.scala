@@ -45,12 +45,19 @@ final case class HnswModel(
   */
 object HnswDistributed {
 
+  /** `growthDenom`/`batchCeiling` govern the geometric batch schedule
+    * past `maxBatch` (batch = min(pos/growthDenom, batchCeiling)): they
+    * change the built graph (stale-snapshot fraction per batch is
+    * 1/growthDenom), so they are explicit config — and part of
+    * [[cacheKey]] — rather than loop constants. */
   final case class BuildConfig(
       params: HnswParams = HnswParams.standard(64, 32, 32),
       metric: String = "cosine",
       seed: Long = 42L,
       seedBatch: Int = 128,
-      maxBatch: Int = 4096
+      maxBatch: Int = 4096,
+      growthDenom: Int = 4,
+      batchCeiling: Int = 262144
   )
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
@@ -65,6 +72,7 @@ object HnswDistributed {
   private[hnsw] def cacheKey(cfg: BuildConfig): String = {
     val p = cfg.params
     Seq(cfg.metric, cfg.seed, cfg.seedBatch, cfg.maxBatch,
+      cfg.growthDenom, cfg.batchCeiling,
       p.m.toList, p.mMax.toList, p.efConstrSearch.toList,
       p.efConstrInsert.toList, p.efSearch.toList, p.layerProbability
     ).mkString("|")
@@ -102,7 +110,8 @@ object HnswDistributed {
 
     batchedBuildLoop(spark, rows.map(_._1), insLayers, vecMap,
       (m: collection.Map[Long, Array[Float]]) => new ArrayVectorStore(metric, base = m),
-      store, searcher, graph, cfg.seedBatch, cfg.maxBatch)
+      store, searcher, graph, cfg.seedBatch, cfg.maxBatch,
+      cfg.growthDenom, cfg.batchCeiling)
 
     HnswModel(cfg.params, cfg.metric, graph.snapshot, vecMap)
   }
@@ -120,7 +129,9 @@ object HnswDistributed {
       ids: Array[Long], insLayers: Array[Int],
       payload: P, mkExecutorStore: P => graft.store.VectorStore,
       driverStore: graft.store.VectorStore, searcher: HnswSearcher,
-      graph: InMemoryGraph, seedBatch: Int, maxBatch: Int): Unit = {
+      graph: InMemoryGraph, seedBatch: Int, maxBatch: Int,
+      growthDenom: Int = 4, batchCeiling: Int = 262144): Unit = {
+    require(growthDenom >= 1, "growthDenom must be >= 1")
     val n = ids.length
     val seedN = math.min(seedBatch, n)
     var pos = 0
@@ -145,16 +156,17 @@ object HnswDistributed {
         // Batch schedule: min(maxBatch, pos) early (never insert more
         // than the built prefix at once — intra-batch nodes can't link
         // to each other in phase 1), then GROWING with the prefix
-        // (pos/4) once past maxBatch. A fixed cap re-broadcasts the
-        // full O(n) snapshot every maxBatch inserts — Σ O(n²/maxBatch)
-        // bytes, measured 40x-superlinear at n=1e6 (396 s, ~250
-        // broadcasts of a ~130 MB-avg snapshot); the geometric schedule
-        // needs O(log n) broadcasts, Σ ~5x the final snapshot. The
-        // stale-snapshot fraction stays <= 1/4 past the cap (it is 1.0
-        // during the early doubling phase the parity specs pin), and
-        // the absolute 262144 ceiling bounds the driver-side phase-1
-        // result collect regardless of n.
-        val grown = math.max(maxBatch, math.min(pos / 4, 262144))
+        // (pos/growthDenom) once past maxBatch. A fixed cap
+        // re-broadcasts the full O(n) snapshot every maxBatch inserts —
+        // Σ O(n²/maxBatch) bytes, measured 40x-superlinear at n=1e6
+        // (396 s, ~250 broadcasts of a ~130 MB-avg snapshot); the
+        // geometric schedule needs O(log n) broadcasts, Σ ~5x the final
+        // snapshot. The stale-snapshot fraction stays <= 1/growthDenom
+        // past the cap (it is 1.0 during the early doubling phase the
+        // parity specs pin; the grown-regime cross-query recall floor
+        // is pinned by its own spec), and the batchCeiling bounds the
+        // driver-side phase-1 result collect regardless of n.
+        val grown = math.max(maxBatch, math.min(pos / growthDenom, batchCeiling))
         val batchSize = math.min(math.min(grown, pos), n - pos)
         val batch = (pos until pos + batchSize).map(i => (ids(i), insLayers(i)))
         val t0 = now()

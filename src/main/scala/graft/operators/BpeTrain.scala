@@ -241,9 +241,23 @@ object BpeTrain {
       .localCheckpoint(true)
 
     // route: vocab-sized state on one machine when it fits (a round
-    // then touches only affected words); distributed loop beyond
-    val nWords = state.count()
-    if (nWords <= localVocabThreshold)
+    // then touches only affected words); distributed loop beyond.
+    // The gate is rows AND estimated bytes: per-word driver cost is the
+    // symbol array, not a constant, so a 2M-word corpus of long words
+    // could blow the driver heap under the row threshold alone. One
+    // narrow reduce over the checkpointed state prices the collect
+    // (~48 B tuple/count overhead per word + ~64 B per symbol String —
+    // a conservative JVM object model), and the budget is a quarter of
+    // the driver heap, leaving room for trainLocal's inverted
+    // pair->words index (same order as the state itself).
+    val statsRow = state.toDF("syms", "n")
+      .agg(count(lit(1)).as("words"),
+        coalesce(sum(size(col("syms"))), lit(0L)).as("symbols"))
+      .head
+    val (nWords, totalSyms) = (statsRow.getLong(0), statsRow.getLong(1))
+    val estLocalBytes = nWords * 48L + totalSyms * 64L
+    val localBudget = Runtime.getRuntime.maxMemory / 4
+    if (nWords <= localVocabThreshold && estLocalBytes <= localBudget)
       return trainLocal(state.collect(), nMerges)
 
     // the ONE full corpus-wide pair count — every later round merges

@@ -160,6 +160,22 @@ object Containment {
     c * math.max(1, sampleMod)
   }
 
+  /** Route pin for [[pairsAuto]]. The two routes are NOT
+    * result-identical above the knee: the LSH route keeps precision 1.0
+    * but its recall follows the banding curve on pair Jaccard, so
+    * low-Jaccard/high-asymmetry containments can be missed. */
+  sealed trait Route
+  object Route {
+    /** Estimate-driven: exact under budget, LSH-verified above. */
+    case object Auto extends Route
+    /** Exact plan, but throw with the estimate when over budget. */
+    case object ExactOrFail extends Route
+    /** Exact plan unconditionally (== [[pairs]]). */
+    case object ExactAlways extends Route
+    /** LSH-verified plan unconditionally. */
+    case object LshAlways extends Route
+  }
+
   /** Regime-routed containment: the capped inverted index has a
     * measured super-linear regime (flat-df corpora where the Σdf²
     * candidate term survives the per-shingle cap — the r9 rehearsal hit
@@ -188,13 +204,26 @@ object Containment {
     *    readmit the clique blow-up through the candidate stream.
     *
     * `onRoute` receives one line naming the chosen route + the estimate
-    * (the rehearsal logs it; library users can pass their own sink). */
+    * (the rehearsal logs it; library users can pass their own sink).
+    *
+    * `route` makes the decision explicit for callers that cannot accept
+    * a silent semantics change (the two routes are NOT result-identical
+    * above the knee — see [[Route]]):
+    *  - [[Route.Auto]] (default): estimate-driven flip, surfaced only
+    *    through `onRoute`. For exploratory/pipeline use.
+    *  - [[Route.ExactOrFail]]: always the exact plan; if the estimate
+    *    exceeds `candidateBudget`, FAIL FAST with the estimate instead
+    *    of either launching a 100×-over-budget join or silently
+    *    dropping recall. The right mode for oracle-verified results.
+    *  - [[Route.ExactAlways]] / [[Route.LshAlways]]: pin one plan
+    *    (rehearsals, A/B measurement). */
   def pairsAuto(docs: DataFrame, shingleLen: Int = 8,
                 num: Int = 4, den: Int = 5,
                 maxDf: Int = Int.MaxValue,
                 candidateBudget: Long = 200000000L,
                 minhashBands: Int = 18, minhashRows: Int = 7,
-                onRoute: String => Unit = s => System.err.println(s)): DataFrame = {
+                onRoute: String => Unit = s => System.err.println(s),
+                route: Route = Route.Auto): DataFrame = {
     require(num > 0 && den >= num, "threshold num/den must be in (0, 1]")
     // exploded is NOT checkpointed: at the corpus sizes where this
     // router matters it is ~1e8 narrow rows (~3 GB) — pinning that in
@@ -204,19 +233,40 @@ object Containment {
     // checkpoint in, completes with it out). Recomputing the shingle
     // kernel per consumer is one extra codegen'd scan — cheap.
     val exploded = explodedShingles(docs, shingleLen)
+    route match {
+      case Route.ExactAlways =>
+        onRoute(s"[containment] route=exact (pinned)")
+        return pairsExact(exploded, num, den, maxDf)
+      case Route.LshAlways =>
+        onRoute(s"[containment] route=lsh (pinned) bands=$minhashBands rows_per_band=$minhashRows")
+        return pairsLshVerified(docs, exploded, shingleLen, num, den, maxDf,
+          minhashBands, minhashRows)
+      case _ => ()
+    }
     // 1-in-16 shingle-space sample: routing needs the ORDER of the
-    // candidate volume, not its exact value (both routes are correct;
-    // only the plan differs) — and the full-histogram version of this
-    // pass was itself a material slice of the routed wall at n=1e5
+    // candidate volume, not its exact value — the flip is a COST
+    // decision, but NOT a free one: above the knee the LSH route trades
+    // recall on low-Jaccard/high-asymmetry containments (tiny doc
+    // quoted inside a huge doc) for leaving the quadratic regime, per
+    // the banding math in the scaladoc above. Precision stays 1.0 on
+    // both routes; only the exact route guarantees full recall.
     val est = estimateFromExploded(exploded, maxDf, sampleMod = 16)
     if (est <= candidateBudget) {
       onRoute(s"[containment] route=exact est_candidate_rows=$est budget=$candidateBudget")
       pairsExact(exploded, num, den, maxDf)
-    } else {
-      onRoute(s"[containment] route=lsh est_candidate_rows=$est budget=$candidateBudget " +
-        s"bands=$minhashBands rows_per_band=$minhashRows")
-      pairsLshVerified(docs, exploded, shingleLen, num, den, maxDf,
-        minhashBands, minhashRows)
+    } else route match {
+      case Route.ExactOrFail =>
+        throw new IllegalStateException(
+          s"[containment] exact-route candidate estimate $est exceeds budget " +
+            s"$candidateBudget (sampled Σ C(df,2) over kept shingles). This call " +
+            "pinned Route.ExactOrFail — rerun with Route.Auto to accept the " +
+            "LSH-verified plan (full precision, banding-curve recall) or raise " +
+            "candidateBudget to force the exact join at its estimated cost.")
+      case _ =>
+        onRoute(s"[containment] route=lsh est_candidate_rows=$est budget=$candidateBudget " +
+          s"bands=$minhashBands rows_per_band=$minhashRows")
+        pairsLshVerified(docs, exploded, shingleLen, num, den, maxDf,
+          minhashBands, minhashRows)
     }
   }
 
@@ -254,7 +304,17 @@ object Containment {
       .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"),
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("long").as("n_inter"))
       .filter(col("n_inter") > 0)
-    thresholdBothDirections(sized, num, den)
+    // materialize the (true-pair-sized) output HERE so keptSets can be
+    // released before returning — a lazy return would leak the multi-GB
+    // cached frame for the session (it could never be unpersisted,
+    // since the caller's first action on the frame re-reads it). If an
+    // evicted output block later recomputes, lineage rebuilds keptSets
+    // transiently — correct, just slower, and only on eviction.
+    val out = thresholdBothDirections(sized, num, den)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    keptSets.unpersist(blocking = false)
+    out
   }
 
   /** Exact set of shingle hashes with global df > `maxDf`, WITHOUT a
@@ -265,9 +325,9 @@ object Containment {
     * keys):
     *
     *  1. Coalesce the shingle stream to at most A=64 partitions
-    *     (narrow, no shuffle) and, per partition, SORT the local longs
-    *     (bounded: the partition's own rows, spill-free primitive
-    *     sort) and emit keys with local count >= t = ceil((maxDf+1)/A).
+    *     (narrow, no shuffle), sort each partition locally with
+    *     Spark's spill-aware sorter, and stream a run-length scan that
+    *     emits keys with local count >= t = ceil((maxDf+1)/A).
     *     Pigeonhole: a key with global df > maxDf must reach local
     *     count t somewhere, so the union is a SUPERSET of the heavy
     *     set. (Using A even when fewer partitions exist only lowers t
@@ -293,23 +353,45 @@ object Containment {
         .filter(col("df") > maxDf).select(col("s"))
     val t = (maxDf + parts) / parts // ceil((maxDf+1)/parts) >= 2 here
     import org.apache.spark.sql.Encoders
+    // sortWithinPartitions (UnsafeExternalSorter — spills to disk) then
+    // a STREAMING run-length scan: per-task memory is O(1) regardless
+    // of partition size. The previous shape buffered the whole
+    // coalesced partition (~rows/64) into one Array[Long] before
+    // sorting — unbounded as the corpus grows (1e9+ shingle rows would
+    // OOM the task before the 5M candidate guard below could engage).
     val cand = exploded.select(col("s"))
-      .as[java.lang.Long](Encoders.LONG)
       .coalesce(parts)
+      .sortWithinPartitions(col("s"))
+      .as[java.lang.Long](Encoders.LONG)
       .mapPartitions { it =>
-        val b = scala.collection.mutable.ArrayBuilder.make[Long]
-        while (it.hasNext) b += it.next()
-        val a = b.result()
-        java.util.Arrays.sort(a)
-        val out = scala.collection.mutable.ArrayBuffer.empty[java.lang.Long]
-        var i = 0
-        while (i < a.length) {
-          var j = i + 1
-          while (j < a.length && a(j) == a(i)) j += 1
-          if (j - i >= t) out += a(i)
-          i = j
+        new scala.collection.AbstractIterator[java.lang.Long] {
+          private var pending: java.lang.Long = null
+          private var cur = 0L
+          private var run = 0
+          private var open = false
+          private def advance(): Unit = {
+            pending = null
+            while (pending == null && (it.hasNext || open)) {
+              if (!it.hasNext) {
+                if (run >= t) pending = cur
+                open = false
+              } else {
+                val v = it.next().longValue()
+                if (!open) { cur = v; run = 1; open = true }
+                else if (v == cur) run += 1
+                else {
+                  if (run >= t) pending = cur
+                  cur = v; run = 1
+                }
+              }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = pending != null
+          override def next(): java.lang.Long = {
+            val r = pending; advance(); r
+          }
         }
-        out.iterator
       }(Encoders.LONG)
       .toDF("s").distinct()
       .localCheckpoint() // tiny by contract; the guard below verifies

@@ -75,12 +75,16 @@ object DedupQueries {
     val path = containDirCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("containment_pairs") {
         val out = graft.TempDirs.create("graft_contain_")
-        // the ROUTED entry point (round-10): at catalog scale the Σdf²
-        // estimate lands under budget and the plan is the exact shape —
-        // same rows — while a flat-df corpus would be diverted to the
-        // LSH-verified path instead of the r9 rehearsal's 445 s regime
+        // ExactOrFail (round-11): this row is ORACLE-VERIFIED, so a
+        // silent estimate-driven flip to the LSH route (banding-curve
+        // recall) must never happen under corpus drift — the router
+        // still guards the cost (it fails fast with the Σdf² estimate
+        // instead of launching the r9 rehearsal's 445 s exact regime),
+        // but degrading recall is an explicit user decision, not a
+        // stderr line
         graft.operators.Containment
-          .pairsAuto(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200)
+          .pairsAuto(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200,
+            route = graft.operators.Containment.Route.ExactOrFail)
           .write.mode("overwrite").parquet(out)
         out
       }

@@ -208,6 +208,45 @@ class HnswDistributedSpec extends SparkSpec {
     assert(self >= (n * 0.98).toLong, s"self-match $self/$n below the 0.98 floor")
   }
 
+  test("grown-regime batch schedule holds a cross-query recall floor (recall@10 >= 0.9)") {
+    // The geometric schedule inserts up to 1/growthDenom of the graph
+    // against one stale snapshot once past maxBatch — a different graph
+    // than sequential insertion builds. The self-match floor alone
+    // can't see degraded NEIGHBORHOOD quality, so this pins recall for
+    // HELD-OUT queries at a size where ~99% of inserts run in the grown
+    // regime (n=20k, maxBatch=64 -> growth from pos=256, batches up to
+    // n/4 = 5000).
+    import spark.implicits._
+    val dim = 16
+    def vecFromHash(i: Long, seed: Long): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (HnswSearcher.uniformFromHash(i * dim + d, seed) * 2.0 - 1.0).toFloat)
+    val n = 20000
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L)))
+    val baseDf = spark.createDataset(base).toDF("id", "vec")
+    val held = (0 until 200).map(q => (q.toLong, vecFromHash(q.toLong, 99L)))
+    val heldDf = spark.createDataset(held).toDF("qid", "qvec")
+
+    val grownCfg = BuildConfig(HnswParams.standard(64, 64, 16),
+      metric = "cosine", seed = 42L, seedBatch = 64, maxBatch = 64,
+      growthDenom = 4, batchCeiling = 262144)
+    val grownModel = HnswDistributed.build(baseDf, grownCfg)
+    val hnsw = HnswDistributed.search(heldDf, grownModel, 10)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ExactKnn.search(heldDf, baseDf, 10, "cosine")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (hnsw intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"grown-regime cross-query recall=$recall")
+    // and the schedule knobs are part of the memo key: two configs
+    // differing only in growthDenom must not share a cached model
+    assert(HnswDistributed.cacheKey(grownCfg) !=
+      HnswDistributed.cacheKey(grownCfg.copy(growthDenom = 2)))
+    assert(HnswDistributed.cacheKey(grownCfg) !=
+      HnswDistributed.cacheKey(grownCfg.copy(batchCeiling = 4096)))
+  }
+
   test("prebuilt sharded handle serves repeated query batches without rebuild") {
     val index = HnswDistributed.buildSharded(
       vectors, BuildConfig(HnswParams.standard(64, 128, 16), "cosine", 42L),

@@ -79,6 +79,26 @@ class ContainmentSpec extends SparkSpec {
     assert(auto.sorted.toSeq == exact.sorted.toSeq)
   }
 
+  test("pairsAuto Route.ExactOrFail fails fast over budget, exact-identical under it") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // over budget: the pinned-exact route must THROW with the estimate,
+    // never silently flip to banding-curve recall
+    val ex = intercept[IllegalStateException] {
+      Containment.pairsAuto(docs, shingleLen = 8, num = 4, den = 5,
+        maxDf = 200, candidateBudget = 1L, onRoute = _ => (),
+        route = Containment.Route.ExactOrFail).collect()
+    }
+    assert(ex.getMessage.contains("exceeds budget"), ex.getMessage)
+    // under budget: identical rows to pairs()
+    val strict = Containment.pairsAuto(docs, shingleLen = 8, num = 4, den = 5,
+        maxDf = 200, onRoute = _ => (), route = Containment.Route.ExactOrFail)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val exact = Containment.pairs(docs, shingleLen = 8, num = 4, den = 5, maxDf = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(strict.sorted.toSeq == exact.sorted.toSeq)
+  }
+
   test("pairsAuto above budget takes the LSH route: precision 1.0, full recall on the mirror corpus") {
     // planted structure mirrors the rehearsal's: sources wrapped whole
     // in small boilerplate (high-Jaccard containments the banding
