@@ -1,37 +1,91 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — the time-series join Spark lacks natively: for
-  * every left row, the single right row with the greatest
-  * `rightTime <= leftTime` in the same key group (null-padded when no
-  * such row exists). The canonical shapes: trade→latest-quote,
-  * purchase→latest-preceding-click attribution, reading→latest-config.
+/** As-of joins — the time-series joins Spark lacks natively.
   *
-  * Implementation composes existing operators (no custom physical node
-  * needed): tag both sides, union, and take `last(right payload,
-  * ignoreNulls)` over a (key, time)-ordered running window, then keep
-  * the left rows. ONE shuffle on the key — same cost as a plain equi
-  * join — and no range-condition explosion: the naive formulation
-  * (`l.k = r.k AND r.t <= l.t` theta join + max filter) degenerates to
-  * a per-key cross product, O(|l|·|r|) within every key; this is
-  * O((|l|+|r|) log) via the window sort. Right rows sort BEFORE left
-  * rows at equal time, so a tick at exactly leftTime is matched
-  * (`>=` semantics, mirroring e.g. DuckDB's ASOF JOIN).
+  *  - [[backward]]: for every left row, the single right row with the
+  *    greatest `rightTime <= leftTime` in the same key group (null-padded
+  *    when none exists). Canonical shapes: trade→latest-quote,
+  *    purchase→latest-preceding-click attribution, reading→latest-config.
+  *  - [[forward]]: the single right row with the SMALLEST
+  *    `rightTime >= leftTime` — next-purchase-after-click
+  *    (time-to-convert), next-maintenance-after-reading.
+  *  - Both take an optional `tolerance` predicate over
+  *    `(leftTime, rightTime)`: a matched tick failing it null-pads the
+  *    row instead. This is exact, not a post-hoc approximation — the
+  *    as-of match is the CLOSEST tick, so if it fails a monotone gap
+  *    bound every other tick does too.
   *
-  * Contract: (rightKey, rightTime) pairs must be unique on the right
-  * (the standard as-of contract — with duplicates "the latest tick" is
+  * Two physical strategies, same semantics (specs pin parity):
+  *
+  *  - [[backward]]/[[forward]] — union + running-window composition: tag
+  *    both sides, union, `last(right payload, ignoreNulls)` over a
+  *    (key, time)-ordered running window, keep left rows. ONE shuffle on
+  *    the key — same cost as a plain equi join — and no range-condition
+  *    explosion: the naive formulation (`l.k = r.k AND r.t <= l.t` theta
+  *    join + max filter) degenerates to a per-key cross product,
+  *    O(|l|·|r|) within every key; this is O((|l|+|r|) log) via the
+  *    window sort. The right choice when BOTH sides are large.
+  *  - [[backwardBroadcast]]/[[forwardBroadcast]] — dimension-sized right:
+  *    group the right into per-key sorted tick arrays (one small shuffle
+  *    of the right only), broadcast, and probe by codegen'd binary search
+  *    ([[graft.functions.SortedCountLE]]). The LEFT SIDE IS NEVER
+  *    SHUFFLED — at 100 TB this is the only acceptable plan for a
+  *    petabyte fact stream against thousands of config/price ticks; the
+  *    union variant would shuffle the fact table just to sort ticks into
+  *    it. Requires an integral (long) time axis; the catalog's nanosecond
+  *    timestamps are exactly that.
+  *
+  * Tie semantics both directions: a tick at exactly `leftTime` is matched
+  * (`>=`/`<=` semantics, mirroring DuckDB's ASOF JOIN, our oracle).
+  *
+  * Contract: (rightKey, rightTime) pairs must be unique on the right (the
+  * standard as-of contract — with duplicates "the latest tick" is
   * ill-defined); pre-aggregate the right side otherwise. Column names
   * must be disjoint between the sides (the relational-catalog
-  * convention).
+  * convention). NULL right keys/times never match; NULL left keys/times
+  * produce null-padded output rows (SQL semantics).
   */
 object AsofJoin {
 
+  type TolerancePredicate = (Column, Column) => Column
+
   def backward(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String,
+               tolerance: Option[TolerancePredicate] = None): DataFrame =
+    viaUnionWindow(left, right, leftKey, rightKey, leftTime, rightTime,
+      forward = false, tolerance)
+
+  def forward(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              tolerance: Option[TolerancePredicate] = None): DataFrame =
+    viaUnionWindow(left, right, leftKey, rightKey, leftTime, rightTime,
+      forward = true, tolerance)
+
+  def backwardBroadcast(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        tolerance: Option[TolerancePredicate] = None): DataFrame =
+    viaBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
+      forward = false, tolerance)
+
+  def forwardBroadcast(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       tolerance: Option[TolerancePredicate] = None): DataFrame =
+    viaBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
+      forward = true, tolerance)
+
+  private def viaUnionWindow(left: DataFrame, right: DataFrame,
+                             leftKey: String, rightKey: String,
+                             leftTime: String, rightTime: String,
+                             forward: Boolean,
+                             tolerance: Option[TolerancePredicate]): DataFrame = {
     // df(name) + getField keep arbitrary column names intact (a dotted
     // name inside an interpolated path would parse as nested navigation)
     val lPay = struct(left.columns.map(left(_)): _*)
@@ -45,7 +99,9 @@ object AsofJoin {
     // partition, so left unfiltered they would fabricate matches.
     // NULL-key/time LEFT rows stay (they must appear in the output) and
     // correctly get a null-padded right side: their partition/prefix
-    // contains no surviving right row.
+    // contains no surviving right row — except a null-time left row in
+    // the FORWARD (descending) order, which sorts last and would see
+    // every tick; the explicit __t guard below covers that case.
     val lSchema = left.schema
     val rSchema = right.schema
     val rTagged = right
@@ -57,14 +113,74 @@ object AsofJoin {
       .withColumn("__rpay", lit(null).cast(rSchema))
       .unionByName(rTagged)
 
+    // Backward: ascending time, running last-right-seen = greatest
+    // rt <= lt. Forward: DESCENDING time, running last-right-seen =
+    // smallest rt >= lt. Right rows sort before left rows at equal time
+    // in both (side 0 < 1), so an exactly-equal tick is matched.
+    val ord =
+      if (forward) Seq(col("__t").desc, col("__side").asc)
+      else Seq(col("__t").asc, col("__side").asc)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolOk = tolerance
+      .map(p => p(col("__t"), col("__raw").getField(rightTime)))
+      .getOrElse(lit(true))
     val matched = unioned
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .withColumn("__raw", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+      .withColumn("__match",
+        when(col("__t").isNotNull && tolOk, col("__raw")))
     matched.select(
       left.columns.map(c => col("__lpay").getField(c).as(c)) ++
+        right.columns.map(c => col("__match").getField(c).as(c)): _*)
+  }
+
+  /** Integral (long) time axis required: the probe is a binary search
+    * over a broadcast sorted `array<long>` per key. */
+  private def viaBroadcast(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTime: String, rightTime: String,
+                           forward: Boolean,
+                           tolerance: Option[TolerancePredicate]): DataFrame = {
+    import graft.functions.AsofFunctions.{countLE, countLT}
+    val rPay = struct(right.columns.map(right(_)): _*)
+    // One row per key: ticks sorted ascending by time. The comparator
+    // lambda orders by the time field ALONE — a bare struct sort would
+    // demand every payload type be orderable (maps are not) and would
+    // compare payloads on (contract-violating) time ties.
+    val grouped = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .groupBy(col(rightKey).as("__k"))
+      .agg(array_sort(
+        collect_list(struct(col(rightTime).cast("long").as("__rt"), rPay.as("__p"))),
+        (a, b) => when(a.getField("__rt") < b.getField("__rt"), -1)
+          .when(a.getField("__rt") > b.getField("__rt"), 1)
+          .otherwise(0)
+      ).as("__ticks"))
+      .select(col("__k"),
+        transform(col("__ticks"), x => x.getField("__rt")).as("__ts"),
+        transform(col("__ticks"), x => x.getField("__p")).as("__pays"))
+
+    val joined = left.join(broadcast(grouped),
+      left(leftKey) === grouped("__k"), "left")
+    // Backward: countLE = 1-based index of the greatest tick <= t.
+    // Forward: countLT = ticks strictly before t, so the next tick at or
+    // after t sits at countLT + 1 (when it exists).
+    val idx =
+      if (forward) countLT(col("__ts"), col(leftTime).cast("long")) + lit(1)
+      else countLE(col("__ts"), col(leftTime).cast("long"))
+    val tolOk = tolerance
+      .map(p => p(col(leftTime), col("__raw").getField(rightTime)))
+      .getOrElse(lit(true))
+    val matched = joined
+      .withColumn("__idx", idx)
+      .withColumn("__raw",
+        when(col("__idx").between(lit(1), size(col("__ts"))),
+          element_at(col("__pays"), col("__idx"))))
+      .withColumn("__match", when(col("__raw").isNotNull && tolOk, col("__raw")))
+    matched.select(
+      left.columns.map(c => left(c)) ++
         right.columns.map(c => col("__match").getField(c).as(c)): _*)
   }
 }

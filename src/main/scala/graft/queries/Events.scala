@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,50 @@ object Events {
           // integer div, never `/`: 2024-epoch nanos exceed 2^53, double
           // division would round microseconds
           expr("(ts div 1000) - (c_ts div 1000)").as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // The SAME attribution result through AsofJoin.backwardBroadcast —
+    // the never-shuffle-the-fact-side strategy (per-key sorted tick
+    // arrays broadcast, codegen'd binary-search probe). At 100 TB this
+    // is the only acceptable as-of plan against a dimension-sized tick
+    // table; hash-matching the identical DuckDB ASOF oracle proves the
+    // two physical strategies are row-identical.
+    "e_attribution_bcast" -> ((s, dir) => {
+      val ev = t(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.backwardBroadcast(
+          purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          expr("(ts div 1000) - (c_ts div 1000)").as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // FORWARD as-of with a tolerance window: each click -> the next
+    // purchase by the same user within one hour (time-to-convert). The
+    // tolerance compares MICROsecond-truncated gaps — the parquet column
+    // is TIMESTAMP(NANOS) and DuckDB's reader truncates to us, so a raw
+    // nanosecond bound could disagree with any oracle at the boundary;
+    // (x - pmod(x, 1000)) keeps the arithmetic in exact longs
+    // (1000 * us(x)) instead of a 2^53-unsafe double division.
+    "e_click_to_purchase" -> ((s, dir) => {
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val usTrunc = (c: Column) => c - pmod(c, lit(1000L))
+      val ev = t(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.operators.AsofJoin.forward(
+          clicks, purchases, "user_id", "p_user", "ts", "p_ts",
+          tolerance = Some((lt, rt) => usTrunc(rt) - usTrunc(lt) <= lit(hourNs)))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          expr("(p_ts div 1000) - (ts div 1000)").as("gap_us"))
         .orderBy(col("event_id"))
     }),
 
@@ -671,6 +715,37 @@ object Events {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "e_attribution_bcast" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id AS c_user, ts AS c_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_id,
+        |  epoch_us(p.ts) - epoch_us(c.c_ts) AS gap_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.c_user AND p.ts >= c.c_ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    // forward ASOF (c.ts <= p.p_ts picks the NEXT tick); the 1-hour
+    // tolerance is applied after the match — the as-of match is the
+    // closest tick, so out-of-window means no in-window tick exists
+    "e_click_to_purchase" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT c.event_id, c.user_id, c.ts, p.purchase_id, p.p_ts
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.p_user AND c.ts <= p.p_ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN epoch_us(p_ts) - epoch_us(ts) <= 3600000000 THEN purchase_id END
+        |    AS purchase_id,
+        |  CASE WHEN epoch_us(p_ts) - epoch_us(ts) <= 3600000000
+        |    THEN epoch_us(p_ts) - epoch_us(ts) END AS gap_us
+        |FROM m ORDER BY event_id""".stripMargin,
 
     "e_pivot_day_type" -> {
       val cols = EventTypes.map(t =>

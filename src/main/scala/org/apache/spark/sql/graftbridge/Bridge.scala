@@ -40,3 +40,8 @@ trait Float32LongInput extends ExpectsInputTypes {
 trait Float32BytesInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), BinaryType)
 }
+
+/** Input-type contract: (array<bigint>, bigint) — e.g. sorted-array probes. */
+trait LongArrayLongInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), LongType)
+}

@@ -3,35 +3,112 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-/** Backward as-of semantics against a naive driver-side reference:
-  * greatest right time <= left time per key, ties at equal time matched,
-  * null-padded when no earlier right row exists. */
+/** As-of semantics against a naive driver-side reference: greatest right
+  * time <= left time (backward) / smallest >= (forward) per key, ties at
+  * equal time matched, null-padded when no such row exists; tolerance
+  * null-pads out-of-window matches; the broadcast (never-shuffle-left)
+  * strategy is row-identical to the union-window strategy. */
 class AsofJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  test("matches the naive per-row maximum-earlier-tick reference") {
+  // shared random fixtures: (lid, k, t) / (rid, k, t, payload), unique
+  // (key, time) on the right per the as-of contract
+  private lazy val (lrows, rrows) = {
     val rng = new scala.util.Random(11)
-    val lrows = (0 until 400).map { i =>
+    val l = (0 until 400).map { i =>
       (i.toLong, rng.nextInt(8).toLong, rng.nextInt(1000).toLong)
-    } // (lid, k, t)
-    val rrows = (0 until 300).map { i =>
+    }
+    val r = (0 until 300).map { i =>
       (i.toLong, rng.nextInt(8).toLong, rng.nextInt(1000).toLong)
-    }.distinctBy(r => (r._2, r._3)) // unique (key, time): the contract
+    }.distinctBy(x => (x._2, x._3))
       .map { case (rid, k, t) => (rid, k, t, s"q$rid") }
-
-    val got = AsofJoin.backward(
-        lrows.toDF("lid", "k", "t"),
-        rrows.toDF("rid", "rk", "rt", "quote"),
-        "k", "rk", "t", "rt")
-      .select(col("lid"), col("rid"))
-      .collect().map(r => r.getLong(0) ->
+    (l, r)
+  }
+  private def lDf = lrows.toDF("lid", "k", "t")
+  private def rDf = rrows.toDF("rid", "rk", "rt", "quote")
+  private def matchMap(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+    df.select(col("lid"), col("rid")).collect()
+      .map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
 
+  test("matches the naive per-row maximum-earlier-tick reference") {
+    val got = matchMap(AsofJoin.backward(lDf, rDf, "k", "rk", "t", "rt"))
     lrows.foreach { case (lid, k, t) =>
       val expect = rrows.filter(r => r._2 == k && r._3 <= t)
         .sortBy(_._3).lastOption.map(_._1)
       assert(got(lid) == expect, s"lid=$lid k=$k t=$t")
     }
+  }
+
+  test("forward matches the naive per-row minimum-later-tick reference") {
+    val got = matchMap(AsofJoin.forward(lDf, rDf, "k", "rk", "t", "rt"))
+    lrows.foreach { case (lid, k, t) =>
+      val expect = rrows.filter(r => r._2 == k && r._3 >= t)
+        .sortBy(_._3).headOption.map(_._1)
+      assert(got(lid) == expect, s"lid=$lid k=$k t=$t")
+    }
+  }
+
+  test("tolerance null-pads out-of-window matches (both directions)") {
+    val tol = 50L
+    val back = matchMap(AsofJoin.backward(lDf, rDf, "k", "rk", "t", "rt",
+      tolerance = Some((lt, rt) => lt - rt <= lit(tol))))
+    val fwd = matchMap(AsofJoin.forward(lDf, rDf, "k", "rk", "t", "rt",
+      tolerance = Some((lt, rt) => rt - lt <= lit(tol))))
+    lrows.foreach { case (lid, k, t) =>
+      val eb = rrows.filter(r => r._2 == k && r._3 <= t && t - r._3 <= tol)
+        .sortBy(_._3).lastOption.map(_._1)
+      val ef = rrows.filter(r => r._2 == k && r._3 >= t && r._3 - t <= tol)
+        .sortBy(_._3).headOption.map(_._1)
+      assert(back(lid) == eb, s"backward lid=$lid k=$k t=$t")
+      assert(fwd(lid) == ef, s"forward lid=$lid k=$k t=$t")
+    }
+  }
+
+  test("broadcast strategy is row-identical to the union-window strategy") {
+    val tol: Option[AsofJoin.TolerancePredicate] =
+      Some((lt, rt) => lt - rt <= lit(120L))
+    val tolF: Option[AsofJoin.TolerancePredicate] =
+      Some((lt, rt) => rt - lt <= lit(120L))
+    for ((a, b) <- Seq(
+      AsofJoin.backward(lDf, rDf, "k", "rk", "t", "rt") ->
+        AsofJoin.backwardBroadcast(lDf, rDf, "k", "rk", "t", "rt"),
+      AsofJoin.forward(lDf, rDf, "k", "rk", "t", "rt") ->
+        AsofJoin.forwardBroadcast(lDf, rDf, "k", "rk", "t", "rt"),
+      AsofJoin.backward(lDf, rDf, "k", "rk", "t", "rt", tol) ->
+        AsofJoin.backwardBroadcast(lDf, rDf, "k", "rk", "t", "rt", tol),
+      AsofJoin.forward(lDf, rDf, "k", "rk", "t", "rt", tolF) ->
+        AsofJoin.forwardBroadcast(lDf, rDf, "k", "rk", "t", "rt", tolF))) {
+      val sa = a.collect().map(_.toString).sorted.toSeq
+      val sb = b.collect().map(_.toString).sorted.toSeq
+      assert(sa == sb)
+    }
+  }
+
+  test("broadcast plan never shuffles the left side") {
+    val plan = AsofJoin.backwardBroadcast(lDf, rDf, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the ONLY hash shuffle allowed is the right-side groupBy (ticks);
+    // a second one would mean the probe side moved
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected <=1 hash shuffle, got $shuffles:\n$plan")
+  }
+
+  test("broadcast null right keys/times never match; null left rows survive") {
+    val l = Seq(
+      (1L, Some(1L), Some(50L)),
+      (2L, None, Some(60L)),
+      (3L, Some(2L), None)
+    ).toDF("lid", "k", "t")
+    val r = Seq(
+      (7L, Some(1L), Option.empty[Long], "nulltime"),
+      (8L, Option.empty[Long], Some(10L), "nullkey"),
+      (9L, Some(2L), Some(10L), "real")
+    ).toDF("rid", "rk", "rt", "v")
+    val rows = AsofJoin.backwardBroadcast(l, r, "k", "rk", "t", "rt")
+      .collect().map(x => x.getLong(0) -> x.isNullAt(3)).toMap
+    assert(rows == Map(1L -> true, 2L -> true, 3L -> true))
   }
 
   test("a tick at exactly the left time is matched (>= semantics)") {
@@ -47,6 +124,29 @@ class AsofJoinSpec extends SparkSpec {
     val out = AsofJoin.backward(l, r, "k", "rk", "t", "rt").collect().head
     assert(out.isNullAt(3) && out.isNullAt(6))
     assert(out.getLong(0) == 1L)
+  }
+
+  test("forward: a null-time left row is null-padded (it sorts last in the descending window)") {
+    val l = Seq((1L, Some(1L), Option.empty[Long])).toDF("lid", "k", "t")
+    val r = Seq((7L, 1L, 10L, "x"), (8L, 1L, 20L, "y")).toDF("rid", "rk", "rt", "v")
+    val out = AsofJoin.forward(l, r, "k", "rk", "t", "rt").collect().head
+    assert(out.isNullAt(3) && out.isNullAt(6))
+  }
+
+  test("sorted_count_le/lt binary search edges (empty, below-all, above-all, exact hits)") {
+    import graft.functions.AsofFunctions.{countLE, countLT}
+    val df = Seq(
+      (1L, Seq.empty[Long], 5L),
+      (2L, Seq(10L, 20L, 30L), 5L),
+      (3L, Seq(10L, 20L, 30L), 35L),
+      (4L, Seq(10L, 20L, 30L), 20L),
+      (5L, Seq(10L, 20L, 30L), 10L)
+    ).toDF("id", "arr", "v")
+    val got = df.select(col("id"), countLE(col("arr"), col("v")).as("le"),
+        countLT(col("arr"), col("v")).as("lt"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == Map(1L -> ((0, 0)), 2L -> ((0, 0)), 3L -> ((3, 3)),
+      4L -> ((2, 1)), 5L -> ((1, 0))))
   }
 
   test("NULL right times and NULL keys never match (SQL/ASOF semantics)") {
