@@ -124,6 +124,25 @@ object LayoutQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CSV ingestion round-trip END-TO-END through real files — the
+    // fourth text/interchange format of the estate: the customer table
+    // dumped as headered CSV (codegen'd to_csv), three guaranteed-
+    // corrupt lines appended, read back by the schema-explicit
+    // splittable reader with header lines skipped structurally and
+    // malformed lines quarantined. The oracle reads the parquet, so a
+    // hash match proves parse(serialize(x)) == x for every row
+    // (including exact double round-trip of c_acctbal) and that neither
+    // a header nor a corrupt line leaked into the good split.
+    "s_csv_roundtrip" -> ((s, dir) => {
+      import graft.sources.Ingest
+      val path = Ingest.customerCsvMirror(s, dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+      Ingest.readCsv(s, path, schema)
+        .orderBy(col("c_custkey"))
+    }),
+
     // Avro round-trip END-TO-END through real container files — the
     // third interchange format of the estate, served by OUR
     // avro-mapred-based source (the spark-avro connector is not a
@@ -328,6 +347,10 @@ object LayoutQueries {
     "s_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "s_orc_roundtrip" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice

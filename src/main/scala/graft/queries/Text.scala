@@ -360,6 +360,38 @@ object Text {
       graft.operators.HeavyHitters.topTokens(t(s, dir), "text",
         topN = 30, capacity = 1024)),
 
+    // Count-Min sketch audit over the full token stream — the
+    // fixed-state APPROXIMATE counterpart to t_heavy_tokens' exact
+    // sketch-then-verify: at 100 TB the CMS cells (depth x width rows,
+    // map-side combined) answer point frequency queries for EVERY key
+    // while the exact plan must shuffle one row per distinct token. The
+    // row carries its own audit, the e_hll_users discipline: estimates
+    // are recomputed for all distinct tokens and compared to the exact
+    // counts — n_under MUST be 0 (CMS is one-sided by construction) and
+    // max_over_bp stays under the e/width envelope (bound_bp column;
+    // floors spec-pinned in CountMinSpec). Rows-only: the xxhash64 cell
+    // layout is not SQL-reproducible.
+    "t_cms_tokens" -> ((s, dir) => {
+      import graft.operators.CountMin
+      val cfg = CountMin.Config(depth = 4, width = 1 << 14, seed = 42L)
+      val toks = t(s, dir).filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("term"))
+      val sk = CountMin.sketch(toks, "term", cfg)
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      val est = CountMin.estimate(sk, toks, "term", cfg)
+      val audit = exact.join(est, "term")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("n_exact")).as("n_tokens"),
+          sum(when(col("est") < col("n_exact"), 1L).otherwise(0L)).as("n_under"),
+          max(col("est") - col("n_exact")).as("max_over"))
+      audit.select(col("n_terms"), col("n_tokens"), col("n_under"),
+        col("max_over"),
+        expr("(max_over * 10000) div n_tokens").as("max_over_bp"),
+        // ε = e/width in basis points, rounded up: the per-query
+        // overestimate envelope that holds w.p. >= 1 - e^-depth
+        lit((math.E / cfg.width * 10000).ceil.toLong).as("bound_bp"))
+    }),
+
     // Fuzzy near-match pairs by edit distance — the entity-resolution /
     // fuzzy-dedup family: 32-char prefixes within levenshtein 3, blocked
     // on the exact 4-char head so the self-join is per-block, never

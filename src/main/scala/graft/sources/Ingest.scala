@@ -178,6 +178,51 @@ object Ingest {
         }
       })
 
+  /** Write a frame as headered CSV text (one codegen'd `to_csv(struct)`
+    * per row, header prepended as its own 1-line shard): the write-side
+    * twin of [[readCsv]], quoting commas/quotes the way `from_csv`
+    * unquotes them. Embedded NEWLINES are the one thing this layout
+    * cannot carry — a quoted multi-line field would be split by the
+    * line-oriented read — so callers dump line-clean tables (the
+    * relational estate), not raw text corpora (those ride JSONL, which
+    * escapes `\n`). */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    df.select(to_csv(struct(
+        df.columns.map(c => col(s"`${c.replace("`", "``")}`")).toIndexedSeq: _*))
+      .as("value"))
+      .write.mode("overwrite").text(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(canonicalHeader(df.schema)).toDF("value").coalesce(1)
+      .write.mode("append").text(path)
+  }
+
+  /** Lines guaranteed unparseable as the customer schema — type-broken
+    * key, arity-short row, unterminated quote. */
+  val CsvCorruptLines: Seq[String] = Seq(
+    "notanumber,Broken Customer,xx,abc,SEGMENT",
+    "42,arity-short",
+    "\"unterminated quote, 123,4,5.0,SEG")
+
+  /** Path-memoized headered-CSV mirror of the customer table + injected
+    * corrupt shard (the documentsJsonlMirror pattern): s_csv_roundtrip
+    * reads THIS through the real splittable text-scan + from_csv reader
+    * — header lines skipped structurally, malformed lines routed to
+    * quarantine — while the oracle reads the original parquet. */
+  private val csvCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def customerCsvMirror(spark: SparkSession, dir: String): String =
+    csvCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}|$dir", { _ =>
+        graft.BuildLedger.timed("csv_mirror") {
+          val base = graft.TempDirs.create("graft_csv_") + "/customer"
+          writeCsv(spark.read.parquet(s"$dir/customer.parquet"), base)
+          import spark.implicits._
+          CsvCorruptLines.toDF("value").coalesce(1)
+            .write.mode("append").text(base)
+          base
+        }
+      })
+
   /** Path-memoized ORC mirror of the part table. ORC is the second
     * columnar interchange format a 100 TB estate actually holds (Hive
     * warehouses); Spark's built-in source gives it the same scale

@@ -54,7 +54,11 @@ class SparkEntrySpec extends AnyFunSuite {
       // rewrites the input of round k+1) is not SQL-expressible;
       // BpeTrainSpec pins the merge table equal rank-for-rank to an
       // independent single-node reference on the real corpus
-      "t_bpe_merges")
+      "t_bpe_merges",
+      // Count-Min audit: the xxhash64 cell layout is not
+      // SQL-reproducible; the row self-audits (n_under must be 0) and
+      // CountMinSpec + the catalog floor test pin the bounds
+      "t_cms_tokens")
     val undeclared = noOracle -- declared
     assert(undeclared.isEmpty,
       s"queries silently missing an oracle (add one or declare here): $undeclared")

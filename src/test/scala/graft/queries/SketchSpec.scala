@@ -14,6 +14,18 @@ class SketchSpec extends SparkSpec {
     assert(row.getLong(row.fieldIndex("n_exact")) > 0)
   }
 
+  test("t_cms_tokens audit row: one-sided holds exactly, overestimate inside the envelope") {
+    val row = SparkEntry.queries("t_cms_tokens")(spark, sfDir).head()
+    assert(row.getLong(row.fieldIndex("n_under")) == 0L,
+      "CMS underestimated a count — impossible by construction, a bug")
+    assert(row.getLong(row.fieldIndex("n_terms")) > 0)
+    val maxOverBp = row.getLong(row.fieldIndex("max_over_bp"))
+    val boundBp = row.getLong(row.fieldIndex("bound_bp"))
+    // per-query envelope holds w.p. >= 1 - e^-4 per token; allow the max
+    // over ALL distinct tokens a 3x slack so the floor is stable
+    assert(maxOverBp <= 3 * boundBp, s"max_over_bp=$maxOverBp bound_bp=$boundBp")
+  }
+
   test("HLL estimate is invariant to partitioning (register merge is commutative)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfDir/events.parquet").select(col("user_id"))

@@ -48,6 +48,21 @@ class IngestSpec extends SparkSpec {
     assert(bad.head.getString(0).contains("not_a_number"))
   }
 
+  test("customer CSV mirror: good==parquet, quarantine==injected lines, headers in neither") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING")
+    val path = Ingest.customerCsvMirror(spark, sfDir)
+    val good = Ingest.readCsv(spark, path, schema)
+    val pq = spark.read.parquet(s"$sfDir/customer.parquet")
+    assert(good.count() == pq.count())
+    // exact value round-trip including the double column
+    assert(good.exceptAll(pq).count() == 0L && pq.exceptAll(good).count() == 0L)
+    val bad = Ingest.csvQuarantine(spark, path, schema)
+      .collect().map(_.getString(0)).toSet
+    assert(bad == Ingest.CsvCorruptLines.toSet)
+  }
+
   test("streamJsonl tails a landing directory: new shards arrive as batches, corrupt lines drop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s_").toString
