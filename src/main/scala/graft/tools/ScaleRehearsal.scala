@@ -218,6 +218,50 @@ object ScaleRehearsal {
           docs, shingleLen = 8, num = 4, den = 5)
         (out.count(), "")
       }
+      // AS-OF rungs (round-11): the two physical strategies at scale.
+      // Shared fact side: n rows over 1024 keys, integer times.
+      if (ops("asof")) {
+        def factDf = spark.range(n.toLong).select(col("id").as("lid"),
+          pmod(col("id"), lit(1024L)).as("k"),
+          pmod(xxhash64(col("id"), lit(1L)), lit(10000000L)).as("t"))
+        // both-sides-large regime: n/4 ticks across the same keys —
+        // the union+window plan's one key shuffle carries l + r rows
+        run("asof_window", n) {
+          val ticks = spark.range(n.toLong / 4).select(col("id").as("rid"),
+            pmod(col("id"), lit(1024L)).as("rk"),
+            pmod(xxhash64(col("id"), lit(2L)), lit(10000000L)).as("rt"))
+            .dropDuplicates("rk", "rt")
+          val out = graft.operators.AsofJoin.backward(
+            factDf, ticks, "k", "rk", "t", "rt")
+          (out.filter(col("rid").isNotNull).count(), "")
+        }
+        // dimension-right regime: 64k ticks, broadcast strategy — the
+        // claim under test: shuffle records track the TICK side only
+        // (the n-row fact side is probed in place, never shuffled)
+        run("asof_bcast", n) {
+          val ticks = spark.range(65536L).select(col("id").as("rid"),
+            pmod(col("id"), lit(1024L)).as("rk"),
+            pmod(xxhash64(col("id"), lit(2L)), lit(10000000L)).as("rt"))
+            .dropDuplicates("rk", "rt")
+          val out = graft.operators.AsofJoin.backwardBroadcast(
+            factDf, ticks, "k", "rk", "t", "rt")
+          (out.filter(col("rid").isNotNull).count(), "")
+        }
+      }
+
+      // COUNT-MIN rung (round-11): the claim under test is the sketch's
+      // whole reason to exist — shuffle volume is bounded by
+      // partitions x depth x width CELLS (map-side combine IS the
+      // sketch merge), flat as n grows a decade; the exact count's
+      // shuffle grows with the distinct-key count instead.
+      if (ops("cms")) run("cms_sketch", n) {
+        val cfg = graft.operators.CountMin.Config(depth = 4, width = 4096, seed = 5L)
+        val toks = spark.range(n.toLong).select(
+          concat(lit("tok"), pmod(xxhash64(col("id")), lit(100000L))).as("term"))
+        val sk = graft.operators.CountMin.sketch(toks, "term", cfg)
+        (sk.count(), s"cells_max=${cfg.depth * cfg.width}")
+      }
+
       if (ops("spans")) run("substring_spans", n) {
         val out = graft.operators.SubstringDedup.duplicatedSpans(
           docs, "text", "doc_id", minTokens = 20)
