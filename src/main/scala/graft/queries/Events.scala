@@ -526,6 +526,48 @@ object Events {
         .withColumn("err_bp", col("err_bp").cast("long"))
     }),
 
+    // Quantile SKETCH audit — completes the sketch family (HLL =
+    // distinct, Count-Min = frequency, this = quantiles): Spark's
+    // approx_percentile is a Greenwald-Khanna-style mergeable summary
+    // whose guarantee is RANK error <= 1/accuracy, the only
+    // fixed-memory quantile plan at 100 TB (the exact percentile
+    // aggregates every value). The row self-audits in rank space, the
+    // e_hll_users discipline: each sketched quantile value is joined
+    // back and its true rank interval [rank_lt, rank_le] compared to
+    // the target q*n — err_bp must sit inside bound_bp (SketchSpec
+    // floor). Rows-only: DuckDB's approx sketch is a different
+    // algorithm, so values can't hash-match.
+    "e_value_sketch_quantiles" -> ((s, dir) => {
+      val base = t(s, dir)
+        .select(col("event_type"), cents(col("value")).as("v"))
+      val acc = 10000 // rank error <= 1/acc = 1 bp
+      val sk = base.groupBy(col("event_type"))
+        .agg(expr(s"approx_percentile(v, array(0.5, 0.95), $acc)").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          posexplode(col("qs")).as(Seq("qi", "qv")))
+        .withColumn("q_pm", when(col("qi") === 0, 500L).otherwise(950L))
+        .drop("qi")
+      base.join(sk, "event_type")
+        .groupBy(col("event_type"), col("q_pm"), col("qv"), col("n"))
+        .agg(sum(when(col("v") <= col("qv"), 1L).otherwise(0L)).as("rank_le"),
+          sum(when(col("v") < col("qv"), 1L).otherwise(0L)).as("rank_lt"))
+        // distance (in rows) from the target rank to the value's true
+        // rank interval; 0 when q*n lands inside [rank_lt, rank_le]
+        .withColumn("target_x1000", col("q_pm") * col("n"))
+        .withColumn("miss_rows_x1000",
+          greatest(lit(0L), col("rank_lt") * 1000L - col("target_x1000"),
+            col("target_x1000") - col("rank_le") * 1000L))
+        .select(col("event_type"), col("q_pm"), col("n"),
+          col("qv").as("approx_c"),
+          // whole rows of rank miss (the GK guarantee's native unit:
+          // must stay <= n/accuracy + 1; the +1 absorbs the ceil in
+          // the target-rank definition)
+          expr("miss_rows_x1000 div 1000").as("miss_rows"),
+          expr("(miss_rows_x1000 * 10) div n").as("err_bp"))
+        .orderBy(col("event_type"), col("q_pm"))
+    }),
+
     // Cohort retention triangle: users grouped by first-active date, then
     // distinct-user counts at each day offset — the product-analytics
     // staple. Every shuffle is keyed on user_id (first-touch agg, activity

@@ -392,6 +392,37 @@ object Text {
         lit((math.E / cfg.width * 10000).ceil.toLong).as("bound_bp"))
     }),
 
+    // Corpus-statistics quality filter (the CCNet shape): per-doc
+    // permille of bigrams whose corpus document-frequency >= 25 —
+    // garbled or out-of-distribution text scores low because its
+    // adjacent-word pairs never recur across the corpus. Unlike the
+    // per-doc t_quality_score heuristics this score is CONDITIONED ON
+    // THE CORPUS (df table), the hallmark of the pretraining-data
+    // quality family. Plan: bigrams via zip_with of two slices (no
+    // index explode), df in one keyed aggregation, and the common-set
+    // join left UNHINTED so AQE broadcasts the (head-of-distribution)
+    // small side at catalog scale but can fall back to a keyed shuffle
+    // if a corpus's common set outgrows broadcast.
+    "t_bigram_coverage" -> ((s, dir) => {
+      val minDf = 25
+      val bg = t(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, greatest(size(w)-1, 0)), " +
+            "slice(w, 2, greatest(size(w)-1, 0)), " +
+            "(a, b) -> concat(a, ' ', b))")).as("bg"))
+      val common = bg.dropDuplicates("doc_id", "bg")
+        .groupBy(col("bg")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+        .select(col("bg"), lit(1L).as("is_common"))
+      bg.join(common, Seq("bg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+        .withColumn("coverage_pm", expr("(n_common * 1000) div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fuzzy near-match pairs by edit distance — the entity-resolution /
     // fuzzy-dedup family: 32-char prefixes within levenshtein 3, blocked
     // on the exact 4-char head so the self-join is per-block, never
@@ -692,6 +723,24 @@ object Text {
         |r AS (SELECT tok, cnt,
         |      CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank FROM c)
         |SELECT tok, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""".stripMargin,
+
+    // range(1, len(w)) = the 1-based bigram start indices; DuckDB list
+    // indexing is 1-based like the transform, so both engines pair
+    // w[i] with w[i+1] over identical byte-split tokens
+    "t_bigram_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id,
+        |       unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        |       FROM w),
+        |df AS (SELECT bg, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM bg GROUP BY 1),
+        |common AS (SELECT bg FROM df WHERE df >= 25)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(c.bg) AS BIGINT) AS n_common,
+        |  (CAST(count(c.bg) AS BIGINT) * 1000) // count(*) AS coverage_pm
+        |FROM bg b LEFT JOIN common c ON b.bg = c.bg
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t_fuzzy_prefix" ->
       """WITH p AS (SELECT doc_id, substring(text, 1, 32) AS pfx,

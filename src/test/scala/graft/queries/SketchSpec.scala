@@ -26,6 +26,19 @@ class SketchSpec extends SparkSpec {
     assert(maxOverBp <= 3 * boundBp, s"max_over_bp=$maxOverBp bound_bp=$boundBp")
   }
 
+  test("e_value_sketch_quantiles: every sketched quantile's rank miss is inside the GK bound") {
+    val rows = SparkEntry.queries("e_value_sketch_quantiles")(spark, sfDir).collect()
+    assert(rows.length >= 10) // 5 event types x 2 quantiles
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val miss = r.getLong(r.fieldIndex("miss_rows"))
+      // GK: rank error <= n/accuracy (acc=10000), +1 row for the
+      // ceil in the target-rank definition
+      assert(miss <= n / 10000 + 1,
+        s"${r.getString(0)} q=${r.getLong(1)}: miss_rows=$miss n=$n")
+    }
+  }
+
   test("HLL estimate is invariant to partitioning (register merge is commutative)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfDir/events.parquet").select(col("user_id"))
