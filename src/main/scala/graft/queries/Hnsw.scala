@@ -83,6 +83,50 @@ object Hnsw {
         .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // IVF-routed sharded HNSW in the EXHAUSTIVE regime (nProbe =
+    // nCells): every cell is probed, so the router prunes nothing and
+    // the result must equal brute force — the Ivf.search oracle
+    // discipline applied to the two-level index. This hash-pins the
+    // whole machinery (k-means routing, per-cell graphs, global merge);
+    // the routed regime's honest recall is h_recall_routed.
+    "h_knn_routed" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val index = HnswRouted.buildCached(vectorsDf(s, dir), exactishCfg,
+        nCells = 16, key = dir)
+      HnswRouted.search(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The routed regime, reported as the full recall/fan-out CURVE
+    // (one row per nProbe): per-query work scales with nProbe/nCells,
+    // recall is whatever the cell boundaries allow — measured against
+    // the memoized exact truth, never asserted. On a clustered corpus
+    // the curve saturates at tiny nProbe (HnswRoutedSpec pins >= 0.95
+    // at 2/16 on planted clusters); on THIS corpus (uniform-ish 64-dim
+    // embeddings) it climbs slowly — exactly the honest signal an
+    // operator of a 100 TB deployment routes capacity decisions on.
+    // Rows-only; monotonicity + the nProbe=nCells==10000 bp endpoint
+    // are spec'd in HnswRoutedSpec.
+    "h_recall_routed" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val index = HnswRouted.buildCached(vectorsDf(s, dir), exactishCfg,
+        nCells = 16, key = dir)
+      val qs = queriesDf(s, dir)
+      val exact = Vector.exactTruthIds(s, dir, "cosine", 10)
+        .select(col("qid"), col("id")).cache()
+      val expected = exact.count()
+      val nq = qs.count()
+      import s.implicits._
+      val rows = Seq(1, 2, 4, 8, 16).map { p =>
+        val hits = HnswRouted.search(index, qs, 10, nProbe = p)
+          .select(col("qid"), col("id")).intersect(exact).count()
+        (p.toLong, nq, expected, hits, hits * 10000L / expected)
+      }
+      exact.unpersist(blocking = false)
+      rows.toDF("n_probe", "n_queries", "n_expected", "n_hit", "recall_bp")
+    }),
+
     // HNSW over the reference's native representation: u64 sign-packed
     // codes under Hamming distance (lazy_memory_store.rs:49-54). Exact
     // regime (ef=128) -> shares v_knn_hamming's oracle shape.
@@ -256,6 +300,7 @@ object Hnsw {
     "h_knn_tombstone" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_sharded" -> exactKnnOracle(10),
+    "h_knn_routed" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
     // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed

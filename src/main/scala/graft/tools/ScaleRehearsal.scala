@@ -249,6 +249,48 @@ object ScaleRehearsal {
         }
       }
 
+      // ROUTED-ANN rung (round-11): the two-level index's serving claim
+      // — per-query work scales with nProbe/nCells, so the routed
+      // search at nProbe=4 of 64 should serve ~an order cheaper than
+      // the exhaustive fan-out on the same index, at high recall on a
+      // clustered corpus (64 planted centers; the regime the router is
+      // FOR — the catalog's uniform corpus measures the other regime).
+      if (ops("routed")) run("ann_routed", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = 64
+        def vecOf(id: Long): Array[Float] = {
+          val c = (id % nCells).toInt
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat +
+              (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val t0 = System.nanoTime()
+        val index = HnswRouted.build(vecs, cfg, nCells)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 1000)).take(1000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def serve(p: Int): (Double, Long) = {
+          val t = System.nanoTime()
+          val self = HnswRouted.search(index, qDf, 1, nProbe = p)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        serve(1) // warm
+        val (wallRouted, selfRouted) = serve(4)
+        val (wallFull, _) = serve(nCells)
+        index.unpersist()
+        (selfRouted, f"build_s=$buildS%.1f probe4_s=$wallRouted%.2f " +
+          f"probe${nCells}_s=$wallFull%.2f self_match=${selfRouted * 100.0 / qIds.length}%.1f%%")
+      }
+
       // COUNT-MIN rung (round-11): the claim under test is the sketch's
       // whole reason to exist — shuffle volume is bounded by
       // partitions x depth x width CELLS (map-side combine IS the

@@ -40,7 +40,8 @@ class SparkEntrySpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the intentional rows-only set: recall measurements in the ANN
     // regime (no SQL engine can run the index)
-    val declared = Set("h_recall_ann", "h_recall_pq", "v_recall_ivf",
+    val declared = Set("h_recall_ann", "h_recall_pq", "h_recall_routed",
+      "v_recall_ivf",
       "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "v_recall_bq",
       "e_hll_users",
       // recall-targeted LSH banding regime: output is approximate by
