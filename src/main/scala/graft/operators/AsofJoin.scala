@@ -67,6 +67,61 @@ object AsofJoin {
     viaUnionWindow(left, right, leftKey, rightKey, leftTime, rightTime,
       forward = true, tolerance)
 
+  /** Nearest-tick as-of (pandas merge_asof's direction='nearest'): the
+    * right row minimizing |rightTime - leftTime| per key; ties go
+    * BACKWARD (the earlier tick), mirroring merge_asof. Requires a
+    * numeric (long-castable) time axis — "nearest" needs a distance,
+    * not just an order. One key shuffle: both directional candidates
+    * come from two running windows over the SAME partitioning (Spark
+    * re-sorts but never re-shuffles between them). */
+  def nearest(left: DataFrame, right: DataFrame,
+              leftKey: String, rightKey: String,
+              leftTime: String, rightTime: String,
+              tolerance: Option[TolerancePredicate] = None): DataFrame = {
+    val lPay = struct(left.columns.map(left(_)): _*)
+    val rPay = struct(right.columns.map(right(_)): _*)
+    val lTagged = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lPay.as("__lpay"))
+    val lSchema = left.schema
+    val rSchema = right.schema
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lSchema).as("__lpay"), rPay.as("__rpay"))
+    val unioned = lTagged
+      .withColumn("__rpay", lit(null).cast(rSchema))
+      .unionByName(rTagged)
+
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lT = col("__t").cast("long")
+    val bT = col("__b").getField(rightTime).cast("long")
+    val fT = col("__f").getField(rightTime).cast("long")
+    // forward wins only when STRICTLY closer: equal distance -> backward
+    val chooseF = col("__b").isNull ||
+      (col("__f").isNotNull && (fT - lT) < (lT - bT))
+    val matched = unioned
+      .withColumn("__b", last(col("__rpay"), ignoreNulls = true).over(wB))
+      .withColumn("__f", last(col("__rpay"), ignoreNulls = true).over(wF))
+      .filter(col("__side") === 1)
+      .withColumn("__raw", when(chooseF, col("__f")).otherwise(col("__b")))
+    val tolOk = tolerance
+      .map(p => p(col("__t"), col("__raw").getField(rightTime)))
+      .getOrElse(lit(true))
+    matched
+      .withColumn("__match",
+        when(col("__t").isNotNull && col("__raw").isNotNull && tolOk, col("__raw")))
+      .select(
+        left.columns.map(c => col("__lpay").getField(c).as(c)) ++
+          right.columns.map(c => col("__match").getField(c).as(c)): _*)
+  }
+
   def backwardBroadcast(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
                         leftTime: String, rightTime: String,

@@ -65,6 +65,31 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest matches the naive minimum-|gap| reference with backward ties") {
+    val got = matchMap(AsofJoin.nearest(lDf, rDf, "k", "rk", "t", "rt"))
+    lrows.foreach { case (lid, k, t) =>
+      val cands = rrows.filter(_._2 == k)
+      val expect =
+        if (cands.isEmpty) None
+        // min |gap|; ties -> the EARLIER tick (backward), like merge_asof
+        else Some(cands.minBy(r => (math.abs(r._3 - t), r._3))._1)
+      assert(got(lid) == expect, s"lid=$lid k=$k t=$t")
+    }
+  }
+
+  test("nearest with a symmetric tolerance null-pads when the closest tick is too far") {
+    val tol = 30L
+    val got = matchMap(AsofJoin.nearest(lDf, rDf, "k", "rk", "t", "rt",
+      tolerance = Some((lt, rt) => abs(rt - lt) <= lit(tol))))
+    lrows.foreach { case (lid, k, t) =>
+      val cands = rrows.filter(r => r._2 == k && math.abs(r._3 - t) <= tol)
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.minBy(r => (math.abs(r._3 - t), r._3))._1)
+      assert(got(lid) == expect, s"lid=$lid k=$k t=$t")
+    }
+  }
+
   test("broadcast strategy is row-identical to the union-window strategy") {
     val tol: Option[AsofJoin.TolerancePredicate] =
       Some((lt, rt) => lt - rt <= lit(120L))
