@@ -78,22 +78,7 @@ object AsofJoin {
               leftKey: String, rightKey: String,
               leftTime: String, rightTime: String,
               tolerance: Option[TolerancePredicate] = None): DataFrame = {
-    val lPay = struct(left.columns.map(left(_)): _*)
-    val rPay = struct(right.columns.map(right(_)): _*)
-    val lTagged = left.select(
-      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
-      lPay.as("__lpay"))
-    val lSchema = left.schema
-    val rSchema = right.schema
-    val rTagged = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
-      .select(
-        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-        lit(null).cast(lSchema).as("__lpay"), rPay.as("__rpay"))
-    val unioned = lTagged
-      .withColumn("__rpay", lit(null).cast(rSchema))
-      .unionByName(rTagged)
-
+    val unioned = taggedUnion(left, right, leftKey, rightKey, leftTime, rightTime)
     val wB = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -114,13 +99,52 @@ object AsofJoin {
     val tolOk = tolerance
       .map(p => p(col("__t"), col("__raw").getField(rightTime)))
       .getOrElse(lit(true))
-    matched
+    selectOut(matched
       .withColumn("__match",
-        when(col("__t").isNotNull && col("__raw").isNotNull && tolOk, col("__raw")))
-      .select(
-        left.columns.map(c => col("__lpay").getField(c).as(c)) ++
-          right.columns.map(c => col("__match").getField(c).as(c)): _*)
+        when(col("__t").isNotNull && col("__raw").isNotNull && tolOk, col("__raw"))),
+      left, right)
   }
+
+  /** Tag both sides and union into one (key, time)-keyed frame — the
+    * shared front half of the window strategies.
+    *
+    * SQL semantics (and DuckDB ASOF, our oracle): a NULL key or NULL
+    * time on the right can never match anything — but a NULL __t sorts
+    * FIRST in the ascending window and a NULL __k forms its own window
+    * partition, so left unfiltered they would fabricate matches.
+    * NULL-key/time LEFT rows stay (they must appear in the output) and
+    * correctly get a null-padded right side: their partition/prefix
+    * contains no surviving right row — except a null-time left row in a
+    * DESCENDING order, which sorts last and would see every tick; the
+    * callers' explicit __t guard covers that case.
+    *
+    * (df(name) + getField keep arbitrary column names intact — a dotted
+    * name inside an interpolated path would parse as nested navigation.) */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          leftTime: String, rightTime: String): DataFrame = {
+    val lPay = struct(left.columns.map(left(_)): _*)
+    val rPay = struct(right.columns.map(right(_)): _*)
+    val lTagged = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      lPay.as("__lpay"))
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(left.schema).as("__lpay"), rPay.as("__rpay"))
+    lTagged
+      .withColumn("__rpay", lit(null).cast(right.schema))
+      .unionByName(rTagged)
+  }
+
+  /** Project the matched frame back to left columns + (possibly null)
+    * right columns — the shared back half. */
+  private def selectOut(matched: DataFrame,
+                        left: DataFrame, right: DataFrame): DataFrame =
+    matched.select(
+      left.columns.map(c => col("__lpay").getField(c).as(c)) ++
+        right.columns.map(c => col("__match").getField(c).as(c)): _*)
 
   def backwardBroadcast(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
@@ -141,33 +165,7 @@ object AsofJoin {
                              leftTime: String, rightTime: String,
                              forward: Boolean,
                              tolerance: Option[TolerancePredicate]): DataFrame = {
-    // df(name) + getField keep arbitrary column names intact (a dotted
-    // name inside an interpolated path would parse as nested navigation)
-    val lPay = struct(left.columns.map(left(_)): _*)
-    val rPay = struct(right.columns.map(right(_)): _*)
-    val lTagged = left.select(
-      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
-      lPay.as("__lpay"))
-    // SQL semantics (and DuckDB ASOF, our oracle): a NULL key or NULL
-    // time on the right can never match anything — but a NULL __t sorts
-    // FIRST in the ascending window and a NULL __k forms its own window
-    // partition, so left unfiltered they would fabricate matches.
-    // NULL-key/time LEFT rows stay (they must appear in the output) and
-    // correctly get a null-padded right side: their partition/prefix
-    // contains no surviving right row — except a null-time left row in
-    // the FORWARD (descending) order, which sorts last and would see
-    // every tick; the explicit __t guard below covers that case.
-    val lSchema = left.schema
-    val rSchema = right.schema
-    val rTagged = right
-      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
-      .select(
-        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
-        lit(null).cast(lSchema).as("__lpay"), rPay.as("__rpay"))
-    val unioned = lTagged
-      .withColumn("__rpay", lit(null).cast(rSchema))
-      .unionByName(rTagged)
-
+    val unioned = taggedUnion(left, right, leftKey, rightKey, leftTime, rightTime)
     // Backward: ascending time, running last-right-seen = greatest
     // rt <= lt. Forward: DESCENDING time, running last-right-seen =
     // smallest rt >= lt. Right rows sort before left rows at equal time
@@ -186,9 +184,7 @@ object AsofJoin {
       .filter(col("__side") === 1)
       .withColumn("__match",
         when(col("__t").isNotNull && tolOk, col("__raw")))
-    matched.select(
-      left.columns.map(c => col("__lpay").getField(c).as(c)) ++
-        right.columns.map(c => col("__match").getField(c).as(c)): _*)
+    selectOut(matched, left, right)
   }
 
   /** Integral (long) time axis required: the probe is a binary search
