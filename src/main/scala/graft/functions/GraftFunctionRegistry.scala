@@ -71,6 +71,17 @@ object GraftFunctionRegistry {
         litInt(args(1), "shingleLen"), litInt(args(2), "numHashes"),
         litInt(args(3), "bands"), litInt(args(4), "rowsPerBand"))
     },
+    // sorted-array binary searches (the broadcast as-of probe kernel):
+    // 1-based index of the greatest element <= v, and the strict
+    // lower-bound count
+    "sorted_count_le" -> { args =>
+      arity("sorted_count_le", 2)(args)
+      SortedCountLE(args(0), args(1), strict = false)
+    },
+    "sorted_count_lt" -> { args =>
+      arity("sorted_count_lt", 2)(args)
+      SortedCountLE(args(0), args(1), strict = true)
+    },
     // Morton interleave of two 16-bit-quantized columns (the z-order
     // layout key). Same bit-spread as Layout.zvalue2 but built as a raw
     // catalyst tree — a builder must return resolvable expressions, not

@@ -405,20 +405,30 @@ object Text {
     // if a corpus's common set outgrows broadcast.
     "t_bigram_coverage" -> ((s, dir) => {
       val minDf = 25
-      val bg = t(s, dir).filter(col("text").isNotNull)
+      // ONE bigram explode, combined immediately to (doc, bg, n) — the
+      // raw token stream never crosses a shuffle and never regenerates
+      // (the naive two-consumer shape Generates twice); the combined
+      // frame is localCheckpoint'd (query-local, released with the
+      // query) so both the df aggregation and the coverage join read
+      // the same materialization. n_bigrams = Σn reproduces the
+      // occurrence count exactly.
+      val pairCounts = t(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           "zip_with(slice(w, 1, greatest(size(w)-1, 0)), " +
             "slice(w, 2, greatest(size(w)-1, 0)), " +
             "(a, b) -> concat(a, ' ', b))")).as("bg"))
-      val common = bg.dropDuplicates("doc_id", "bg")
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val common = pairCounts
         .groupBy(col("bg")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= minDf)
         .select(col("bg"), lit(1L).as("is_common"))
-      bg.join(common, Seq("bg"), "left")
+      pairCounts.join(common, Seq("bg"), "left")
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+        .agg(sum(col("n")).as("n_bigrams"),
+          sum(when(col("is_common").isNotNull, col("n")).otherwise(0L))
+            .as("n_common"))
         .withColumn("coverage_pm", expr("(n_common * 1000) div n_bigrams"))
         .orderBy(col("doc_id"))
     }),

@@ -51,6 +51,17 @@ class GraftFunctionRegistrySpec extends AnyFunSuite with SparkSpec {
     assert(sql1("SELECT zvalue2(65535, 65535)").asInstanceOf[Long] == 0xFFFFFFFFL)
   }
 
+  test("sorted_count_le / sorted_count_lt from SQL binary-search a sorted array") {
+    assert(sql1("SELECT sorted_count_le(array(10L, 20L, 30L), 20L)")
+      .asInstanceOf[Int] == 2)
+    assert(sql1("SELECT sorted_count_lt(array(10L, 20L, 30L), 20L)")
+      .asInstanceOf[Int] == 1)
+    // slice to an EMPTY array<bigint>: a bare array() literal is
+    // array<void>, which ExpectsInputTypes rejects (validate, not cast)
+    assert(sql1("SELECT sorted_count_le(slice(array(1L), 1, 0), 5L)")
+      .asInstanceOf[Int] == 0)
+  }
+
   test("registry shape: unique names, arity enforced") {
     val names = GraftFunctionRegistry.functions.map(_._1)
     assert(names.distinct == names)
