@@ -44,14 +44,21 @@ case class SortedCountLE(left: Expression, right: Expression, strict: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, v) => {
       val cmp = if (strict) "<" else "<="
+      // freshName: with non-nullable children nullSafeCodeGen inlines
+      // this code UNBRACED, so two probes in one projection (e.g. the
+      // le and lt forms side by side) would redeclare fixed locals and
+      // fail Janino compilation
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
       s"""
-         |int lo = 0;
-         |int hi = $a.numElements();
-         |while (lo < hi) {
-         |  int mid = (lo + hi) >>> 1;
-         |  if ($a.getLong(mid) $cmp $v) lo = mid + 1; else hi = mid;
+         |int $lo = 0;
+         |int $hi = $a.numElements();
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($a.getLong($mid) $cmp $v) $lo = $mid + 1; else $hi = $mid;
          |}
-         |${ev.value} = lo;
+         |${ev.value} = $lo;
        """.stripMargin
     })
 

@@ -51,9 +51,15 @@ object HnswRouted {
 
   def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig(),
             nCells: Int = 16, persist: Boolean = true): RoutedIndex = {
-    val ivf = Ivf.train(vectors.select(col("id"), col("vec")), nCells,
-      cfg.metric, seed = cfg.seed)
-    val shards = vectors
+    // GLOBAL id dedup before cell assignment (the HnswDistributed.build
+    // duplicate-id guard, but cross-cell: duplicate rows with different
+    // vectors would route to DIFFERENT cells and surface the same id
+    // twice in one top-k). max(vec) — arrays order lexicographically —
+    // makes the surviving row deterministic, not partition-dependent.
+    val deduped = vectors.select(col("id"), col("vec"))
+      .groupBy(col("id")).agg(max(col("vec")).as("vec"))
+    val ivf = Ivf.train(deduped, nCells, cfg.metric, seed = cfg.seed)
+    val shards = deduped
       .select(col("id"), col("vec"), Ivf.cellCol(ivf)(col("vec")).as("cell"))
       .repartition(nCells, col("cell"))
       .as(tripleEnc)

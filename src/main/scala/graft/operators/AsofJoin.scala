@@ -78,6 +78,8 @@ object AsofJoin {
               leftKey: String, rightKey: String,
               leftTime: String, rightTime: String,
               tolerance: Option[TolerancePredicate] = None): DataFrame = {
+    requireIntegralTime(left, leftTime, "nearest")
+    requireIntegralTime(right, rightTime, "nearest")
     val unioned = taggedUnion(left, right, leftKey, rightKey, leftTime, rightTime)
     val wB = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
@@ -85,24 +87,45 @@ object AsofJoin {
     val wF = Window.partitionBy(col("__k"))
       .orderBy(col("__t").desc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // tolerance applies PER DIRECTION, before the choice: with an
+    // asymmetric predicate the nearest tick can fail while the other
+    // direction's tick passes — choosing first would null-pad a row
+    // that has a legitimate tolerance-satisfying match
+    def tolOkOn(cand: Column): Column = tolerance
+      .map(p => p(col("__t"), cand.getField(rightTime)))
+      .getOrElse(lit(true))
     val lT = col("__t").cast("long")
-    val bT = col("__b").getField(rightTime).cast("long")
-    val fT = col("__f").getField(rightTime).cast("long")
+    val bT = col("__bv").getField(rightTime).cast("long")
+    val fT = col("__fv").getField(rightTime).cast("long")
     // forward wins only when STRICTLY closer: equal distance -> backward
-    val chooseF = col("__b").isNull ||
-      (col("__f").isNotNull && (fT - lT) < (lT - bT))
+    val chooseF = col("__bv").isNull ||
+      (col("__fv").isNotNull && (fT - lT) < (lT - bT))
     val matched = unioned
       .withColumn("__b", last(col("__rpay"), ignoreNulls = true).over(wB))
       .withColumn("__f", last(col("__rpay"), ignoreNulls = true).over(wF))
       .filter(col("__side") === 1)
-      .withColumn("__raw", when(chooseF, col("__f")).otherwise(col("__b")))
-    val tolOk = tolerance
-      .map(p => p(col("__t"), col("__raw").getField(rightTime)))
-      .getOrElse(lit(true))
+      .withColumn("__bv", when(tolOkOn(col("__b")), col("__b")))
+      .withColumn("__fv", when(tolOkOn(col("__f")), col("__f")))
+      .withColumn("__raw", when(chooseF, col("__fv")).otherwise(col("__bv")))
     selectOut(matched
       .withColumn("__match",
-        when(col("__t").isNotNull && col("__raw").isNotNull && tolOk, col("__raw"))),
+        when(col("__t").isNotNull && col("__raw").isNotNull, col("__raw"))),
       left, right)
+  }
+
+  /** "Nearest" needs a distance and the broadcast probe needs exact
+    * long arithmetic — a TimestampType would silently cast to epoch
+    * SECONDS here (fabricating matches the full-precision window
+    * strategy rejects), so the integral-axis contract is enforced, not
+    * just documented. Timestamp callers project `ts div 1000` first. */
+  private def requireIntegralTime(df: DataFrame, timeCol: String,
+                                  what: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(timeCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"AsofJoin.$what requires an integral (long-castable without loss) time " +
+        s"axis; column '$timeCol' is $dt — project it to long (e.g. epoch " +
+        "micros) first, or use backward/forward, which compare the raw type")
   }
 
   /** Tag both sides and union into one (key, time)-keyed frame — the
@@ -194,6 +217,10 @@ object AsofJoin {
                            leftTime: String, rightTime: String,
                            forward: Boolean,
                            tolerance: Option[TolerancePredicate]): DataFrame = {
+    requireIntegralTime(left, leftTime,
+      if (forward) "forwardBroadcast" else "backwardBroadcast")
+    requireIntegralTime(right, rightTime,
+      if (forward) "forwardBroadcast" else "backwardBroadcast")
     import graft.functions.AsofFunctions.{countLE, countLT}
     val rPay = struct(right.columns.map(right(_)): _*)
     // One row per key: ticks sorted ascending by time. The comparator

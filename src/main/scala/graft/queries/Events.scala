@@ -562,7 +562,11 @@ object Events {
     // floor). Rows-only: DuckDB's approx sketch is a different
     // algorithm, so values can't hash-match.
     "e_value_sketch_quantiles" -> ((s, dir) => {
+      // null guard up front: approx_percentile and the rank sums skip
+      // nulls, so an unfiltered count(*) would target a rank in a
+      // larger universe than the sketch's and inflate the audit
       val base = t(s, dir)
+        .filter(col("value").isNotNull)
         .select(col("event_type"), cents(col("value")).as("v"))
       val acc = 10000 // rank error <= 1/acc = 1 bp
       val sk = base.groupBy(col("event_type"))

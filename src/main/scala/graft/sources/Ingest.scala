@@ -60,10 +60,21 @@ object Ingest {
     * ONE definition, so the two can never drift). Blank = no non-
     * whitespace character (`\S`), matching the native JSON reader's
     * skip for tabs/NBSP too, not just spaces. */
+  /** CSV null token (the SQL-dump convention): with the default
+    * nullValue of "" an empty STRING field and a NULL are the same
+    * byte sequence on disk, so parse(serialize(x)) == x is impossible
+    * for data containing empty strings. Both [[writeCsv]] and the CSV
+    * readers use this token, making the pair symmetric; external files
+    * that encode null as empty still parse (empty string fields read
+    * as "", empty typed fields quarantine visibly rather than nulling
+    * silently). */
+  val CsvNullToken = "\\N"
+
   private def parseWith(lines: DataFrame, schema: StructType,
                         csv: Boolean, skipLine: Option[String]): DataFrame = {
     val opts = Map("mode" -> "PERMISSIVE",
-      "columnNameOfCorruptRecord" -> CorruptCol)
+      "columnNameOfCorruptRecord" -> CorruptCol) ++
+      (if (csv) Map("nullValue" -> CsvNullToken, "emptyValue" -> "") else Map.empty)
     val full = withCorrupt(schema)
     val nonBlank = lines.filter(col("value").rlike("\\S"))
     val kept = skipLine.fold(nonBlank)(h => nonBlank.filter(col("value") =!= h))
@@ -187,8 +198,11 @@ object Ingest {
     * relational estate), not raw text corpora (those ride JSONL, which
     * escapes `\n`). */
   def writeCsv(df: DataFrame, path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val wopts = Map("nullValue" -> CsvNullToken, "emptyValue" -> "\"\"").asJava
     df.select(to_csv(struct(
-        df.columns.map(c => col(s"`${c.replace("`", "``")}`")).toIndexedSeq: _*))
+        df.columns.map(c => col(s"`${c.replace("`", "``")}`")).toIndexedSeq: _*),
+        wopts)
       .as("value"))
       .write.mode("overwrite").text(path)
     val spark = df.sparkSession

@@ -90,6 +90,32 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest with an ASYMMETRIC tolerance picks the other direction when the closest fails") {
+    // backward-only bound: ticks behind by <= 2 are fine, any forward
+    // gap is fine. Left t=100 with ticks at 97 (gap 3, fails) and 104
+    // (forward, passes): the match must be 104, not null.
+    val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
+    val r = Seq((7L, 1L, 97L, "b"), (8L, 1L, 104L, "f")).toDF("rid", "rk", "rt", "v")
+    val tol: AsofJoin.TolerancePredicate =
+      (lt, rt) => (rt >= lt) || (lt - rt <= lit(2L))
+    val out = AsofJoin.nearest(l, r, "k", "rk", "t", "rt", Some(tol)).collect().head
+    assert(out.getLong(3) == 8L, out.toString)
+  }
+
+  test("broadcast and nearest reject a non-integral time axis with a clear error") {
+    val l = Seq((1L, 1L, new java.sql.Timestamp(1000L)))
+      .toDF("lid", "k", "t")
+    val r = Seq((7L, 1L, new java.sql.Timestamp(500L), "x"))
+      .toDF("rid", "rk", "rt", "v")
+    for (call <- Seq(
+      () => AsofJoin.backwardBroadcast(l, r, "k", "rk", "t", "rt"),
+      () => AsofJoin.forwardBroadcast(l, r, "k", "rk", "t", "rt"),
+      () => AsofJoin.nearest(l, r, "k", "rk", "t", "rt"))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("integral"), e.getMessage)
+    }
+  }
+
   test("broadcast strategy is row-identical to the union-window strategy") {
     val tol: Option[AsofJoin.TolerancePredicate] =
       Some((lt, rt) => lt - rt <= lit(120L))

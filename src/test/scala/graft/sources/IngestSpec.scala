@@ -63,6 +63,28 @@ class IngestSpec extends SparkSpec {
     assert(bad == Ingest.CsvCorruptLines.toSet)
   }
 
+  test("writeCsv/readCsv distinguish NULL from the empty string (the \\N token)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvnull_").toString
+    val df = Seq(
+      (1L, Some("x"), Some(10L)),
+      (2L, Some(""), None),    // empty string + null number
+      (3L, None, Some(30L))    // null string
+    ).toDF("id", "s", "n")
+    Ingest.writeCsv(df, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, s STRING, n BIGINT")
+    val back = Ingest.readCsv(spark, dir, schema)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("x"), Some(10L)),
+      (2L, Some(""), None),
+      (3L, None, Some(30L))))
+    assert(Ingest.csvQuarantine(spark, dir, schema).count() == 0L)
+  }
+
   test("streamJsonl tails a landing directory: new shards arrive as batches, corrupt lines drop") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_s_").toString
