@@ -133,6 +133,23 @@ object HnswDistributed {
       growthDenom: Int = 4, batchCeiling: Int = 262144): Unit = {
     require(growthDenom >= 1, "growthDenom must be >= 1")
     val n = ids.length
+    // Fail FAST on the broadcast tier's hard envelope instead of 20+
+    // minutes into the build: Kryo's Unsafe bulk writer takes an int
+    // BYTE count, so any single primitive array over ~2 GiB
+    // (layer-0 dsts/dists at ~2.7e8 edges) dies in copyMemoryChecks at
+    // the first over-sized snapshot broadcast — measured at n=1e7,
+    // m=32: 23 min of build, then KryoException. The bound below is
+    // edges <= n * mMax0, reached in practice (HNSW fills degrees).
+    // Graphs past it belong on the tiers built for that scale:
+    // buildSharded / HnswRouted (per-cell graphs under the wall) or
+    // HnswDurable (no full-graph broadcast at all).
+    val maxEdges = n.toLong * searcher.params.mMax.max
+    require(maxEdges * 8L <= Int.MaxValue.toLong,
+      s"single-graph broadcast build envelope exceeded: n=$n x mMax0=" +
+        s"${searcher.params.mMax.max} bounds ${maxEdges} layer-0 edges, whose " +
+        "8-byte columns pass Kryo's 2 GiB per-array serialization limit. " +
+        "Use HnswDistributed.buildSharded, HnswRouted.build, or " +
+        "HnswDurable.ingest for graphs of this size.")
     val seedN = math.min(seedBatch, n)
     var pos = 0
     while (pos < seedN) {

@@ -247,6 +247,26 @@ class HnswDistributedSpec extends SparkSpec {
       HnswDistributed.cacheKey(grownCfg.copy(batchCeiling = 4096)))
   }
 
+  test("broadcast build tier fails fast past the Kryo 2 GiB per-array envelope") {
+    // n=5e6 x mMax0=64 bounds 3.2e8 edges -> 2.56e9 bytes per 8-byte
+    // column, past Int.MaxValue: the build must throw at entry (not 20
+    // minutes in, at the first over-sized snapshot broadcast) and route
+    // to the sharded/routed/durable tiers
+    import graft.store.{ArrayVectorStore, InMemoryGraph, Metrics}
+    val params = HnswParams.standard(64, 32, 32) // mMax0 = 64
+    val searcher = new HnswSearcher(params)
+    val n = 5000000
+    val ids = Array.tabulate(n)(_.toLong)
+    val layers = new Array[Int](n)
+    def store() = new ArrayVectorStore(Metrics.byName("cosine"), base = Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      HnswDistributed.batchedBuildLoop(spark, ids, layers,
+        (), (_: Unit) => store(), store(), searcher, new InMemoryGraph, 128, 4096)
+    }
+    assert(e.getMessage.contains("envelope"), e.getMessage)
+    assert(e.getMessage.contains("buildSharded"), e.getMessage)
+  }
+
   test("prebuilt sharded handle serves repeated query batches without rebuild") {
     val index = HnswDistributed.buildSharded(
       vectors, BuildConfig(HnswParams.standard(64, 128, 16), "cosine", 42L),
