@@ -110,9 +110,17 @@ object HnswRouted {
 
   /** Search the routed index: only the nProbe cells a query routed to
     * ever see it; per-cell HNSW answers top-k; tiny global merge
-    * (<= k rows per query per probed cell). Returns (qid, id, dist, rank). */
+    * (<= k rows per query per probed cell). Returns (qid, id, dist, rank).
+    *
+    * `ef0` (0 = configured default) widens ONLY the in-cell layer-0
+    * beam — the recall knob the 1e7 rehearsal identified: dense cells
+    * (156k near-duplicate points at 1e7/64 cells) miss at the default
+    * ef_search=32 regardless of how many cells are probed, because
+    * probe4 and probe64 run the same in-cell search. Widening ef costs
+    * per-probed-cell work; adding cells costs fan-out — independent
+    * dials for the two loss modes. */
   def search(index: RoutedIndex, queries: DataFrame, k: Int,
-             nProbe: Int): DataFrame = {
+             nProbe: Int, ef0: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val cfg = index.cfg
     val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
@@ -131,7 +139,8 @@ object HnswRouted {
         val qStore = new ArrayVectorStore(metric, base = m.vectors)
         probes.iterator.flatMap { case (qid, qvec) =>
           val q = qStore.prepareQueryWithId(-1L, qvec)
-          searcher.search(qStore, m.snapshot, q, k)
+          searcher.searchWithEf(qStore, m.snapshot, q, k,
+            math.max(ef0, cfg.params.getEfSearch(0)))
             .iterator.map(nb => (qid, nb.dst, nb.dist))
         }
       }

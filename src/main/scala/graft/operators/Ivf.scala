@@ -40,11 +40,24 @@ object Ivf {
     // sum NaN after one Lloyd pass — the centroid then repels every
     // assignment forever (NaN distances never win), silently killing
     // one IVF cell and the recall it carried
-    val sample = vectors
+    val finite = vectors
       .filter(col("vec").isNotNull &&
         forall(col("vec"), x => !isnan(x) && abs(x) < lit(Float.PositiveInfinity)))
+    // DETERMINISTIC sample: a bare limit() takes whatever partitions
+    // schedule first, so two runs train different centroids and every
+    // recall measurement downstream drifts run-to-run (measured as a
+    // 3-point self-match swing in the routed rehearsal). Hash-filtering
+    // on the id is order-independent and scan-cheap; the stride comes
+    // from one count. A trailing limit still caps the collect exactly.
+    val total = finite.count()
+    val stride = math.max(1L, total / math.max(1, maxSample))
+    // no trailing limit (it would reintroduce scheduling order into
+    // WHICH rows survive): the filter passes ~total/stride ~ maxSample
+    // rows, all collected, then the id sort + take pins the selection
+    val sample = finite
+      .filter(pmod(xxhash64(col("id"), lit(seed)), lit(stride)) === 0L)
       .select(col("id"), col("vec")).as(rowEnc)
-      .limit(maxSample).collect().map(_._2)
+      .collect().sortBy(_._1).take(maxSample).map(_._2)
     require(sample.nonEmpty, "empty training set")
     val dim = sample.head.length
 

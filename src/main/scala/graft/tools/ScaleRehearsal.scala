@@ -277,18 +277,21 @@ object ScaleRehearsal {
         val qIds = (0L until n.toLong by math.max(1L, n.toLong / 1000)).take(1000)
         val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
           .toDF("qid", "qvec").localCheckpoint(true)
-        def serve(p: Int): (Double, Long) = {
+        def serve(p: Int, ef0: Int = 0): (Double, Long) = {
           val t = System.nanoTime()
-          val self = HnswRouted.search(index, qDf, 1, nProbe = p)
+          val self = HnswRouted.search(index, qDf, 1, nProbe = p, ef0 = ef0)
             .filter(col("qid") === col("id")).count()
           ((System.nanoTime() - t) / 1e9, self)
         }
         serve(1) // warm
         val (wallRouted, selfRouted) = serve(4)
         val (wallFull, _) = serve(nCells)
+        // the dense-cell recall knob: same fan-out, wider in-cell beam
+        val (wallWide, selfWide) = serve(4, ef0 = 128)
         index.unpersist()
         (selfRouted, f"build_s=$buildS%.1f probe4_s=$wallRouted%.2f " +
-          f"probe${nCells}_s=$wallFull%.2f self_match=${selfRouted * 100.0 / qIds.length}%.1f%%")
+          f"probe${nCells}_s=$wallFull%.2f self_match=${selfRouted * 100.0 / qIds.length}%.1f%% " +
+          f"probe4_ef128_s=$wallWide%.2f self_match_ef128=${selfWide * 100.0 / qIds.length}%.1f%%")
       }
 
       // COUNT-MIN rung (round-11): the claim under test is the sketch's

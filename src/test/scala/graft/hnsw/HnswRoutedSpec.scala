@@ -85,6 +85,30 @@ class HnswRoutedSpec extends SparkSpec {
       s"nProbe=nCells must be the exhaustive (exact) regime: ${recalls.last}")
   }
 
+  test("ef0 widens the in-cell beam: the dense-cell recall knob, independent of nProbe") {
+    // one dense near-duplicate cloud (the 1e7-rehearsal regime in
+    // miniature): every point in ~one cell, so probing more cells can't
+    // recover misses — only the in-cell beam can
+    val dim = 16
+    val center = vecFromHash(0L, 55L, dim).map(_ * 10f)
+    val base = (0 until 4000).map { i =>
+      val noise = vecFromHash(i.toLong, 3L, dim)
+      (i.toLong, center.zip(noise).map { case (a, b) => a + 0.05f * b })
+    }
+    val baseDf = base.toDF("id", "vec")
+    val narrow = BuildConfig(HnswParams.standard(64, 16, 16),
+      metric = "cosine", seed = 42L)
+    val index = HnswRouted.build(baseDf, narrow, nCells = 4, persist = false)
+    val qDf = base.take(300).toDF("qid", "qvec")
+    def selfMatch(ef0: Int): Long =
+      HnswRouted.search(index, qDf, 1, nProbe = 4, ef0 = ef0)
+        .filter(col("qid") === col("id")).count()
+    val narrow1 = selfMatch(0)
+    val wide = selfMatch(256)
+    assert(wide >= narrow1, s"widening the beam lost recall: $narrow1 -> $wide")
+    assert(wide >= 297L, s"wide-beam self-match $wide/300 below the 0.99 floor")
+  }
+
   test("every vector lands in exactly one cell (the shards partition the corpus)") {
     val n = 1500
     val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))

@@ -62,6 +62,11 @@ class IvfSpec extends SparkSpec {
   test("training is deterministic; cells partition the table") {
     val again = Ivf.train(vectors, nCells = 16, seed = 11L)
     assert(model.centroids.map(_.toList).toList == again.centroids.map(_.toList).toList)
+    // ...and PARTITIONING-invariant: the sample is hash-selected + id-
+    // sorted, so the physical layout cannot pick different training
+    // rows (a bare limit() did — measured as run-to-run recall drift)
+    val shuffled = Ivf.train(vectors.repartition(23), nCells = 16, seed = 11L)
+    assert(model.centroids.map(_.toList).toList == shuffled.centroids.map(_.toList).toList)
     val cell = Ivf.cellCol(model)
     val counts = vectors.withColumn("cell", cell(col("vec")))
       .groupBy("cell").count().collect()
