@@ -296,6 +296,78 @@ object Curation {
     // sources copy from each other (syndication, mirrors) BEFORE they
     // pollute a train/eval split. One inverted shingle index, one
     // self-join keyed on the shingle, integer Jaccard in basis points.
+    // Cross-source overlap from KMV sketches — the sketch-serving twin
+    // of d_source_overlap: per source, the k smallest 48-bit md5 hashes
+    // of its distinct 5-gram shingles (a bounded aggregate: k longs per
+    // source cross the shuffle, not the shingle inventory), then every
+    // pair's Jaccard estimated from the union sketch (the fraction of
+    // its values present in BOTH sketches — Beyer et al. SIGMOD'07 §5).
+    // The row carries the exact hash-space Jaccard next to the estimate
+    // (audit discipline); at 100 TB the exact self-join column is the
+    // one you drop, and per-source sketches persist as ~2 KB rows that
+    // answer any pair later. FULL hash oracle: hashes, sketch, and
+    // estimator are all reproducible ANSI SQL (see Kmv.scala).
+    "d_source_overlap_kmv" -> ((s, dir) => {
+      import graft.operators.Kmv
+      val k = 256
+      // distinct (source, shingle-hash) universe — BOTH the exact side
+      // and the sketch side read it, so estimate and truth share one
+      // hash space and the audit isolates pure estimator error
+      val sh = docs(s, dir)
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
+            " i -> concat_ws(' ', slice(toks, i, 5))))")).as("ngram"))
+        .select(col("source"), Kmv.hash48(col("ngram")).as("h"))
+        .distinct()
+        .localCheckpoint() // feeds sizes, the exact join, and the sketch
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("x").join(sh.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("a_source"), col("y.source").as("b_source"))
+        .agg(count(lit(1)).as("n_shared"))
+      val sk = sh.groupBy(col("source"))
+        .agg(Kmv.sketchAgg(k)(col("h")).getField("hs").as("kmv"))
+      val pairs = sk.select(col("source").as("a_source"), col("kmv").as("kmv_a"))
+        .join(sk.select(col("source").as("b_source"), col("kmv").as("kmv_b")),
+          col("a_source") < col("b_source"))
+      pairs
+        .join(sizes.select(col("source").as("a_source"), col("n").as("a_n")), "a_source")
+        .join(sizes.select(col("source").as("b_source"), col("n").as("b_n")), "b_source")
+        .join(shared, Seq("a_source", "b_source"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("jaccard_bp_exact",
+          expr("n_shared * 10000 div (a_n + b_n - n_shared)"))
+        .withColumn("jaccard_bp_kmv", Kmv.jaccardBp(col("kmv_a"), col("kmv_b"), k))
+        .select(col("a_source"), col("b_source"), col("jaccard_bp_exact"),
+          col("jaccard_bp_kmv"),
+          abs(col("jaccard_bp_kmv") - col("jaccard_bp_exact")).as("err_bp"))
+        .orderBy(col("a_source"), col("b_source"))
+    }),
+
+    // Deterministic fixed-size uniform sample per language — the
+    // reservoir-sampling shape (k rows per group, every row equally
+    // likely under the md5 order) WITHOUT a reservoir: the k-bounded
+    // GroupTopK aggregate keeps the k smallest salted hashes per group
+    // map-side, so the shuffle carries O(groups x k x partitions) rows
+    // and no per-group sort or RNG state exists anywhere — reruns and
+    // stragglers can't change the sample. The fixed-k dual of
+    // s_sample_mix's fixed-RATE Bernoulli sampler (eval sets want
+    // exactly-k, not rate*n). FULL hash oracle via the row_number twin.
+    "s_sample_reservoir" -> ((s, dir) => {
+      import graft.operators.{GroupTopK, Kmv}
+      val k = 8
+      docs(s, dir)
+        .select(col("lang"), col("doc_id"),
+          Kmv.hash48(concat(lit("rsv:"), col("doc_id").cast("string"))).as("h"))
+        .groupBy(col("lang"))
+        // smallest hash first == topK on the negated hash (v DESC, id ASC)
+        .agg(GroupTopK.topK(k)(negate(col("h")), col("doc_id")).as("t"))
+        .select(col("lang"), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     "d_source_overlap" -> ((s, dir) => {
       // Shingles are 64-bit-HASHED before the distinct/join: the
       // inventory and self-join shuffle 8-byte keys instead of raw
@@ -499,6 +571,61 @@ object Curation {
          |  CAST(min(quality_u) AS BIGINT) AS min_quality_u
          |FROM c GROUP BY shard_id ORDER BY shard_id""".stripMargin
     },
+
+    // the full KMV pipeline in SQL: distinct hash universe, per-source
+    // k-min sketch (rn <= k), union sketch per pair, Jaccard from the
+    // in-both fraction — every integer must match the Spark aggregate
+    "d_source_overlap_kmv" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |sh0 AS (SELECT DISTINCT source,
+        |    CAST('0x' || substring(md5(ngram), 1, 12) AS BIGINT) AS h
+        |  FROM t, LATERAL (SELECT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-4, 1)),
+        |    i -> array_to_string(toks[i:i+4], ' ')))) AS ngram) lat),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh0 GROUP BY 1),
+        |shr AS (SELECT a.source AS a_source, b.source AS b_source,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh0 a JOIN sh0 b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT a.source AS a_source, b.source AS b_source
+        |  FROM sz a JOIN sz b ON a.source < b.source),
+        |r AS (SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM sh0),
+        |sk AS (SELECT source, h FROM r WHERE rn <= 256),
+        |uh AS (SELECT p.a_source, p.b_source, s.h,
+        |    max(CASE WHEN s.source = p.a_source THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.source = p.b_source THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN sk s ON s.source IN (p.a_source, p.b_source)
+        |  GROUP BY 1, 2, 3),
+        |ur AS (SELECT *, row_number() OVER (
+        |    PARTITION BY a_source, b_source ORDER BY h) AS rn FROM uh),
+        |uk AS (SELECT a_source, b_source, CAST(count(*) AS BIGINT) AS n_u,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        |  FROM ur WHERE rn <= 256 GROUP BY 1, 2),
+        |j AS (SELECT p.a_source, p.b_source,
+        |    CAST(coalesce(s.n_shared, 0) * 10000
+        |      // (za.n + zb.n - coalesce(s.n_shared, 0)) AS BIGINT) AS jaccard_bp_exact,
+        |    CAST(u.n_both * 10000 // greatest(u.n_u, 1) AS BIGINT) AS jaccard_bp_kmv
+        |  FROM pairs p
+        |  JOIN sz za ON za.source = p.a_source
+        |  JOIN sz zb ON zb.source = p.b_source
+        |  LEFT JOIN shr s ON s.a_source = p.a_source AND s.b_source = p.b_source
+        |  JOIN uk u ON u.a_source = p.a_source AND u.b_source = p.b_source)
+        |SELECT a_source, b_source, jaccard_bp_exact, jaccard_bp_kmv,
+        |  CAST(abs(jaccard_bp_kmv - jaccard_bp_exact) AS BIGINT) AS err_bp
+        |FROM j ORDER BY a_source, b_source""".stripMargin,
+
+    "s_sample_reservoir" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |    CAST('0x' || substring(md5('rsv:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+        |      AS BIGINT) AS rank FROM h)
+        |SELECT lang, rank, doc_id FROM r WHERE rank <= 8
+        |ORDER BY lang, rank""".stripMargin,
 
     "d_source_overlap" ->
       """WITH g AS (SELECT DISTINCT d.source, sh.ngram

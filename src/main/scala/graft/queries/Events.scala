@@ -550,6 +550,32 @@ object Events {
         .withColumn("err_bp", col("err_bp").cast("long"))
     }),
 
+    // KMV (k-minimum-values) distinct sketch — the sketch family's
+    // FULL-hash-oracle member: unlike HLL's engine-private registers,
+    // the KMV state (k smallest md5-prefix hashes per group) and its
+    // estimator ((k-1)*2^48 div h_k, pure BIGINT) are reproducible in
+    // ANSI SQL, so the oracle recomputes the sketch bit-for-bit — the
+    // estimate itself is hash-checked, not just audited. At 100 TB the
+    // aggregate's map-side buffers cap each task at k longs per group
+    // (the exact countDistinct shuffles every distinct key); groups
+    // with fewer than k distinct values come out EXACT by construction.
+    "e_kmv_users" -> ((s, dir) => {
+      import graft.operators.Kmv
+      val k = 64
+      val ev = t(s, dir).filter(col("user_id").isNotNull)
+      val sk = Kmv.sketch(ev, col("user_id"), Seq(col("event_type")), k)
+      val ex = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      ex.join(sk, "event_type")
+        .withColumn("n_est", Kmv.estimate(col("kmv"), k))
+        .select(col("event_type"), col("n_exact"), col("n_est"),
+          expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"),
+          // ~3 relative standard errors of the KMV estimator, the
+          // analog of e_hll_users' 2%-rsd contract (floor in SketchSpec)
+          lit((3.0 / math.sqrt(k - 2.0) * 10000).ceil.toLong).as("bound_bp"))
+        .orderBy(col("event_type"))
+    }),
+
     // Quantile SKETCH audit — completes the sketch family (HLL =
     // distinct, Count-Min = frequency, this = quantiles): Spark's
     // approx_percentile is a Greenwald-Khanna-style mergeable summary
@@ -657,6 +683,31 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    // the sketch itself is SQL: per-type k smallest distinct 48-bit
+    // md5-prefix hashes (rn <= k window), the k-th one feeding the
+    // integer KMV estimator — must match Spark's aggregate bit-for-bit
+    "e_kmv_users" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |kth AS (SELECT event_type, max(nd) AS nd,
+        |    max(CASE WHEN rn = 64 THEN hv END) AS hk
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |est AS (SELECT e.event_type, e.n_exact,
+        |    CAST(CASE WHEN k.nd < 64 THEN k.nd
+        |      ELSE 63 * 281474976710656 // greatest(k.hk, 1) END AS BIGINT) AS n_est
+        |  FROM ex e JOIN kth k ON k.event_type = e.event_type)
+        |SELECT event_type, n_exact, n_est,
+        |  CAST(abs(n_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp,
+        |  CAST(3811 AS BIGINT) AS bound_bp
+        |FROM est ORDER BY event_type""".stripMargin,
+
     "e_top3_per_type" ->
       """WITH v AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS value_c,
         |            event_id FROM events

@@ -307,6 +307,33 @@ object ScaleRehearsal {
         (sk.count(), s"cells_max=${cfg.depth * cfg.width}")
       }
 
+      // KMV rung (round-11): the distinct-count dual of the cms rung —
+      // the k-bounded aggregate's shuffle is capped at groups x k x
+      // partitions LONGS however many rows (and distinct keys) flow in,
+      // while exact countDistinct shuffles every distinct key. The
+      // estimator is audited in-run against the exact count (the same
+      // number the catalog row hash-proves against DuckDB at sf scale).
+      if (ops("kmv")) run("kmv_sketch", n) {
+        val k = 256
+        val rows = spark.range(n.toLong).select(
+          concat(lit("g"), pmod(col("id"), lit(8L))).as("g"),
+          // distinct universe grows with n (~n/2 distinct keys)
+          pmod(xxhash64(col("id")), lit(math.max(1L, n.toLong / 2))).as("key"))
+        val sk = graft.operators.Kmv.sketch(rows, col("key"), Seq(col("g")), k)
+          .withColumn("n_est", graft.operators.Kmv.estimate(col("kmv"), k))
+        val est = sk.select(col("g"), col("n_est")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val sketchRecords = stats.records
+        val exact = rows.groupBy(col("g"))
+          .agg(countDistinct(col("key")).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exactRecords = stats.records - sketchRecords
+        val maxErrBp = est.map { case (g, e) =>
+          math.abs(e - exact(g)) * 10000 / math.max(1L, exact(g)) }.max
+        (est.size.toLong, s"sketch_records=$sketchRecords " +
+          s"exact_records=$exactRecords max_err_bp=$maxErrBp cap=${8 * k}/task")
+      }
+
       if (ops("spans")) run("substring_spans", n) {
         val out = graft.operators.SubstringDedup.duplicatedSpans(
           docs, "text", "doc_id", minTokens = 20)

@@ -39,6 +39,33 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("e_kmv_users: estimator error inside its own bound_bp on every row") {
+    val rows = SparkEntry.queries("e_kmv_users")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getLong(r.fieldIndex("err_bp"))
+      val bound = r.getLong(r.fieldIndex("bound_bp"))
+      assert(err <= bound,
+        s"${r.getString(0)}: KMV err $err bp > bound $bound bp")
+      assert(r.getLong(r.fieldIndex("n_exact")) > 0)
+    }
+  }
+
+  test("d_source_overlap_kmv: Jaccard estimates track the exact hash-space Jaccard") {
+    val rows = SparkEntry.queries("d_source_overlap_kmv")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-pair KMV Jaccard is a k-sample binomial: sd ~ sqrt(J/k) — with
+    // k=256 and J up to ~0.1 that is ~200 bp; allow 4 sigma plus the
+    // 1-sample quantization floor (1/k = ~39 bp)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("jaccard_bp_exact"))
+      val err = r.getLong(r.fieldIndex("err_bp"))
+      val sigmaBp = math.sqrt(math.max(exact, 39L) / 10000.0 / 256.0) * 10000
+      assert(err <= 4 * sigmaBp + 40,
+        s"${r.getString(0)}-${r.getString(1)}: err $err bp vs exact $exact bp")
+    }
+  }
+
   test("HLL estimate is invariant to partitioning (register merge is commutative)") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$sfDir/events.parquet").select(col("user_id"))
