@@ -22,16 +22,31 @@ object Bench {
     /** Fixed 50M-iteration FNV-style integer loop, single thread. On an
       * unloaded modern core this is a stable ~40-80 ms; a 2x reading
       * means the HOST is 2x slower/contended and every driver-sequential
-      * phase (the HNSW seed inserts, phase-2 merges) inflates with it. */
+      * phase (the HNSW seed inserts, phase-2 merges) inflates with it.
+      *
+      * MIN OF 3 trials (round-11): the r10/r11 runs kept stamping one
+      * family boundary (t, right after the s family's write-heavy rows)
+      * ~2x while its neighbors read healthy — a GC pause landing inside
+      * the single 60 ms loop, not host contention. A genuinely slow
+      * host slows ALL trials, so the min still measures the machine;
+      * one stop-the-world pause can only poison one trial. Units are
+      * unchanged (same 50M loop), so readings stay comparable with the
+      * r9/r10 protocol bands. */
     def cpuCalibMs(): Double = {
-      var h = 0x9E3779B97F4A7C15L
-      var i = 0
-      val t0 = System.nanoTime()
-      while (i < 50000000) { h = (h ^ i) * 0x100000001B3L; i += 1 }
-      val dt = (System.nanoTime() - t0) / 1e6
-      // data-dependent sink so the loop cannot be dead-code-eliminated
-      if (h == 42L) System.err.print("")
-      dt
+      var best = Double.MaxValue
+      var t = 0
+      while (t < 3) {
+        var h = 0x9E3779B97F4A7C15L
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 50000000) { h = (h ^ i) * 0x100000001B3L; i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e6
+        // data-dependent sink so the loop cannot be dead-code-eliminated
+        if (h == 42L) System.err.print("")
+        if (dt < best) best = dt
+        t += 1
+      }
+      best
     }
   }
 

@@ -345,6 +345,45 @@ object Curation {
         .orderBy(col("a_source"), col("b_source"))
     }),
 
+    // Temperature-reweighted language mixture (the UNIMAX / mT5 data-
+    // mixing shape): per-language sample targets proportional to
+    // n_lang^alpha with alpha = 1/2, boosting low-resource languages
+    // above their natural share, then a deterministic md5-ranked draw of
+    // exactly target_n docs per language. Everything is engine-exact:
+    // the temperature weight is a two-step-adjusted INTEGER sqrt (a
+    // 1-ulp sqrt disagreement between engines cannot change it), targets
+    // are integer division of a fixed budget, and the draw reuses the
+    // bounded GroupTopK hash rank (no RNG, no per-group sort). The
+    // counts aggregation is tiny (one row per language); only the
+    // budget-bounded rank aggregate sees the corpus.
+    "s_temperature_mix" -> ((s, dir) => {
+      import graft.operators.{GroupTopK, Kmv}
+      val budget = 100
+      val d = docs(s, dir)
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val w = counts
+        .withColumn("s0", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+        .withColumn("s1", col("s0") -
+          when(col("s0") * col("s0") > col("n_docs"), 1L).otherwise(0L))
+        .withColumn("w", col("s1") +
+          when((col("s1") + 1) * (col("s1") + 1) <= col("n_docs"), 1L).otherwise(0L))
+      val tot = w.agg(sum(col("w")).as("sum_w"))
+      val targets = w.crossJoin(broadcast(tot))
+        .withColumn("target_n",
+          least(expr(s"($budget * w) div sum_w"), col("n_docs")))
+        .select(col("lang"), col("n_docs"), col("target_n"))
+      d.select(col("lang"), col("doc_id"),
+          Kmv.hash48(concat(lit("tmx:"), col("doc_id").cast("string"))).as("h"))
+        .groupBy(col("lang"))
+        .agg(GroupTopK.topK(budget)(negate(col("h")), col("doc_id")).as("t"))
+        .select(col("lang"), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+        .join(broadcast(targets), "lang")
+        .filter(col("pos") < col("target_n"))
+        .select(col("lang"), col("n_docs"), col("target_n"),
+          (col("pos") + 1).cast("long").as("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Deterministic fixed-size uniform sample per language — the
     // reservoir-sampling shape (k rows per group, every row equally
     // likely under the md5 order) WITHOUT a reservoir: the k-bounded
@@ -615,6 +654,30 @@ object Curation {
         |SELECT a_source, b_source, jaccard_bp_exact, jaccard_bp_kmv,
         |  CAST(abs(jaccard_bp_kmv - jaccard_bp_exact) AS BIGINT) AS err_bp
         |FROM j ORDER BY a_source, b_source""".stripMargin,
+
+    "s_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w0 AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+        |w1 AS (SELECT lang, n_docs,
+        |    s0 - CASE WHEN s0 * s0 > n_docs THEN 1 ELSE 0 END AS s1 FROM w0),
+        |w AS (SELECT lang, n_docs,
+        |    s1 + CASE WHEN (s1+1) * (s1+1) <= n_docs THEN 1 ELSE 0 END AS w FROM w1),
+        |tw AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w FROM w),
+        |tg AS (SELECT lang, n_docs,
+        |    least(CAST(100 * w // sum_w AS BIGINT), n_docs) AS target_n
+        |  FROM w, tw),
+        |h AS (SELECT lang, doc_id,
+        |    CAST('0x' || substring(md5('tmx:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+        |      AS BIGINT) AS rank FROM h)
+        |SELECT t.lang, t.n_docs, t.target_n, r.rank, r.doc_id
+        |FROM r JOIN tg t ON t.lang = r.lang WHERE r.rank <= t.target_n
+        |ORDER BY t.lang, r.rank""".stripMargin,
 
     "s_sample_reservoir" ->
       """WITH h AS (SELECT lang, doc_id,
