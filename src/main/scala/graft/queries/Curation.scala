@@ -345,6 +345,45 @@ object Curation {
         .orderBy(col("a_source"), col("b_source"))
     }),
 
+    // Fixed-length training-sequence packing — the LAST stage of a
+    // pretraining data pipeline: the doc_id-ordered token stream is cut
+    // into L=256-token sequences (docs concatenated, boundaries crossing
+    // docs), and each sequence reports how many docs it spans and its
+    // token fill. The global running offset comes from the two-phase
+    // distributed PrefixSum (range-partition + per-partition window +
+    // broadcast offsets) — NO single-partition global window ever runs,
+    // and no token is materialized: everything is arithmetic on per-doc
+    // counts. A doc spans ceil-interval [start div L, (end-1) div L];
+    // the explode is bounded by n_tok/L + 1 rows per doc. The complement
+    // of s_pack_shards (budget packing of whole docs): here docs SPLIT
+    // across fixed windows, the sequence-packing shape actual trainers
+    // consume. FULL hash oracle (window cumsum + generate_series twin).
+    "s_pack_sequences" -> ((s, dir) => {
+      import graft.operators.PrefixSum
+      import org.apache.spark.sql.expressions.Window
+      val L = 256
+      val d = docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val r = PrefixSum.ranged(d, numPartitions = 32,
+        order = Seq(col("doc_id")), weight = col("n_tok"))
+      val prev = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      r.df
+        .withColumn("start",
+          r.offset + coalesce(sum(col("n_tok")).over(prev), lit(0L)))
+        .withColumn("fin", col("start") + col("n_tok"))
+        .select(col("doc_id"), col("start"), col("fin"),
+          explode(sequence(expr(s"start div $L"), expr(s"(fin - 1) div $L")))
+            .as("seq_id"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("fin"), (col("seq_id") + 1) * L) -
+            greatest(col("start"), col("seq_id") * L)).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))
+    }),
+
     // Temperature-reweighted language mixture (the UNIMAX / mT5 data-
     // mixing shape): per-language sample targets proportional to
     // n_lang^alpha with alpha = 1/2, boosting low-resource languages
@@ -654,6 +693,25 @@ object Curation {
         |SELECT a_source, b_source, jaccard_bp_exact, jaccard_bp_kmv,
         |  CAST(abs(jaccard_bp_kmv - jaccard_bp_exact) AS BIGINT) AS err_bp
         |FROM j ORDER BY a_source, b_source""".stripMargin,
+
+    "s_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start
+        |  FROM d),
+        |e AS (SELECT doc_id, start, start + n_tok AS fin FROM c),
+        |x AS (SELECT doc_id, start, fin,
+        |    unnest(generate_series(start // 256, (fin - 1) // 256)) AS seq_id
+        |  FROM e)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(fin, (seq_id + 1) * 256)
+        |    - greatest(start, seq_id * 256)) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM x GROUP BY 1 ORDER BY seq_id""".stripMargin,
 
     "s_temperature_mix" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
