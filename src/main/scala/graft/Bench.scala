@@ -152,10 +152,11 @@ object Bench {
     // one_time_s.
     val oneTime = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var sinceGc = 0
-    // Per-FAMILY calibration stamps (round-10): the r9 driver run's host
+    // Per-FAMILY calibration stamps (round-10; min-of-3 trials since
+    // round-11, ~9 x ~180 ms total): the r9 driver run's host
     // slowed 1.9x mid-run and the start/end bracket could prove drift
-    // happened but not which families absorbed it — one 50M-iteration
-    // loop at each family boundary (~9 x ~60 ms) localizes it.
+    // happened but not which families absorbed it — a calibration stamp
+    // at each family boundary localizes it.
     val familyCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var curFam = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -127,12 +127,13 @@ object Kmv {
     Bridge.column(IntegralDivide(Bridge.expression(a), Bridge.expression(b)))
 
   /** Distinct-count estimate from a sketch array: exact (= size) below
-    * k values, else (k-1)*2^48 div h_k. The h_k=0 guard covers the
-    * 2^-48-probability all-zero-prefix hash — estimate still defined. */
+    * k values, else (k-1)*2^48 div h_k. No divide-by-zero guard is
+    * needed: the sketch is sorted, DISTINCT, and non-negative, so its
+    * k-th element (1-indexed) is >= k-1 >= 1 for the enforced k >= 2 —
+    * h_k = 0 is impossible by construction, not just improbable. */
   def estimate(kmv: Column, k: Int): Column =
     when(size(kmv) < k, size(kmv).cast("long"))
-      .otherwise(idiv(lit((k - 1).toLong * HashSpace),
-        greatest(element_at(kmv, k), lit(1L))))
+      .otherwise(idiv(lit((k - 1).toLong * HashSpace), element_at(kmv, k)))
 
   /** Union sketch of two sketch arrays: k smallest of the merged sets —
     * bit-identical to sketching the unioned inputs (array_union dedups;

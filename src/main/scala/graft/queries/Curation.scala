@@ -312,8 +312,11 @@ object Curation {
       val k = 256
       // distinct (source, shingle-hash) universe — BOTH the exact side
       // and the sketch side read it, so estimate and truth share one
-      // hash space and the audit isolates pure estimator error
-      val sh = docs(s, dir)
+      // hash space and the audit isolates pure estimator error.
+      // text IS NOT NULL on both sides: Spark's split(null) chain would
+      // otherwise manufacture one ''-shingle per source while DuckDB's
+      // lateral yields no row — a null-corpus parity break
+      val sh = docs(s, dir).filter(col("text").isNotNull)
         .select(col("source"), split(col("text"), " ").as("toks"))
         .select(col("source"), explode(expr(
           "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
@@ -360,7 +363,6 @@ object Curation {
     // consume. FULL hash oracle (window cumsum + generate_series twin).
     "s_pack_sequences" -> ((s, dir) => {
       import graft.operators.PrefixSum
-      import org.apache.spark.sql.expressions.Window
       val L = 256
       val d = docs(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -453,7 +455,10 @@ object Curation {
       // scale). Counting distinct hashes equals counting distinct
       // strings absent a 64-bit collision (P ~ n^2/2^65 — immaterial
       // even at 100 TB), so the string-keyed oracle still applies.
-      val grams = docs(s, dir)
+      // text IS NOT NULL mirrored in the oracle: split(null) would
+      // manufacture one ''-shingle per source that DuckDB's lateral
+      // never emits (latent null-corpus parity break, round-11 review)
+      val grams = docs(s, dir).filter(col("text").isNotNull)
         .select(col("source"), split(col("text"), " ").as("toks"))
         .select(col("source"), explode(expr(
           "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
@@ -654,7 +659,8 @@ object Curation {
     // k-min sketch (rn <= k), union sketch per pair, Jaccard from the
     // in-both fraction — every integer must match the Spark aggregate
     "d_source_overlap_kmv" ->
-      """WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+      """WITH t AS (SELECT source, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
         |sh0 AS (SELECT DISTINCT source,
         |    CAST('0x' || substring(md5(ngram), 1, 12) AS BIGINT) AS h
         |  FROM t, LATERAL (SELECT unnest(list_distinct(list_transform(
@@ -750,7 +756,7 @@ object Curation {
 
     "d_source_overlap" ->
       """WITH g AS (SELECT DISTINCT d.source, sh.ngram
-        |  FROM documents d, LATERAL (
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) d, LATERAL (
         |    SELECT unnest(list_distinct(list_transform(
         |      generate_series(1, greatest(len(string_split(d.text, ' '))-4, 1)),
         |      i -> array_to_string(string_split(d.text, ' ')[i:i+4], ' ')))) AS ngram) sh),

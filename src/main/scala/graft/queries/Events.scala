@@ -701,7 +701,7 @@ object Events {
         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
         |est AS (SELECT e.event_type, e.n_exact,
         |    CAST(CASE WHEN k.nd < 64 THEN k.nd
-        |      ELSE 63 * 281474976710656 // greatest(k.hk, 1) END AS BIGINT) AS n_est
+        |      ELSE 63 * 281474976710656 // k.hk END AS BIGINT) AS n_est
         |  FROM ex e JOIN kth k ON k.event_type = e.event_type)
         |SELECT event_type, n_exact, n_est,
         |  CAST(abs(n_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp,

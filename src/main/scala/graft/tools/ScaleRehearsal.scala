@@ -26,6 +26,21 @@ object ScaleRehearsal {
     }
     def reset(): Unit = recs.set(0L)
     def records: Long = recs.get
+
+    /** Mid-run snapshot: the listener bus delivers task-end events
+      * asynchronously, so a read right after collect() can miss (or
+      * later misattribute) trailing events. Poll until the counter is
+      * quiet for 300 ms before trusting a between-jobs boundary. */
+    def settledRecords(): Long = {
+      var prev = recs.get
+      var quiet = 0
+      while (quiet < 3) {
+        Thread.sleep(100)
+        val now = recs.get
+        if (now == prev) quiet += 1 else { quiet = 0; prev = now }
+      }
+      prev
+    }
   }
 
   /** Vocabulary SCALES with corpus size (Heaps' law posture): with a
@@ -323,11 +338,14 @@ object ScaleRehearsal {
           .withColumn("n_est", graft.operators.Kmv.estimate(col("kmv"), k))
         val est = sk.select(col("g"), col("n_est")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val sketchRecords = stats.records
+        // the listener bus is async: collect() can return while task-end
+        // events are still queued, which would misattribute trailing
+        // sketch-stage records to the exact job — settle before snapshot
+        val sketchRecords = stats.settledRecords()
         val exact = rows.groupBy(col("g"))
           .agg(countDistinct(col("key")).as("n")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val exactRecords = stats.records - sketchRecords
+        val exactRecords = stats.settledRecords() - sketchRecords
         val maxErrBp = est.map { case (g, e) =>
           math.abs(e - exact(g)) * 10000 / math.max(1L, exact(g)) }.max
         (est.size.toLong, s"sketch_records=$sketchRecords " +

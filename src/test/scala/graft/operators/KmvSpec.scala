@@ -81,12 +81,13 @@ class KmvSpec extends SparkSpec {
 
   test("jaccard estimate: identical sets -> 10000 bp; disjoint -> 0 bp; half-overlap lands near 3333") {
     val k = 256
-    def sk(tag: String, from: Int, until: Int) =
+    // one shared key space "j$i": set identity is carried by the ranges
+    def sk(from: Int, until: Int) =
       arr(Kmv.sketch((from until until).map(i => s"j$i").toDF("key"),
         col("key"), Seq(lit(1).as("g")), k))
-    val a = sk("a", 0, 4000)
-    val b = sk("b", 2000, 6000) // |A ∩ B| = 2000, |A ∪ B| = 6000, J = 1/3
-    val d = sk("d", 10000, 14000)
+    val a = sk(0, 4000)
+    val b = sk(2000, 6000) // |A ∩ B| = 2000, |A ∪ B| = 6000, J = 1/3
+    val d = sk(10000, 14000)
     def j(x: Seq[Long], y: Seq[Long]): Long = spark.range(1)
       .select(Kmv.jaccardBp(typedLit(x), typedLit(y), k).as("j"))
       .head.getLong(0)
@@ -102,11 +103,13 @@ class KmvSpec extends SparkSpec {
     assert(sk.length == 2)
   }
 
-  test("estimate guards h_k = 0 (degenerate all-zero hash) without dividing by zero") {
+  test("estimator arithmetic is the k-th-element formula exactly (h_k >= k-1 >= 1 by construction)") {
+    // a sorted DISTINCT non-negative array's k-th element is >= k-1, so
+    // the division is always safe for the enforced k >= 2 — no guard
     val k = 4
     val est = spark.range(1)
-      .select(Kmv.estimate(typedLit(Seq(0L, 1L, 2L, 3L)), k).as("e"))
+      .select(Kmv.estimate(typedLit(Seq(1L, 2L, 3L, 7L)), k).as("e"))
       .head.getLong(0)
-    assert(est == (k - 1).toLong * Kmv.HashSpace / 3L)
+    assert(est == (k - 1).toLong * Kmv.HashSpace / 7L)
   }
 }
