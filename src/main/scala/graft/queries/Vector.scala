@@ -162,6 +162,25 @@ object Vector {
         exactTruthIds(s, dir, "l2", 10))
     }),
 
+    // Random-projection (Johnson-Lindenstrauss) recall: 64 -> 32 dims
+    // through deterministic ±1 directions (2x smaller scan column, 2x
+    // cheaper distances, and — unlike PQ/SQ8/IVF — NO training pass:
+    // the matrix re-derives from a seed, so a refreshing corpus never
+    // re-fits). Coarse projected-L2 top-200 + exact re-rank. The corpus
+    // is RP's worst ranking case (near-uniform => all distances in one
+    // tight shell), so this row's recall honestly reads below the
+    // quantizing tiers — see RandomProjectionSpec's planted-cluster
+    // twin for the regime where JL shines. Rows-only check.
+    "v_recall_rproj" -> ((s, dir) => {
+      import graft.operators.RandomProjection
+      val vecs = vectorsDf(s, dir)
+      val qs = queriesDf(s, dir)
+      val m = RandomProjection.model(inDim = 64, outDim = 32, seed = 29L)
+      recallReport(s, qs,
+        RandomProjection.search(qs, vecs, m, k = 10, candidates = 200),
+        exactTruthIds(s, dir, "l2", 10))
+    }),
+
     // IVF-PQ — the canonical beyond-memory serving compose (coarse
     // quantizer prunes to nProbe/nCells of the corpus, PQ codes compress
     // the scan 32x, exact re-rank touches only C rows per query). Rows-
