@@ -352,6 +352,37 @@ object ScaleRehearsal {
           s"exact_records=$exactRecords max_err_bp=$maxErrBp cap=${8 * k}/task")
       }
 
+      // SEQUENCE-PACKING rung (round-11): the claim is that fixed-length
+      // packing is pure count arithmetic — per decade the only data-sized
+      // costs are one range-partition of (id, n_tok) pairs and one
+      // seq_id-keyed aggregation; the per-partition-totals collect is
+      // bounded by parallelism and the span explode by n_tok/L + 1 rows
+      // per doc. No token string ever exists.
+      if (ops("pack")) run("pack_sequences", n) {
+        import graft.operators.PrefixSum
+        import org.apache.spark.sql.expressions.Window
+        val L = 2048L
+        val d = spark.range(n.toLong).select(col("id").as("doc_id"),
+          (lit(50L) + pmod(col("id") * 37L, lit(900L))).as("n_tok"))
+        val r = PrefixSum.ranged(d, numPartitions = 32,
+          order = Seq(col("doc_id")), weight = col("n_tok"))
+        val prev = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val seqs = r.df
+          .withColumn("start",
+            r.offset + coalesce(sum(col("n_tok")).over(prev), lit(0L)))
+          .withColumn("fin", col("start") + col("n_tok"))
+          .select(explode(sequence(expr(s"start div $L"), expr(s"(fin - 1) div $L")))
+            .as("seq_id"),
+            col("start"), col("fin"))
+          .groupBy(col("seq_id"))
+          .agg(sum(least(col("fin"), (col("seq_id") + 1) * L) -
+            greatest(col("start"), col("seq_id") * L)).as("n_tokens"))
+        val nSeq = seqs.count()
+        val full = seqs.filter(col("n_tokens") === L).count()
+        (nSeq, s"full_seqs=$full total_tokens=${r.total} L=$L")
+      }
+
       if (ops("spans")) run("substring_spans", n) {
         val out = graft.operators.SubstringDedup.duplicatedSpans(
           docs, "text", "doc_id", minTokens = 20)
