@@ -127,6 +127,14 @@ object Hnsw {
       rows.toDF("n_probe", "n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // (An ef0-sweep catalog row was tried and deliberately NOT shipped:
+    // at sf scale every cell holds ~n/16 < ef_search vectors, so in-cell
+    // search is already exhaustive and the curve reads flat — the
+    // catalog-scale loss is ALL cell boundaries. The in-cell-beam loss
+    // mode only exists in the dense regime, where it is pinned by
+    // HnswRoutedSpec's dense-cloud test and measured at 1e7 in the
+    // rehearsal: probe4+ef128 = 95.9% vs 85.7% default self-match.)
+
     // HNSW over the reference's native representation: u64 sign-packed
     // codes under Hamming distance (lazy_memory_store.rs:49-54). Exact
     // regime (ef=128) -> shares v_knn_hamming's oracle shape.
