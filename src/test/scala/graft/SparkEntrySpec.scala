@@ -43,6 +43,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val declared = Set("h_recall_ann", "h_recall_pq", "h_recall_routed",
       "v_recall_ivf",
       "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "v_recall_bq",
+      "v_recall_rproj",
       "e_hll_users",
       // recall-targeted LSH banding regime: output is approximate by
       // design; the parity regime (v_neardup_lsh) carries the hash oracle
