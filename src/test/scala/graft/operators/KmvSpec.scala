@@ -103,6 +103,26 @@ class KmvSpec extends SparkSpec {
     assert(sk.length == 2)
   }
 
+  test("property loop: reduce/merge in any split and order equals brute-force k smallest distinct") {
+    // the aggregator's array insertion/merge is hand-rolled — pin it
+    // against a trivial reference over random streams, duplicate-heavy
+    // value ranges, random split points, and random merge trees
+    val rng = new scala.util.Random(17)
+    for (trial <- 0 until 200) {
+      val k = 1 + rng.nextInt(12) + 1 // 2..13
+      val n = rng.nextInt(400)
+      val vals = Array.fill(n)(rng.nextInt(60).toLong) // heavy duplicates
+      val want = vals.distinct.sorted.take(k).toSeq
+      val agg = new Kmv.KmvAgg(k)
+      // random number of chunks, each reduced then merged in a random order
+      val chunks = if (n == 0) Seq(Array.empty[Long])
+        else vals.grouped(1 + rng.nextInt(n)).toSeq
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rng.shuffle(bufs).reduceLeft(agg.merge)
+      assert(merged.hs.toSeq == want, s"trial=$trial k=$k n=$n")
+    }
+  }
+
   test("estimator arithmetic is the k-th-element formula exactly (h_k >= k-1 >= 1 by construction)") {
     // a sorted DISTINCT non-negative array's k-th element is >= k-1, so
     // the division is always safe for the enforced k >= 2 — no guard
