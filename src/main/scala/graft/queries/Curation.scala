@@ -83,6 +83,13 @@ object Curation {
     SampleThresholds.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
       .mkString("CASE ", " ", s" ELSE '$DefaultThreshold' END")
 
+  /** The 5-token-shingle unit as ONE expression over a `toks` column —
+    * decontamination and both source-overlap rows must agree on the
+    * n-gram definition, so it must not fork (the charShingles rule). */
+  private val fiveGramExpr =
+    "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
+      " i -> concat_ws(' ', slice(toks, i, 5))))"
+
   /** Distinct 5-token shingles per doc — the decontamination unit. Word
     * n-grams (not char shingles): contamination checks ask "does a train
     * doc contain an eval PHRASE", and 5 tokens is the conventional
@@ -90,9 +97,7 @@ object Curation {
   private def wordShingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
-          " i -> concat_ws(' ', slice(toks, i, 5))))")).as("ngram"))
+      .select(col("doc_id"), explode(expr(fiveGramExpr)).as("ngram"))
 
   /** Memoized distinct (source, 5-gram) universe — the corpus-layout
     * artifact BOTH source-overlap rows read (the exact xxhash64 row and
@@ -108,9 +113,7 @@ object Curation {
         val out = graft.TempDirs.create("graft_shingles_")
         docs(s, dir).filter(col("text").isNotNull)
           .select(col("source"), split(col("text"), " ").as("toks"))
-          .select(col("source"), explode(expr(
-            "array_distinct(transform(sequence(1, greatest(size(toks)-4, 1))," +
-              " i -> concat_ws(' ', slice(toks, i, 5))))")).as("ngram"))
+          .select(col("source"), explode(expr(fiveGramExpr)).as("ngram"))
           .distinct()
           .write.mode("overwrite").parquet(out)
         out
@@ -384,8 +387,14 @@ object Curation {
     "s_pack_sequences" -> ((s, dir) => {
       import graft.operators.PrefixSum
       val L = 256
+      // n_tok >= 1 mirrored in the oracle: a zero-token doc contributes
+      // to no sequence, and Spark's sequence(a, b) with b < a generates
+      // a DESCENDING pair (phantom membership) where DuckDB's
+      // generate_series is empty — a latent parity break. (split()
+      // never yields 0 tokens today; the guard is the contract.)
       val d = docs(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .filter(col("n_tok") >= 1)
       val r = PrefixSum.ranged(d, numPartitions = 32,
         order = Seq(col("doc_id")), weight = col("n_tok"))
       val prev = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
@@ -717,9 +726,10 @@ object Curation {
         |FROM j ORDER BY a_source, b_source""".stripMargin,
 
     "s_pack_sequences" ->
-      """WITH d AS (SELECT doc_id,
+      """WITH d0 AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         |  FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT * FROM d0 WHERE n_tok >= 1),
         |c AS (SELECT doc_id, n_tok,
         |    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

@@ -61,9 +61,12 @@ object Vector {
     * paying its JIT once here instead of per serving run. */
   private val rprojCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def rprojProjections(s: SparkSession, dir: String,
+  private def rprojProjections(s: SparkSession, dir: String, seed: Long,
       m: graft.operators.RandomProjection.RpModel): DataFrame = {
-    val path = rprojCache.computeIfAbsent(s"$dir|${m.outDim}", { _ =>
+    // key every model-distinguishing parameter (the truthCache rule):
+    // a same-dir call with a different seed must not read stale columns
+    val path = rprojCache.computeIfAbsent(
+      s"$dir|${m.inDim}|${m.outDim}|$seed", { _ =>
       graft.BuildLedger.timed("rproj_encode") {
         val out = graft.TempDirs.create("graft_rproj_")
         graft.operators.RandomProjection.encode(vectorsDf(s, dir), m)
@@ -199,7 +202,7 @@ object Vector {
       val m = RandomProjection.model(inDim = 64, outDim = 32, seed = 29L)
       recallReport(s, qs,
         RandomProjection.search(qs, vecs, m, k = 10, candidates = 200,
-          precomputedProjections = Some(rprojProjections(s, dir, m))),
+          precomputedProjections = Some(rprojProjections(s, dir, 29L, m))),
         exactTruthIds(s, dir, "l2", 10))
     }),
 

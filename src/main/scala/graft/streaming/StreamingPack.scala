@@ -20,9 +20,16 @@ object StreamingPack {
 
   /** Pack one micro-batch starting at global token offset `carry`.
     * Returns the per-sequence partial stats and the new carry.
-    * `batch` must be (doc_id, n_tok) with docs in pack order (doc_id). */
-  def packBatch(batch: DataFrame, L: Int, carry: Long): (DataFrame, Long) = {
-    val r = PrefixSum.ranged(batch, numPartitions = 4,
+    * `batch` must be (doc_id, n_tok) with docs in pack order (doc_id).
+    *
+    * Zero-token docs are dropped up front: they contribute nothing to
+    * any sequence, and Spark's `sequence(a, b)` with b < a (which
+    * fin == start produces whenever start lands on a multiple of L)
+    * generates a DESCENDING pair, not an empty array — a phantom
+    * two-sequence membership for an empty doc. */
+  def packBatch(batch: DataFrame, L: Int, carry: Long,
+                numPartitions: Int = 32): (DataFrame, Long) = {
+    val r = PrefixSum.ranged(batch.filter(col("n_tok") >= 1), numPartitions,
       order = Seq(col("doc_id")), weight = col("n_tok"))
     val prev = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("doc_id"))

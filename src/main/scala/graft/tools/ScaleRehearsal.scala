@@ -378,9 +378,12 @@ object ScaleRehearsal {
           .groupBy(col("seq_id"))
           .agg(sum(least(col("fin"), (col("seq_id") + 1) * L) -
             greatest(col("start"), col("seq_id") * L)).as("n_tokens"))
-        val nSeq = seqs.count()
-        val full = seqs.filter(col("n_tokens") === L).count()
-        (nSeq, s"full_seqs=$full total_tokens=${r.total} L=$L")
+        // one pass for both numbers — two .count()s would execute the
+        // whole explode + window + groupBy pipeline twice inside the
+        // timed region and report ~2x the cost of one pack
+        val row = seqs.agg(count(lit(1)).as("n"),
+          sum(when(col("n_tokens") === L, 1L).otherwise(0L)).as("full")).head
+        (row.getLong(0), s"full_seqs=${row.getLong(1)} total_tokens=${r.total} L=$L")
       }
 
       if (ops("spans")) run("substring_spans", n) {
