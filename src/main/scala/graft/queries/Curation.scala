@@ -415,6 +415,38 @@ object Curation {
         .orderBy(col("seq_id"))
     }),
 
+    // Weighted (probability-proportional-to-size) sampling — sequential
+    // Poisson / Ohlsson: rank docs by key = u/w (u = 48-bit md5 hash,
+    // w = n_chars) and keep the k smallest per language; inclusion
+    // probability grows ~proportionally with w, the "sample long/high-
+    // quality docs more" curation draw that completes the sampling
+    // family (fixed-rate s_sample_mix, fixed-k s_sample_reservoir,
+    // temperature s_temperature_mix). Cross-engine exactness: u and w
+    // are integers and SCALAR double division is IEEE-deterministic in
+    // both engines (Tables.scala contract), so both sides rank the same
+    // keys; the k-bounded aggregate ranks them WITHOUT a per-group sort
+    // via the order-preserving double->long bits map (double_order_bits
+    // — exactly invertible, so ties fire exactly when the oracle's
+    // ORDER BY sees a tie). FULL hash oracle.
+    "s_sample_weighted" -> ((s, dir) => {
+      import graft.functions.OrderBitsFunctions.doubleOrderBits
+      import graft.operators.{GroupTopK, Kmv}
+      val k = 8
+      docs(s, dir).filter(col("n_chars") >= 1)
+        .select(col("lang"), col("doc_id"),
+          (Kmv.hash48(concat(lit("wsp:"), col("doc_id").cast("string")))
+            .cast("double") / col("n_chars").cast("double")).as("key"))
+        .groupBy(col("lang"))
+        // bitwise NOT, not negate: ~x reverses the total order with no
+        // overflow, while -(Long.MinValue) — reachable when key == 0.0,
+        // the 2^-48 all-zero hash — throws under ANSI mode
+        .agg(GroupTopK.topK(k)(
+          bitwise_not(doubleOrderBits(col("key"))), col("doc_id")).as("t"))
+        .select(col("lang"), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"), col("doc_id"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Temperature-reweighted language mixture (the UNIMAX / mT5 data-
     // mixing shape): per-language sample targets proportional to
     // n_lang^alpha with alpha = 1/2, boosting low-resource languages
@@ -768,6 +800,21 @@ object Curation {
         |SELECT t.lang, t.n_docs, t.target_n, r.rank, r.doc_id
         |FROM r JOIN tg t ON t.lang = r.lang WHERE r.rank <= t.target_n
         |ORDER BY t.lang, r.rank""".stripMargin,
+
+    // scalar double division is IEEE-identical in both engines, so the
+    // weighted keys (and their rare exact ties, broken by doc_id on
+    // both sides) rank the same
+    "s_sample_weighted" ->
+      """WITH h AS (SELECT lang, doc_id, n_chars,
+        |    CAST('0x' || substring(md5('wsp:' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS hv
+        |  FROM documents WHERE n_chars >= 1),
+        |r AS (SELECT lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(hv AS DOUBLE) / CAST(n_chars AS DOUBLE), doc_id)
+        |      AS BIGINT) AS rank FROM h)
+        |SELECT lang, rank, doc_id FROM r WHERE rank <= 8
+        |ORDER BY lang, rank""".stripMargin,
 
     "s_sample_reservoir" ->
       """WITH h AS (SELECT lang, doc_id,

@@ -45,3 +45,9 @@ trait Float32BytesInput extends ExpectsInputTypes {
 trait LongArrayLongInput extends ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType), LongType)
 }
+
+/** Input-type contract: (double) — e.g. order-bits reinterpretation. */
+trait DoubleUnaryInput extends ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
+}
