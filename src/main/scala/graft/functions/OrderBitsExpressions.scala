@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * branches invert under signed comparison. Exactly invertible, no
   * precision loss — unlike any scale-and-truncate integerization, two
   * distinct doubles NEVER collapse, so rank tie-breaks fire exactly
-  * when the oracle's ORDER BY sees a tie. */
+  * when the oracle's ORDER BY sees a tie — with ONE caveat for
+  * SQL-oracle parity: the map distinguishes -0.0 < +0.0 (Java's total
+  * order) while SQL ORDER BY treats them equal and falls through to
+  * the tie-break column, so oracle-checked callers must feed keys that
+  * cannot be negative zero (any u/w with u >= 0, w > 0 qualifies). */
 case class DoubleOrderBits(child: Expression)
     extends UnaryExpression with DoubleUnaryInput {
 

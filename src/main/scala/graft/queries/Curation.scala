@@ -427,7 +427,9 @@ object Curation {
     // keys; the k-bounded aggregate ranks them WITHOUT a per-group sort
     // via the order-preserving double->long bits map (double_order_bits
     // — exactly invertible, so ties fire exactly when the oracle's
-    // ORDER BY sees a tie). FULL hash oracle.
+    // ORDER BY sees a tie; this needs keys that can't be -0.0, which
+    // u/w with u >= 0, w >= 1 guarantees — see the expression's
+    // scaladoc). FULL hash oracle.
     "s_sample_weighted" -> ((s, dir) => {
       import graft.functions.OrderBitsFunctions.doubleOrderBits
       import graft.operators.{GroupTopK, Kmv}
@@ -437,9 +439,10 @@ object Curation {
           (Kmv.hash48(concat(lit("wsp:"), col("doc_id").cast("string")))
             .cast("double") / col("n_chars").cast("double")).as("key"))
         .groupBy(col("lang"))
-        // bitwise NOT, not negate: ~x reverses the total order with no
-        // overflow, while -(Long.MinValue) — reachable when key == 0.0,
-        // the 2^-48 all-zero hash — throws under ANSI mode
+        // bitwise NOT reverses the total order branch-free and can never
+        // overflow for ANY bits image (negate would also be safe under
+        // the signed-sortable map — its MIN_VALUE image is unreachable —
+        // but ~x stays safe even if the map changes)
         .agg(GroupTopK.topK(k)(
           bitwise_not(doubleOrderBits(col("key"))), col("doc_id")).as("t"))
         .select(col("lang"), posexplode(col("t.ids")).as(Seq("pos", "doc_id")))

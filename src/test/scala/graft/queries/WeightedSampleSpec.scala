@@ -15,21 +15,20 @@ class WeightedSampleSpec extends SparkSpec {
     // than the bottom quartile (expected inclusion ~ k*w/sum(w))
     import graft.functions.OrderBitsFunctions.doubleOrderBits
     import graft.operators.{GroupTopK, Kmv}
-    val docs = (1L to 200L).map(i => (i, i)).toDF("doc_id", "w")
-      .localCheckpoint(true)
+    // all 60 salted draws in ONE job: salts become groups (a 60-salt
+    // loop of single-group collects paid 60x scheduling for nothing)
     val counts = new Array[Int](201)
-    for (salt <- 0 until 60) {
-      val picked = docs
-        .select(col("doc_id"),
-          (Kmv.hash48(concat(lit(s"s$salt:"), col("doc_id").cast("string")))
-            .cast("double") / col("w").cast("double")).as("key"))
-        .groupBy(lit(1).as("g"))
-        .agg(GroupTopK.topK(20)(
-          bitwise_not(doubleOrderBits(col("key"))), col("doc_id")).as("t"))
-        .select(explode(col("t.ids")).as("doc_id"))
-        .collect().map(_.getLong(0))
-      picked.foreach(id => counts(id.toInt) += 1)
-    }
+    (1L to 200L).map(i => (i, i)).toDF("doc_id", "w")
+      .crossJoin(spark.range(60).select(col("id").as("salt")))
+      .select(col("salt"), col("doc_id"),
+        (Kmv.hash48(concat(lit("s"), col("salt"), lit(":"),
+          col("doc_id").cast("string")))
+          .cast("double") / col("w").cast("double")).as("key"))
+      .groupBy(col("salt"))
+      .agg(GroupTopK.topK(20)(
+        bitwise_not(doubleOrderBits(col("key"))), col("doc_id")).as("t"))
+      .select(explode(col("t.ids")).as("doc_id"))
+      .collect().foreach(r => counts(r.getLong(0).toInt) += 1)
     val bottom = (1 to 50).map(counts).sum
     val top = (151 to 200).map(counts).sum
     assert(top > 3 * bottom, s"weighting not engaged: top=$top bottom=$bottom")
