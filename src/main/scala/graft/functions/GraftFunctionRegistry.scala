@@ -82,6 +82,12 @@ object GraftFunctionRegistry {
       arity("sorted_count_lt", 2)(args)
       SortedCountLE(args(0), args(1), strict = true)
     },
+    // order-preserving double -> signed-long reinterpretation (rank
+    // doubles in long-keyed bounded aggregates; see DoubleOrderBits)
+    "double_order_bits" -> { args =>
+      arity("double_order_bits", 1)(args)
+      DoubleOrderBits(args(0))
+    },
     // Morton interleave of two 16-bit-quantized columns (the z-order
     // layout key). Same bit-spread as Layout.zvalue2 but built as a raw
     // catalyst tree — a builder must return resolvable expressions, not

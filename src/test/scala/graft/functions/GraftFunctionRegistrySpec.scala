@@ -62,6 +62,19 @@ class GraftFunctionRegistrySpec extends AnyFunSuite with SparkSpec {
       .asInstanceOf[Int] == 0)
   }
 
+  test("double_order_bits from SQL preserves double order in the long image") {
+    assert(sql1("SELECT double_order_bits(CAST(0.0 AS DOUBLE))")
+      .asInstanceOf[Long] == 0L)
+    // string-parse: a -0.0 NUMERIC literal goes through decimal, which
+    // has no signed zero, and folds to +0.0
+    assert(sql1("SELECT double_order_bits(CAST('-0.0' AS DOUBLE))")
+      .asInstanceOf[Long] == -1L)
+    assert(sql1("SELECT double_order_bits(CAST(1.5 AS DOUBLE)) > " +
+      "double_order_bits(CAST(1.25 AS DOUBLE))").asInstanceOf[Boolean])
+    assert(sql1("SELECT double_order_bits(CAST(-1.25 AS DOUBLE)) > " +
+      "double_order_bits(CAST(-1.5 AS DOUBLE))").asInstanceOf[Boolean])
+  }
+
   test("registry shape: unique names, arity enforced") {
     val names = GraftFunctionRegistry.functions.map(_._1)
     assert(names.distinct == names)
