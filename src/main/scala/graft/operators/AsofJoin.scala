@@ -94,9 +94,13 @@ object AsofJoin {
     def tolOkOn(cand: Column): Column = tolerance
       .map(p => p(col("__t"), cand.getField(rightTime)))
       .getOrElse(lit(true))
-    val lT = col("__t").cast("long")
-    val bT = col("__bv").getField(rightTime).cast("long")
-    val fT = col("__fv").getField(rightTime).cast("long")
+    // gap arithmetic in DECIMAL (round-11 advice): raw long subtraction
+    // wraps when the axis spans more than half the long range (bT near
+    // MIN, fT near MAX inverts the choice); decimal(21,0) holds any
+    // long and decimal subtraction is exact, at per-matched-row cost
+    val lT = col("__t").cast("decimal(21,0)")
+    val bT = col("__bv").getField(rightTime).cast("decimal(21,0)")
+    val fT = col("__fv").getField(rightTime).cast("decimal(21,0)")
     // forward wins only when STRICTLY closer: equal distance -> backward
     val chooseF = col("__bv").isNull ||
       (col("__fv").isNotNull && (fT - lT) < (lT - bT))
@@ -169,19 +173,88 @@ object AsofJoin {
       left.columns.map(c => col("__lpay").getField(c).as(c)) ++
         right.columns.map(c => col("__match").getField(c).as(c)): _*)
 
+  /** Entry fail-fast for the broadcast strategies: per-key tick arrays
+    * are built by `collect_list` and broadcast whole, so an oversized
+    * right side dies at the broadcast/Kryo wall MID-JOB with an opaque
+    * serialization error. Counting the (match-eligible) right side first
+    * is one cheap agg against a dimension-sized input, and the failure
+    * names the dial and the alternative plan. */
+  val BroadcastMaxRightRows = 10000000L
+
   def backwardBroadcast(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
                         leftTime: String, rightTime: String,
-                        tolerance: Option[TolerancePredicate] = None): DataFrame =
+                        tolerance: Option[TolerancePredicate] = None,
+                        maxRightRows: Long = BroadcastMaxRightRows): DataFrame =
     viaBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
-      forward = false, tolerance)
+      forward = false, tolerance, maxRightRows)
 
   def forwardBroadcast(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
-                       tolerance: Option[TolerancePredicate] = None): DataFrame =
+                       tolerance: Option[TolerancePredicate] = None,
+                       maxRightRows: Long = BroadcastMaxRightRows): DataFrame =
     viaBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
-      forward = true, tolerance)
+      forward = true, tolerance, maxRightRows)
+
+  /** Nearest-tick as-of on the broadcast strategy — [[nearest]]'s
+    * semantics (min |rightTime - leftTime|, ties backward, per-direction
+    * tolerance) with [[backwardBroadcast]]'s plan shape: the fact side
+    * NEVER shuffles. One `countLE` binary search yields BOTH candidates:
+    * the greatest tick <= t sits at index countLE, and the smallest
+    * tick >= t is that SAME tick when it equals t exactly (one O(1)
+    * array peek decides) or the next one otherwise — so the per-row
+    * cost is one binary search plus an element compare, not two
+    * searches. The exact-hit forward candidate must be the tick itself,
+    * not its successor: an asymmetric tolerance can reject the
+    * zero-gap backward candidate, and the window strategy then
+    * considers only the SAME tick forward — probing the successor
+    * instead would fabricate a match the window twin null-pads
+    * (parity-pinned in AsofJoinSpec). */
+  def nearestBroadcast(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       tolerance: Option[TolerancePredicate] = None,
+                       maxRightRows: Long = BroadcastMaxRightRows): DataFrame = {
+    requireIntegralTime(left, leftTime, "nearestBroadcast")
+    requireIntegralTime(right, rightTime, "nearestBroadcast")
+    import graft.functions.AsofFunctions.countLE
+    val grouped = groupTicksGuarded(right, rightKey, rightTime,
+      maxRightRows, "nearestBroadcast")
+    val joined = left.join(broadcast(grouped),
+      left(leftKey) === grouped("__k"), "left")
+    def pick(idx: Column): Column =
+      when(idx.between(lit(1), size(col("__ts"))), element_at(col("__pays"), idx))
+    // tolerance per DIRECTION before the choice (same contract as the
+    // window-strategy nearest: an asymmetric predicate can fail the
+    // nearer tick while the other direction's tick passes)
+    def tolOkOn(cand: Column): Column = tolerance
+      .map(p => p(col(leftTime), cand.getField(rightTime)))
+      .getOrElse(lit(true))
+    val lT = col(leftTime).cast("decimal(21,0)")
+    def gapOf(cand: Column): Column =
+      cand.getField(rightTime).cast("decimal(21,0)")
+    val matched = joined
+      .withColumn("__bidx", countLE(col("__ts"), col(leftTime).cast("long")))
+      .withColumn("__fidx",
+        when(col("__bidx") >= 1 &&
+            element_at(col("__ts"), col("__bidx")) === col(leftTime).cast("long"),
+          col("__bidx")).otherwise(col("__bidx") + lit(1)))
+      .withColumn("__braw", pick(col("__bidx")))
+      .withColumn("__fraw", pick(col("__fidx")))
+      .withColumn("__bv", when(tolOkOn(col("__braw")), col("__braw")))
+      .withColumn("__fv", when(tolOkOn(col("__fraw")), col("__fraw")))
+      // forward wins only when STRICTLY closer: equal distance -> backward
+      // (and an exact-tick hit IS the backward candidate at gap 0)
+      .withColumn("__match",
+        when(col("__bv").isNull ||
+            (col("__fv").isNotNull &&
+              (gapOf(col("__fv")) - lT) < (lT - gapOf(col("__bv")))),
+          col("__fv")).otherwise(col("__bv")))
+    matched.select(
+      left.columns.map(c => left(c)) ++
+        right.columns.map(c => col("__match").getField(c).as(c)): _*)
+  }
 
   private def viaUnionWindow(left: DataFrame, right: DataFrame,
                              leftKey: String, rightKey: String,
@@ -210,25 +283,28 @@ object AsofJoin {
     selectOut(matched, left, right)
   }
 
-  /** Integral (long) time axis required: the probe is a binary search
-    * over a broadcast sorted `array<long>` per key. */
-  private def viaBroadcast(left: DataFrame, right: DataFrame,
-                           leftKey: String, rightKey: String,
-                           leftTime: String, rightTime: String,
-                           forward: Boolean,
-                           tolerance: Option[TolerancePredicate]): DataFrame = {
-    requireIntegralTime(left, leftTime,
-      if (forward) "forwardBroadcast" else "backwardBroadcast")
-    requireIntegralTime(right, rightTime,
-      if (forward) "forwardBroadcast" else "backwardBroadcast")
-    import graft.functions.AsofFunctions.{countLE, countLT}
-    val rPay = struct(right.columns.map(right(_)): _*)
-    // One row per key: ticks sorted ascending by time. The comparator
-    // lambda orders by the time field ALONE — a bare struct sort would
-    // demand every payload type be orderable (maps are not) and would
-    // compare payloads on (contract-violating) time ties.
-    val grouped = right
+  /** The broadcast strategies' shared right-side stage: per-key sorted
+    * tick arrays, guarded by the entry fail-fast (see
+    * [[BroadcastMaxRightRows]]). One row per key, ticks ascending by
+    * time. The comparator lambda orders by the time field ALONE — a
+    * bare struct sort would demand every payload type be orderable
+    * (maps are not) and would compare payloads on (contract-violating)
+    * time ties. */
+  private def groupTicksGuarded(right: DataFrame, rightKey: String,
+                                rightTime: String, maxRightRows: Long,
+                                what: String): DataFrame = {
+    val eligible = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+    val nRight = eligible.count()
+    require(nRight <= maxRightRows,
+      s"AsofJoin.$what: right side has $nRight match-eligible rows " +
+        s"(> maxRightRows = $maxRightRows) — the per-key tick arrays " +
+        "would exceed the broadcast envelope mid-job. Use the " +
+        "union+window strategy (backward/forward/nearest), which " +
+        "handles a large right side with one key shuffle, or raise " +
+        "maxRightRows if the driver/executors have the memory")
+    val rPay = struct(right.columns.map(right(_)): _*)
+    eligible
       .groupBy(col(rightKey).as("__k"))
       .agg(array_sort(
         collect_list(struct(col(rightTime).cast("long").as("__rt"), rPay.as("__p"))),
@@ -239,6 +315,21 @@ object AsofJoin {
       .select(col("__k"),
         transform(col("__ticks"), x => x.getField("__rt")).as("__ts"),
         transform(col("__ticks"), x => x.getField("__p")).as("__pays"))
+  }
+
+  /** Integral (long) time axis required: the probe is a binary search
+    * over a broadcast sorted `array<long>` per key. */
+  private def viaBroadcast(left: DataFrame, right: DataFrame,
+                           leftKey: String, rightKey: String,
+                           leftTime: String, rightTime: String,
+                           forward: Boolean,
+                           tolerance: Option[TolerancePredicate],
+                           maxRightRows: Long): DataFrame = {
+    val what = if (forward) "forwardBroadcast" else "backwardBroadcast"
+    requireIntegralTime(left, leftTime, what)
+    requireIntegralTime(right, rightTime, what)
+    import graft.functions.AsofFunctions.{countLE, countLT}
+    val grouped = groupTicksGuarded(right, rightKey, rightTime, maxRightRows, what)
 
     val joined = left.join(broadcast(grouped),
       left(leftKey) === grouped("__k"), "left")

@@ -50,10 +50,16 @@ object Ivf {
     // on the id is order-independent and scan-cheap; the stride comes
     // from one count. A trailing limit still caps the collect exactly.
     val total = finite.count()
-    val stride = math.max(1L, total / math.max(1, maxSample))
+    // CEILING division (round-11 advice): a floor stride collects up to
+    // ~2x maxSample rows when total sits just under a stride boundary
+    // (total = 2*maxSample - 1 gives stride 1 — every row); ceiling
+    // keeps the expected survivor count <= maxSample
+    val stride = math.max(1L,
+      (total + math.max(1, maxSample) - 1) / math.max(1, maxSample))
     // no trailing limit (it would reintroduce scheduling order into
-    // WHICH rows survive): the filter passes ~total/stride ~ maxSample
-    // rows, all collected, then the id sort + take pins the selection
+    // WHICH rows survive): the filter passes ~total/stride <= maxSample
+    // rows in expectation, all collected, then the id sort + take pins
+    // the selection
     val sample = finite
       .filter(pmod(xxhash64(col("id"), lit(seed)), lit(stride)) === 0L)
       .select(col("id"), col("vec")).as(rowEnc)

@@ -143,11 +143,25 @@ object Kmv {
 
   /** Jaccard estimate in basis points between the sets behind sketches
     * `a` and `b`: of the union sketch's values (a uniform sample of the
-    * union), the fraction present in BOTH sketches. Integer-exact. */
+    * union), the fraction present in BOTH sketches. Integer-exact.
+    *
+    * Kernel (round-11 advice): `x ∈ u ∧ x ∈ a ∧ x ∈ b` is equivalent to
+    * `x ∈ a∩b ∧ x <= last(u)` — u is the k smallest DISTINCT union
+    * values, so it contains EVERY union value <= its last element. One
+    * hash-based `array_intersect` (O(|a|+|b|)) plus an O(k) threshold
+    * filter replaces the old per-element `array_contains` scans (O(k²)
+    * on two sorted arrays) — immaterial at k=256, the right kernel at
+    * the 32767 bound (KmvSpec pins sub-second at k=4096). */
   def jaccardBp(a: Column, b: Column, k: Int): Column = {
-    val u = unionK(a, b, k)
-    val both = size(filter(u, x => array_contains(a, x) && array_contains(b, x)))
+    // referencing the full union sketch `unionK(a,b,k)` several times
+    // duplicates its O(n log n) sort per reference (higher-order-function
+    // trees miss codegen CSE) — only its SIZE and LAST element are
+    // needed, each derivable with one union pass
+    val uSize = least(size(array_union(a, b)), lit(k))
+    val uLast = element_at(array_sort(array_union(a, b)), uSize)
+    val both = when(uSize === 0, lit(0)).otherwise(
+      size(filter(array_intersect(a, b), x => x <= uLast)))
     idiv(both.cast("long") * lit(10000L),
-      greatest(size(u).cast("long"), lit(1L)))
+      greatest(uSize.cast("long"), lit(1L)))
   }
 }

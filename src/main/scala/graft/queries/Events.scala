@@ -186,6 +186,28 @@ object Events {
         .orderBy(col("event_id"))
     }),
 
+    // The SAME nearest-click result through AsofJoin.nearestBroadcast —
+    // the fact side (errors) never shuffles; one countLE binary search
+    // per row yields both directional candidates. Hash-matching
+    // e_nearest_click's DuckDB two-ASOF oracle proves the broadcast
+    // nearest strategy row-identical to the union+window one at
+    // catalog scale (AsofJoinSpec pins the adversarial corners).
+    "e_nearest_bcast" -> ((s, dir) => {
+      val dayUs = 24L * 3600 * 1000 * 1000
+      val ev = t(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), expr("ts div 1000").as("c_us"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.nearestBroadcast(
+          errors, clicks, "user_id", "c_user", "ts_us", "c_us",
+          tolerance = Some((lt, rt) => abs(rt - lt) <= lit(dayUs)))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("c_us") - col("ts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // FORWARD as-of with a tolerance window: each click -> the next
     // purchase by the same user within one hour (time-to-convert). The
     // tolerance compares MICROsecond-truncated gaps — the parquet column
@@ -853,6 +875,31 @@ object Events {
     // -> backward, <=); tolerance applied after, in the same epoch_us
     // integers the Spark side pre-projects
     "e_nearest_click" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id AS c_user, epoch_us(ts) AS c_us, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT e.event_id, c.click_id AS b_id, c.c_us AS b_us
+        |      FROM e ASOF LEFT JOIN c ON e.user_id = c.c_user AND e.ts_us >= c.c_us),
+        |f AS (SELECT e.event_id, c.click_id AS f_id, c.c_us AS f_us
+        |      FROM e ASOF LEFT JOIN c ON e.user_id = c.c_user AND e.ts_us <= c.c_us),
+        |m AS (
+        |  SELECT e.event_id, e.user_id, e.ts_us,
+        |    CASE WHEN b.b_id IS NOT NULL AND (f.f_id IS NULL OR e.ts_us - b.b_us <= f.f_us - e.ts_us)
+        |         THEN b.b_id ELSE f.f_id END AS click_id,
+        |    CASE WHEN b.b_id IS NOT NULL AND (f.f_id IS NULL OR e.ts_us - b.b_us <= f.f_us - e.ts_us)
+        |         THEN b.b_us ELSE f.f_us END AS c_us
+        |  FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        |  CASE WHEN abs(c_us - ts_us) <= 86400000000 THEN click_id END AS click_id,
+        |  CASE WHEN abs(c_us - ts_us) <= 86400000000 THEN c_us - ts_us END AS gap_us
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    // identical oracle to e_nearest_click: the broadcast strategy must
+    // be row-identical to the union+window one
+    "e_nearest_bcast" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events WHERE event_type = 'error'),

@@ -200,6 +200,63 @@ class AsofJoinSpec extends SparkSpec {
       4L -> ((2, 1)), 5L -> ((1, 0))))
   }
 
+  test("nearestBroadcast is row-identical to the union-window nearest") {
+    val symTol: Option[AsofJoin.TolerancePredicate] =
+      Some((lt, rt) => abs(rt - lt) <= lit(30L))
+    val asymTol: Option[AsofJoin.TolerancePredicate] =
+      Some((lt, rt) => (rt >= lt) || (lt - rt <= lit(2L)))
+    for (tol <- Seq(None, symTol, asymTol)) {
+      val a = AsofJoin.nearest(lDf, rDf, "k", "rk", "t", "rt", tol)
+        .collect().map(_.toString).sorted.toSeq
+      val b = AsofJoin.nearestBroadcast(lDf, rDf, "k", "rk", "t", "rt", tol)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"tol=$tol")
+    }
+  }
+
+  test("nearestBroadcast exact-hit forward candidate is the tick itself, not its successor") {
+    // left t = 100 sits ON tick 100; the tolerance rejects gap 0 but
+    // passes gap >= 5. The window strategy considers only the CLOSEST
+    // tick per direction — forward = the exact tick itself — so both
+    // directions null-pad. A broadcast probe that took countLE+1 (the
+    // successor, 110) as the forward candidate would pass tolerance and
+    // fabricate a match the window twin null-pads.
+    val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "t")
+    val r = Seq((7L, 1L, 100L, "hit"), (8L, 1L, 110L, "succ"))
+      .toDF("rid", "rk", "rt", "v")
+    // rejects gap 0, passes gap >= 5 — adversarial for a bidx+1 probe
+    val tol: AsofJoin.TolerancePredicate =
+      (lt, rt) => abs(rt - lt) >= lit(5L)
+    val win = AsofJoin.nearest(l, r, "k", "rk", "t", "rt", Some(tol))
+      .collect().head
+    val bc = AsofJoin.nearestBroadcast(l, r, "k", "rk", "t", "rt", Some(tol))
+      .collect().head
+    assert(win.isNullAt(3), win.toString)
+    assert(bc.isNullAt(3), bc.toString)
+  }
+
+  test("nearestBroadcast plan never shuffles the left side") {
+    val plan = AsofJoin.nearestBroadcast(lDf, rDf, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 1, s"expected <=1 hash shuffle, got $shuffles:\n$plan")
+  }
+
+  test("broadcast strategies fail fast on an oversized right side, naming the alternative") {
+    for (call <- Seq(
+      () => AsofJoin.backwardBroadcast(lDf, rDf, "k", "rk", "t", "rt",
+        maxRightRows = 10L),
+      () => AsofJoin.forwardBroadcast(lDf, rDf, "k", "rk", "t", "rt",
+        maxRightRows = 10L),
+      () => AsofJoin.nearestBroadcast(lDf, rDf, "k", "rk", "t", "rt",
+        maxRightRows = 10L))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("union+window"), e.getMessage)
+      assert(e.getMessage.contains("maxRightRows"), e.getMessage)
+    }
+  }
+
   test("NULL right times and NULL keys never match (SQL/ASOF semantics)") {
     // a NULL tick time would sort first ascending and a NULL key forms
     // its own window partition — both must be excluded, not matched
