@@ -48,6 +48,49 @@ object Bench {
       }
       best
     }
+
+    /** MEMORY-touching calibration twin (round-12): the CPU spin loop
+      * runs entirely in registers, so it is BLIND to memory-bandwidth /
+      * page-cache contention — the round-11 close runs drifted
+      * 126→151 s with untouched plans inflating uniformly while every
+      * CPU stamp read healthy, a 26% band the protocol could only
+      * hand-wave as "host-attributed". This loop pointer-chases a
+      * 32 MiB single-cycle permutation (Sattolo), far outside LLC, so
+      * each step is a dependent random DRAM load: a contended memory
+      * subsystem reads directly here and nowhere else. Fixed work (2M
+      * chases), min of 3 trials (same estimator rationale as the CPU
+      * stamp). The array allocates once — re-allocating per stamp
+      * would measure the allocator and GC, not the memory bus. */
+    private lazy val chaseArr: Array[Int] = {
+      val n = 4 * 1024 * 1024 // 4M ints = 32 MiB, ~10x a typical LLC
+      val a = Array.tabulate(n)(identity)
+      var rng = 0x9E3779B97F4A7C15L
+      var i = n - 1
+      while (i > 0) { // Sattolo: one cycle covering every slot
+        rng = rng * 6364136223846793005L + 1442695040888963407L
+        val j = (((rng >>> 33) % i).toInt + i) % i // j in [0, i)
+        val tmp = a(i); a(i) = a(j); a(j) = tmp
+        i -= 1
+      }
+      a
+    }
+
+    def memCalibMs(): Double = {
+      val a = chaseArr
+      var best = Double.MaxValue
+      var t = 0
+      while (t < 3) {
+        var p = 0
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 2000000) { p = a(p); i += 1 }
+        val dt = (System.nanoTime() - t0) / 1e6
+        if (p == -1) System.err.print("") // data-dependent sink
+        if (dt < best) best = dt
+        t += 1
+      }
+      best
+    }
   }
 
   /** Collects per-task wall durations between reset() calls; median/max
@@ -138,6 +181,7 @@ object Bench {
     val measuredPar = spark.sparkContext.defaultParallelism
     val procs = Runtime.getRuntime.availableProcessors
     val calibStart = Instr.cpuCalibMs()
+    val memCalibStart = Instr.memCalibMs()
     val cells = vectorGrid(spark, taskStats)
     spark.catalog.clearCache()
     System.gc()
@@ -158,10 +202,19 @@ object Bench {
     // happened but not which families absorbed it — a calibration stamp
     // at each family boundary localizes it.
     val familyCalib = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // twin stamp per family boundary (round-12): the memory-touching
+    // loop attributes the band the CPU stamp is blind to (see
+    // Instr.memCalibMs) — together a drifted family is classifiable as
+    // cpu-contended, memory-contended, or a genuine plan regression
+    val familyCalibMem = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var curFam = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val fam = name.takeWhile(_.isLetter)
-      if (fam != curFam) { curFam = fam; familyCalib(fam) = Instr.cpuCalibMs() }
+      if (fam != curFam) {
+        curFam = fam
+        familyCalib(fam) = Instr.cpuCalibMs()
+        familyCalibMem(fam) = Instr.memCalibMs()
+      }
       val mark = BuildLedger.size
       val t0 = System.nanoTime()
       // noop sink materializes every output row (column pruning can't
@@ -222,6 +275,7 @@ object Bench {
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val calibEnd = Instr.cpuCalibMs()
+    val memCalibEnd = Instr.memCalibMs()
     val gcTotalS = Instr.gcMs() / 1e3
     // Memory facts (round-9): heap ceiling (-Xmx via SPARK_DRIVER_MEM,
     // default 8g in build.sbt), what Spark thinks driver memory is, and
@@ -240,10 +294,14 @@ object Bench {
       } catch { case _: Throwable => -1L }
     val familyCalibJson = familyCalib
       .map { case (f, v) => f""""$f":$v%.0f""" }.mkString("{", ",", "}")
+    val familyCalibMemJson = familyCalibMem
+      .map { case (f, v) => f""""$f":$v%.0f""" }.mkString("{", ",", "}")
     val envJson =
       f"""{"cpus_req":"$cpus","parallelism":$measuredPar,"procs":$procs,""" +
         f""""cpu_calib_ms_start":$calibStart%.0f,"cpu_calib_ms_end":$calibEnd%.0f,""" +
+        f""""mem_calib_ms_start":$memCalibStart%.0f,"mem_calib_ms_end":$memCalibEnd%.0f,""" +
         f""""family_calib_ms":$familyCalibJson,""" +
+        f""""family_calib_mem_ms":$familyCalibMemJson,""" +
         f""""gc_total_s":$gcTotalS%.1f,"heap_max_mb":$heapMaxMb%.0f,""" +
         f""""driver_mem_conf":"$driverMemConf","host_mem_total_mb":$memTotalMb}"""
     val fullLine =

@@ -143,6 +143,13 @@ object HnswDistributed {
     // Graphs past it belong on the tiers built for that scale:
     // buildSharded / HnswRouted (per-cell graphs under the wall) or
     // HnswDurable (no full-graph broadcast at all).
+    // Documented tradeoff (round-11 advice): this is a WORST-CASE edge
+    // bound — a sparse borderline graph whose actual layer-0 edge count
+    // would land under the wall is rejected where it might have
+    // completed. Accepted deliberately: "sometimes dies 23 minutes in,
+    // depending on degree fill" is not an envelope a user can plan
+    // around, and the escape hatch is zero-risk — the sharded/routed/
+    // durable tiers named in the message serve the same index contract.
     val maxEdges = n.toLong * searcher.params.mMax.max
     require(maxEdges * 8L <= Int.MaxValue.toLong,
       s"single-graph broadcast build envelope exceeded: n=$n x mMax0=" +

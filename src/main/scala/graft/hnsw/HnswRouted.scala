@@ -1,11 +1,13 @@
 package graft.hnsw
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.HashPartitioner
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.hnsw.HnswDistributed.BuildConfig
 import graft.operators.Ivf
-import graft.store.{ArrayVectorStore, GraphSnapshot, InMemoryGraph, Metrics}
+import graft.store.{ArrayVectorStore, EntryPoint, GraphSnapshot, InMemoryGraph, LayerCsr, Metrics}
 
 /** IVF-routed sharded HNSW — the two-level ANN serving architecture
   * (FAISS's IVF+graph composition, re-expressed Spark-first): a coarse
@@ -26,9 +28,20 @@ import graft.store.{ArrayVectorStore, GraphSnapshot, InMemoryGraph, Metrics}
   * full hash oracle (`h_knn_routed`, the Ivf.search discipline).
   *
   * Build: one Ivf.train (driver sample), one assignment scan (codegen'd
-  * ivf_cell — no UDF), ONE shuffle on the cell id, then per-cell
-  * sequential HNSW construction inside mapPartitions — no driver
-  * round-trips, no cross-cell traffic.
+  * ivf_cell — no UDF), a cell histogram (the skew guard — see
+  * [[Router]]), ONE shuffle on the cell id, then per-cell sequential
+  * HNSW construction inside mapPartitions — no driver round-trips, no
+  * cross-cell traffic. Shards are KEYED by cell with a pinned
+  * [[HashPartitioner]], so [[ingest]] routes a new batch to its cells
+  * with a narrow dependency on the (possibly enormous) index side —
+  * only the batch shuffles.
+  *
+  * Durability ([[save]]/[[attach]]): the index persists as five parquet
+  * tables under ParquetGraphStore's versioned-directory discipline
+  * (complete versions only, `_DONE`-marked, older versions reclaimed),
+  * and `attach` restores it with one co-partitioned read — no k-means,
+  * no graph construction. The designated 1e7+ serving tier no longer
+  * costs its full build per session.
   */
 object HnswRouted {
 
@@ -39,18 +52,133 @@ object HnswRouted {
       snapshot: GraphSnapshot
   ) extends Serializable
 
+  /** Max secondary cells per split primary cell; also the stride of the
+    * composite cell id (global = primary * SubCellCap + sub). */
+  val SubCellCap = 4096
+
+  /** Per-cell row budget before the skew guard splits (or refuses):
+    * ~4M dim-64 float rows ≈ 1 GiB of vectors + a comparable graph per
+    * cell — safely under the Kryo 2 GiB per-object wall and a
+    * reasonable executor-memory slice. */
+  val DefaultMaxCellRows = 4000000L
+
+  /** The two-level quantizer: a primary k-means router plus a secondary
+    * quantizer for each primary cell the skew guard split. k-means
+    * cells on real corpora are SKEWED (the 1e7 rehearsal packed 156k
+    * near-duplicates into one cell); an unsplit dense cell must fit one
+    * executor's memory with no spill path, so cells above the row
+    * budget are recursively refined instead of materialized whole. */
+  final case class Router(primary: Ivf.IvfModel,
+                          sub: Map[Int, Ivf.IvfModel]) extends Serializable {
+    def nPrimary: Int = primary.nCells
+
+    /** Global cell ids, enumerated (split parents contribute their
+      * children, never themselves). */
+    def allCells: Seq[Int] =
+      (0 until nPrimary).flatMap { p =>
+        sub.get(p) match {
+          case Some(m) => (0 until m.nCells).map(s => p * SubCellCap + s)
+          case None    => Seq(p * SubCellCap)
+        }
+      }
+
+    /** Assignment column from a precomputed primary-cell column: the
+      * common path recomputes nothing for unsplit parents; each split
+      * parent adds one conditional secondary ivf_cell evaluation. */
+    def cellColFrom(vecCol: Column, pcellCol: Column): Column =
+      sub.foldLeft(pcellCol * lit(SubCellCap)) { case (acc, (p, m)) =>
+        when(pcellCol === p,
+          lit(p * SubCellCap) + graft.functions.IvfFunctions.ivfCell(
+            vecCol, m.centroids, m.metricName)).otherwise(acc)
+      }
+
+    def primaryCol(vecCol: Column): Column =
+      graft.functions.IvfFunctions.ivfCell(
+        vecCol, primary.centroids, primary.metricName)
+
+    def cellCol(vecCol: Column): Column =
+      cellColFrom(vecCol, primaryCol(vecCol))
+
+    /** Driver-side probe set: the `nProbe` nearest PRIMARY cells, each
+      * split parent expanded to ALL its children (the split refines
+      * materialization, never the routing claim — expansion preserves
+      * the exhaustive-regime guarantee that nProbe = nPrimary probes
+      * every vector, which the hash oracle rides on). */
+    def probeCells(qv: Array[Float], nProbe: Int): Iterator[Int] = {
+      val dist = Metrics.byName(primary.metricName)
+      val cs = primary.centroids
+      val p = math.min(nProbe, cs.length)
+      val byDist = Array.tabulate(cs.length)(c => (c, dist(qv, cs(c))))
+      java.util.Arrays.sort(byDist,
+        Ordering.by[(Int, Double), (Double, Int)](x => (x._2, x._1)))
+      byDist.iterator.take(p).flatMap { case (c, _) =>
+        sub.get(c) match {
+          case Some(m) => (0 until m.nCells).iterator.map(s => c * SubCellCap + s)
+          case None    => Iterator.single(c * SubCellCap)
+        }
+      }
+    }
+  }
+
   final case class RoutedIndex(
       cfg: BuildConfig,
-      ivf: Ivf.IvfModel,
-      shards: org.apache.spark.rdd.RDD[CellShard]) {
+      router: Router,
+      shards: org.apache.spark.rdd.RDD[(Int, CellShard)]) {
     def unpersist(): Unit = shards.unpersist()
   }
 
   private val tripleEnc = Encoders.tuple(
     Encoders.scalaLong, ExprEnc.floatArray, Encoders.scalaInt)
 
+  /** Per-partition shard construction from keyed (cell, (id, vec)) rows:
+    * one shard per CELL within the partition (the partitioner can
+    * co-locate cells). `existing` supplies prior shards for [[ingest]]
+    * (absent at build). Deterministic: rows insert in ascending id
+    * order per cell, layers from the id hash. */
+  private def buildShards(
+      it: Iterator[(Int, (Long, Array[Float]))],
+      existing: Map[Int, CellShard],
+      cfg: BuildConfig): Iterator[(Int, CellShard)] = {
+    val byCell = scala.collection.mutable.Map
+      .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+    it.foreach { case (cell, row) =>
+      byCell.getOrElseUpdate(cell,
+        scala.collection.mutable.ArrayBuffer.empty) += row
+    }
+    val metric = Metrics.byName(cfg.metric)
+    val searcher = new HnswSearcher(cfg.params)
+    byCell.iterator.map { case (cell, rowsBuf) =>
+      val rows = rowsBuf.toArray.sortBy(_._1)
+      val (vecMap, graph) = existing.get(cell) match {
+        case Some(prior) =>
+          val vm = scala.collection.mutable.LongMap.from(prior.vectors)
+          rows.foreach { case (id, _) =>
+            require(!vm.contains(id),
+              s"routed ingest: id $id already present in cell $cell — " +
+                "re-inserting a vertex would corrupt its graph")
+          }
+          (vm, InMemoryGraph.fromSnapshot(prior.snapshot))
+        case None =>
+          (scala.collection.mutable.LongMap.from[Array[Float]](rows.iterator),
+            new InMemoryGraph)
+      }
+      val store = new ArrayVectorStore(metric, base = vecMap)
+      rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
+      rows.foreach { case (id, v) =>
+        vecMap(id) = v
+        searcher.insert(store, graph, id,
+          searcher.selectLayerByHash(id, cfg.seed))
+      }
+      cell -> CellShard(cell, vecMap, graph.snapshot)
+    }
+  }
+
   def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig(),
-            nCells: Int = 16, persist: Boolean = true): RoutedIndex = {
+            nCells: Int = 16, persist: Boolean = true,
+            maxCellRows: Long = DefaultMaxCellRows): RoutedIndex = {
+    require(nCells >= 1 && nCells <= (Int.MaxValue / SubCellCap),
+      s"nCells in [1, ${Int.MaxValue / SubCellCap}], got $nCells")
+    val spark = vectors.sparkSession
     // GLOBAL id dedup before cell assignment (the HnswDistributed.build
     // duplicate-id guard, but cross-cell: duplicate rows with different
     // vectors would route to DIFFERENT cells and surface the same id
@@ -58,89 +186,179 @@ object HnswRouted {
     // makes the surviving row deterministic, not partition-dependent.
     val deduped = vectors.select(col("id"), col("vec"))
       .groupBy(col("id")).agg(max(col("vec")).as("vec"))
-    val ivf = Ivf.train(deduped, nCells, cfg.metric, seed = cfg.seed)
-    val shards = deduped
-      .select(col("id"), col("vec"), Ivf.cellCol(ivf)(col("vec")).as("cell"))
-      .repartition(nCells, col("cell"))
-      .as(tripleEnc)
-      .mapPartitions { it =>
-        // hash(cell) % nCells can co-locate cells: build one shard per
-        // CELL within the partition, not one per partition
-        it.toArray.groupBy(_._3).iterator.map { case (cell, rows) =>
-          val shard = rows.map(r => (r._1, r._2)).sortBy(_._1)
-          val metric = Metrics.byName(cfg.metric)
-          val searcher = new HnswSearcher(cfg.params)
-          val vecMap = scala.collection.mutable.LongMap.from(shard.iterator)
-          val store = new ArrayVectorStore(metric, base = vecMap)
-          shard.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
-          val graph = new InMemoryGraph
-          shard.foreach { case (id, _) =>
-            searcher.insert(store, graph, id,
-              searcher.selectLayerByHash(id, cfg.seed))
-          }
-          CellShard(cell, vecMap, graph.snapshot)
-        }
-      }(Encoders.kryo[CellShard])
-      .rdd
+    val primary = Ivf.train(deduped, nCells, cfg.metric, seed = cfg.seed)
+    val assigned = deduped.withColumn("pcell",
+      graft.functions.IvfFunctions.ivfCell(
+        col("vec"), primary.centroids, primary.metricName))
+
+    // ---- Skew guard: the per-cell build below materializes each cell
+    // in executor memory (no spill path — the graph kernel is an
+    // in-memory structure by design), so a histogram gates entry. One
+    // cheap agg (nCells output rows) against the scan the shuffle pays
+    // anyway; cells above the budget get a SECONDARY quantizer
+    // (recursive refinement), and a cell that cannot be split — near-
+    // duplicate mass the metric cannot separate — fails fast at entry
+    // with the dials, not at the executor OOM/Kryo wall mid-build.
+    val hist = assigned.groupBy(col("pcell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oversized = hist.filter(_._2 > maxCellRows)
+    val sub = oversized.map { case (p, n) =>
+      // target half-budget children so typical splits land comfortably
+      // under the budget; capped by the id-stride envelope
+      val k2 = math.min(SubCellCap.toLong,
+        math.max(2L, (2L * n + maxCellRows - 1) / maxCellRows)).toInt
+      p -> Ivf.train(assigned.filter(col("pcell") === p), k2, cfg.metric,
+        seed = cfg.seed + 1000003L * (p + 1))
+    }
+    val router = Router(primary, sub)
+    val cells = assigned
+      .withColumn("cell", router.cellColFrom(col("vec"), col("pcell")))
+    if (sub.nonEmpty) {
+      val subHist = cells.filter(col("pcell").isin(sub.keys.toSeq: _*))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+      val still = subHist.filter(_._2 > maxCellRows)
+      require(still.isEmpty,
+        s"HnswRouted.build: ${still.length} cell(s) still exceed " +
+          s"maxCellRows=$maxCellRows after a secondary split (largest: " +
+          s"${still.map(_._2).max} rows) — the mass is closer than the " +
+          "quantizer can separate. Dials: raise nCells, raise " +
+          "maxCellRows (more executor memory per cell), or use the " +
+          "durable frontier tier (HnswDurable), which never " +
+          "materializes a cell in memory")
+    }
+
+    val nFinalCells = router.allCells.length
+    val part = new HashPartitioner(math.max(1, nFinalCells))
+    val keyed = cells
+      .select(col("id"), col("vec"), col("cell"))
+      .as(tripleEnc).rdd
+      .map { case (id, vec, cell) => (cell, (id, vec)) }
+      .partitionBy(part)
+    val shards = keyed.mapPartitions(
+      it => buildShards(it, Map.empty, cfg),
+      preservesPartitioning = true)
     if (persist) {
       shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .setName("graft-hnsw-routed")
       shards.count() // materialize the build eagerly
     }
-    RoutedIndex(cfg, ivf, shards)
+    RoutedIndex(cfg, router, shards)
   }
 
-  /** The driver-side router: a query batch is tiny next to the corpus,
-    * and centroids are tiny next to everything — assign each query its
-    * nProbe nearest cells here, then invert to cell -> queries so each
-    * shard pulls exactly its own probe set from one broadcast. */
-  private def probesByCell(qs: Array[(Long, Array[Float])],
-                           ivf: Ivf.IvfModel, nProbe: Int)
-      : Map[Int, Array[(Long, Array[Float])]] = {
-    val dist = Metrics.byName(ivf.metricName)
-    val cs = ivf.centroids
-    val p = math.min(nProbe, cs.length)
-    qs.flatMap { case (qid, qv) =>
-      val byDist = Array.tabulate(cs.length)(c => (c, dist(qv, cs(c))))
-      java.util.Arrays.sort(byDist,
-        Ordering.by[(Int, Double), (Double, Int)](x => (x._2, x._1)))
-      byDist.iterator.take(p).map { case (c, _) => (c, (qid, qv)) }
-    }.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+  /** Incremental ingest: route `newRows` by cell and merge PER CELL —
+    * each touched cell's graph absorbs its batch slice with the same
+    * sequential kernel the build uses (the HnswDurable.ingest pattern,
+    * per cell). The index side has a NARROW dependency (shards are
+    * already partitioned by cell): only the batch shuffles, never the
+    * corpus. Rows landing in a cell the router knows but the index
+    * holds no shard for (possible after attach of a pruned save) start
+    * a fresh shard. Ids must be new to their cells (fail-fast,
+    * HnswDurable's re-insert discipline). The CENTROIDS ARE FROZEN —
+    * routing drift under distribution shift is the audit
+    * [[cellStats]] exists for; retrain + rebuild is the recovery.
+    * Returns a NEW index sharing the router; the old shards are
+    * unpersisted when `persist` is set. */
+  def ingest(index: RoutedIndex, newRows: DataFrame,
+             persist: Boolean = true): RoutedIndex = {
+    val cfg = index.cfg
+    val router = index.router
+    val deduped = newRows.select(col("id"), col("vec"))
+      .groupBy(col("id")).agg(max(col("vec")).as("vec"))
+    val part = index.shards.partitioner.getOrElse(
+      new HashPartitioner(math.max(1, router.allCells.length)))
+    val keyed = deduped
+      .select(col("id"), col("vec"), router.cellCol(col("vec")).as("cell"))
+      .as(tripleEnc).rdd
+      .map { case (id, vec, cell) => (cell, (id, vec)) }
+      .partitionBy(part)
+    val merged = index.shards.cogroup(keyed).mapPartitions({ it =>
+      val additions = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, (Long, Array[Float]))]
+      val untouched = scala.collection.mutable.ArrayBuffer.empty[(Int, CellShard)]
+      val prior = Map.newBuilder[Int, CellShard]
+      it.foreach { case (cell, (shards, rows)) =>
+        if (rows.isEmpty) shards.foreach(s => untouched += (cell -> s))
+        else {
+          shards.foreach(s => prior += (cell -> s))
+          rows.foreach(r => additions += (cell -> r))
+        }
+      }
+      untouched.iterator ++
+        buildShards(additions.iterator, prior.result(), cfg)
+    }, preservesPartitioning = true)
+    if (persist) {
+      merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed")
+      merged.count()
+      index.shards.unpersist(blocking = false)
+    }
+    RoutedIndex(cfg, router, merged)
   }
+
+  /** Per-cell occupancy (cell, rows) — the drift audit surface: compare
+    * against the build-time histogram to decide when frozen centroids
+    * have drifted far enough to warrant retraining. */
+  def cellStats(index: RoutedIndex): Array[(Int, Long)] =
+    index.shards.map { case (c, s) => (c, s.vectors.size.toLong) }.collect()
+
+  /** Density-adaptive default for the in-cell layer-0 beam: the 1e7
+    * rehearsal's finding is that DENSE cells (156k near-duplicates in
+    * one cell) miss at the configured ef_search regardless of fan-out —
+    * probe4 and probe64 run the same in-cell search. Cells small
+    * relative to ef are near-exhaustive already and keep the configured
+    * beam (so catalog-scale plans are unchanged); above 8×ef the beam
+    * widens with log2(cellSize)/4 — calibrated on the rehearsal rung
+    * (ef 32 → 144 at 156k rows, vs the manually-found 128 at 95.9%
+    * self-match). */
+  def autoEf(efSearch: Int, cellSize: Int): Int =
+    if (cellSize <= 8L * efSearch) efSearch
+    else {
+      val log2ceil = 32 - Integer.numberOfLeadingZeros(math.max(1, cellSize - 1))
+      math.max(efSearch, efSearch * log2ceil / 4)
+    }
 
   /** Search the routed index: only the nProbe cells a query routed to
     * ever see it; per-cell HNSW answers top-k; tiny global merge
     * (<= k rows per query per probed cell). Returns (qid, id, dist, rank).
     *
-    * `ef0` (0 = configured default) widens ONLY the in-cell layer-0
-    * beam — the recall knob the 1e7 rehearsal identified: dense cells
-    * (156k near-duplicate points at 1e7/64 cells) miss at the default
-    * ef_search=32 regardless of how many cells are probed, because
-    * probe4 and probe64 run the same in-cell search. Widening ef costs
+    * `ef0` widens ONLY the in-cell layer-0 beam — the recall knob the
+    * 1e7 rehearsal identified (dense cells miss at the default
+    * ef_search regardless of how many cells are probed). `ef0 = 0` (the
+    * default) applies the density-adaptive [[autoEf]] per cell; an
+    * explicit value pins the beam manually. Widening ef costs
     * per-probed-cell work; adding cells costs fan-out — independent
     * dials for the two loss modes. */
   def search(index: RoutedIndex, queries: DataFrame, k: Int,
              nProbe: Int, ef0: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val cfg = index.cfg
+    val router = index.router
     val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
     val qArr = queries.select(col("qid"), col("qvec")).as(pairEnc).collect()
-    val qB = spark.sparkContext.broadcast(
-      probesByCell(qArr, index.ivf, nProbe))
+    // driver-side routing: a query batch is tiny next to the corpus and
+    // centroids are tiny next to everything — assign each query its
+    // probe cells here, invert to cell -> queries, broadcast once
+    val byCell = qArr.iterator.flatMap { case (qid, qv) =>
+      router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+    }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val qB = spark.sparkContext.broadcast(byCell)
     import spark.implicits._
-    val perShard = index.shards.flatMap { m =>
+    val perShard = index.shards.flatMap { case (_, m) =>
       val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
       if (probes.isEmpty) Iterator.empty
       else {
         val metric = Metrics.byName(cfg.metric)
         val searcher = new HnswSearcher(cfg.params)
+        val base = cfg.params.getEfSearch(0)
+        val ef = if (ef0 > 0) math.max(ef0, base)
+                 else autoEf(base, m.vectors.size)
         // one store per shard, -1 query slot re-staged per query (the
         // searchSharded pattern)
         val qStore = new ArrayVectorStore(metric, base = m.vectors)
         probes.iterator.flatMap { case (qid, qvec) =>
           val q = qStore.prepareQueryWithId(-1L, qvec)
-          searcher.searchWithEf(qStore, m.snapshot, q, k,
-            math.max(ef0, cfg.params.getEfSearch(0)))
+          searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
             .iterator.map(nb => (qid, nb.dst, nb.dist))
         }
       }
@@ -151,6 +369,166 @@ object HnswRouted {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
       .filter(col("rank") <= k)
+  }
+
+  // --------------------------------------------------------------------
+  // Durability: versioned parquet persistence + attach-without-rebuild.
+  // --------------------------------------------------------------------
+
+  private val vecRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, ExprEnc.floatArray)
+  private val linkRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+  private val entryRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Persist the index under `path` as a new complete version
+    * (`idx_v{N}`, `_DONE`-marked last; older versions reclaimed after —
+    * the ParquetGraphStore versioned-directory discipline: a crash
+    * mid-save leaves junk that can never resolve, readers only see
+    * complete versions). Five tables: meta (config), centroids (both
+    * router levels), vectors, links (per-cell CSR rows), entries. */
+  def save(index: RoutedIndex, path: String): Unit =
+    saveWith(SparkSession.active, index, path)
+
+  private def saveWith(spark: SparkSession, index: RoutedIndex, path: String): Unit = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val vRe = "idx_v(\\d+)".r
+    val existing =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case vRe(n) => Some(n.toInt)
+          case _      => None
+        }
+      }
+    val next = (existing.maxOption.getOrElse(-1)) + 1
+    val dir = s"$path/idx_v$next"
+    val cfg = index.cfg
+    val p = cfg.params
+
+    Seq((cfg.metric, cfg.seed, p.m.toSeq, p.mMax.toSeq, p.efConstrSearch.toSeq,
+        p.efConstrInsert.toSeq, p.efSearch.toSeq, p.layerProbability,
+        index.router.nPrimary))
+      .toDF("metric", "seed", "m", "m_max", "ef_constr_search",
+        "ef_constr_insert", "ef_search", "layer_probability", "n_primary")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+
+    val cRows =
+      index.router.primary.centroids.zipWithIndex.map { case (c, i) =>
+        (-1, i, c.toSeq) } ++
+      index.router.sub.toSeq.flatMap { case (parent, m) =>
+        m.centroids.zipWithIndex.map { case (c, i) => (parent, i, c.toSeq) } }
+    cRows.toSeq.toDF("parent", "idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.vectors.iterator.map { case (id, v) => (cell, id, v) }
+    })(vecRowEnc).toDF("cell", "id", "vec")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.snapshot.layers.iterator.zipWithIndex.flatMap { case (csr, lc) =>
+        csr.entriesIterator.map { case (src, dsts, dists) =>
+          (cell, lc, src, dsts, dists)
+        }
+      }
+    })(linkRowEnc).toDF("cell", "layer", "src", "dsts", "dists")
+      .write.mode("overwrite").parquet(s"$dir/links")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
+    })(entryRowEnc).toDF("cell", "point", "layer")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+
+    // completeness marker LAST; then reclaim superseded/junk versions
+    fs.create(new Path(s"$dir/_DONE"), true).close()
+    fs.listStatus(new Path(path)).foreach { st =>
+      st.getPath.getName match {
+        case vRe(n) if n.toInt != next => fs.delete(st.getPath, true)
+        case _                         => ()
+      }
+    }
+  }
+
+  /** Restore a saved index WITHOUT rebuilding: read the newest complete
+    * version, reassemble per-cell snapshots with one co-partitioned
+    * cogroup (the attach cost is a parquet scan + CSR assembly — no
+    * k-means, no HNSW construction; measured ≫ cheaper than build). */
+  def attach(spark: SparkSession, path: String,
+             persist: Boolean = true): RoutedIndex = {
+    val fs = fsOf(spark, path)
+    val vRe = "idx_v(\\d+)".r
+    val versions =
+      if (!fs.exists(new Path(path))) Seq.empty
+      else fs.listStatus(new Path(path)).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case vRe(n) if fs.exists(new Path(st.getPath, "_DONE")) => Some(n.toInt)
+          case _ => None
+        }
+      }
+    require(versions.nonEmpty, s"no complete routed index at $path")
+    val dir = s"$path/idx_v${versions.max}"
+
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val params = HnswParams(
+      meta.getAs[Seq[Int]]("m").toArray,
+      meta.getAs[Seq[Int]]("m_max").toArray,
+      meta.getAs[Seq[Int]]("ef_constr_search").toArray,
+      meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
+      meta.getAs[Seq[Int]]("ef_search").toArray,
+      meta.getAs[Double]("layer_probability"))
+    val cfg = BuildConfig(params, meta.getAs[String]("metric"),
+      meta.getAs[Long]("seed"))
+    val cent = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        r.getAs[Seq[Float]](2).toArray))
+    val primary = Ivf.IvfModel(
+      cent.filter(_._1 == -1).sortBy(_._2).map(_._3), cfg.metric)
+    val sub = cent.filter(_._1 >= 0).groupBy(_._1).map { case (p, rows) =>
+      p -> Ivf.IvfModel(rows.sortBy(_._2).map(_._3), cfg.metric)
+    }
+    val router = Router(primary, sub)
+
+    val part = new HashPartitioner(math.max(1, router.allCells.length))
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .select(col("cell"), col("id"), col("vec")).as(vecRowEnc).rdd
+      .map { case (c, id, v) => (c, (id, v)) }
+    val links = spark.read.parquet(s"$dir/links")
+      .select(col("cell"), col("layer"), col("src"), col("dsts"), col("dists"))
+      .as(linkRowEnc).rdd
+      .map { case (c, lc, src, dsts, dists) => (c, (lc, src, dsts, dists)) }
+    val entries = spark.read.parquet(s"$dir/entries")
+      .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
+      .map { case (c, pt, l) => (c, (pt, l)) }
+
+    val shards = vecs.cogroup(links, entries, part).map {
+      case (cell, (vs, ls, es)) =>
+        val vecMap = scala.collection.mutable.LongMap.from[Array[Float]](vs.iterator)
+        val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
+        val nLayers = math.max(
+          ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
+          entry.map(_.layer + 1).getOrElse(0))
+        val layers = Array.fill(nLayers)(
+          scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
+        ls.foreach { case (lc, src, dsts, dists) =>
+          layers(lc)(src) = (dsts, dists)
+        }
+        cell -> CellShard(cell, vecMap,
+          GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))))
+    }
+    if (persist) {
+      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed")
+      shards.count()
+    }
+    RoutedIndex(cfg, router, shards)
   }
 
   /** Process-wide memo (the shardCache pattern), keyed by app id so a
@@ -165,4 +543,32 @@ object HnswRouted {
         HnswDistributed.cacheKey(cfg),
       _ => graft.BuildLedger.timed("hnsw_routed_build")(
         build(vectors, cfg, nCells)))
+
+  /** Memoized build-then-ingest — the catalog's incremental-growth
+    * handle: the base corpus builds, the tail INGESTS (per-cell merge
+    * into live graphs), and the serving result is held to the same
+    * exhaustive-regime oracle as a from-scratch build. */
+  def growCached(baseVectors: DataFrame, newRows: DataFrame,
+                 cfg: BuildConfig, nCells: Int, key: String): RoutedIndex =
+    cache.computeIfAbsent(
+      s"${baseVectors.sparkSession.sparkContext.applicationId}|grow|$key|" +
+        s"$nCells|${HnswDistributed.cacheKey(cfg)}",
+      _ => graft.BuildLedger.timed("hnsw_routed_grow") {
+        ingest(build(baseVectors, cfg, nCells), newRows)
+      })
+
+  /** Memoized save+attach round-trip of a built index — the catalog's
+    * durable-tier serving handle (built once, persisted once, served
+    * from the ATTACHED copy so the oracle rides the restore path). */
+  def attachCached(vectors: DataFrame, cfg: BuildConfig, nCells: Int,
+                   key: String): RoutedIndex =
+    cache.computeIfAbsent(
+      s"${vectors.sparkSession.sparkContext.applicationId}|attach|$key|" +
+        s"$nCells|${HnswDistributed.cacheKey(cfg)}",
+      _ => graft.BuildLedger.timed("hnsw_routed_save_attach") {
+        val built = buildCached(vectors, cfg, nCells, key)
+        val dir = graft.TempDirs.create("graft_routed_")
+        saveWith(vectors.sparkSession, built, dir)
+        attach(vectors.sparkSession, dir)
+      })
 }

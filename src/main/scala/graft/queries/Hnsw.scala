@@ -127,6 +127,39 @@ object Hnsw {
       rows.toDF("n_probe", "n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // The routed tier's DURABLE path: build once, persist the five-table
+    // parquet image (centroids + per-cell vectors/links/entries under
+    // the versioned-dir discipline), ATTACH — restore with a parquet
+    // scan + CSR assembly, no k-means and no graph construction — and
+    // serve the SAME exhaustive-regime hash oracle from the attached
+    // copy. This is the restart story for the 1e7+ serving tier: the
+    // round-11 gap was an index that evaporated with the session.
+    "h_knn_routed_attach" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val index = HnswRouted.attachCached(vectorsDf(s, dir), exactishCfg,
+        nCells = 16, key = dir)
+      HnswRouted.search(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The routed tier's INCREMENTAL path: 90% of the corpus builds, the
+    // remaining 10% ingests (routed by frozen centroids, merged per
+    // cell into the live graphs — only the batch shuffles), and the
+    // grown index must still answer the exhaustive-regime oracle
+    // EXACTLY. StreamingRoutedSpec pins split-invariance and
+    // stream-vs-sequential parity.
+    "h_knn_routed_grow" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val vecs = vectorsDf(s, dir)
+      val index = HnswRouted.growCached(
+        vecs.filter(col("id") % 10 =!= 0), vecs.filter(col("id") % 10 === 0),
+        exactishCfg, nCells = 16, key = dir)
+      HnswRouted.search(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // (An ef0-sweep catalog row was tried and deliberately NOT shipped:
     // at sf scale every cell holds ~n/16 < ef_search vectors, so in-cell
     // search is already exhaustive and the curve reads flat — the
@@ -149,6 +182,27 @@ object Hnsw {
       val qs = codes.filter(col("id") % 25 === 0)
         .select(col("id").as("qid"), col("code").as("qcode"))
       HnswCodes.search(qs, model, 5)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The ROUTED tier over the native representation: u64 sign-packed
+    // codes under Hamming, k-majority anchors routing per-cell HNSW
+    // graphs (HnswRoutedCodes). At 8 B/row this tier has no broadcast
+    // envelope anywhere near practical scale — the 1e8 rehearsal rung
+    // runs here. Exhaustive regime (nProbe = nCells) against the same
+    // DuckDB bit-arithmetic oracle as the flat Hamming index.
+    "h_knn_routed_hamming" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val index = HnswRoutedCodes.buildCached(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64")
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
         .select(col("qid"), col("id"), col("hamming"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -302,6 +356,21 @@ object Hnsw {
        |            PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank FROM p)
        |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  private val hammingKnnOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id, bit_or(CASE WHEN e >= 0 THEN
+       |    CASE WHEN i = 64 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << (i-1)) END
+       |    ELSE 0 END) AS code
+       |  FROM (SELECT vec_id, unnest(embedding) AS e,
+       |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+       |  GROUP BY vec_id),
+       | q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE $qFilter),
+       | p AS (SELECT qid, c.vec_id AS id, bit_count(xor(qc, c.code)) AS hamming FROM q, c),
+       | r AS (SELECT qid, id, CAST(hamming AS INT) AS hamming,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS INT) AS rank
+       |       FROM p)
+       |SELECT qid, id, hamming, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "h_knn_cosine" -> exactKnnOracle(10),
     "h_knn_filtered" -> filteredKnnOracle(10, "label = 3"),
@@ -309,25 +378,17 @@ object Hnsw {
     "h_knn_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_routed" -> exactKnnOracle(10),
+    "h_knn_routed_attach" -> exactKnnOracle(10),
+    "h_knn_routed_grow" -> exactKnnOracle(10),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
     // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed
     // traversal is lossy by design; the query self-carries its recall.
 
-    "h_knn_hamming" ->
-      s"""WITH c AS (
-         |  SELECT vec_id, bit_or(CASE WHEN e >= 0 THEN
-         |    CASE WHEN i = 64 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << (i-1)) END
-         |    ELSE 0 END) AS code
-         |  FROM (SELECT vec_id, unnest(embedding) AS e,
-         |        generate_subscripts(embedding, 1) AS i FROM embeddings)
-         |  GROUP BY vec_id),
-         | q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE $qFilter),
-         | p AS (SELECT qid, c.vec_id AS id, bit_count(xor(qc, c.code)) AS hamming FROM q, c),
-         | r AS (SELECT qid, id, CAST(hamming AS INT) AS hamming,
-         |       CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS INT) AS rank
-         |       FROM p)
-         |SELECT qid, id, hamming, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "h_knn_hamming" -> hammingKnnOracle,
+    // identical oracle: the routed tier's exhaustive regime must be
+    // row-identical to the flat Hamming index's exact answer
+    "h_knn_routed_hamming" -> hammingKnnOracle,
     "h_match_self" ->
       """SELECT count(*) AS n_vectors, CAST(count(*) AS BIGINT) AS n_matched
         |FROM embeddings""".stripMargin

@@ -114,8 +114,128 @@ class HnswRoutedSpec extends SparkSpec {
     val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))
     val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
       nCells = 8, persist = false)
-    val byCell = index.shards.map(s => (s.cell, s.vectors.size)).collect()
+    val byCell = HnswRouted.cellStats(index)
     assert(byCell.map(_._1).distinct.length == byCell.length) // one shard per cell
     assert(byCell.map(_._2).sum == n)
+  }
+
+  private def searchRows(index: HnswRouted.RoutedIndex,
+                         qDf: org.apache.spark.sql.DataFrame,
+                         k: Int, nProbe: Int): Seq[(Long, Long, Int)] =
+    HnswRouted.search(index, qDf, k, nProbe)
+      .select(col("qid"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+  test("save/attach round-trips the index: search row-identical, no rebuild machinery") {
+    val n = 1200
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val qDf = (0 until 40)
+      .map(q => (q.toLong, vecFromHash(q.toLong + 90000, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 8, persist = false)
+    val before = searchRows(index, qDf, 10, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed-save").toString
+    HnswRouted.save(index, dir)
+    val restored = HnswRouted.attach(spark, dir, persist = false)
+    assert(restored.router.nPrimary == index.router.nPrimary)
+    assert(HnswRouted.cellStats(restored).sortBy(_._1).toSeq ==
+      HnswRouted.cellStats(index).sortBy(_._1).toSeq)
+    assert(searchRows(restored, qDf, 10, 8) == before)
+    // a second save supersedes the first (versioned-dir discipline);
+    // attach still restores the (identical) index
+    HnswRouted.save(restored, dir)
+    val again = HnswRouted.attach(spark, dir, persist = false)
+    assert(searchRows(again, qDf, 10, 8) == before)
+  }
+
+  test("incremental ingest: exhaustive regime equals brute force over the grown corpus") {
+    val n = 2000
+    val all = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val (first, rest) = all.splitAt(1400)
+    val qDf = (0 until 50)
+      .map(q => (q.toLong, vecFromHash(q.toLong + 70000, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.build(first.toDF("id", "vec"), cfg,
+      nCells = 8, persist = false)
+    val grown = HnswRouted.ingest(index, rest.toDF("id", "vec"), persist = false)
+    assert(HnswRouted.cellStats(grown).map(_._2).sum == n)
+    val routed = HnswRouted.search(grown, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ExactKnn.search(qDf, all.toDF("id", "vec"), 10, "cosine")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == exact)
+  }
+
+  test("ingest refuses an id already present in its cell (re-insert would corrupt the graph)") {
+    val base = (0 until 500).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 4, persist = false)
+    val e = intercept[org.apache.spark.SparkException] {
+      HnswRouted.ingest(index, base.take(5).toDF("id", "vec"),
+        persist = false).shards.count()
+    }
+    assert(e.getMessage.contains("already present"), e.getMessage)
+  }
+
+  test("skew guard splits an oversized cell and the exhaustive oracle still holds") {
+    // one heavy cluster (most of the corpus) + light scatter: with a
+    // tiny row budget the heavy primary cell must split into secondary
+    // cells, every final cell lands under the budget, and nProbe =
+    // nCells stays EXACT (split expansion preserves the exhaustive
+    // guarantee the hash oracle rides on)
+    val dim = 8
+    val center = vecFromHash(0L, 55L, dim).map(_ * 10f)
+    val heavy = (0 until 1200).map { i =>
+      val noise = vecFromHash(i.toLong, 3L, dim)
+      (i.toLong, center.zip(noise).map { case (a, b) => a + b })
+    }
+    val scatter = (1200 until 1500).map(i =>
+      (i.toLong, vecFromHash(i.toLong, 7L, dim).map(_ * 5f)))
+    val all = heavy ++ scatter
+    val budget = 400L
+    val index = HnswRouted.build(all.toDF("id", "vec"), cfg,
+      nCells = 4, persist = false, maxCellRows = budget)
+    assert(index.router.sub.nonEmpty, "expected at least one split cell")
+    val stats = HnswRouted.cellStats(index)
+    assert(stats.map(_._2).sum == all.length)
+    assert(stats.forall(_._2 <= budget),
+      s"cell over budget after split: ${stats.filter(_._2 > budget).toSeq}")
+    val qDf = all.take(60).toDF("qid", "qvec")
+    val routed = HnswRouted.search(index, qDf, 10, nProbe = 4)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ExactKnn.search(qDf, all.toDF("id", "vec"), 10, "cosine")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routed == exact)
+  }
+
+  test("skew guard fails fast on unsplittable mass, naming the dials") {
+    // identical vectors: no quantizer can separate them — the build
+    // must refuse at entry (not OOM mid-build) and name every dial
+    val v = vecFromHash(1L, 5L, 8)
+    val dup = (0 until 300).map(i => (i.toLong, v.clone()))
+    val e = intercept[IllegalArgumentException] {
+      HnswRouted.build(dup.toDF("id", "vec"), cfg,
+        nCells = 2, persist = false, maxCellRows = 50L)
+    }
+    for (dial <- Seq("nCells", "maxCellRows", "HnswDurable"))
+      assert(e.getMessage.contains(dial), s"missing dial $dial: ${e.getMessage}")
+  }
+
+  test("autoEf: configured beam for small cells, log-widened for dense ones (1e7-rehearsal calibration)") {
+    // cells near-exhaustive at the configured ef keep it (catalog-scale
+    // plans unchanged)
+    assert(HnswRouted.autoEf(128, 375) == 128)
+    assert(HnswRouted.autoEf(32, 256) == 32)
+    // the rehearsal rung: ef 32 at a 156k-row cell widens past the
+    // manually-found 128 (95.9% self-match dial)
+    assert(HnswRouted.autoEf(32, 156000) == 144)
+    // monotone in cell size once engaged
+    val efs = Seq(1000, 10000, 100000, 1000000).map(HnswRouted.autoEf(32, _))
+    assert(efs.zip(efs.tail).forall { case (a, b) => a <= b }, efs.toString)
   }
 }
