@@ -184,8 +184,14 @@ object HnswRouted {
     // vectors would route to DIFFERENT cells and surface the same id
     // twice in one top-k). max(vec) — arrays order lexicographically —
     // makes the surviving row deterministic, not partition-dependent.
+    // pin the deduped projection: train (count + sample), the skew
+    // histogram(s), any split training, and the final keyed scan each
+    // run a job over it — uncached, every one would re-execute the
+    // id-dedup SHUFFLE (4-6 full-corpus shuffles instead of one)
     val deduped = vectors.select(col("id"), col("vec"))
       .groupBy(col("id")).agg(max(col("vec")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val primary = Ivf.train(deduped, nCells, cfg.metric, seed = cfg.seed)
     val assigned = deduped.withColumn("pcell",
       graft.functions.IvfFunctions.ivfCell(
@@ -243,7 +249,11 @@ object HnswRouted {
         .setName("graft-hnsw-routed")
       shards.count() // materialize the build eagerly
     }
+    // persist=false shards stay lazy and recompute per action (the
+    // test-only contract); after the unpersist below that recompute
+    // re-runs the dedup shuffle — the caller opted out of pinning
     RoutedIndex(cfg, router, shards)
+    } finally deduped.unpersist(blocking = false)
   }
 
   /** Incremental ingest: route `newRows` by cell and merge PER CELL —
@@ -508,8 +518,12 @@ object HnswRouted {
       .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
       .map { case (c, pt, l) => (c, (pt, l)) }
 
-    val shards = vecs.cogroup(links, entries, part).map {
-      case (cell, (vs, ls, es)) =>
+    // preservesPartitioning: the restored shards must keep the pinned
+    // partitioner, or the first post-attach ingest would shuffle the
+    // whole INDEX side to co-locate with its batch — exactly the move
+    // the keyed-shard design exists to avoid
+    val shards = vecs.cogroup(links, entries, part).mapPartitions({ it =>
+      it.map { case (cell, (vs, ls, es)) =>
         val vecMap = scala.collection.mutable.LongMap.from[Array[Float]](vs.iterator)
         val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
         val nLayers = math.max(
@@ -522,7 +536,8 @@ object HnswRouted {
         }
         cell -> CellShard(cell, vecMap,
           GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))))
-    }
+      }
+    }, preservesPartitioning = true)
     if (persist) {
       shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .setName("graft-hnsw-routed")

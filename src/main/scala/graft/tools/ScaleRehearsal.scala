@@ -309,6 +309,143 @@ object ScaleRehearsal {
           f"probe4_ef128_s=$wallWide%.2f self_match_ef128=${selfWide * 100.0 / qIds.length}%.1f%%")
       }
 
+      // ROUTED-DURABLE rung (round-12): the restart story. Build once,
+      // persist the five-table parquet image, ATTACH — the claim is
+      // reattach ≪ rebuild (attach is a parquet scan + CSR assembly; no
+      // k-means, no graph construction) with search row-count parity.
+      if (ops("routed_durable")) run("ann_routed_durable", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = 64
+        def vecOf(id: Long): Array[Float] = {
+          val c = (id % nCells).toInt
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat +
+              (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val t0 = System.nanoTime()
+        val index = HnswRouted.build(vecs, cfg, nCells)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 1000)).take(1000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val before = HnswRouted.search(index, qDf, 1, nProbe = 4)
+          .filter(col("qid") === col("id")).count()
+        val dir = s"$base/routed_idx"
+        val t1 = System.nanoTime()
+        HnswRouted.save(index, dir)
+        val saveS = (System.nanoTime() - t1) / 1e9
+        index.unpersist()
+        val t2 = System.nanoTime()
+        val restored = HnswRouted.attach(spark, dir)
+        val attachS = (System.nanoTime() - t2) / 1e9
+        val after = HnswRouted.search(restored, qDf, 1, nProbe = 4)
+          .filter(col("qid") === col("id")).count()
+        restored.unpersist()
+        (after, f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +
+          f"attach_over_build=${attachS / buildS}%.3f parity=${before == after}")
+      }
+
+      // ROUTED-SKEW rung (round-12): geometric cluster-mass skew
+      // (cluster c holds ~2^-(c+1) of the corpus, so cluster 0 is ~n/2
+      // rows — far over a n/4 budget). The claim: the skew guard SPLITS
+      // the heavy cells instead of materializing them whole, the build
+      // completes on the default heap, and routed recall holds a floor.
+      if (ops("routed_skew")) run("ann_routed_skew", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = 16
+        def clusterOf(id: Long): Int = {
+          val u = HnswSearcher.uniformFromHash(id, 41L)
+          math.min(15, (-math.log(math.max(1e-12, 1.0 - u)) / math.log(2.0)).toInt)
+        }
+        def vecOf(id: Long): Array[Float] = {
+          val c = clusterOf(id)
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat +
+              (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val budget = math.max(1000L, n.toLong / 4)
+        val t0 = System.nanoTime()
+        val index = HnswRouted.build(vecs, cfg, nCells, maxCellRows = budget)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val stats = HnswRouted.cellStats(index)
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 1000)).take(1000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val self = HnswRouted.search(index, qDf, 1, nProbe = 4)
+          .filter(col("qid") === col("id")).count()
+        index.unpersist()
+        (self, f"build_s=$buildS%.1f budget=$budget split_parents=${index.router.sub.size} " +
+          f"final_cells=${stats.length} max_cell=${stats.map(_._2).max} " +
+          f"self_match=${self * 100.0 / qIds.length}%.1f%%")
+      }
+
+      // ROUTED-HAMMING rung (round-12): the tier with NO broadcast
+      // envelope — 8 B/row codes, k-majority router, per-cell graphs.
+      // This is the 1e8 decade the float broadcast build fails fast on;
+      // the claim is build parallelizes across cells, probe cost tracks
+      // nProbe/nCells, and self-match holds on a clustered corpus.
+      if (ops("routed_hamming")) run("ann_routed_hamming", n) {
+        import graft.hnsw.{HnswParams, HnswRoutedCodes, HnswSearcher}
+        import spark.implicits._
+        val nCells = if (n >= 10000000) 256 else 64
+        def anchorOf(c: Int): Long =
+          java.lang.Double.doubleToRawLongBits(
+            HnswSearcher.uniformFromHash(c.toLong, 77L))
+        def codeOf(id: Long): Long = {
+          // cluster member: anchor with 12 seeded bit flips. Flip
+          // entropy matters for the SELF-MATCH stat: at 4 flips the
+          // ~C(64,4) code space collides at 1e6 rows/cluster (distinct
+          // ids share a code, a 0-distance tie answers with the other
+          // id and reads as a miss); C(64,12) ~ 3e12 keeps collisions
+          // negligible through 1e8 while anchors stay ~32 bits apart
+          var code = anchorOf((id % nCells).toInt)
+          var k = 0
+          while (k < 12) {
+            val bit = (HnswSearcher.uniformFromHash(id * 13 + k, 13L) * 64).toInt.min(63)
+            code ^= (1L << bit)
+            k += 1
+          }
+          code
+        }
+        val codes = spark.range(n.toLong).as[Long]
+          .map(id => (id, codeOf(id))).toDF("id", "code")
+          .localCheckpoint(true)
+        val t0 = System.nanoTime()
+        val index = HnswRoutedCodes.build(codes,
+          HnswParams.standard(64, 32, 16), nCells, seed = 42L)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 2000)).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, codeOf(id))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        def serve(p: Int): (Double, Long) = {
+          val t = System.nanoTime()
+          val self = HnswRoutedCodes.search(index, qDf, 1, nProbe = p)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        serve(1) // warm
+        val (wallRouted, selfRouted) = serve(8)
+        val (wallFull, _) = serve(nCells)
+        index.unpersist()
+        (selfRouted, f"build_s=$buildS%.1f cells=$nCells probe8_s=$wallRouted%.2f " +
+          f"probe${nCells}_s=$wallFull%.2f " +
+          f"self_match=${selfRouted * 100.0 / qIds.length}%.1f%%")
+      }
+
       // COUNT-MIN rung (round-11): the claim under test is the sketch's
       // whole reason to exist — shuffle volume is bounded by
       // partitions x depth x width CELLS (map-side combine IS the
