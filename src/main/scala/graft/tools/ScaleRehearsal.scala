@@ -401,7 +401,11 @@ object ScaleRehearsal {
       if (ops("routed_hamming")) run("ann_routed_hamming", n) {
         import graft.hnsw.{HnswParams, HnswRoutedCodes, HnswSearcher}
         import spark.implicits._
-        val nCells = if (n >= 10000000) 256 else 64
+        // keep cells ~100k rows across decades (the healthy ladder):
+        // 1e6/64, 1e7/256, 1e8/1024 — per-cell graphs materialize in
+        // executor memory, so cell size, not n, is the envelope.
+        val nCells =
+          if (n >= 100000000) 1024 else if (n >= 10000000) 256 else 64
         def anchorOf(c: Int): Long =
           java.lang.Double.doubleToRawLongBits(
             HnswSearcher.uniformFromHash(c.toLong, 77L))
