@@ -1,7 +1,6 @@
 package graft.hnsw
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.HashPartitioner
+import org.apache.spark.Partitioner
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +31,7 @@ import graft.store.{ArrayVectorStore, EntryPoint, GraphSnapshot, InMemoryGraph, 
   * [[Router]]), ONE shuffle on the cell id, then per-cell sequential
   * HNSW construction inside mapPartitions — no driver round-trips, no
   * cross-cell traffic. Shards are KEYED by cell with a pinned
-  * [[HashPartitioner]], so [[ingest]] routes a new batch to its cells
+  * [[CellPartitioner]], so [[ingest]] routes a new batch to its cells
   * with a narrow dependency on the (possibly enormous) index side —
   * only the batch shuffles.
   *
@@ -126,6 +125,41 @@ object HnswRouted {
       shards: org.apache.spark.rdd.RDD[(Int, CellShard)]) {
     def unpersist(): Unit = shards.unpersist()
   }
+
+  /** One-partition-per-cell partitioner keyed by the cell's RANK in the
+    * router's enumeration — never by the raw composite id. The composite
+    * ids are multiples of [[SubCellCap]] for every unsplit cell, so
+    * `HashPartitioner` (Int keys hash to themselves, partition =
+    * id % n) collapses ALL of them into partition 0 whenever nCells
+    * divides 4096 — the entire corpus in one task, the executor-OOM
+    * wall the skew guard exists to prevent. Rank-keying guarantees a
+    * bijection cell → partition regardless of the id arithmetic.
+    * Value-equal across instances (cogroup plans a narrow dependency
+    * only when the two sides' partitioners are `equals`). */
+  final class CellPartitioner(val cellIds: Array[Int]) extends Partitioner {
+    private val rank: java.util.HashMap[Integer, Integer] = {
+      val m = new java.util.HashMap[Integer, Integer](cellIds.length * 2)
+      var i = 0
+      while (i < cellIds.length) { m.put(cellIds(i), i); i += 1 }
+      m
+    }
+    override def numPartitions: Int = math.max(1, cellIds.length)
+    override def getPartition(key: Any): Int = {
+      val r = rank.get(key.asInstanceOf[Int])
+      if (r ne null) r.intValue()
+      // unknown cell (never produced by the owning router): any stable
+      // slot works — keys are ints, keep them non-negative
+      else ((key.asInstanceOf[Int] % numPartitions) + numPartitions) % numPartitions
+    }
+    override def equals(other: Any): Boolean = other match {
+      case o: CellPartitioner => java.util.Arrays.equals(cellIds, o.cellIds)
+      case _                  => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(cellIds)
+  }
+
+  private def partitionerFor(router: Router): CellPartitioner =
+    new CellPartitioner(router.allCells.toArray)
 
   private val tripleEnc = Encoders.tuple(
     Encoders.scalaLong, ExprEnc.floatArray, Encoders.scalaInt)
@@ -234,8 +268,7 @@ object HnswRouted {
           "materializes a cell in memory")
     }
 
-    val nFinalCells = router.allCells.length
-    val part = new HashPartitioner(math.max(1, nFinalCells))
+    val part = partitionerFor(router)
     val keyed = cells
       .select(col("id"), col("vec"), col("cell"))
       .as(tripleEnc).rdd
@@ -263,8 +296,10 @@ object HnswRouted {
     * already partitioned by cell): only the batch shuffles, never the
     * corpus. Rows landing in a cell the router knows but the index
     * holds no shard for (possible after attach of a pruned save) start
-    * a fresh shard. Ids must be new to their cells (fail-fast,
-    * HnswDurable's re-insert discipline). The CENTROIDS ARE FROZEN —
+    * a fresh shard. Ids must be new to the INDEX — a global broadcast
+    * guard fails fast naming the cell that already holds a clashing id
+    * (the per-cell check alone would miss an id whose drifted vector
+    * routes to a different cell). The CENTROIDS ARE FROZEN —
     * routing drift under distribution shift is the audit
     * [[cellStats]] exists for; retrain + rebuild is the recovery.
     * Returns a NEW index sharing the router; the old shards are
@@ -273,10 +308,37 @@ object HnswRouted {
              persist: Boolean = true): RoutedIndex = {
     val cfg = index.cfg
     val router = index.router
+    val spark = newRows.sparkSession
     val deduped = newRows.select(col("id"), col("vec"))
       .groupBy(col("id")).agg(max(col("vec")).as("vec"))
-    val part = index.shards.partitioner.getOrElse(
-      new HashPartitioner(math.max(1, router.allCells.length)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // GLOBAL duplicate-id guard (cross-cell): the per-cell fail-fast in
+    // buildShards only sees the id's TARGET cell — an id already built
+    // into cell A, redelivered with a drifted vector that routes to
+    // cell B, would pass it and double-register, so one top-k could
+    // return the same id twice. The batch id set is batch-sized:
+    // broadcast it sorted and narrow-scan every shard's key set (no
+    // shuffle, the corpus never moves).
+    val batchIds = deduped.select(col("id"))
+      .as(Encoders.scalaLong).collect()
+    java.util.Arrays.sort(batchIds)
+    val idsB = spark.sparkContext.broadcast(batchIds)
+    val clashes = index.shards.flatMap { case (cell, s) =>
+      val ids = idsB.value
+      s.vectors.keysIterator
+        .filter(id => java.util.Arrays.binarySearch(ids, id) >= 0)
+        .take(3).map(id => (id, cell))
+    }.take(5)
+    require(clashes.isEmpty,
+      s"routed ingest: ${clashes.length}+ batch id(s) already present in " +
+        s"the index (e.g. id ${clashes.headOption.map(_._1).getOrElse(-1L)} " +
+        s"lives in cell ${clashes.headOption.map(_._2).getOrElse(-1)}) — " +
+        "re-inserting an id would corrupt its graph, and a drifted vector " +
+        "routing to a different cell would double-register the id across " +
+        "cells. Remove existing ids from the batch (left-anti on the " +
+        "index) or rebuild to replace vectors")
+    val part = index.shards.partitioner.getOrElse(partitionerFor(router))
     val keyed = deduped
       .select(col("id"), col("vec"), router.cellCol(col("vec")).as("cell"))
       .as(tripleEnc).rdd
@@ -304,6 +366,7 @@ object HnswRouted {
       index.shards.unpersist(blocking = false)
     }
     RoutedIndex(cfg, router, merged)
+    } finally deduped.unpersist(blocking = false)
   }
 
   /** Per-cell occupancy (cell, rows) — the drift audit surface: compare
@@ -394,32 +457,18 @@ object HnswRouted {
   private val entryRowEnc = Encoders.tuple(
     Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
 
-  private def fsOf(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Persist the index under `path` as a new complete version
     * (`idx_v{N}`, `_DONE`-marked last; older versions reclaimed after —
-    * the ParquetGraphStore versioned-directory discipline: a crash
-    * mid-save leaves junk that can never resolve, readers only see
-    * complete versions). Five tables: meta (config), centroids (both
-    * router levels), vectors, links (per-cell CSR rows), entries. */
+    * the [[VersionedIndexDirs]] discipline: a crash mid-save leaves
+    * junk that can never resolve, readers only see complete versions).
+    * Five tables: meta (config), centroids (both router levels),
+    * vectors, links (per-cell CSR rows), entries. */
   def save(index: RoutedIndex, path: String): Unit =
     saveWith(SparkSession.active, index, path)
 
   private def saveWith(spark: SparkSession, index: RoutedIndex, path: String): Unit = {
     import spark.implicits._
-    val fs = fsOf(spark, path)
-    val vRe = "idx_v(\\d+)".r
-    val existing =
-      if (!fs.exists(new Path(path))) Seq.empty
-      else fs.listStatus(new Path(path)).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case vRe(n) => Some(n.toInt)
-          case _      => None
-        }
-      }
-    val next = (existing.maxOption.getOrElse(-1)) + 1
-    val dir = s"$path/idx_v$next"
+    val dir = VersionedIndexDirs.nextDir(spark, path)
     val cfg = index.cfg
     val p = cfg.params
 
@@ -458,13 +507,7 @@ object HnswRouted {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
 
     // completeness marker LAST; then reclaim superseded/junk versions
-    fs.create(new Path(s"$dir/_DONE"), true).close()
-    fs.listStatus(new Path(path)).foreach { st =>
-      st.getPath.getName match {
-        case vRe(n) if n.toInt != next => fs.delete(st.getPath, true)
-        case _                         => ()
-      }
-    }
+    VersionedIndexDirs.commit(spark, path, dir)
   }
 
   /** Restore a saved index WITHOUT rebuilding: read the newest complete
@@ -473,18 +516,7 @@ object HnswRouted {
     * k-means, no HNSW construction; measured ≫ cheaper than build). */
   def attach(spark: SparkSession, path: String,
              persist: Boolean = true): RoutedIndex = {
-    val fs = fsOf(spark, path)
-    val vRe = "idx_v(\\d+)".r
-    val versions =
-      if (!fs.exists(new Path(path))) Seq.empty
-      else fs.listStatus(new Path(path)).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case vRe(n) if fs.exists(new Path(st.getPath, "_DONE")) => Some(n.toInt)
-          case _ => None
-        }
-      }
-    require(versions.nonEmpty, s"no complete routed index at $path")
-    val dir = s"$path/idx_v${versions.max}"
+    val dir = VersionedIndexDirs.newestDone(spark, path)
 
     val meta = spark.read.parquet(s"$dir/meta").collect().head
     val params = HnswParams(
@@ -506,7 +538,7 @@ object HnswRouted {
     }
     val router = Router(primary, sub)
 
-    val part = new HashPartitioner(math.max(1, router.allCells.length))
+    val part = partitionerFor(router)
     val vecs = spark.read.parquet(s"$dir/vectors")
       .select(col("cell"), col("id"), col("vec")).as(vecRowEnc).rdd
       .map { case (c, id, v) => (c, (id, v)) }

@@ -1,10 +1,10 @@
 package graft.hnsw
 
 import org.apache.spark.HashPartitioner
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.store.{GraphSnapshot, InMemoryGraph}
+import graft.store.{EntryPoint, GraphSnapshot, InMemoryGraph, LayerCsr}
 
 /** IVF-routed sharded HNSW over u64 bit-codes under Hamming distance —
   * [[HnswRouted]]'s architecture applied to the reference's NATIVE
@@ -27,7 +27,14 @@ import graft.store.{GraphSnapshot, InMemoryGraph}
   * on a pinned partitioner, per-cell sequential construction in
   * ascending id order. The exhaustive regime (nProbe = nCells) is held
   * to the same full hash oracle as the flat Hamming index
-  * (`h_knn_routed_hamming`). */
+  * (`h_knn_routed_hamming`).
+  *
+  * Production story mirrors [[HnswRouted]]: [[save]]/[[attach]]
+  * persist a versioned parquet image (meta/anchors/codes/links/
+  * entries) restored by one co-partitioned cogroup — no k-majority
+  * training, no graph construction; [[ingest]] merges a batch per
+  * cell with a narrow dependency on the index side and a global
+  * duplicate-id fail-fast. */
 object HnswRoutedCodes {
 
   final case class CodeCellShard(
@@ -76,9 +83,34 @@ object HnswRoutedCodes {
       .collect().sortBy(_._1).take(maxSample).map(_._2)
     require(sample.nonEmpty, "empty training set")
 
-    var anchors = Array.tabulate(math.min(nCells, sample.length)) { i =>
-      sample(((HnswSearcher.uniformFromHash(i.toLong, seed) * sample.length).toInt)
-        .min(sample.length - 1))
+    // initial anchors must be DISTINCT codes: nearestAnchor ties to the
+    // lowest index, so a duplicated anchor's cell can never receive a
+    // member, never updates, and stays dead — silently shrinking the
+    // effective nCells and inflating survivors toward maxCellRows.
+    // Hash-pick a start slot per anchor, then linear-probe forward to
+    // the next code not yet chosen (identical to the old selection
+    // whenever the hash pick was already distinct); stop early if the
+    // sample holds fewer distinct codes than nCells.
+    var anchors = {
+      val chosen = new LongSet(nCells * 2)
+      val init = Array.newBuilder[Long]
+      var i = 0
+      var exhausted = false
+      while (i < math.min(nCells, sample.length) && !exhausted) {
+        val start =
+          ((HnswSearcher.uniformFromHash(i.toLong, seed) * sample.length).toInt)
+            .min(sample.length - 1)
+        var off = 0
+        var picked = false
+        while (!picked && off < sample.length) {
+          val c = sample((start + off) % sample.length)
+          if (chosen.add(c)) { init += c; picked = true }
+          off += 1
+        }
+        exhausted = !picked
+        i += 1
+      }
+      init.result()
     }
     var it = 0
     while (it < iters) {
@@ -167,6 +199,206 @@ object HnswRoutedCodes {
     RoutedCodeIndex(params, seed, anchors, shards)
   }
 
+  /** Incremental ingest — [[HnswRouted.ingest]]'s contract on the code
+    * representation: route the batch by nearest anchor, merge PER CELL
+    * into the live graphs (untouched cells pass through by reference;
+    * a cell with no prior shard starts fresh). The index side has a
+    * NARROW dependency on its pinned partitioner — only the batch
+    * shuffles, never the corpus. Ids must be new to the INDEX: a
+    * global broadcast guard fails fast naming the cell that already
+    * holds a clashing id (the cross-cell double-registration hazard —
+    * a redelivered id whose code drifted routes to a different cell).
+    * The ANCHORS ARE FROZEN; drift recovery is retrain + rebuild. */
+  def ingest(index: RoutedCodeIndex, newRows: DataFrame,
+             persist: Boolean = true): RoutedCodeIndex = {
+    val spark = newRows.sparkSession
+    val params = index.params
+    val seed = index.seed
+    val deduped = newRows.select(col("id"), col("code"))
+      .groupBy(col("id")).agg(max(col("code")).as("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchIds = deduped.select(col("id"))
+        .as(Encoders.scalaLong).collect()
+      java.util.Arrays.sort(batchIds)
+      val idsB = spark.sparkContext.broadcast(batchIds)
+      val clashes = index.shards.flatMap { case (cell, s) =>
+        val ids = idsB.value
+        val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        s.codes.foreach { (id, _) =>
+          if (hits.length < 3 && java.util.Arrays.binarySearch(ids, id) >= 0)
+            hits += ((id, cell))
+        }
+        hits.iterator
+      }.take(5)
+      require(clashes.isEmpty,
+        s"routed-codes ingest: ${clashes.length}+ batch id(s) already " +
+          s"present in the index (e.g. id " +
+          s"${clashes.headOption.map(_._1).getOrElse(-1L)} lives in cell " +
+          s"${clashes.headOption.map(_._2).getOrElse(-1)}) — re-inserting " +
+          "an id would corrupt its graph, and a drifted code routing to a " +
+          "different cell would double-register the id across cells. " +
+          "Remove existing ids from the batch or rebuild to replace codes")
+
+      val anchorsB = spark.sparkContext.broadcast(index.anchors)
+      val part = index.shards.partitioner.getOrElse(
+        new HashPartitioner(math.max(1, index.anchors.length)))
+      val keyed = deduped.select(col("id"), col("code")).as(pairEnc).rdd
+        .map { case (id, c) => (nearestAnchor(c, anchorsB.value), (id, c)) }
+        .partitionBy(part)
+      val merged = index.shards.cogroup(keyed).mapPartitions({ it =>
+        it.flatMap { case (cell, (shards, rows)) =>
+          if (rows.isEmpty) shards.iterator.map(s => cell -> s)
+          else {
+            val sorted = rows.toArray.sortBy(_._1)
+            // copy-on-merge: the prior shard may still be cached (and
+            // may be recomputed) — never mutate it in place
+            val (codeMap, graph) = shards.headOption match {
+              case Some(prior) =>
+                (prior.codes.copy(extra = sorted.length),
+                  InMemoryGraph.fromSnapshot(prior.snapshot))
+              case None =>
+                (new LongLongMap(sorted.length), new InMemoryGraph)
+            }
+            sorted.foreach { case (id, c) => codeMap.put(id, c) }
+            val store = new CellCodeStore(codeMap)
+            val searcher = new HnswSearcher(params)
+            sorted.foreach { case (id, _) =>
+              searcher.insert(store, graph, id,
+                searcher.selectLayerByHash(id, seed))
+            }
+            Iterator.single(cell -> CodeCellShard(cell, codeMap, graph.snapshot))
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-codes")
+        merged.count()
+        index.shards.unpersist(blocking = false)
+      }
+      RoutedCodeIndex(params, seed, index.anchors, merged)
+    } finally deduped.unpersist(blocking = false)
+  }
+
+  // --------------------------------------------------------------------
+  // Durability: versioned parquet image + attach-without-rebuild
+  // ([[VersionedIndexDirs]] discipline, the float tier's shape on four
+  // data tables — meta, anchors, codes, links — plus per-cell entries).
+  // --------------------------------------------------------------------
+
+  private val codeRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
+  private val linkRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+  private val entryRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
+
+  /** Persist as a new complete `idx_v{N}` version (`_DONE` last, older
+    * versions reclaimed). A 1e8-code index is ~800 MB of codes + its
+    * graphs — the designated 1e8-decade tier no longer costs its full
+    * build per session. */
+  def save(index: RoutedCodeIndex, path: String): Unit =
+    saveWith(SparkSession.active, index, path)
+
+  private def saveWith(spark: SparkSession, index: RoutedCodeIndex,
+                       path: String): Unit = {
+    import spark.implicits._
+    val dir = VersionedIndexDirs.nextDir(spark, path)
+    val p = index.params
+
+    Seq((index.seed, p.m.toSeq, p.mMax.toSeq, p.efConstrSearch.toSeq,
+        p.efConstrInsert.toSeq, p.efSearch.toSeq, p.layerProbability))
+      .toDF("seed", "m", "m_max", "ef_constr_search", "ef_constr_insert",
+        "ef_search", "layer_probability")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+
+    index.anchors.zipWithIndex.map { case (a, i) => (i, a) }.toSeq
+      .toDF("idx", "anchor")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/anchors")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.codes.toSeq.iterator.map { case (id, c) => (cell, id, c) }
+    })(codeRowEnc).toDF("cell", "id", "code")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.snapshot.layers.iterator.zipWithIndex.flatMap { case (csr, lc) =>
+        csr.entriesIterator.map { case (src, dsts, dists) =>
+          (cell, lc, src, dsts, dists)
+        }
+      }
+    })(linkRowEnc).toDF("cell", "layer", "src", "dsts", "dists")
+      .write.mode("overwrite").parquet(s"$dir/links")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
+    })(entryRowEnc).toDF("cell", "point", "layer")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+
+    VersionedIndexDirs.commit(spark, path, dir)
+  }
+
+  /** Restore WITHOUT rebuilding: newest complete version, one
+    * co-partitioned cogroup reassembling per-cell code maps + CSR
+    * snapshots — a parquet scan, no k-majority training, no graph
+    * construction. Keys are anchor RANKS (0..n-1), so the plain
+    * HashPartitioner is the identity here (unlike the float tier's
+    * composite ids — see [[HnswRouted.CellPartitioner]]). */
+  def attach(spark: SparkSession, path: String,
+             persist: Boolean = true): RoutedCodeIndex = {
+    val dir = VersionedIndexDirs.newestDone(spark, path)
+
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val params = HnswParams(
+      meta.getAs[Seq[Int]]("m").toArray,
+      meta.getAs[Seq[Int]]("m_max").toArray,
+      meta.getAs[Seq[Int]]("ef_constr_search").toArray,
+      meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
+      meta.getAs[Seq[Int]]("ef_search").toArray,
+      meta.getAs[Double]("layer_probability"))
+    val seed = meta.getAs[Long]("seed")
+    val anchors = spark.read.parquet(s"$dir/anchors").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+
+    val part = new HashPartitioner(math.max(1, anchors.length))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("cell"), col("id"), col("code")).as(codeRowEnc).rdd
+      .map { case (c, id, code) => (c, (id, code)) }
+    val links = spark.read.parquet(s"$dir/links")
+      .select(col("cell"), col("layer"), col("src"), col("dsts"), col("dists"))
+      .as(linkRowEnc).rdd
+      .map { case (c, lc, src, dsts, dists) => (c, (lc, src, dsts, dists)) }
+    val entries = spark.read.parquet(s"$dir/entries")
+      .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
+      .map { case (c, pt, l) => (c, (pt, l)) }
+
+    val shards = codes.cogroup(links, entries, part).mapPartitions({ it =>
+      it.map { case (cell, (cs, ls, es)) =>
+        val codeMap = LongLongMap.from(cs.iterator, 64)
+        val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
+        val nLayers = math.max(
+          ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
+          entry.map(_.layer + 1).getOrElse(0))
+        val layers = Array.fill(nLayers)(
+          scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
+        ls.foreach { case (lc, src, dsts, dists) =>
+          layers(lc)(src) = (dsts, dists)
+        }
+        cell -> CodeCellShard(cell, codeMap,
+          GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))))
+      }
+    }, preservesPartitioning = true)
+    if (persist) {
+      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed-codes")
+      shards.count()
+    }
+    RoutedCodeIndex(params, seed, anchors, shards)
+  }
+
   /** Routed Hamming k-NN: (qid, qcode) -> (qid, id, hamming, rank) —
     * the flat tier's output contract ([[HnswCodes.search]]). ef0
     * follows the float tier's density-adaptive default
@@ -239,4 +471,38 @@ object HnswRoutedCodes {
         params.layerProbability).mkString("|"),
       _ => graft.BuildLedger.timed("hnsw_routed_codes_build")(
         build(codes, params, nCells, seed)))
+
+  /** Memoized save+attach round-trip — the catalog's durable-tier
+    * serving handle for the code representation (built once, persisted
+    * once, served from the ATTACHED copy so the oracle rides the
+    * restore path). */
+  def attachCached(codes: DataFrame, params: HnswParams, nCells: Int,
+                   seed: Long, key: String): RoutedCodeIndex =
+    cache.computeIfAbsent(
+      Seq(codes.sparkSession.sparkContext.applicationId, "attach", key,
+        nCells, seed, params.m.toList, params.mMax.toList,
+        params.efConstrSearch.toList, params.efConstrInsert.toList,
+        params.efSearch.toList, params.layerProbability).mkString("|"),
+      _ => graft.BuildLedger.timed("hnsw_routed_codes_save_attach") {
+        val built = buildCached(codes, params, nCells, seed, key)
+        val dir = graft.TempDirs.create("graft_routed_codes_")
+        saveWith(codes.sparkSession, built, dir)
+        attach(codes.sparkSession, dir)
+      })
+
+  /** Memoized build-then-ingest — the incremental-growth handle: the
+    * base corpus builds, the tail INGESTS per cell, the grown index is
+    * held to the same exhaustive-regime oracle as a from-scratch
+    * build. */
+  def growCached(baseCodes: DataFrame, newRows: DataFrame,
+                 params: HnswParams, nCells: Int, seed: Long,
+                 key: String): RoutedCodeIndex =
+    cache.computeIfAbsent(
+      Seq(baseCodes.sparkSession.sparkContext.applicationId, "grow", key,
+        nCells, seed, params.m.toList, params.mMax.toList,
+        params.efConstrSearch.toList, params.efConstrInsert.toList,
+        params.efSearch.toList, params.layerProbability).mkString("|"),
+      _ => graft.BuildLedger.timed("hnsw_routed_codes_grow") {
+        ingest(build(baseCodes, params, nCells, seed), newRows)
+      })
 }

@@ -76,6 +76,14 @@ final class LongLongMap(initialCapacity: Int = 64) extends Serializable {
 
   def size: Int = n + (if (hasEmptyKey) 1 else 0)
 
+  /** Independent copy (plus headroom for `extra` expected puts) — the
+    * ingest merge must never mutate a shard that is still cached. */
+  def copy(extra: Int = 0): LongLongMap = {
+    val m = new LongLongMap(size + math.max(0, extra))
+    foreach((k, v) => m.put(k, v))
+    m
+  }
+
   def toSeq: Seq[(Long, Long)] = {
     val b = Seq.newBuilder[(Long, Long)]
     b.sizeHint(size)

@@ -284,25 +284,37 @@ object AsofJoin {
   }
 
   /** The broadcast strategies' shared right-side stage: per-key sorted
-    * tick arrays, guarded by the entry fail-fast (see
+    * tick arrays, guarded by the envelope fail-fast (see
     * [[BroadcastMaxRightRows]]). One row per key, ticks ascending by
     * time. The comparator lambda orders by the time field ALONE — a
     * bare struct sort would demand every payload type be orderable
     * (maps are not) and would compare payloads on (contract-violating)
-    * time ties. */
+    * time ties.
+    *
+    * The guard RIDES the aggregation job instead of running an eager
+    * `count()` at plan-construction time (which made every call — even
+    * a plan that was never executed — pay a full right-side scan as a
+    * separate job): a 1-row eligible-row total broadcast-crossjoins
+    * onto the grouped side, and the `__ts` projection raises
+    * executor-side on the first output row when the total exceeds the
+    * envelope — BEFORE the per-key arrays are collected to the driver
+    * by the broadcast exchange. The fail-fast is therefore lazy: it
+    * surfaces on the first action, wrapped in the task failure. */
   private def groupTicksGuarded(right: DataFrame, rightKey: String,
                                 rightTime: String, maxRightRows: Long,
                                 what: String): DataFrame = {
     val eligible = right
       .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
-    val nRight = eligible.count()
-    require(nRight <= maxRightRows,
-      s"AsofJoin.$what: right side has $nRight match-eligible rows " +
-        s"(> maxRightRows = $maxRightRows) — the per-key tick arrays " +
-        "would exceed the broadcast envelope mid-job. Use the " +
-        "union+window strategy (backward/forward/nearest), which " +
-        "handles a large right side with one key shuffle, or raise " +
-        "maxRightRows if the driver/executors have the memory")
+    val total = eligible.groupBy().agg(count(lit(1)).as("__nright"))
+    val guardMsg = concat(
+      lit(s"AsofJoin.$what: right side has "),
+      col("__nright").cast("string"),
+      lit(s" match-eligible rows (> maxRightRows = $maxRightRows) — the " +
+        "per-key tick arrays would exceed the broadcast envelope " +
+        "mid-job. Use the union+window strategy " +
+        "(backward/forward/nearest), which handles a large right side " +
+        "with one key shuffle, or raise maxRightRows if the " +
+        "driver/executors have the memory"))
     val rPay = struct(right.columns.map(right(_)): _*)
     eligible
       .groupBy(col(rightKey).as("__k"))
@@ -312,8 +324,13 @@ object AsofJoin {
           .when(a.getField("__rt") > b.getField("__rt"), 1)
           .otherwise(0)
       ).as("__ticks"))
+      .crossJoin(broadcast(total))
       .select(col("__k"),
-        transform(col("__ticks"), x => x.getField("__rt")).as("__ts"),
+        // the guard lives inside a REQUIRED output column — an
+        // unreferenced assert column would be pruned by Catalyst
+        when(col("__nright") > maxRightRows, raise_error(guardMsg))
+          .otherwise(transform(col("__ticks"), x => x.getField("__rt")))
+          .as("__ts"),
         transform(col("__ticks"), x => x.getField("__p")).as("__pays"))
   }
 

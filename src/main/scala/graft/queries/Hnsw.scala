@@ -207,6 +207,48 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The routed-codes DURABLE path (the h_knn_routed_attach shape on
+    // the native representation): build once, persist the versioned
+    // parquet image (anchors + per-cell codes/links/entries), ATTACH —
+    // a parquet scan + CSR assembly, no k-majority training — and serve
+    // the SAME exhaustive-regime Hamming oracle from the attached copy.
+    // This is the 1e8-decade tier's restart story: the float tier's
+    // broadcast build refuses at ~8M rows, so THIS image is the one a
+    // 1e8-code deployment actually persists.
+    "h_knn_routed_hamming_attach" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val index = HnswRoutedCodes.attachCached(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64")
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The routed-codes INCREMENTAL path: 90% builds, 10% ingests (routed
+    // by frozen anchors, merged per cell — only the batch shuffles), and
+    // the grown index answers the exhaustive-regime oracle EXACTLY.
+    "h_knn_routed_hamming_grow" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val index = HnswRoutedCodes.growCached(
+        codes.filter(col("id") % 10 =!= 0), codes.filter(col("id") % 10 === 0),
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64")
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // HNSW traversal in PQ-compressed space (graft.hnsw.HnswPq): the
     // executor-side state is graph + 8-byte codes (no raw vectors), and
     // the full-precision table is touched only by the exact re-rank join
@@ -389,6 +431,8 @@ object Hnsw {
     // identical oracle: the routed tier's exhaustive regime must be
     // row-identical to the flat Hamming index's exact answer
     "h_knn_routed_hamming" -> hammingKnnOracle,
+    "h_knn_routed_hamming_attach" -> hammingKnnOracle,
+    "h_knn_routed_hamming_grow" -> hammingKnnOracle,
     "h_match_self" ->
       """SELECT count(*) AS n_vectors, CAST(count(*) AS BIGINT) AS n_matched
         |FROM embeddings""".stripMargin

@@ -31,19 +31,37 @@ object StreamingRouted {
   }
 
   /** Wire `stream` (id: long, vec: array<float>) into the handle via
-    * foreachBatch. Empty batches are skipped (no index churn). */
+    * foreachBatch. Empty batches skip the INGEST (no index churn) but
+    * still advance the checkpoint cadence — tracked as batches-since-
+    * last-save, so an empty micro-batch landing on the boundary defers
+    * the save at most until the next non-empty batch instead of
+    * silently stretching the restart replay window by a full cadence. */
   def attach(stream: DataFrame, handle: Handle,
-             checkpoint: Option[(String, Int)] = None): StreamingQuery =
+             checkpoint: Option[(String, Int)] = None): StreamingQuery = {
+    // single-writer foreachBatch contract: one callback at a time, so
+    // plain vars are safe here
+    var sinceSave = 0
+    var unsavedIngests = 0
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           handle.index = HnswRouted.ingest(handle.index, batch)
-          checkpoint.foreach { case (path, every) =>
-            if (every > 0 && (batchId + 1) % every == 0)
-              HnswRouted.save(handle.index, path)
+          unsavedIngests += 1
+        }
+        sinceSave += 1
+        checkpoint.foreach { case (path, every) =>
+          // save once the cadence has elapsed AND there is anything new
+          // to persist (a window of only empty batches checkpoints
+          // nothing; unsaved ingests from earlier in the window still
+          // save even when the boundary batch itself is empty)
+          if (every > 0 && sinceSave >= every && unsavedIngests > 0) {
+            HnswRouted.save(handle.index, path)
+            sinceSave = 0
+            unsavedIngests = 0
           }
         }
       }
       .start()
+  }
 }

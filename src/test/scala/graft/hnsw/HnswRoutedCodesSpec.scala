@@ -83,6 +83,122 @@ class HnswRoutedCodesSpec extends SparkSpec {
     assert(recall >= 0.9, s"routed hamming recall=$recall")
   }
 
+  private def searchRows(index: HnswRoutedCodes.RoutedCodeIndex,
+                         qDf: org.apache.spark.sql.DataFrame,
+                         k: Int, nProbe: Int): Seq[(Long, Long, Int, Int)] =
+    HnswRoutedCodes.search(index, qDf, k, nProbe)
+      .select(col("qid"), col("id"), col("hamming"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sorted.toSeq
+
+  test("save/attach round-trips the index: search row-identical, no retrain, versions supersede") {
+    val n = 1500
+    val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val qDf = (0 until 40).map(q => (q.toLong, codeOf(q.toLong + 80000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(base.toDF("id", "code"), params,
+      nCells = 8, seed = 42L, persist = false)
+    val before = searchRows(index, qDf, 10, 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rcodes-save").toString
+    HnswRoutedCodes.save(index, dir)
+    val restored = HnswRoutedCodes.attach(spark, dir, persist = false)
+    assert(restored.anchors.toSeq == index.anchors.toSeq)
+    assert(restored.seed == index.seed)
+    assert(restored.shards.map { case (c, s) => (c, s.codes.size) }
+      .collect().sortBy(_._1).toSeq ==
+      index.shards.map { case (c, s) => (c, s.codes.size) }
+        .collect().sortBy(_._1).toSeq)
+    assert(searchRows(restored, qDf, 10, 8) == before)
+    // a second save supersedes the first (versioned-dir discipline)
+    HnswRoutedCodes.save(restored, dir)
+    val again = HnswRoutedCodes.attach(spark, dir, persist = false)
+    assert(searchRows(again, qDf, 10, 8) == before)
+  }
+
+  test("incremental ingest: exhaustive regime equals brute force over the grown corpus") {
+    val n = 2000
+    val all = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val (first, rest) = all.splitAt(1400)
+    val qDf = (0 until 50).map(q => (q.toLong, codeOf(q.toLong + 70000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(first.toDF("id", "code"), params,
+      nCells = 8, seed = 42L, persist = false)
+    val grown = HnswRoutedCodes.ingest(index, rest.toDF("id", "code"),
+      persist = false)
+    assert(grown.shards.map(_._2.codes.size.toLong).sum() == n)
+    val routed = HnswRoutedCodes.search(grown, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id"), col("hamming"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sorted.toSeq
+    val exact = ExactKnn.search(
+        qDf.withColumnRenamed("qcode", "qvec"),
+        all.toDF("id", "code").withColumnRenamed("code", "vec"),
+        10, "hamming")
+      .select(col("qid"), col("id"), col("score").cast("int"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .sorted.toSeq
+    assert(routed == exact)
+  }
+
+  test("ingested index save/attach round-trips (durable + incremental compose)") {
+    val all = (0 until 1200).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val (first, rest) = all.splitAt(900)
+    val qDf = (0 until 30).map(q => (q.toLong, codeOf(q.toLong + 60000, 9L)))
+      .toDF("qid", "qcode")
+    val grown = HnswRoutedCodes.ingest(
+      HnswRoutedCodes.build(first.toDF("id", "code"), params,
+        nCells = 4, seed = 42L, persist = false),
+      rest.toDF("id", "code"), persist = false)
+    val before = searchRows(grown, qDf, 10, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rcodes-grow").toString
+    HnswRoutedCodes.save(grown, dir)
+    val restored = HnswRoutedCodes.attach(spark, dir, persist = false)
+    assert(searchRows(restored, qDf, 10, 4) == before)
+  }
+
+  test("ingest refuses a redelivered id even when its drifted code routes to a DIFFERENT cell") {
+    // planted clusters make routing predictable: id 0 is a cluster-0
+    // member; redeliver it with a cluster-5 code, which routes to a
+    // different anchor — the global guard must name the holding cell
+    val anchors = (0 until 8).map(a => codeOf(a.toLong, 77L))
+    def member(a: Int, i: Long): Long = {
+      var c = anchors(a)
+      var k = 0
+      while (k < 12) {
+        val bit = (HnswSearcher.uniformFromHash(i * 17 + k, 13L) * 64).toInt.min(63)
+        c ^= (1L << bit)
+        k += 1
+      }
+      c
+    }
+    val base = (0 until 1600).map(i => (i.toLong, member(i % 8, i.toLong)))
+    val index = HnswRoutedCodes.build(base.toDF("id", "code"), params,
+      nCells = 8, seed = 42L, persist = false)
+    val drifted = Seq((0L, member(5, 99999L)))
+    val e = intercept[IllegalArgumentException] {
+      HnswRoutedCodes.ingest(index, drifted.toDF("id", "code"), persist = false)
+    }
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    assert(e.getMessage.contains("id 0 lives in cell"), e.getMessage)
+  }
+
+  test("trainAnchors yields DISTINCT anchors even when hash picks collide (no dead cells)") {
+    // 3 distinct codes, heavily repeated: naive hash selection would
+    // almost surely duplicate an anchor; duplicates tie to the lowest
+    // index, so the duplicate's cell could never receive members
+    val distinct3 = Seq(codeOf(1L, 5L), codeOf(2L, 5L), codeOf(3L, 5L))
+    val df = (0 until 900).map(i => (i.toLong, distinct3(i % 3))).toDF("id", "code")
+    val anchors = HnswRoutedCodes.trainAnchors(df, 8, seed = 11L)
+    assert(anchors.length == anchors.distinct.length,
+      s"duplicate anchors: ${anchors.toSeq}")
+    assert(anchors.length <= 3)
+    // and on a rich corpus the full complement trains distinct
+    val rich = (0 until 1500).map(i => (i.toLong, codeOf(i.toLong, 23L))).toDF("id", "code")
+    val a8 = HnswRoutedCodes.trainAnchors(rich, 8, seed = 11L)
+    assert(a8.length == 8 && a8.distinct.length == 8)
+  }
+
   test("skew guard fails fast on collapsed code mass, naming the dials") {
     val c = codeOf(1L, 5L)
     val dup = (0 until 300).map(i => (i.toLong, c))

@@ -169,15 +169,69 @@ class HnswRoutedSpec extends SparkSpec {
     assert(routed == exact)
   }
 
-  test("ingest refuses an id already present in its cell (re-insert would corrupt the graph)") {
+  test("ingest refuses an id already present ANYWHERE in the index, naming its cell") {
     val base = (0 until 500).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))
     val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
       nCells = 4, persist = false)
-    val e = intercept[org.apache.spark.SparkException] {
-      HnswRouted.ingest(index, base.take(5).toDF("id", "vec"),
-        persist = false).shards.count()
+    // same id, same vector: the global guard fails fast at ingest entry
+    val e = intercept[IllegalArgumentException] {
+      HnswRouted.ingest(index, base.take(5).toDF("id", "vec"), persist = false)
     }
     assert(e.getMessage.contains("already present"), e.getMessage)
+    assert(e.getMessage.contains("cell"), e.getMessage)
+  }
+
+  test("ingest refuses an id whose drifted vector routes to a DIFFERENT cell (cross-cell double-registration)") {
+    // well-separated clusters so routing is predictable: id 0 lives in
+    // cluster 0's cell; redeliver it with a cluster-8 vector, which
+    // routes elsewhere — the old per-cell check would silently insert
+    // it a second time and a top-k could return id 0 twice
+    val dim = 16
+    val centers = (0 until 16).map(c => vecFromHash(c.toLong, 77L, dim).map(_ * 10f))
+    val base = (0 until 1600).map { i =>
+      val noise = vecFromHash(i.toLong, 3L, dim)
+      (i.toLong, centers(i % 16).zip(noise).map { case (a, b) => a + b })
+    }
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 16, persist = false)
+    val drifted = Seq((0L,
+      centers(8).zip(vecFromHash(99999L, 5L, dim)).map { case (a, b) => a + b }))
+    val e = intercept[IllegalArgumentException] {
+      HnswRouted.ingest(index, drifted.toDF("id", "vec"), persist = false)
+    }
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    assert(e.getMessage.contains("id 0 lives in cell"), e.getMessage)
+  }
+
+  test("cells spread across partitions: composite ids must not collapse under the partitioner") {
+    // composite cell ids are multiples of SubCellCap=4096 for every
+    // unsplit cell — a raw HashPartitioner mods the Int itself, so for
+    // any nCells dividing 4096 ALL cells would land in partition 0 (the
+    // whole corpus in one task). The rank-keyed CellPartitioner must
+    // give every cell its own partition.
+    val base = (0 until 2000).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 16, persist = false)
+    val part = index.shards.partitioner.get
+    assert(part.numPartitions == index.router.allCells.length)
+    val occ = index.shards.mapPartitionsWithIndex((pi, it) =>
+      it.map { case (c, _) => (pi, c) }).collect()
+    assert(occ.nonEmpty)
+    assert(occ.map(_._1).distinct.length == occ.length,
+      s"cells share partitions: ${occ.sortBy(_._1).toSeq}")
+    assert(occ.map(_._1).distinct.length > 1,
+      "all cells collapsed into one partition")
+  }
+
+  test("CellPartitioner: rank bijection on composite ids, value equality, unknown-id fallback") {
+    val cells = Array(0, 4096, 8192, 12288) // 4 unsplit composite ids
+    val p = new HnswRouted.CellPartitioner(cells)
+    assert(p.numPartitions == 4)
+    assert(cells.map(p.getPartition(_)).toSeq == Seq(0, 1, 2, 3))
+    assert(p == new HnswRouted.CellPartitioner(cells.clone()))
+    assert(p != new HnswRouted.CellPartitioner(Array(0, 4096)))
+    val fallback = p.getPartition(999983) // not a known cell
+    assert(fallback >= 0 && fallback < 4)
   }
 
   test("skew guard splits an oversized cell and the exhaustive oracle still holds") {

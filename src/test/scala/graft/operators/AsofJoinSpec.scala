@@ -251,9 +251,15 @@ class AsofJoinSpec extends SparkSpec {
         maxRightRows = 10L),
       () => AsofJoin.nearestBroadcast(lDf, rDf, "k", "rk", "t", "rt",
         maxRightRows = 10L))) {
-      val e = intercept[IllegalArgumentException](call())
-      assert(e.getMessage.contains("union+window"), e.getMessage)
-      assert(e.getMessage.contains("maxRightRows"), e.getMessage)
+      // plan construction is FREE (the guard rides the job — no eager
+      // right-side scan); the fail-fast surfaces on the first action,
+      // raised executor-side before the broadcast collects
+      val df = call()
+      val e = intercept[Throwable](df.collect())
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain.contains("union+window"), chain)
+      assert(chain.contains("maxRightRows"), chain)
     }
   }
 
