@@ -145,8 +145,14 @@ object Bench {
       name: String, buildS: Double, insertsPerS: Double,
       searchS: Double, linearS: Double, speedup: Double,
       gcS: Double, taskN: Int, taskMedS: Double, taskMaxS: Double,
-      calibMs: Double, spillMb: Double, peakExecMb: Double,
-      heapUsedMb: Double)
+      calibMs: Double, memCalibMs: Double, spillMb: Double,
+      peakExecMb: Double, heapUsedMb: Double)
+
+  /** One timed build attempt with the telemetry that attributes it. */
+  private final case class BuildProbe(
+      t: Double, gcS: Double, taskN: Int, taskMedS: Double,
+      taskMaxS: Double, spillMb: Double, peakExecMb: Double,
+      calibMs: Double, memCalibMs: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -250,16 +256,17 @@ object Bench {
       f""""${c.name}":{"hnsw_build_s":${c.buildS}%.3f,"hnsw_insert_per_s":${c.insertsPerS}%.0f,""" +
         f""""hnsw_search_s":${c.searchS}%.3f,"linear_search_s":${c.linearS}%.3f,"search_speedup":${c.speedup}%.2f,""" +
         f""""gc_s":${c.gcS}%.2f,"task_n":${c.taskN},"task_med_s":${c.taskMedS}%.3f,"task_max_s":${c.taskMaxS}%.3f,""" +
-        f""""cpu_calib_ms":${c.calibMs}%.0f,"spill_mb":${c.spillMb}%.1f,"peak_exec_mb":${c.peakExecMb}%.1f,""" +
+        f""""cpu_calib_ms":${c.calibMs}%.0f,"mem_calib_ms":${c.memCalibMs}%.0f,""" +
+        f""""spill_mb":${c.spillMb}%.1f,"peak_exec_mb":${c.peakExecMb}%.1f,""" +
         f""""heap_used_mb":${c.heapUsedMb}%.0f}"""
     }.mkString("{", ",", "}")
     // columns: [build_s, inserts_per_s, search_s, linear_search_s, speedup,
-    //           gc_s, task_med_s, task_max_s, cpu_calib_ms, spill_mb,
-    //           peak_exec_mb, heap_used_mb]
+    //           gc_s, task_med_s, task_max_s, cpu_calib_ms, mem_calib_ms,
+    //           spill_mb, peak_exec_mb, heap_used_mb]
     val gridCompact = cells.map { c =>
       f""""${c.name}":[${c.buildS}%.2f,${c.insertsPerS}%.0f,${c.searchS}%.3f,${c.linearS}%.2f,${c.speedup}%.1f,""" +
-        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f,${c.spillMb}%.1f,""" +
-        f"""${c.peakExecMb}%.0f,${c.heapUsedMb}%.0f]"""
+        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f,${c.memCalibMs}%.0f,""" +
+        f"""${c.spillMb}%.1f,${c.peakExecMb}%.0f,${c.heapUsedMb}%.0f]"""
     }.mkString("{", ",", "}")
 
     // The driver captures only the LAST ~2000 chars of output and parses
@@ -337,7 +344,7 @@ object Bench {
         s""""serve_total_s":${jnum(serveTotal)},"env":$envJson,"one_time_s":$oneTimeJson,""" +
         s""""queries":$qs,"queries_note":"serving time (one-time builds excluded); slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
         s""""family_totals_s":$families,""" +
-        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms","spill_mb","peak_exec_mb","heap_used_mb"],""" +
+        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms","mem_calib_ms","spill_mb","peak_exec_mb","heap_used_mb"],""" +
         s""""vector_grid":$gridCompact}"""
     }
     // sbt prints ~100 chars of [success]… after us; stay well inside 2000.
@@ -359,9 +366,17 @@ object Bench {
     * linear scans the min of 2 (the Criterion sampling analog — JVM
     * noise is additive, so min is the consistent estimator), and every
     * cell starts from an explicit GC so the driver-sequential build
-    * phase isn't taxed by the previous cell's garbage. Builds stay
-    * single-shot (repeating a 100k build would double the bench wall
-    * for a number that varies less than search).
+    * phase isn't taxed by the previous cell's garbage.
+    *
+    * Builds are min-of-N too since round-13 (default 2 trials,
+    * `SPARK_GRAFT_GRID_TRIALS`), each trial carrying its OWN cpu+mem
+    * calibration stamps: the round-12 driver run read the n100000 build
+    * at 27.8 s vs the 10.5-12 s historical band on an untouched code
+    * path — a single-shot cell cannot distinguish a real regression
+    * from one unlucky contention window (and this exact cell hid a REAL
+    * regression in round 8). The reported telemetry is the min-time
+    * trial's; a quiet-host round-13 re-run read 11.35 s, supporting the
+    * memory-contention attribution of the r12 outlier.
     */
   private def vectorGrid(spark: SparkSession, taskStats: TaskStats): Seq[Cell] = {
     import graft.hnsw.{HnswDistributed, HnswParams, HnswSearcher}
@@ -394,6 +409,35 @@ object Bench {
     def bestOf(n: Int)(mk: => DataFrame): Double =
       Seq.fill(n)(time(materialize(mk))._2).min
 
+    val buildTrials = sys.env.getOrElse("SPARK_GRAFT_GRID_TRIALS", "2")
+      .toInt.max(1)
+    /** Min-of-N build: runs `mk` `buildTrials` times, returns the LAST
+      * model (builds are deterministic — any trial's model is the same
+      * index) and the telemetry of the FASTEST trial. Each trial opens
+      * its own GC/task windows after an explicit collection, so trial 2
+      * isn't taxed by trial 1's garbage. */
+    def bestBuild[M](mk: => M): (M, BuildProbe) = {
+      var model: Option[M] = None
+      var best: Option[BuildProbe] = None
+      var trial = 0
+      while (trial < buildTrials) {
+        System.gc()
+        val calib = Instr.cpuCalibMs()
+        val memCalib = Instr.memCalibMs()
+        val gc0 = Instr.gcMs()
+        taskStats.reset()
+        val (m, t) = time(mk)
+        val gcBuild = (Instr.gcMs() - gc0) / 1e3
+        val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
+        val probe = BuildProbe(t, gcBuild, taskN, taskMed, taskMax,
+          spillMb, peakExecMb, calib, memCalib)
+        model = Some(m)
+        if (best.forall(_.t > probe.t)) best = Some(probe)
+        trial += 1
+      }
+      (model.get, best.get)
+    }
+
     // Untimed JIT warm-up: the grid now runs FIRST in the JVM (clean
     // heap for the big builds), which leaves the small cells paying
     // compilation of the whole kernel path — a 256-vector dry run of
@@ -419,12 +463,12 @@ object Bench {
     }
 
     val cells = sizes.map { n =>
-      System.gc()
-      // Per-cell attribution: calibration measures the HOST at this
-      // moment (contention drifts over a 3-min run), GC delta and the
-      // task-time distribution cover the build's two cost centers
-      // (driver-sequential merge phases vs distributed search tasks).
-      val calib = Instr.cpuCalibMs()
+      // Per-trial attribution inside bestBuild: calibration measures the
+      // HOST at that moment (contention drifts over a 3-min run), GC
+      // delta and the task-time distribution cover the build's two cost
+      // centers (driver-sequential merge phases vs distributed search
+      // tasks). Input materialization happens BEFORE the trials so a
+      // straggling createDataset task never reads as build-side skew.
       val rows = mkVectors(n)
       import spark.implicits._
       val vecDf = spark.createDataset(rows.toSeq).toDF("id", "vec")
@@ -435,15 +479,7 @@ object Bench {
           .map(rows(_)).toSeq).toDF("qid", "qvec").cache()
       qDf.count()
 
-      // open the GC/task windows AFTER input materialization: the stats
-      // must attribute the BUILD alone, or a straggling createDataset
-      // task reads as build-side executor skew
-      val gc0 = Instr.gcMs()
-      taskStats.reset()
-      val (model, tBuild) = time(HnswDistributed.buildFromArray(spark, rows, cfg))
-      // gc delta BEFORE the explicit System.gc below (which would inflate it)
-      val gcBuild = (Instr.gcMs() - gc0) / 1e3
-      val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
+      val (model, p) = bestBuild(HnswDistributed.buildFromArray(spark, rows, cfg))
       // live-set heap sample: collect floating build garbage first, or a
       // lazy collector reads near heap_max on a perfectly healthy cell
       System.gc()
@@ -456,8 +492,9 @@ object Bench {
       val tLinear = bestOf(2)(ExactKnn.search(qDf, vecDf, k, "cosine"))
       vecDf.unpersist(); qDf.unpersist(); modelB.destroy()
 
-      Cell(s"n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw,
-        gcBuild, taskN, taskMed, taskMax, calib, spillMb, peakExecMb, heapUsedMb)
+      Cell(s"n$n", p.t, n / p.t, tHnsw, tLinear, tLinear / tHnsw,
+        p.gcS, p.taskN, p.taskMedS, p.taskMaxS, p.calibMs, p.memCalibMs,
+        p.spillMb, p.peakExecMb, heapUsedMb)
     }
 
     // u64 Hamming cells — the reference's native Criterion scenario
@@ -468,8 +505,6 @@ object Bench {
     // micro-batched build (the scale path) completes the grid.
     import graft.hnsw.HnswCodes
     val hammingCells = sizes.map { n =>
-      System.gc()
-      val calib = Instr.cpuCalibMs()
       val codes = Array.tabulate(n) { i =>
         (i.toLong, java.lang.Double.doubleToRawLongBits(
           HnswSearcher.uniformFromHash(i.toLong, 23L)))
@@ -482,15 +517,9 @@ object Bench {
           .map(codes(_)).toSeq).toDF("qid", "qcode").cache()
       qDf.count()
 
-      // build-only GC/task windows (see float cell above)
-      val gc0 = Instr.gcMs()
-      taskStats.reset()
-      val (model, tBuild) = time(
+      val (model, p) = bestBuild(
         if (n <= 10000) HnswCodes.build(codesDf, HnswParams.standard(64, 32, 32), seed = 23L)
         else HnswCodes.buildBatched(codesDf, HnswParams.standard(64, 32, 32), seed = 23L))
-      // gc delta BEFORE the explicit System.gc below (see float cell)
-      val gcBuild = (Instr.gcMs() - gc0) / 1e3
-      val (taskN, taskMed, taskMax, spillMb, peakExecMb) = taskStats.snapshot()
       System.gc()
       val rt = Runtime.getRuntime
       val heapUsedMb = (rt.totalMemory - rt.freeMemory) / 1e6
@@ -503,8 +532,9 @@ object Bench {
           qDf.withColumnRenamed("qcode", "qvec"),
           codesDf.withColumnRenamed("code", "vec"), k, "hamming"))
       codesDf.unpersist(); qDf.unpersist(); modelB.destroy()
-      Cell(s"hamming_n$n", tBuild, n / tBuild, tHnsw, tLinear, tLinear / tHnsw,
-        gcBuild, taskN, taskMed, taskMax, calib, spillMb, peakExecMb, heapUsedMb)
+      Cell(s"hamming_n$n", p.t, n / p.t, tHnsw, tLinear, tLinear / tHnsw,
+        p.gcS, p.taskN, p.taskMedS, p.taskMaxS, p.calibMs, p.memCalibMs,
+        p.spillMb, p.peakExecMb, heapUsedMb)
     }
 
     cells ++ hammingCells

@@ -375,6 +375,39 @@ object HnswRouted {
   def cellStats(index: RoutedIndex): Array[(Int, Long)] =
     index.shards.map { case (c, s) => (c, s.vectors.size.toLong) }.collect()
 
+  /** Drift audit as a DataFrame — the routed tier's silent-recall-killer
+    * alarm: frozen centroids under distribution shift send new mass to
+    * cells whose graphs were built for a different density, so recall
+    * erodes with NO error anywhere. The audit routes `incoming` (a
+    * recent batch / sample of the current stream) through the frozen
+    * router and compares its per-cell share in basis points against the
+    * index's current occupancy share: one row per router cell,
+    * `drift_bp = |index_share_bp - batch_share_bp|`. Operating
+    * discipline: a sustained max(drift_bp) above ~2x the uniform share
+    * (20000/nCells bp) says the router's spatial claim no longer
+    * matches the data — retrain + rebuild is the recovery ([[ingest]]
+    * never moves centroids by design). Costs one codegen'd assignment
+    * scan over the batch + the nCells-row occupancy collect. */
+  def driftAudit(index: RoutedIndex, incoming: DataFrame): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val occ = cellStats(index).toMap
+    val occTotal = math.max(1L, occ.values.sum)
+    val inc = incoming
+      .select(index.router.cellCol(col("vec")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val incTotal = math.max(1L, inc.values.sum)
+    index.router.allCells.map { c =>
+      val idxRows = occ.getOrElse(c, 0L)
+      val batchRows = inc.getOrElse(c, 0L)
+      val idxBp = idxRows * 10000L / occTotal
+      val batchBp = batchRows * 10000L / incTotal
+      (c, idxRows, idxBp, batchRows, batchBp, math.abs(idxBp - batchBp))
+    }.toDF("cell", "index_rows", "index_share_bp",
+      "batch_rows", "batch_share_bp", "drift_bp")
+  }
+
   /** Density-adaptive default for the in-cell layer-0 beam: the 1e7
     * rehearsal's finding is that DENSE cells (156k near-duplicates in
     * one cell) miss at the configured ef_search regardless of fan-out —

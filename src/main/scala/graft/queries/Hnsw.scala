@@ -160,6 +160,24 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The routed tier's DRIFT AUDIT, surfaced as a self-audited catalog
+    // row (rows-only, like the recall rows — drift is measured, never
+    // asserted): the grown index's occupancy vs the ingested tail's
+    // routing shares, per cell. Frozen centroids under distribution
+    // shift are the routed tier's silent recall killer; this is the
+    // alarm an operator watches. HnswRoutedSpec pins the semantics: the
+    // audit reads ~zero drift on an identically-distributed tail and
+    // flags a deliberately shifted one.
+    "h_routed_drift" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val vecs = vectorsDf(s, dir)
+      val tail = vecs.filter(col("id") % 10 === 0)
+      val index = HnswRouted.growCached(
+        vecs.filter(col("id") % 10 =!= 0), tail,
+        exactishCfg, nCells = 16, key = dir)
+      HnswRouted.driftAudit(index, tail).orderBy(col("cell"))
+    }),
+
     // (An ef0-sweep catalog row was tried and deliberately NOT shipped:
     // at sf scale every cell holds ~n/16 < ef_search vectors, so in-cell
     // search is already exhaustive and the curve reads flat — the

@@ -450,6 +450,173 @@ object ScaleRehearsal {
           f"self_match=${selfRouted * 100.0 / qIds.length}%.1f%%")
       }
 
+      // ROUTED-CODES-DURABLE rung (round-13): the restart story for the
+      // 1e8-decade tier — build the routed code index once, persist the
+      // parquet image, ATTACH (a parquet scan + CSR assembly, no
+      // k-majority training), then INGEST a 5% batch into the attached
+      // copy. Claims: attach ≪ build, ingest cost tracks the batch (the
+      // corpus never moves — narrow index-side dependency), search
+      // parity across the round-trip.
+      if (ops("routed_codes_durable")) run("ann_routed_codes_durable", n) {
+        import graft.hnsw.{HnswParams, HnswRoutedCodes, HnswSearcher}
+        import spark.implicits._
+        val nCells =
+          if (n >= 100000000) 1024 else if (n >= 10000000) 256 else 64
+        def anchorOf(c: Int): Long =
+          java.lang.Double.doubleToRawLongBits(
+            HnswSearcher.uniformFromHash(c.toLong, 77L))
+        def codeOf(id: Long): Long = {
+          var code = anchorOf((id % nCells).toInt)
+          var k = 0
+          while (k < 12) {
+            val bit = (HnswSearcher.uniformFromHash(id * 13 + k, 13L) * 64).toInt.min(63)
+            code ^= (1L << bit)
+            k += 1
+          }
+          code
+        }
+        val codes = spark.range(n.toLong).as[Long]
+          .map(id => (id, codeOf(id))).toDF("id", "code")
+          .localCheckpoint(true)
+        val params = HnswParams.standard(64, 32, 16)
+        val t0 = System.nanoTime()
+        val index = HnswRoutedCodes.build(codes, params, nCells, seed = 42L)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 2000)).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, codeOf(id))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        val before = HnswRoutedCodes.search(index, qDf, 1, nProbe = 8)
+          .filter(col("qid") === col("id")).count()
+        val dir = s"$base/routed_codes_idx"
+        val t1 = System.nanoTime()
+        HnswRoutedCodes.save(index, dir)
+        val saveS = (System.nanoTime() - t1) / 1e9
+        index.unpersist()
+        val t2 = System.nanoTime()
+        val restored = HnswRoutedCodes.attach(spark, dir)
+        val attachS = (System.nanoTime() - t2) / 1e9
+        val after = HnswRoutedCodes.search(restored, qDf, 1, nProbe = 8)
+          .filter(col("qid") === col("id")).count()
+        // incremental: a 5% batch of NEW ids into the attached copy —
+        // the cost claim is O(batch), not O(corpus)
+        val batch = spark.range(n.toLong, n.toLong + n.toLong / 20).as[Long]
+          .map(id => (id, codeOf(id))).toDF("id", "code")
+          .localCheckpoint(true)
+        val t3 = System.nanoTime()
+        val grown = HnswRoutedCodes.ingest(restored, batch)
+        val ingestS = (System.nanoTime() - t3) / 1e9
+        grown.unpersist()
+        (after, f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +
+          f"attach_over_build=${attachS / buildS}%.3f parity=${before == after} " +
+          f"ingest5pct_s=$ingestS%.1f ingest_over_build=${ingestS / buildS}%.3f")
+      }
+
+      // AUTO-EF rung (round-13): the density-adaptive in-cell beam's
+      // calibration sweep. One DENSE cloud materialized as one cell
+      // (nCells=1 — the regime the formula exists for), self-match and
+      // wall measured at the configured beam (ef0=32), the formula's
+      // prescription (ef0=0 -> autoEf), and the manual dial the 1e7
+      // rehearsal found (ef0=128). The question the sweep answers: does
+      // the formula's extra in-cell work BUY recall at this density, or
+      // is it paying 5x for nothing (the round-12 verdict's concern —
+      // the constant was calibrated at exactly one point, 156k rows).
+      if (ops("autoef")) run("autoef_sweep", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        def vecOf(id: Long): Array[Float] = Array.tabulate(dim)(d =>
+          (HnswSearcher.uniformFromHash(0L * 997 + d, 77L) * 20.0 - 10.0).toFloat +
+            0.1f * (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val t0 = System.nanoTime()
+        val index = HnswRouted.build(vecs, cfg, nCells = 1,
+          maxCellRows = math.max(HnswRouted.DefaultMaxCellRows, n.toLong))
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 1000)).take(1000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def serve(ef0: Int): (Double, Long) = {
+          val t = System.nanoTime()
+          val self = HnswRouted.search(index, qDf, 1, nProbe = 1, ef0 = ef0)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        serve(32) // warm
+        val auto = HnswRouted.autoEf(32, n)
+        val (wFixed, sFixed) = serve(32)
+        val (wAuto, sAuto) = serve(0)
+        val (w128, s128) = serve(128)
+        index.unpersist()
+        (sAuto, f"build_s=$buildS%.1f auto_ef=$auto " +
+          f"ef32_s=$wFixed%.2f self32=${sFixed * 100.0 / qIds.length}%.1f%% " +
+          f"efauto_s=$wAuto%.2f selfauto=${sAuto * 100.0 / qIds.length}%.1f%% " +
+          f"ef128_s=$w128%.2f self128=${s128 * 100.0 / qIds.length}%.1f%%")
+      }
+
+      // ROUTED-RESTART rung (round-13): the streaming-ingest recovery
+      // claim, rehearsed at scale without test plumbing — build a seed
+      // index, ingest 4 batches with a checkpoint save after batch 2
+      // (the StreamingRouted cadence protocol), "crash", then recover =
+      // attach the checkpoint + replay the unsaved tail. The claim:
+      // recovery (attach + replay) ≪ rebuilding the full corpus, with
+      // occupancy parity against the uninterrupted fold.
+      if (ops("routed_restart")) run("ann_routed_restart", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = 64
+        def vecOf(id: Long): Array[Float] = {
+          val c = (id % nCells).toInt
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat +
+              (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        def slice(a: Long, b: Long) = spark.range(a, b).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec").localCheckpoint(true)
+        val half = n.toLong / 2
+        val batchLen = n.toLong / 8
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val dir = s"$base/routed_restart_idx"
+        // the uninterrupted fold: seed build + 4 ingests, save after
+        // batch 2 (cadence every=2)
+        var live = HnswRouted.build(slice(0L, half), cfg, nCells)
+        val t0 = System.nanoTime()
+        (0 until 4).foreach { b =>
+          live = HnswRouted.ingest(live,
+            slice(half + b * batchLen, half + (b + 1) * batchLen))
+          if (b == 1) HnswRouted.save(live, dir)
+        }
+        val foldS = (System.nanoTime() - t0) / 1e9
+        val liveStats = HnswRouted.cellStats(live).sortBy(_._1).toSeq
+        live.unpersist()
+        // crash + recover: attach the checkpoint, replay batches 3-4
+        val t1 = System.nanoTime()
+        var rec = HnswRouted.attach(spark, dir)
+        val attachS = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        (2 until 4).foreach { b =>
+          rec = HnswRouted.ingest(rec,
+            slice(half + b * batchLen, half + (b + 1) * batchLen))
+        }
+        val replayS = (System.nanoTime() - t2) / 1e9
+        val parity = HnswRouted.cellStats(rec).sortBy(_._1).toSeq == liveStats
+        rec.unpersist()
+        // the counterfactual: full rebuild of the same total corpus
+        val t3 = System.nanoTime()
+        val rebuilt = HnswRouted.build(slice(0L, half + 4 * batchLen), cfg, nCells)
+        val rebuildS = (System.nanoTime() - t3) / 1e9
+        rebuilt.unpersist()
+        (liveStats.map(_._2).sum,
+          f"fold_s=$foldS%.1f attach_s=$attachS%.1f replay_s=$replayS%.1f " +
+          f"recover_s=${attachS + replayS}%.1f rebuild_s=$rebuildS%.1f " +
+          f"recover_over_rebuild=${(attachS + replayS) / rebuildS}%.3f parity=$parity")
+      }
+
       // COUNT-MIN rung (round-11): the claim under test is the sketch's
       // whole reason to exist — shuffle volume is bounded by
       // partitions x depth x width CELLS (map-side combine IS the

@@ -280,6 +280,33 @@ class HnswRoutedSpec extends SparkSpec {
       assert(e.getMessage.contains(dial), s"missing dial $dial: ${e.getMessage}")
   }
 
+  test("driftAudit: ~zero on an identically-distributed batch, flags a shifted one") {
+    val dim = 16
+    val centers = (0 until 8).map(c => vecFromHash(c.toLong, 77L, dim).map(_ * 10f))
+    def member(c: Int, i: Long) = {
+      val noise = vecFromHash(i, 3L, dim)
+      centers(c).zip(noise).map { case (a, b) => a + b }
+    }
+    val base = (0 until 1600).map(i => (i.toLong, member(i % 8, i.toLong)))
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 8, persist = false)
+    // same distribution: every cell's batch share tracks its occupancy
+    val sameDist = (10000 until 10800).map(i => (i.toLong, member(i % 8, i.toLong)))
+    val calm = HnswRouted.driftAudit(index, sameDist.toDF("id", "vec"))
+      .select(col("drift_bp")).collect().map(_.getLong(0))
+    assert(calm.max < 700, s"uniform tail read as drift: ${calm.toSeq}")
+    // shifted distribution: ALL new mass into one cluster — the audit
+    // must scream on that cell (its batch share -> 10000 bp vs ~1250)
+    val shifted = (20000 until 20800).map(i => (i.toLong, member(3, i.toLong)))
+    val alarm = HnswRouted.driftAudit(index, shifted.toDF("id", "vec"))
+      .select(col("drift_bp")).collect().map(_.getLong(0))
+    assert(alarm.max > 5000, s"shifted batch not flagged: ${alarm.toSeq}")
+    // shares are basis points over the same totals: rows sum checks
+    val full = HnswRouted.driftAudit(index, shifted.toDF("id", "vec")).collect()
+    assert(full.map(_.getLong(1)).sum == 1600L) // index rows
+    assert(full.map(_.getLong(3)).sum == 800L)  // batch rows
+  }
+
   test("autoEf: configured beam for small cells, log-widened for dense ones (1e7-rehearsal calibration)") {
     // cells near-exhaustive at the configured ef keep it (catalog-scale
     // plans unchanged)
