@@ -424,6 +424,25 @@ object HnswRouted {
       math.max(efSearch, efSearch * log2ceil / 4)
     }
 
+  /** Restrict `shards` to the partitions that can hold `probedCells` —
+    * a narrow [[org.apache.spark.rdd.PartitionPruningRDD]] over the
+    * pinned partitioner, so a search job schedules ONLY the probed
+    * cells' tasks. The 1e8 rehearsal surfaced why this matters: at
+    * 1024 cells a full flatMap pass costs 1024 task launches even when
+    * 8 cells do work — the serving floor became the partition pass,
+    * not the probes. With rank-keyed cells the probe set IS the
+    * partition set. Falls back to the unpruned RDD when no partitioner
+    * is pinned (never the case for build/attach/ingest outputs). */
+  private[hnsw] def prunedShards[S](
+      shards: org.apache.spark.rdd.RDD[(Int, S)],
+      probedCells: Iterable[Int]): org.apache.spark.rdd.RDD[(Int, S)] =
+    shards.partitioner match {
+      case Some(p) =>
+        val keep = probedCells.map(p.getPartition(_: Any)).toSet
+        org.apache.spark.rdd.PartitionPruningRDD.create(shards, keep.contains)
+      case None => shards
+    }
+
   /** Search the routed index: only the nProbe cells a query routed to
     * ever see it; per-cell HNSW answers top-k; tiny global merge
     * (<= k rows per query per probed cell). Returns (qid, id, dist, rank).
@@ -450,7 +469,7 @@ object HnswRouted {
     }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast(byCell)
     import spark.implicits._
-    val perShard = index.shards.flatMap { case (_, m) =>
+    val perShard = prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
       val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
       if (probes.isEmpty) Iterator.empty
       else {

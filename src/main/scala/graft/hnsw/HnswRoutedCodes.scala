@@ -418,7 +418,11 @@ object HnswRoutedCodes {
     }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast(byCell)
     import spark.implicits._
-    val perShard = index.shards.flatMap { case (_, m) =>
+    // schedule ONLY the probed cells' partitions (the 1e8 finding: at
+    // 1024 cells the full pass costs 1024 task launches for 8 working
+    // cells — see HnswRouted.prunedShards)
+    val perShard = HnswRouted.prunedShards(index.shards, byCell.keys)
+      .flatMap { case (_, m) =>
       val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Long)])
       if (probes.isEmpty) Iterator.empty
       else {

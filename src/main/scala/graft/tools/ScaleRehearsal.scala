@@ -444,10 +444,24 @@ object ScaleRehearsal {
         serve(1) // warm
         val (wallRouted, selfRouted) = serve(8)
         val (wallFull, _) = serve(nCells)
+        // SINGLE-query latency: with partition pruning this schedules
+        // nProbe tasks instead of nCells — the serving floor the 1e8
+        // rung exposed (at 1024 cells a batch pass pays 1024 launches)
+        val q1 = spark.createDataset(Seq((qIds.head, codeOf(qIds.head))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        def serve1(): Double = {
+          val t = System.nanoTime()
+          HnswRoutedCodes.search(index, q1, 1, nProbe = 8)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        serve1() // warm
+        val singleQ = (0 until 3).map(_ => serve1()).min
         index.unpersist()
         (selfRouted, f"build_s=$buildS%.1f cells=$nCells probe8_s=$wallRouted%.2f " +
           f"probe${nCells}_s=$wallFull%.2f " +
-          f"self_match=${selfRouted * 100.0 / qIds.length}%.1f%%")
+          f"self_match=${selfRouted * 100.0 / qIds.length}%.1f%% " +
+          f"single_q_probe8_s=$singleQ%.3f")
       }
 
       // ROUTED-CODES-DURABLE rung (round-13): the restart story for the

@@ -64,7 +64,11 @@ class SparkEntrySpec extends AnyFunSuite {
       // GK quantile-sketch audit: DuckDB's approx sketch is a
       // different algorithm, values can't hash-match; the row carries
       // its own rank-space audit (SketchSpec floor)
-      "e_value_sketch_quantiles")
+      "e_value_sketch_quantiles",
+      // routed drift audit: self-audited occupancy-vs-batch shares
+      // over the trained (non-SQL-expressible) router; semantics
+      // pinned by HnswRoutedSpec (calm tail ~0, planted shift >5000 bp)
+      "h_routed_drift")
     val undeclared = noOracle -- declared
     assert(undeclared.isEmpty,
       s"queries silently missing an oracle (add one or declare here): $undeclared")

@@ -280,6 +280,27 @@ class HnswRoutedSpec extends SparkSpec {
       assert(e.getMessage.contains(dial), s"missing dial $dial: ${e.getMessage}")
   }
 
+  test("search schedules only the probed partitions (PartitionPruning over the rank partitioner)") {
+    val base = (0 until 1600).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 16, persist = false)
+    // the pruned handle over 3 probed cells exposes exactly 3 partitions
+    val probed = index.router.allCells.take(3)
+    val pruned = HnswRouted.prunedShards(index.shards, probed)
+    assert(pruned.partitions.length == 3,
+      s"expected 3 pruned partitions, got ${pruned.partitions.length}")
+    assert(HnswRouted.prunedShards(index.shards, index.router.allCells)
+      .partitions.length == 16)
+    // and the pruned pass loses nothing: nProbe=2 search equals itself
+    // (the search path already prunes internally — this is a parity
+    // canary for the pruning being transparent)
+    val qDf = base.take(30).toDF("qid", "qvec")
+    val rows = HnswRouted.search(index, qDf, 5, nProbe = 2)
+      .select(col("qid"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == 30)
+  }
+
   test("driftAudit: ~zero on an identically-distributed batch, flags a shifted one") {
     val dim = 16
     val centers = (0 until 8).map(c => vecFromHash(c.toLong, 77L, dim).map(_ * 10f))
