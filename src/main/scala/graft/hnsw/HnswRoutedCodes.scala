@@ -147,9 +147,18 @@ object HnswRoutedCodes {
     * ~1 GiB at mMax=32. */
   val DefaultMaxCellRows = 4000000L
 
+  /** Default shard residency. DISK_ONLY is the LOCAL-mode lever for
+    * indexes larger than the heap's storage fraction (a 1e8-code index
+    * is ~30 GB of CSR graphs): shards stream to disk as they build and
+    * deserialize per probed partition at search — on a cluster the
+    * same bytes spread across executors and MEMORY_AND_DISK is right. */
+  val DefaultStorage: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   def build(codes: DataFrame, params: HnswParams = HnswParams.standard(64, 32, 32),
             nCells: Int = 16, seed: Long = 42L, persist: Boolean = true,
-            maxCellRows: Long = DefaultMaxCellRows): RoutedCodeIndex = {
+            maxCellRows: Long = DefaultMaxCellRows,
+            storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex = {
     val spark = codes.sparkSession
     // global id dedup (deterministic survivor: max code)
     val deduped = codes.select(col("id"), col("code"))
@@ -192,8 +201,7 @@ object HnswRoutedCodes {
       }
     }, preservesPartitioning = true)
     if (persist) {
-      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .setName("graft-hnsw-routed-codes")
+      shards.persist(storage).setName("graft-hnsw-routed-codes")
       shards.count()
     }
     RoutedCodeIndex(params, seed, anchors, shards)
@@ -210,7 +218,8 @@ object HnswRoutedCodes {
     * a redelivered id whose code drifted routes to a different cell).
     * The ANCHORS ARE FROZEN; drift recovery is retrain + rebuild. */
   def ingest(index: RoutedCodeIndex, newRows: DataFrame,
-             persist: Boolean = true): RoutedCodeIndex = {
+             persist: Boolean = true,
+             storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex = {
     val spark = newRows.sparkSession
     val params = index.params
     val seed = index.seed
@@ -272,10 +281,12 @@ object HnswRoutedCodes {
         }
       }, preservesPartitioning = true)
       if (persist) {
-        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .setName("graft-hnsw-routed-codes")
+        merged.persist(storage).setName("graft-hnsw-routed-codes")
         merged.count()
-        index.shards.unpersist(blocking = false)
+        // blocking: at DISK_ONLY scale the superseded index is ~the
+        // index's full footprint — reclaim it before the caller's next
+        // job rather than racing the async cleaner
+        index.shards.unpersist(blocking = true)
       }
       RoutedCodeIndex(params, seed, index.anchors, merged)
     } finally deduped.unpersist(blocking = false)
@@ -348,7 +359,8 @@ object HnswRoutedCodes {
     * HashPartitioner is the identity here (unlike the float tier's
     * composite ids — see [[HnswRouted.CellPartitioner]]). */
   def attach(spark: SparkSession, path: String,
-             persist: Boolean = true): RoutedCodeIndex = {
+             persist: Boolean = true,
+             storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex = {
     val dir = VersionedIndexDirs.newestDone(spark, path)
 
     val meta = spark.read.parquet(s"$dir/meta").collect().head
@@ -392,8 +404,7 @@ object HnswRoutedCodes {
       }
     }, preservesPartitioning = true)
     if (persist) {
-      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .setName("graft-hnsw-routed-codes")
+      shards.persist(storage).setName("graft-hnsw-routed-codes")
       shards.count()
     }
     RoutedCodeIndex(params, seed, anchors, shards)

@@ -493,8 +493,17 @@ object ScaleRehearsal {
           .map(id => (id, codeOf(id))).toDF("id", "code")
           .localCheckpoint(true)
         val params = HnswParams.standard(64, 32, 16)
+        // 1e8 in LOCAL mode: the durable round-trip transiently holds
+        // TWO full indexes (restored + merged during ingest) — ~60 GB
+        // of CSR graphs that no single local heap should hold. The
+        // DISK_ONLY residency knob is exactly this regime's lever; a
+        // cluster spreads the same bytes and keeps MEMORY_AND_DISK.
+        val storage =
+          if (n >= 100000000) org.apache.spark.storage.StorageLevel.DISK_ONLY
+          else HnswRoutedCodes.DefaultStorage
         val t0 = System.nanoTime()
-        val index = HnswRoutedCodes.build(codes, params, nCells, seed = 42L)
+        val index = HnswRoutedCodes.build(codes, params, nCells, seed = 42L,
+          storage = storage)
         val buildS = (System.nanoTime() - t0) / 1e9
         val qIds = (0L until n.toLong by math.max(1L, n.toLong / 2000)).take(2000)
         val qDf = spark.createDataset(qIds.map(id => (id, codeOf(id))))
@@ -505,9 +514,9 @@ object ScaleRehearsal {
         val t1 = System.nanoTime()
         HnswRoutedCodes.save(index, dir)
         val saveS = (System.nanoTime() - t1) / 1e9
-        index.unpersist()
+        index.shards.unpersist(blocking = true)
         val t2 = System.nanoTime()
-        val restored = HnswRoutedCodes.attach(spark, dir)
+        val restored = HnswRoutedCodes.attach(spark, dir, storage = storage)
         val attachS = (System.nanoTime() - t2) / 1e9
         val after = HnswRoutedCodes.search(restored, qDf, 1, nProbe = 8)
           .filter(col("qid") === col("id")).count()
@@ -517,7 +526,7 @@ object ScaleRehearsal {
           .map(id => (id, codeOf(id))).toDF("id", "code")
           .localCheckpoint(true)
         val t3 = System.nanoTime()
-        val grown = HnswRoutedCodes.ingest(restored, batch)
+        val grown = HnswRoutedCodes.ingest(restored, batch, storage = storage)
         val ingestS = (System.nanoTime() - t3) / 1e9
         grown.unpersist()
         (after, f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +

@@ -183,6 +183,25 @@ class HnswRoutedCodesSpec extends SparkSpec {
     assert(e.getMessage.contains("id 0 lives in cell"), e.getMessage)
   }
 
+  test("DISK_ONLY residency serves the same rows (the local-mode lever for indexes bigger than the heap)") {
+    import org.apache.spark.storage.StorageLevel
+    val base = (0 until 1200).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val qDf = (0 until 30).map(q => (q.toLong, codeOf(q.toLong + 50000, 9L)))
+      .toDF("qid", "qcode")
+    val inMem = HnswRoutedCodes.build(base.toDF("id", "code"), params,
+      nCells = 4, seed = 42L, persist = false)
+    val onDisk = HnswRoutedCodes.build(base.toDF("id", "code"), params,
+      nCells = 4, seed = 42L, storage = StorageLevel.DISK_ONLY)
+    assert(onDisk.shards.getStorageLevel == StorageLevel.DISK_ONLY)
+    assert(searchRows(onDisk, qDf, 10, 4) == searchRows(inMem, qDf, 10, 4))
+    val grown = HnswRoutedCodes.ingest(onDisk,
+      Seq((90000L, codeOf(90000L, 23L))).toDF("id", "code"),
+      storage = StorageLevel.DISK_ONLY)
+    assert(grown.shards.getStorageLevel == StorageLevel.DISK_ONLY)
+    assert(grown.shards.map(_._2.codes.size.toLong).sum() == 1201)
+    grown.unpersist()
+  }
+
   test("trainAnchors yields DISTINCT anchors even when hash picks collide (no dead cells)") {
     // 3 distinct codes, heavily repeated: naive hash selection would
     // almost surely duplicate an anchor; duplicates tie to the lowest
