@@ -505,6 +505,11 @@ object ScaleRehearsal {
         val index = HnswRoutedCodes.build(codes, params, nCells, seed = 42L,
           storage = storage)
         val buildS = (System.nanoTime() - t0) / 1e9
+        // phase prints: an hour-long decade rung must not lose its
+        // completed phases to a crash in a later one (the first 1e8
+        // attempt finished build+save+attach and then hit the DISK
+        // envelope in ingest — every number unobserved)
+        println(f"REHEARSAL_PHASE routed_codes_durable n=$n build_s=$buildS%.1f")
         val qIds = (0L until n.toLong by math.max(1L, n.toLong / 2000)).take(2000)
         val qDf = spark.createDataset(qIds.map(id => (id, codeOf(id))))
           .toDF("qid", "qcode").localCheckpoint(true)
@@ -514,24 +519,33 @@ object ScaleRehearsal {
         val t1 = System.nanoTime()
         HnswRoutedCodes.save(index, dir)
         val saveS = (System.nanoTime() - t1) / 1e9
+        println(f"REHEARSAL_PHASE routed_codes_durable n=$n save_s=$saveS%.1f")
         index.shards.unpersist(blocking = true)
         val t2 = System.nanoTime()
         val restored = HnswRoutedCodes.attach(spark, dir, storage = storage)
         val attachS = (System.nanoTime() - t2) / 1e9
         val after = HnswRoutedCodes.search(restored, qDf, 1, nProbe = 8)
           .filter(col("qid") === col("id")).count()
+        println(f"REHEARSAL_PHASE routed_codes_durable n=$n attach_s=$attachS%.1f " +
+          f"attach_over_build=${attachS / buildS}%.3f parity=${before == after}")
         // incremental: a 5% batch of NEW ids into the attached copy —
-        // the cost claim is O(batch), not O(corpus)
-        val batch = spark.range(n.toLong, n.toLong + n.toLong / 20).as[Long]
-          .map(id => (id, codeOf(id))).toDF("id", "code")
-          .localCheckpoint(true)
-        val t3 = System.nanoTime()
-        val grown = HnswRoutedCodes.ingest(restored, batch, storage = storage)
-        val ingestS = (System.nanoTime() - t3) / 1e9
-        grown.unpersist()
+        // the cost claim is O(batch), not O(corpus). Skippable: at 1e8
+        // the merge holds restored + merged full copies (~60 GB of
+        // blocks) ON TOP of the parquet image — past this host's disk.
+        val (ingestS, tail) =
+          if (sys.env.contains("REHEARSAL_SKIP_INGEST")) (0.0, "ingest=skipped")
+          else {
+            val batch = spark.range(n.toLong, n.toLong + n.toLong / 20).as[Long]
+              .map(id => (id, codeOf(id))).toDF("id", "code")
+              .localCheckpoint(true)
+            val t3 = System.nanoTime()
+            val grown = HnswRoutedCodes.ingest(restored, batch, storage = storage)
+            val s = (System.nanoTime() - t3) / 1e9
+            grown.unpersist()
+            (s, f"ingest5pct_s=$s%.1f ingest_over_build=${s / buildS}%.3f")
+          }
         (after, f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +
-          f"attach_over_build=${attachS / buildS}%.3f parity=${before == after} " +
-          f"ingest5pct_s=$ingestS%.1f ingest_over_build=${ingestS / buildS}%.3f")
+          f"attach_over_build=${attachS / buildS}%.3f parity=${before == after} $tail")
       }
 
       // AUTO-EF rung (round-13): the density-adaptive in-cell beam's
