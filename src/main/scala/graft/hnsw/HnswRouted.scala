@@ -35,7 +35,7 @@ import graft.store.{ArrayVectorStore, EntryPoint, GraphSnapshot, InMemoryGraph, 
   * with a narrow dependency on the (possibly enormous) index side —
   * only the batch shuffles.
   *
-  * Durability ([[save]]/[[attach]]): the index persists as five parquet
+  * Durability ([[save]]/[[attach]]): the index persists as six parquet
   * tables under ParquetGraphStore's versioned-directory discipline
   * (complete versions only, `_DONE`-marked, older versions reclaimed),
   * and `attach` restores it with one co-partitioned read — no k-means,
@@ -119,10 +119,18 @@ object HnswRouted {
     }
   }
 
+  /** `tombstones` is the index's deletion set (sorted ids): [[delete]]
+    * adds to it without touching any shard — O(deletes) handle
+    * metadata, the soft-delete posture the broadcast tier's
+    * searchExcluding established — and [[search]] excludes it
+    * transparently. [[compact]] folds it out by rebuilding ONLY the
+    * cells that hold a tombstoned id, emptying the set and freeing the
+    * ids for re-[[ingest]]. */
   final case class RoutedIndex(
       cfg: BuildConfig,
       router: Router,
-      shards: org.apache.spark.rdd.RDD[(Int, CellShard)]) {
+      shards: org.apache.spark.rdd.RDD[(Int, CellShard)],
+      tombstones: Array[Long] = Array.empty) {
     def unpersist(): Unit = shards.unpersist()
   }
 
@@ -164,6 +172,26 @@ object HnswRouted {
   private val tripleEnc = Encoders.tuple(
     Encoders.scalaLong, ExprEnc.floatArray, Encoders.scalaInt)
 
+  /** Fresh per-cell construction from id-sorted rows (layers from the
+    * id hash) — the build path's kernel, shared by [[compact]] so a
+    * compacted cell is graph-identical to a fresh build of its
+    * surviving rows (same insert order, same layer draws). */
+  private def buildCellFresh(cell: Int, rows: Array[(Long, Array[Float])],
+                             cfg: BuildConfig): CellShard = {
+    val metric = Metrics.byName(cfg.metric)
+    val searcher = new HnswSearcher(cfg.params)
+    val vecMap = scala.collection.mutable.LongMap.from[Array[Float]](rows.iterator)
+    val graph = new InMemoryGraph
+    val store = new ArrayVectorStore(metric, base = vecMap)
+    rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
+    rows.foreach { case (id, v) =>
+      vecMap(id) = v
+      searcher.insert(store, graph, id,
+        searcher.selectLayerByHash(id, cfg.seed))
+    }
+    CellShard(cell, vecMap, graph.snapshot)
+  }
+
   /** Per-partition shard construction from keyed (cell, (id, vec)) rows:
     * one shard per CELL within the partition (the partitioner can
     * co-locate cells). `existing` supplies prior shards for [[ingest]]
@@ -183,27 +211,26 @@ object HnswRouted {
     val searcher = new HnswSearcher(cfg.params)
     byCell.iterator.map { case (cell, rowsBuf) =>
       val rows = rowsBuf.toArray.sortBy(_._1)
-      val (vecMap, graph) = existing.get(cell) match {
+      existing.get(cell) match {
         case Some(prior) =>
-          val vm = scala.collection.mutable.LongMap.from(prior.vectors)
+          val vecMap = scala.collection.mutable.LongMap.from(prior.vectors)
           rows.foreach { case (id, _) =>
-            require(!vm.contains(id),
+            require(!vecMap.contains(id),
               s"routed ingest: id $id already present in cell $cell — " +
                 "re-inserting a vertex would corrupt its graph")
           }
-          (vm, InMemoryGraph.fromSnapshot(prior.snapshot))
+          val graph = InMemoryGraph.fromSnapshot(prior.snapshot)
+          val store = new ArrayVectorStore(metric, base = vecMap)
+          rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
+          rows.foreach { case (id, v) =>
+            vecMap(id) = v
+            searcher.insert(store, graph, id,
+              searcher.selectLayerByHash(id, cfg.seed))
+          }
+          cell -> CellShard(cell, vecMap, graph.snapshot)
         case None =>
-          (scala.collection.mutable.LongMap.from[Array[Float]](rows.iterator),
-            new InMemoryGraph)
+          cell -> buildCellFresh(cell, rows, cfg)
       }
-      val store = new ArrayVectorStore(metric, base = vecMap)
-      rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
-      rows.foreach { case (id, v) =>
-        vecMap(id) = v
-        searcher.insert(store, graph, id,
-          searcher.selectLayerByHash(id, cfg.seed))
-      }
-      cell -> CellShard(cell, vecMap, graph.snapshot)
     }
   }
 
@@ -369,6 +396,71 @@ object HnswRouted {
     } finally deduped.unpersist(blocking = false)
   }
 
+  /** Tombstone delete — delete-without-rebuild on the routed tier: adds
+    * `ids` to the index's deletion set and returns a new handle SHARING
+    * the shards (no RDD job beyond collecting the id column — deletes
+    * are O(set) driver/broadcast metadata, the posture the broadcast
+    * tier's searchExcluding and the durable tier's tombstones share).
+    * [[search]]/[[searchFiltered]] exclude the set transparently;
+    * tombstoned vertices still CONDUCT the in-cell traversal (their
+    * edges remain — standard soft delete). A deleted id cannot be
+    * re-[[ingest]]ed until [[compact]] folds it out of its cell (the
+    * ingest guard still sees it in the shard's key set — by design: the
+    * graph still holds the old vector). Deleting ids absent from the
+    * index is a no-op semantically (membership is never required). */
+  def delete(index: RoutedIndex, ids: DataFrame): RoutedIndex = {
+    val del = sortedIdArray(ids)
+    if (del.isEmpty) index
+    else {
+      val merged = (index.tombstones ++ del).distinct
+      java.util.Arrays.sort(merged)
+      index.copy(tombstones = merged)
+    }
+  }
+
+  /** Fold the deletion set out of the graphs: rebuild ONLY the cells
+    * that hold a tombstoned id — untouched cells pass through BY
+    * REFERENCE (no copy, no rebuild, no shuffle; the map is narrow on
+    * the pinned partitioner), so compaction cost is proportional to
+    * AFFECTED cells, not the index. A compacted cell is rebuilt fresh
+    * from its survivors with the build kernel ([[buildCellFresh]]:
+    * ascending id order, layers from the id hash), so it is
+    * graph-identical to a fresh build of the remaining rows — the
+    * "compaction preserves the served result" contract, spec-checked.
+    * The returned index has an EMPTY deletion set; compacted-away ids
+    * are free to re-[[ingest]]. `unpersistPrior = false` leaves the
+    * input index's shards cached (for callers serving both handles,
+    * e.g. the catalog's shared build). */
+  def compact(index: RoutedIndex, persist: Boolean = true,
+              unpersistPrior: Boolean = true): RoutedIndex =
+    if (index.tombstones.isEmpty) index
+    else {
+      val cfg = index.cfg
+      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+      val compacted = index.shards.mapPartitions({ it =>
+        it.map { case (cell, s) =>
+          val dead = tombB.value
+          val touched = s.vectors.keysIterator
+            .exists(id => java.util.Arrays.binarySearch(dead, id) >= 0)
+          if (!touched) cell -> s
+          else {
+            val rows = s.vectors.iterator
+              .filter { case (id, _) =>
+                java.util.Arrays.binarySearch(dead, id) < 0 }
+              .toArray.sortBy(_._1)
+            cell -> buildCellFresh(cell, rows, cfg)
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        compacted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed")
+        compacted.count()
+        if (unpersistPrior) index.shards.unpersist(blocking = false)
+      }
+      RoutedIndex(cfg, index.router, compacted, Array.empty)
+    }
+
   /** Per-cell occupancy (cell, rows) — the drift audit surface: compare
     * against the build-time histogram to decide when frozen centroids
     * have drifted far enough to warrant retraining. */
@@ -455,7 +547,37 @@ object HnswRouted {
     * per-probed-cell work; adding cells costs fan-out — independent
     * dials for the two loss modes. */
   def search(index: RoutedIndex, queries: DataFrame, k: Int,
-             nProbe: Int, ef0: Int = 0): DataFrame = {
+             nProbe: Int, ef0: Int = 0): DataFrame =
+    searchImpl(index, queries, k, nProbe, ef0, allowed = None)
+
+  /** Attribute-filtered routed k-NN: top-k among only the ids in
+    * `allowed` (one id column) — the broadcast tier's
+    * [[HnswDistributed.searchFiltered]] contract on the scale tier.
+    * The allow-set broadcasts as a sorted primitive array (8 B/id,
+    * binary-search membership — the id list of a label partition); each
+    * probed cell runs the overfetch-with-escalation loop executor-local
+    * (see [[searchImpl]]). Routing is UNCHANGED: a query still probes
+    * its nProbe nearest cells, so a selective predicate whose mass
+    * lives in unprobed cells costs recall exactly like any other
+    * cross-boundary neighbor — the exhaustive regime (nProbe = nCells)
+    * is the oracle-exact configuration, and tombstones compose (an id
+    * must be allowed AND not deleted). */
+  def searchFiltered(index: RoutedIndex, queries: DataFrame,
+                     allowed: DataFrame, k: Int, nProbe: Int,
+                     ef0: Int = 0): DataFrame =
+    searchImpl(index, queries, k, nProbe, ef0,
+      allowed = Some(sortedIdArray(allowed)))
+
+  private[hnsw] def sortedIdArray(ids: DataFrame): Array[Long] = {
+    val arr = ids.select(col(ids.columns.head).cast("long")).distinct()
+      .as(Encoders.scalaLong).collect()
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  private def searchImpl(index: RoutedIndex, queries: DataFrame, k: Int,
+                         nProbe: Int, ef0: Int,
+                         allowed: Option[Array[Long]]): DataFrame = {
     val spark = queries.sparkSession
     val cfg = index.cfg
     val router = index.router
@@ -468,6 +590,12 @@ object HnswRouted {
       router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
     }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast(byCell)
+    // predicate state: both sets ride as sorted primitive arrays (the
+    // searchPredicated broadcast shape — O(set), never O(corpus))
+    val hasAllow = allowed.nonEmpty
+    val allowB = spark.sparkContext.broadcast(allowed.getOrElse(Array.empty[Long]))
+    val tombB = spark.sparkContext.broadcast(index.tombstones)
+    val predicated = hasAllow || index.tombstones.nonEmpty
     import spark.implicits._
     val perShard = prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
       val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
@@ -481,10 +609,57 @@ object HnswRouted {
         // one store per shard, -1 query slot re-staged per query (the
         // searchSharded pattern)
         val qStore = new ArrayVectorStore(metric, base = m.vectors)
-        probes.iterator.flatMap { case (qid, qvec) =>
-          val q = qStore.prepareQueryWithId(-1L, qvec)
-          searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
-            .iterator.map(nb => (qid, nb.dst, nb.dist))
+        if (!predicated)
+          probes.iterator.flatMap { case (qid, qvec) =>
+            val q = qStore.prepareQueryWithId(-1L, qvec)
+            searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
+              .iterator.map(nb => (qid, nb.dst, nb.dist))
+          }
+        else {
+          // Predicated serving: per-cell overfetch-with-escalation (the
+          // HnswDistributed.searchPredicated discipline, executor-local
+          // to the shard). The global merge keeps top-k over all probed
+          // cells, and every eligible id lives in exactly ONE cell, so
+          // per-cell exact top-k-eligible composes to the global exact
+          // answer in the exhaustive regime.
+          val allow = allowB.value
+          val dead = tombB.value
+          @inline def eligible(id: Long): Boolean =
+            (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
+              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
+          val cellN = m.vectors.size
+          probes.iterator.flatMap { case (qid, qvec) =>
+            val q = qStore.prepareQueryWithId(-1L, qvec)
+            var kp = math.max(4 * k, ef)
+            var out: List[(Long, Long, Double)] = Nil
+            var done = cellN == 0 || (hasAllow && allow.length == 0)
+            while (!done) {
+              val w = searcher.searchWithEf(qStore, m.snapshot, q, kp, kp)
+              // queue order is total on (dist, id) — the filtered prefix
+              // carries the oracle's tie-breaking
+              val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
+              if (hits.length >= k) {
+                out = hits.map(nb => (qid, nb.dst, nb.dist))
+                done = true
+              } else if (kp >= cellN) {
+                // the beam spanned the cell and still came up short. A
+                // graph WALK can miss a vertex that lost every in-edge
+                // to M_max re-trimming, so an ef=cellN beam is not a
+                // completeness proof — finish with an exact scan over
+                // the cell's eligible ids (O(|eligible ∩ cell|) distance
+                // evals, still executor-local)
+                val eligIter =
+                  if (hasAllow) allow.iterator.filter(m.vectors.contains)
+                  else m.vectors.keysIterator
+                val exact = eligIter.filter(eligible)
+                  .map(id => (id, qStore.evalDistance(q, id))).toArray
+                out = exact.sortBy { case (id, d) => (d, id) }.take(k)
+                  .iterator.map { case (id, d) => (qid, id, d) }.toList
+                done = true
+              } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
+            }
+            out
+          }
         }
       }
     }.toDF("qid", "id", "dist")
@@ -513,8 +688,9 @@ object HnswRouted {
     * (`idx_v{N}`, `_DONE`-marked last; older versions reclaimed after —
     * the [[VersionedIndexDirs]] discipline: a crash mid-save leaves
     * junk that can never resolve, readers only see complete versions).
-    * Five tables: meta (config), centroids (both router levels),
-    * vectors, links (per-cell CSR rows), entries. */
+    * Six tables: meta (config), centroids (both router levels),
+    * vectors, links (per-cell CSR rows), entries, tombstones (the
+    * live deletion set — restarts keep serving accepted deletes). */
   def save(index: RoutedIndex, path: String): Unit =
     saveWith(SparkSession.active, index, path)
 
@@ -557,6 +733,12 @@ object HnswRouted {
       s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
     })(entryRowEnc).toDF("cell", "point", "layer")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+
+    // the deletion set persists with the image (written even when
+    // empty): a restart must keep serving the deletes a crashed
+    // session had accepted
+    index.tombstones.toSeq.toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
 
     // completeness marker LAST; then reclaim superseded/junk versions
     VersionedIndexDirs.commit(spark, path, dir)
@@ -627,20 +809,44 @@ object HnswRouted {
         .setName("graft-hnsw-routed")
       shards.count()
     }
-    RoutedIndex(cfg, router, shards)
+    // tombstones table: absent only in pre-lifecycle images (nothing
+    // was deletable then, so absent = empty)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tombstones =
+      if (VersionedIndexDirs.fsOf(spark, dir).exists(tombPath)) {
+        val t = spark.read.parquet(s"$dir/tombstones").collect()
+          .map(_.getLong(0))
+        java.util.Arrays.sort(t); t
+      } else Array.empty[Long]
+    RoutedIndex(cfg, router, shards, tombstones)
   }
 
   /** Process-wide memo (the shardCache pattern), keyed by app id so a
-    * handle of a stopped SparkContext is never served. */
+    * handle of a stopped SparkContext is never served. NOT
+    * computeIfAbsent: the lifecycle handles nest (compactCached →
+    * deleteCached → buildCached), and nested computeIfAbsent on one
+    * ConcurrentHashMap throws "Recursive update" — get/putIfAbsent
+    * trades atomic insertion (never contended here: the catalog serves
+    * queries sequentially) for safe nesting. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, RoutedIndex]()
 
+  private def memo(key: String)(mk: => RoutedIndex): RoutedIndex = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = mk
+      val prev = cache.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def buildCached(vectors: DataFrame, cfg: BuildConfig, nCells: Int,
                   key: String): RoutedIndex =
-    cache.computeIfAbsent(
+    memo(
       s"${vectors.sparkSession.sparkContext.applicationId}|$key|$nCells|" +
-        HnswDistributed.cacheKey(cfg),
-      _ => graft.BuildLedger.timed("hnsw_routed_build")(
+        HnswDistributed.cacheKey(cfg))(
+      graft.BuildLedger.timed("hnsw_routed_build")(
         build(vectors, cfg, nCells)))
 
   /** Memoized build-then-ingest — the catalog's incremental-growth
@@ -649,10 +855,10 @@ object HnswRouted {
     * exhaustive-regime oracle as a from-scratch build. */
   def growCached(baseVectors: DataFrame, newRows: DataFrame,
                  cfg: BuildConfig, nCells: Int, key: String): RoutedIndex =
-    cache.computeIfAbsent(
+    memo(
       s"${baseVectors.sparkSession.sparkContext.applicationId}|grow|$key|" +
-        s"$nCells|${HnswDistributed.cacheKey(cfg)}",
-      _ => graft.BuildLedger.timed("hnsw_routed_grow") {
+        s"$nCells|${HnswDistributed.cacheKey(cfg)}")(
+      graft.BuildLedger.timed("hnsw_routed_grow") {
         ingest(build(baseVectors, cfg, nCells), newRows)
       })
 
@@ -661,13 +867,41 @@ object HnswRouted {
     * from the ATTACHED copy so the oracle rides the restore path). */
   def attachCached(vectors: DataFrame, cfg: BuildConfig, nCells: Int,
                    key: String): RoutedIndex =
-    cache.computeIfAbsent(
+    memo(
       s"${vectors.sparkSession.sparkContext.applicationId}|attach|$key|" +
-        s"$nCells|${HnswDistributed.cacheKey(cfg)}",
-      _ => graft.BuildLedger.timed("hnsw_routed_save_attach") {
+        s"$nCells|${HnswDistributed.cacheKey(cfg)}")(
+      graft.BuildLedger.timed("hnsw_routed_save_attach") {
         val built = buildCached(vectors, cfg, nCells, key)
         val dir = graft.TempDirs.create("graft_routed_")
         saveWith(vectors.sparkSession, built, dir)
         attach(vectors.sparkSession, dir)
+      })
+
+  /** Memoized tombstone-serving handle: [[delete]] over the SHARED
+    * cached build — delete is O(set) handle metadata, so the catalog's
+    * tombstone row serves from the same shards as its plain-search
+    * twin, paying only the deletion-set collect once. */
+  def deleteCached(vectors: DataFrame, deleted: DataFrame,
+                   cfg: BuildConfig, nCells: Int, key: String,
+                   delKey: String): RoutedIndex =
+    memo(
+      s"${vectors.sparkSession.sparkContext.applicationId}|tomb|$key|" +
+        s"$delKey|$nCells|${HnswDistributed.cacheKey(cfg)}")(
+      delete(buildCached(vectors, cfg, nCells, key), deleted))
+
+  /** Memoized compaction of the cached tombstoned index — the deletion
+    * set folded OUT of the graphs (affected cells rebuilt, untouched
+    * cells pass through by reference). `unpersistPrior = false`: the
+    * prior shards are the shared cached build, still serving the
+    * plain/tombstone rows. */
+  def compactCached(vectors: DataFrame, deleted: DataFrame,
+                    cfg: BuildConfig, nCells: Int, key: String,
+                    delKey: String): RoutedIndex =
+    memo(
+      s"${vectors.sparkSession.sparkContext.applicationId}|compact|$key|" +
+        s"$delKey|$nCells|${HnswDistributed.cacheKey(cfg)}")(
+      graft.BuildLedger.timed("hnsw_routed_compact") {
+        compact(deleteCached(vectors, deleted, cfg, nCells, key, delKey),
+          unpersistPrior = false)
       })
 }

@@ -42,11 +42,16 @@ object HnswRoutedCodes {
       codes: LongLongMap,
       snapshot: GraphSnapshot) extends Serializable
 
+  /** `tombstones` is the index's deletion set (sorted ids) — the float
+    * tier's soft-delete contract ([[HnswRouted.RoutedIndex]]):
+    * [[delete]] adds, [[search]] excludes, [[compact]] folds out per
+    * affected cell and frees the ids for re-[[ingest]]. */
   final case class RoutedCodeIndex(
       params: HnswParams,
       seed: Long,
       anchors: Array[Long],
-      shards: org.apache.spark.rdd.RDD[(Int, CodeCellShard)]) {
+      shards: org.apache.spark.rdd.RDD[(Int, CodeCellShard)],
+      tombstones: Array[Long] = Array.empty) {
     def unpersist(): Unit = shards.unpersist()
   }
 
@@ -141,6 +146,22 @@ object HnswRoutedCodes {
     anchors
   }
 
+  /** Fresh per-cell construction from id-sorted (id, code) rows —
+    * shared by [[build]] and [[compact]] so a compacted cell is
+    * graph-identical to a fresh build of its surviving rows (same
+    * insert order, same layer draws). */
+  private def buildCellFresh(cell: Int, rows: Array[(Long, Long)],
+                             params: HnswParams, seed: Long): CodeCellShard = {
+    val store = new CellCodeStore(
+      LongLongMap.from(rows.iterator, math.max(8, rows.length)))
+    val graph = new InMemoryGraph
+    val searcher = new HnswSearcher(params)
+    rows.foreach { case (id, _) =>
+      searcher.insert(store, graph, id, searcher.selectLayerByHash(id, seed))
+    }
+    CodeCellShard(cell, store.codes, graph.snapshot)
+  }
+
   /** Per-cell row budget (see [[HnswRouted.DefaultMaxCellRows]]): codes
     * are 8 B/row, so the budget here bounds GRAPH memory (edges), not
     * vector memory — the same 4M default keeps a cell's layer-0 arrays
@@ -189,15 +210,8 @@ object HnswRoutedCodes {
         byCell.getOrElseUpdate(cell,
           scala.collection.mutable.ArrayBuffer.empty) += row
       }
-      val searcher = new HnswSearcher(params)
       byCell.iterator.map { case (cell, buf) =>
-        val rows = buf.toArray.sortBy(_._1)
-        val store = new CellCodeStore(LongLongMap.from(rows.iterator, rows.length))
-        val graph = new InMemoryGraph
-        rows.foreach { case (id, _) =>
-          searcher.insert(store, graph, id, searcher.selectLayerByHash(id, seed))
-        }
-        cell -> CodeCellShard(cell, store.codes, graph.snapshot)
+        cell -> buildCellFresh(cell, buf.toArray.sortBy(_._1), params, seed)
       }
     }, preservesPartitioning = true)
     if (persist) {
@@ -292,10 +306,66 @@ object HnswRoutedCodes {
     } finally deduped.unpersist(blocking = false)
   }
 
+  /** Tombstone delete-without-rebuild — [[HnswRouted.delete]]'s
+    * contract on the code representation: O(set) handle metadata, the
+    * shards are SHARED with the input handle. [[search]] excludes the
+    * set transparently (tombstoned vertices still conduct the in-cell
+    * traversal); [[compact]] folds it out and frees the ids. */
+  def delete(index: RoutedCodeIndex, ids: DataFrame): RoutedCodeIndex = {
+    val del = HnswRouted.sortedIdArray(ids)
+    if (del.isEmpty) index
+    else {
+      val merged = (index.tombstones ++ del).distinct
+      java.util.Arrays.sort(merged)
+      index.copy(tombstones = merged)
+    }
+  }
+
+  /** Fold the deletion set out of the graphs — [[HnswRouted.compact]]:
+    * ONLY cells holding a tombstoned id rebuild (fresh, via
+    * [[buildCellFresh]] — graph-identical to a fresh build of the
+    * survivors); untouched cells pass through by reference. Returns an
+    * index with an empty deletion set; compacted-away ids can
+    * re-[[ingest]]. */
+  def compact(index: RoutedCodeIndex, persist: Boolean = true,
+              unpersistPrior: Boolean = true,
+              storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex =
+    if (index.tombstones.isEmpty) index
+    else {
+      val params = index.params
+      val seed = index.seed
+      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+      val compacted = index.shards.mapPartitions({ it =>
+        it.map { case (cell, s) =>
+          val dead = tombB.value
+          var touched = false
+          s.codes.foreach { (id, _) =>
+            if (!touched && java.util.Arrays.binarySearch(dead, id) >= 0)
+              touched = true
+          }
+          if (!touched) cell -> s
+          else {
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            s.codes.foreach { (id, c) =>
+              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
+            }
+            cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        compacted.persist(storage).setName("graft-hnsw-routed-codes")
+        compacted.count()
+        if (unpersistPrior) index.shards.unpersist(blocking = true)
+      }
+      RoutedCodeIndex(params, seed, index.anchors, compacted, Array.empty)
+    }
+
   // --------------------------------------------------------------------
   // Durability: versioned parquet image + attach-without-rebuild
   // ([[VersionedIndexDirs]] discipline, the float tier's shape on four
-  // data tables — meta, anchors, codes, links — plus per-cell entries).
+  // data tables — meta, anchors, codes, links — plus per-cell entries
+  // and the live tombstone set).
   // --------------------------------------------------------------------
 
   private val codeRowEnc = Encoders.tuple(
@@ -348,6 +418,10 @@ object HnswRoutedCodes {
       s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
     })(entryRowEnc).toDF("cell", "point", "layer")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+
+    // the deletion set persists with the image (see HnswRouted.saveWith)
+    index.tombstones.toSeq.toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
 
     VersionedIndexDirs.commit(spark, path, dir)
   }
@@ -407,7 +481,15 @@ object HnswRoutedCodes {
       shards.persist(storage).setName("graft-hnsw-routed-codes")
       shards.count()
     }
-    RoutedCodeIndex(params, seed, anchors, shards)
+    // absent tombstones table = pre-lifecycle image = empty set
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tombstones =
+      if (VersionedIndexDirs.fsOf(spark, dir).exists(tombPath)) {
+        val t = spark.read.parquet(s"$dir/tombstones").collect()
+          .map(_.getLong(0))
+        java.util.Arrays.sort(t); t
+      } else Array.empty[Long]
+    RoutedCodeIndex(params, seed, anchors, shards, tombstones)
   }
 
   /** Routed Hamming k-NN: (qid, qcode) -> (qid, id, hamming, rank) —
@@ -415,7 +497,22 @@ object HnswRoutedCodes {
     * follows the float tier's density-adaptive default
     * ([[HnswRouted.autoEf]]); explicit ef0 pins the in-cell beam. */
   def search(index: RoutedCodeIndex, queries: DataFrame, k: Int,
-             nProbe: Int, ef0: Int = 0): DataFrame = {
+             nProbe: Int, ef0: Int = 0): DataFrame =
+    searchImpl(index, queries, k, nProbe, ef0, allowed = None)
+
+  /** Attribute-filtered routed Hamming k-NN — the float tier's
+    * [[HnswRouted.searchFiltered]] contract on the code
+    * representation (allow-set as a sorted broadcast array; per-cell
+    * overfetch-with-escalation; tombstones compose). */
+  def searchFiltered(index: RoutedCodeIndex, queries: DataFrame,
+                     allowed: DataFrame, k: Int, nProbe: Int,
+                     ef0: Int = 0): DataFrame =
+    searchImpl(index, queries, k, nProbe, ef0,
+      allowed = Some(HnswRouted.sortedIdArray(allowed)))
+
+  private def searchImpl(index: RoutedCodeIndex, queries: DataFrame,
+                         k: Int, nProbe: Int, ef0: Int,
+                         allowed: Option[Array[Long]]): DataFrame = {
     val spark = queries.sparkSession
     val params = index.params
     val qArr = queries.select(col("qid"), col("qcode")).as(pairEnc).collect()
@@ -428,6 +525,10 @@ object HnswRoutedCodes {
       byDist.iterator.take(p).map { case (c, _) => (c, (qid, qc)) }
     }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast(byCell)
+    val hasAllow = allowed.nonEmpty
+    val allowB = spark.sparkContext.broadcast(allowed.getOrElse(Array.empty[Long]))
+    val tombB = spark.sparkContext.broadcast(index.tombstones)
+    val predicated = hasAllow || index.tombstones.nonEmpty
     import spark.implicits._
     // schedule ONLY the probed cells' partitions (the 1e8 finding: at
     // 1024 cells the full pass costs 1024 task launches for 8 working
@@ -442,10 +543,58 @@ object HnswRoutedCodes {
         val base = params.getEfSearch(0)
         val ef = if (ef0 > 0) math.max(ef0, base)
                  else HnswRouted.autoEf(base, m.codes.size)
-        probes.iterator.flatMap { case (qid, qc) =>
-          store.stage(-1L, qc)
-          searcher.searchWithEf(store, m.snapshot, -1L, k, ef)
-            .iterator.map(nb => (qid, nb.dst, nb.dist.toInt))
+        if (!predicated)
+          probes.iterator.flatMap { case (qid, qc) =>
+            store.stage(-1L, qc)
+            searcher.searchWithEf(store, m.snapshot, -1L, k, ef)
+              .iterator.map(nb => (qid, nb.dst, nb.dist.toInt))
+          }
+        else {
+          // per-cell overfetch-with-escalation + exact in-cell fallback
+          // (HnswRouted.searchImpl's predicated discipline; queue order
+          // is total on (dist, id), so the filtered prefix carries the
+          // oracle's tie-breaking — load-bearing under INTEGER Hamming
+          // distances where ties are the common case)
+          val allow = allowB.value
+          val dead = tombB.value
+          @inline def eligible(id: Long): Boolean =
+            (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
+              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
+          val cellN = m.codes.size
+          probes.iterator.flatMap { case (qid, qc) =>
+            store.stage(-1L, qc)
+            var kp = math.max(4 * k, ef)
+            var out: List[(Long, Long, Int)] = Nil
+            var done = cellN == 0 || (hasAllow && allow.length == 0)
+            while (!done) {
+              val w = searcher.searchWithEf(store, m.snapshot, -1L, kp, kp)
+              val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
+              if (hits.length >= k) {
+                out = hits.map(nb => (qid, nb.dst, nb.dist.toInt))
+                done = true
+              } else if (kp >= cellN) {
+                // beam spanned the cell; finish with an exact scan over
+                // the cell's eligible codes (a walk can miss a vertex
+                // orphaned by M_max re-trimming)
+                val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+                if (hasAllow) {
+                  var i = 0
+                  while (i < allow.length) {
+                    val id = allow(i)
+                    if (m.codes.contains(id) && eligible(id))
+                      exact += ((id, hamming(qc, m.codes(id))))
+                    i += 1
+                  }
+                } else m.codes.foreach { (id, c) =>
+                  if (eligible(id)) exact += ((id, hamming(qc, c)))
+                }
+                out = exact.toArray.sortBy { case (id, d) => (d, id) }.take(k)
+                  .iterator.map { case (id, d) => (qid, id, d) }.toList
+                done = true
+              } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
+            }
+            out
+          }
         }
       }
     }.toDF("qid", "id", "hamming")
@@ -477,14 +626,26 @@ object HnswRoutedCodes {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, RoutedCodeIndex]()
 
+  /** Nest-safe memo (see [[HnswRouted.memo]]: the lifecycle handles
+    * nest, and nested computeIfAbsent throws "Recursive update"). */
+  private def memo(key: String)(mk: => RoutedCodeIndex): RoutedCodeIndex = {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val v = mk
+      val prev = cache.putIfAbsent(key, v)
+      if (prev != null) prev else v
+    }
+  }
+
   def buildCached(codes: DataFrame, params: HnswParams, nCells: Int,
                   seed: Long, key: String): RoutedCodeIndex =
-    cache.computeIfAbsent(
+    memo(
       Seq(codes.sparkSession.sparkContext.applicationId, key, nCells, seed,
         params.m.toList, params.mMax.toList, params.efConstrSearch.toList,
         params.efConstrInsert.toList, params.efSearch.toList,
-        params.layerProbability).mkString("|"),
-      _ => graft.BuildLedger.timed("hnsw_routed_codes_build")(
+        params.layerProbability).mkString("|"))(
+      graft.BuildLedger.timed("hnsw_routed_codes_build")(
         build(codes, params, nCells, seed)))
 
   /** Memoized save+attach round-trip — the catalog's durable-tier
@@ -493,12 +654,12 @@ object HnswRoutedCodes {
     * restore path). */
   def attachCached(codes: DataFrame, params: HnswParams, nCells: Int,
                    seed: Long, key: String): RoutedCodeIndex =
-    cache.computeIfAbsent(
+    memo(
       Seq(codes.sparkSession.sparkContext.applicationId, "attach", key,
         nCells, seed, params.m.toList, params.mMax.toList,
         params.efConstrSearch.toList, params.efConstrInsert.toList,
-        params.efSearch.toList, params.layerProbability).mkString("|"),
-      _ => graft.BuildLedger.timed("hnsw_routed_codes_save_attach") {
+        params.efSearch.toList, params.layerProbability).mkString("|"))(
+      graft.BuildLedger.timed("hnsw_routed_codes_save_attach") {
         val built = buildCached(codes, params, nCells, seed, key)
         val dir = graft.TempDirs.create("graft_routed_codes_")
         saveWith(codes.sparkSession, built, dir)
@@ -512,12 +673,42 @@ object HnswRoutedCodes {
   def growCached(baseCodes: DataFrame, newRows: DataFrame,
                  params: HnswParams, nCells: Int, seed: Long,
                  key: String): RoutedCodeIndex =
-    cache.computeIfAbsent(
+    memo(
       Seq(baseCodes.sparkSession.sparkContext.applicationId, "grow", key,
         nCells, seed, params.m.toList, params.mMax.toList,
         params.efConstrSearch.toList, params.efConstrInsert.toList,
-        params.efSearch.toList, params.layerProbability).mkString("|"),
-      _ => graft.BuildLedger.timed("hnsw_routed_codes_grow") {
+        params.efSearch.toList, params.layerProbability).mkString("|"))(
+      graft.BuildLedger.timed("hnsw_routed_codes_grow") {
         ingest(build(baseCodes, params, nCells, seed), newRows)
+      })
+
+  /** Memoized tombstone-serving handle over the SHARED cached build
+    * ([[HnswRouted.deleteCached]]'s contract): delete is O(set) handle
+    * metadata, the shards are the plain row's. */
+  def deleteCached(codes: DataFrame, deleted: DataFrame,
+                   params: HnswParams, nCells: Int, seed: Long,
+                   key: String, delKey: String): RoutedCodeIndex =
+    memo(
+      Seq(codes.sparkSession.sparkContext.applicationId, "tomb", key,
+        delKey, nCells, seed, params.m.toList, params.mMax.toList,
+        params.efConstrSearch.toList, params.efConstrInsert.toList,
+        params.efSearch.toList, params.layerProbability).mkString("|"))(
+      delete(buildCached(codes, params, nCells, seed, key), deleted))
+
+  /** Memoized compaction of the cached tombstoned index
+    * ([[HnswRouted.compactCached]]'s contract — affected cells rebuild,
+    * untouched cells pass through; the prior shards stay cached for the
+    * sibling rows). */
+  def compactCached(codes: DataFrame, deleted: DataFrame,
+                    params: HnswParams, nCells: Int, seed: Long,
+                    key: String, delKey: String): RoutedCodeIndex =
+    memo(
+      Seq(codes.sparkSession.sparkContext.applicationId, "compact", key,
+        delKey, nCells, seed, params.m.toList, params.mMax.toList,
+        params.efConstrSearch.toList, params.efConstrInsert.toList,
+        params.efSearch.toList, params.layerProbability).mkString("|"))(
+      graft.BuildLedger.timed("hnsw_routed_codes_compact") {
+        compact(deleteCached(codes, deleted, params, nCells, seed, key, delKey),
+          unpersistPrior = false)
       })
 }

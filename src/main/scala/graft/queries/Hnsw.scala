@@ -186,6 +186,54 @@ object Hnsw {
     // HnswRoutedSpec's dense-cloud test and measured at 1e7 in the
     // rehearsal: probe4+ef128 = 95.9% vs 85.7% default self-match.)
 
+    // Tombstone serving on the ROUTED tier — delete-without-rebuild at
+    // the scale tier: the deletion set is O(deletes) handle metadata
+    // over the SAME cached shards as h_knn_routed (no second build, no
+    // copy); each probed cell runs the overfetch-with-escalation loop
+    // executor-local with the exact in-cell fallback, so the exhaustive
+    // regime provably equals the exclusion oracle.
+    "h_knn_routed_tombstone" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val deleted = t(s, dir).filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val index = HnswRouted.deleteCached(vectorsDf(s, dir), deleted,
+        exactishCfg, nCells = 16, key = dir, delKey = "mod7")
+      HnswRouted.search(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Per-cell compaction: the SAME deletion set folded OUT of the
+    // graphs — ONLY cells holding a tombstoned id rebuild (fresh, from
+    // survivors, graph-identical to a fresh build by the shared build
+    // kernel); untouched cells pass through by reference, so compaction
+    // cost is O(affected cells), never O(index). Post-compaction search
+    // needs no exclusion set and must still match the exclusion oracle
+    // — the routed twin of h_knn_compacted's contract.
+    "h_knn_routed_compacted" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val deleted = t(s, dir).filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val index = HnswRouted.compactCached(vectorsDf(s, dir), deleted,
+        exactishCfg, nCells = 16, key = dir, delKey = "mod7")
+      HnswRouted.search(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Attribute-filtered ANN on the ROUTED tier ("top-k WHERE label =
+    // 3" at the scale tier): the allow-set rides as one sorted
+    // primitive broadcast (8 B/id — a label partition's id list);
+    // routing is unchanged, the predicate applies in-cell with
+    // escalation. Exhaustive regime -> exact label-restricted oracle.
+    "h_knn_routed_filtered" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val index = HnswRouted.buildCached(vectorsDf(s, dir), exactishCfg,
+        nCells = 16, key = dir)
+      val allowed = t(s, dir).filter(col("label") === 3).select(col("vec_id"))
+      HnswRouted.searchFiltered(index, queriesDf(s, dir), allowed, 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // HNSW over the reference's native representation: u64 sign-packed
     // codes under Hamming distance (lazy_memory_store.rs:49-54). Exact
     // regime (ef=128) -> shares v_knn_hamming's oracle shape.
@@ -260,6 +308,45 @@ object Hnsw {
         codes.filter(col("id") % 10 =!= 0), codes.filter(col("id") % 10 === 0),
         HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
         nCells = 16, seed = 42L, key = s"$dir|signpack64")
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Tombstone + compaction on the routed-codes tier — the serving
+    // lifecycle at the 1e8-decade tier's representation (integer
+    // Hamming distances make ties the COMMON case, so these rows also
+    // pin the queue's total (dist, id) order through the predicated
+    // path). Exhaustive regime against the bit-arithmetic exclusion
+    // oracle; the codes index is the SAME cached build as
+    // h_knn_routed_hamming.
+    "h_knn_routed_hamming_tombstone" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val deleted = t(s, dir).filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val index = HnswRoutedCodes.deleteCached(codes, deleted,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64", delKey = "mod7")
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "h_knn_routed_hamming_compacted" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val deleted = t(s, dir).filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val index = HnswRoutedCodes.compactCached(codes, deleted,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64", delKey = "mod7")
       val qs = codes.filter(col("id") % 25 === 0)
         .select(col("id").as("qid"), col("code").as("qcode"))
       HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
@@ -416,7 +503,10 @@ object Hnsw {
        |            PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank FROM p)
        |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
-  private val hammingKnnOracle: String =
+  /** Bit-arithmetic Hamming oracle; `corpusPred` restricts the CORPUS
+    * side only (queries stay the full qid set) — the exclusion-oracle
+    * shape for the routed-codes tombstone/compaction rows. */
+  private def hammingKnnOracleWhere(corpusPred: String): String =
     s"""WITH c AS (
        |  SELECT vec_id, bit_or(CASE WHEN e >= 0 THEN
        |    CASE WHEN i = 64 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << (i-1)) END
@@ -425,11 +515,14 @@ object Hnsw {
        |        generate_subscripts(embedding, 1) AS i FROM embeddings)
        |  GROUP BY vec_id),
        | q AS (SELECT vec_id AS qid, code AS qc FROM c WHERE $qFilter),
-       | p AS (SELECT qid, c.vec_id AS id, bit_count(xor(qc, c.code)) AS hamming FROM q, c),
+       | p AS (SELECT qid, c.vec_id AS id, bit_count(xor(qc, c.code)) AS hamming
+       |       FROM q, c WHERE $corpusPred),
        | r AS (SELECT qid, id, CAST(hamming AS INT) AS hamming,
        |       CAST(row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS INT) AS rank
        |       FROM p)
        |SELECT qid, id, hamming, rank FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private val hammingKnnOracle: String = hammingKnnOracleWhere("TRUE")
 
   val oracles: Map[String, String] = Map(
     "h_knn_cosine" -> exactKnnOracle(10),
@@ -440,6 +533,9 @@ object Hnsw {
     "h_knn_routed" -> exactKnnOracle(10),
     "h_knn_routed_attach" -> exactKnnOracle(10),
     "h_knn_routed_grow" -> exactKnnOracle(10),
+    "h_knn_routed_tombstone" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
+    "h_knn_routed_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
+    "h_knn_routed_filtered" -> filteredKnnOracle(10, "label = 3"),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
     // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed
@@ -451,6 +547,10 @@ object Hnsw {
     "h_knn_routed_hamming" -> hammingKnnOracle,
     "h_knn_routed_hamming_attach" -> hammingKnnOracle,
     "h_knn_routed_hamming_grow" -> hammingKnnOracle,
+    "h_knn_routed_hamming_tombstone" ->
+      hammingKnnOracleWhere("c.vec_id % 7 <> 0"),
+    "h_knn_routed_hamming_compacted" ->
+      hammingKnnOracleWhere("c.vec_id % 7 <> 0"),
     "h_match_self" ->
       """SELECT count(*) AS n_vectors, CAST(count(*) AS BIGINT) AS n_matched
         |FROM embeddings""".stripMargin

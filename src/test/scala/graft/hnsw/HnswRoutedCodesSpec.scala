@@ -228,4 +228,104 @@ class HnswRoutedCodesSpec extends SparkSpec {
     for (dial <- Seq("nCells", "maxCellRows", "buildBatched"))
       assert(e.getMessage.contains(dial), s"missing dial $dial: ${e.getMessage}")
   }
+
+  // ------------------------------------------------------------------
+  // Serving lifecycle parity with the float tier (HnswRoutedSpec):
+  // tombstones, filtered search, compaction, durable deletion set.
+  // ------------------------------------------------------------------
+
+  private def exactHamming(qDf: org.apache.spark.sql.DataFrame,
+                           baseDf: org.apache.spark.sql.DataFrame,
+                           k: Int): Set[(Long, Long)] =
+    ExactKnn.search(
+        qDf.withColumnRenamed("qcode", "qvec"),
+        baseDf.withColumnRenamed("code", "vec"), k, "hamming")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("tombstone serving under Hamming: exhaustive regime equals exact over the remainder") {
+    val n = 2000
+    val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val baseDf = base.toDF("id", "code")
+    val qDf = (0 until 50).map(q => (q.toLong, codeOf(q.toLong + 100000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(baseDf, params, nCells = 8,
+      seed = 42L, persist = false)
+    val tombed = HnswRoutedCodes.delete(index,
+      baseDf.filter(col("id") % 3 =!= 0).select(col("id")))
+    assert(tombed.shards eq index.shards)
+    val served = HnswRoutedCodes.search(tombed, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactHamming(qDf, baseDf.filter(col("id") % 3 === 0), 10))
+    // filtered search composes with the deletion set
+    val allowed = baseDf.filter(col("id") % 2 === 0).select(col("id"))
+    val both = HnswRoutedCodes.searchFiltered(tombed, qDf, allowed, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == exactHamming(qDf,
+      baseDf.filter(col("id") % 2 === 0 && col("id") % 3 === 0), 10))
+  }
+
+  test("compaction folds the deletion set out per cell; freed ids re-ingest; parity with fresh build") {
+    val n = 1500
+    val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val baseDf = base.toDF("id", "code")
+    val qDf = (0 until 40).map(q => (q.toLong, codeOf(q.toLong + 80000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(baseDf, params, nCells = 8,
+      seed = 42L, persist = false)
+    val deleted = baseDf.filter(col("id") % 4 === 0).select(col("id"))
+    val tombed = HnswRoutedCodes.delete(index, deleted)
+    val compacted = HnswRoutedCodes.compact(tombed, persist = false)
+    assert(compacted.tombstones.isEmpty)
+    val survivors = baseDf.filter(col("id") % 4 =!= 0)
+    assert(compacted.shards.map { case (_, s) => s.codes.size.toLong }
+      .collect().sum == survivors.count())
+    // graph-identical to a fresh build of the survivors (buildCellFresh
+    // determinism): row-identical serving incl. distances and ranks
+    val fresh = HnswRoutedCodes.build(survivors, params, nCells = 8,
+      seed = 42L, persist = false)
+    // NOTE: fresh retrains anchors on the SURVIVOR sample, so cell
+    // boundaries can differ — compare in the exhaustive regime where
+    // routing is irrelevant, against brute force
+    val servedC = HnswRoutedCodes.search(compacted, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val servedF = HnswRoutedCodes.search(fresh, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactHamming(qDf, survivors, 10)
+    assert(servedC == exact)
+    assert(servedF == exact)
+    // freed ids: blocked before compaction, accepted after
+    val redelivery = base.filter(_._1 == 4L).toDF("id", "code")
+    val e = intercept[IllegalArgumentException] {
+      HnswRoutedCodes.ingest(tombed, redelivery, persist = false)
+    }
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    val regrown = HnswRoutedCodes.ingest(compacted, redelivery, persist = false)
+    assert(regrown.shards.map { case (_, s) => s.codes.size.toLong }
+      .collect().sum == survivors.count() + 1)
+  }
+
+  test("save/attach persists the deletion set (restart keeps serving accepted deletes)") {
+    val n = 1200
+    val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val baseDf = base.toDF("id", "code")
+    val qDf = (0 until 30).map(q => (q.toLong, codeOf(q.toLong + 80000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(baseDf, params, nCells = 8,
+      seed = 42L, persist = false)
+    val tombed = HnswRoutedCodes.delete(index,
+      baseDf.filter(col("id") % 5 === 0).select(col("id")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-rcodes-tomb").toString
+    HnswRoutedCodes.save(tombed, dir)
+    val restored = HnswRoutedCodes.attach(spark, dir, persist = false)
+    assert(restored.tombstones.toSeq == tombed.tombstones.toSeq)
+    val served = HnswRoutedCodes.search(restored, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactHamming(qDf, baseDf.filter(col("id") % 5 =!= 0), 10))
+  }
 }

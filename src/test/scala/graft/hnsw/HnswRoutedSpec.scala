@@ -340,4 +340,160 @@ class HnswRoutedSpec extends SparkSpec {
     val efs = Seq(1000, 10000, 100000, 1000000).map(HnswRouted.autoEf(32, _))
     assert(efs.zip(efs.tail).forall { case (a, b) => a <= b }, efs.toString)
   }
+
+  // ------------------------------------------------------------------
+  // Serving lifecycle: tombstone delete, filtered search, compaction,
+  // durable tombstones (round-14 parity with the broadcast tier's
+  // searchFiltered/searchExcluding/compactModel family).
+  // ------------------------------------------------------------------
+
+  private def exactOver(qDf: org.apache.spark.sql.DataFrame,
+                        baseDf: org.apache.spark.sql.DataFrame,
+                        k: Int): Set[(Long, Long)] =
+    ExactKnn.search(qDf, baseDf, k, "cosine")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Structural graph signature (LayerCsr holds primitive arrays, so
+    * case-class == is reference equality on them). */
+  private def snapshotSig(s: graft.store.GraphSnapshot) =
+    (s.entryPoint.map(ep => (ep.point, ep.layer)),
+      s.layers.toSeq.map(_.entriesIterator.toSeq.map {
+        case (src, dsts, dists) => (src, dsts.toSeq, dists.toSeq)
+      }.sortBy(_._1)))
+
+  test("tombstone serving: exhaustive regime equals exact over the remainder (escalation path)") {
+    val n = 2000
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 50)
+      .map(q => (q.toLong, vecFromHash(q.toLong + 100000, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 8, persist = false)
+    // delete two thirds: per-cell eligible density forces the overfetch
+    // loop to escalate past its first beam for most queries
+    val deleted = baseDf.filter(col("id") % 3 =!= 0).select(col("id"))
+    val tombed = HnswRouted.delete(index, deleted)
+    assert(tombed.shards eq index.shards) // O(set) metadata, shards SHARED
+    val served = HnswRouted.search(tombed, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactOver(qDf, baseDf.filter(col("id") % 3 === 0), 10)
+    assert(served == exact)
+  }
+
+  test("tombstone serving: near-total deletion drives the exact in-cell fallback and still matches") {
+    val n = 1000
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 30)
+      .map(q => (q.toLong, vecFromHash(q.toLong + 100000, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    // ~25 survivors over 4 cells: no cell can fill k=10 from a beam, so
+    // every (query, cell) pair exhausts escalation and finishes exact
+    val deleted = baseDf.filter(col("id") % 40 =!= 0).select(col("id"))
+    val tombed = HnswRouted.delete(index, deleted)
+    val served = HnswRouted.search(tombed, qDf, 10, nProbe = 4)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactOver(qDf, baseDf.filter(col("id") % 40 === 0), 10)
+    assert(served == exact)
+  }
+
+  test("filtered search: allow-set top-k equals exact over the allowed subset; tombstones compose") {
+    val n = 2000
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 50)
+      .map(q => (q.toLong, vecFromHash(q.toLong + 100000, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 8, persist = false)
+    val allowed = baseDf.filter(col("id") % 5 === 0).select(col("id"))
+    val served = HnswRouted.searchFiltered(index, qDf, allowed, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactOver(qDf, baseDf.filter(col("id") % 5 === 0), 10))
+    // allow-set AND deletion set: eligible = allowed minus deleted
+    val tombed = HnswRouted.delete(index, baseDf.filter(col("id") % 10 === 0).select(col("id")))
+    val both = HnswRouted.searchFiltered(tombed, qDf, allowed, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == exactOver(qDf,
+      baseDf.filter(col("id") % 5 === 0 && col("id") % 10 =!= 0), 10))
+  }
+
+  test("compaction rebuilds only touched cells, matches a fresh build of the remainder, and frees ids") {
+    // clustered corpus so deletion can be CELL-LOCAL: wipe cluster 3
+    // entirely plus a sliver of cluster 5 — most cells must pass
+    // through untouched (graphs identical), the wiped cell must empty
+    val dim = 16
+    val centers = (0 until 8).map(c => vecFromHash(c.toLong, 77L, dim).map(_ * 10f))
+    val base = (0 until 1600).map { i =>
+      val noise = vecFromHash(i.toLong, 3L, dim)
+      (i.toLong, centers(i % 8).zip(noise).map { case (a, b) => a + b })
+    }
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 64).map { q =>
+      val noise = vecFromHash(q.toLong + 50000, 5L, dim)
+      (q.toLong, centers(q % 8).zip(noise).map { case (a, b) => a + b })
+    }.toDF("qid", "qvec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 8, persist = false)
+    val deadPred = col("id") % 8 === 3 || col("id") === 5L
+    val deleted = baseDf.filter(deadPred).select(col("id"))
+    val tombed = HnswRouted.delete(index, deleted)
+    val compacted = HnswRouted.compact(tombed, persist = false)
+    assert(compacted.tombstones.isEmpty)
+    // row accounting: survivors only
+    val survivors = baseDf.filter(!deadPred)
+    assert(HnswRouted.cellStats(compacted).map(_._2).sum == survivors.count())
+    // served result identical to a FRESH routed build of the remainder
+    // (buildCellFresh determinism) and to brute force
+    val freshIdx = HnswRouted.build(survivors, cfg, nCells = 8, persist = false)
+    val servedC = searchRows(compacted, qDf, 10, 8)
+    assert(servedC == searchRows(freshIdx, qDf, 10, 8))
+    assert(servedC.map(t => (t._1, t._2)).toSet == exactOver(qDf, survivors, 10))
+    // untouched cells: graph snapshots structurally unchanged (the
+    // pass-through-by-reference branch; a rebuild would be identical
+    // anyway by determinism, but the contract is "no work off-target")
+    val before = index.shards.collect().toMap
+    val after = compacted.shards.collect().toMap
+    val deadIds = deleted.collect().map(_.getLong(0)).toSet
+    val untouched = before.filter { case (_, s) =>
+      s.vectors.keysIterator.forall(id => !deadIds.contains(id)) }
+    untouched.foreach { case (cell, s) =>
+      assert(after(cell).vectors.keySet == s.vectors.keySet)
+      assert(snapshotSig(after(cell).snapshot) == snapshotSig(s.snapshot),
+        s"cell $cell graph changed")
+    }
+    // freed ids: re-ingest of a deleted id FAILS before compaction
+    // (still in its cell's key set) and SUCCEEDS after
+    val redelivery = base.filter(_._1 == 5L).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      HnswRouted.ingest(tombed, redelivery, persist = false)
+    }
+    assert(e.getMessage.contains("already present"), e.getMessage)
+    val regrown = HnswRouted.ingest(compacted, redelivery, persist = false)
+    assert(HnswRouted.cellStats(regrown).map(_._2).sum == survivors.count() + 1)
+  }
+
+  test("save/attach persists tombstones: the restored index keeps serving the deletion") {
+    val n = 1200
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 40)
+      .map(q => (q.toLong, vecFromHash(q.toLong + 90000, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 8, persist = false)
+    val tombed = HnswRouted.delete(index,
+      baseDf.filter(col("id") % 4 === 0).select(col("id")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed-tomb").toString
+    HnswRouted.save(tombed, dir)
+    val restored = HnswRouted.attach(spark, dir, persist = false)
+    assert(restored.tombstones.toSeq == tombed.tombstones.toSeq)
+    val served = HnswRouted.search(restored, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactOver(qDf, baseDf.filter(col("id") % 4 =!= 0), 10))
+  }
 }
