@@ -392,9 +392,29 @@ object HnswRouted {
       merged.count()
       index.shards.unpersist(blocking = false)
     }
-    RoutedIndex(cfg, router, merged)
+    // the deletion set survives ingest (dropping it would silently
+    // resurrect deleted ids after the next insert batch — caught by
+    // the CDC spec)
+    RoutedIndex(cfg, router, merged, index.tombstones)
     } finally deduped.unpersist(blocking = false)
   }
+
+  /** Which of `ids` are present in the index (any cell) — ONE narrow
+    * broadcast scan over the shard key sets (the ingest guard's
+    * machinery, exposed as a query): the CDC stream uses it to DROP
+    * redelivered ids for idempotence where batch ingest fail-fasts.
+    * `ids` must be sorted ascending; returns a sorted subset. */
+  def presentIds(index: RoutedIndex, ids: Array[Long]): Array[Long] =
+    if (ids.isEmpty) ids
+    else {
+      val idsB = index.shards.sparkContext.broadcast(ids)
+      val hits = index.shards.flatMap { case (_, s) =>
+        val a = idsB.value
+        s.vectors.keysIterator
+          .filter(id => java.util.Arrays.binarySearch(a, id) >= 0)
+      }.collect()
+      java.util.Arrays.sort(hits); hits
+    }
 
   /** Tombstone delete — delete-without-rebuild on the routed tier: adds
     * `ids` to the index's deletion set and returns a new handle SHARING

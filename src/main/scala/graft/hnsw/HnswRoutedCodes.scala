@@ -302,9 +302,28 @@ object HnswRoutedCodes {
         // job rather than racing the async cleaner
         index.shards.unpersist(blocking = true)
       }
-      RoutedCodeIndex(params, seed, index.anchors, merged)
+      // the deletion set survives ingest (see HnswRouted.ingest)
+      RoutedCodeIndex(params, seed, index.anchors, merged, index.tombstones)
     } finally deduped.unpersist(blocking = false)
   }
+
+  /** Which of `ids` (sorted ascending) are present in the index — the
+    * float tier's [[HnswRouted.presentIds]] on the code representation
+    * (one narrow broadcast scan; CDC idempotence). */
+  def presentIds(index: RoutedCodeIndex, ids: Array[Long]): Array[Long] =
+    if (ids.isEmpty) ids
+    else {
+      val idsB = index.shards.sparkContext.broadcast(ids)
+      val hits = index.shards.flatMap { case (_, s) =>
+        val a = idsB.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        s.codes.foreach { (id, _) =>
+          if (java.util.Arrays.binarySearch(a, id) >= 0) out += id
+        }
+        out.iterator
+      }.collect()
+      java.util.Arrays.sort(hits); hits
+    }
 
   /** Tombstone delete-without-rebuild — [[HnswRouted.delete]]'s
     * contract on the code representation: O(set) handle metadata, the

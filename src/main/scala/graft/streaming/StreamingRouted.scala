@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.hnsw.HnswRouted
@@ -59,6 +60,94 @@ object StreamingRouted {
             HnswRouted.save(handle.index, path)
             sinceSave = 0
             unsavedIngests = 0
+          }
+        }
+      }
+      .start()
+  }
+
+  /** CDC streaming against the routed tier: each micro-batch carries
+    * inserts AND deletes — `(id, vec, op)` with op `"insert"` (alias
+    * `"upsert"`) or `"delete"` (`vec` ignored for deletes), the
+    * [[StreamingIngest.attachCdcDurable]] contract re-expressed on the
+    * routed lifecycle primitives. Per batch:
+    *
+    *  1. deletes fold into the handle's tombstone set
+    *     ([[HnswRouted.delete]] — O(set) metadata, serving excludes
+    *     them immediately);
+    *  2. inserts land through [[HnswRouted.ingest]], minus same-batch
+    *     deletes (the CDC "net effect" convention: a delete wins over
+    *     an insert of the same id in one batch), minus currently
+    *     TOMBSTONED ids (dead until compaction folds them out), minus
+    *     ids already LIVE in the index ([[HnswRouted.presentIds]] —
+    *     a redelivered insert is an idempotent no-op where batch
+    *     ingest fail-fasts);
+    *  3. when tombstones reach `compactThreshold` of the index's rows,
+    *     [[HnswRouted.compact]] folds them out mid-stream (affected
+    *     cells only) — after which those ids are REUSABLE (unlike the
+    *     durable tier's permanent deleted_log: the routed tier's
+    *     compaction genuinely erases the id from its cell, so a later
+    *     insert of it is a fresh row, the documented lifecycle).
+    *
+    * Checkpoint cadence as [[attach]]; the tombstone set rides the
+    * saved image, so restart + replay reconstructs deletes too. */
+  def attachCdc(stream: DataFrame, handle: Handle,
+                checkpoint: Option[(String, Int)] = None,
+                compactThreshold: Double = 0.2): StreamingQuery = {
+    var sinceSave = 0
+    var unsavedOps = 0
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val dels = b.filter(col("op") === "delete")
+              .select(col("id").cast("long").as("id")).dropDuplicates("id")
+            val delIds = dels.collect().map(_.getLong(0))
+            java.util.Arrays.sort(delIds)
+            if (delIds.nonEmpty) {
+              handle.index = HnswRouted.delete(handle.index, dels)
+              unsavedOps += 1
+            }
+            val insAll = b.filter(col("op") =!= "delete")
+              .select(col("id").cast("long").as("id"), col("vec"))
+              .dropDuplicates("id")
+            val insIds = insAll.select(col("id")).collect().map(_.getLong(0))
+            java.util.Arrays.sort(insIds)
+            val dead = handle.index.tombstones
+            val live = HnswRouted.presentIds(handle.index, insIds)
+            val dropId: Long => Boolean = id =>
+              java.util.Arrays.binarySearch(delIds, id) >= 0 ||
+                java.util.Arrays.binarySearch(dead, id) >= 0 ||
+                java.util.Arrays.binarySearch(live, id) >= 0
+            val keep = insIds.filterNot(dropId)
+            if (keep.nonEmpty) {
+              // filter DataFrame-side by the kept id set (batch-sized)
+              val keepDf = insAll.sparkSession.createDataset(keep.toSeq)(
+                org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+              handle.index = HnswRouted.ingest(handle.index,
+                insAll.join(org.apache.spark.sql.functions.broadcast(keepDf), Seq("id")))
+              unsavedOps += 1
+            }
+            // threshold compaction: tombstones vs total graph rows (one
+            // nCells-row stats collect, only on batches that deleted)
+            if (delIds.nonEmpty && compactThreshold > 0) {
+              val total = math.max(1L,
+                HnswRouted.cellStats(handle.index).map(_._2).sum)
+              if (handle.index.tombstones.length >= compactThreshold * total) {
+                handle.index = HnswRouted.compact(handle.index)
+                unsavedOps += 1
+              }
+            }
+          } finally { b.unpersist(); () }
+        }
+        sinceSave += 1
+        checkpoint.foreach { case (path, every) =>
+          if (every > 0 && sinceSave >= every && unsavedOps > 0) {
+            HnswRouted.save(handle.index, path)
+            sinceSave = 0
+            unsavedOps = 0
           }
         }
       }

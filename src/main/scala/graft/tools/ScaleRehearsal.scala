@@ -548,6 +548,118 @@ object ScaleRehearsal {
           f"attach_over_build=${attachS / buildS}%.3f parity=${before == after} $tail")
       }
 
+      // ROUTED-DELETE rung (round-14): the serving lifecycle at scale.
+      // Claims measured: (1) delete is O(set) handle metadata — no
+      // index work; (2) tombstone serving costs a bounded overhead
+      // over plain serving (the per-cell predicated loop only escalates
+      // where eligible density is low); (3) compaction cost is
+      // proportional to TOUCHED cells — a cell-local deletion (wipe 3
+      // whole clusters: the "remove one tenant/source" shape) compacts
+      // at ~3/nCells of a rebuild, while a SCATTERED 1% deletion
+      // touches every cell and compacts at ~rebuild cost — the "batch
+      // scattered deletes until amortized" discipline, stated with
+      // numbers; (4) deleted ids never surface (exclusion correctness
+      // at scale).
+      if (ops("routed_delete")) run("ann_routed_delete", n) {
+        import graft.hnsw.{HnswParams, HnswRoutedCodes, HnswSearcher}
+        import spark.implicits._
+        val nCells =
+          if (n >= 100000000) 1024 else if (n >= 10000000) 256 else 64
+        def anchorOf(c: Int): Long =
+          java.lang.Double.doubleToRawLongBits(
+            HnswSearcher.uniformFromHash(c.toLong, 77L))
+        def codeOf(id: Long): Long = {
+          var code = anchorOf((id % nCells).toInt)
+          var k = 0
+          while (k < 12) {
+            val bit = (HnswSearcher.uniformFromHash(id * 13 + k, 13L) * 64).toInt.min(63)
+            code ^= (1L << bit)
+            k += 1
+          }
+          code
+        }
+        val codes = spark.range(n.toLong).as[Long]
+          .map(id => (id, codeOf(id))).toDF("id", "code")
+          .localCheckpoint(true)
+        val params = HnswParams.standard(64, 32, 16)
+        val t0 = System.nanoTime()
+        val index = HnswRoutedCodes.build(codes, params, nCells, seed = 42L)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        println(f"REHEARSAL_PHASE routed_delete n=$n build_s=$buildS%.1f")
+        // survivor queries: members of clusters >= 3 (untouched by the
+        // cell-local deletion below)
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 4000))
+          .filter(_ % nCells >= 3).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, codeOf(id))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        def selfMatch(idx: HnswRoutedCodes.RoutedCodeIndex): (Double, Long) = {
+          val t = System.nanoTime()
+          val self = HnswRoutedCodes.search(idx, qDf, 1, nProbe = 8)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        selfMatch(index) // warm
+        val (plainS, _) = selfMatch(index)
+        // ---- cell-local deletion: wipe clusters 0..2 whole
+        val deadLocal = codes.filter(col("id") % nCells < 3).select(col("id"))
+        val t1 = System.nanoTime()
+        val tombed = HnswRoutedCodes.delete(index, deadLocal)
+        val deleteS = (System.nanoTime() - t1) / 1e9
+        val (tombS, tombSelf) = selfMatch(tombed)
+        // exclusion correctness: members of a wiped cluster must not
+        // find THEMSELVES (their nearest eligible is a survivor)
+        val deadQ = spark.createDataset(
+            (0L until n.toLong by math.max(1L, n.toLong / 500))
+              .filter(_ % nCells == 0).take(500).map(id => (id, codeOf(id))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        val leaked = HnswRoutedCodes.search(tombed, deadQ, 1, nProbe = 8)
+          .filter(col("qid") === col("id")).count()
+        println(f"REHEARSAL_PHASE routed_delete n=$n delete_s=$deleteS%.3f " +
+          f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f leaked=$leaked")
+        // ---- compact the cell-local deletion: ~3/nCells of a rebuild.
+        // unpersistPrior frees the ORIGINAL index as soon as the
+        // compacted copy materializes: this rung otherwise holds up to
+        // four full indexes at once and measures cache thrash, not
+        // compaction (the first 1e7 run read compact ~= rebuild for
+        // exactly that reason)
+        val t2 = System.nanoTime()
+        val compacted = HnswRoutedCodes.compact(tombed)
+        val compactLocalS = (System.nanoTime() - t2) / 1e9
+        val (compS, compSelf) = selfMatch(compacted)
+        println(f"REHEARSAL_PHASE routed_delete n=$n compact_local_s=$compactLocalS%.1f " +
+          f"compact_over_build=${compactLocalS / buildS}%.3f " +
+          f"post_compact_probe8_s=$compS%.2f parity=${compSelf == tombSelf}")
+        // ---- scattered 1% deletion (survivor clusters only): touches
+        // every cell, so compaction degrades to ~rebuild — measured to
+        // state the discipline, not to pass a gate
+        // ~1% of survivors, scattered across ALL cells (97 is coprime
+        // with the power-of-two-ish cluster stride, so every cluster
+        // contributes; note `/` on int columns is DOUBLE division in
+        // Spark SQL — modulo on a quotient would silently select ~0 rows)
+        val deadScatter = codes
+          .filter(col("id") % nCells >= 3 && col("id") % 97 === 0)
+          .select(col("id"))
+        val tombed2 = HnswRoutedCodes.delete(compacted, deadScatter)
+        val t3 = System.nanoTime()
+        val compacted2 = HnswRoutedCodes.compact(tombed2)
+        val compactScatterS = (System.nanoTime() - t3) / 1e9
+        println(f"REHEARSAL_PHASE routed_delete n=$n compact_scatter_s=$compactScatterS%.1f")
+        compacted2.unpersist()
+        // ---- rebuild reference: fresh build of the cell-local survivors
+        val t4 = System.nanoTime()
+        val rebuilt = HnswRoutedCodes.build(
+          codes.filter(col("id") % nCells >= 3), params, nCells, seed = 42L)
+        val rebuildS = (System.nanoTime() - t4) / 1e9
+        rebuilt.unpersist()
+        (tombSelf, f"build_s=$buildS%.1f delete_s=$deleteS%.3f " +
+          f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f " +
+          f"tomb_overhead=${tombS / plainS}%.2fx leaked=$leaked " +
+          f"compact_local_s=$compactLocalS%.1f compact_scatter_s=$compactScatterS%.1f " +
+          f"rebuild_s=$rebuildS%.1f compact_local_over_rebuild=${compactLocalS / rebuildS}%.3f " +
+          f"compact_scatter_over_rebuild=${compactScatterS / rebuildS}%.3f " +
+          f"self_match=${tombSelf * 100.0 / qIds.length}%.1f%%")
+      }
+
       // AUTO-EF rung (round-13): the density-adaptive in-cell beam's
       // calibration sweep. One DENSE cloud materialized as one cell
       // (nCells=1 — the regime the formula exists for), self-match and
