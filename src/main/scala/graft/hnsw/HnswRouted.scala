@@ -460,8 +460,15 @@ object HnswRouted {
       val compacted = index.shards.mapPartitions({ it =>
         it.map { case (cell, s) =>
           val dead = tombB.value
-          val touched = s.vectors.keysIterator
-            .exists(id => java.util.Arrays.binarySearch(dead, id) >= 0)
+          // probe the SMALLER side: a small delete set against a big
+          // cell is |dead| O(1) map lookups, not |cell| binary searches
+          // (at 1e8 rows / 1e4 deletes that is the difference between
+          // scanning the corpus and scanning the batch)
+          val touched =
+            if (dead.length < s.vectors.size)
+              dead.exists(s.vectors.contains)
+            else s.vectors.keysIterator
+              .exists(id => java.util.Arrays.binarySearch(dead, id) >= 0)
           if (!touched) cell -> s
           else {
             val rows = s.vectors.iterator
@@ -480,6 +487,35 @@ object HnswRouted {
       }
       RoutedIndex(cfg, index.router, compacted, Array.empty)
     }
+
+  /** The drift RECOVERY operator — the global fold the [[driftAudit]]
+    * alarm points at ("retrain + rebuild", since [[ingest]] never
+    * moves centroids): re-train the router on the index's CURRENT
+    * corpus and rebuild from its own shards — no external table
+    * needed. One extraction pass over the shards (tombstones fold out
+    * here, so the deletion set empties like [[compact]]), then the
+    * standard [[build]]: fresh k-means on the live distribution,
+    * histogram/skew guard, ONE shuffle, per-cell construction. Skewed
+    * cells rebalance; split cells may unsplit; `nCells = 0` keeps the
+    * current primary cell count. Exhaustive-regime results are
+    * unchanged by construction (routing never affects the exhaustive
+    * oracle) — what changes is the nProbe-regime recall the drift was
+    * eroding. */
+  def retrain(index: RoutedIndex, nCells: Int = 0, persist: Boolean = true,
+              maxCellRows: Long = DefaultMaxCellRows): RoutedIndex = {
+    val spark = SparkSession.active
+    val n = if (nCells > 0) nCells else index.router.nPrimary
+    val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+    val rows = index.shards.flatMap { case (_, s) =>
+      val dead = tombB.value
+      s.vectors.iterator.filter { case (id, _) =>
+        dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0
+      }
+    }
+    val df = spark.createDataset(rows)(pairEnc).toDF("id", "vec")
+    build(df, index.cfg, n, persist, maxCellRows)
+  }
 
   /** Per-cell occupancy (cell, rows) — the drift audit surface: compare
     * against the build-time histogram to decide when frozen centroids
@@ -908,6 +944,19 @@ object HnswRouted {
       s"${vectors.sparkSession.sparkContext.applicationId}|tomb|$key|" +
         s"$delKey|$nCells|${HnswDistributed.cacheKey(cfg)}")(
       delete(buildCached(vectors, cfg, nCells, key), deleted))
+
+  /** Memoized retrain of the cached grown index — the drift-recovery
+    * handle: the grown corpus re-routes through a freshly trained
+    * quantizer (built from the index's own shards; the grown handle
+    * keeps serving its rows). */
+  def retrainCached(baseVectors: DataFrame, newRows: DataFrame,
+                    cfg: BuildConfig, nCells: Int, key: String): RoutedIndex =
+    memo(
+      s"${baseVectors.sparkSession.sparkContext.applicationId}|retrain|$key|" +
+        s"$nCells|${HnswDistributed.cacheKey(cfg)}")(
+      graft.BuildLedger.timed("hnsw_routed_retrain") {
+        retrain(growCached(baseVectors, newRows, cfg, nCells, key))
+      })
 
   /** Memoized compaction of the cached tombstoned index — the deletion
     * set folded OUT of the graphs (affected cells rebuilt, untouched

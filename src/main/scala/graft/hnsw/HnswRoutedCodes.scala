@@ -307,6 +307,30 @@ object HnswRoutedCodes {
     } finally deduped.unpersist(blocking = false)
   }
 
+  /** Drift recovery — [[HnswRouted.retrain]] on the code
+    * representation: re-train the k-majority anchors on the index's
+    * current corpus and rebuild from its own shards (tombstones fold
+    * out; cells rebalance; `nCells = 0` keeps the current count). */
+  def retrain(index: RoutedCodeIndex, nCells: Int = 0,
+              persist: Boolean = true,
+              maxCellRows: Long = DefaultMaxCellRows,
+              storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex = {
+    val spark = SparkSession.active
+    val n = if (nCells > 0) nCells else index.anchors.length
+    val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+    val rows = index.shards.flatMap { case (_, s) =>
+      val dead = tombB.value
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      s.codes.foreach { (id, c) =>
+        if (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
+          out += ((id, c))
+      }
+      out.iterator
+    }
+    val df = spark.createDataset(rows)(pairEnc).toDF("id", "code")
+    build(df, index.params, n, index.seed, persist, maxCellRows, storage)
+  }
+
   /** Which of `ids` (sorted ascending) are present in the index — the
     * float tier's [[HnswRouted.presentIds]] on the code representation
     * (one narrow broadcast scan; CDC idempotence). */
@@ -357,8 +381,12 @@ object HnswRoutedCodes {
       val compacted = index.shards.mapPartitions({ it =>
         it.map { case (cell, s) =>
           val dead = tombB.value
+          // probe the SMALLER side (see HnswRouted.compact): a small
+          // delete set against a big cell is |dead| O(1) lookups
           var touched = false
-          s.codes.foreach { (id, _) =>
+          if (dead.length < s.codes.size)
+            touched = dead.exists(s.codes.contains)
+          else s.codes.foreach { (id, _) =>
             if (!touched && java.util.Arrays.binarySearch(dead, id) >= 0)
               touched = true
           }

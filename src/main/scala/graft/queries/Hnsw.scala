@@ -178,6 +178,25 @@ object Hnsw {
       HnswRouted.driftAudit(index, tail).orderBy(col("cell"))
     }),
 
+    // The drift RECOVERY path: the grown index (frozen centroids, the
+    // h_routed_drift alarm's subject) re-routes through a freshly
+    // trained quantizer built from the index's OWN shards — no external
+    // table read; tombstones fold out; skewed cells rebalance. The
+    // exhaustive regime is routing-invariant, so the retrained index
+    // answers the SAME exact oracle — what retrain buys is the
+    // nProbe-regime recall drift was eroding (HnswRoutedSpec pins the
+    // rebalance on a planted skew).
+    "h_knn_routed_retrained" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val vecs = vectorsDf(s, dir)
+      val index = HnswRouted.retrainCached(
+        vecs.filter(col("id") % 10 =!= 0), vecs.filter(col("id") % 10 === 0),
+        exactishCfg, nCells = 16, key = dir)
+      HnswRouted.search(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // (An ef0-sweep catalog row was tried and deliberately NOT shipped:
     // at sf scale every cell holds ~n/16 < ef_search vectors, so in-cell
     // search is already exhaustive and the curve reads flat — the
@@ -334,6 +353,27 @@ object Hnsw {
       val qs = codes.filter(col("id") % 25 === 0)
         .select(col("id").as("qid"), col("code").as("qcode"))
       HnswRoutedCodes.search(index, qs, 5, nProbe = 16)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Attribute-filtered ANN on the routed-codes tier ("top-k WHERE
+    // label = 3" at the 1e8-decade representation) — the allow-set is
+    // the label partition's id list, broadcast sorted; escalation +
+    // exact in-cell fallback guarantee the exhaustive regime equals the
+    // label-restricted bit-arithmetic oracle.
+    "h_knn_routed_hamming_filtered" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val index = HnswRoutedCodes.buildCached(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64")
+      val allowed = t(s, dir).filter(col("label") === 3).select(col("vec_id"))
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.searchFiltered(index, qs, allowed, 5, nProbe = 16)
         .select(col("qid"), col("id"), col("hamming"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -533,6 +573,7 @@ object Hnsw {
     "h_knn_routed" -> exactKnnOracle(10),
     "h_knn_routed_attach" -> exactKnnOracle(10),
     "h_knn_routed_grow" -> exactKnnOracle(10),
+    "h_knn_routed_retrained" -> exactKnnOracle(10),
     "h_knn_routed_tombstone" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_routed_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_routed_filtered" -> filteredKnnOracle(10, "label = 3"),
@@ -549,6 +590,9 @@ object Hnsw {
     "h_knn_routed_hamming_grow" -> hammingKnnOracle,
     "h_knn_routed_hamming_tombstone" ->
       hammingKnnOracleWhere("c.vec_id % 7 <> 0"),
+    "h_knn_routed_hamming_filtered" ->
+      hammingKnnOracleWhere(
+        "c.vec_id IN (SELECT vec_id FROM embeddings WHERE label = 3)"),
     "h_knn_routed_hamming_compacted" ->
       hammingKnnOracleWhere("c.vec_id % 7 <> 0"),
     "h_match_self" ->

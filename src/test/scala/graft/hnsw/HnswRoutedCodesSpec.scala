@@ -309,6 +309,32 @@ class HnswRoutedCodesSpec extends SparkSpec {
       .collect().sum == survivors.count() + 1)
   }
 
+  test("retrain rebuilds from the index's own shards: tombstones fold, parity holds, ids free") {
+    val n = 1500
+    val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+    val baseDf = base.toDF("id", "code")
+    val qDf = (0 until 40).map(q => (q.toLong, codeOf(q.toLong + 80000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(baseDf, params, nCells = 8,
+      seed = 42L, persist = false)
+    val tombed = HnswRoutedCodes.delete(index,
+      baseDf.filter(col("id") % 6 === 0).select(col("id")))
+    val retrained = HnswRoutedCodes.retrain(tombed, persist = false)
+    assert(retrained.tombstones.isEmpty)
+    assert(retrained.anchors.length == 8)
+    val survivors = baseDf.filter(col("id") % 6 =!= 0)
+    assert(retrained.shards.map { case (_, s) => s.codes.size.toLong }
+      .collect().sum == survivors.count())
+    val served = HnswRoutedCodes.search(retrained, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactHamming(qDf, survivors, 10))
+    val regrown = HnswRoutedCodes.ingest(retrained,
+      base.filter(_._1 == 0L).toDF("id", "code"), persist = false)
+    assert(regrown.shards.map { case (_, s) => s.codes.size.toLong }
+      .collect().sum == survivors.count() + 1)
+  }
+
   test("save/attach persists the deletion set (restart keeps serving accepted deletes)") {
     val n = 1200
     val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))

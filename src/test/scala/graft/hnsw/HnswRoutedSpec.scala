@@ -477,6 +477,50 @@ class HnswRoutedSpec extends SparkSpec {
     assert(HnswRouted.cellStats(regrown).map(_._2).sum == survivors.count() + 1)
   }
 
+  test("retrain: fresh router on the live corpus rebalances drifted mass and folds tombstones out") {
+    // build on a BALANCED 8-cluster corpus, then ingest a tail that all
+    // lands in cluster 3 — the frozen router crams it into one cell
+    // (the drift the audit alarms on); retrain re-runs k-means on the
+    // current corpus, so the dense region earns multiple cells and the
+    // max cell shrinks — the rebalance that bounds per-cell memory and
+    // build/search cost
+    val dim = 16
+    val centers = (0 until 8).map(c => vecFromHash(c.toLong, 77L, dim).map(_ * 10f))
+    def member(c: Int, i: Long) = {
+      val noise = vecFromHash(i, 3L, dim)
+      centers(c).zip(noise).map { case (a, b) => a + b }
+    }
+    val base = (0 until 800).map(i => (i.toLong, member(i % 8, i.toLong)))
+    val tail = (800 until 1600).map(i => (i.toLong, member(3, i.toLong)))
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg, nCells = 8,
+      persist = false)
+    val grown = HnswRouted.ingest(index, tail.toDF("id", "vec"), persist = false)
+    val maxBefore = HnswRouted.cellStats(grown).map(_._2).max
+    assert(maxBefore >= 850L, s"planted skew missing: $maxBefore") // ~100 + 800
+    // delete a slice so retrain also proves the tombstone fold
+    val tombed = HnswRouted.delete(grown,
+      base.filter(_._1 % 10 == 0).map(_._1).toDF("id"))
+    val retrained = HnswRouted.retrain(tombed, persist = false)
+    assert(retrained.tombstones.isEmpty)
+    val stats = HnswRouted.cellStats(retrained)
+    val survivors = (base ++ tail).filterNot(r => r._1 < 800 && r._1 % 10 == 0)
+    assert(stats.map(_._2).sum == survivors.length)
+    assert(stats.map(_._2).max < maxBefore,
+      s"retrain did not rebalance: max ${stats.map(_._2).max} vs $maxBefore")
+    // exhaustive parity over the survivors (routing never changes the
+    // exhaustive answer; the fold must have excluded exactly the dead)
+    val qDf = (0 until 50).map { q =>
+      (q.toLong, member(q % 8, q.toLong + 50000)) }.toDF("qid", "qvec")
+    val served = HnswRouted.search(retrained, qDf, 10, nProbe = 8)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactOver(qDf, survivors.toDF("id", "vec"), 10))
+    // freed id re-ingests
+    val regrown = HnswRouted.ingest(retrained,
+      Seq((0L, member(0, 0L))).toDF("id", "vec"), persist = false)
+    assert(HnswRouted.cellStats(regrown).map(_._2).sum == survivors.length + 1)
+  }
+
   test("save/attach persists tombstones: the restored index keeps serving the deletion") {
     val n = 1200
     val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
