@@ -684,37 +684,54 @@ object HnswRouted {
             (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
               (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
           val cellN = m.vectors.size
-          probes.iterator.flatMap { case (qid, qvec) =>
+          // eligibility CENSUS, once per shard (not per query): a cell
+          // with zero eligible ids skips every probe outright, and a
+          // cell whose eligible set is smaller than the initial beam
+          // goes straight to the exact scan — without this, a highly
+          // selective predicate pays multiple full escalating beams
+          // per query in cells that can never answer
+          val eligibleCount: Int =
+            if (hasAllow) allow.count(id => m.vectors.contains(id) &&
+              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+            else if (dead.length == 0) cellN
+            else cellN - dead.count(m.vectors.contains)
+          def exactScan(qid: Long, q: Long): List[(Long, Long, Double)] = {
+            val eligIter =
+              if (hasAllow) allow.iterator.filter(m.vectors.contains)
+              else m.vectors.keysIterator
+            val exact = eligIter.filter(eligible)
+              .map(id => (id, qStore.evalDistance(q, id))).toArray
+            exact.sortBy { case (id, d) => (d, id) }.take(k)
+              .iterator.map { case (id, d) => (qid, id, d) }.toList
+          }
+          val kp0 = math.max(4 * k, ef)
+          if (eligibleCount == 0) Iterator.empty
+          else probes.iterator.flatMap { case (qid, qvec) =>
             val q = qStore.prepareQueryWithId(-1L, qvec)
-            var kp = math.max(4 * k, ef)
-            var out: List[(Long, Long, Double)] = Nil
-            var done = cellN == 0 || (hasAllow && allow.length == 0)
-            while (!done) {
-              val w = searcher.searchWithEf(qStore, m.snapshot, q, kp, kp)
-              // queue order is total on (dist, id) — the filtered prefix
-              // carries the oracle's tie-breaking
-              val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
-              if (hits.length >= k) {
-                out = hits.map(nb => (qid, nb.dst, nb.dist))
-                done = true
-              } else if (kp >= cellN) {
-                // the beam spanned the cell and still came up short. A
-                // graph WALK can miss a vertex that lost every in-edge
-                // to M_max re-trimming, so an ef=cellN beam is not a
-                // completeness proof — finish with an exact scan over
-                // the cell's eligible ids (O(|eligible ∩ cell|) distance
-                // evals, still executor-local)
-                val eligIter =
-                  if (hasAllow) allow.iterator.filter(m.vectors.contains)
-                  else m.vectors.keysIterator
-                val exact = eligIter.filter(eligible)
-                  .map(id => (id, qStore.evalDistance(q, id))).toArray
-                out = exact.sortBy { case (id, d) => (d, id) }.take(k)
-                  .iterator.map { case (id, d) => (qid, id, d) }.toList
-                done = true
-              } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
+            if (eligibleCount <= kp0) exactScan(qid, q)
+            else {
+              var kp = kp0
+              var out: List[(Long, Long, Double)] = Nil
+              var done = false
+              while (!done) {
+                val w = searcher.searchWithEf(qStore, m.snapshot, q, kp, kp)
+                // queue order is total on (dist, id) — the filtered prefix
+                // carries the oracle's tie-breaking
+                val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
+                if (hits.length >= k) {
+                  out = hits.map(nb => (qid, nb.dst, nb.dist))
+                  done = true
+                } else if (kp >= cellN) {
+                  // the beam spanned the cell and still came up short. A
+                  // graph WALK can miss a vertex that lost every in-edge
+                  // to M_max re-trimming, so an ef=cellN beam is not a
+                  // completeness proof — finish exact
+                  out = exactScan(qid, q)
+                  done = true
+                } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
+              }
+              out
             }
-            out
           }
         }
       }

@@ -608,39 +608,54 @@ object HnswRoutedCodes {
             (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
               (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
           val cellN = m.codes.size
-          probes.iterator.flatMap { case (qid, qc) =>
-            store.stage(-1L, qc)
-            var kp = math.max(4 * k, ef)
-            var out: List[(Long, Long, Int)] = Nil
-            var done = cellN == 0 || (hasAllow && allow.length == 0)
-            while (!done) {
-              val w = searcher.searchWithEf(store, m.snapshot, -1L, kp, kp)
-              val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
-              if (hits.length >= k) {
-                out = hits.map(nb => (qid, nb.dst, nb.dist.toInt))
-                done = true
-              } else if (kp >= cellN) {
-                // beam spanned the cell; finish with an exact scan over
-                // the cell's eligible codes (a walk can miss a vertex
-                // orphaned by M_max re-trimming)
-                val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-                if (hasAllow) {
-                  var i = 0
-                  while (i < allow.length) {
-                    val id = allow(i)
-                    if (m.codes.contains(id) && eligible(id))
-                      exact += ((id, hamming(qc, m.codes(id))))
-                    i += 1
-                  }
-                } else m.codes.foreach { (id, c) =>
-                  if (eligible(id)) exact += ((id, hamming(qc, c)))
-                }
-                out = exact.toArray.sortBy { case (id, d) => (d, id) }.take(k)
-                  .iterator.map { case (id, d) => (qid, id, d) }.toList
-                done = true
-              } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
+          // eligibility census once per shard (see HnswRouted.searchImpl):
+          // empty cells skip all probes; cells with fewer eligible ids
+          // than the initial beam go straight to the exact scan
+          val eligibleCount: Int =
+            if (hasAllow) allow.count(id => m.codes.contains(id) &&
+              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+            else if (dead.length == 0) cellN
+            else cellN - dead.count(m.codes.contains)
+          def exactScan(qid: Long, qc: Long): List[(Long, Long, Int)] = {
+            val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+            if (hasAllow) {
+              var i = 0
+              while (i < allow.length) {
+                val id = allow(i)
+                if (m.codes.contains(id) && eligible(id))
+                  exact += ((id, hamming(qc, m.codes(id))))
+                i += 1
+              }
+            } else m.codes.foreach { (id, c) =>
+              if (eligible(id)) exact += ((id, hamming(qc, c)))
             }
-            out
+            exact.toArray.sortBy { case (id, d) => (d, id) }.take(k)
+              .iterator.map { case (id, d) => (qid, id, d) }.toList
+          }
+          val kp0 = math.max(4 * k, ef)
+          if (eligibleCount == 0) Iterator.empty
+          else probes.iterator.flatMap { case (qid, qc) =>
+            store.stage(-1L, qc)
+            if (eligibleCount <= kp0) exactScan(qid, qc)
+            else {
+              var kp = kp0
+              var out: List[(Long, Long, Int)] = Nil
+              var done = false
+              while (!done) {
+                val w = searcher.searchWithEf(store, m.snapshot, -1L, kp, kp)
+                val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
+                if (hits.length >= k) {
+                  out = hits.map(nb => (qid, nb.dst, nb.dist.toInt))
+                  done = true
+                } else if (kp >= cellN) {
+                  // beam spanned the cell; finish exact (a walk can miss
+                  // a vertex orphaned by M_max re-trimming)
+                  out = exactScan(qid, qc)
+                  done = true
+                } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
+              }
+              out
+            }
           }
         }
       }
