@@ -695,20 +695,44 @@ object HnswRouted {
               (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
             else if (dead.length == 0) cellN
             else cellN - dead.count(m.vectors.contains)
+          // materialized ONCE per shard, and only if some query needs
+          // an exact scan: without this every exact-scanning query
+          // re-filtered the whole cell (O(cellN log dead) per query —
+          // measured as a 2.5x serving tax concentrated in the
+          // mostly-dead cells' tasks); with it the scan is O(eligible)
+          // per query as intended
+          lazy val eligibleIds: Array[Long] = {
+            val b = Array.newBuilder[Long]
+            if (hasAllow)
+              allow.foreach(id => if (m.vectors.contains(id) && eligible(id)) b += id)
+            else m.vectors.keysIterator.filter(eligible).foreach(b += _)
+            b.result()
+          }
           def exactScan(qid: Long, q: Long): List[(Long, Long, Double)] = {
-            val eligIter =
-              if (hasAllow) allow.iterator.filter(m.vectors.contains)
-              else m.vectors.keysIterator
-            val exact = eligIter.filter(eligible)
-              .map(id => (id, qStore.evalDistance(q, id))).toArray
+            val exact = eligibleIds
+              .map(id => (id, qStore.evalDistance(q, id)))
             exact.sortBy { case (id, d) => (d, id) }.take(k)
               .iterator.map { case (id, d) => (qid, id, d) }.toList
           }
           val kp0 = math.max(4 * k, ef)
           if (eligibleCount == 0) Iterator.empty
+          else if (eligibleCount == cellN)
+            // every member eligible -> the filter is the identity:
+            // serve on the unmodified plain kernel (cell-local
+            // deletions cost ~nothing on untouched cells; see the
+            // codes tier's note on the measured wrapper tax)
+            probes.iterator.flatMap { case (qid, qvec) =>
+              val q = qStore.prepareQueryWithId(-1L, qvec)
+              searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
+                .iterator.map(nb => (qid, nb.dst, nb.dist))
+            }
           else probes.iterator.flatMap { case (qid, qvec) =>
             val q = qStore.prepareQueryWithId(-1L, qvec)
-            if (eligibleCount <= kp0) exactScan(qid, q)
+            // density-aware cutover (see the codes tier's note): a
+            // low-eligible-fraction cell defeats the beam — nearly
+            // every query escalates to the full cell width — while the
+            // exact scan is O(eligible) per query
+            if (eligibleCount <= math.max(kp0, cellN / 4)) exactScan(qid, q)
             else {
               var kp = kp0
               var out: List[(Long, Long, Double)] = Nil

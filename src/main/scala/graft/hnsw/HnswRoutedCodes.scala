@@ -616,27 +616,50 @@ object HnswRoutedCodes {
               (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
             else if (dead.length == 0) cellN
             else cellN - dead.count(m.codes.contains)
+          // once per shard, only if needed (see HnswRouted.searchImpl:
+          // per-query whole-cell re-filtering was a measured 2.5x tax)
+          lazy val eligibleIds: Array[Long] = {
+            val b = Array.newBuilder[Long]
+            if (hasAllow)
+              allow.foreach(id => if (m.codes.contains(id) && eligible(id)) b += id)
+            else m.codes.foreach { (id, _) => if (eligible(id)) b += id }
+            b.result()
+          }
           def exactScan(qid: Long, qc: Long): List[(Long, Long, Int)] = {
-            val exact = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-            if (hasAllow) {
-              var i = 0
-              while (i < allow.length) {
-                val id = allow(i)
-                if (m.codes.contains(id) && eligible(id))
-                  exact += ((id, hamming(qc, m.codes(id))))
-                i += 1
-              }
-            } else m.codes.foreach { (id, c) =>
-              if (eligible(id)) exact += ((id, hamming(qc, c)))
-            }
-            exact.toArray.sortBy { case (id, d) => (d, id) }.take(k)
+            val exact = eligibleIds
+              .map(id => (id, hamming(qc, m.codes(id))))
+            exact.sortBy { case (id, d) => (d, id) }.take(k)
               .iterator.map { case (id, d) => (qid, id, d) }.toList
           }
           val kp0 = math.max(4 * k, ef)
           if (eligibleCount == 0) Iterator.empty
+          else if (eligibleCount == cellN)
+            // every member of this cell is eligible (no dead id lives
+            // here; any allow-set covers it), so the predicated filter
+            // is the identity — serve on the UNMODIFIED plain kernel.
+            // This makes cell-local deletions cost ~nothing on the
+            // untouched cells, which is almost all of them (measured:
+            // the predicated wrapper around the same beam ran ~40%
+            // slower at 47k tombstones even though the beam parameters
+            // are identical — profile/cache effects in the wrapper; the
+            // plain path sidesteps the question entirely)
+            probes.iterator.flatMap { case (qid, qc) =>
+              store.stage(-1L, qc)
+              searcher.searchWithEf(store, m.snapshot, -1L, k, ef)
+                .iterator.map(nb => (qid, nb.dst, nb.dist.toInt))
+            }
           else probes.iterator.flatMap { case (qid, qc) =>
             store.stage(-1L, qc)
-            if (eligibleCount <= kp0) exactScan(qid, qc)
+            // density-aware cutover, not just absolute count: a cell
+            // whose eligible FRACTION is low defeats the beam — the
+            // top-kp0 of a 98%-dead cell holds ~no eligible ids, so
+            // nearly every query escalated to the full cell width
+            // (measured: a wiped cell with 274 of 15900 eligible
+            // stragglers ran 455 escalations for 320 queries — a 1.4 s
+            // straggler task that serialized the whole serve). The
+            // exact scan is O(eligible) per query and wins decisively
+            // below ~25% density.
+            if (eligibleCount <= math.max(kp0, cellN / 4)) exactScan(qid, qc)
             else {
               var kp = kp0
               var out: List[(Long, Long, Int)] = Nil

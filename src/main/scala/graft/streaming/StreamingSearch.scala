@@ -97,4 +97,33 @@ object StreamingSearch {
         sink(searchDurableBatch(batch, store, vectorsOf, k, ef, metricName), batchId)
       }
       .start()
+
+  /** One routed serving micro-batch: answered from the live
+    * [[StreamingRouted.Handle]] — search reads the handle's CURRENT
+    * index (volatile), so a query batch interleaved with CDC
+    * ingest/delete batches sees the state at batch time, tombstones
+    * excluded by the predicated kernel. An empty batch serves nothing;
+    * an index is always non-empty here (the handle wraps a built
+    * index). */
+  def searchRoutedBatch(batch: DataFrame, handle: StreamingRouted.Handle,
+                        k: Int, nProbe: Int): DataFrame = {
+    val qs = batch.select(col("id").as("qid"), col("vec").as("qvec"))
+    graft.hnsw.HnswRouted.search(handle.index, qs, k, nProbe)
+      .select(col("qid"), col("id"), col("dist").cast("double"),
+        col("rank").cast("int"))
+  }
+
+  /** Attach a query stream to a live routed handle — the serving
+    * complement of [[StreamingRouted.attachCdc]]: insert, delete, and
+    * query streams interleave against one routed index (the scale
+    * tier's coroutine interleave). */
+  def attachRouted(queryStream: DataFrame, handle: StreamingRouted.Handle,
+                   k: Int, nProbe: Int)
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(searchRoutedBatch(batch, handle, k, nProbe), batchId)
+      }
+      .start()
 }

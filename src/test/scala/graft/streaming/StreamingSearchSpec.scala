@@ -115,4 +115,42 @@ class StreamingSearchSpec extends SparkSpec {
         "durable served top-k must equal brute force over the non-tombstoned corpus")
     } finally q.stop()
   }
+
+  test("routed serving stream interleaves with CDC: queries see the state at batch time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.hnsw.HnswRouted
+    val base = vecsOf(600)
+    val handle = new StreamingRouted.Handle(
+      HnswRouted.build(base.toDF("id", "vec"), cfg, nCells = 4))
+    val cdcMem = MemoryStream[(Long, Array[Float], String)]
+    val queryMem = MemoryStream[(Long, Array[Float])]
+    val results = scala.collection.mutable.Map.empty[Long, Map[(Long, Int), Long]]
+    val cdcQ = StreamingRouted.attachCdc(
+      cdcMem.toDF().toDF("id", "vec", "op"), handle, compactThreshold = 1.0)
+    val serveQ = StreamingSearch.attachRouted(
+      queryMem.toDF().toDF("id", "vec"), handle, k = 5, nProbe = 4) {
+      (res, bid) => results(bid) = served(res) }
+    try {
+      val queries = vecsOf(8, offset = 40000L)
+      // serve against the seed state
+      queryMem.addData(queries: _*); serveQ.processAllAvailable()
+      val before = results.maxBy(_._1)._2
+      assert(before == served(ExactKnn.search(
+        queries.toDF("qid", "qvec"), base.toDF("id", "vec"), 5, "cosine")))
+      // CDC: delete a slice, insert a tail — the NEXT query batch must
+      // reflect both (exclusion via tombstones, inclusion via ingest)
+      val tail = vecsOf(100, offset = 1000L)
+      cdcMem.addData(
+        tail.map { case (id, v) => (id, v, "insert") } ++
+          (0 until 50).map(i => (i.toLong, base.head._2, "delete")): _*)
+      cdcQ.processAllAvailable()
+      queryMem.addData(queries: _*); serveQ.processAllAvailable()
+      val after = results.maxBy(_._1)._2
+      val corpus = base.filter(_._1 >= 50) ++ tail
+      assert(after == served(ExactKnn.search(
+        queries.toDF("qid", "qvec"), corpus.toDF("id", "vec"), 5, "cosine")),
+        "post-CDC serving must equal brute force over the evolved corpus")
+    } finally { cdcQ.stop(); serveQ.stop(); handle.index.unpersist() }
+  }
 }
