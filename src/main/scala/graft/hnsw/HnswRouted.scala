@@ -708,11 +708,25 @@ object HnswRouted {
             else m.vectors.keysIterator.filter(eligible).foreach(b += _)
             b.result()
           }
+          // k-bounded selection, not a full sort: sorting all eligible
+          // ids as boxed tuples per query cost ~10 ms at 15k eligible —
+          // the admission test rejects almost every candidate with one
+          // primitive compare, and the queue keeps the oracle's total
+          // (dist, id) order at the boundary
           def exactScan(qid: Long, q: Long): List[(Long, Long, Double)] = {
-            val exact = eligibleIds
-              .map(id => (id, qStore.evalDistance(q, id)))
-            exact.sortBy { case (id, d) => (d, id) }.take(k)
-              .iterator.map { case (id, d) => (qid, id, d) }.toList
+            val fq = new FurthestQueue()
+            var i = 0
+            while (i < eligibleIds.length) {
+              val id = eligibleIds(i)
+              val d = qStore.evalDistance(q, id)
+              if (fq.size < k || d < fq.furthestDist ||
+                  (d == fq.furthestDist && id < fq.dstAt(fq.size - 1))) {
+                fq.insert(id, d)
+                fq.trimToKNearest(k)
+              }
+              i += 1
+            }
+            fq.iterator.map(nb => (qid, nb.dst, nb.dist)).toList
           }
           val kp0 = math.max(4 * k, ef)
           if (eligibleCount == 0) Iterator.empty
@@ -729,32 +743,27 @@ object HnswRouted {
           else probes.iterator.flatMap { case (qid, qvec) =>
             val q = qStore.prepareQueryWithId(-1L, qvec)
             // density-aware cutover (see the codes tier's note): a
-            // low-eligible-fraction cell defeats the beam — nearly
-            // every query escalates to the full cell width — while the
+            // low-eligible-fraction cell defeats the beam — while the
             // exact scan is O(eligible) per query
             if (eligibleCount <= math.max(kp0, cellN / 4)) exactScan(qid, q)
             else {
-              var kp = kp0
-              var out: List[(Long, Long, Double)] = Nil
-              var done = false
-              while (!done) {
-                val w = searcher.searchWithEf(qStore, m.snapshot, q, kp, kp)
-                // queue order is total on (dist, id) — the filtered prefix
-                // carries the oracle's tie-breaking
-                val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
-                if (hits.length >= k) {
-                  out = hits.map(nb => (qid, nb.dst, nb.dist))
-                  done = true
-                } else if (kp >= cellN) {
-                  // the beam spanned the cell and still came up short. A
-                  // graph WALK can miss a vertex that lost every in-edge
-                  // to M_max re-trimming, so an ef=cellN beam is not a
-                  // completeness proof — finish exact
-                  out = exactScan(qid, q)
-                  done = true
-                } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
-              }
-              out
+              // ONE overfetched beam, then exact — never escalate
+              // in-cell. Escalation is the BROADCAST tier's discipline,
+              // where "exact" means a corpus-wide scan; per cell the
+              // exact scan is bounded by cellN and costs less than one
+              // 4x re-beam. The regime that needs this is GEOMETRIC
+              // eligibility clustering the density census cannot see: a
+              // merged cell holding a dead cluster beside a live one
+              // reads 50% eligible cell-wide, but a query arriving near
+              // the dead cluster has ~zero eligible among its nearest —
+              // measured as ~3 escalations per query, 39 s in one task,
+              // before this cutover.
+              val w = searcher.searchWithEf(qStore, m.snapshot, q, kp0, kp0)
+              // queue order is total on (dist, id) — the filtered prefix
+              // carries the oracle's tie-breaking
+              val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
+              if (hits.length >= k) hits.map(nb => (qid, nb.dst, nb.dist))
+              else exactScan(qid, q)
             }
           }
         }

@@ -625,11 +625,22 @@ object HnswRoutedCodes {
             else m.codes.foreach { (id, _) => if (eligible(id)) b += id }
             b.result()
           }
+          // k-bounded selection, not a full sort (see
+          // HnswRouted.searchImpl's note)
           def exactScan(qid: Long, qc: Long): List[(Long, Long, Int)] = {
-            val exact = eligibleIds
-              .map(id => (id, hamming(qc, m.codes(id))))
-            exact.sortBy { case (id, d) => (d, id) }.take(k)
-              .iterator.map { case (id, d) => (qid, id, d) }.toList
+            val fq = new FurthestQueue()
+            var i = 0
+            while (i < eligibleIds.length) {
+              val id = eligibleIds(i)
+              val d = hamming(qc, m.codes(id)).toDouble
+              if (fq.size < k || d < fq.furthestDist ||
+                  (d == fq.furthestDist && id < fq.dstAt(fq.size - 1))) {
+                fq.insert(id, d)
+                fq.trimToKNearest(k)
+              }
+              i += 1
+            }
+            fq.iterator.map(nb => (qid, nb.dst, nb.dist.toInt)).toList
           }
           val kp0 = math.max(4 * k, ef)
           if (eligibleCount == 0) Iterator.empty
@@ -661,23 +672,15 @@ object HnswRoutedCodes {
             // below ~25% density.
             if (eligibleCount <= math.max(kp0, cellN / 4)) exactScan(qid, qc)
             else {
-              var kp = kp0
-              var out: List[(Long, Long, Int)] = Nil
-              var done = false
-              while (!done) {
-                val w = searcher.searchWithEf(store, m.snapshot, -1L, kp, kp)
-                val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
-                if (hits.length >= k) {
-                  out = hits.map(nb => (qid, nb.dst, nb.dist.toInt))
-                  done = true
-                } else if (kp >= cellN) {
-                  // beam spanned the cell; finish exact (a walk can miss
-                  // a vertex orphaned by M_max re-trimming)
-                  out = exactScan(qid, qc)
-                  done = true
-                } else kp = math.min(cellN.toLong, kp.toLong * 4L).toInt
-              }
-              out
+              // ONE overfetched beam, then exact — never escalate
+              // in-cell (see HnswRouted.searchImpl: geometric
+              // eligibility clustering defeats any cell-wide density
+              // census, and the per-cell exact scan costs less than
+              // one 4x re-beam)
+              val w = searcher.searchWithEf(store, m.snapshot, -1L, kp0, kp0)
+              val hits = w.iterator.filter(nb => eligible(nb.dst)).take(k).toList
+              if (hits.length >= k) hits.map(nb => (qid, nb.dst, nb.dist.toInt))
+              else exactScan(qid, qc)
             }
           }
         }

@@ -701,6 +701,80 @@ object ScaleRehearsal {
           f"self_match=${tombSelf * 100.0 / qIds.length}%.1f%%")
       }
 
+      // FLOAT twin of the routed_delete rung (same lifecycle, 256 B
+      // vectors instead of 8 B codes — the memory-heavy tier where the
+      // compaction copy-through costs proportionally more).
+      if (ops("routed_delete_float")) run("ann_routed_delete_float", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = if (n >= 10000000) 256 else 64
+        def centerOf(c: Int): Array[Float] =
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat)
+        def vecOf(id: Long): Array[Float] = {
+          val c = centerOf((id % nCells).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val t0 = System.nanoTime()
+        val index = HnswRouted.build(vecs, cfg, nCells)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        println(f"REHEARSAL_PHASE routed_delete_float n=$n build_s=$buildS%.1f")
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 4000))
+          .filter(_ % nCells >= 3).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def selfMatch(idx: HnswRouted.RoutedIndex): (Double, Long) = {
+          val t = System.nanoTime()
+          val self = HnswRouted.search(idx, qDf, 1, nProbe = 8)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        selfMatch(index) // warm
+        val plainS = math.min(selfMatch(index)._1, selfMatch(index)._1)
+        val deadLocal = vecs.filter(col("id") % nCells < 3).select(col("id"))
+        val t1 = System.nanoTime()
+        val tombed = HnswRouted.delete(index, deadLocal)
+        val deleteS = (System.nanoTime() - t1) / 1e9
+        selfMatch(tombed) // warm the predicated path
+        val r1 = selfMatch(tombed); val r2 = selfMatch(tombed)
+        val (tombS, tombSelf) = if (r1._1 <= r2._1) r1 else r2
+        val deadQ = spark.createDataset(
+            (0L until n.toLong by math.max(1L, n.toLong / 500))
+              .filter(_ % nCells == 0).take(500).map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val leaked = HnswRouted.search(tombed, deadQ, 1, nProbe = 8)
+          .filter(col("qid") === col("id")).count()
+        val t2 = System.nanoTime()
+        val compacted = HnswRouted.compact(tombed)
+        val compactS = (System.nanoTime() - t2) / 1e9
+        val (compS, compSelf) = selfMatch(compacted)
+        val t4 = System.nanoTime()
+        val rebuilt = HnswRouted.build(
+          vecs.filter(col("id") % nCells >= 3), cfg, nCells)
+        val rebuildS = (System.nanoTime() - t4) / 1e9
+        rebuilt.unpersist(); compacted.unpersist()
+        // NOTE: unlike the codes rung's tight 12-flip clusters, float
+        // ANN-regime self-match legitimately differs a little between
+        // tombstone serving (original graphs, dead conduct) and the
+        // compacted rebuild (different graphs) — report both counts,
+        // not a boolean that reads like a failure
+        (tombSelf, f"build_s=$buildS%.1f delete_s=$deleteS%.3f " +
+          f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f " +
+          f"tomb_overhead=${tombS / plainS}%.2fx leaked=$leaked " +
+          f"compact_local_s=$compactS%.1f rebuild_s=$rebuildS%.1f " +
+          f"compact_over_rebuild=${compactS / rebuildS}%.3f " +
+          f"post_compact_probe8_s=$compS%.2f " +
+          f"self_tomb=${tombSelf * 100.0 / qIds.length}%.1f%% " +
+          f"self_compacted=${compSelf * 100.0 / qIds.length}%.1f%%")
+      }
+
       // AUTO-EF rung (round-13): the density-adaptive in-cell beam's
       // calibration sweep. One DENSE cloud materialized as one cell
       // (nCells=1 — the regime the formula exists for), self-match and
