@@ -31,6 +31,9 @@ object HnswCodes {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, CodeModel]()
 
+  /** Release the model memo (see [[IndexCaches]]) — pure heap state. */
+  private[hnsw] def releaseCaches(): Unit = modelCache.clear()
+
   def buildCached(codes: DataFrame, params: HnswParams, seed: Long,
                   key: String, batched: Boolean = false): CodeModel =
     modelCache.computeIfAbsent(

@@ -519,6 +519,15 @@ object HnswDistributed {
   private val compactCache =
     new java.util.concurrent.ConcurrentHashMap[String, HnswModel]()
 
+  /** Release every memoized handle (see [[IndexCaches]]): persisted
+    * shard RDDs unpersist, model maps clear — a later re-hit rebuilds. */
+  private[hnsw] def releaseCaches(): Unit = {
+    shardCache.values.forEach(_.unpersist())
+    shardCache.clear()
+    modelCache.clear()
+    compactCache.clear()
+  }
+
   def compactModelCached(model: HnswModel, deleted: DataFrame,
                          key: String): HnswModel =
     compactCache.computeIfAbsent(key, _ =>

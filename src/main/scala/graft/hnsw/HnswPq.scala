@@ -44,6 +44,9 @@ object HnswPq {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqServingModel]()
 
+  /** Release the model memo (see [[IndexCaches]]) — pure heap state. */
+  private[hnsw] def releaseCaches(): Unit = modelCache.clear()
+
   /** Derive the serving model from a built l2 HNSW model: train the
     * codebook on the indexed vectors and encode them driver-side. Memoized
     * per source key (the [[HnswDistributed.buildCached]] pattern); the

@@ -350,6 +350,26 @@ object HnswRouted {
     val batchIds = deduped.select(col("id"))
       .as(Encoders.scalaLong).collect()
     java.util.Arrays.sort(batchIds)
+    // TOMBSTONE guard (driver-side, O(min set) — no job): a tombstoned
+    // id's vertex was compacted out of (or is dead in) its cell, so the
+    // shard-key clash scan below cannot see it — without this check a
+    // deleted-then-absent id would ingest into a cell, stay invisible
+    // to search (still tombstoned), and be silently ERASED by the next
+    // compact. Batch ingest fail-fasts (its posture everywhere); the
+    // CDC stream is the lenient path that filters instead.
+    locally {
+      val dead = index.tombstones
+      val resurrect =
+        if (dead.length < batchIds.length)
+          dead.filter(id => java.util.Arrays.binarySearch(batchIds, id) >= 0)
+        else batchIds.filter(id => java.util.Arrays.binarySearch(dead, id) >= 0)
+      require(resurrect.isEmpty,
+        s"routed ingest: ${resurrect.length} batch id(s) are tombstoned " +
+          s"(e.g. id ${resurrect.headOption.getOrElse(-1L)}) — inserting " +
+          "them now would land rows that search excludes and the next " +
+          "compact erases. Run compact() first (frees the ids), or route " +
+          "through the CDC stream, which filters tombstoned inserts")
+    }
     val idsB = spark.sparkContext.broadcast(batchIds)
     val clashes = index.shards.flatMap { case (cell, s) =>
       val ids = idsB.value
@@ -426,8 +446,13 @@ object HnswRouted {
     * edges remain — standard soft delete). A deleted id cannot be
     * re-[[ingest]]ed until [[compact]] folds it out of its cell (the
     * ingest guard still sees it in the shard's key set — by design: the
-    * graph still holds the old vector). Deleting ids absent from the
-    * index is a no-op semantically (membership is never required). */
+    * graph still holds the old vector). Deleting an id ABSENT from the
+    * index is accepted (membership is never checked) but is NOT a pure
+    * no-op: the id joins the deletion set, so a later [[ingest]] of it
+    * fail-fasts until [[compact]] clears the set — delete-wins is the
+    * deliberate resolution of a delete/insert race, and the guard is
+    * what keeps a late insert from landing rows that search excludes
+    * and the next compact would erase. */
   def delete(index: RoutedIndex, ids: DataFrame): RoutedIndex = {
     val del = sortedIdArray(ids)
     if (del.isEmpty) index
@@ -611,18 +636,33 @@ object HnswRouted {
     * [[HnswDistributed.searchFiltered]] contract on the scale tier.
     * The allow-set broadcasts as a sorted primitive array (8 B/id,
     * binary-search membership — the id list of a label partition); each
-    * probed cell runs the overfetch-with-escalation loop executor-local
-    * (see [[searchImpl]]). Routing is UNCHANGED: a query still probes
-    * its nProbe nearest cells, so a selective predicate whose mass
-    * lives in unprobed cells costs recall exactly like any other
+    * probed cell serves one overfetched beam with an exact in-cell
+    * fallback (see [[searchImpl]]). Routing is UNCHANGED: a query still
+    * probes its nProbe nearest cells, so a selective predicate whose
+    * mass lives in unprobed cells costs recall exactly like any other
     * cross-boundary neighbor — the exhaustive regime (nProbe = nCells)
-    * is the oracle-exact configuration, and tombstones compose (an id
-    * must be allowed AND not deleted). */
+    * forces the exact path and is the oracle-exact configuration, and
+    * tombstones compose (an id must be allowed AND not deleted).
+    *
+    * DRIVER-SIDE BOUND: the allow-set is `distinct().collect()`ed here,
+    * once per call — 8 B/id on the driver, so ~1e8 allowed ids ≈ 800 MB
+    * is the practical ceiling, and a caller issuing many batches against
+    * the SAME allow-set should collect once and reuse via
+    * [[searchFilteredIds]] rather than pay the collect per batch. */
   def searchFiltered(index: RoutedIndex, queries: DataFrame,
                      allowed: DataFrame, k: Int, nProbe: Int,
                      ef0: Int = 0): DataFrame =
     searchImpl(index, queries, k, nProbe, ef0,
       allowed = Some(sortedIdArray(allowed)))
+
+  /** [[searchFiltered]] with a pre-collected allow-set — the repeat-
+    * caller path (collect + sort the id array once, serve many query
+    * batches against it without re-running the distinct/collect job).
+    * `allowedIds` must be sorted ascending and duplicate-free. */
+  def searchFilteredIds(index: RoutedIndex, queries: DataFrame,
+                        allowedIds: Array[Long], k: Int, nProbe: Int,
+                        ef0: Int = 0): DataFrame =
+    searchImpl(index, queries, k, nProbe, ef0, allowed = Some(allowedIds))
 
   private[hnsw] def sortedIdArray(ids: DataFrame): Array[Long] = {
     val arr = ids.select(col(ids.columns.head).cast("long")).distinct()
@@ -637,6 +677,14 @@ object HnswRouted {
     val spark = queries.sparkSession
     val cfg = index.cfg
     val router = index.router
+    // Exhaustive regime: the probe set covers every primary cell, so
+    // predicated serving can GUARANTEE exactness by taking the exact
+    // scan in every probed cell (every eligible id lives in exactly one
+    // cell, and each cell contributes its true top-k-eligible) — the
+    // configuration the hash-oracle rows ride. In the nProbe regime the
+    // beam-accept path serves: approximate like the plain kernel, never
+    // less accurate than it.
+    val exhaustive = nProbe >= router.nPrimary
     val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
     val qArr = queries.select(col("qid"), col("qvec")).as(pairEnc).collect()
     // driver-side routing: a query batch is tiny next to the corpus and
@@ -672,12 +720,13 @@ object HnswRouted {
               .iterator.map(nb => (qid, nb.dst, nb.dist))
           }
         else {
-          // Predicated serving: per-cell overfetch-with-escalation (the
-          // HnswDistributed.searchPredicated discipline, executor-local
-          // to the shard). The global merge keeps top-k over all probed
-          // cells, and every eligible id lives in exactly ONE cell, so
-          // per-cell exact top-k-eligible composes to the global exact
-          // answer in the exhaustive regime.
+          // Predicated serving (the HnswDistributed.searchPredicated
+          // discipline, executor-local to the shard). Accuracy contract:
+          // EXACT whenever the exact-scan path serves — which is every
+          // cell in the exhaustive regime (forced below), plus any cell
+          // the density cutover routes to exact — and otherwise at least
+          // as accurate as the plain kernel (one overfetched beam whose
+          // eligible prefix carries the queue's total (dist, id) order).
           val allow = allowB.value
           val dead = tombB.value
           @inline def eligible(id: Long): Boolean =
@@ -730,6 +779,15 @@ object HnswRouted {
           }
           val kp0 = math.max(4 * k, ef)
           if (eligibleCount == 0) Iterator.empty
+          else if (exhaustive)
+            // exactness is structural here, not small-cell luck: the
+            // filtered/tombstone hash-oracle rows serve through this
+            // branch (identity-filter cells included — a plain beam
+            // there would re-introduce the plain kernel's approximation
+            // into a result the oracle demands exact)
+            probes.iterator.flatMap { case (qid, qvec) =>
+              exactScan(qid, qStore.prepareQueryWithId(-1L, qvec))
+            }
           else if (eligibleCount == cellN)
             // every member eligible -> the filter is the identity:
             // serve on the unmodified plain kernel (cell-local
@@ -937,13 +995,24 @@ object HnswRouted {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, RoutedIndex]()
 
+  /** Release every memoized handle (see [[IndexCaches]]). Lifecycle
+    * handles SHARE shard RDDs (deleteCached wraps buildCached's), so
+    * double-unpersist is possible and harmless (idempotent). */
+  private[hnsw] def releaseCaches(): Unit = {
+    cache.values.forEach(_.unpersist())
+    cache.clear()
+  }
+
   private def memo(key: String)(mk: => RoutedIndex): RoutedIndex = {
     val hit = cache.get(key)
     if (hit != null) hit
     else {
       val v = mk
       val prev = cache.putIfAbsent(key, v)
-      if (prev != null) prev else v
+      // losing the (theoretical) race leaves v's shards persisted and
+      // materialized but unreachable — release them, don't leak the
+      // executor storage pool
+      if (prev != null) { v.unpersist(); prev } else v
     }
   }
 

@@ -244,6 +244,22 @@ object HnswRoutedCodes {
       val batchIds = deduped.select(col("id"))
         .as(Encoders.scalaLong).collect()
       java.util.Arrays.sort(batchIds)
+      // tombstone guard (see HnswRouted.ingest): a tombstoned id passes
+      // the shard-key clash scan after compaction, lands invisible to
+      // search, and is erased by the next compact — fail fast instead
+      locally {
+        val dead = index.tombstones
+        val resurrect =
+          if (dead.length < batchIds.length)
+            dead.filter(id => java.util.Arrays.binarySearch(batchIds, id) >= 0)
+          else batchIds.filter(id => java.util.Arrays.binarySearch(dead, id) >= 0)
+        require(resurrect.isEmpty,
+          s"routed-codes ingest: ${resurrect.length} batch id(s) are " +
+            s"tombstoned (e.g. id ${resurrect.headOption.getOrElse(-1L)}) — " +
+            "inserting them now would land rows that search excludes and " +
+            "the next compact erases. Run compact() first, or route " +
+            "through the CDC stream, which filters tombstoned inserts")
+      }
       val idsB = spark.sparkContext.broadcast(batchIds)
       val clashes = index.shards.flatMap { case (cell, s) =>
         val ids = idsB.value
@@ -550,7 +566,9 @@ object HnswRoutedCodes {
   /** Attribute-filtered routed Hamming k-NN — the float tier's
     * [[HnswRouted.searchFiltered]] contract on the code
     * representation (allow-set as a sorted broadcast array; per-cell
-    * overfetch-with-escalation; tombstones compose). */
+    * one-beam-then-exact; tombstones compose; exhaustive regime forces
+    * the exact path — see [[HnswRouted.searchFiltered]] for the
+    * driver-side allow-set size bound). */
   def searchFiltered(index: RoutedCodeIndex, queries: DataFrame,
                      allowed: DataFrame, k: Int, nProbe: Int,
                      ef0: Int = 0): DataFrame =
@@ -565,6 +583,9 @@ object HnswRoutedCodes {
     val qArr = queries.select(col("qid"), col("qcode")).as(pairEnc).collect()
     val anchors = index.anchors
     val p = math.min(nProbe, anchors.length)
+    // probe set covers every cell -> predicated serving may guarantee
+    // exactness via the per-cell exact scan (HnswRouted.searchImpl)
+    val exhaustive = p >= anchors.length
     val byCell = qArr.iterator.flatMap { case (qid, qc) =>
       val byDist = Array.tabulate(anchors.length)(a => (a, hamming(qc, anchors(a))))
       java.util.Arrays.sort(byDist,
@@ -644,6 +665,11 @@ object HnswRoutedCodes {
           }
           val kp0 = math.max(4 * k, ef)
           if (eligibleCount == 0) Iterator.empty
+          else if (exhaustive)
+            // exhaustive regime: force the exact path so predicated
+            // exactness is structural, not small-cell luck (see
+            // HnswRouted.searchImpl — the hash-oracle configuration)
+            probes.iterator.flatMap { case (qid, qc) => exactScan(qid, qc) }
           else if (eligibleCount == cellN)
             // every member of this cell is eligible (no dead id lives
             // here; any allow-set covers it), so the predicated filter
@@ -714,6 +740,13 @@ object HnswRoutedCodes {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, RoutedCodeIndex]()
 
+  /** Release every memoized handle (see [[IndexCaches]]); shared shard
+    * RDDs may unpersist twice — idempotent. */
+  private[hnsw] def releaseCaches(): Unit = {
+    cache.values.forEach(_.shards.unpersist())
+    cache.clear()
+  }
+
   /** Nest-safe memo (see [[HnswRouted.memo]]: the lifecycle handles
     * nest, and nested computeIfAbsent throws "Recursive update"). */
   private def memo(key: String)(mk: => RoutedCodeIndex): RoutedCodeIndex = {
@@ -722,7 +755,9 @@ object HnswRoutedCodes {
     else {
       val v = mk
       val prev = cache.putIfAbsent(key, v)
-      if (prev != null) prev else v
+      // the losing build's shards are persisted and unreachable —
+      // release them rather than leak executor storage
+      if (prev != null) { v.shards.unpersist(); prev } else v
     }
   }
 

@@ -35,6 +35,12 @@ object ScaleRehearsal {
         deserMs.addAndGet(m.executorDeserializeTime)
         gcMs.addAndGet(m.jvmGCTime)
         cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        // scheduler delay, the UI's definition: wall not accounted to
+        // execution/deser/result-serialization — queueing + dispatch
+        if (e.taskInfo != null)
+          schedDelayMs.addAndGet(math.max(0L,
+            e.taskInfo.duration - m.executorRunTime -
+              m.executorDeserializeTime - m.resultSerializationTime))
         taskLog.add((e.stageId, e.taskInfo.index.toLong, m.executorRunTime))
       }
     }
@@ -42,10 +48,12 @@ object ScaleRehearsal {
       import scala.jdk.CollectionConverters._
       val top = taskLog.asScala.toSeq.sortBy(-_._3).take(4)
         .map { case (s, i, ms) => s"stage$s/t$i=${ms}ms" }.mkString(",")
-      s"run=${runMs.get} cpu=${cpuMs.get} deser=${deserMs.get} gc=${gcMs.get} top=[$top]"
+      s"run=${runMs.get} cpu=${cpuMs.get} deser=${deserMs.get} gc=${gcMs.get} " +
+        s"sched=${schedDelayMs.get} top=[$top]"
     }
     def resetTasks(): Unit = {
-      runMs.set(0); deserMs.set(0); gcMs.set(0); cpuMs.set(0); taskLog.clear()
+      runMs.set(0); deserMs.set(0); gcMs.set(0); cpuMs.set(0)
+      schedDelayMs.set(0); taskLog.clear()
     }
     def reset(): Unit = { recs.set(0L); resetTasks() }
     def records: Long = recs.get

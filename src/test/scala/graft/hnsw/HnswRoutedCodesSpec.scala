@@ -298,12 +298,13 @@ class HnswRoutedCodesSpec extends SparkSpec {
     val exact = exactHamming(qDf, survivors, 10)
     assert(servedC == exact)
     assert(servedF == exact)
-    // freed ids: blocked before compaction, accepted after
+    // freed ids: blocked before compaction (the tombstone guard fires
+    // first, driver-side), accepted after
     val redelivery = base.filter(_._1 == 4L).toDF("id", "code")
     val e = intercept[IllegalArgumentException] {
       HnswRoutedCodes.ingest(tombed, redelivery, persist = false)
     }
-    assert(e.getMessage.contains("already present"), e.getMessage)
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
     val regrown = HnswRoutedCodes.ingest(compacted, redelivery, persist = false)
     assert(regrown.shards.map { case (_, s) => s.codes.size.toLong }
       .collect().sum == survivors.count() + 1)

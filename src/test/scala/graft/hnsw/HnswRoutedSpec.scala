@@ -466,15 +466,46 @@ class HnswRoutedSpec extends SparkSpec {
       assert(snapshotSig(after(cell).snapshot) == snapshotSig(s.snapshot),
         s"cell $cell graph changed")
     }
-    // freed ids: re-ingest of a deleted id FAILS before compaction
-    // (still in its cell's key set) and SUCCEEDS after
+    // freed ids: re-ingest of a deleted id FAILS before compaction —
+    // the TOMBSTONE guard fires first (driver-side, before any job),
+    // naming the deletion set rather than the cell — and SUCCEEDS after
     val redelivery = base.filter(_._1 == 5L).toDF("id", "vec")
     val e = intercept[IllegalArgumentException] {
       HnswRouted.ingest(tombed, redelivery, persist = false)
     }
-    assert(e.getMessage.contains("already present"), e.getMessage)
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
     val regrown = HnswRouted.ingest(compacted, redelivery, persist = false)
     assert(HnswRouted.cellStats(regrown).map(_._2).sum == survivors.count() + 1)
+  }
+
+  test("ingest of an ABSENT-but-tombstoned id fails fast (no silent loss through the delete->ingest->compact path)") {
+    // The hole this pins: delete(absentId) is accepted (membership is
+    // never checked), so the id sits in the deletion set without living
+    // in any cell. A later ingest of that id passes the shard-key clash
+    // scan (no cell holds it) — without the tombstone guard it would
+    // land in a cell, stay invisible to search, and be permanently
+    // erased by the next compact. Delete-wins is the contract; the
+    // guard is what enforces it loudly.
+    val n = 300
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val index = HnswRouted.build(base.toDF("id", "vec"), cfg,
+      nCells = 4, persist = false)
+    val absent = 999999L
+    val tombed = HnswRouted.delete(index, Seq(absent).toDF("id"))
+    val late = Seq((absent, vecFromHash(absent, 11L, 16))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      HnswRouted.ingest(tombed, late, persist = false)
+    }
+    assert(e.getMessage.contains("tombstoned"), e.getMessage)
+    // compact with an absent-only deletion set touches no cell but
+    // clears the set — the id is then free to ingest, and SERVES
+    val compacted = HnswRouted.compact(tombed, persist = false)
+    assert(compacted.tombstones.isEmpty)
+    val regrown = HnswRouted.ingest(compacted, late, persist = false)
+    val qDf = Seq((0L, vecFromHash(absent, 11L, 16))).toDF("qid", "qvec")
+    val top = HnswRouted.search(regrown, qDf, 1, nProbe = 4)
+      .select(col("id")).collect().map(_.getLong(0))
+    assert(top.sameElements(Array(absent)))
   }
 
   test("retrain: fresh router on the live corpus rebalances drifted mass and folds tombstones out") {
