@@ -1,0 +1,228 @@
+package graft.hnsw
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqKernels
+import graft.operators.Pq
+import graft.store.{AdcVectorStore, GraphSnapshot}
+
+/** Routed + PQ compose — per-cell ADC codes on the routed serving tier:
+  * the beyond-memory shape at the SCALE tier. [[HnswRouted]] holds full
+  * float vectors per cell (dim=64 → 256 B/row); this tier derives from
+  * a built routed index by PQ-encoding each cell's vectors (8 B/row,
+  * 32x smaller) while REUSING the cell graphs as built — so what an
+  * executor holds per cell is the layered graph plus codes, and the
+  * full-precision table is touched only by the final exact re-rank join
+  * ([[HnswPq]]'s DiskANN-style discipline, per cell). At 1e8 rows the
+  * difference is ~25 GB of vectors vs ~0.8 GB of codes across the
+  * fleet's cells — the margin between fitting executor memory and not.
+  *
+  * Serving: driver-routed like [[HnswRouted.search]] (query batch ≪
+  * corpus), per probed cell an ADC-space candidate stage — the graph
+  * beam in the nProbe regime, an exact ADC scan in the exhaustive
+  * regime or when the cell is small/mostly-ineligible (the routed
+  * tier's one-beam-then-exact discipline, in ADC space) — then ONE
+  * exact squared-L2 re-rank join of the candidate union against the
+  * distributed raw-vector table ([[Pq.rerank]]).
+  *
+  * Accuracy contract (the honest PQ note): ADC is lossy, so unlike the
+  * float routed tier the exhaustive regime is NOT structurally exact —
+  * a true neighbor can rank beyond the per-cell candidate budget no
+  * matter how exact the in-cell scan. What the exhaustive regime DOES
+  * guarantee is that every cell contributes its true ADC-top-C, so
+  * candidate recall is limited only by quantization, not routing; with
+  * a generous C the re-ranked top-k matches the exact oracle at
+  * catalog scale (the `h_knn_cosine` empirical-exactness bar — verified
+  * set-identical, held to the hash oracle), and `h_recall_routed_pq`
+  * measures the honest nProbe regime. Distance contract: ADC
+  * reconstructs squared L2, so the underlying routed graphs must be
+  * BUILT with the l2 metric (asserted) for traversal order to agree
+  * with candidate order.
+  *
+  * Tombstones carry over from the source index and are excluded from
+  * the candidate stage (sorted-array membership, the routed tier's
+  * predicate shape) — delete/compact remain the FLOAT tier's
+  * lifecycle; re-derive after a compaction.
+  */
+object HnswRoutedPq {
+
+  /** One cell's serving state: graph + codes, NO raw vectors. */
+  final case class PqCellShard(
+      cell: Int,
+      codes: scala.collection.mutable.LongMap[Long],
+      snapshot: GraphSnapshot
+  ) extends Serializable
+
+  final case class RoutedPqIndex(
+      params: HnswParams,
+      router: HnswRouted.Router,
+      codebook: Array[Array[Array[Float]]],
+      shards: org.apache.spark.rdd.RDD[(Int, PqCellShard)],
+      tombstones: Array[Long]) {
+    def unpersist(): Unit = shards.unpersist()
+  }
+
+  /** Derive the PQ serving tier from a built routed index: train one
+    * GLOBAL codebook on a per-cell-capped driver sample (≤ `sampleMax`
+    * vectors — a global codebook keeps ADC comparable across cells so
+    * the cross-cell merge orders correctly; per-cell codebooks would
+    * need per-cell re-rank before any merge), then ONE narrow encode
+    * pass over the shards (no shuffle — cell graphs and the pinned
+    * partitioner are reused as-is). The float shards are NOT
+    * unpersisted: the caller owns the source index (catalog rows keep
+    * serving it). */
+  def fromRouted(index: HnswRouted.RoutedIndex, seed: Long = 13L,
+                 persist: Boolean = true,
+                 sampleMax: Int = 100000): RoutedPqIndex = {
+    require(index.cfg.metric == "l2",
+      s"HnswRoutedPq serves squared-L2 (ADC); routed graphs were built " +
+        s"with ${index.cfg.metric} — traversal order would disagree " +
+        "with candidate order")
+    val sc = index.shards.sparkContext
+    val nCells = math.max(1, index.router.allCells.size)
+    val perCell = math.max(1, sampleMax / nCells)
+    // per-cell-capped sample: every cell contributes, so the codebook
+    // sees the full support even when k-means packed most rows into a
+    // few cells (a head-only sample would quantize the tail badly)
+    val sample = index.shards.flatMap { case (_, s) =>
+      s.vectors.valuesIterator.take(perCell)
+    }.collect()
+    val codebook = HnswPq.trainOnArrays(sample, seed)
+    val cbB = sc.broadcast(codebook)
+    val shards = index.shards.mapPartitions({ it =>
+      it.map { case (cell, s) =>
+        val cb = cbB.value
+        val codes = new scala.collection.mutable.LongMap[Long](s.vectors.size)
+        s.vectors.foreach { case (id, v) =>
+          codes(id) = PqKernels.encodeArray(v, cb)
+        }
+        cell -> PqCellShard(cell, codes, s.snapshot)
+      }
+    }, preservesPartitioning = true)
+    if (persist) {
+      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed-pq")
+      shards.count()
+    }
+    RoutedPqIndex(index.cfg.params, index.router, codebook, shards,
+      index.tombstones)
+  }
+
+  private val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+
+  /** ADC-space candidates: (qid, id, adc), up to `candidates` rows per
+    * (query, probed cell). The per-cell stage is the routed tier's
+    * one-beam-then-exact discipline transplanted to ADC space:
+    * exhaustive regime / small / mostly-dead cells take the exact ADC
+    * scan (O(eligible) LUT lookups per query — 16 adds per row), the
+    * nProbe regime takes one graph beam and falls back to the scan if
+    * the eligible prefix comes up short. */
+  def searchCoarse(index: RoutedPqIndex, queries: DataFrame,
+                   candidates: Int, nProbe: Int, ef0: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val router = index.router
+    val params = index.params
+    val exhaustive = nProbe >= router.nPrimary
+    val qArr = queries.select(col("qid"), col("qvec")).as(pairEnc).collect()
+    val byCell = qArr.iterator.flatMap { case (qid, qv) =>
+      router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+    }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val qB = spark.sparkContext.broadcast(byCell)
+    val cbB = spark.sparkContext.broadcast(index.codebook)
+    val tombB = spark.sparkContext.broadcast(index.tombstones)
+    import spark.implicits._
+    HnswRouted.prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
+      val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
+      if (probes.isEmpty) Iterator.empty
+      else {
+        val cb = cbB.value
+        val dead = tombB.value
+        @inline def eligible(id: Long): Boolean =
+          dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0
+        val cellN = m.codes.size
+        val eligibleCount =
+          if (dead.length == 0) cellN
+          else cellN - dead.count(m.codes.contains)
+        lazy val eligibleIds: Array[Long] = {
+          val b = Array.newBuilder[Long]
+          m.codes.foreachKey(id => if (eligible(id)) b += id)
+          b.result()
+        }
+        val searcher = new HnswSearcher(params)
+        val store = new AdcVectorStore(cb, m.codes)
+        val base = params.getEfSearch(0)
+        val ef = if (ef0 > 0) math.max(ef0, base)
+                 else HnswRouted.autoEf(base, cellN)
+        val c = math.max(1, candidates)
+        // exact ADC scan: k-bounded queue selection over the eligible
+        // ids (the routed exactScan, with the LUT kernel per query)
+        def adcScan(qid: Long, qvec: Array[Float]): Iterator[(Long, Long, Double)] = {
+          val lut = PqKernels.lutFor(qvec, cb)
+          val fq = new FurthestQueue()
+          var i = 0
+          while (i < eligibleIds.length) {
+            val id = eligibleIds(i)
+            val d = PqKernels.adcLut(lut, m.codes(id))
+            if (fq.size < c || d < fq.furthestDist ||
+                (d == fq.furthestDist && id < fq.dstAt(fq.size - 1))) {
+              fq.insert(id, d)
+              fq.trimToKNearest(c)
+            }
+            i += 1
+          }
+          fq.iterator.map(nb => (qid, nb.dst, nb.dist))
+        }
+        if (eligibleCount == 0) Iterator.empty
+        else probes.iterator.flatMap { case (qid, qvec) =>
+          if (exhaustive || eligibleCount <= math.max(c, cellN / 4))
+            adcScan(qid, qvec)
+          else {
+            val q = store.prepareQueryWithId(-1L, qvec)
+            val beam = math.max(c, ef)
+            val w = searcher.searchWithEf(store, m.snapshot, q, beam, beam)
+            val hits = w.iterator.filter(nb => eligible(nb.dst)).take(c).toList
+            if (hits.length >= math.min(c, eligibleCount))
+              hits.iterator.map(nb => (qid, nb.dst, nb.dist))
+            else adcScan(qid, qvec)
+          }
+        }
+      }
+    }.toDF("qid", "id", "adc")
+  }
+
+  /** Full serving path: ADC candidates per probed cell, then ONE exact
+    * squared-L2 re-rank join against the distributed raw-vector table.
+    * Output (qid, id, score, rank), rank <= k. */
+  def search(index: RoutedPqIndex, queries: DataFrame, vectors: DataFrame,
+             k: Int, nProbe: Int, candidates: Int, ef0: Int = 0): DataFrame = {
+    val coarse = searchCoarse(index, queries, math.max(candidates, k),
+      nProbe, ef0).select(col("qid"), col("id"))
+    Pq.rerank(coarse, vectors, queries, k)
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, RoutedPqIndex]()
+
+  /** Release the memo (see [[IndexCaches]]). */
+  private[hnsw] def releaseCaches(): Unit = {
+    cache.values.forEach(_.unpersist())
+    cache.clear()
+  }
+
+  /** Memoized derivation (nest-safe get/putIfAbsent — the source index
+    * comes from [[HnswRouted.buildCached]], which may build inside this
+    * call). Keyed by app id like every RDD-bearing memo. */
+  def fromRoutedCached(index: HnswRouted.RoutedIndex, key: String,
+                       seed: Long = 13L): RoutedPqIndex = {
+    val full = s"${index.shards.sparkContext.applicationId}|pq|$key|$seed|" +
+      s"${index.tombstones.length}"
+    val hit = cache.get(full)
+    if (hit != null) hit
+    else {
+      val v = graft.BuildLedger.timed("hnsw_routed_pq_encode")(fromRouted(index, seed))
+      val prev = cache.putIfAbsent(full, v)
+      if (prev != null) { v.unpersist(); prev } else v
+    }
+  }
+}

@@ -26,5 +26,6 @@ object IndexCaches {
     HnswRoutedCodes.releaseCaches()
     HnswCodes.releaseCaches()
     HnswPq.releaseCaches()
+    HnswRoutedPq.releaseCaches()
   }
 }

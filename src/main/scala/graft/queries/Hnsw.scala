@@ -422,6 +422,61 @@ object Hnsw {
         .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
     }),
 
+    // Routed + PQ compose (graft.hnsw.HnswRoutedPq): per-cell ADC codes
+    // over the routed tier's cell graphs — the beyond-memory serving
+    // shape at the SCALE tier (what an executor holds per cell is graph
+    // + 8-byte codes; raw vectors appear only in the exact re-rank
+    // join). Exhaustive regime + exact per-cell ADC scans + generous
+    // candidate budget: every cell contributes its true ADC-top-C, so
+    // the re-ranked top-10 matches the exact L2 oracle at catalog scale
+    // (the h_knn_cosine empirical-exactness bar — the honest caveat is
+    // quantization, not routing; candidates scales with corpus density,
+    // and h_recall_routed_pq measures the true ANN regime below).
+    // Shares one cached l2 routed build with the recall row.
+    "h_knn_routed_pq" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val index = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      HnswRoutedPq.search(index, queriesDf(s, dir), vectorsDf(s, dir),
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The honest nProbe regime of the routed+PQ tier: 4 of 16 cells,
+    // candidates=64 — self-carried recall vs the exact L2 truth (the
+    // h_recall_pq shape), AND against the FLOAT routed tier at the
+    // identical settings over the SAME cached build, so the row
+    // separates the two loss sources: recall_bp_float is the routing
+    // loss (a true neighbor in an unprobed cell — shared by both
+    // tiers), and pq_loss_bp = recall_bp_float - recall_bp_pq is what
+    // quantization itself costs. Rows-only; HnswRoutedPqSpec asserts
+    // the floor.
+    "h_recall_routed_pq" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val index = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      val qs = queriesDf(s, dir)
+      val approx = HnswRoutedPq.search(index, qs, vectorsDf(s, dir),
+        k = 10, nProbe = 4, candidates = 64)
+      val floatTier = HnswRouted.search(base, qs, 10, nProbe = 4, ef0 = 64)
+      val exactIds = Vector.exactTruthIds(s, dir, "l2", 10)
+        .select(col("qid"), col("id")).cache()
+      val hitsPq = approx.select(col("qid"), col("id")).intersect(exactIds).count()
+      val hitsFloat = floatTier.select(col("qid"), col("id")).intersect(exactIds).count()
+      val expected = exactIds.count()
+      exactIds.unpersist(blocking = false)
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hitsPq, hitsPq * 10000L / expected,
+          hitsFloat * 10000L / expected,
+          (hitsFloat - hitsPq) * 10000L / expected))
+        .toDF("n_queries", "n_expected", "n_hit_pq", "recall_bp_pq",
+          "recall_bp_float", "pq_loss_bp")
+    }),
+
     // Frontier-join search: layer 0 stays a distributed links table
     // (never broadcast), expanded by iterative joins — the path for
     // graphs beyond executor memory. Exact regime -> exact oracle.
@@ -531,6 +586,18 @@ object Hnsw {
        |            PARTITION BY qid ORDER BY s DESC, id) AS INT) AS rank FROM p)
        |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** Exact squared-L2 oracle (ASC; ties by id) — the routed+PQ row's
+    * bar. list_distance is the sqrt of the Spark-side score; the
+    * ordering (and the rank column compared) is identical. */
+  private def exactL2KnnOracle(k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE $qFilter),
+       |     v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+       |     p AS (SELECT qid, id, list_distance(qv, vv) AS s FROM q, v),
+       |     r AS (SELECT qid, id, CAST(row_number() OVER (
+       |            PARTITION BY qid ORDER BY s, id) AS INT) AS rank FROM p)
+       |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   private def filteredKnnOracle(k: Int, labelPred: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
        |           FROM embeddings WHERE $qFilter),
@@ -579,6 +646,13 @@ object Hnsw {
     "h_knn_routed_filtered" -> filteredKnnOracle(10, "label = 3"),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
+    // routed+PQ exhaustive regime against the exact L2 oracle (ASC):
+    // candidate recall is total at catalog scale (exhaustive per-cell
+    // ADC scans, candidates=192/cell) and the exact re-rank restores
+    // true ordering — held to the same empirical-exactness hash bar as
+    // h_knn_cosine. h_recall_routed_pq (no oracle) carries the honest
+    // nProbe-regime number.
+    "h_knn_routed_pq" -> exactL2KnnOracle(10),
     // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed
     // traversal is lossy by design; the query self-carries its recall.
 
