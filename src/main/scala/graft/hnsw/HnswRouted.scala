@@ -513,6 +513,168 @@ object HnswRouted {
       RoutedIndex(cfg, index.router, compacted, Array.empty)
     }
 
+  /** Targeted compaction: fold the deletion set out of ONLY the listed
+    * cells — the [[mergedCellAudit]] remedy. [[compact]]'s whole-index
+    * sibling rebuilds every touched cell; this rebuilds the flagged
+    * subset (narrow map, untouched cells pass by reference) and
+    * SHRINKS the tombstone set by exactly the ids that lived there, so
+    * the remaining deletion set keeps serving the untouched cells'
+    * soft deletes. A remediated cell's members are all live again →
+    * predicated serving takes the identity-filter plain kernel on it
+    * (the structural form of the "≤1.2× plain" remedy: the 1.5×
+    * merged-cell floor was the exact scan over eligible mass the beam
+    * can't reach; post-compact there is no ineligible mass to dodge).
+    * Cost: O(listed cells) rebuild CPU + one pruned pass to collect
+    * the folded-out ids (bounded by |tombstones|). */
+  def compactCells(index: RoutedIndex, cells: Array[Int],
+                   persist: Boolean = true,
+                   unpersistPrior: Boolean = true): RoutedIndex =
+    if (cells.isEmpty || index.tombstones.isEmpty) index
+    else {
+      val cfg = index.cfg
+      val cellSet = cells.toSet
+      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+      // pass 1, pruned to the listed cells: which tombstoned ids fold
+      // out here? (each id lives in exactly one cell, so the collect is
+      // bounded by the deletion set, not the corpus)
+      val removed = prunedShards(index.shards, cells).flatMap { case (cell, s) =>
+        if (!cellSet(cell)) Iterator.empty
+        else tombB.value.iterator.filter(s.vectors.contains)
+      }.collect()
+      java.util.Arrays.sort(removed)
+      // pass 2, narrow: rebuild the listed cells from their survivors
+      // (build kernel — graph-identical to a fresh build, like compact)
+      val compacted = index.shards.mapPartitions({ it =>
+        it.map { case (cell, s) =>
+          if (!cellSet(cell)) cell -> s
+          else {
+            val dead = tombB.value
+            val rows = s.vectors.iterator
+              .filter { case (id, _) =>
+                java.util.Arrays.binarySearch(dead, id) < 0 }
+              .toArray.sortBy(_._1)
+            cell -> buildCellFresh(cell, rows, cfg)
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        compacted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed")
+        compacted.count()
+        if (unpersistPrior) index.shards.unpersist(blocking = false)
+      }
+      val remaining = index.tombstones.filter(id =>
+        java.util.Arrays.binarySearch(removed, id) < 0)
+      RoutedIndex(cfg, index.router, compacted, remaining)
+    }
+
+  /** Merged-cell audit — detection for the regime the per-cell density
+    * census cannot see (ROUND14 §5's residual): k-means merged a DEAD
+    * cluster and a live cluster into one cell, so the cell reads ~50%
+    * eligible cell-wide while a query arriving on the dead side has
+    * ~zero eligible among its nearest — predicated serving there pays
+    * the exact scan every probe (the measured 1.5× floor).
+    *
+    * Detection is a per-cell geometric SEPARABILITY test, one narrow
+    * pass, no shuffle: cells whose dead fraction is bimodal-eligible
+    * (inside [minDeadBp, maxDeadBp], at least `minCellRows` members)
+    * run a deterministic 2-means seeded at the dead-member mean vs the
+    * live-member mean — a hypothesis-shaped init: if dead and live are
+    * interleaved the two seeds start nearly coincident and Lloyd
+    * settles an arbitrary split whose sides both read ≈ the cell-wide
+    * dead fraction (no flag); if they are distinct clusters the seeds
+    * start apart and converge onto the true split. A cell is flagged
+    * `merged` when one side is ≥80% dead, the other ≤20%, and the dead
+    * side holds ≥80% of the cell's dead mass. Returns one row per
+    * AUDITED cell: (cell, n, n_dead, dead_bp, hi_dead_bp, lo_dead_bp,
+    * dead_mass_hi_bp, merged). Remedy: [[compactCells]] on the flagged
+    * ids (or the skew-split/retrain path when live density also
+    * warrants re-routing). */
+  def mergedCellAudit(index: RoutedIndex, minCellRows: Int = 1024,
+                      minDeadBp: Int = 1000, maxDeadBp: Int = 9000,
+                      sampleMax: Int = 4096, iters: Int = 8): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val cfg = index.cfg
+    val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+    val rows = index.shards.flatMap { case (cell, s) =>
+      val dead = tombB.value
+      val cellN = s.vectors.size
+      if (dead.length == 0 || cellN < minCellRows) Iterator.empty
+      else {
+        @inline def isDead(id: Long): Boolean =
+          java.util.Arrays.binarySearch(dead, id) >= 0
+        var nDead = 0
+        s.vectors.keysIterator.foreach(id => if (isDead(id)) nDead += 1)
+        val deadBp = nDead * 10000L / cellN
+        if (deadBp < minDeadBp || deadBp > maxDeadBp) Iterator.empty
+        else {
+          val metric = Metrics.byName(cfg.metric)
+          // deterministic sample: ascending id order (the build order),
+          // stride-decimated to <= sampleMax
+          val all = s.vectors.toArray.sortBy(_._1)
+          val stride = math.max(1, all.length / sampleMax)
+          val sample = all.indices.by(stride).map(all(_)).toArray
+          val dim = sample.head._2.length
+          def meanOf(p: ((Long, Array[Float])) => Boolean): Array[Float] = {
+            val acc = new Array[Double](dim); var n = 0
+            sample.foreach { r => if (p(r)) {
+              var d = 0; while (d < dim) { acc(d) += r._2(d); d += 1 }; n += 1 } }
+            if (n == 0) new Array[Float](dim)
+            else Array.tabulate(dim)(d => (acc(d) / n).toFloat)
+          }
+          var cA = meanOf(r => isDead(r._1))   // dead-member mean
+          var cB = meanOf(r => !isDead(r._1))  // live-member mean
+          var it = 0
+          while (it < iters) {
+            val accA = new Array[Double](dim); val accB = new Array[Double](dim)
+            var nA = 0; var nB = 0
+            sample.foreach { case (_, v) =>
+              val toA = metric(v, cA) <= metric(v, cB)
+              val acc = if (toA) accA else accB
+              var d = 0; while (d < dim) { acc(d) += v(d); d += 1 }
+              if (toA) nA += 1 else nB += 1
+            }
+            if (nA > 0) cA = Array.tabulate(dim)(d => (accA(d) / nA).toFloat)
+            if (nB > 0) cB = Array.tabulate(dim)(d => (accB(d) / nB).toFloat)
+            it += 1
+          }
+          // assign EVERY member (not just the sample) and census each side
+          var aN = 0; var aDead = 0; var bN = 0; var bDead = 0
+          s.vectors.foreach { case (id, v) =>
+            if (metric(v, cA) <= metric(v, cB)) {
+              aN += 1; if (isDead(id)) aDead += 1
+            } else { bN += 1; if (isDead(id)) bDead += 1 }
+          }
+          val (hiN, hiDead, loN, loDead) =
+            if (aN > 0 && (bN == 0 || aDead.toLong * bN >= bDead.toLong * aN))
+              (aN, aDead, bN, bDead) else (bN, bDead, aN, aDead)
+          val hiBp = if (hiN == 0) 0L else hiDead * 10000L / hiN
+          val loBp = if (loN == 0) 0L else loDead * 10000L / loN
+          val massHiBp = if (nDead == 0) 0L else hiDead * 10000L / nDead
+          val merged = hiBp >= 8000L && loBp <= 2000L && massHiBp >= 8000L
+          Iterator.single((cell, cellN.toLong, nDead.toLong, deadBp,
+            hiBp, loBp, massHiBp, merged))
+        }
+      }
+    }.collect()
+    rows.toSeq.toDF("cell", "n", "n_dead", "dead_bp",
+      "hi_dead_bp", "lo_dead_bp", "dead_mass_hi_bp", "merged")
+  }
+
+  /** Detect-and-remediate: [[mergedCellAudit]] → [[compactCells]] on
+    * the flagged cells. Returns the remediated index (the input handle,
+    * unchanged, when nothing is flagged) and the flagged cell ids. */
+  def remediateMergedCells(index: RoutedIndex, minCellRows: Int = 1024,
+                           persist: Boolean = true,
+                           unpersistPrior: Boolean = true): (RoutedIndex, Array[Int]) = {
+    val flagged = mergedCellAudit(index, minCellRows)
+      .filter(col("merged")).select(col("cell"))
+      .collect().map(_.getInt(0))
+    if (flagged.isEmpty) (index, flagged)
+    else (compactCells(index, flagged, persist, unpersistPrior), flagged)
+  }
+
   /** The drift RECOVERY operator — the global fold the [[driftAudit]]
     * alarm points at ("retrain + rebuild", since [[ingest]] never
     * moves centroids): re-train the router on the index's CURRENT
@@ -671,55 +833,60 @@ object HnswRouted {
     arr
   }
 
-  private def searchImpl(index: RoutedIndex, queries: DataFrame, k: Int,
-                         nProbe: Int, ef0: Int,
-                         allowed: Option[Array[Long]]): DataFrame = {
-    val spark = queries.sparkSession
-    val cfg = index.cfg
-    val router = index.router
-    // Exhaustive regime: the probe set covers every primary cell, so
-    // predicated serving can GUARANTEE exactness by taking the exact
-    // scan in every probed cell (every eligible id lives in exactly one
-    // cell, and each cell contributes its true top-k-eligible) — the
-    // configuration the hash-oracle rows ride. In the nProbe regime the
-    // beam-accept path serves: approximate like the plain kernel, never
-    // less accurate than it.
-    val exhaustive = nProbe >= router.nPrimary
-    val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
-    val qArr = queries.select(col("qid"), col("qvec")).as(pairEnc).collect()
-    // driver-side routing: a query batch is tiny next to the corpus and
-    // centroids are tiny next to everything — assign each query its
-    // probe cells here, invert to cell -> queries, broadcast once
-    val byCell = qArr.iterator.flatMap { case (qid, qv) =>
-      router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
-    }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-    val qB = spark.sparkContext.broadcast(byCell)
-    // predicate state: both sets ride as sorted primitive arrays (the
-    // searchPredicated broadcast shape — O(set), never O(corpus))
-    val hasAllow = allowed.nonEmpty
-    val allowB = spark.sparkContext.broadcast(allowed.getOrElse(Array.empty[Long]))
-    val tombB = spark.sparkContext.broadcast(index.tombstones)
-    val predicated = hasAllow || index.tombstones.nonEmpty
-    import spark.implicits._
-    val perShard = prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
-      val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
-      if (probes.isEmpty) Iterator.empty
-      else {
-        val metric = Metrics.byName(cfg.metric)
-        val searcher = new HnswSearcher(cfg.params)
-        val base = cfg.params.getEfSearch(0)
-        val ef = if (ef0 > 0) math.max(ef0, base)
-                 else autoEf(base, m.vectors.size)
-        // one store per shard, -1 query slot re-staged per query (the
-        // searchSharded pattern)
-        val qStore = new ArrayVectorStore(metric, base = m.vectors)
-        if (!predicated)
-          probes.iterator.flatMap { case (qid, qvec) =>
-            val q = qStore.prepareQueryWithId(-1L, qvec)
-            searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
-              .iterator.map(nb => (qid, nb.dst, nb.dist))
-          }
-        else {
+  /** Queries above this count route DISTRIBUTEDLY ([[searchDistributed]])
+    * instead of through the driver collect: the driver path holds
+    * nProbe copies of every (qid, qvec) on the driver AND in one
+    * broadcast — fine for online serving (a query batch ≪ corpus),
+    * an OOM wall when the routed tier is the batch side of a large
+    * similarity join. At 256k queries × nProbe 4 × dim 64 the driver
+    * copy is ~300 MB; the cutover keeps it there. */
+  val DriverRouteMax: Int = 262144
+
+  /** Distributed query routing — the BATCH-side serving path: queries
+    * stay a DataFrame end-to-end. Each query row fans out to its
+    * nProbe cells against the broadcast router (centroids are tiny
+    * next to everything), and the ONLY shuffle is the query side,
+    * keyed by the index's pinned [[CellPartitioner]] — the shard side
+    * is a narrow zipPartitions, exactly the ingest discipline. Result
+    * rows are identical to [[search]] (same per-shard kernel, same
+    * (dist, id)-ordered global merge), spec-pinned on both paths.
+    * Per-executor bound: one cell's routed query mass must fit its
+    * task (at 1e6 queries × nProbe 4 over 16 cells ≈ 250k rows/cell —
+    * ~70 MB at dim 64), which scales out with nCells where the driver
+    * path's bound cannot. [[search]] auto-selects this path above
+    * [[DriverRouteMax]] queries. */
+  def searchDistributed(index: RoutedIndex, queries: DataFrame, k: Int,
+                        nProbe: Int, ef0: Int = 0): DataFrame =
+    searchImplDistributed(index, queries, k, nProbe, ef0, allowed = None)
+
+  /** Per-shard serving kernel, shared verbatim by the driver-routed
+    * and distributed-routed paths (path equality is structural, not
+    * coincidental). Serves `probes` against one cell: plain beam when
+    * unpredicated; census → identity-filter / one-overfetched-beam /
+    * exact-scan discipline when predicated (exhaustive regime forces
+    * the exact scan — the hash-oracle configuration). */
+  private[hnsw] def serveShard(
+      cfg: BuildConfig, m: CellShard,
+      probes: Iterator[(Long, Array[Float])],
+      k: Int, ef0: Int, exhaustive: Boolean,
+      hasAllow: Boolean, allow: Array[Long],
+      dead: Array[Long]): Iterator[(Long, Long, Double)] = {
+    val metric = Metrics.byName(cfg.metric)
+    val searcher = new HnswSearcher(cfg.params)
+    val base = cfg.params.getEfSearch(0)
+    val ef = if (ef0 > 0) math.max(ef0, base)
+             else autoEf(base, m.vectors.size)
+    // one store per shard, -1 query slot re-staged per query (the
+    // searchSharded pattern)
+    val qStore = new ArrayVectorStore(metric, base = m.vectors)
+    val predicated = hasAllow || dead.nonEmpty
+    if (!predicated)
+      probes.flatMap { case (qid, qvec) =>
+        val q = qStore.prepareQueryWithId(-1L, qvec)
+        searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
+          .iterator.map(nb => (qid, nb.dst, nb.dist))
+      }
+    else {
           // Predicated serving (the HnswDistributed.searchPredicated
           // discipline, executor-local to the shard). Accuracy contract:
           // EXACT whenever the exact-scan path serves — which is every
@@ -727,8 +894,6 @@ object HnswRouted {
           // the density cutover routes to exact — and otherwise at least
           // as accurate as the plain kernel (one overfetched beam whose
           // eligible prefix carries the queue's total (dist, id) order).
-          val allow = allowB.value
-          val dead = tombB.value
           @inline def eligible(id: Long): Boolean =
             (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
               (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
@@ -785,7 +950,7 @@ object HnswRouted {
             // branch (identity-filter cells included — a plain beam
             // there would re-introduce the plain kernel's approximation
             // into a result the oracle demands exact)
-            probes.iterator.flatMap { case (qid, qvec) =>
+            probes.flatMap { case (qid, qvec) =>
               exactScan(qid, qStore.prepareQueryWithId(-1L, qvec))
             }
           else if (eligibleCount == cellN)
@@ -793,12 +958,12 @@ object HnswRouted {
             // serve on the unmodified plain kernel (cell-local
             // deletions cost ~nothing on untouched cells; see the
             // codes tier's note on the measured wrapper tax)
-            probes.iterator.flatMap { case (qid, qvec) =>
+            probes.flatMap { case (qid, qvec) =>
               val q = qStore.prepareQueryWithId(-1L, qvec)
               searcher.searchWithEf(qStore, m.snapshot, q, k, ef)
                 .iterator.map(nb => (qid, nb.dst, nb.dist))
             }
-          else probes.iterator.flatMap { case (qid, qvec) =>
+          else probes.flatMap { case (qid, qvec) =>
             val q = qStore.prepareQueryWithId(-1L, qvec)
             // density-aware cutover (see the codes tier's note): a
             // low-eligible-fraction cell defeats the beam — while the
@@ -825,14 +990,116 @@ object HnswRouted {
             }
           }
         }
-      }
-    }.toDF("qid", "id", "dist")
+  }
 
+  /** Global top-k merge over per-shard candidates: row_number over the
+    * total (dist, id) order — shared by both routing paths so the
+    * published result (and its tie-breaking) is path-independent. */
+  private def rankMerge(perShard: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     perShard
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col("id"))))
       .filter(col("rank") <= k)
+  }
+
+  private def searchImpl(index: RoutedIndex, queries: DataFrame, k: Int,
+                         nProbe: Int, ef0: Int,
+                         allowed: Option[Array[Long]]): DataFrame = {
+    val spark = queries.sparkSession
+    val cfg = index.cfg
+    val router = index.router
+    // Exhaustive regime: the probe set covers every primary cell, so
+    // predicated serving can GUARANTEE exactness by taking the exact
+    // scan in every probed cell (every eligible id lives in exactly one
+    // cell, and each cell contributes its true top-k-eligible) — the
+    // configuration the hash-oracle rows ride. In the nProbe regime the
+    // beam-accept path serves: approximate like the plain kernel, never
+    // less accurate than it.
+    val exhaustive = nProbe >= router.nPrimary
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+    // driver-side routing: an ONLINE query batch is tiny next to the
+    // corpus and centroids are tiny next to everything — assign each
+    // query its probe cells here, invert to cell -> queries, broadcast
+    // once. The limit guards the collect: a BATCH query side (the
+    // routed tier as one side of a large similarity join) overflows the
+    // cutover and reroutes through the distributed path — same kernel,
+    // same merge, one extra (wasted) partial collect on the rare
+    // crossing rather than a count job on every call.
+    val qArr = queries.select(col("qid"), col("qvec"))
+      .limit(DriverRouteMax + 1).as(pairEnc).collect()
+    if (qArr.length > DriverRouteMax)
+      return searchImplDistributed(index, queries, k, nProbe, ef0, allowed)
+    val byCell = qArr.iterator.flatMap { case (qid, qv) =>
+      router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+    }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val qB = spark.sparkContext.broadcast(byCell)
+    // predicate state: both sets ride as sorted primitive arrays (the
+    // searchPredicated broadcast shape — O(set), never O(corpus))
+    val hasAllow = allowed.nonEmpty
+    val allowB = spark.sparkContext.broadcast(allowed.getOrElse(Array.empty[Long]))
+    val tombB = spark.sparkContext.broadcast(index.tombstones)
+    import spark.implicits._
+    val perShard = prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
+      val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
+      if (probes.isEmpty) Iterator.empty
+      else serveShard(cfg, m, probes.iterator, k, ef0, exhaustive,
+        hasAllow, allowB.value, tombB.value)
+    }.toDF("qid", "id", "dist")
+    rankMerge(perShard, k)
+  }
+
+  private[hnsw] def searchImplDistributed(
+      index: RoutedIndex, queries: DataFrame, k: Int,
+      nProbe: Int, ef0: Int, allowed: Option[Array[Long]]): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val cfg = index.cfg
+    val exhaustive = nProbe >= index.router.nPrimary
+    val routerB = sc.broadcast(index.router)
+    val hasAllow = allowed.nonEmpty
+    val allowB = sc.broadcast(allowed.getOrElse(Array.empty[Long]))
+    val tombB = sc.broadcast(index.tombstones)
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+    // zipPartitions needs the query side keyed by the SHARDS' OWN
+    // partitioner (an equal-value clone would match keys but not
+    // partition COUNT if the shards ever lost theirs) — every
+    // build/attach/ingest/compact output pins it, so absence is a
+    // construction bug, not a servable state
+    val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+      "distributed routing needs the index's pinned CellPartitioner"))
+    // the ONLY shuffle is the query side: fan each query to its probe
+    // cells against the broadcast router, key by the pinned cell
+    // partitioner — the shard side rides a narrow zipPartitions (the
+    // ingest discipline; no shard bytes move)
+    val routed = queries.select(col("qid"), col("qvec")).as(pairEnc).rdd
+      .flatMap { case (qid, qv) =>
+        routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+      }.partitionBy(part)
+    import spark.implicits._
+    val perShard = index.shards.zipPartitions(routed) { (shardIt, qIt) =>
+      val shards = shardIt.toArray
+      if (shards.length == 0) Iterator.empty
+      else if (shards.length == 1) {
+        // the pinned partitioner is a cell -> partition bijection, so
+        // this is the always-taken branch: STREAM the partition's
+        // queries through the kernel — the per-executor bound is the
+        // kernel's working set, not the routed query list
+        val (cell, m) = shards(0)
+        val probes = qIt.collect { case (c, q) if c == cell => q }
+        serveShard(cfg, m, probes, k, ef0, exhaustive,
+          hasAllow, allowB.value, tombB.value)
+      } else {
+        // co-located cells (a foreign partitioner only): group, serve each
+        val byCell = qIt.toArray.groupBy(_._1)
+        shards.iterator.flatMap { case (cell, m) =>
+          serveShard(cfg, m,
+            byCell.getOrElse(cell, Array.empty).iterator.map(_._2),
+            k, ef0, exhaustive, hasAllow, allowB.value, tombB.value)
+        }
+      }
+    }.toDF("qid", "id", "dist")
+    rankMerge(perShard, k)
   }
 
   // --------------------------------------------------------------------

@@ -575,44 +575,43 @@ object HnswRoutedCodes {
     searchImpl(index, queries, k, nProbe, ef0,
       allowed = Some(HnswRouted.sortedIdArray(allowed)))
 
-  private def searchImpl(index: RoutedCodeIndex, queries: DataFrame,
-                         k: Int, nProbe: Int, ef0: Int,
-                         allowed: Option[Array[Long]]): DataFrame = {
-    val spark = queries.sparkSession
-    val params = index.params
-    val qArr = queries.select(col("qid"), col("qcode")).as(pairEnc).collect()
-    val anchors = index.anchors
-    val p = math.min(nProbe, anchors.length)
-    // probe set covers every cell -> predicated serving may guarantee
-    // exactness via the per-cell exact scan (HnswRouted.searchImpl)
-    val exhaustive = p >= anchors.length
-    val byCell = qArr.iterator.flatMap { case (qid, qc) =>
-      val byDist = Array.tabulate(anchors.length)(a => (a, hamming(qc, anchors(a))))
-      java.util.Arrays.sort(byDist,
-        Ordering.by[(Int, Int), (Int, Int)](x => (x._2, x._1)))
-      byDist.iterator.take(p).map { case (c, _) => (c, (qid, qc)) }
-    }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-    val qB = spark.sparkContext.broadcast(byCell)
-    val hasAllow = allowed.nonEmpty
-    val allowB = spark.sparkContext.broadcast(allowed.getOrElse(Array.empty[Long]))
-    val tombB = spark.sparkContext.broadcast(index.tombstones)
-    val predicated = hasAllow || index.tombstones.nonEmpty
-    import spark.implicits._
-    // schedule ONLY the probed cells' partitions (the 1e8 finding: at
-    // 1024 cells the full pass costs 1024 task launches for 8 working
-    // cells — see HnswRouted.prunedShards)
-    val perShard = HnswRouted.prunedShards(index.shards, byCell.keys)
-      .flatMap { case (_, m) =>
-      val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Long)])
-      if (probes.isEmpty) Iterator.empty
-      else {
+  /** Probe set for one query code: the nProbe nearest anchors by
+    * Hamming distance, ties by anchor index — shared by both routing
+    * paths so routing is path-independent. */
+  @inline private def probeCellsCode(qc: Long, anchors: Array[Long],
+                                     p: Int): Iterator[Int] = {
+    val byDist = Array.tabulate(anchors.length)(a => (a, hamming(qc, anchors(a))))
+    java.util.Arrays.sort(byDist,
+      Ordering.by[(Int, Int), (Int, Int)](x => (x._2, x._1)))
+    byDist.iterator.take(p).map(_._1)
+  }
+
+  /** Distributed query routing on the codes tier — the float tier's
+    * [[HnswRouted.searchDistributed]] contract at 8 bytes/row: queries
+    * stay a DataFrame, fan to their probe cells against the broadcast
+    * anchors, and shuffle by the pinned partitioner while the shard
+    * side rides narrow. [[search]] auto-selects this path above
+    * [[HnswRouted.DriverRouteMax]] queries. */
+  def searchDistributed(index: RoutedCodeIndex, queries: DataFrame, k: Int,
+                        nProbe: Int, ef0: Int = 0): DataFrame =
+    searchImplDistributed(index, queries, k, nProbe, ef0, allowed = None)
+
+  /** Per-shard serving kernel shared by both routing paths (see
+    * [[HnswRouted.serveShard]] — this is its Hamming twin). */
+  private def serveCodeShard(
+      params: HnswParams, m: CodeCellShard,
+      probes: Iterator[(Long, Long)],
+      k: Int, ef0: Int, exhaustive: Boolean,
+      hasAllow: Boolean, allow: Array[Long],
+      dead: Array[Long]): Iterator[(Long, Long, Int)] = {
         val searcher = new HnswSearcher(params)
         val store = new CellCodeStore(m.codes)
         val base = params.getEfSearch(0)
         val ef = if (ef0 > 0) math.max(ef0, base)
                  else HnswRouted.autoEf(base, m.codes.size)
+        val predicated = hasAllow || dead.nonEmpty
         if (!predicated)
-          probes.iterator.flatMap { case (qid, qc) =>
+          probes.flatMap { case (qid, qc) =>
             store.stage(-1L, qc)
             searcher.searchWithEf(store, m.snapshot, -1L, k, ef)
               .iterator.map(nb => (qid, nb.dst, nb.dist.toInt))
@@ -623,8 +622,6 @@ object HnswRoutedCodes {
           // is total on (dist, id), so the filtered prefix carries the
           // oracle's tie-breaking — load-bearing under INTEGER Hamming
           // distances where ties are the common case)
-          val allow = allowB.value
-          val dead = tombB.value
           @inline def eligible(id: Long): Boolean =
             (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
               (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
@@ -669,7 +666,7 @@ object HnswRoutedCodes {
             // exhaustive regime: force the exact path so predicated
             // exactness is structural, not small-cell luck (see
             // HnswRouted.searchImpl — the hash-oracle configuration)
-            probes.iterator.flatMap { case (qid, qc) => exactScan(qid, qc) }
+            probes.flatMap { case (qid, qc) => exactScan(qid, qc) }
           else if (eligibleCount == cellN)
             // every member of this cell is eligible (no dead id lives
             // here; any allow-set covers it), so the predicated filter
@@ -680,12 +677,12 @@ object HnswRoutedCodes {
             // slower at 47k tombstones even though the beam parameters
             // are identical — profile/cache effects in the wrapper; the
             // plain path sidesteps the question entirely)
-            probes.iterator.flatMap { case (qid, qc) =>
+            probes.flatMap { case (qid, qc) =>
               store.stage(-1L, qc)
               searcher.searchWithEf(store, m.snapshot, -1L, k, ef)
                 .iterator.map(nb => (qid, nb.dst, nb.dist.toInt))
             }
-          else probes.iterator.flatMap { case (qid, qc) =>
+          else probes.flatMap { case (qid, qc) =>
             store.stage(-1L, qc)
             // density-aware cutover, not just absolute count: a cell
             // whose eligible FRACTION is low defeats the beam — the
@@ -710,14 +707,94 @@ object HnswRoutedCodes {
             }
           }
         }
-      }
-    }.toDF("qid", "id", "hamming")
+  }
 
+  /** Global top-k merge (see [[HnswRouted.rankMerge]] — Hamming twin). */
+  private def rankMerge(perShard: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     perShard
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("hamming"), col("id"))))
       .filter(col("rank") <= k)
+  }
+
+  private def searchImpl(index: RoutedCodeIndex, queries: DataFrame,
+                         k: Int, nProbe: Int, ef0: Int,
+                         allowed: Option[Array[Long]]): DataFrame = {
+    val spark = queries.sparkSession
+    val params = index.params
+    val anchors = index.anchors
+    val p = math.min(nProbe, anchors.length)
+    // probe set covers every cell -> predicated serving may guarantee
+    // exactness via the per-cell exact scan (HnswRouted.searchImpl)
+    val exhaustive = p >= anchors.length
+    // driver-side routing with the batch-side cutover (see
+    // HnswRouted.searchImpl: the limit guards the collect; a query side
+    // beyond DriverRouteMax reroutes through the distributed path)
+    val qArr = queries.select(col("qid"), col("qcode"))
+      .limit(HnswRouted.DriverRouteMax + 1).as(pairEnc).collect()
+    if (qArr.length > HnswRouted.DriverRouteMax)
+      return searchImplDistributed(index, queries, k, nProbe, ef0, allowed)
+    val byCell = qArr.iterator.flatMap { case (qid, qc) =>
+      probeCellsCode(qc, anchors, p).map(c => (c, (qid, qc)))
+    }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val qB = spark.sparkContext.broadcast(byCell)
+    val hasAllow = allowed.nonEmpty
+    val allowB = spark.sparkContext.broadcast(allowed.getOrElse(Array.empty[Long]))
+    val tombB = spark.sparkContext.broadcast(index.tombstones)
+    import spark.implicits._
+    // schedule ONLY the probed cells' partitions (the 1e8 finding: at
+    // 1024 cells the full pass costs 1024 task launches for 8 working
+    // cells — see HnswRouted.prunedShards)
+    val perShard = HnswRouted.prunedShards(index.shards, byCell.keys)
+      .flatMap { case (_, m) =>
+        val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Long)])
+        if (probes.isEmpty) Iterator.empty
+        else serveCodeShard(params, m, probes.iterator, k, ef0, exhaustive,
+          hasAllow, allowB.value, tombB.value)
+      }.toDF("qid", "id", "hamming")
+    rankMerge(perShard, k)
+  }
+
+  private[hnsw] def searchImplDistributed(
+      index: RoutedCodeIndex, queries: DataFrame, k: Int,
+      nProbe: Int, ef0: Int, allowed: Option[Array[Long]]): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val params = index.params
+    val p = math.min(nProbe, index.anchors.length)
+    val exhaustive = p >= index.anchors.length
+    val anchorsB = sc.broadcast(index.anchors)
+    val hasAllow = allowed.nonEmpty
+    val allowB = sc.broadcast(allowed.getOrElse(Array.empty[Long]))
+    val tombB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+      "distributed routing needs the index's pinned CellPartitioner"))
+    // only the query side shuffles (8 B code + 8 B qid per probe row);
+    // the shard side rides a narrow zipPartitions
+    val routed = queries.select(col("qid"), col("qcode")).as(pairEnc).rdd
+      .flatMap { case (qid, qc) =>
+        probeCellsCode(qc, anchorsB.value, p).map(c => (c, (qid, qc)))
+      }.partitionBy(part)
+    import spark.implicits._
+    val perShard = index.shards.zipPartitions(routed) { (shardIt, qIt) =>
+      val shards = shardIt.toArray
+      if (shards.length == 0) Iterator.empty
+      else if (shards.length == 1) {
+        val (cell, m) = shards(0)
+        val probes = qIt.collect { case (c, q) if c == cell => q }
+        serveCodeShard(params, m, probes, k, ef0, exhaustive,
+          hasAllow, allowB.value, tombB.value)
+      } else {
+        val byCell = qIt.toArray.groupBy(_._1)
+        shards.iterator.flatMap { case (cell, m) =>
+          serveCodeShard(params, m,
+            byCell.getOrElse(cell, Array.empty).iterator.map(_._2),
+            k, ef0, exhaustive, hasAllow, allowB.value, tombB.value)
+        }
+      }
+    }.toDF("qid", "id", "hamming")
+    rankMerge(perShard, k)
   }
 
   /** Read-through code store with one stageable query slot (the

@@ -116,6 +116,108 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
     dropOtherVersions(name, next)
   }
 
+  // ---- bucketed full image (the overlay-compaction key ranges) --------
+
+  private def bucketCol(src: org.apache.spark.sql.Column) =
+    pmod(hash(src), lit(ParquetGraphStore.CompactionBuckets))
+
+  /** Marker recording the bucket modulus a full version was laid out
+    * with — incremental compaction must NOT prune by bucket against a
+    * layout hashed with a different K (rows would duplicate across the
+    * copied and rewritten ranges); a mismatch falls back to the full
+    * rewrite, which re-buckets at the current K. */
+  private def bucketMarker(dir: String): Path =
+    new Path(dir, s"_BUCKETS_${ParquetGraphStore.CompactionBuckets}")
+
+  private def isBucketedAtCurrentK(dir: String): Boolean =
+    fs.exists(bucketMarker(dir))
+
+  /** Write `df` as the next FULL version of the LINKS table, laid out
+    * in [[ParquetGraphStore.CompactionBuckets]] hash(src) key ranges
+    * (one `bucket=B` directory each) so a later compaction can rewrite
+    * only the ranges its deltas touch. An empty frame writes
+    * unbucketed (a zero-row partitionBy write leaves no readable
+    * schema on disk). */
+  private def writeVersionedLinks(df: DataFrame): Unit = {
+    val next = currentVersion("links").map(_ + 1).getOrElse(0)
+    val dir = versionPath("links", next)
+    if (df.isEmpty) df.write.mode(SaveMode.Overwrite).parquet(dir)
+    else {
+      df.withColumn("bucket", bucketCol(col("src")))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(dir)
+      fs.create(bucketMarker(dir), true).close()
+    }
+    dropOtherVersions("links", next)
+  }
+
+  /** Fold the delta stack into the next full version INCREMENTALLY:
+    * resolve latest-wins only inside the key ranges (buckets) the
+    * deltas touch, and carry every untouched range over as a raw file
+    * copy from the previous full — no decode, no shuffle, no re-encode
+    * for data no delta rewrote. Write-new-while-reading-old per range:
+    * the resolved ranges land in a staging dir first (their plan READS
+    * the old stack), then the new version assembles from staged +
+    * copied ranges and turns complete only when its `_SUCCESS` lands —
+    * every crash window leaves the old stack intact and resolvable.
+    * Falls back to the whole-image rewrite when the previous full is
+    * unbucketed (legacy) or bucketed at a different K. */
+  private def compactStack(): Unit = {
+    val live = liveStack("links")
+    val deltas = live.filter(_._2)
+    val fullV = live.filterNot(_._2).map(_._1).maxOption
+    val incremental = fullV.exists(f =>
+      f >= 0 && isBucketedAtCurrentK(versionPath("links", f)))
+    if (!incremental || deltas.isEmpty) { writeVersionedLinks(linksTable); return }
+
+    val fullDir = versionPath("links", fullV.get)
+    val deltaDf = deltas.map { case (v, _) =>
+      readPiece(v, isDelta = true).withColumn("__v", lit(v))
+    }.reduce(_ unionByName _)
+    val touched = deltaDf.select(bucketCol(col("src")).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val touchedSet = touched.toSet
+
+    // stage: resolve ONLY the touched ranges (partition pruning keeps
+    // the full-side scan to those bucket dirs)
+    val staging = s"$path/links_stage"
+    fs.delete(new Path(staging), true)
+    val fullTouched = spark.read.parquet(fullDir)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .select(col("src"), col("layer").cast("int").as("layer"), col("links"))
+      .withColumn("__v", lit(fullV.get))
+    val resolved = fullTouched.unionByName(deltaDf)
+      .groupBy(col("src"), col("layer"))
+      .agg(max_by(col("links"), col("__v")).as("links"))
+    resolved.withColumn("bucket", bucketCol(col("src")))
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(staging)
+
+    // assemble the next version: staged ranges move (rename — O(1)
+    // metadata), untouched ranges COPY from the old full (it must stay
+    // intact until the new version is complete), then the marker +
+    // _SUCCESS flip the version live
+    val next = currentVersion("links").map(_ + 1).getOrElse(0)
+    val dir = versionPath("links", next)
+    fs.delete(new Path(dir), true)
+    fs.mkdirs(new Path(dir))
+    fs.listStatus(new Path(staging)).foreach { st =>
+      if (st.getPath.getName.startsWith("bucket="))
+        fs.rename(st.getPath, new Path(dir, st.getPath.getName))
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(new Path(fullDir)).foreach { st =>
+      val nm = st.getPath.getName
+      val keep = nm.startsWith("bucket=") &&
+        !touchedSet(nm.stripPrefix("bucket=").toInt)
+      if (keep)
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new Path(dir, nm), false, conf)
+    }
+    fs.create(bucketMarker(dir), true).close()
+    fs.create(new Path(dir, "_SUCCESS"), true).close()
+    fs.delete(new Path(staging), true)
+    dropOtherVersions("links", next)
+  }
+
   /** Write `df` as the next DELTA version of the links table. Prior
     * COMPLETE versions stay (compaction folds the stack back into one
     * full); incomplete dirs are crash junk — they can never resolve, and
@@ -244,7 +346,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
             .unionByName(updates)
         case None => updates
       }
-      writeVersioned("links", merged)
+      writeVersionedLinks(merged)
       pending.clear()
     }
     flushPendingEntry()
@@ -262,12 +364,12 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
     if (pending.nonEmpty) {
       val updates = pendingAsDF()
       // a fresh store takes its first flush as the base full version
-      if (currentVersion("links").isEmpty) writeVersioned("links", updates)
+      if (currentVersion("links").isEmpty) writeVersionedLinks(updates)
       else {
         writeDelta(updates)
         val deltas = liveStack("links").count(_._2)
         if (deltas >= ParquetGraphStore.CompactionDeltas)
-          writeVersioned("links", linksTable)
+          compactStack()
       }
       pending.clear()
     }
@@ -283,7 +385,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
 
   /** Bulk write a whole snapshot (the batch-build path). */
   def save(snapshot: GraphSnapshot): Unit = {
-    writeVersioned("links", GraphFrames.toLinksDF(spark, snapshot))
+    writeVersionedLinks(GraphFrames.toLinksDF(spark, snapshot))
     import spark.implicits._
     writeVersioned("entry",
       snapshot.entryPoint.toSeq.map(e => (e.point, e.layer))
@@ -372,7 +474,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
         cand.toSeq.map(r => (r.getLong(0), r.getInt(1)))
           .toDF("point", "layer").coalesce(1))
     }
-    writeVersioned("links", compacted)
+    writeVersionedLinks(compacted)
     compacted.unpersist(blocking = false)
     clearTombstones()
     true
@@ -394,7 +496,7 @@ final class ParquetGraphStore(val spark: SparkSession, val path: String) extends
     writeDelta(delta)
     val deltas = liveStack("links").count(_._2)
     if (deltas >= ParquetGraphStore.CompactionDeltas)
-      writeVersioned("links", linksTable)
+      compactStack()
   }
 }
 
@@ -403,4 +505,12 @@ object ParquetGraphStore {
     * compacts. Read amplification is bounded by this count; raising it
     * trades read-side resolution work for fewer full rewrites. */
   val CompactionDeltas = 6
+
+  /** Key ranges (hash(src) buckets) a full links version is laid out
+    * in. Compaction resolves only the ranges its deltas touch and
+    * carries the rest over as raw file copies — at a given delta size
+    * the merge compute per compaction is O(graph / K × touched), not
+    * O(graph). More buckets = finer-grained carryover but more small
+    * files; 32 keeps files ≥ tens of MB up to multi-TB graphs. */
+  val CompactionBuckets = 32
 }

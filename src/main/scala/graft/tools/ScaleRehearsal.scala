@@ -693,14 +693,42 @@ object ScaleRehearsal {
         val compacted2 = HnswRoutedCodes.compact(tombed2)
         val compactScatterS = (System.nanoTime() - t3) / 1e9
         println(f"REHEARSAL_PHASE routed_delete n=$n compact_scatter_s=$compactScatterS%.1f")
-        compacted2.unpersist()
+        // ---- RE-INGEST the freed ids (the lifecycle's last leg: both
+        // compactions emptied the deletion set, so the wiped ids are
+        // ingestable again — delete -> serve -> compact -> re-ingest).
+        // A slice of cluster 0, sized like a real backfill batch.
+        val reIds = (0L until n.toLong by nCells.toLong).take(50000)
+        val reDf = spark.createDataset(reIds.map(id => (id, codeOf(id))))
+          .toDF("id", "code").localCheckpoint(true)
+        val t5 = System.nanoTime()
+        val reIn = HnswRoutedCodes.ingest(compacted2, reDf) // unpersists prior
+        val ingestS = (System.nanoTime() - t5) / 1e9
+        val reQ = spark.createDataset(reIds.take(500).map(id => (id, codeOf(id))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        val reBack = HnswRoutedCodes.search(reIn, reQ, 1, nProbe = 8)
+          .filter(col("qid") === col("id")).count()
+        val (reServeS, reSelf) = {
+          val t = System.nanoTime()
+          val self = HnswRoutedCodes.search(reIn, qDf, 1, nProbe = 8)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        // NOTE: reSelf is measured AFTER the scattered 1% compact, so
+        // ~1% of qIds legitimately lost their self-match — report the
+        // rate, not a parity boolean against the pre-scatter count
+        println(f"REHEARSAL_PHASE routed_delete n=$n reingest_s=$ingestS%.1f " +
+          f"reingest_found=${reBack}/500 post_reingest_probe8_s=$reServeS%.2f " +
+          f"post_reingest_self=${reSelf * 100.0 / qIds.length}%.1f%% " +
+          f"(pre_scatter=${compSelf * 100.0 / qIds.length}%.1f%%)")
+        reIn.unpersist()
         // ---- rebuild reference: fresh build of the cell-local survivors
         val t4 = System.nanoTime()
         val rebuilt = HnswRoutedCodes.build(
           codes.filter(col("id") % nCells >= 3), params, nCells, seed = 42L)
         val rebuildS = (System.nanoTime() - t4) / 1e9
         rebuilt.unpersist()
-        (tombSelf, f"build_s=$buildS%.1f delete_s=$deleteS%.3f " +
+        (tombSelf, f"reingest_s=$ingestS%.1f reingest_found=$reBack " +
+          f"build_s=$buildS%.1f delete_s=$deleteS%.3f " +
           f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f " +
           f"tomb_overhead=${tombS / plainS}%.2fx leaked=$leaked " +
           f"compact_local_s=$compactLocalS%.1f compact_scatter_s=$compactScatterS%.1f " +
@@ -781,6 +809,116 @@ object ScaleRehearsal {
           f"post_compact_probe8_s=$compS%.2f " +
           f"self_tomb=${tombSelf * 100.0 / qIds.length}%.1f%% " +
           f"self_compacted=${compSelf * 100.0 / qIds.length}%.1f%%")
+      }
+
+      // DISTRIBUTED QUERY ROUTING rung (round-15): the routed tier as
+      // the BATCH side of a similarity join — n queries against an
+      // n-row corpus. The driver-routed path would hold nProbe copies
+      // of every (qid, float[64]) on the driver (~1.5 GB boxed at 1e6
+      // × 4 — and 1e8 queries is a hard OOM); search() auto-reroutes
+      // above DriverRouteMax through the distributed path, whose only
+      // query-side state is one shuffle of (cell, qid, vec) rows.
+      if (ops("routed_distrib")) run("ann_routed_distrib", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = if (n >= 10000000) 256 else 64
+        def centerOf(c: Int): Array[Float] =
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat)
+        def vecOf(id: Long): Array[Float] = {
+          val c = centerOf((id % nCells).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "cosine", seed = 9L)
+        val index = HnswRouted.build(vecs, cfg, nCells)
+        // the full corpus AS the query batch (qvec = the member's own
+        // vector, so self-match doubles as the correctness signal)
+        val qDf = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("qid", "qvec")
+          .localCheckpoint(true)
+        assert(n > HnswRouted.DriverRouteMax,
+          "rung must exceed the cutover to exercise the distributed path")
+        val t0 = System.nanoTime()
+        // search() itself: proves the AUTO cutover reroutes (1e6 >
+        // DriverRouteMax), not just the explicit entry point
+        val self = HnswRouted.search(index, qDf, 10, nProbe = 4)
+          .filter(col("qid") === col("id")).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        index.unpersist()
+        (self, f"queries=$n qps=${n / wall}%.0f " +
+          f"self_match=${self * 100.0 / n}%.1f%% " +
+          f"driver_route_max=${HnswRouted.DriverRouteMax}")
+      }
+
+      // MERGED-CELL REMEDY rung (round-15, ROUND14 §5's residual): a
+      // two-level geometry plants the merge (two sub-clusters per
+      // k-means cell), wiping one sub-cluster creates the regime where
+      // tombstone serving paid the 1.5x floor; the audit must flag the
+      // cell and the targeted compact must bring dead-side serving back
+      // to ~plain (<= 1.2x is the round-15 done bar).
+      if (ops("merged_remedy")) run("ann_merged_remedy", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = if (n >= 10000000) 64 else 16
+        val nSub = nCells * 2
+        def subCenter(g: Int): Array[Float] = {
+          val sup = g / 2
+          Array.tabulate(dim)(d =>
+            (((HnswSearcher.uniformFromHash(sup.toLong * 997 + d, 77L) * 2 - 1) * 40.0) +
+             ((HnswSearcher.uniformFromHash(1000L + g.toLong * 31 + d, 99L) * 2 - 1) * 6.0)).toFloat)
+        }
+        def vecOf(id: Long): Array[Float] = {
+          val c = subCenter((id % nSub).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "l2", seed = 9L)
+        val index = HnswRouted.build(vecs, cfg, nCells)
+        // queries arrive ON THE DEAD SIDE: perturbed members of the
+        // sub-cluster about to be wiped — the regime that paid the tax
+        val qDf = spark.createDataset(
+            (0L until n.toLong by nSub.toLong).take(2000)
+              .map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def serve(idx: HnswRouted.RoutedIndex): Double = {
+          val t = System.nanoTime()
+          HnswRouted.search(idx, qDf, 10, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        serve(index) // warm
+        val plainS = math.min(serve(index), serve(index))
+        val tombed = HnswRouted.delete(index,
+          vecs.filter(col("id") % nSub === 0).select(col("id")))
+        serve(tombed) // warm the predicated path
+        val tombS = math.min(serve(tombed), serve(tombed))
+        val t1 = System.nanoTime()
+        val audit = HnswRouted.mergedCellAudit(tombed).collect()
+        val auditS = (System.nanoTime() - t1) / 1e9
+        println("REHEARSAL_PHASE merged_remedy audit: " + audit.mkString(" | "))
+        val t2 = System.nanoTime()
+        val (rem, flagged) = HnswRouted.remediateMergedCells(tombed)
+        val remS = (System.nanoTime() - t2) / 1e9
+        serve(rem) // warm
+        val postS = math.min(serve(rem), serve(rem))
+        rem.unpersist()
+        (flagged.length.toLong,
+          f"plain_s=$plainS%.2f tomb_s=$tombS%.2f " +
+          f"tomb_overhead=${tombS / plainS}%.2fx " +
+          f"audit_s=$auditS%.1f remedy_s=$remS%.1f flagged=${flagged.length} " +
+          f"post_s=$postS%.2f post_overhead=${postS / plainS}%.2fx " +
+          f"residual_tombstones=${rem.tombstones.length}")
       }
 
       // AUTO-EF rung (round-13): the density-adaptive in-cell beam's

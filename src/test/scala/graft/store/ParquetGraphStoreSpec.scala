@@ -220,4 +220,87 @@ class ParquetGraphStoreSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("retention window"))
   }
+
+  private def bucketFiles(dir: String): Map[String, Set[String]] = {
+    val full = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("links_v\\d+")).head
+    full.listFiles().filter(_.getName.startsWith("bucket="))
+      .map(b => b.getName ->
+        b.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+      .toMap
+  }
+
+  test("overlay compaction: only delta-touched key ranges are rewritten; untouched ranges carry over as raw file copies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val (store, dir) = freshStore()
+    store.setEntryPoint(0L, 0)
+    (0L until 200L).foreach(i => store.setLinks(i,
+      FurthestQueue.fromAscending(Seq(Neighbor((i + 1) % 200, 0.5))), 0))
+    store.flush() // bucketed base full
+    val before = bucketFiles(dir)
+    assert(before.size > 10, s"base full should span many buckets: ${before.keySet}")
+
+    // stack deltas all touching ONE src -> ONE key range
+    val touchedSrc = 7L
+    (1 to ParquetGraphStore.CompactionDeltas).foreach { i =>
+      store.setLinks(touchedSrc,
+        FurthestQueue.fromAscending(Seq(Neighbor(i.toLong, i / 100.0))), 0)
+      store.flushDelta()
+    }
+    // compaction folded the stack: one full, no deltas, no staging junk
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("links_v")) == 1, names.mkString(","))
+    assert(!names.exists(_.startsWith("links_d")), names.mkString(","))
+    assert(!names.contains("links_stage"))
+
+    val after = bucketFiles(dir)
+    val touchedBucket = "bucket=" + Seq(touchedSrc).toDF("src")
+      .select(pmod(hash(col("src")), lit(ParquetGraphStore.CompactionBuckets)))
+      .head.getInt(0)
+    // the touched range was REWRITTEN (fresh file names), every other
+    // range carried over byte-name-identical (copied, not re-encoded)
+    assert(after(touchedBucket) != before(touchedBucket), "touched range must rewrite")
+    (before.keySet - touchedBucket).foreach { b =>
+      assert(after(b) == before(b), s"untouched range $b must carry over")
+    }
+    // resolution: latest delta won for the touched src, base intact elsewhere
+    assert(store.getLinks(touchedSrc, 0).toArray.toSeq ==
+      Seq(Neighbor(ParquetGraphStore.CompactionDeltas.toLong,
+        ParquetGraphStore.CompactionDeltas / 100.0)))
+    assert(store.getLinks(12L, 0).toArray.toSeq == Seq(Neighbor(13L, 0.5)))
+    // a reopened store resolves identically
+    val reread = new ParquetGraphStore(spark, dir)
+    assert(reread.getLinks(touchedSrc, 0).toArray.toSeq ==
+      store.getLinks(touchedSrc, 0).toArray.toSeq)
+    assert(reread.getLinks(199L, 0).toArray.toSeq == Seq(Neighbor(0L, 0.5)))
+  }
+
+  test("overlay compaction over a legacy UNBUCKETED full falls back to the whole rewrite and re-buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pgstore").toString
+    // simulate a pre-overlay store: a plain (unbucketed) full version
+    (0L until 50L).map(i => (i, 0, Seq((i + 1, 0.5))))
+      .toDF("src", "layer", "raw")
+      .select(col("src"), col("layer"),
+        expr("transform(raw, x -> struct(x._1 AS dst, x._2 AS dist))").as("links"))
+      .write.parquet(s"$dir/links_v0")
+    val store = new ParquetGraphStore(spark, dir)
+    assert(store.getLinks(3L, 0).toArray.toSeq == Seq(Neighbor(4L, 0.5)))
+    (1 to ParquetGraphStore.CompactionDeltas).foreach { i =>
+      store.setLinks(3L,
+        FurthestQueue.fromAscending(Seq(Neighbor(i.toLong, i / 100.0))), 0)
+      store.flushDelta()
+    }
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.startsWith("links_v")) == 1, names.mkString(","))
+    assert(!names.exists(_.startsWith("links_d")))
+    // the fold re-bucketed the image (next compaction goes incremental)
+    assert(bucketFiles(dir).nonEmpty)
+    assert(store.getLinks(3L, 0).toArray.toSeq ==
+      Seq(Neighbor(ParquetGraphStore.CompactionDeltas.toLong,
+        ParquetGraphStore.CompactionDeltas / 100.0)))
+    assert(store.getLinks(10L, 0).toArray.toSeq == Seq(Neighbor(11L, 0.5)))
+  }
 }
