@@ -610,11 +610,22 @@ object HnswRouted {
         if (deadBp < minDeadBp || deadBp > maxDeadBp) Iterator.empty
         else {
           val metric = Metrics.byName(cfg.metric)
-          // deterministic sample: ascending id order (the build order),
-          // stride-decimated to <= sampleMax
+          // deterministic sample, decimated by ID HASH — never by
+          // position: a positional stride can alias with the id pattern
+          // (a cell of interleaved (32k dead, 32k+1 live) pairs sampled
+          // every 6th position yields ALL-dead, the live seed-mean
+          // degenerates to zero, and Lloyd collapses to one side —
+          // exactly the planted rehearsal case). Falls back to the full
+          // cell if the sample still misses a class (cells are bounded
+          // by maxCellRows, so O(cell × dim) stays affordable).
           val all = s.vectors.toArray.sortBy(_._1)
-          val stride = math.max(1, all.length / sampleMax)
-          val sample = all.indices.by(stride).map(all(_)).toArray
+          val keep = math.min(1.0, sampleMax.toDouble / all.length)
+          val hashed = all.filter { case (id, _) =>
+            HnswSearcher.uniformFromHash(id, 0x9E3779B9L) < keep }
+          val sample =
+            if (hashed.length >= 32 && hashed.exists(r => isDead(r._1)) &&
+                hashed.exists(r => !isDead(r._1))) hashed
+            else all
           val dim = sample.head._2.length
           def meanOf(p: ((Long, Array[Float])) => Boolean): Array[Float] = {
             val acc = new Array[Double](dim); var n = 0
