@@ -578,21 +578,28 @@ object HnswRouted {
     * Detection is a per-cell geometric SEPARABILITY test, one narrow
     * pass, no shuffle: cells whose dead fraction is bimodal-eligible
     * (inside [minDeadBp, maxDeadBp], at least `minCellRows` members)
-    * run a deterministic 2-means seeded at the dead-member mean vs the
-    * live-member mean — a hypothesis-shaped init: if dead and live are
-    * interleaved the two seeds start nearly coincident and Lloyd
-    * settles an arbitrary split whose sides both read ≈ the cell-wide
-    * dead fraction (no flag); if they are distinct clusters the seeds
-    * start apart and converge onto the true split. A cell is flagged
-    * `merged` when one side is ≥80% dead, the other ≤20%, and the dead
-    * side holds ≥80% of the cell's dead mass. Returns one row per
-    * AUDITED cell: (cell, n, n_dead, dead_bp, hi_dead_bp, lo_dead_bp,
-    * dead_mass_hi_bp, merged). Remedy: [[compactCells]] on the flagged
-    * ids (or the skew-split/retrain path when live density also
-    * warrants re-routing). */
+    * run a deterministic `kSplit`-means whose first two seeds are the
+    * dead-member mean and the live-member mean (the hypothesis-shaped
+    * init) and whose remaining seeds are farthest-point picks — k > 2
+    * is load-bearing: a dense cell can merge SEVERAL clusters (the 1e6
+    * rehearsal packed four), and a single 2-means split then finds the
+    * dominant geometric structure, not the dead/live boundary (measured:
+    * a 25%-dead four-cluster cell read 50/0 purity at k=2 — unflagged
+    * at a 9× serving tax). If dead and live are interleaved, every
+    * component's dead fraction reads ≈ the cell-wide fraction (no
+    * flag); if the dead mass is its own cluster, some component
+    * isolates it. A cell is flagged `merged` when ≥80%-pure-dead
+    * components hold ≥80% of the cell's dead mass and a clearly-live
+    * component (≤20% dead) exists. Returns one row per AUDITED cell:
+    * (cell, n, n_dead, dead_bp, hi_dead_bp = max component purity,
+    * lo_dead_bp = min component purity, dead_mass_hi_bp = dead mass in
+    * pure-dead components, merged). Remedy: [[compactCells]] on the
+    * flagged ids (or the skew-split/retrain path when live density
+    * also warrants re-routing). */
   def mergedCellAudit(index: RoutedIndex, minCellRows: Int = 1024,
                       minDeadBp: Int = 1000, maxDeadBp: Int = 9000,
-                      sampleMax: Int = 4096, iters: Int = 8): DataFrame = {
+                      sampleMax: Int = 4096, iters: Int = 8,
+                      kSplit: Int = 8): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
     val cfg = index.cfg
@@ -634,35 +641,64 @@ object HnswRouted {
             if (n == 0) new Array[Float](dim)
             else Array.tabulate(dim)(d => (acc(d) / n).toFloat)
           }
-          var cA = meanOf(r => isDead(r._1))   // dead-member mean
-          var cB = meanOf(r => !isDead(r._1))  // live-member mean
+          val k = math.max(2, math.min(kSplit, sample.length / 4))
+          val cents = Array.ofDim[Array[Float]](k)
+          cents(0) = meanOf(r => isDead(r._1))   // dead-member mean
+          cents(1) = meanOf(r => !isDead(r._1))  // live-member mean
+          // farthest-point seeds (deterministic; ties by id order): the
+          // extra components catch structure the two hypothesis seeds
+          // cannot hold alone when >2 clusters share the cell
+          var j = 2
+          while (j < k) {
+            var best: Array[Float] = null; var bestD = -1.0
+            sample.foreach { case (_, v) =>
+              var minD = Double.MaxValue; var c = 0
+              while (c < j) { val d = metric(v, cents(c)); if (d < minD) minD = d; c += 1 }
+              if (minD > bestD) { bestD = minD; best = v }
+            }
+            cents(j) = best; j += 1
+          }
+          @inline def nearest(v: Array[Float]): Int = {
+            var bi = 0; var bd = Double.MaxValue; var c = 0
+            while (c < k) {
+              val d = metric(v, cents(c)); if (d < bd) { bd = d; bi = c }; c += 1 }
+            bi
+          }
           var it = 0
           while (it < iters) {
-            val accA = new Array[Double](dim); val accB = new Array[Double](dim)
-            var nA = 0; var nB = 0
+            val accs = Array.fill(k)(new Array[Double](dim))
+            val ns = new Array[Int](k)
             sample.foreach { case (_, v) =>
-              val toA = metric(v, cA) <= metric(v, cB)
-              val acc = if (toA) accA else accB
+              val c = nearest(v); val acc = accs(c)
               var d = 0; while (d < dim) { acc(d) += v(d); d += 1 }
-              if (toA) nA += 1 else nB += 1
+              ns(c) += 1
             }
-            if (nA > 0) cA = Array.tabulate(dim)(d => (accA(d) / nA).toFloat)
-            if (nB > 0) cB = Array.tabulate(dim)(d => (accB(d) / nB).toFloat)
+            var c = 0
+            while (c < k) {
+              if (ns(c) > 0)
+                cents(c) = Array.tabulate(dim)(d => (accs(c)(d) / ns(c)).toFloat)
+              c += 1 // an empty component keeps its centroid
+            }
             it += 1
           }
-          // assign EVERY member (not just the sample) and census each side
-          var aN = 0; var aDead = 0; var bN = 0; var bDead = 0
+          // census EVERY member (not just the sample) per component
+          val compN = new Array[Long](k); val compDead = new Array[Long](k)
           s.vectors.foreach { case (id, v) =>
-            if (metric(v, cA) <= metric(v, cB)) {
-              aN += 1; if (isDead(id)) aDead += 1
-            } else { bN += 1; if (isDead(id)) bDead += 1 }
+            val c = nearest(v)
+            compN(c) += 1; if (isDead(id)) compDead(c) += 1
           }
-          val (hiN, hiDead, loN, loDead) =
-            if (aN > 0 && (bN == 0 || aDead.toLong * bN >= bDead.toLong * aN))
-              (aN, aDead, bN, bDead) else (bN, bDead, aN, aDead)
-          val hiBp = if (hiN == 0) 0L else hiDead * 10000L / hiN
-          val loBp = if (loN == 0) 0L else loDead * 10000L / loN
-          val massHiBp = if (nDead == 0) 0L else hiDead * 10000L / nDead
+          var hiBp = 0L; var loBp = 10000L; var pureDeadMass = 0L
+          var c = 0
+          while (c < k) {
+            if (compN(c) > 0) {
+              val bp = compDead(c) * 10000L / compN(c)
+              if (bp > hiBp) hiBp = bp
+              if (bp < loBp) loBp = bp
+              if (bp >= 8000L) pureDeadMass += compDead(c)
+            }
+            c += 1
+          }
+          val massHiBp = if (nDead == 0) 0L else pureDeadMass * 10000L / nDead
           val merged = hiBp >= 8000L && loBp <= 2000L && massHiBp >= 8000L
           Iterator.single((cell, cellN.toLong, nDead.toLong, deadBp,
             hiBp, loBp, massHiBp, merged))

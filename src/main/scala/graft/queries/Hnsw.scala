@@ -477,6 +477,53 @@ object Hnsw {
           "recall_bp_float", "pq_loss_bp")
     }),
 
+    // Merged-cell lifecycle on real data: delete a GEOMETRIC halfspace
+    // (every vector whose first coordinate is positive — the shape a
+    // real retention policy or domain purge takes), audit the cells
+    // for merged dead/live clusters, remediate via the targeted
+    // compact, and serve the exhaustive regime — held to the exact
+    // L2 hash oracle over the survivors. Shares the cached l2 routed
+    // build with the routed_pq rows; remediation builds transient
+    // handles (persist=false) and never disturbs the shared memo
+    // (unpersistPrior=false).
+    "h_merged_remedy_knn" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val dead = vectorsDf(s, dir)
+        .filter(element_at(col("vec"), 1) > 0.0f).select(col("id"))
+      val tombed = HnswRouted.delete(base, dead)
+      val (rem, _) = HnswRouted.remediateMergedCells(tombed,
+        minCellRows = 16, persist = false, unpersistPrior = false)
+      HnswRouted.search(rem, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The audit surface itself, rows-only: per-cell separability
+    // census after the halfspace delete — (cells_audited, flagged,
+    // tombstones_before, tombstones_after_remedy). Deterministic given
+    // the data and seed; no SQL engine can run the index, so the row
+    // self-carries its counts (the recall-row pattern).
+    "h_merged_audit" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val dead = vectorsDf(s, dir)
+        .filter(element_at(col("vec"), 1) > 0.0f).select(col("id"))
+      val tombed = HnswRouted.delete(base, dead)
+      val audit = HnswRouted.mergedCellAudit(tombed, minCellRows = 16).cache()
+      val audited = audit.count()
+      val flagged = audit.filter(col("merged")).count()
+      audit.unpersist(blocking = false)
+      val (rem, _) = HnswRouted.remediateMergedCells(tombed,
+        minCellRows = 16, persist = false, unpersistPrior = false)
+      import s.implicits._
+      Seq((audited, flagged, tombed.tombstones.length.toLong,
+          rem.tombstones.length.toLong))
+        .toDF("n_audited", "n_flagged", "tomb_before", "tomb_after")
+    }),
+
     // Frontier-join search: layer 0 stays a distributed links table
     // (never broadcast), expanded by iterative joins — the path for
     // graphs beyond executor memory. Exact regime -> exact oracle.
@@ -653,6 +700,17 @@ object Hnsw {
     // h_knn_cosine. h_recall_routed_pq (no oracle) carries the honest
     // nProbe-regime number.
     "h_knn_routed_pq" -> exactL2KnnOracle(10),
+    // halfspace-deleted exact L2 over survivors: remediated routed
+    // serving in the exhaustive regime must match the oracle exactly
+    "h_merged_remedy_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE $qFilter),
+         |     v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv
+         |           FROM embeddings WHERE embedding[1] <= 0.0),
+         |     p AS (SELECT qid, id, list_distance(qv, vv) AS s FROM q, v),
+         |     r AS (SELECT qid, id, CAST(row_number() OVER (
+         |            PARTITION BY qid ORDER BY s, id) AS INT) AS rank FROM p)
+         |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed
     // traversal is lossy by design; the query self-carries its recall.
 

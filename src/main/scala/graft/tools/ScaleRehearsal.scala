@@ -680,28 +680,36 @@ object ScaleRehearsal {
           f"post_compact_probe8_s=$compS%.2f parity=${compSelf == tombSelf}")
         // ---- scattered 1% deletion (survivor clusters only): touches
         // every cell, so compaction degrades to ~rebuild — measured to
-        // state the discipline, not to pass a gate
+        // state the discipline, not to pass a gate. SKIPPED at the 1e8
+        // decade unless REHEARSAL_FULL is set: the leg is O(rebuild)
+        // (~40 min at 1e8) and its shape was pinned at 1e6/1e7; the 1e8
+        // rung's questions are the threshold compact + re-ingest.
+        val fullLifecycle = n < 100000000 || sys.env.contains("REHEARSAL_FULL")
         // ~1% of survivors, scattered across ALL cells (97 is coprime
         // with the power-of-two-ish cluster stride, so every cluster
         // contributes; note `/` on int columns is DOUBLE division in
         // Spark SQL — modulo on a quotient would silently select ~0 rows)
-        val deadScatter = codes
-          .filter(col("id") % nCells >= 3 && col("id") % 97 === 0)
-          .select(col("id"))
-        val tombed2 = HnswRoutedCodes.delete(compacted, deadScatter)
-        val t3 = System.nanoTime()
-        val compacted2 = HnswRoutedCodes.compact(tombed2)
-        val compactScatterS = (System.nanoTime() - t3) / 1e9
+        val compactScatterS = if (!fullLifecycle) -1.0 else {
+          val deadScatter = codes
+            .filter(col("id") % nCells >= 3 && col("id") % 97 === 0)
+            .select(col("id"))
+          val tombed2 = HnswRoutedCodes.delete(compacted, deadScatter)
+          val t3 = System.nanoTime()
+          val compacted2 = HnswRoutedCodes.compact(tombed2, unpersistPrior = false)
+          val s = (System.nanoTime() - t3) / 1e9
+          compacted2.unpersist()
+          s
+        }
         println(f"REHEARSAL_PHASE routed_delete n=$n compact_scatter_s=$compactScatterS%.1f")
-        // ---- RE-INGEST the freed ids (the lifecycle's last leg: both
-        // compactions emptied the deletion set, so the wiped ids are
-        // ingestable again — delete -> serve -> compact -> re-ingest).
-        // A slice of cluster 0, sized like a real backfill batch.
+        // ---- RE-INGEST the freed ids (the lifecycle's last leg: the
+        // threshold compact emptied the deletion set, so the wiped ids
+        // are ingestable again — delete -> serve -> compact ->
+        // re-ingest). A slice of cluster 0, sized like a real backfill.
         val reIds = (0L until n.toLong by nCells.toLong).take(50000)
         val reDf = spark.createDataset(reIds.map(id => (id, codeOf(id))))
           .toDF("id", "code").localCheckpoint(true)
         val t5 = System.nanoTime()
-        val reIn = HnswRoutedCodes.ingest(compacted2, reDf) // unpersists prior
+        val reIn = HnswRoutedCodes.ingest(compacted, reDf) // unpersists prior
         val ingestS = (System.nanoTime() - t5) / 1e9
         val reQ = spark.createDataset(reIds.take(500).map(id => (id, codeOf(id))))
           .toDF("qid", "qcode").localCheckpoint(true)
@@ -713,20 +721,22 @@ object ScaleRehearsal {
             .filter(col("qid") === col("id")).count()
           ((System.nanoTime() - t) / 1e9, self)
         }
-        // NOTE: reSelf is measured AFTER the scattered 1% compact, so
-        // ~1% of qIds legitimately lost their self-match — report the
-        // rate, not a parity boolean against the pre-scatter count
+        // re-ingest grows the index from the compacted survivors, so
+        // the survivor-query self-match must hold parity exactly
         println(f"REHEARSAL_PHASE routed_delete n=$n reingest_s=$ingestS%.1f " +
           f"reingest_found=${reBack}/500 post_reingest_probe8_s=$reServeS%.2f " +
-          f"post_reingest_self=${reSelf * 100.0 / qIds.length}%.1f%% " +
-          f"(pre_scatter=${compSelf * 100.0 / qIds.length}%.1f%%)")
+          f"survivor_parity=${reSelf == compSelf}")
         reIn.unpersist()
-        // ---- rebuild reference: fresh build of the cell-local survivors
-        val t4 = System.nanoTime()
-        val rebuilt = HnswRoutedCodes.build(
-          codes.filter(col("id") % nCells >= 3), params, nCells, seed = 42L)
-        val rebuildS = (System.nanoTime() - t4) / 1e9
-        rebuilt.unpersist()
+        // ---- rebuild reference: fresh build of the cell-local
+        // survivors (skipped with the scattered leg at 1e8 — O(build))
+        val rebuildS = if (!fullLifecycle) -1.0 else {
+          val t4 = System.nanoTime()
+          val rebuilt = HnswRoutedCodes.build(
+            codes.filter(col("id") % nCells >= 3), params, nCells, seed = 42L)
+          val s = (System.nanoTime() - t4) / 1e9
+          rebuilt.unpersist()
+          s
+        }
         (tombSelf, f"reingest_s=$ingestS%.1f reingest_found=$reBack " +
           f"build_s=$buildS%.1f delete_s=$deleteS%.3f " +
           f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f " +
