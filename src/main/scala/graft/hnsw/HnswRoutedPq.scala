@@ -117,14 +117,20 @@ object HnswRoutedPq {
     * exhaustive regime / small / mostly-dead cells take the exact ADC
     * scan (O(eligible) LUT lookups per query — 16 adds per row), the
     * nProbe regime takes one graph beam and falls back to the scan if
-    * the eligible prefix comes up short. */
+    * the eligible prefix comes up short. Routing follows the routed
+    * tier's two-path discipline: driver collect below
+    * [[HnswRouted.DriverRouteMax]], distributed (query-side-only
+    * shuffle keyed by the pinned partitioner, narrow zipPartitions on
+    * the shard side) above it — same kernel, spec-pinned identical. */
   def searchCoarse(index: RoutedPqIndex, queries: DataFrame,
                    candidates: Int, nProbe: Int, ef0: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val router = index.router
-    val params = index.params
     val exhaustive = nProbe >= router.nPrimary
-    val qArr = queries.select(col("qid"), col("qvec")).as(pairEnc).collect()
+    val qArr = queries.select(col("qid"), col("qvec"))
+      .limit(HnswRouted.DriverRouteMax + 1).as(pairEnc).collect()
+    if (qArr.length > HnswRouted.DriverRouteMax)
+      return searchCoarseDistributed(index, queries, candidates, nProbe, ef0)
     val byCell = qArr.iterator.flatMap { case (qid, qv) =>
       router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
     }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
@@ -135,9 +141,55 @@ object HnswRoutedPq {
     HnswRouted.prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
       val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
       if (probes.isEmpty) Iterator.empty
-      else {
-        val cb = cbB.value
-        val dead = tombB.value
+      else serveAdcShard(index.params, m, cbB.value, tombB.value,
+        probes.iterator, candidates, exhaustive, ef0)
+    }.toDF("qid", "id", "adc")
+  }
+
+  /** Distributed-routing twin of [[searchCoarse]] (the batch-side
+    * shape; see [[HnswRouted.searchDistributed]]). */
+  def searchCoarseDistributed(index: RoutedPqIndex, queries: DataFrame,
+                              candidates: Int, nProbe: Int,
+                              ef0: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val exhaustive = nProbe >= index.router.nPrimary
+    val routerB = sc.broadcast(index.router)
+    val cbB = sc.broadcast(index.codebook)
+    val tombB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+      "distributed routing needs the index's pinned CellPartitioner"))
+    val routed = queries.select(col("qid"), col("qvec")).as(pairEnc).rdd
+      .flatMap { case (qid, qv) =>
+        routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+      }.partitionBy(part)
+    import spark.implicits._
+    index.shards.zipPartitions(routed) { (shardIt, qIt) =>
+      val shards = shardIt.toArray
+      if (shards.length == 0) Iterator.empty
+      else if (shards.length == 1) {
+        val (cell, m) = shards(0)
+        val probes = qIt.collect { case (c, q) if c == cell => q }
+        serveAdcShard(index.params, m, cbB.value, tombB.value,
+          probes, candidates, exhaustive, ef0)
+      } else {
+        val byCell = qIt.toArray.groupBy(_._1)
+        shards.iterator.flatMap { case (cell, m) =>
+          serveAdcShard(index.params, m, cbB.value, tombB.value,
+            byCell.getOrElse(cell, Array.empty).iterator.map(_._2),
+            candidates, exhaustive, ef0)
+        }
+      }
+    }.toDF("qid", "id", "adc")
+  }
+
+  /** Per-shard ADC candidate kernel, shared by both routing paths. */
+  private def serveAdcShard(
+      params: HnswParams, m: PqCellShard,
+      cb: Array[Array[Array[Float]]], dead: Array[Long],
+      probes: Iterator[(Long, Array[Float])],
+      candidates: Int, exhaustive: Boolean,
+      ef0: Int): Iterator[(Long, Long, Double)] = {
         @inline def eligible(id: Long): Boolean =
           dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0
         val cellN = m.codes.size
@@ -174,7 +226,7 @@ object HnswRoutedPq {
           fq.iterator.map(nb => (qid, nb.dst, nb.dist))
         }
         if (eligibleCount == 0) Iterator.empty
-        else probes.iterator.flatMap { case (qid, qvec) =>
+        else probes.flatMap { case (qid, qvec) =>
           if (exhaustive || eligibleCount <= math.max(c, cellN / 4))
             adcScan(qid, qvec)
           else {
@@ -187,8 +239,6 @@ object HnswRoutedPq {
             else adcScan(qid, qvec)
           }
         }
-      }
-    }.toDF("qid", "id", "adc")
   }
 
   /** Full serving path: ADC candidates per probed cell, then ONE exact

@@ -477,6 +477,21 @@ object Hnsw {
           "recall_bp_float", "pq_loss_bp")
     }),
 
+    // The DISTRIBUTED routing path (the batch-side serving shape —
+    // search() takes it automatically above 256k queries) held to the
+    // SAME exhaustive-regime hash oracle as h_knn_routed: the per-shard
+    // kernel is shared with the driver path, so this row pins the
+    // query-side shuffle + zipPartitions machinery end-to-end through
+    // DuckDB, not just the in-JVM spec.
+    "h_knn_routed_distrib" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val index = HnswRouted.buildCached(vectorsDf(s, dir), exactishCfg,
+        nCells = 16, key = dir)
+      HnswRouted.searchDistributed(index, queriesDf(s, dir), 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Merged-cell lifecycle on real data: delete a GEOMETRIC halfspace
     // (every vector whose first coordinate is positive — the shape a
     // real retention policy or domain purge takes), audit the cells
@@ -685,6 +700,7 @@ object Hnsw {
     "h_knn_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_sharded" -> exactKnnOracle(10),
     "h_knn_routed" -> exactKnnOracle(10),
+    "h_knn_routed_distrib" -> exactKnnOracle(10),
     "h_knn_routed_attach" -> exactKnnOracle(10),
     "h_knn_routed_grow" -> exactKnnOracle(10),
     "h_knn_routed_retrained" -> exactKnnOracle(10),

@@ -74,6 +74,26 @@ class HnswRoutedPqSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("distributed coarse routing is row-identical to the driver path (with tombstones)") {
+    val n = 1500
+    val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 30).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val routed = HnswRouted.delete(
+      HnswRouted.build(baseDf, cfg, nCells = 4, persist = false),
+      (0 until n).filter(_ % 9 == 0).map(_.toLong).toDF("id"))
+    val index = HnswRoutedPq.fromRouted(routed, persist = false)
+    for (nProbe <- Seq(2, 4)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("id"), col("adc")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      val driver = rows(HnswRoutedPq.searchCoarse(index, qDf, 64, nProbe))
+      val distrib = rows(HnswRoutedPq.searchCoarseDistributed(index, qDf, 64, nProbe))
+      assert(distrib == driver, s"nProbe=$nProbe")
+    }
+  }
+
   test("tombstones carry over from the source index and are excluded from candidates") {
     val n = 1200
     val base = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
