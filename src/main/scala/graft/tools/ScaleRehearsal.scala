@@ -742,8 +742,11 @@ object ScaleRehearsal {
           f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f " +
           f"tomb_overhead=${tombS / plainS}%.2fx leaked=$leaked " +
           f"compact_local_s=$compactLocalS%.1f compact_scatter_s=$compactScatterS%.1f " +
-          f"rebuild_s=$rebuildS%.1f compact_local_over_rebuild=${compactLocalS / rebuildS}%.3f " +
-          f"compact_scatter_over_rebuild=${compactScatterS / rebuildS}%.3f " +
+          f"rebuild_s=$rebuildS%.1f " +
+          (if (rebuildS > 0)
+            f"compact_local_over_rebuild=${compactLocalS / rebuildS}%.3f " +
+              f"compact_scatter_over_rebuild=${compactScatterS / rebuildS}%.3f "
+           else f"compact_local_over_build=${compactLocalS / buildS}%.3f ") +
           f"self_match=${tombSelf * 100.0 / qIds.length}%.1f%%")
       }
 
