@@ -126,12 +126,21 @@ object HnswRouted {
     * transparently. [[compact]] folds it out by rebuilding ONLY the
     * cells that hold a tombstoned id, emptying the set and freeing the
     * ids for re-[[ingest]]. */
+  /** `overlay`: persisted patch RDDs this handle OWNS beyond `shards`
+    * (the [[compactCellsPatched]] rebuilt-cells overlay) — released
+    * with the handle. `shards` itself may be an UNPERSISTED composite
+    * whose lineage reads the base index's cached blocks plus the
+    * overlay; see the patched-compaction notes there. */
   final case class RoutedIndex(
       cfg: BuildConfig,
       router: Router,
       shards: org.apache.spark.rdd.RDD[(Int, CellShard)],
-      tombstones: Array[Long] = Array.empty) {
-    def unpersist(): Unit = shards.unpersist()
+      tombstones: Array[Long] = Array.empty,
+      overlay: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+    def unpersist(): Unit = {
+      overlay.foreach(_.unpersist())
+      shards.unpersist()
+    }
   }
 
   /** One-partition-per-cell partitioner keyed by the cell's RANK in the
@@ -411,6 +420,9 @@ object HnswRouted {
         .setName("graft-hnsw-routed")
       merged.count()
       index.shards.unpersist(blocking = false)
+      // a patched prior also owned an overlay stack — release it with
+      // the shards it patched
+      index.overlay.foreach(_.unpersist())
     }
     // the deletion set survives ingest (dropping it would silently
     // resurrect deleted ids after the next insert batch — caught by
@@ -508,7 +520,10 @@ object HnswRouted {
         compacted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .setName("graft-hnsw-routed")
         compacted.count()
-        if (unpersistPrior) index.shards.unpersist(blocking = false)
+        if (unpersistPrior) {
+          index.shards.unpersist(blocking = false)
+          index.overlay.foreach(_.unpersist())
+        }
       }
       RoutedIndex(cfg, index.router, compacted, Array.empty)
     }
@@ -561,11 +576,103 @@ object HnswRouted {
         compacted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .setName("graft-hnsw-routed")
         compacted.count()
-        if (unpersistPrior) index.shards.unpersist(blocking = false)
+        if (unpersistPrior) {
+          index.shards.unpersist(blocking = false)
+          index.overlay.foreach(_.unpersist())
+        }
       }
       val remaining = index.tombstones.filter(id =>
         java.util.Arrays.binarySearch(removed, id) < 0)
       RoutedIndex(cfg, index.router, compacted, remaining)
+    }
+
+  /** [[compactCells]] with O(touched) PERSISTED BYTES — the patch
+    * answer to the measured cost of targeted compaction: the plain
+    * variant's narrow map is O(touched) CPU but persisting its output
+    * materializes a full-size new image while the old stays live (the
+    * 1e8 rung read 839.7 s to fold 3 of 1024 cells — all block churn,
+    * and the first post-compact serve paid a 33 s cold read of the
+    * freshly spilled copy). Here only the REBUILT cells persist (an
+    * overlay RDD whose untouched partitions are empty blocks), and the
+    * served `shards` is an unpersisted partitioner-preserving
+    * zipPartitions COMPOSITE: overlay shard if present, else the
+    * base's cached block (object-shared, no copy). The base index must
+    * STAY cached (the composite reads its blocks — that is the point);
+    * the returned handle owns only the overlay. Patches STACK (a
+    * patched index can be patched again); fold the stack back to one
+    * full image with [[foldOverlay]] on a cadence, or let the next
+    * whole-index [[compact]]/[[retrain]]/[[ingest]] materialize a full
+    * image anyway. Serving results are row-identical to
+    * [[compactCells]] (spec-pinned). */
+  def compactCellsPatched(index: RoutedIndex, cells: Array[Int],
+                          persist: Boolean = true): RoutedIndex =
+    if (cells.isEmpty || index.tombstones.isEmpty) index
+    else {
+      val cfg = index.cfg
+      val cellSet = cells.toSet
+      val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+        "patched compaction needs the index's pinned CellPartitioner"))
+      val touchedParts = cells.map(part.getPartition(_: Any)).toSet
+      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+      // folded-out ids (bounded by the deletion set; pruned pass)
+      val removed = prunedShards(index.shards, cells).flatMap { case (cell, s) =>
+        if (!cellSet(cell)) Iterator.empty
+        else tombB.value.iterator.filter(s.vectors.contains)
+      }.collect()
+      java.util.Arrays.sort(removed)
+      // the overlay: rebuilt shards for touched cells, EMPTY iterators
+      // everywhere else (an empty cached block per untouched partition
+      // — bytes stay O(touched))
+      val overlay = index.shards.mapPartitionsWithIndex({ (i, it) =>
+        if (!touchedParts(i)) Iterator.empty
+        else it.map { case (cell, s) =>
+          if (!cellSet(cell)) cell -> s
+          else {
+            val dead = tombB.value
+            val rows = s.vectors.iterator
+              .filter { case (id, _) =>
+                java.util.Arrays.binarySearch(dead, id) < 0 }
+              .toArray.sortBy(_._1)
+            cell -> buildCellFresh(cell, rows, cfg)
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-patch")
+        overlay.count()
+      }
+      // the served composite: overlay-wins per partition; reads the
+      // base's cached blocks for everything untouched. NOT persisted —
+      // each action pays one cheap per-partition branch, never a copy.
+      val patched = index.shards.zipPartitions(overlay,
+          preservesPartitioning = true) { (b, o) =>
+        val patch = o.toArray
+        if (patch.isEmpty) b
+        else {
+          val replaced = patch.map(_._1).toSet
+          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
+        }
+      }
+      val remaining = index.tombstones.filter(id =>
+        java.util.Arrays.binarySearch(removed, id) < 0)
+      RoutedIndex(cfg, index.router, patched, remaining,
+        overlay = if (persist) index.overlay :+ overlay else index.overlay)
+    }
+
+  /** Materialize a patched index back into ONE persisted full image
+    * and release the overlay stack — the fold that bounds patch-stack
+    * depth. A handle with no overlay returns unchanged. */
+  def foldOverlay(index: RoutedIndex): RoutedIndex =
+    if (index.overlay.isEmpty) index
+    else {
+      val full = index.shards.mapPartitions(it => it,
+        preservesPartitioning = true)
+      full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed")
+      full.count()
+      index.overlay.foreach(_.unpersist())
+      RoutedIndex(index.cfg, index.router, full, index.tombstones)
     }
 
   /** Merged-cell audit — detection for the regime the per-cell density
@@ -709,16 +816,22 @@ object HnswRouted {
       "hi_dead_bp", "lo_dead_bp", "dead_mass_hi_bp", "merged")
   }
 
-  /** Detect-and-remediate: [[mergedCellAudit]] → [[compactCells]] on
-    * the flagged cells. Returns the remediated index (the input handle,
-    * unchanged, when nothing is flagged) and the flagged cell ids. */
+  /** Detect-and-remediate: [[mergedCellAudit]] → targeted compaction
+    * on the flagged cells — PATCHED by default (O(touched) persisted
+    * bytes; the base index stays cached and keeps serving its own
+    * handle), the full-copy [[compactCells]] when `patched = false`
+    * (`unpersistPrior` applies only there). Returns the remediated
+    * index (the input handle, unchanged, when nothing is flagged) and
+    * the flagged cell ids. */
   def remediateMergedCells(index: RoutedIndex, minCellRows: Int = 1024,
                            persist: Boolean = true,
-                           unpersistPrior: Boolean = true): (RoutedIndex, Array[Int]) = {
+                           unpersistPrior: Boolean = true,
+                           patched: Boolean = true): (RoutedIndex, Array[Int]) = {
     val flagged = mergedCellAudit(index, minCellRows)
       .filter(col("merged")).select(col("cell"))
       .collect().map(_.getInt(0))
     if (flagged.isEmpty) (index, flagged)
+    else if (patched) (compactCellsPatched(index, flagged, persist), flagged)
     else (compactCells(index, flagged, persist, unpersistPrior), flagged)
   }
 

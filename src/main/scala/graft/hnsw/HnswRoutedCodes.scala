@@ -51,8 +51,12 @@ object HnswRoutedCodes {
       seed: Long,
       anchors: Array[Long],
       shards: org.apache.spark.rdd.RDD[(Int, CodeCellShard)],
-      tombstones: Array[Long] = Array.empty) {
-    def unpersist(): Unit = shards.unpersist()
+      tombstones: Array[Long] = Array.empty,
+      overlay: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+    def unpersist(): Unit = {
+      overlay.foreach(_.unpersist())
+      shards.unpersist()
+    }
   }
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
@@ -317,6 +321,7 @@ object HnswRoutedCodes {
         // index's full footprint — reclaim it before the caller's next
         // job rather than racing the async cleaner
         index.shards.unpersist(blocking = true)
+        index.overlay.foreach(_.unpersist())
       }
       // the deletion set survives ingest (see HnswRouted.ingest)
       RoutedCodeIndex(params, seed, index.anchors, merged, index.tombstones)
@@ -419,9 +424,96 @@ object HnswRoutedCodes {
       if (persist) {
         compacted.persist(storage).setName("graft-hnsw-routed-codes")
         compacted.count()
-        if (unpersistPrior) index.shards.unpersist(blocking = true)
+        if (unpersistPrior) {
+          index.shards.unpersist(blocking = true)
+          index.overlay.foreach(_.unpersist())
+        }
       }
       RoutedCodeIndex(params, seed, index.anchors, compacted, Array.empty)
+    }
+
+  /** PATCHED compaction — [[HnswRouted.compactCellsPatched]] on the
+    * codes tier, with the touched set derived from the deletion set
+    * itself (one narrow membership pass): only the rebuilt cells
+    * persist (an overlay whose untouched partitions are empty blocks);
+    * the served `shards` is an unpersisted partitioner-preserving
+    * composite reading the base's cached blocks everywhere else. The
+    * 1e8 rung measured the full-copy [[compact]] at 839.7 s to fold
+    * 3 of 1024 cells — nearly all block churn (re-persisting a ~30 GB
+    * image whose accounting double-counts shared objects, evicting the
+    * live copy to disk); the patch persists O(touched cells) bytes.
+    * The base index must STAY cached; fold the patch stack back to one
+    * full image with [[foldOverlay]] on a cadence. */
+  def compactPatched(index: RoutedCodeIndex,
+                     persist: Boolean = true): RoutedCodeIndex =
+    if (index.tombstones.isEmpty) index
+    else {
+      val params = index.params
+      val seed = index.seed
+      val sc = index.shards.sparkContext
+      require(index.shards.partitioner.isDefined,
+        "patched compaction needs the index's pinned CellPartitioner")
+      val tombB = sc.broadcast(index.tombstones)
+      // ONE pass: each shard decides touched-ness itself and rebuilds
+      // inline — a separate touched-cells discovery pass would read the
+      // whole (possibly DISK_ONLY) index a second time for nothing
+      // (measured: the two-pass form cost 74.7 s at 1e7 where the
+      // membership scan is ~half)
+      val overlay = index.shards.mapPartitions({ it =>
+        it.flatMap { case (cell, s) =>
+          val dead = tombB.value
+          val touched =
+            if (dead.length < s.codes.size) dead.exists(s.codes.contains)
+            else {
+              var hit = false
+              s.codes.foreach { (id, _) =>
+                if (!hit && java.util.Arrays.binarySearch(dead, id) >= 0)
+                  hit = true
+              }
+              hit
+            }
+          if (!touched) Iterator.empty
+          else {
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            s.codes.foreach { (id, c) =>
+              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
+            }
+            Iterator.single(
+              cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed))
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-codes-patch")
+        overlay.count()
+      }
+      val patched = index.shards.zipPartitions(overlay,
+          preservesPartitioning = true) { (b, o) =>
+        val patch = o.toArray
+        if (patch.isEmpty) b
+        else {
+          val replaced = patch.map(_._1).toSet
+          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
+        }
+      }
+      RoutedCodeIndex(params, seed, index.anchors, patched, Array.empty,
+        overlay = if (persist) index.overlay :+ overlay else index.overlay)
+    }
+
+  /** Materialize a patched index back into ONE persisted full image and
+    * release the overlay stack (see [[HnswRouted.foldOverlay]]). */
+  def foldOverlay(index: RoutedCodeIndex,
+                  storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex =
+    if (index.overlay.isEmpty) index
+    else {
+      val full = index.shards.mapPartitions(it => it,
+        preservesPartitioning = true)
+      full.persist(storage).setName("graft-hnsw-routed-codes")
+      full.count()
+      index.overlay.foreach(_.unpersist())
+      RoutedCodeIndex(index.params, index.seed, index.anchors, full,
+        index.tombstones)
     }
 
   // --------------------------------------------------------------------

@@ -665,6 +665,22 @@ object ScaleRehearsal {
           .filter(col("qid") === col("id")).count()
         println(f"REHEARSAL_PHASE routed_delete n=$n delete_s=$deleteS%.3f " +
           f"plain_probe8_s=$plainS%.2f tomb_probe8_s=$tombS%.2f leaked=$leaked")
+        // ---- PATCHED compaction first (round-15): persists only the
+        // rebuilt cells' overlay — the full-copy variant below is the
+        // churn this exists to remove (839.7 s for 3/1024 cells at 1e8,
+        // nearly all block re-persist traffic). Measured on the same
+        // tombed handle, released before the full compact runs.
+        val tP = System.nanoTime()
+        val patchedIdx = HnswRoutedCodes.compactPatched(tombed)
+        val compactPatchS = (System.nanoTime() - tP) / 1e9
+        selfMatch(patchedIdx) // warm
+        val (patchServeS, patchSelf) = {
+          val r1 = selfMatch(patchedIdx); val r2 = selfMatch(patchedIdx)
+          if (r1._1 <= r2._1) r1 else r2
+        }
+        println(f"REHEARSAL_PHASE routed_delete n=$n compact_patched_s=$compactPatchS%.1f " +
+          f"patched_probe8_s=$patchServeS%.2f patched_self=$patchSelf")
+        patchedIdx.unpersist() // overlay only; the base stays cached
         // ---- compact the cell-local deletion: ~3/nCells of a rebuild.
         // unpersistPrior frees the ORIGINAL index as soon as the
         // compacted copy materializes: this rung otherwise holds up to

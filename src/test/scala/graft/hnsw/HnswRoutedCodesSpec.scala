@@ -267,6 +267,38 @@ class HnswRoutedCodesSpec extends SparkSpec {
       baseDf.filter(col("id") % 2 === 0 && col("id") % 3 === 0), 10))
   }
 
+  test("patched compaction: row-identical to the full-copy variant; only the overlay persists; fold releases it") {
+    val n = 1500
+    val baseDf = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))
+      .toDF("id", "code")
+    val qDf = (0 until 40).map(q => (q.toLong, codeOf(q.toLong + 80000, 9L)))
+      .toDF("qid", "qcode")
+    val index = HnswRoutedCodes.build(baseDf, params, nCells = 8, seed = 42L)
+    val tombed = HnswRoutedCodes.delete(index,
+      baseDf.filter(col("id") % 4 === 0).select(col("id")))
+    def rows(idx: HnswRoutedCodes.RoutedCodeIndex) =
+      HnswRoutedCodes.search(idx, qDf, 10, nProbe = 8)
+        .select(col("qid"), col("id"), col("hamming"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .sorted.toSeq
+    val full = HnswRoutedCodes.compact(tombed, persist = false,
+      unpersistPrior = false)
+    val patch = HnswRoutedCodes.compactPatched(tombed)
+    assert(patch.tombstones.isEmpty)
+    assert(rows(patch) == rows(full))
+    assert(patch.overlay.length == 1)
+    assert(patch.shards.partitioner == index.shards.partitioner)
+    assert(patch.shards.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(patch.overlay.head.getStorageLevel.useMemory)
+    // base handle still serves its own tombstoned answer
+    assert(rows(tombed) == rows(tombed))
+    val folded = HnswRoutedCodes.foldOverlay(patch)
+    assert(folded.overlay.isEmpty)
+    assert(rows(folded) == rows(full))
+    folded.unpersist(); index.unpersist()
+  }
+
   test("compaction folds the deletion set out per cell; freed ids re-ingest; parity with fresh build") {
     val n = 1500
     val base = (0 until n).map(i => (i.toLong, codeOf(i.toLong, 23L)))

@@ -100,6 +100,63 @@ class HnswRoutedMergedSpec extends SparkSpec {
     assert(served == exact)
   }
 
+  test("patched compaction: row-identical to the full-copy variant; base handle unaffected; fold releases the overlay") {
+    val (baseVecs, built) = planted()
+    val deleted = (0L until 800L) ++ Seq(1601L, 2003L)
+    val index = HnswRouted.delete(built, deleted.toDF("id"))
+    val flagged = HnswRouted.mergedCellAudit(index, minCellRows = 100)
+      .filter(col("merged")).select(col("cell")).collect().map(_.getInt(0))
+    assert(flagged.nonEmpty)
+    val qDf = (0 until 40).map { q =>
+      (q.toLong, clusterVec((q % 4) * 800L + 400 + q))
+    }.toDF("qid", "qvec")
+    def rows(idx: HnswRouted.RoutedIndex) =
+      HnswRouted.search(idx, qDf, 10, nProbe = 2)
+        .select(col("qid"), col("id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val preBase = rows(index)
+    val full = HnswRouted.compactCells(index, flagged,
+      persist = false, unpersistPrior = false)
+    val patch = HnswRouted.compactCellsPatched(index, flagged, persist = true)
+    assert(patch.tombstones.toSeq == full.tombstones.toSeq)
+    assert(rows(patch) == rows(full))
+    // the overlay is owned; the composite carries the pinned partitioner
+    assert(patch.overlay.length == 1)
+    assert(patch.shards.partitioner == index.shards.partitioner)
+    // O(touched) persisted bytes is STRUCTURAL: the composite itself is
+    // never persisted (each action reads the base's cached blocks),
+    // only the rebuilt-cells overlay is
+    assert(patch.shards.getStorageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(patch.overlay.head.getStorageLevel.useMemory)
+    // the BASE handle still serves its own (tombstoned) answer — patch
+    // never mutates or unpersists it
+    assert(rows(index) == preBase)
+    // fold: one full image, identical rows, overlay released
+    val folded = HnswRouted.foldOverlay(patch)
+    assert(folded.overlay.isEmpty)
+    assert(rows(folded) == rows(full))
+    // patches STACK: delete more in the OTHER cell, patch again
+    val again = HnswRouted.delete(patch, (800L until 1600L).toDF("id"))
+    val flagged2 = HnswRouted.mergedCellAudit(again, minCellRows = 100)
+      .filter(col("merged")).select(col("cell")).collect().map(_.getInt(0))
+    if (flagged2.nonEmpty) {
+      val patch2 = HnswRouted.compactCellsPatched(again, flagged2, persist = true)
+      assert(patch2.overlay.length == 2)
+      val exact2 = ExactKnn.search(qDf,
+          baseVecs.filter(col("id") >= 1600L &&
+            !col("id").isin(1601L, 2003L)), 10, "l2")
+        .select(col("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served2 = HnswRouted.search(patch2, qDf, 10, nProbe = 2)
+        .select(col("qid"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(served2 == exact2)
+      patch2.unpersist()
+    } else patch.unpersist()
+    folded.unpersist()
+  }
+
   test("no tombstones -> empty audit; compactCells on an empty list is the identity handle") {
     val (_, index) = planted()
     assert(HnswRouted.mergedCellAudit(index, minCellRows = 100).count() == 0L)
