@@ -966,16 +966,26 @@ object HnswRouted {
     * forces the exact path and is the oracle-exact configuration, and
     * tombstones compose (an id must be allowed AND not deleted).
     *
-    * DRIVER-SIDE BOUND: the allow-set is `distinct().collect()`ed here,
-    * once per call — 8 B/id on the driver, so ~1e8 allowed ids ≈ 800 MB
-    * is the practical ceiling, and a caller issuing many batches against
-    * the SAME allow-set should collect once and reuse via
-    * [[searchFilteredIds]] rather than pay the collect per batch. */
+    * ROUTING: the allow-set is `distinct().collect()`ed here once per
+    * call while it fits [[AllowCollectMax]] (a caller issuing many
+    * batches against the SAME small allow-set should collect once and
+    * reuse via [[searchFilteredIds]]); above the cutover the call
+    * reroutes through [[searchFilteredDistributed]] — no driver-side
+    * copy at any size. */
   def searchFiltered(index: RoutedIndex, queries: DataFrame,
                      allowed: DataFrame, k: Int, nProbe: Int,
-                     ef0: Int = 0): DataFrame =
-    searchImpl(index, queries, k, nProbe, ef0,
-      allowed = Some(sortedIdArray(allowed)))
+                     ef0: Int = 0): DataFrame = {
+    val probe = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .limit(AllowCollectMax + 1)
+      .as(org.apache.spark.sql.Encoders.scalaLong).collect()
+    if (probe.length > AllowCollectMax)
+      searchFilteredDistributed(index, queries, allowed, k, nProbe, ef0)
+    else {
+      java.util.Arrays.sort(probe)
+      searchImpl(index, queries, k, nProbe, ef0, allowed = Some(probe))
+    }
+  }
 
   /** [[searchFiltered]] with a pre-collected allow-set — the repeat-
     * caller path (collect + sort the id array once, serve many query
@@ -985,6 +995,79 @@ object HnswRouted {
                         allowedIds: Array[Long], k: Int, nProbe: Int,
                         ef0: Int = 0): DataFrame =
     searchImpl(index, queries, k, nProbe, ef0, allowed = Some(allowedIds))
+
+  /** Allow-sets above this count route DISTRIBUTEDLY
+    * ([[searchFilteredDistributed]]) instead of through the driver
+    * collect: the driver copy is 8 B/id plus boxing, and it repeats
+    * per call — at the 1e8-id decade (a large label partition) the
+    * collect is an OOM wall. 16M ids ≈ 128 MB driver-side keeps the
+    * common online filter on the cheap path. */
+  val AllowCollectMax: Int = 16 * 1024 * 1024
+
+  /** Fully distributed attribute-filtered serving — no driver-side
+    * materialization of EITHER the query batch or the allow-set: the
+    * allow-set joins against the index's own (id → cell) pairs (one
+    * narrow flatMap over the shards' key sets — each id lives in
+    * exactly one cell, so the join output is |allow| rows), shuffles
+    * by the pinned partitioner, and rides a 3-way zipPartitions with
+    * the shards and the routed queries; the per-cell sorted allow
+    * array is built executor-side. Same per-shard kernel as every
+    * other path (row-identity spec-pinned). [[searchFiltered]]
+    * auto-selects this path above [[AllowCollectMax]] ids. */
+  def searchFilteredDistributed(index: RoutedIndex, queries: DataFrame,
+                                allowed: DataFrame, k: Int, nProbe: Int,
+                                ef0: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val cfg = index.cfg
+    val exhaustive = nProbe >= index.router.nPrimary
+    val routerB = sc.broadcast(index.router)
+    val tombB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+      "distributed routing needs the index's pinned CellPartitioner"))
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
+    val routed = queries.select(col("qid"), col("qvec")).as(pairEnc).rdd
+      .flatMap { case (qid, qv) =>
+        routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+      }.partitionBy(part)
+    // (id -> cell) from the index itself, keyed by id for the join;
+    // output is |allow| rows (membership resolves the cell), then ONE
+    // shuffle keys them by cell like everything else
+    val idCell = index.shards.flatMap { case (c, s) =>
+      s.vectors.keysIterator.map(id => (id, c))
+    }
+    val allowRdd = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .as(Encoders.scalaLong).rdd.map(id => (id, ()))
+    val allowByCell = idCell.join(allowRdd)
+      .map { case (id, (cell, _)) => (cell, id) }
+      .partitionBy(part)
+    import spark.implicits._
+    val perShard = index.shards.zipPartitions(routed, allowByCell) {
+      (shardIt, qIt, aIt) =>
+        val shards = shardIt.toArray
+        if (shards.length == 0) Iterator.empty
+        else if (shards.length == 1) {
+          val (cell, m) = shards(0)
+          val allow = aIt.collect { case (c, id) if c == cell => id }.toArray
+          java.util.Arrays.sort(allow)
+          val probes = qIt.collect { case (c, q) if c == cell => q }
+          serveShard(cfg, m, probes, k, ef0, exhaustive,
+            hasAllow = true, allow, tombB.value)
+        } else {
+          val byCellQ = qIt.toArray.groupBy(_._1)
+          val byCellA = aIt.toArray.groupBy(_._1)
+          shards.iterator.flatMap { case (cell, m) =>
+            val allow = byCellA.getOrElse(cell, Array.empty).map(_._2)
+            java.util.Arrays.sort(allow)
+            serveShard(cfg, m,
+              byCellQ.getOrElse(cell, Array.empty).iterator.map(_._2),
+              k, ef0, exhaustive, hasAllow = true, allow, tombB.value)
+          }
+        }
+    }.toDF("qid", "id", "dist")
+    rankMerge(perShard, k)
+  }
 
   private[hnsw] def sortedIdArray(ids: DataFrame): Array[Long] = {
     val arr = ids.select(col(ids.columns.head).cast("long")).distinct()

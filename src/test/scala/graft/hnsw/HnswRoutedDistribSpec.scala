@@ -57,6 +57,30 @@ class HnswRoutedDistribSpec extends SparkSpec {
     }
   }
 
+  test("float tier: fully distributed filtered serving (allow-set never collected) is row-identical") {
+    val base = (0 until 2400).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+    val baseDf = base.toDF("id", "vec")
+    val qDf = (0 until 40).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val index = HnswRouted.delete(
+      HnswRouted.build(baseDf, cfg, nCells = 4, persist = false),
+      (0 until 2400).filter(_ % 5 == 0).map(_.toLong).toDF("id"))
+    val allowDf = (0 until 2400).filter(_ % 3 == 0).map(_.toLong).toDF("id")
+    val allowArr = (0 until 2400).filter(_ % 3 == 0).map(_.toLong).toArray
+    for (nProbe <- Seq(2, 4)) {
+      val driver = rows(HnswRouted.searchFilteredIds(index, qDf, allowArr, 10, nProbe))
+      val distrib = rows(HnswRouted.searchFilteredDistributed(
+        index, qDf, allowDf, 10, nProbe))
+      assert(distrib == driver, s"nProbe=$nProbe")
+    }
+    // allow-set ids ABSENT from the index resolve to no cell and drop
+    // out of the join harmlessly
+    val withGhosts = allowDf.union(Seq(999999L, -5L).toDF("id"))
+    val ghosts = rows(HnswRouted.searchFilteredDistributed(
+      index, qDf, withGhosts, 10, 4))
+    assert(ghosts == rows(HnswRouted.searchFilteredIds(index, qDf, allowArr, 10, 4)))
+  }
+
   test("float tier: search auto-reroutes above DriverRouteMax (cutover is transparent)") {
     // can't exceed the real 256k cutover in a unit test — instead pin
     // that the distributed impl IS the path search would take there,
