@@ -438,12 +438,17 @@ object HnswRoutedCodes {
     * persist (an overlay whose untouched partitions are empty blocks);
     * the served `shards` is an unpersisted partitioner-preserving
     * composite reading the base's cached blocks everywhere else. The
-    * 1e8 rung measured the full-copy [[compact]] at 839.7 s to fold
-    * 3 of 1024 cells — nearly all block churn (re-persisting a ~30 GB
-    * image whose accounting double-counts shared objects, evicting the
-    * live copy to disk); the patch persists O(touched cells) bytes.
-    * The base index must STAY cached; fold the patch stack back to one
-    * full image with [[foldOverlay]] on a cadence. */
+    * regime where this pays is a MEMORY-RESIDENT base (the cluster
+    * posture): measured 0.99-1.01× plain serving with a cheaper fold
+    * at 4e5-1e7. The honest 1e8 DISK_ONLY result (BASELINE round-15):
+    * the fold costs the same ~840 s as the full copy (the one full
+    * deserialize pass dominates, not the write churn) and the
+    * composite's serving read 128 s vs 2.6 s on the warm base while
+    * staying exactly correct — at the local disk decade prefer the
+    * full-copy [[compact]]; the composite tax there is an open
+    * round-16 diagnosis. The base index must STAY cached; fold the
+    * patch stack back to one full image with [[foldOverlay]] on a
+    * cadence. */
   def compactPatched(index: RoutedCodeIndex,
                      persist: Boolean = true): RoutedCodeIndex =
     if (index.tombstones.isEmpty) index
@@ -659,13 +664,83 @@ object HnswRoutedCodes {
     * [[HnswRouted.searchFiltered]] contract on the code
     * representation (allow-set as a sorted broadcast array; per-cell
     * one-beam-then-exact; tombstones compose; exhaustive regime forces
-    * the exact path — see [[HnswRouted.searchFiltered]] for the
-    * driver-side allow-set size bound). */
+    * the exact path). Above [[HnswRouted.AllowCollectMax]] ids the
+    * call reroutes through [[searchFilteredDistributed]] — no
+    * driver-side copy at any size (the float tier's cutover). */
   def searchFiltered(index: RoutedCodeIndex, queries: DataFrame,
                      allowed: DataFrame, k: Int, nProbe: Int,
-                     ef0: Int = 0): DataFrame =
-    searchImpl(index, queries, k, nProbe, ef0,
-      allowed = Some(HnswRouted.sortedIdArray(allowed)))
+                     ef0: Int = 0): DataFrame = {
+    val probe = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .limit(HnswRouted.AllowCollectMax + 1)
+      .as(Encoders.scalaLong).collect()
+    if (probe.length > HnswRouted.AllowCollectMax)
+      searchFilteredDistributed(index, queries, allowed, k, nProbe, ef0)
+    else {
+      java.util.Arrays.sort(probe)
+      searchImpl(index, queries, k, nProbe, ef0, allowed = Some(probe))
+    }
+  }
+
+  /** Fully distributed filtered serving — the float tier's
+    * [[HnswRouted.searchFilteredDistributed]] on the code
+    * representation: allow-set joined against the index's own
+    * (id → cell) pairs, shuffled by the pinned partitioner, 3-way
+    * zipPartitions with shards + routed queries; per-cell sorted allow
+    * arrays built executor-side. */
+  def searchFilteredDistributed(index: RoutedCodeIndex, queries: DataFrame,
+                                allowed: DataFrame, k: Int, nProbe: Int,
+                                ef0: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val params = index.params
+    val p = math.min(nProbe, index.anchors.length)
+    val exhaustive = p >= index.anchors.length
+    val anchorsB = sc.broadcast(index.anchors)
+    val tombB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+      "distributed routing needs the index's pinned CellPartitioner"))
+    val routed = queries.select(col("qid"), col("qcode")).as(pairEnc).rdd
+      .flatMap { case (qid, qc) =>
+        probeCellsCode(qc, anchorsB.value, p).map(c => (c, (qid, qc)))
+      }.partitionBy(part)
+    val idCell = index.shards.flatMap { case (c, s) =>
+      val b = Array.newBuilder[(Long, Int)]
+      s.codes.foreach { (id, _) => b += ((id, c)) }
+      b.result().iterator
+    }
+    val allowRdd = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .as(Encoders.scalaLong).rdd.map(id => (id, ()))
+    val allowByCell = idCell.join(allowRdd)
+      .map { case (id, (cell, _)) => (cell, id) }
+      .partitionBy(part)
+    import spark.implicits._
+    val perShard = index.shards.zipPartitions(routed, allowByCell) {
+      (shardIt, qIt, aIt) =>
+        val shards = shardIt.toArray
+        if (shards.length == 0) Iterator.empty
+        else if (shards.length == 1) {
+          val (cell, m) = shards(0)
+          val allow = aIt.collect { case (c, id) if c == cell => id }.toArray
+          java.util.Arrays.sort(allow)
+          val probes = qIt.collect { case (c, q) if c == cell => q }
+          serveCodeShard(params, m, probes, k, ef0, exhaustive,
+            hasAllow = true, allow, tombB.value)
+        } else {
+          val byCellQ = qIt.toArray.groupBy(_._1)
+          val byCellA = aIt.toArray.groupBy(_._1)
+          shards.iterator.flatMap { case (cell, m) =>
+            val allow = byCellA.getOrElse(cell, Array.empty).map(_._2)
+            java.util.Arrays.sort(allow)
+            serveCodeShard(params, m,
+              byCellQ.getOrElse(cell, Array.empty).iterator.map(_._2),
+              k, ef0, exhaustive, hasAllow = true, allow, tombB.value)
+          }
+        }
+    }.toDF("qid", "id", "hamming")
+    rankMerge(perShard, k)
+  }
 
   /** Probe set for one query code: the nProbe nearest anchors by
     * Hamming distance, ties by anchor index — shared by both routing

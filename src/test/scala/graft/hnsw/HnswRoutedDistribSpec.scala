@@ -110,5 +110,17 @@ class HnswRoutedDistribSpec extends SparkSpec {
       val distrib = rows(HnswRoutedCodes.searchDistributed(tomb, qDf, 10, nProbe))
       assert(distrib == driver, s"tombstoned nProbe=$nProbe")
     }
+    // distributed allow-set transport (with tombstones composing):
+    // row-identical to the collected-array path, ghost ids drop out
+    val allowArr = (0 until 2500).filter(_ % 3 == 0).map(_.toLong).toArray
+    val allowDf = allowArr.toSeq.toDF("id").union(Seq(888888L).toDF("id"))
+    for (nProbe <- Seq(2, 8)) {
+      val filteredDriver = rows(HnswRoutedCodes.searchFiltered(
+        tomb, qDf, allowArr.toSeq.toDF("id"), 10, nProbe))
+      val filteredDistrib = rows(HnswRoutedCodes.searchFilteredDistributed(
+        tomb, qDf, allowDf, 10, nProbe))
+      assert(filteredDistrib == filteredDriver, s"filtered nProbe=$nProbe")
+      assert(filteredDriver.nonEmpty)
+    }
   }
 }
