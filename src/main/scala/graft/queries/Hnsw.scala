@@ -253,6 +253,22 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The DISTRIBUTED allow-set transport (searchFiltered takes it
+    // automatically above 16M ids) forced through the explicit entry
+    // point and held to the SAME filtered oracle: pins the
+    // id->cell-join + 3-way-zipPartitions machinery end-to-end through
+    // DuckDB, the h_knn_routed_distrib pattern for the filtered path.
+    "h_knn_routed_filtered_distrib" -> ((s, dir) => {
+      import graft.hnsw.HnswRouted
+      val index = HnswRouted.buildCached(vectorsDf(s, dir), exactishCfg,
+        nCells = 16, key = dir)
+      val allowed = t(s, dir).filter(col("label") === 3).select(col("vec_id"))
+      HnswRouted.searchFilteredDistributed(index, queriesDf(s, dir),
+          allowed, 10, nProbe = 16)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // HNSW over the reference's native representation: u64 sign-packed
     // codes under Hamming distance (lazy_memory_store.rs:49-54). Exact
     // regime (ef=128) -> shares v_knn_hamming's oracle shape.
@@ -707,6 +723,7 @@ object Hnsw {
     "h_knn_routed_tombstone" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_routed_compacted" -> filteredKnnOracle(10, "vec_id % 7 <> 0"),
     "h_knn_routed_filtered" -> filteredKnnOracle(10, "label = 3"),
+    "h_knn_routed_filtered_distrib" -> filteredKnnOracle(10, "label = 3"),
     "h_knn_frontier" -> exactKnnOracle(10),
     "h_knn_durable" -> exactKnnOracle(10),
     // routed+PQ exhaustive regime against the exact L2 oracle (ASC):
