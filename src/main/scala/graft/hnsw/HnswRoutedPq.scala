@@ -47,12 +47,50 @@ import graft.store.{AdcVectorStore, GraphSnapshot}
   */
 object HnswRoutedPq {
 
-  /** One cell's serving state: graph + codes, NO raw vectors. */
+  /** One cell's serving state: graph + codes, NO raw vectors.
+    * `fingerprint` is an order-independent 64-bit content digest of the
+    * (id, vec) pairs the codes were encoded from — [[rederive]] compares
+    * it against the source cell's current content to decide carry-over
+    * vs re-encode without ever holding the old vectors. */
   final case class PqCellShard(
       cell: Int,
       codes: scala.collection.mutable.LongMap[Long],
-      snapshot: GraphSnapshot
+      snapshot: GraphSnapshot,
+      fingerprint: Long
   ) extends Serializable
+
+  /** splitmix64 finalizer (the repo's standard mixer). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Order-independent content digest of a cell's (id, vec) map: each
+    * row hashes (id, raw float bits) through an xxhash-style fold +
+    * splitmix finalizer; rows combine by ADDITION so iteration order
+    * cannot matter. Cost ~len+5 integer ops per row — ~250x cheaper
+    * than the encode it lets [[rederive]] skip. A colliding pair of
+    * DIFFERENT cell contents would carry stale codes (coarse-stage
+    * noise only — the exact re-rank still orders true candidates);
+    * at 64 well-mixed bits per cell the chance is ~nCells/2^64 per
+    * rederive, far below any operational concern. */
+  private[hnsw] def contentFingerprint(
+      vectors: collection.Map[Long, Array[Float]]): Long = {
+    var acc = 0L
+    vectors.foreach { case (id, v) =>
+      var h = id * 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < v.length) {
+        h = (h ^ java.lang.Float.floatToRawIntBits(v(i)).toLong) *
+          0xC2B2AE3D27D4EB4FL
+        i += 1
+      }
+      acc += mix64(h)
+    }
+    acc
+  }
 
   final case class RoutedPqIndex(
       params: HnswParams,
@@ -79,7 +117,6 @@ object HnswRoutedPq {
       s"HnswRoutedPq serves squared-L2 (ADC); routed graphs were built " +
         s"with ${index.cfg.metric} — traversal order would disagree " +
         "with candidate order")
-    val sc = index.shards.sparkContext
     val nCells = math.max(1, index.router.allCells.size)
     val perCell = math.max(1, sampleMax / nCells)
     // per-cell-capped sample: every cell contributes, so the codebook
@@ -89,16 +126,26 @@ object HnswRoutedPq {
       s.vectors.valuesIterator.take(perCell)
     }.collect()
     val codebook = HnswPq.trainOnArrays(sample, seed)
+    fromRoutedWith(index, codebook, persist)
+  }
+
+  /** Derive the PQ tier with a PRE-TRAINED codebook: one narrow encode
+    * pass, no sample, no training — the path [[rederive]] takes when the
+    * source index was retrained/re-attached (the codebook survives the
+    * router: it quantizes vector CONTENT, which retrain does not change;
+    * [[HnswRouted.driftAudit]] is the signal for when content drift
+    * warrants a fresh [[fromRouted]] training pass). */
+  def fromRoutedWith(index: HnswRouted.RoutedIndex,
+                     codebook: Array[Array[Array[Float]]],
+                     persist: Boolean = true): RoutedPqIndex = {
+    require(index.cfg.metric == "l2",
+      s"HnswRoutedPq serves squared-L2 (ADC); routed graphs were built " +
+        s"with ${index.cfg.metric} — traversal order would disagree " +
+        "with candidate order")
+    val sc = index.shards.sparkContext
     val cbB = sc.broadcast(codebook)
     val shards = index.shards.mapPartitions({ it =>
-      it.map { case (cell, s) =>
-        val cb = cbB.value
-        val codes = new scala.collection.mutable.LongMap[Long](s.vectors.size)
-        s.vectors.foreach { case (id, v) =>
-          codes(id) = PqKernels.encodeArray(v, cb)
-        }
-        cell -> PqCellShard(cell, codes, s.snapshot)
-      }
+      it.map { case (cell, s) => cell -> encodeShard(s, cbB.value) }
     }, preservesPartitioning = true)
     if (persist) {
       shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -107,6 +154,16 @@ object HnswRoutedPq {
     }
     RoutedPqIndex(index.cfg.params, index.router, codebook, shards,
       index.tombstones)
+  }
+
+  /** Encode one float cell shard: codes + content fingerprint. */
+  private def encodeShard(s: HnswRouted.CellShard,
+                          cb: Array[Array[Array[Float]]]): PqCellShard = {
+    val codes = new scala.collection.mutable.LongMap[Long](s.vectors.size)
+    s.vectors.foreach { case (id, v) =>
+      codes(id) = PqKernels.encodeArray(v, cb)
+    }
+    PqCellShard(s.cell, codes, s.snapshot, contentFingerprint(s.vectors))
   }
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, ExprEnc.floatArray)
@@ -249,6 +306,106 @@ object HnswRoutedPq {
     val coarse = searchCoarse(index, queries, math.max(candidates, k),
       nProbe, ef0).select(col("qid"), col("id"))
     Pq.rerank(coarse, vectors, queries, k)
+  }
+
+  /** Tombstone delete on the PQ tier — O(set) handle metadata, sharing
+    * the shards (the [[HnswRouted.delete]] semantics verbatim: serving
+    * excludes the set transparently; deleting an ABSENT id is accepted
+    * and delete-wins against later inserts of it). The PQ tier has NO
+    * standalone compact/ingest: fold deletes out (or land new rows) on
+    * the FLOAT source tier and [[rederive]] — re-derivation re-encodes
+    * only the cells the float lifecycle touched. */
+  def delete(index: RoutedPqIndex, ids: DataFrame): RoutedPqIndex = {
+    val del = HnswRouted.sortedIdArray(ids)
+    if (del.isEmpty) index
+    else {
+      val merged = (index.tombstones ++ del).distinct
+      java.util.Arrays.sort(merged)
+      index.copy(tombstones = merged)
+    }
+  }
+
+  /** Follow the float source tier through its lifecycle: after
+    * [[HnswRouted.ingest]]/[[HnswRouted.compact]]/compactCells[Patched]/
+    * foldOverlay/[[HnswRouted.retrain]] on the source, re-derive the PQ
+    * serving tier INCREMENTALLY — cells whose content fingerprint is
+    * unchanged carry their codes over by reference (zero encode work;
+    * they do adopt the source's current graph snapshot, so a
+    * graph-identical rebuild is also free), and only content-changed
+    * cells re-encode. The codebook is NEVER retrained here (it
+    * quantizes content, and lifecycle ops move rows between graphs —
+    * [[HnswRouted.driftAudit]] + a fresh [[fromRouted]] is the refresh
+    * path when ingest drift degrades it). Tombstones adopt the
+    * source's set — after a source compact they shrink to exactly what
+    * the fold left.
+    *
+    * When the source's cell layout changed (retrain → new router, or a
+    * re-attach with a different partitioner), incremental carry is
+    * impossible and the whole index re-encodes via [[fromRoutedWith]]
+    * with the existing codebook.
+    *
+    * `unpersistPrior` releases the old PQ handle's shards once the new
+    * image is materialized (set it in streaming loops that own their
+    * handles; leave it off when `old` is a shared memo). */
+  def rederive(old: RoutedPqIndex, source: HnswRouted.RoutedIndex,
+               persist: Boolean = true,
+               unpersistPrior: Boolean = false): RoutedPqIndex =
+    rederiveCounted(old, source, persist, unpersistPrior,
+      forceCount = false)._1
+
+  /** [[rederive]] exposing (index, reencodedCells, carriedCells) — the
+    * counters ride accumulators, so with `persist = false` this forces
+    * one count() job to populate them (spec/instrumentation path). */
+  private[graft] def rederiveCounted(
+      old: RoutedPqIndex, source: HnswRouted.RoutedIndex,
+      persist: Boolean = true,
+      unpersistPrior: Boolean = false,
+      forceCount: Boolean = true): (RoutedPqIndex, Long, Long) = {
+    require(source.cfg.metric == "l2",
+      s"HnswRoutedPq serves squared-L2 (ADC); routed graphs were built " +
+        s"with ${source.cfg.metric}")
+    val sc = source.shards.sparkContext
+    val samePartitioning = (source.shards.partitioner, old.shards.partitioner) match {
+      case (Some(a), Some(b)) => a == b // CellPartitioner: value equality
+      case _                  => false
+    }
+    if (!samePartitioning) {
+      // layout changed (retrain / foreign attach): full re-encode with
+      // the existing codebook
+      val v = fromRoutedWith(source, old.codebook, persist)
+      if (unpersistPrior) old.unpersist()
+      (v, source.router.allCells.size.toLong, 0L)
+    } else {
+      val cbB = sc.broadcast(old.codebook)
+      val reenc = sc.longAccumulator("pq-rederive-reencoded")
+      val carry = sc.longAccumulator("pq-rederive-carried")
+      val shards = source.shards.zipPartitions(old.shards,
+          preservesPartitioning = true) { (fIt, pIt) =>
+        val prior = pIt.map(kv => kv._1 -> kv._2).toMap
+        fIt.map { case (cell, s) =>
+          val fp = contentFingerprint(s.vectors)
+          prior.get(cell) match {
+            case Some(p) if p.fingerprint == fp &&
+                p.codes.size == s.vectors.size =>
+              carry.add(1)
+              // codes by reference; snapshot follows the source (free —
+              // content-identical cells rebuild graph-identically)
+              cell -> PqCellShard(cell, p.codes, s.snapshot, fp)
+            case _ =>
+              reenc.add(1)
+              cell -> encodeShard(s, cbB.value)
+          }
+        }
+      }
+      if (persist) {
+        shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-pq")
+        shards.count()
+      } else if (forceCount) shards.count() // populate the accumulators
+      if (unpersistPrior) old.unpersist()
+      (RoutedPqIndex(source.cfg.params, source.router, old.codebook, shards,
+        source.tombstones), reenc.value, carry.value)
+    }
   }
 
   private val cache =

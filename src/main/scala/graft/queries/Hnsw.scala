@@ -493,6 +493,51 @@ object Hnsw {
           "recall_bp_float", "pq_loss_bp")
     }),
 
+    // Lifecycle on the routed+PQ tier, part 1 — direct tombstone
+    // delete: O(set) handle metadata over the SHARED cached derivation
+    // (no code block moves), exhaustive serve excludes the set, and the
+    // exact re-rank of survivors matches the label-restricted exact-L2
+    // oracle. The PQ twin of h_knn_routed_tombstone.
+    "h_knn_routed_pq_tombstone" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val index = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      val tombed = HnswRoutedPq.delete(index,
+        vectorsDf(s, dir).filter(col("id") % 7 === 0).select(col("id")))
+      HnswRoutedPq.search(tombed, queriesDf(s, dir), vectorsDf(s, dir),
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Lifecycle part 2 — the RE-DERIVE cadence: the float source folds
+    // a halfspace delete out via compact (touched cells rebuilt), and
+    // the PQ tier follows incrementally (HnswRoutedPq.rederive):
+    // content-unchanged cells carry their codes by reference
+    // (fingerprint-gated — the halfspace leaves the all-negative cells
+    // untouched, so genuine carry happens at catalog scale), touched
+    // cells re-encode with the EXISTING codebook. Exhaustive serve over
+    // the survivors is held to the exact-L2 hash oracle — the
+    // derivation-follows-lifecycle machinery pinned end-to-end through
+    // DuckDB. Shares the cached l2 build + PQ derivation + the
+    // h_merged_* family's halfspace-compacted float handle.
+    "h_knn_routed_pq_rederived" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val pq = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      val dead = vectorsDf(s, dir)
+        .filter(element_at(col("vec"), 1) > 0.0f).select(col("id"))
+      val compacted = HnswRouted.compactCached(vectorsDf(s, dir), dead,
+        l2Cfg, nCells = 16, key = dir, delKey = "half1")
+      val re = HnswRoutedPq.rederive(pq, compacted, persist = false)
+      HnswRoutedPq.search(re, queriesDf(s, dir), vectorsDf(s, dir),
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The DISTRIBUTED routing path (the batch-side serving shape —
     // search() takes it automatically above 256k queries) held to the
     // SAME exhaustive-regime hash oracle as h_knn_routed: the per-shard
@@ -676,6 +721,18 @@ object Hnsw {
        |            PARTITION BY qid ORDER BY s, id) AS INT) AS rank FROM p)
        |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** [[exactL2KnnOracle]] with a corpus-side survivor predicate — the
+    * routed+PQ lifecycle rows' bar (queries stay the full qid set). */
+  private def exactL2KnnOracleWhere(k: Int, corpusPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE $qFilter),
+       |     v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vv
+       |           FROM embeddings WHERE $corpusPred),
+       |     p AS (SELECT qid, id, list_distance(qv, vv) AS s FROM q, v),
+       |     r AS (SELECT qid, id, CAST(row_number() OVER (
+       |            PARTITION BY qid ORDER BY s, id) AS INT) AS rank FROM p)
+       |SELECT qid, id, rank FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
   private def filteredKnnOracle(k: Int, labelPred: String): String =
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
        |           FROM embeddings WHERE $qFilter),
@@ -733,6 +790,13 @@ object Hnsw {
     // h_knn_cosine. h_recall_routed_pq (no oracle) carries the honest
     // nProbe-regime number.
     "h_knn_routed_pq" -> exactL2KnnOracle(10),
+    // lifecycle twins: direct PQ-tier tombstones / the float-compact +
+    // incremental re-derive cadence — both exhaustive-regime exact over
+    // survivors
+    "h_knn_routed_pq_tombstone" ->
+      exactL2KnnOracleWhere(10, "vec_id % 7 <> 0"),
+    "h_knn_routed_pq_rederived" ->
+      exactL2KnnOracleWhere(10, "embedding[1] <= 0.0"),
     // halfspace-deleted exact L2 over survivors: remediated routed
     // serving in the exhaustive regime must match the oracle exactly
     "h_merged_remedy_knn" ->

@@ -100,47 +100,9 @@ object StreamingRouted {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val dels = b.filter(col("op") === "delete")
-              .select(col("id").cast("long").as("id")).dropDuplicates("id")
-            val delIds = dels.collect().map(_.getLong(0))
-            java.util.Arrays.sort(delIds)
-            if (delIds.nonEmpty) {
-              handle.index = HnswRouted.delete(handle.index, dels)
-              unsavedOps += 1
-            }
-            val insAll = b.filter(col("op") =!= "delete")
-              .select(col("id").cast("long").as("id"), col("vec"))
-              .dropDuplicates("id")
-            val insIds = insAll.select(col("id")).collect().map(_.getLong(0))
-            java.util.Arrays.sort(insIds)
-            val dead = handle.index.tombstones
-            val live = HnswRouted.presentIds(handle.index, insIds)
-            val dropId: Long => Boolean = id =>
-              java.util.Arrays.binarySearch(delIds, id) >= 0 ||
-                java.util.Arrays.binarySearch(dead, id) >= 0 ||
-                java.util.Arrays.binarySearch(live, id) >= 0
-            val keep = insIds.filterNot(dropId)
-            if (keep.nonEmpty) {
-              // filter DataFrame-side by the kept id set (batch-sized)
-              val keepDf = insAll.sparkSession.createDataset(keep.toSeq)(
-                org.apache.spark.sql.Encoders.scalaLong).toDF("id")
-              handle.index = HnswRouted.ingest(handle.index,
-                insAll.join(org.apache.spark.sql.functions.broadcast(keepDf), Seq("id")))
-              unsavedOps += 1
-            }
-            // threshold compaction: tombstones vs total graph rows (one
-            // nCells-row stats collect, only on batches that deleted)
-            if (delIds.nonEmpty && compactThreshold > 0) {
-              val total = math.max(1L,
-                HnswRouted.cellStats(handle.index).map(_._2).sum)
-              if (handle.index.tombstones.length >= compactThreshold * total) {
-                handle.index = HnswRouted.compact(handle.index)
-                unsavedOps += 1
-              }
-            }
-          } finally { b.unpersist(); () }
+          val (next, ops) = cdcStep(handle.index, batch, compactThreshold)
+          handle.index = next
+          unsavedOps += ops
         }
         sinceSave += 1
         checkpoint.foreach { case (path, every) =>
@@ -152,5 +114,58 @@ object StreamingRouted {
         }
       }
       .start()
+  }
+
+  /** One CDC micro-batch against a routed index — the attachCdc body,
+    * extracted so derived tiers ([[StreamingRoutedPq]]) apply the
+    * IDENTICAL delete/insert/compact semantics to their float source.
+    * Returns (next index, number of mutating ops applied: 0 when the
+    * batch was a full no-op, e.g. all-redelivered inserts). */
+  private[streaming] def cdcStep(index0: RoutedIndex, batch: DataFrame,
+                                 compactThreshold: Double): (RoutedIndex, Int) = {
+    var index = index0
+    var ops = 0
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dels = b.filter(col("op") === "delete")
+        .select(col("id").cast("long").as("id")).dropDuplicates("id")
+      val delIds = dels.collect().map(_.getLong(0))
+      java.util.Arrays.sort(delIds)
+      if (delIds.nonEmpty) {
+        index = HnswRouted.delete(index, dels)
+        ops += 1
+      }
+      val insAll = b.filter(col("op") =!= "delete")
+        .select(col("id").cast("long").as("id"), col("vec"))
+        .dropDuplicates("id")
+      val insIds = insAll.select(col("id")).collect().map(_.getLong(0))
+      java.util.Arrays.sort(insIds)
+      val dead = index.tombstones
+      val live = HnswRouted.presentIds(index, insIds)
+      val dropId: Long => Boolean = id =>
+        java.util.Arrays.binarySearch(delIds, id) >= 0 ||
+          java.util.Arrays.binarySearch(dead, id) >= 0 ||
+          java.util.Arrays.binarySearch(live, id) >= 0
+      val keep = insIds.filterNot(dropId)
+      if (keep.nonEmpty) {
+        // filter DataFrame-side by the kept id set (batch-sized)
+        val keepDf = insAll.sparkSession.createDataset(keep.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+        index = HnswRouted.ingest(index,
+          insAll.join(org.apache.spark.sql.functions.broadcast(keepDf), Seq("id")))
+        ops += 1
+      }
+      // threshold compaction: tombstones vs total graph rows (one
+      // nCells-row stats collect, only on batches that deleted)
+      if (delIds.nonEmpty && compactThreshold > 0) {
+        val total = math.max(1L,
+          HnswRouted.cellStats(index).map(_._2).sum)
+        if (index.tombstones.length >= compactThreshold * total) {
+          index = HnswRouted.compact(index)
+          ops += 1
+        }
+      }
+      (index, ops)
+    } finally { b.unpersist(); () }
   }
 }
