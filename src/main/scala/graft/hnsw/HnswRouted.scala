@@ -181,6 +181,101 @@ object HnswRouted {
   private val tripleEnc = Encoders.tuple(
     Encoders.scalaLong, ExprEnc.floatArray, Encoders.scalaInt)
 
+  private val tripleEncPcellFirst = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, ExprEnc.floatArray)
+
+  /** Modality-guard dials (the build-time separability census; see
+    * [[build]]'s Scaladoc). Row floor, per-cell sample cap, the share a
+    * component needs to count as STRONG (bp of the sample), the
+    * single-linkage merge threshold as a multiple of the mean strong
+    * RMS radius, and the census k-means shape (k > 2 is load-bearing —
+    * the merged-cell audit's finding: 2-means finds the dominant
+    * structure, not the modal boundary). */
+  private val ModalityMinCellRows = 256L
+  private val ModalitySampleMax = 1024
+  private val ModalityShareBp = 1500L
+  private val ModalitySepFactor = 3.0
+  private val ModalityKSplit = 8
+  private val ModalityIters = 8
+
+  /** Modal-group count of a cell sample: deterministic k-means
+    * (sample-mean + farthest-point seeds), strong components (≥
+    * [[ModalityShareBp]] of the sample) single-linkage-merged at
+    * [[ModalitySepFactor]] × mean strong RMS radius — k-means
+    * over-splits a blob into adjacent fragments, and the linkage pass
+    * re-merges fragments of one TRUE mode while keeping genuinely
+    * separated modes apart. Returns the number of surviving modal
+    * groups; 0/1 means unimodal (no split). Distances linearize
+    * through sqrt for l2 (Metrics.l2Sq is squared) so the factor is a
+    * geometric ratio; calibration is on the l2 rehearsal geometry. */
+  private def modalGroups(rows: Array[Array[Float]],
+      metric: (Array[Float], Array[Float]) => Double,
+      metricName: String): Int = {
+    if (rows.length < 32) return 1
+    @inline def lin(d: Double): Double =
+      if (metricName == "l2") math.sqrt(math.max(0.0, d)) else d
+    val k = math.max(2, math.min(ModalityKSplit, rows.length / 4))
+    val dim = rows.head.length
+    val cents = Array.ofDim[Array[Float]](k)
+    cents(0) = {
+      val acc = new Array[Double](dim)
+      rows.foreach { v =>
+        var d = 0; while (d < dim) { acc(d) += v(d); d += 1 } }
+      Array.tabulate(dim)(d => (acc(d) / rows.length).toFloat)
+    }
+    var j = 1
+    while (j < k) {
+      var best: Array[Float] = null; var bestD = -1.0
+      rows.foreach { v =>
+        var minD = Double.MaxValue; var c = 0
+        while (c < j) { val d = metric(v, cents(c)); if (d < minD) minD = d; c += 1 }
+        if (minD > bestD) { bestD = minD; best = v }
+      }
+      cents(j) = best; j += 1
+    }
+    @inline def nearest(v: Array[Float]): Int = {
+      var bi = 0; var bd = Double.MaxValue; var c = 0
+      while (c < k) {
+        val d = metric(v, cents(c)); if (d < bd) { bd = d; bi = c }; c += 1 }
+      bi
+    }
+    var it = 0
+    while (it < ModalityIters) {
+      val accs = Array.fill(k)(new Array[Double](dim))
+      val ns = new Array[Int](k)
+      rows.foreach { v =>
+        val c = nearest(v); val acc = accs(c)
+        var d = 0; while (d < dim) { acc(d) += v(d); d += 1 }
+        ns(c) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (ns(c) > 0)
+          cents(c) = Array.tabulate(dim)(d => (accs(c)(d) / ns(c)).toFloat)
+        c += 1 // an empty component keeps its centroid
+      }
+      it += 1
+    }
+    val ns = new Array[Int](k); val sumD = new Array[Double](k)
+    rows.foreach { v =>
+      val c = nearest(v); ns(c) += 1; sumD(c) += metric(v, cents(c)) }
+    val minShare = math.max(8L, rows.length * ModalityShareBp / 10000L)
+    val strong = (0 until k).filter(c => ns(c) >= minShare).toArray
+    if (strong.length < 2) return 1
+    val meanRad = strong.map(c => lin(sumD(c) / ns(c))).sum / strong.length
+    if (meanRad <= 0.0) return strong.length // distinct point masses
+    // single-linkage union-find over strong components
+    val parent = Array.tabulate(strong.length)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- strong.indices; jj <- (i + 1) until strong.length) {
+      val d = lin(metric(cents(strong(i)), cents(strong(jj))))
+      if (d < ModalitySepFactor * meanRad) {
+        val (a, b) = (find(i), find(jj)); if (a != b) parent(a) = b
+      }
+    }
+    strong.indices.map(find).distinct.length
+  }
+
   /** Fresh per-cell construction from id-sorted rows (layers from the
     * id hash) — the build path's kernel, shared by [[compact]] so a
     * compacted cell is graph-identical to a fresh build of its
@@ -243,9 +338,29 @@ object HnswRouted {
     }
   }
 
+  /** `modalitySplit`: opt-in BUILD-TIME modality guard (round-15; the
+    * at-build form of [[mergedCellAudit]]'s separability test). k-means
+    * routinely packs several well-separated clusters into one cell —
+    * the skew guard bounds SIZE, not modality, and the merged-remedy
+    * rung measured an 11.6× predicated-serving floor when a later
+    * delete wipes one of the co-resident clusters. With the flag on,
+    * every unsplit cell above a row floor runs a sampled k-component
+    * separability census (farthest-point-seeded deterministic k-means;
+    * a cell is multi-modal when ≥2 components each hold ≥15% of the
+    * sample and the closest pair of those strong components is ≥3×
+    * their mean RMS radius apart — calibrated on the l2 rehearsal
+    * geometry); flagged cells get a secondary quantizer sized to the
+    * strong-component count, exactly the skew guard's split machinery.
+    * Exhaustive-regime results are unchanged by construction (probe
+    * expansion covers every child); what changes is that a future
+    * delete aligned with one mode leaves whole CELLS dead — which
+    * predicated serving skips outright — instead of half-dead cells it
+    * must exact-scan. Off by default: the split adds one sampled
+    * collect + one Ivf.train per flagged cell at build time. */
   def build(vectors: DataFrame, cfg: BuildConfig = BuildConfig(),
             nCells: Int = 16, persist: Boolean = true,
-            maxCellRows: Long = DefaultMaxCellRows): RoutedIndex = {
+            maxCellRows: Long = DefaultMaxCellRows,
+            modalitySplit: Boolean = false): RoutedIndex = {
     require(nCells >= 1 && nCells <= (Int.MaxValue / SubCellCap),
       s"nCells in [1, ${Int.MaxValue / SubCellCap}], got $nCells")
     val spark = vectors.sparkSession
@@ -286,11 +401,49 @@ object HnswRouted {
       p -> Ivf.train(assigned.filter(col("pcell") === p), k2, cfg.metric,
         seed = cfg.seed + 1000003L * (p + 1))
     }
-    val router = Router(primary, sub)
+    // ---- Build-time modality guard (opt-in; see the Scaladoc): run
+    // the sampled separability census on every unsplit cell above the
+    // row floor, split the multi-modal ones by their strong-component
+    // count. One decimated collect serves ALL audited cells; per-cell
+    // sample bounded by ModalitySampleMax.
+    val subM: Map[Int, Ivf.IvfModel] =
+      if (!modalitySplit) sub
+      else {
+        val metric = Metrics.byName(cfg.metric)
+        val audit = hist.filter { case (p, cn) =>
+          !sub.contains(p) && cn >= ModalityMinCellRows }
+        if (audit.isEmpty) sub
+        else {
+          val strides = audit.toSeq.map { case (p, cn) =>
+            (p, math.max(1L, (cn + ModalitySampleMax - 1) / ModalitySampleMax))
+          }
+          val strideDf = spark.createDataFrame(strides)
+            .toDF("pcell", "__stride")
+          val sampled = assigned
+            .join(broadcast(strideDf), Seq("pcell"))
+            .filter(pmod(xxhash64(col("id"), lit(cfg.seed)), col("__stride")) === 0L)
+            .select(col("pcell"), col("id"), col("vec"))
+            .as(tripleEncPcellFirst).collect()
+          val byCell = sampled.groupBy(_._1)
+          val flagged = audit.keys.toSeq.sorted.flatMap { p =>
+            byCell.get(p).flatMap { rs =>
+              val rows = rs.sortBy(_._2).take(ModalitySampleMax).map(_._3)
+              val groups = modalGroups(rows, metric, cfg.metric)
+              if (groups >= 2) Some(p -> groups) else None
+            }
+          }
+          sub ++ flagged.map { case (p, kComp) =>
+            val k2 = math.min(SubCellCap, kComp)
+            p -> Ivf.train(assigned.filter(col("pcell") === p), k2, cfg.metric,
+              seed = cfg.seed + 2000003L * (p + 1))
+          }
+        }
+      }
+    val router = Router(primary, subM)
     val cells = assigned
       .withColumn("cell", router.cellColFrom(col("vec"), col("pcell")))
-    if (sub.nonEmpty) {
-      val subHist = cells.filter(col("pcell").isin(sub.keys.toSeq: _*))
+    if (subM.nonEmpty) {
+      val subHist = cells.filter(col("pcell").isin(subM.keys.toSeq: _*))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1))
       val still = subHist.filter(_._2 > maxCellRows)

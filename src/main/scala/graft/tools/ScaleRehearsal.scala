@@ -942,12 +942,163 @@ object ScaleRehearsal {
         serve(rem) // warm
         val postS = math.min(serve(rem), serve(rem))
         rem.unpersist()
+        // BUILD-TIME modality flag (round-15, second session): the same
+        // geometry built with the split guard ON — the census splits
+        // the bimodal cells at build, so the delete leaves whole CELLS
+        // dead, which predicated serving skips outright; no audit, no
+        // remedy pass, no tax window between delete and remediation.
+        val t3 = System.nanoTime()
+        val flagIdx = HnswRouted.build(vecs, cfg, nCells,
+          modalitySplit = true)
+        val flagBuildS = (System.nanoTime() - t3) / 1e9
+        serve(flagIdx) // warm
+        val flagPlainS = math.min(serve(flagIdx), serve(flagIdx))
+        val flagTombed = HnswRouted.delete(flagIdx,
+          vecs.filter(col("id") % nSub === 0).select(col("id")))
+        serve(flagTombed) // warm the predicated path
+        val flagTombS = math.min(serve(flagTombed), serve(flagTombed))
+        println(f"REHEARSAL_PHASE merged_remedy n=$n " +
+          f"modality_build_s=$flagBuildS%.1f " +
+          f"split_parents=${flagIdx.router.sub.size} " +
+          f"flag_plain_s=$flagPlainS%.2f flag_tomb_s=$flagTombS%.2f " +
+          f"flag_tomb_overhead=${flagTombS / flagPlainS}%.2fx")
+        flagIdx.unpersist()
         (flagged.length.toLong,
           f"plain_s=$plainS%.2f tomb_s=$tombS%.2f " +
           f"tomb_overhead=${tombS / plainS}%.2fx " +
           f"audit_s=$auditS%.1f remedy_s=$remS%.1f flagged=${flagged.length} " +
           f"post_s=$postS%.2f post_overhead=${postS / plainS}%.2fx " +
-          f"residual_tombstones=${rem.tombstones.length}")
+          f"residual_tombstones=${rem.tombstones.length} " +
+          f"modality_build_s=$flagBuildS%.1f " +
+          f"split_parents=${flagIdx.router.sub.size} " +
+          f"flag_tomb_overhead=${flagTombS / flagPlainS}%.2fx " +
+          f"flag_tomb_s=$flagTombS%.2f flag_plain_s=$flagPlainS%.2f")
+      }
+
+      // ROUTED+PQ rung (round-15, second session): the compression
+      // tier as the demonstrated at-scale serving path for FLOAT
+      // similarity. Build the float routed l2 index, derive the PQ
+      // tier (one codebook train + one narrow encode pass), then run
+      // the LIFECYCLE on it: direct tombstone delete → predicated
+      // serve → float compact → INCREMENTAL rederive (fingerprint
+      // carry: only cells the fold touched re-encode) → parity serve.
+      // Finally unpersist the float shards and serve again — the
+      // memory-envelope claim made physical: what stays resident is
+      // graph + 8 B/row codes (the cached-bytes line quantifies it),
+      // and raw vectors appear only in the re-rank join against the
+      // durable table.
+      if (ops("routed_pq")) run("ann_routed_pq", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRouted, HnswRoutedPq, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = if (n >= 10000000) 256 else 64
+        def centerOf(c: Int): Array[Float] =
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat)
+        def vecOf(id: Long): Array[Float] = {
+          val c = centerOf((id % nCells).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "l2", seed = 9L)
+        val t0 = System.nanoTime()
+        val index = HnswRouted.build(vecs, cfg, nCells)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        println(f"REHEARSAL_PHASE routed_pq n=$n build_s=$buildS%.1f")
+        val t1 = System.nanoTime()
+        val pq = HnswRoutedPq.fromRouted(index)
+        val encodeS = (System.nanoTime() - t1) / 1e9
+        def cachedBytes(name: String): Long =
+          spark.sparkContext.getRDDStorageInfo
+            .filter(_.name == name).map(i => i.memSize + i.diskSize).sum
+        val floatBytes = cachedBytes("graft-hnsw-routed")
+        val pqBytes = cachedBytes("graft-hnsw-routed-pq")
+        println(f"REHEARSAL_PHASE routed_pq n=$n encode_s=$encodeS%.1f " +
+          f"float_cached_mb=${floatBytes / 1e6}%.0f " +
+          f"pq_cached_mb=${pqBytes / 1e6}%.0f " +
+          f"ratio=${floatBytes.toDouble / math.max(1L, pqBytes)}%.1fx")
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 4000))
+          .filter(_ % nCells >= 3).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        // TWO retrieval stats per serve: exact-id self-match AND
+        // same-cluster top-1. The geometry's clusters are quantization
+        // TWINS (intra-cluster spacing ~ the ADC error), so exact-id
+        // recall through 8-byte codes is information-theoretically
+        // capped at ~candidates/clusterSize — the honest compressed-
+        // tier metric is cluster-match (did the beam land the right
+        // neighborhood); exact-id exactness at k≪candidates is the
+        // CATALOG rows' claim, proven by re-rank against the DuckDB
+        // oracle at sf0.01.
+        def selfMatch(idx: HnswRoutedPq.RoutedPqIndex): (Double, Long, Long) = {
+          val t = System.nanoTime()
+          val top = HnswRoutedPq.search(idx, qDf, vecs, k = 1,
+              nProbe = 8, candidates = 64)
+            .select(col("qid"), col("id")).collect()
+          val self = top.count(r => r.getLong(0) == r.getLong(1)).toLong
+          val clus = top.count(r =>
+            r.getLong(0) % nCells == r.getLong(1) % nCells).toLong
+          ((System.nanoTime() - t) / 1e9, self, clus)
+        }
+        selfMatch(pq) // warm
+        val (p1, _, _) = selfMatch(pq)
+        val (p2, plainSelf, plainClus) = selfMatch(pq)
+        val plainS = math.min(p1, p2)
+        // lifecycle: wipe 3 whole clusters via the PQ tier's own delete
+        val deadLocal = vecs.filter(col("id") % nCells < 3).select(col("id"))
+        val t2 = System.nanoTime()
+        val tombed = HnswRoutedPq.delete(pq, deadLocal)
+        val deleteS = (System.nanoTime() - t2) / 1e9
+        selfMatch(tombed) // warm the predicated path
+        val r1 = selfMatch(tombed); val r2 = selfMatch(tombed)
+        val (tombS, tombSelf, tombClus) = if (r1._1 <= r2._1) r1 else r2
+        val deadQ = spark.createDataset(
+            (0L until n.toLong by math.max(1L, n.toLong / 500))
+              .filter(_ % nCells == 0).take(500).map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val leaked = HnswRoutedPq.search(tombed, deadQ, vecs, k = 1,
+            nProbe = 8, candidates = 32)
+          .filter(col("qid") === col("id")).count()
+        // fold on the float source, follow incrementally
+        val floatTombed = HnswRouted.delete(index, deadLocal)
+        val t3 = System.nanoTime()
+        val compacted = HnswRouted.compact(floatTombed, unpersistPrior = false)
+        val compactS = (System.nanoTime() - t3) / 1e9
+        val t4 = System.nanoTime()
+        val (rederived, reenc, carried) = HnswRoutedPq.rederiveCounted(
+          tombed, compacted, unpersistPrior = true)
+        val rederiveS = (System.nanoTime() - t4) / 1e9
+        println(f"REHEARSAL_PHASE routed_pq n=$n compact_s=$compactS%.1f " +
+          f"rederive_s=$rederiveS%.1f reencoded=$reenc carried=$carried " +
+          f"rederive_over_encode=${rederiveS / encodeS}%.2f")
+        val (postS, postSelf, postClus) = selfMatch(rederived)
+        // the envelope: drop the float shards, serve from codes alone
+        index.unpersist()
+        compacted.unpersist()
+        val (soloS1, soloSelf, soloClus) = selfMatch(rederived)
+        val (soloS2, _, _) = selfMatch(rederived)
+        val soloS = math.min(soloS1, soloS2)
+        rederived.unpersist()
+        (tombSelf, f"build_s=$buildS%.1f encode_s=$encodeS%.1f " +
+          f"delete_s=$deleteS%.3f plain_probe8_s=$plainS%.2f " +
+          f"tomb_probe8_s=$tombS%.2f tomb_overhead=${tombS / plainS}%.2fx " +
+          f"leaked=$leaked compact_s=$compactS%.1f " +
+          f"rederive_s=$rederiveS%.1f reencoded=$reenc carried=$carried " +
+          f"post_probe8_s=$postS%.2f solo_probe8_s=$soloS%.2f " +
+          f"float_cached_mb=${floatBytes / 1e6}%.0f " +
+          f"pq_cached_mb=${pqBytes / 1e6}%.0f " +
+          f"self_plain=${plainSelf * 100.0 / qIds.length}%.1f%% " +
+          f"self_tomb=${tombSelf * 100.0 / qIds.length}%.1f%% " +
+          f"self_post=${postSelf * 100.0 / qIds.length}%.1f%% " +
+          f"self_solo=${soloSelf * 100.0 / qIds.length}%.1f%% " +
+          f"cluster_plain=${plainClus * 100.0 / qIds.length}%.1f%% " +
+          f"cluster_tomb=${tombClus * 100.0 / qIds.length}%.1f%% " +
+          f"cluster_post=${postClus * 100.0 / qIds.length}%.1f%% " +
+          f"cluster_solo=${soloClus * 100.0 / qIds.length}%.1f%%")
       }
 
       // AUTO-EF rung (round-13): the density-adaptive in-cell beam's

@@ -1,0 +1,148 @@
+package graft.hnsw
+
+import graft.SparkSpec
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.operators.ExactKnn
+import org.apache.spark.sql.functions._
+
+/** Build-time modality guard: the sampled separability census splits
+  * cells that hold several well-separated clusters (the geometry whose
+  * post-delete serving paid the merged-cell floor), leaves unimodal
+  * cells alone, and never changes the exhaustive-regime answer. */
+class HnswRoutedModalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecFromHash(i: Long, seed: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(d =>
+      (HnswSearcher.uniformFromHash(i * dim + d, seed) * 2.0 - 1.0).toFloat)
+
+  private val dim = 16
+  private val cfg = BuildConfig(
+    HnswParams.standard(64, 128, 16), metric = "l2", seed = 42L)
+
+  /** Two well-separated sub-clusters per super-cluster (the planted
+    * merged-cell geometry, test-scale): super-centers spread ±40,
+    * sub-offsets ±6, member noise ±1. id % nSub picks the sub-cluster;
+    * sub-cluster g belongs to super-cluster g / 2. */
+  private def bimodalVec(id: Long, nSub: Int): Array[Float] = {
+    val g = (id % nSub).toInt
+    val sup = g / 2
+    Array.tabulate(dim) { d =>
+      val supC = (HnswSearcher.uniformFromHash(sup.toLong * 997 + d, 77L) * 2 - 1) * 40.0
+      val subC = (HnswSearcher.uniformFromHash(1000L + g.toLong * 31 + d, 99L) * 2 - 1) * 6.0
+      (supC + subC).toFloat +
+        (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat
+    }
+  }
+
+  test("bimodal cells are detected and split; children are mode-pure") {
+    val nSub = 8
+    val n = 4000
+    val baseDf = (0 until n).map(i => (i.toLong, bimodalVec(i.toLong, nSub)))
+      .toDF("id", "vec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false,
+      modalitySplit = true)
+    assert(index.router.sub.nonEmpty,
+      "no cell was split — the census missed every planted merge")
+    index.router.sub.foreach { case (p, m) =>
+      assert(m.nCells >= 2, s"parent $p split into ${m.nCells} children")
+    }
+    // every child cell of a split parent holds (almost) only one mode
+    val members = index.shards.flatMap { case (c, s) =>
+      s.vectors.keysIterator.map(id => (c, id))
+    }.collect()
+    val splitParents = index.router.sub.keySet
+    members.groupBy(_._1).foreach { case (cell, xs) =>
+      if (splitParents(cell / HnswRouted.SubCellCap)) {
+        val modes = xs.map(x => (x._2 % nSub).toInt)
+        val top = modes.groupBy(identity).values.map(_.length).max
+        assert(top.toDouble / modes.length >= 0.9,
+          s"cell $cell purity ${top.toDouble / modes.length}")
+      }
+    }
+  }
+
+  test("exhaustive-regime results are identical with and without the split") {
+    val nSub = 8
+    val n = 3000
+    val baseDf = (0 until n).map(i => (i.toLong, bimodalVec(i.toLong, nSub)))
+      .toDF("id", "vec")
+    val qDf = (0 until 30)
+      .map(q => (q.toLong, bimodalVec(q * 37L + 5, nSub)))
+      .toDF("qid", "qvec")
+    val plain = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    val split = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false,
+      modalitySplit = true)
+    // The structural exactness claim lives on the exact-scan path
+    // (exhaustive + predicated forces it per cell); the UNPREDICATED
+    // exhaustive kernel is a beam whose exactness is empirical — and
+    // the planted two-mode cells are exactly the geometry where the
+    // merged graph can be near-disconnected across the mode bridge, so
+    // beam results legitimately differ between the merged and per-mode
+    // graphs. A tombstone that matches nothing routes both indexes
+    // through the exact scan without changing the answer's definition.
+    val bogus = Seq(-1L).toDF("id")
+    def rows(ix: HnswRouted.RoutedIndex) =
+      HnswRouted.search(HnswRouted.delete(ix, bogus), qDf, 10,
+          nProbe = ix.router.nPrimary)
+        .select(col("qid"), col("id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(rows(split) == rows(plain))
+    val exact = ExactKnn.search(qDf, baseDf, 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(split).map { case (q, id, _) => (q, id) }.toSet == exact)
+  }
+
+  test("unimodal cells are left alone (no false split)") {
+    // one cluster per cell: the routed rungs' plain geometry
+    val nCells = 4
+    val n = 3000
+    def vecOf(id: Long): Array[Float] = {
+      val c = (id % nCells).toInt
+      Array.tabulate(dim)(d =>
+        ((HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0) +
+          (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0)).toFloat)
+    }
+    val baseDf = (0 until n).map(i => (i.toLong, vecOf(i.toLong))).toDF("id", "vec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = nCells,
+      persist = false, modalitySplit = true)
+    assert(index.router.sub.isEmpty,
+      s"unimodal cells were split: ${index.router.sub.keySet}")
+  }
+
+  test("after a one-mode wipe, the dead mass occupies whole cells (the skip regime)") {
+    val nSub = 8
+    val n = 4000
+    val all = (0 until n).map(i => (i.toLong, bimodalVec(i.toLong, nSub)))
+    val baseDf = all.toDF("id", "vec")
+    val index = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false,
+      modalitySplit = true)
+    // wipe every even sub-cluster (one mode per super-cluster)
+    val deadIds = all.map(_._1).filter(id => (id % nSub) % 2 == 0)
+    val tombed = HnswRouted.delete(index, deadIds.toDF("id"))
+    val dead = tombed.tombstones
+    val members = index.shards.flatMap { case (c, s) =>
+      s.vectors.keysIterator.map(id => (c, id))
+    }.collect()
+    // some cells must now be FULLY dead — predicated serving skips them
+    // outright instead of exact-scanning half-dead cells
+    val fullyDead = members.groupBy(_._1).count { case (_, xs) =>
+      xs.forall(x => java.util.Arrays.binarySearch(dead, x._2) >= 0)
+    }
+    assert(fullyDead >= 2, s"only $fullyDead fully-dead cells")
+    // and serving over the survivors stays exact in the exhaustive regime
+    val qDf = (0 until 25)
+      .map(q => (q.toLong, bimodalVec(q * 41L + 3, nSub)))
+      .toDF("qid", "qvec")
+    val served = HnswRouted.search(tombed, qDf, 10,
+        nProbe = tombed.router.nPrimary)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ExactKnn.search(qDf,
+        all.filter(r => (r._1 % nSub) % 2 != 0).toDF("id", "vec"), 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exact)
+  }
+}
