@@ -198,20 +198,25 @@ object HnswRouted {
   private val ModalityKSplit = 8
   private val ModalityIters = 8
 
-  /** Modal-group count of a cell sample: deterministic k-means
-    * (sample-mean + farthest-point seeds), strong components (≥
-    * [[ModalityShareBp]] of the sample) single-linkage-merged at
-    * [[ModalitySepFactor]] × mean strong RMS radius — k-means
-    * over-splits a blob into adjacent fragments, and the linkage pass
-    * re-merges fragments of one TRUE mode while keeping genuinely
-    * separated modes apart. Returns the number of surviving modal
-    * groups; 0/1 means unimodal (no split). Distances linearize
+  /** Modal census of a cell sample: deterministic k-means
+    * (sample-mean + farthest-point seeds), components single-linkage-
+    * merged at [[ModalitySepFactor]] × mean component RMS radius —
+    * k-means over-splits a blob into adjacent fragments, and the
+    * linkage pass re-merges fragments of one TRUE mode while keeping
+    * genuinely separated modes apart. The strong-share test
+    * ([[ModalityShareBp]]) applies to the MERGED groups, never the raw
+    * components: a mode fragmented into five 10% components is still a
+    * 50% mode (testing components first hid exactly half the planted
+    * rung cells). Returns the strong groups as (member-weighted
+    * centroid, sample count) — the centroids double as the secondary
+    * quantizer for the split, so flagging costs no extra corpus scan.
+    * Empty/one group = unimodal (no split). Distances linearize
     * through sqrt for l2 (Metrics.l2Sq is squared) so the factor is a
     * geometric ratio; calibration is on the l2 rehearsal geometry. */
-  private def modalGroups(rows: Array[Array[Float]],
+  private[hnsw] def modalCensus(rows: Array[Array[Float]],
       metric: (Array[Float], Array[Float]) => Double,
-      metricName: String): Int = {
-    if (rows.length < 32) return 1
+      metricName: String): Array[(Array[Float], Int)] = {
+    if (rows.length < 32) return Array.empty
     @inline def lin(d: Double): Double =
       if (metricName == "l2") math.sqrt(math.max(0.0, d)) else d
     val k = math.max(2, math.min(ModalityKSplit, rows.length / 4))
@@ -259,21 +264,39 @@ object HnswRouted {
     val ns = new Array[Int](k); val sumD = new Array[Double](k)
     rows.foreach { v =>
       val c = nearest(v); ns(c) += 1; sumD(c) += metric(v, cents(c)) }
-    val minShare = math.max(8L, rows.length * ModalityShareBp / 10000L)
-    val strong = (0 until k).filter(c => ns(c) >= minShare).toArray
-    if (strong.length < 2) return 1
-    val meanRad = strong.map(c => lin(sumD(c) / ns(c))).sum / strong.length
-    if (meanRad <= 0.0) return strong.length // distinct point masses
-    // single-linkage union-find over strong components
-    val parent = Array.tabulate(strong.length)(identity)
-    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-    for (i <- strong.indices; jj <- (i + 1) until strong.length) {
-      val d = lin(metric(cents(strong(i)), cents(strong(jj))))
-      if (d < ModalitySepFactor * meanRad) {
-        val (a, b) = (find(i), find(jj)); if (a != b) parent(a) = b
+    // participants: every non-noise component (the strong test comes
+    // AFTER the merge — see the Scaladoc)
+    val parts = (0 until k).filter(c => ns(c) >= 8).toArray
+    if (parts.length == 0) return Array.empty
+    // mass-weighted mean radius: tiny outlier fragments must not drag
+    // the merge threshold down (unweighted, they shrank it enough to
+    // keep a unimodal blob's main fragments apart — a false split)
+    val meanRad = parts.map(c => ns(c) * lin(sumD(c) / ns(c))).sum /
+      parts.map(ns(_)).sum
+    // single-linkage union-find over participating components; a zero
+    // mean radius (distinct point masses) keeps every component apart
+    val parent = Array.tabulate(parts.length)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    if (meanRad > 0.0)
+      for (i <- parts.indices; jj <- (i + 1) until parts.length) {
+        val d = lin(metric(cents(parts(i)), cents(parts(jj))))
+        if (d < ModalitySepFactor * meanRad) {
+          val (a, b) = (find(i), find(jj)); if (a != b) parent(a) = b
+        }
       }
-    }
-    strong.indices.map(find).distinct.length
+    val minShare = math.max(8L, rows.length * ModalityShareBp / 10000L)
+    parts.indices.groupBy(find).values.toArray
+      .map { idxs =>
+        val members = idxs.map(parts(_))
+        val total = members.map(ns(_)).sum
+        val centroid = Array.tabulate(dim) { d =>
+          (members.map(c => cents(c)(d).toDouble * ns(c)).sum / total).toFloat
+        }
+        (centroid, total)
+      }
+      .filter(_._2 >= minShare)
+      .sortBy(-_._2)
   }
 
   /** Fresh per-cell construction from id-sorted rows (layers from the
@@ -428,14 +451,19 @@ object HnswRouted {
           val flagged = audit.keys.toSeq.sorted.flatMap { p =>
             byCell.get(p).flatMap { rs =>
               val rows = rs.sortBy(_._2).take(ModalitySampleMax).map(_._3)
-              val groups = modalGroups(rows, metric, cfg.metric)
-              if (groups >= 2) Some(p -> groups) else None
+              val groups = modalCensus(rows, metric, cfg.metric)
+              if (groups.length >= 2) Some(p -> groups) else None
             }
           }
-          sub ++ flagged.map { case (p, kComp) =>
-            val k2 = math.min(SubCellCap, kComp)
-            p -> Ivf.train(assigned.filter(col("pcell") === p), k2, cfg.metric,
-              seed = cfg.seed + 2000003L * (p + 1))
+          // the census's group centroids ARE the secondary quantizer:
+          // children align with the detected modes by construction, and
+          // the split costs no additional corpus scan (the skew guard's
+          // per-cell Ivf.train re-scan would be one full pass per
+          // flagged cell — at many flagged cells that dominates the
+          // build)
+          sub ++ flagged.map { case (p, groups) =>
+            p -> Ivf.IvfModel(
+              groups.take(SubCellCap).map(_._1), cfg.metric)
           }
         }
       }

@@ -1006,9 +1006,15 @@ object ScaleRehearsal {
         val cfg = HnswDistributed.BuildConfig(
           HnswParams.standard(64, 32, 16), "l2", seed = 9L)
         val t0 = System.nanoTime()
-        val index = HnswRouted.build(vecs, cfg, nCells)
+        // modalitySplit: k-means over a clustered corpus misaligns at
+        // density (two true clusters in one cell → near-disconnected
+        // in-cell graph → the ADC beam can't cross the mode bridge; the
+        // 4e5 first run read 86.7% cluster-match from exactly this).
+        // The build-time census splits those cells per mode.
+        val index = HnswRouted.build(vecs, cfg, nCells, modalitySplit = true)
         val buildS = (System.nanoTime() - t0) / 1e9
-        println(f"REHEARSAL_PHASE routed_pq n=$n build_s=$buildS%.1f")
+        println(f"REHEARSAL_PHASE routed_pq n=$n build_s=$buildS%.1f " +
+          f"split_parents=${index.router.sub.size}")
         val t1 = System.nanoTime()
         val pq = HnswRoutedPq.fromRouted(index)
         val encodeS = (System.nanoTime() - t1) / 1e9
