@@ -175,7 +175,7 @@ object HnswRouted {
     override def hashCode: Int = java.util.Arrays.hashCode(cellIds)
   }
 
-  private def partitionerFor(router: Router): CellPartitioner =
+  private[hnsw] def partitionerFor(router: Router): CellPartitioner =
     new CellPartitioner(router.allCells.toArray)
 
   private val tripleEnc = Encoders.tuple(

@@ -1,11 +1,11 @@
 package graft.hnsw
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PqKernels
-import graft.operators.Pq
-import graft.store.{AdcVectorStore, GraphSnapshot}
+import graft.operators.{Ivf, Pq}
+import graft.store.{AdcVectorStore, EntryPoint, GraphSnapshot, LayerCsr}
 
 /** Routed + PQ compose — per-cell ADC codes on the routed serving tier:
   * the beyond-memory shape at the SCALE tier. [[HnswRouted]] holds full
@@ -180,26 +180,35 @@ object HnswRoutedPq {
     * shuffle keyed by the pinned partitioner, narrow zipPartitions on
     * the shard side) above it — same kernel, spec-pinned identical. */
   def searchCoarse(index: RoutedPqIndex, queries: DataFrame,
-                   candidates: Int, nProbe: Int, ef0: Int = 0): DataFrame = {
+                   candidates: Int, nProbe: Int, ef0: Int = 0): DataFrame =
+    searchCoarseImpl(index, queries, candidates, nProbe, ef0, allowed = None)
+
+  private def searchCoarseImpl(index: RoutedPqIndex, queries: DataFrame,
+                               candidates: Int, nProbe: Int, ef0: Int,
+                               allowed: Option[Array[Long]]): DataFrame = {
     val spark = queries.sparkSession
     val router = index.router
     val exhaustive = nProbe >= router.nPrimary
     val qArr = queries.select(col("qid"), col("qvec"))
       .limit(HnswRouted.DriverRouteMax + 1).as(pairEnc).collect()
     if (qArr.length > HnswRouted.DriverRouteMax)
-      return searchCoarseDistributed(index, queries, candidates, nProbe, ef0)
+      return searchCoarseDistributedImpl(index, queries, candidates, nProbe,
+        ef0, allowed)
     val byCell = qArr.iterator.flatMap { case (qid, qv) =>
       router.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
     }.toArray.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val qB = spark.sparkContext.broadcast(byCell)
     val cbB = spark.sparkContext.broadcast(index.codebook)
     val tombB = spark.sparkContext.broadcast(index.tombstones)
+    val hasAllow = allowed.isDefined
+    val allowB = spark.sparkContext.broadcast(
+      allowed.getOrElse(Array.empty[Long]))
     import spark.implicits._
     HnswRouted.prunedShards(index.shards, byCell.keys).flatMap { case (_, m) =>
       val probes = qB.value.getOrElse(m.cell, Array.empty[(Long, Array[Float])])
       if (probes.isEmpty) Iterator.empty
       else serveAdcShard(index.params, m, cbB.value, tombB.value,
-        probes.iterator, candidates, exhaustive, ef0)
+        probes.iterator, candidates, exhaustive, ef0, hasAllow, allowB.value)
     }.toDF("qid", "id", "adc")
   }
 
@@ -207,13 +216,22 @@ object HnswRoutedPq {
     * shape; see [[HnswRouted.searchDistributed]]). */
   def searchCoarseDistributed(index: RoutedPqIndex, queries: DataFrame,
                               candidates: Int, nProbe: Int,
-                              ef0: Int = 0): DataFrame = {
+                              ef0: Int = 0): DataFrame =
+    searchCoarseDistributedImpl(index, queries, candidates, nProbe, ef0,
+      allowed = None)
+
+  private def searchCoarseDistributedImpl(
+      index: RoutedPqIndex, queries: DataFrame,
+      candidates: Int, nProbe: Int, ef0: Int,
+      allowed: Option[Array[Long]]): DataFrame = {
     val spark = queries.sparkSession
     val sc = spark.sparkContext
     val exhaustive = nProbe >= index.router.nPrimary
     val routerB = sc.broadcast(index.router)
     val cbB = sc.broadcast(index.codebook)
     val tombB = sc.broadcast(index.tombstones)
+    val hasAllow = allowed.isDefined
+    val allowB = sc.broadcast(allowed.getOrElse(Array.empty[Long]))
     val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
       "distributed routing needs the index's pinned CellPartitioner"))
     val routed = queries.select(col("qid"), col("qvec")).as(pairEnc).rdd
@@ -228,30 +246,140 @@ object HnswRoutedPq {
         val (cell, m) = shards(0)
         val probes = qIt.collect { case (c, q) if c == cell => q }
         serveAdcShard(index.params, m, cbB.value, tombB.value,
-          probes, candidates, exhaustive, ef0)
+          probes, candidates, exhaustive, ef0, hasAllow, allowB.value)
       } else {
         val byCell = qIt.toArray.groupBy(_._1)
         shards.iterator.flatMap { case (cell, m) =>
           serveAdcShard(index.params, m, cbB.value, tombB.value,
             byCell.getOrElse(cell, Array.empty).iterator.map(_._2),
-            candidates, exhaustive, ef0)
+            candidates, exhaustive, ef0, hasAllow, allowB.value)
         }
       }
     }.toDF("qid", "id", "adc")
   }
 
-  /** Per-shard ADC candidate kernel, shared by both routing paths. */
+  /** Attribute-filtered routed+PQ k-NN — the float tier's
+    * [[HnswRouted.searchFiltered]] contract on the compressed tier:
+    * top-k among only the ids in `allowed` (one id column), tombstones
+    * composing (allowed AND not deleted), ADC candidates per probed
+    * cell, ONE exact re-rank join against the raw-vector table. The
+    * allow-set broadcasts as a sorted primitive array while it fits
+    * [[HnswRouted.AllowCollectMax]]; above the cutover the call
+    * reroutes through [[searchFilteredDistributed]] — no driver-side
+    * copy of either large input at any size. */
+  def searchFiltered(index: RoutedPqIndex, queries: DataFrame,
+                     vectors: DataFrame, allowed: DataFrame,
+                     k: Int, nProbe: Int, candidates: Int,
+                     ef0: Int = 0): DataFrame = {
+    val probe = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .limit(HnswRouted.AllowCollectMax + 1)
+      .as(Encoders.scalaLong).collect()
+    if (probe.length > HnswRouted.AllowCollectMax)
+      searchFilteredDistributed(index, queries, vectors, allowed, k,
+        nProbe, candidates, ef0)
+    else {
+      java.util.Arrays.sort(probe)
+      searchFilteredIds(index, queries, vectors, probe, k, nProbe,
+        candidates, ef0)
+    }
+  }
+
+  /** [[searchFiltered]] with a pre-collected allow-set (sorted
+    * ascending, duplicate-free) — the repeat-caller path. */
+  def searchFilteredIds(index: RoutedPqIndex, queries: DataFrame,
+                        vectors: DataFrame, allowedIds: Array[Long],
+                        k: Int, nProbe: Int, candidates: Int,
+                        ef0: Int = 0): DataFrame = {
+    val coarse = searchCoarseImpl(index, queries, math.max(candidates, k),
+      nProbe, ef0, allowed = Some(allowedIds)).select(col("qid"), col("id"))
+    Pq.rerank(coarse, vectors, queries, k)
+  }
+
+  /** Fully distributed attribute-filtered serving on the PQ tier — the
+    * float tier's [[HnswRouted.searchFilteredDistributed]] transport
+    * with the ADC kernel: no driver-side materialization of the query
+    * batch OR the allow-set. The allow-set joins the index's own
+    * (id → cell) pairs (narrow flatMap over the shards' code keys —
+    * each id lives in exactly one cell, so the join output is |allow|
+    * rows), shuffles by the pinned partitioner, and rides a 3-way
+    * zipPartitions with the shards and the routed queries; the
+    * per-cell sorted allow array is built executor-side. */
+  def searchFilteredDistributed(index: RoutedPqIndex, queries: DataFrame,
+                                vectors: DataFrame, allowed: DataFrame,
+                                k: Int, nProbe: Int, candidates: Int,
+                                ef0: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val sc = spark.sparkContext
+    val exhaustive = nProbe >= index.router.nPrimary
+    val routerB = sc.broadcast(index.router)
+    val cbB = sc.broadcast(index.codebook)
+    val tombB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+      "distributed routing needs the index's pinned CellPartitioner"))
+    val routed = queries.select(col("qid"), col("qvec")).as(pairEnc).rdd
+      .flatMap { case (qid, qv) =>
+        routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
+      }.partitionBy(part)
+    val idCell = index.shards.flatMap { case (c, s) =>
+      s.codes.keysIterator.map(id => (id, c))
+    }
+    val allowRdd = allowed
+      .select(col(allowed.columns.head).cast("long")).distinct()
+      .as(Encoders.scalaLong).rdd.map(id => (id, ()))
+    val allowByCell = idCell.join(allowRdd)
+      .map { case (id, (cell, _)) => (cell, id) }
+      .partitionBy(part)
+    import spark.implicits._
+    val c = math.max(candidates, k)
+    val coarse = index.shards.zipPartitions(routed, allowByCell) {
+      (shardIt, qIt, aIt) =>
+        val shards = shardIt.toArray
+        if (shards.length == 0) Iterator.empty
+        else if (shards.length == 1) {
+          val (cell, m) = shards(0)
+          val allow = aIt.collect { case (cc, id) if cc == cell => id }.toArray
+          java.util.Arrays.sort(allow)
+          val probes = qIt.collect { case (cc, q) if cc == cell => q }
+          serveAdcShard(index.params, m, cbB.value, tombB.value,
+            probes, c, exhaustive, ef0, hasAllow = true, allow)
+        } else {
+          val byCellQ = qIt.toArray.groupBy(_._1)
+          val byCellA = aIt.toArray.groupBy(_._1)
+          shards.iterator.flatMap { case (cell, m) =>
+            val allow = byCellA.getOrElse(cell, Array.empty).map(_._2)
+            java.util.Arrays.sort(allow)
+            serveAdcShard(index.params, m, cbB.value, tombB.value,
+              byCellQ.getOrElse(cell, Array.empty).iterator.map(_._2),
+              c, exhaustive, ef0, hasAllow = true, allow)
+          }
+        }
+    }.toDF("qid", "id", "adc").select(col("qid"), col("id"))
+    Pq.rerank(coarse, vectors, queries, k)
+  }
+
+  /** Per-shard ADC candidate kernel, shared by both routing paths and
+    * the filtered variants. `allow` is a sorted allow-set (the
+    * attribute predicate's id list — [[HnswRouted.serveShard]]'s
+    * contract): an id serves only if allowed AND not tombstoned. */
   private def serveAdcShard(
       params: HnswParams, m: PqCellShard,
       cb: Array[Array[Array[Float]]], dead: Array[Long],
       probes: Iterator[(Long, Array[Float])],
       candidates: Int, exhaustive: Boolean,
-      ef0: Int): Iterator[(Long, Long, Double)] = {
+      ef0: Int, hasAllow: Boolean = false,
+      allow: Array[Long] = Array.empty): Iterator[(Long, Long, Double)] = {
         @inline def eligible(id: Long): Boolean =
-          dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0
+          (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
+            (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
         val cellN = m.codes.size
         val eligibleCount =
-          if (dead.length == 0) cellN
+          if (hasAllow)
+            // probe the allow side: per cell it is bounded by the cell's
+            // slice of the predicate mass, typically ≪ cellN
+            allow.count(id => m.codes.contains(id) &&
+              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+          else if (dead.length == 0) cellN
           else cellN - dead.count(m.codes.contains)
         lazy val eligibleIds: Array[Long] = {
           val b = Array.newBuilder[Long]
@@ -408,6 +536,174 @@ object HnswRoutedPq {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Durability: versioned parquet persistence + attach-without-rederive.
+  // The 1e8 serving posture NEEDS this: deriving the PQ tier requires
+  // the float source resident, so a restart that re-derives would pay
+  // the full float build + encode — attach pays a parquet scan + CSR
+  // assembly instead, and the float source never has to exist on the
+  // serving cluster at all (graph + codes restore directly; raw
+  // vectors stay wherever the re-rank join reads them from).
+  // --------------------------------------------------------------------
+
+  private val codeRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
+  private val linkRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong,
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+  private val entryRowEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
+
+  /** Persist the PQ tier under `path` as a new complete version (the
+    * [[VersionedIndexDirs]] discipline shared with the float/codes
+    * tiers: `_DONE`-marked last, readers only ever see complete
+    * versions). Eight tables: meta (params + router arity), centroids
+    * (both router levels), codebook (the global PQ codebook), codes
+    * (8 B/row per cell), links (per-cell CSR rows), entries,
+    * fingerprints (per-cell content digests — [[rederive]] keeps its
+    * incremental carry across a restart), tombstones (the live
+    * deletion set). The metric is structurally `l2` (the
+    * [[fromRouted]] requirement) so no metric column is stored. */
+  def save(index: RoutedPqIndex, path: String): Unit =
+    saveWith(SparkSession.active, index, path)
+
+  private def saveWith(spark: SparkSession, index: RoutedPqIndex,
+                       path: String): Unit = {
+    import spark.implicits._
+    val dir = VersionedIndexDirs.nextDir(spark, path)
+    val p = index.params
+
+    Seq((p.m.toSeq, p.mMax.toSeq, p.efConstrSearch.toSeq,
+        p.efConstrInsert.toSeq, p.efSearch.toSeq, p.layerProbability,
+        index.router.nPrimary))
+      .toDF("m", "m_max", "ef_constr_search", "ef_constr_insert",
+        "ef_search", "layer_probability", "n_primary")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+
+    val cRows =
+      index.router.primary.centroids.zipWithIndex.map { case (c, i) =>
+        (-1, i, c.toSeq) } ++
+      index.router.sub.toSeq.flatMap { case (parent, m) =>
+        m.centroids.zipWithIndex.map { case (c, i) => (parent, i, c.toSeq) } }
+    cRows.toSeq.toDF("parent", "idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+
+    index.codebook.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq.toDF("sub", "idx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.codes.iterator.map { case (id, code) => (cell, id, code) }
+    })(codeRowEnc).toDF("cell", "id", "code")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.snapshot.layers.iterator.zipWithIndex.flatMap { case (csr, lc) =>
+        csr.entriesIterator.map { case (src, dsts, dists) =>
+          (cell, lc, src, dsts, dists)
+        }
+      }
+    })(linkRowEnc).toDF("cell", "layer", "src", "dsts", "dists")
+      .write.mode("overwrite").parquet(s"$dir/links")
+
+    spark.createDataset(index.shards.flatMap { case (cell, s) =>
+      s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
+    })(entryRowEnc).toDF("cell", "point", "layer")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+
+    spark.createDataset(index.shards.map { case (cell, s) =>
+      (cell, s.fingerprint)
+    })(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .toDF("cell", "fingerprint")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprints")
+
+    index.tombstones.toSeq.toDF("id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
+
+    VersionedIndexDirs.commit(spark, path, dir)
+  }
+
+  /** Restore a saved PQ tier WITHOUT the float source: read the newest
+    * complete version, reassemble per-cell shards with one
+    * co-partitioned cogroup keyed by the pinned [[HnswRouted
+    * .CellPartitioner]] (value-equal to the source index's, so a later
+    * [[rederive]] against a re-attached float source still carries
+    * unchanged cells by fingerprint). Attach cost is a parquet scan +
+    * CSR assembly — no k-means, no HNSW construction, no encode. */
+  def attach(spark: SparkSession, path: String,
+             persist: Boolean = true): RoutedPqIndex = {
+    val dir = VersionedIndexDirs.newestDone(spark, path)
+
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val params = HnswParams(
+      meta.getAs[Seq[Int]]("m").toArray,
+      meta.getAs[Seq[Int]]("m_max").toArray,
+      meta.getAs[Seq[Int]]("ef_constr_search").toArray,
+      meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
+      meta.getAs[Seq[Int]]("ef_search").toArray,
+      meta.getAs[Double]("layer_probability"))
+    val cent = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
+    val primary = Ivf.IvfModel(
+      cent.filter(_._1 == -1).sortBy(_._2).map(_._3), "l2")
+    val sub = cent.filter(_._1 >= 0).groupBy(_._1).map { case (pr, rows) =>
+      pr -> Ivf.IvfModel(rows.sortBy(_._2).map(_._3), "l2")
+    }
+    val router = HnswRouted.Router(primary, sub)
+    val codebook = spark.read.parquet(s"$dir/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+    val fps = spark.read.parquet(s"$dir/fingerprints").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fpB = spark.sparkContext.broadcast(fps)
+
+    val part = HnswRouted.partitionerFor(router)
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("cell"), col("id"), col("code")).as(codeRowEnc).rdd
+      .map { case (c, id, code) => (c, (id, code)) }
+    val links = spark.read.parquet(s"$dir/links")
+      .select(col("cell"), col("layer"), col("src"), col("dsts"), col("dists"))
+      .as(linkRowEnc).rdd
+      .map { case (c, lc, src, dsts, dists) => (c, (lc, src, dsts, dists)) }
+    val entries = spark.read.parquet(s"$dir/entries")
+      .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
+      .map { case (c, pt, l) => (c, (pt, l)) }
+
+    val shards = codes.cogroup(links, entries, part).mapPartitions({ it =>
+      it.map { case (cell, (cs, ls, es)) =>
+        val codeMap = scala.collection.mutable.LongMap.from[Long](cs.iterator)
+        val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
+        val nLayers = math.max(
+          ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
+          entry.map(_.layer + 1).getOrElse(0))
+        val layers = Array.fill(nLayers)(
+          scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
+        ls.foreach { case (lc, src, dsts, dists) =>
+          layers(lc)(src) = (dsts, dists)
+        }
+        cell -> PqCellShard(cell, codeMap,
+          GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))),
+          fpB.value.getOrElse(cell, 0L))
+      }
+    }, preservesPartitioning = true)
+    if (persist) {
+      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed-pq")
+      shards.count()
+    }
+    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val tombstones =
+      if (VersionedIndexDirs.fsOf(spark, dir).exists(tombPath)) {
+        val t = spark.read.parquet(s"$dir/tombstones").collect()
+          .map(_.getLong(0))
+        java.util.Arrays.sort(t); t
+      } else Array.empty[Long]
+    RoutedPqIndex(params, router, codebook, shards, tombstones)
+  }
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, RoutedPqIndex]()
 
@@ -415,6 +711,27 @@ object HnswRoutedPq {
   private[hnsw] def releaseCaches(): Unit = {
     cache.values.forEach(_.unpersist())
     cache.clear()
+  }
+
+  /** Memoized save→attach round-trip over the cached derivation — the
+    * catalog's durable-path handle (the [[HnswRouted.attachCached]]
+    * pattern): derive once, persist the eight-table image, restore it
+    * WITHOUT the float source, serve from the attached copy. */
+  def attachCached(index: HnswRouted.RoutedIndex, key: String): RoutedPqIndex = {
+    val spark = SparkSession.active
+    val full = s"${index.shards.sparkContext.applicationId}|pqattach|$key"
+    val hit = cache.get(full)
+    if (hit != null) hit
+    else {
+      val v = graft.BuildLedger.timed("hnsw_routed_pq_save_attach") {
+        val derived = fromRoutedCached(index, key)
+        val dir = graft.TempDirs.create("graft_routed_pq_")
+        saveWith(spark, derived, dir)
+        attach(spark, dir)
+      }
+      val prev = cache.putIfAbsent(full, v)
+      if (prev != null) { v.unpersist(); prev } else v
+    }
   }
 
   /** Memoized derivation (nest-safe get/putIfAbsent — the source index

@@ -538,6 +538,62 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Lifecycle part 3 — DURABILITY: the PQ tier's restart story.
+    // Deriving the tier needs the float source RESIDENT (full build +
+    // encode); attach needs a parquet scan + CSR assembly and no float
+    // source at all — at 1e8 that is the difference between a restart
+    // that costs ~an hour and one that costs a scan. save persists the
+    // eight-table image (codebook + per-cell codes/links/entries +
+    // fingerprints + tombstones, versioned-dir discipline); the
+    // ATTACHED copy must answer the same exhaustive-regime exact-L2
+    // hash oracle as the resident derivation.
+    "h_knn_routed_pq_durable" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val index = HnswRoutedPq.attachCached(base, key = dir)
+      HnswRoutedPq.search(index, queriesDf(s, dir), vectorsDf(s, dir),
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Attribute-filtered ANN on the COMPRESSED tier ("top-k WHERE
+    // label = 3" over codes): the allow-set rides as one sorted
+    // primitive broadcast, membership applies inside the per-cell ADC
+    // kernel (allowed AND not tombstoned), and the exact re-rank
+    // restores true order — exhaustive regime -> exact label-restricted
+    // L2 oracle. Mirrors h_knn_routed_filtered so the PQ tier carries
+    // the full serving surface, not a subset.
+    "h_knn_routed_pq_filtered" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val index = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      val allowed = t(s, dir).filter(col("label") === 3).select(col("vec_id"))
+      HnswRoutedPq.searchFiltered(index, queriesDf(s, dir), vectorsDf(s, dir),
+          allowed, k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // The distributed allow-set + query transport on the PQ tier
+    // (searchFiltered reroutes automatically above 16M allow-ids),
+    // forced through the explicit entry point and held to the SAME
+    // filtered oracle — pins the id->cell-join + 3-way-zipPartitions
+    // machinery through DuckDB on the compressed tier.
+    "h_knn_routed_pq_filtered_distrib" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val base = HnswRouted.buildCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      val index = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      val allowed = t(s, dir).filter(col("label") === 3).select(col("vec_id"))
+      HnswRoutedPq.searchFilteredDistributed(index, queriesDf(s, dir),
+          vectorsDf(s, dir), allowed, k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The DISTRIBUTED routing path (the batch-side serving shape —
     // search() takes it automatically above 256k queries) held to the
     // SAME exhaustive-regime hash oracle as h_knn_routed: the per-shard
@@ -797,6 +853,13 @@ object Hnsw {
       exactL2KnnOracleWhere(10, "vec_id % 7 <> 0"),
     "h_knn_routed_pq_rederived" ->
       exactL2KnnOracleWhere(10, "embedding[1] <= 0.0"),
+    // durable round-trip: the attached copy answers the same oracle as
+    // the resident derivation
+    "h_knn_routed_pq_durable" -> exactL2KnnOracle(10),
+    // label-filtered serving on the compressed tier, both transports
+    "h_knn_routed_pq_filtered" -> exactL2KnnOracleWhere(10, "label = 3"),
+    "h_knn_routed_pq_filtered_distrib" ->
+      exactL2KnnOracleWhere(10, "label = 3"),
     // halfspace-deleted exact L2 over survivors: remediated routed
     // serving in the exhaustive regime must match the oracle exactly
     "h_merged_remedy_knn" ->

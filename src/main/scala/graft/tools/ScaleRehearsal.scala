@@ -1088,12 +1088,35 @@ object ScaleRehearsal {
         val (soloS1, soloSelf, soloClus) = selfMatch(rederived)
         val (soloS2, _, _) = selfMatch(rederived)
         val soloS = math.min(soloS1, soloS2)
+        // durability leg: persist the eight-table image, drop the live
+        // handle, ATTACH (parquet scan + CSR assembly — no build, no
+        // encode, no float source), serve at parity. This is the
+        // restart story the 1e8 posture needs: re-deriving costs the
+        // full float build + encode; attach costs a scan.
+        val pqDir = s"$base/routed_pq_idx"
+        val t5 = System.nanoTime()
+        HnswRoutedPq.save(rederived, pqDir)
+        val saveS = (System.nanoTime() - t5) / 1e9
+        println(f"REHEARSAL_PHASE routed_pq n=$n save_s=$saveS%.1f")
         rederived.unpersist()
+        val t6 = System.nanoTime()
+        val restored = HnswRoutedPq.attach(spark, pqDir)
+        val attachS = (System.nanoTime() - t6) / 1e9
+        val (aS1, attSelf, attClus) = selfMatch(restored)
+        val (aS2, _, _) = selfMatch(restored)
+        val attServeS = math.min(aS1, aS2)
+        val attParity = attSelf == soloSelf && attClus == soloClus
+        println(f"REHEARSAL_PHASE routed_pq n=$n attach_s=$attachS%.1f " +
+          f"attach_over_derive=${attachS / encodeS}%.2f " +
+          f"attach_serve_s=$attServeS%.2f attach_parity=$attParity")
+        restored.unpersist()
         (tombSelf, f"build_s=$buildS%.1f encode_s=$encodeS%.1f " +
           f"delete_s=$deleteS%.3f plain_probe8_s=$plainS%.2f " +
           f"tomb_probe8_s=$tombS%.2f tomb_overhead=${tombS / plainS}%.2fx " +
           f"leaked=$leaked compact_s=$compactS%.1f " +
           f"rederive_s=$rederiveS%.1f reencoded=$reenc carried=$carried " +
+          f"save_s=$saveS%.1f attach_s=$attachS%.1f " +
+          f"attach_serve_s=$attServeS%.2f attach_parity=$attParity " +
           f"post_probe8_s=$postS%.2f solo_probe8_s=$soloS%.2f " +
           f"float_cached_mb=${floatBytes / 1e6}%.0f " +
           f"pq_cached_mb=${pqBytes / 1e6}%.0f " +
