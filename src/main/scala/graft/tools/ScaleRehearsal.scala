@@ -1107,7 +1107,8 @@ object ScaleRehearsal {
         val attServeS = math.min(aS1, aS2)
         val attParity = attSelf == soloSelf && attClus == soloClus
         println(f"REHEARSAL_PHASE routed_pq n=$n attach_s=$attachS%.1f " +
-          f"attach_over_derive=${attachS / encodeS}%.2f " +
+          f"attach_over_encode=${attachS / encodeS}%.2f " +
+          f"attach_over_full_derive=${attachS / (buildS + encodeS)}%.4f " +
           f"attach_serve_s=$attServeS%.2f attach_parity=$attParity")
         restored.unpersist()
         (tombSelf, f"build_s=$buildS%.1f encode_s=$encodeS%.1f " +
