@@ -303,8 +303,8 @@ object HnswRouted {
     * id hash) — the build path's kernel, shared by [[compact]] so a
     * compacted cell is graph-identical to a fresh build of its
     * surviving rows (same insert order, same layer draws). */
-  private def buildCellFresh(cell: Int, rows: Array[(Long, Array[Float])],
-                             cfg: BuildConfig): CellShard = {
+  private[hnsw] def buildCellFresh(cell: Int, rows: Array[(Long, Array[Float])],
+                                   cfg: BuildConfig): CellShard = {
     val metric = Metrics.byName(cfg.metric)
     val searcher = new HnswSearcher(cfg.params)
     val vecMap = scala.collection.mutable.LongMap.from[Array[Float]](rows.iterator)

@@ -453,6 +453,220 @@ object HnswRoutedPq {
     }
   }
 
+  // --------------------------------------------------------------------
+  // SOLO lifecycle — the attached tier without its float source.
+  // [[attach]] restores graph + codes with no float index anywhere; the
+  // lifecycle must not then require one. ingest quantizes-on-insert in
+  // ADC space (the [[AdcVectorStore]] discipline: the new point's raw
+  // float serves its own insertion beam, then drops to code precision
+  // like every other member); compactSolo folds tombstones by
+  // rebuilding ONLY touched cells from the raw-vector table (the
+  // re-rank table — the one full-precision copy the design keeps).
+  // --------------------------------------------------------------------
+
+  private val tripleEnc = Encoders.tuple(
+    Encoders.scalaLong, ExprEnc.floatArray, Encoders.scalaInt)
+
+  /** Fingerprint of a solo-ingested cell: the true content fingerprint
+    * needs the old members' floats, which the solo tier does not hold —
+    * fold the new ids into the prior digest so the value can never
+    * equal any float-source content fingerprint (same 2^-64 collision
+    * class as the fingerprint itself). A later [[rederive]] against a
+    * float source then re-encodes exactly the solo-touched cells. */
+  private def ingestedFp(prior: Long, ids: Iterator[Long]): Long =
+    ids.foldLeft(mix64(prior ^ 0x5851F42D4C957F2DL))((acc, id) =>
+      acc + mix64(id * 0x9E3779B97F4A7C15L))
+
+  /** Ingest a float batch into the PQ tier WITHOUT a float source — the
+    * attached tier's grow path. Routing, guards and the cogroup merge
+    * mirror [[HnswRouted.ingest]] verbatim (global duplicate-id guard,
+    * tombstone fail-fast, untouched cells pass by reference); the
+    * per-cell insert runs the unchanged HNSW kernel over
+    * [[AdcVectorStore]] — the new point's raw float serves its own
+    * insertion beam (asymmetric ADC against member codes), then
+    * [[AdcVectorStore.insert]] QUANTIZES it: from that moment the point
+    * is searchable at code precision exactly like every restored
+    * member, in-session or after the next save/attach. The exact
+    * re-rank join keeps end-to-end exactness wherever the raw-vector
+    * table holds the batch (the caller appends it there).
+    *
+    * `seed` drives layer selection for the new nodes (hash(id, seed) —
+    * structurally independent per node, so it need not match the
+    * original build's seed). Touched cells' fingerprints are
+    * INVALIDATED (see [[ingestedFp]]): a later [[rederive]] against a
+    * float source re-encodes them and restores true-content digests. */
+  def ingest(index: RoutedPqIndex, newRows: DataFrame,
+             persist: Boolean = true, unpersistPrior: Boolean = false,
+             seed: Long = 13L): RoutedPqIndex = {
+    val router = index.router
+    val spark = newRows.sparkSession
+    val deduped = newRows.select(col("id"), col("vec"))
+      .groupBy(col("id")).agg(max(col("vec")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchIds = deduped.select(col("id"))
+        .as(Encoders.scalaLong).collect()
+      java.util.Arrays.sort(batchIds)
+      locally {
+        val dead = index.tombstones
+        val resurrect =
+          if (dead.length < batchIds.length)
+            dead.filter(id => java.util.Arrays.binarySearch(batchIds, id) >= 0)
+          else batchIds.filter(id => java.util.Arrays.binarySearch(dead, id) >= 0)
+        require(resurrect.isEmpty,
+          s"routed-pq ingest: ${resurrect.length} batch id(s) are tombstoned " +
+            s"(e.g. id ${resurrect.headOption.getOrElse(-1L)}) — inserting " +
+            "them now would land rows that search excludes and the next " +
+            "compaction erases. Run compactSolo() first (frees the ids), " +
+            "or rederive from a compacted float source")
+      }
+      val idsB = spark.sparkContext.broadcast(batchIds)
+      val clashes = index.shards.flatMap { case (cell, s) =>
+        val ids = idsB.value
+        s.codes.keysIterator
+          .filter(id => java.util.Arrays.binarySearch(ids, id) >= 0)
+          .take(3).map(id => (id, cell))
+      }.take(5)
+      require(clashes.isEmpty,
+        s"routed-pq ingest: ${clashes.length}+ batch id(s) already present " +
+          s"in the index (e.g. id ${clashes.headOption.map(_._1).getOrElse(-1L)} " +
+          s"lives in cell ${clashes.headOption.map(_._2).getOrElse(-1)}) — " +
+          "re-inserting an id would corrupt its graph")
+      val part = index.shards.partitioner.getOrElse(
+        HnswRouted.partitionerFor(router))
+      val keyed = deduped
+        .select(col("id"), col("vec"), router.cellCol(col("vec")).as("cell"))
+        .as(tripleEnc).rdd
+        .map { case (id, vec, cell) => (cell, (id, vec)) }
+        .partitionBy(part)
+      val params = index.params
+      val cbB = spark.sparkContext.broadcast(index.codebook)
+      val merged = index.shards.cogroup(keyed).mapPartitions({ it =>
+        val searcher = new HnswSearcher(params)
+        it.flatMap { case (cell, (shards, rows)) =>
+          if (rows.isEmpty) shards.iterator.map(cell -> _)
+          else {
+            val cb = cbB.value
+            val sorted = rows.toArray.sortBy(_._1)
+            val prior = shards.headOption
+            val codeMap = prior match {
+              case Some(p) => scala.collection.mutable.LongMap.from[Long](p.codes)
+              case None    => scala.collection.mutable.LongMap.empty[Long]
+            }
+            val graph = prior match {
+              case Some(p) => graft.store.InMemoryGraph.fromSnapshot(p.snapshot)
+              case None    => new graft.store.InMemoryGraph
+            }
+            val store = new AdcVectorStore(cb, base = codeMap)
+            sorted.foreach { case (id, v) =>
+              require(!codeMap.contains(id),
+                s"routed-pq ingest: id $id already present in cell $cell")
+              store.prepareQueryWithId(id, v)
+              // searcher.insert runs the S10 kernel, whose vectors.insert
+              // call QUANTIZES the staged point (AdcVectorStore contract):
+              // from here on the id serves at code precision
+              searcher.insert(store, graph, id,
+                searcher.selectLayerByHash(id, seed))
+              codeMap(id) = PqKernels.encodeArray(v, cb)
+            }
+            Iterator(cell -> PqCellShard(cell, codeMap, graph.snapshot,
+              ingestedFp(prior.map(_.fingerprint).getOrElse(0L),
+                sorted.iterator.map(_._1))))
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-pq")
+        merged.count()
+      }
+      if (unpersistPrior) index.unpersist()
+      index.copy(shards = merged)
+    } finally deduped.unpersist(blocking = false)
+  }
+
+  /** Fold the deletion set out of the PQ tier WITHOUT a float source:
+    * cells holding a tombstoned id rebuild from the raw-vector table
+    * (survivor floats fetched for ONLY the touched cells — one join
+    * against the table the exact re-rank already reads), getting a
+    * float-exact fresh graph, re-encoded codes and a TRUE content
+    * fingerprint back; untouched cells pass through by reference.
+    * Tombstones empty (every present dead id was folded; absent ids
+    * were no-ops), freeing the ids for re-ingest. Cost: O(touched
+    * cells) graph build + one scan/shuffle of the raw-vector table
+    * restricted to touched-cell survivors — the solo twin of the
+    * float tier's compact, with the vector fetch made explicit. */
+  def compactSolo(index: RoutedPqIndex, vectors: DataFrame,
+                  persist: Boolean = true,
+                  unpersistPrior: Boolean = false): RoutedPqIndex =
+    compactSoloCounted(index, vectors, persist, unpersistPrior,
+      forceCount = false)._1
+
+  /** [[compactSolo]] exposing (index, rebuiltCells, carriedCells). */
+  private[graft] def compactSoloCounted(
+      index: RoutedPqIndex, vectors: DataFrame,
+      persist: Boolean = true, unpersistPrior: Boolean = false,
+      forceCount: Boolean = true): (RoutedPqIndex, Long, Long) = {
+    if (index.tombstones.isEmpty) return (index, 0L, index.router.allCells.size.toLong)
+    val spark = vectors.sparkSession
+    val sc = spark.sparkContext
+    val deadB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(
+      HnswRouted.partitionerFor(index.router))
+    // survivor ids of TOUCHED cells only — each carries its cell so the
+    // fetched floats shuffle straight back to the pinned partition
+    val survivorIds = index.shards.flatMap { case (cell, s) =>
+      val dead = deadB.value
+      if (!dead.exists(s.codes.contains)) Iterator.empty
+      else s.codes.keysIterator
+        .filter(id => java.util.Arrays.binarySearch(dead, id) < 0)
+        .map(id => (id, cell))
+    }
+    import spark.implicits._
+    val fetched = survivorIds.toDF("id", "cell")
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .select(col("id"), col("vec"), col("cell"))
+      .as(tripleEnc).rdd
+      .map { case (id, vec, cell) => (cell, (id, vec)) }
+      .partitionBy(part)
+    val params = index.params
+    val cbB = sc.broadcast(index.codebook)
+    val rebuilt = sc.longAccumulator("pq-compact-solo-rebuilt")
+    val carried = sc.longAccumulator("pq-compact-solo-carried")
+    val merged = index.shards.cogroup(fetched).mapPartitions({ it =>
+      it.flatMap { case (cell, (shards, rows)) =>
+        shards.headOption match {
+          case None => Iterator.empty
+          case Some(p) =>
+            val dead = deadB.value
+            if (!dead.exists(p.codes.contains)) {
+              carried.add(1)
+              Iterator(cell -> p)
+            } else {
+              rebuilt.add(1)
+              val survivors = rows.toArray.sortBy(_._1)
+              require(survivors.length == p.codes.size - dead.count(p.codes.contains),
+                s"routed-pq compactSolo: cell $cell fetched ${survivors.length} " +
+                  s"survivor vectors but the shard holds " +
+                  s"${p.codes.size - dead.count(p.codes.contains)} — the " +
+                  "raw-vector table is missing rows the index serves")
+              val cfg = HnswDistributed.BuildConfig(params, "l2", seed = 13L)
+              val fresh = HnswRouted.buildCellFresh(cell, survivors, cfg)
+              Iterator(cell -> encodeShard(fresh, cbB.value))
+            }
+        }
+      }
+    }, preservesPartitioning = true)
+    if (persist) {
+      merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed-pq")
+      merged.count()
+    } else if (forceCount) merged.count()
+    if (unpersistPrior) index.unpersist()
+    (RoutedPqIndex(index.params, index.router, index.codebook, merged,
+      Array.empty[Long]), rebuilt.value, carried.value)
+  }
+
   /** Follow the float source tier through its lifecycle: after
     * [[HnswRouted.ingest]]/[[HnswRouted.compact]]/compactCells[Patched]/
     * foldOverlay/[[HnswRouted.retrain]] on the source, re-derive the PQ

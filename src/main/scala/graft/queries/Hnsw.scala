@@ -594,6 +594,50 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // SOLO lifecycle part 1 — ingest WITHOUT a float source (the
+    // attached tier's grow path): 90% of the corpus builds + derives,
+    // the remaining 10% ingests in ADC space — the new point's raw
+    // float serves its own insertion beam against member CODES, then
+    // quantizes (AdcVectorStore's contract). Exhaustive serve + exact
+    // re-rank over the union must match the exact-L2 oracle: the
+    // re-rank table holds every row full-precision, so quantized
+    // insertion costs candidate recall only, which the exhaustive
+    // regime + generous candidates keeps total at catalog scale.
+    "h_knn_routed_pq_ingest" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val vecs = vectorsDf(s, dir)
+      val base = HnswRouted.buildCached(vecs.filter(col("id") % 10 =!= 0),
+        l2Cfg, nCells = 16, key = s"$dir|pq90")
+      val pq90 = HnswRoutedPq.fromRoutedCached(base, key = s"$dir|pq90")
+      val grown = HnswRoutedPq.ingest(pq90,
+        vecs.filter(col("id") % 10 === 0), persist = false)
+      HnswRoutedPq.search(grown, queriesDf(s, dir), vecs,
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // SOLO lifecycle part 2 — compaction WITHOUT a float source: fold
+    // the mod-7 deletion set by rebuilding ONLY touched cells from the
+    // raw-vector table (survivor floats fetched per touched cell — the
+    // one full-precision copy the design keeps), float-exact fresh
+    // graphs + re-encoded codes + true content fingerprints back;
+    // untouched cells carry by reference, tombstones empty. Exhaustive
+    // serve over survivors against the exact-L2 oracle.
+    "h_knn_routed_pq_compact_solo" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val vecs = vectorsDf(s, dir)
+      val base = HnswRouted.buildCached(vecs, l2Cfg, nCells = 16, key = dir)
+      val pq = HnswRoutedPq.fromRoutedCached(base, key = dir)
+      val tombed = HnswRoutedPq.delete(pq,
+        vecs.filter(col("id") % 7 === 0).select(col("id")))
+      val compacted = HnswRoutedPq.compactSolo(tombed, vecs, persist = false)
+      HnswRoutedPq.search(compacted, queriesDf(s, dir), vecs,
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The DISTRIBUTED routing path (the batch-side serving shape —
     // search() takes it automatically above 256k queries) held to the
     // SAME exhaustive-regime hash oracle as h_knn_routed: the per-shard
@@ -856,6 +900,11 @@ object Hnsw {
     // durable round-trip: the attached copy answers the same oracle as
     // the resident derivation
     "h_knn_routed_pq_durable" -> exactL2KnnOracle(10),
+    // solo lifecycle: ADC-space ingest over the union / raw-table
+    // compaction over the survivors — both float-source-free
+    "h_knn_routed_pq_ingest" -> exactL2KnnOracle(10),
+    "h_knn_routed_pq_compact_solo" ->
+      exactL2KnnOracleWhere(10, "vec_id % 7 <> 0"),
     // label-filtered serving on the compressed tier, both transports
     "h_knn_routed_pq_filtered" -> exactL2KnnOracleWhere(10, "label = 3"),
     "h_knn_routed_pq_filtered_distrib" ->

@@ -1110,6 +1110,31 @@ object ScaleRehearsal {
           f"attach_over_encode=${attachS / encodeS}%.2f " +
           f"attach_over_full_derive=${attachS / (buildS + encodeS)}%.4f " +
           f"attach_serve_s=$attServeS%.2f attach_parity=$attParity")
+        // SOLO ingest leg: a 2% batch of NEW ids into the ATTACHED copy
+        // — no float source exists; each new point's raw float serves
+        // its own insertion beam against member CODES, then quantizes.
+        // The claim is O(batch) cost and served-at-parity retrieval
+        // (cluster-match on batch queries through the re-rank).
+        val batchDf = spark.range(n.toLong, n.toLong + n.toLong / 50).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec").localCheckpoint(true)
+        val t7 = System.nanoTime()
+        val grownSolo = HnswRoutedPq.ingest(restored, batchDf)
+        val soloIngestS = (System.nanoTime() - t7) / 1e9
+        val vecsAll = vecs.unionAll(batchDf)
+        val bq = spark.createDataset(
+            (n.toLong until n.toLong + n.toLong / 50 by
+              math.max(1L, (n.toLong / 50) / 500)).take(500)
+              .map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val bTop = HnswRoutedPq.search(grownSolo, bq, vecsAll, k = 1,
+            nProbe = 8, candidates = 64)
+          .select(col("qid"), col("id")).collect()
+        val bClus = bTop.count(r =>
+          r.getLong(0) % nCells == r.getLong(1) % nCells)
+        println(f"REHEARSAL_PHASE routed_pq n=$n solo_ingest_s=$soloIngestS%.1f " +
+          f"ingest_rows=${n / 50} rows_per_s=${(n / 50) / soloIngestS}%.0f " +
+          f"batch_cluster_match=${bClus * 100.0 / bq.count()}%.1f%%")
+        grownSolo.unpersist()
         restored.unpersist()
         (tombSelf, f"build_s=$buildS%.1f encode_s=$encodeS%.1f " +
           f"delete_s=$deleteS%.3f plain_probe8_s=$plainS%.2f " +

@@ -1,0 +1,151 @@
+package graft.hnsw
+
+import graft.SparkSpec
+import graft.hnsw.HnswDistributed.BuildConfig
+import graft.operators.ExactKnn
+import org.apache.spark.sql.functions._
+
+/** SOLO lifecycle on the routed+PQ tier — ingest and compaction with NO
+  * float source anywhere (the attached tier's posture): ingest
+  * quantizes-on-insert in ADC space, compactSolo rebuilds only touched
+  * cells from the raw-vector table. End-to-end exactness holds through
+  * the exact re-rank (the raw table holds every served row). */
+class HnswRoutedPqSoloSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecFromHash(i: Long, seed: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(d =>
+      (HnswSearcher.uniformFromHash(i * dim + d, seed) * 2.0 - 1.0).toFloat)
+
+  private val cfg = BuildConfig(
+    HnswParams.standard(64, 128, 16), metric = "l2", seed = 42L)
+
+  private def ranked(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+    df.select(col("qid"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+
+  test("solo ingest through an attached image: exhaustive serve + re-rank " +
+      "equals exact L2 over the union (no float source exists)") {
+    val n = 1500
+    val allDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val baseDf = allDf.filter(col("id") % 10 =!= 0)
+    val batchDf = allDf.filter(col("id") % 10 === 0)
+    val qDf = (0 until 30).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_solo_ing_").toString
+    locally {
+      val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+      HnswRoutedPq.save(HnswRoutedPq.fromRouted(routed, persist = false), path)
+    } // nothing float-side survives this block
+    val restored = HnswRoutedPq.attach(spark, path, persist = false)
+    val grown = HnswRoutedPq.ingest(restored, batchDf, persist = false)
+    val served = ranked(HnswRoutedPq.search(grown, qDf, allDf,
+      k = 10, nProbe = 4, candidates = 256))
+    val exact = ExactKnn.search(qDf, allDf, 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.map(t => (t._1, t._2)).toSet == exact)
+    // ingested ids are served (not just present): at least one batch id
+    // lands in some top-10 on this geometry
+    assert(served.exists(_._2 % 10 == 0))
+  }
+
+  test("solo ingest guards: duplicate ids and tombstoned ids fail fast") {
+    val n = 600
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 2, persist = false)
+    val index = HnswRoutedPq.fromRouted(routed, persist = false)
+    val dup = intercept[IllegalArgumentException] {
+      HnswRoutedPq.ingest(index,
+        Seq((5L, vecFromHash(5L, 7L, 16))).toDF("id", "vec"), persist = false)
+    }
+    assert(dup.getMessage.contains("already present"), dup.getMessage)
+    val tombed = HnswRoutedPq.delete(index, Seq(700L).toDF("id"))
+    val res = intercept[IllegalArgumentException] {
+      HnswRoutedPq.ingest(tombed,
+        Seq((700L, vecFromHash(700L, 7L, 16))).toDF("id", "vec"), persist = false)
+    }
+    assert(res.getMessage.contains("tombstoned"), res.getMessage)
+  }
+
+  test("solo ingest invalidates ONLY touched cells' fingerprints: a later " +
+      "rederive against an unchanged float source re-encodes exactly those") {
+    val n = 1200
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    val index = HnswRoutedPq.fromRouted(routed, persist = false)
+    // one new row -> exactly one touched cell
+    val grown = HnswRoutedPq.ingest(index,
+      Seq((5000L, vecFromHash(5000L, 7L, 16))).toDF("id", "vec"), persist = false)
+    val nCells = routed.router.allCells.size.toLong
+    val (_, reenc, carried) = HnswRoutedPq.rederiveCounted(
+      grown, routed, persist = false)
+    assert(reenc == 1L, s"expected exactly the touched cell, got $reenc")
+    assert(carried == nCells - 1L)
+  }
+
+  test("compactSolo folds tombstones from the raw-vector table: touched " +
+      "cells rebuild float-exact, untouched carry, tombstones empty, ids free") {
+    val n = 1500
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val qDf = (0 until 30).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    val index = HnswRoutedPq.fromRouted(routed, persist = false)
+    // halfspace-ish: ids < 400 die -> touches SOME cells, not all (ids
+    // scatter, so pick a cell-aligned set instead: every id in the cell
+    // of id 0). Use mod to guarantee a strict subset of cells is touched:
+    val dead = baseDf.filter(col("id") < 120).select(col("id"))
+    val tombed = HnswRoutedPq.delete(index, dead)
+    val (compacted, rebuilt, carried) = HnswRoutedPq.compactSoloCounted(
+      tombed, baseDf, persist = false)
+    assert(compacted.tombstones.isEmpty)
+    assert(rebuilt + carried == routed.router.allCells.size.toLong)
+    assert(rebuilt >= 1L)
+
+    val survivorsDf = baseDf.filter(col("id") >= 120)
+    val served = ranked(HnswRoutedPq.search(compacted, qDf, baseDf,
+      k = 10, nProbe = 4, candidates = 256))
+    val exact = ExactKnn.search(qDf, survivorsDf, 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.map(t => (t._1, t._2)).toSet == exact)
+
+    // fingerprints are TRUE content digests again: rederive against the
+    // equivalently-compacted float source carries every cell
+    val floatCompacted = HnswRouted.compact(
+      HnswRouted.delete(routed, dead), persist = false)
+    val (_, reenc, carried2) = HnswRoutedPq.rederiveCounted(
+      compacted, floatCompacted, persist = false)
+    assert(reenc == 0L, s"solo-compacted fingerprints diverged: $reenc re-encodes")
+    assert(carried2 == floatCompacted.router.allCells.size.toLong)
+
+    // freed ids re-ingest cleanly (the lifecycle loop closes solo)
+    val re = HnswRoutedPq.ingest(compacted,
+      Seq((5L, vecFromHash(5L, 7L, 16))).toDF("id", "vec"), persist = false)
+    assert(HnswRoutedPq.search(re, qDf, baseDf,
+      k = 10, nProbe = 4, candidates = 256).count() > 0)
+  }
+
+  test("compactSolo fail-fasts when the raw-vector table is missing " +
+      "survivors the index serves") {
+    val n = 600
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 2, persist = false)
+    val tombed = HnswRoutedPq.delete(
+      HnswRoutedPq.fromRouted(routed, persist = false),
+      Seq(3L).toDF("id"))
+    val truncated = baseDf.filter(col("id") < 500) // missing 100 survivors
+    // the guard lives in the rebuild stage, so it fires on the first
+    // materialization — the counted form forces one
+    val e = intercept[Exception] {
+      HnswRoutedPq.compactSoloCounted(tombed, truncated, persist = false)
+    }
+    assert(e.getMessage.contains("missing rows"), e.getMessage)
+  }
+}
