@@ -585,6 +585,25 @@ object HnswRoutedPq {
     } finally deduped.unpersist(blocking = false)
   }
 
+  /** Which of `ids` are present in the index's code maps — one narrow
+    * scan of the shard key sets (no shuffle; the [[HnswRouted
+    * .presentIds]] contract on the compressed tier). Sorted. */
+  def presentIds(index: RoutedPqIndex, ids: Array[Long]): Array[Long] =
+    if (ids.isEmpty) ids
+    else {
+      val idsB = index.shards.sparkContext.broadcast(ids)
+      val hits = index.shards.flatMap { case (_, s) =>
+        val a = idsB.value
+        s.codes.keysIterator
+          .filter(id => java.util.Arrays.binarySearch(a, id) >= 0)
+      }.collect()
+      java.util.Arrays.sort(hits); hits
+    }
+
+  /** (cell, rows) occupancy — the threshold-compaction stat. */
+  private[graft] def cellStats(index: RoutedPqIndex): Array[(Int, Long)] =
+    index.shards.map { case (c, s) => (c, s.codes.size.toLong) }.collect()
+
   /** Fold the deletion set out of the PQ tier WITHOUT a float source:
     * cells holding a tombstoned id rebuild from the raw-vector table
     * (survivor floats fetched for ONLY the touched cells — one join

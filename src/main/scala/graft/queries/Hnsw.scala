@@ -617,6 +617,44 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The solo-ingest QUALITY audit (rows-only, self-carried like every
+    // recall row): quantize-on-insert builds the new nodes' links
+    // through ADC/SDC distances, where the float tier's ingest links
+    // through exact float distances — this row serves BOTH grown
+    // indexes in the honest nProbe regime at identical settings over
+    // the same 90/10 split and the same codebook, so solo_loss_bp =
+    // recall_bp_float_grown - recall_bp_solo isolates what ADC-space
+    // insertion costs in graph quality (candidate recall; the exact
+    // re-rank is common to both).
+    "h_recall_routed_pq_solo" -> ((s, dir) => {
+      import graft.hnsw.{HnswRouted, HnswRoutedPq}
+      val vecs = vectorsDf(s, dir)
+      val base90 = HnswRouted.buildCached(vecs.filter(col("id") % 10 =!= 0),
+        l2Cfg, nCells = 16, key = s"$dir|pq90")
+      val pq90 = HnswRoutedPq.fromRoutedCached(base90, key = s"$dir|pq90")
+      val batch = vecs.filter(col("id") % 10 === 0)
+      val solo = HnswRoutedPq.ingest(pq90, batch, persist = false)
+      val floatGrown = HnswRouted.ingest(base90, batch, persist = false)
+      val viaFloat = HnswRoutedPq.rederive(pq90, floatGrown, persist = false)
+      val qs = queriesDf(s, dir)
+      val exactIds = Vector.exactTruthIds(s, dir, "l2", 10)
+        .select(col("qid"), col("id")).cache()
+      def hits(ix: graft.hnsw.HnswRoutedPq.RoutedPqIndex): Long =
+        HnswRoutedPq.search(ix, qs, vecs, k = 10, nProbe = 4, candidates = 64)
+          .select(col("qid"), col("id")).intersect(exactIds).count()
+      val hitsSolo = hits(solo)
+      val hitsFloat = hits(viaFloat)
+      val expected = exactIds.count()
+      exactIds.unpersist(blocking = false)
+      val nq = qs.count()
+      import s.implicits._
+      Seq((nq, expected, hitsSolo * 10000L / expected,
+          hitsFloat * 10000L / expected,
+          (hitsFloat - hitsSolo) * 10000L / expected))
+        .toDF("n_queries", "n_expected", "recall_bp_solo",
+          "recall_bp_float_grown", "solo_loss_bp")
+    }),
+
     // SOLO lifecycle part 2 — compaction WITHOUT a float source: fold
     // the mod-7 deletion set by rebuilding ONLY touched cells from the
     // raw-vector table (survivor floats fetched per touched cell — the

@@ -39,6 +39,106 @@ object StreamingRoutedPq {
   final class Handle(@volatile var float: RoutedIndex,
                      @volatile var pq: RoutedPqIndex)
 
+  /** SOLO handle: the PQ tier alone — no float source anywhere (the
+    * attached-image posture). Serving threads read `pq` volatile. */
+  final class SoloHandle(@volatile var pq: RoutedPqIndex)
+
+  /** SOLO CDC — the float-source-free streaming loop for an attached
+    * PQ tier: `(id, vec, op)` micro-batches mutate the compressed
+    * index DIRECTLY through its solo lifecycle. Semantics mirror
+    * [[StreamingRouted.cdcStep]] exactly (delete-wins nets in-batch,
+    * tombstone + redelivery + already-live insert filters — the
+    * lenient CDC posture where batch [[HnswRoutedPq.ingest]]
+    * fail-fasts), with [[HnswRoutedPq.compactSolo]] as the threshold
+    * fold: touched cells rebuild from `vectors`, the raw-vector table
+    * the exact re-rank already reads — which must therefore cover
+    * every id the index serves, INCLUDING streamed inserts (in a real
+    * pipeline the upstream store; the caller owns that contract, and
+    * compactSolo fail-fasts loudly on a gap).
+    *
+    * Durability: the checkpoint persists the PQ image itself
+    * ([[HnswRoutedPq.save]] — codebook, codes, graphs, fingerprints,
+    * tombstones); restart = [[HnswRoutedPq.attach]] + source replay.
+    * No float image exists at any point in the loop. */
+  def attachCdcSolo(stream: DataFrame, handle: SoloHandle,
+                    vectors: DataFrame,
+                    checkpoint: Option[(String, Int)] = None,
+                    compactThreshold: Double = 0.2): StreamingQuery = {
+    var sinceSave = 0
+    var unsavedOps = 0
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val (next, ops) = cdcStepSolo(handle.pq, batch, vectors,
+            compactThreshold)
+          handle.pq = next
+          unsavedOps += ops
+        }
+        sinceSave += 1
+        checkpoint.foreach { case (path, every) =>
+          if (every > 0 && sinceSave >= every && unsavedOps > 0) {
+            HnswRoutedPq.save(handle.pq, path)
+            sinceSave = 0
+            unsavedOps = 0
+          }
+        }
+      }
+      .start()
+  }
+
+  /** One solo CDC micro-batch — [[StreamingRouted.cdcStep]]'s
+    * semantics on the PQ tier's own lifecycle. Returns (next index,
+    * mutating ops applied). */
+  private[streaming] def cdcStepSolo(index0: RoutedPqIndex,
+                                     batch: DataFrame, vectors: DataFrame,
+                                     compactThreshold: Double): (RoutedPqIndex, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    var index = index0
+    var ops = 0
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dels = b.filter(col("op") === "delete")
+        .select(col("id").cast("long").as("id")).dropDuplicates("id")
+      val delIds = dels.collect().map(_.getLong(0))
+      java.util.Arrays.sort(delIds)
+      if (delIds.nonEmpty) {
+        index = HnswRoutedPq.delete(index, dels)
+        ops += 1
+      }
+      val insAll = b.filter(col("op") =!= "delete")
+        .select(col("id").cast("long").as("id"), col("vec"))
+        .dropDuplicates("id")
+      val insIds = insAll.select(col("id")).collect().map(_.getLong(0))
+      java.util.Arrays.sort(insIds)
+      val dead = index.tombstones
+      val live = HnswRoutedPq.presentIds(index, insIds)
+      val dropId: Long => Boolean = id =>
+        java.util.Arrays.binarySearch(delIds, id) >= 0 ||
+          java.util.Arrays.binarySearch(dead, id) >= 0 ||
+          java.util.Arrays.binarySearch(live, id) >= 0
+      val keep = insIds.filterNot(dropId)
+      if (keep.nonEmpty) {
+        val keepDf = insAll.sparkSession.createDataset(keep.toSeq)(
+          org.apache.spark.sql.Encoders.scalaLong).toDF("id")
+        index = HnswRoutedPq.ingest(index,
+          insAll.join(broadcast(keepDf), Seq("id")),
+          unpersistPrior = true)
+        ops += 1
+      }
+      if (delIds.nonEmpty && compactThreshold > 0) {
+        val total = math.max(1L,
+          HnswRoutedPq.cellStats(index).map(_._2).sum)
+        if (index.tombstones.length >= compactThreshold * total) {
+          index = HnswRoutedPq.compactSolo(index, vectors,
+            unpersistPrior = true)
+          ops += 1
+        }
+      }
+      (index, ops)
+    } finally { b.unpersist(); () }
+  }
+
   /** Wire a CDC stream — `(id, vec, op)` rows, op `"insert"`/`"upsert"`
     * or `"delete"` — into the two-tier handle via foreachBatch. */
   def attachCdc(stream: DataFrame, handle: Handle,

@@ -41,7 +41,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // the intentional rows-only set: recall measurements in the ANN
     // regime (no SQL engine can run the index)
     val declared = Set("h_recall_ann", "h_recall_pq", "h_recall_routed",
-      "h_recall_routed_pq", "h_merged_audit",
+      "h_recall_routed_pq", "h_recall_routed_pq_solo", "h_merged_audit",
       "v_recall_ivf",
       "v_recall_pq", "v_recall_ivfpq", "v_recall_sq8", "v_recall_bq",
       "v_recall_rproj",
