@@ -1328,9 +1328,22 @@ object HnswRouted {
           // goes straight to the exact scan — without this, a highly
           // selective predicate pays multiple full escalating beams
           // per query in cells that can never answer
+          // iterate the SMALLER side: a label partition's allow-set can
+          // be 16M ids (the driver-path ceiling) while a cell holds
+          // tens of thousands — walking the allow array per cell would
+          // cost O(|allow| x nCells) across the batch where walking
+          // the cell's keys costs O(cellN log |allow|)
           val eligibleCount: Int =
-            if (hasAllow) allow.count(id => m.vectors.contains(id) &&
-              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+            if (hasAllow) {
+              if (allow.length <= cellN)
+                allow.count(id => m.vectors.contains(id) &&
+                  (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+              else {
+                var c = 0
+                m.vectors.keysIterator.foreach(id => if (eligible(id)) c += 1)
+                c
+              }
+            }
             else if (dead.length == 0) cellN
             else cellN - dead.count(m.vectors.contains)
           // materialized ONCE per shard, and only if some query needs
@@ -1341,7 +1354,7 @@ object HnswRouted {
           // per query as intended
           lazy val eligibleIds: Array[Long] = {
             val b = Array.newBuilder[Long]
-            if (hasAllow)
+            if (hasAllow && allow.length <= cellN)
               allow.foreach(id => if (m.vectors.contains(id) && eligible(id)) b += id)
             else m.vectors.keysIterator.filter(eligible).foreach(b += _)
             b.result()

@@ -796,16 +796,28 @@ object HnswRoutedCodes {
           // eligibility census once per shard (see HnswRouted.searchImpl):
           // empty cells skip all probes; cells with fewer eligible ids
           // than the initial beam go straight to the exact scan
+          // census iterates the SMALLER side (the HnswRouted.searchImpl
+          // discipline): a 16M-id allow array per cell would cost
+          // O(|allow| x nCells) across the batch; walking the cell's
+          // keys costs O(cellN log |allow|)
           val eligibleCount: Int =
-            if (hasAllow) allow.count(id => m.codes.contains(id) &&
-              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+            if (hasAllow) {
+              if (allow.length <= cellN)
+                allow.count(id => m.codes.contains(id) &&
+                  (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+              else {
+                var c = 0
+                m.codes.foreach { (id, _) => if (eligible(id)) c += 1 }
+                c
+              }
+            }
             else if (dead.length == 0) cellN
             else cellN - dead.count(m.codes.contains)
           // once per shard, only if needed (see HnswRouted.searchImpl:
           // per-query whole-cell re-filtering was a measured 2.5x tax)
           lazy val eligibleIds: Array[Long] = {
             val b = Array.newBuilder[Long]
-            if (hasAllow)
+            if (hasAllow && allow.length <= cellN)
               allow.foreach(id => if (m.codes.contains(id) && eligible(id)) b += id)
             else m.codes.foreach { (id, _) => if (eligible(id)) b += id }
             b.result()

@@ -373,12 +373,21 @@ object HnswRoutedPq {
           (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
             (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
         val cellN = m.codes.size
+        // census iterates the SMALLER side (the float serveShard's
+        // discipline): a 16M-id allow array per cell would cost
+        // O(|allow| x nCells) across the batch; walking the cell's
+        // keys costs O(cellN log |allow|)
         val eligibleCount =
-          if (hasAllow)
-            // probe the allow side: per cell it is bounded by the cell's
-            // slice of the predicate mass, typically ≪ cellN
-            allow.count(id => m.codes.contains(id) &&
-              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+          if (hasAllow) {
+            if (allow.length <= cellN)
+              allow.count(id => m.codes.contains(id) &&
+                (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
+            else {
+              var c = 0
+              m.codes.foreachKey(id => if (eligible(id)) c += 1)
+              c
+            }
+          }
           else if (dead.length == 0) cellN
           else cellN - dead.count(m.codes.contains)
         lazy val eligibleIds: Array[Long] = {
