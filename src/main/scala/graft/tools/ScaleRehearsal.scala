@@ -1110,6 +1110,33 @@ object ScaleRehearsal {
           f"attach_over_encode=${attachS / encodeS}%.2f " +
           f"attach_over_full_derive=${attachS / (buildS + encodeS)}%.4f " +
           f"attach_serve_s=$attServeS%.2f attach_parity=$attParity")
+        // FILTERED serving leg: a half-corpus allow-set (a large label
+        // partition — bigger than any cell, so the census walks cell
+        // keys, and big enough that the distributed transport's
+        // id→cell join moves real mass) through BOTH transports on the
+        // attached copy; row parity asserted on (qid, id) sets.
+        locally {
+          import org.apache.spark.sql.functions.col
+          val allowDf = vecs.filter(col("id") % 2 === 0).select(col("id"))
+          val fq = qDf.limit(500).localCheckpoint(true)
+          def rowsOf(df: org.apache.spark.sql.DataFrame) =
+            df.select(col("qid"), col("id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val tD0 = System.nanoTime()
+          val viaDriver = rowsOf(HnswRoutedPq.searchFiltered(restored, fq,
+            vecs, allowDf, k = 10, nProbe = 8, candidates = 64))
+          val driverS = (System.nanoTime() - tD0) / 1e9
+          val tD1 = System.nanoTime()
+          val viaDistrib = rowsOf(HnswRoutedPq.searchFilteredDistributed(
+            restored, fq, vecs, allowDf, k = 10, nProbe = 8, candidates = 64))
+          val distribS = (System.nanoTime() - tD1) / 1e9
+          val leakedFilter = viaDriver.count(_._2 % 2 != 0) +
+            viaDistrib.count(_._2 % 2 != 0)
+          println(f"REHEARSAL_PHASE routed_pq n=$n filtered_driver_s=$driverS%.2f " +
+            f"filtered_distrib_s=$distribS%.2f " +
+            f"filtered_parity=${viaDriver == viaDistrib} " +
+            f"filter_leaked=$leakedFilter allow_rows=${n / 2}")
+        }
         // SOLO ingest leg: a 2% batch of NEW ids into the ATTACHED copy
         // — no float source exists; each new point's raw float serves
         // its own insertion beam against member CODES, then quantizes.
