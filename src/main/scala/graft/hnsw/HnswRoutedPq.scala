@@ -42,8 +42,13 @@ import graft.store.{AdcVectorStore, EntryPoint, GraphSnapshot, LayerCsr}
   *
   * Tombstones carry over from the source index and are excluded from
   * the candidate stage (sorted-array membership, the routed tier's
-  * predicate shape) — delete/compact remain the FLOAT tier's
-  * lifecycle; re-derive after a compaction.
+  * predicate shape). Lifecycle: [[delete]] is O(set) metadata; with a
+  * live float source, fold/grow THERE and [[rederive]] (touched cells
+  * only); with no float source — the [[attach]]ed posture — the SOLO
+  * lifecycle serves: [[ingest]] (ADC-space insert, quantize-on-
+  * insert), [[compactSolo]] (touched-cell rebuild from the raw-vector
+  * table), [[save]]/[[attach]] durability, and the filtered serving
+  * surface ([[searchFiltered]]/[[searchFilteredDistributed]]).
   */
 object HnswRoutedPq {
 
@@ -448,10 +453,11 @@ object HnswRoutedPq {
   /** Tombstone delete on the PQ tier — O(set) handle metadata, sharing
     * the shards (the [[HnswRouted.delete]] semantics verbatim: serving
     * excludes the set transparently; deleting an ABSENT id is accepted
-    * and delete-wins against later inserts of it). The PQ tier has NO
-    * standalone compact/ingest: fold deletes out (or land new rows) on
-    * the FLOAT source tier and [[rederive]] — re-derivation re-encodes
-    * only the cells the float lifecycle touched. */
+    * and delete-wins against later inserts of it). Folding the set out
+    * has two paths: when a float source is live, compact IT and
+    * [[rederive]] (re-encodes only touched cells); with no float
+    * source (the attached posture), [[compactSolo]] rebuilds touched
+    * cells from the raw-vector table. */
   def delete(index: RoutedPqIndex, ids: DataFrame): RoutedPqIndex = {
     val del = HnswRouted.sortedIdArray(ids)
     if (del.isEmpty) index
