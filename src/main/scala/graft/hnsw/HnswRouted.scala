@@ -1045,6 +1045,24 @@ object HnswRouted {
     build(df, index.cfg, n, persist, maxCellRows)
   }
 
+  /** Opt-in serving WARM-UP — the post-attach/fold first-serve
+    * discipline. The measured tax (BASELINE rounds 14-15): the first
+    * serve after a build/attach/fold reads 10-40x the steady band at
+    * the DISK_ONLY decades (42.6 s vs 4-8 s at 1e7; 128.3 s composite
+    * at 1e8), diagnosed via PlanProbe/PatchTaskProbe as COLD BLOCK
+    * READS with pruning intact — the bytes had to come off disk
+    * sometime, and "sometime" was the first query. This pass moves
+    * that read OFF the serving path: one full deserializing sweep of
+    * every shard partition (base + overlay blocks for a patched
+    * composite), priming the OS page cache / block-manager residency
+    * the first probes would otherwise pay for. Serving results are
+    * untouched (the pass only counts); returns the shard count.
+    * Operate it on the fold/attach cadence, not per query. */
+  def warm(index: RoutedIndex): Long =
+    index.shards.mapPartitions({ it =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
+    }, preservesPartitioning = true).fold(0L)(_ + _)
+
   /** Per-cell occupancy (cell, rows) — the drift audit surface: compare
     * against the build-time histogram to decide when frozen centroids
     * have drifted far enough to warrant retraining. */
@@ -1318,69 +1336,21 @@ object HnswRouted {
           // the density cutover routes to exact — and otherwise at least
           // as accurate as the plain kernel (one overfetched beam whose
           // eligible prefix carries the queue's total (dist, id) order).
-          @inline def eligible(id: Long): Boolean =
-            (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
-              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
-          val cellN = m.vectors.size
-          // eligibility CENSUS, once per shard (not per query): a cell
-          // with zero eligible ids skips every probe outright, and a
-          // cell whose eligible set is smaller than the initial beam
-          // goes straight to the exact scan — without this, a highly
-          // selective predicate pays multiple full escalating beams
-          // per query in cells that can never answer
-          // iterate the SMALLER side: a label partition's allow-set can
-          // be 16M ids (the driver-path ceiling) while a cell holds
-          // tens of thousands — walking the allow array per cell would
-          // cost O(|allow| x nCells) across the batch where walking
-          // the cell's keys costs O(cellN log |allow|)
-          val eligibleCount: Int =
-            if (hasAllow) {
-              if (allow.length <= cellN)
-                allow.count(id => m.vectors.contains(id) &&
-                  (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
-              else {
-                var c = 0
-                m.vectors.keysIterator.foreach(id => if (eligible(id)) c += 1)
-                c
-              }
-            }
-            else if (dead.length == 0) cellN
-            else cellN - dead.count(m.vectors.contains)
-          // materialized ONCE per shard, and only if some query needs
-          // an exact scan: without this every exact-scanning query
-          // re-filtered the whole cell (O(cellN log dead) per query —
-          // measured as a 2.5x serving tax concentrated in the
-          // mostly-dead cells' tasks); with it the scan is O(eligible)
-          // per query as intended
-          lazy val eligibleIds: Array[Long] = {
-            val b = Array.newBuilder[Long]
-            if (hasAllow && allow.length <= cellN)
-              allow.foreach(id => if (m.vectors.contains(id) && eligible(id)) b += id)
-            else m.vectors.keysIterator.filter(eligible).foreach(b += _)
-            b.result()
-          }
-          // k-bounded selection, not a full sort: sorting all eligible
-          // ids as boxed tuples per query cost ~10 ms at 15k eligible —
-          // the admission test rejects almost every candidate with one
-          // primitive compare, and the queue keeps the oracle's total
-          // (dist, id) order at the boundary
-          def exactScan(qid: Long, q: Long): List[(Long, Long, Double)] = {
-            val fq = new FurthestQueue()
-            var i = 0
-            while (i < eligibleIds.length) {
-              val id = eligibleIds(i)
-              val d = qStore.evalDistance(q, id)
-              if (fq.size < k || d < fq.furthestDist ||
-                  (d == fq.furthestDist && id < fq.dstAt(fq.size - 1))) {
-                fq.insert(id, d)
-                fq.trimToKNearest(k)
-              }
-              i += 1
-            }
-            fq.iterator.map(nb => (qid, nb.dst, nb.dist)).toList
-          }
+          // Census/eligibleIds/exact-scan machinery is the SHARED
+          // [[PredicatedCensus]] kernel (one copy across the three
+          // routed tiers — see its Scaladoc for the measured rationale
+          // behind each discipline).
+          val cen = new PredicatedCensus.Census(
+            PredicatedCensus.Members.ofMap(m.vectors),
+            hasAllow, allow, dead)
+          @inline def eligible(id: Long): Boolean = cen.eligible(id)
+          val cellN = cen.cellN
+          def exactScan(qid: Long, q: Long): List[(Long, Long, Double)] =
+            PredicatedCensus.exactScanTopK(cen.eligibleIds, k,
+                id => qStore.evalDistance(q, id))
+              .iterator.map(nb => (qid, nb.dst, nb.dist)).toList
           val kp0 = math.max(4 * k, ef)
-          if (eligibleCount == 0) Iterator.empty
+          if (cen.eligibleCount == 0) Iterator.empty
           else if (exhaustive)
             // exactness is structural here, not small-cell luck: the
             // filtered/tombstone hash-oracle rows serve through this
@@ -1390,7 +1360,7 @@ object HnswRouted {
             probes.flatMap { case (qid, qvec) =>
               exactScan(qid, qStore.prepareQueryWithId(-1L, qvec))
             }
-          else if (eligibleCount == cellN)
+          else if (cen.eligibleCount == cellN)
             // every member eligible -> the filter is the identity:
             // serve on the unmodified plain kernel (cell-local
             // deletions cost ~nothing on untouched cells; see the
@@ -1405,7 +1375,7 @@ object HnswRouted {
             // density-aware cutover (see the codes tier's note): a
             // low-eligible-fraction cell defeats the beam — while the
             // exact scan is O(eligible) per query
-            if (eligibleCount <= math.max(kp0, cellN / 4)) exactScan(qid, q)
+            if (cen.cutoverToExact(kp0)) exactScan(qid, q)
             else {
               // ONE overfetched beam, then exact — never escalate
               // in-cell. Escalation is the BROADCAST tier's discipline,
@@ -1559,10 +1529,11 @@ object HnswRouted {
     * Six tables: meta (config), centroids (both router levels),
     * vectors, links (per-cell CSR rows), entries, tombstones (the
     * live deletion set — restarts keep serving accepted deletes). */
-  def save(index: RoutedIndex, path: String): Unit =
-    saveWith(SparkSession.active, index, path)
+  def save(index: RoutedIndex, path: String, keepVersions: Int = 1): Unit =
+    saveWith(SparkSession.active, index, path, keepVersions)
 
-  private def saveWith(spark: SparkSession, index: RoutedIndex, path: String): Unit = {
+  private def saveWith(spark: SparkSession, index: RoutedIndex, path: String,
+                       keepVersions: Int = 1): Unit = {
     import spark.implicits._
     val dir = VersionedIndexDirs.nextDir(spark, path)
     val cfg = index.cfg
@@ -1609,7 +1580,7 @@ object HnswRouted {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
 
     // completeness marker LAST; then reclaim superseded/junk versions
-    VersionedIndexDirs.commit(spark, path, dir)
+    VersionedIndexDirs.commit(spark, path, dir, keepVersions)
   }
 
   /** Restore a saved index WITHOUT rebuilding: read the newest complete

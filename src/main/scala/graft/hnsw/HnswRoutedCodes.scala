@@ -180,15 +180,82 @@ object HnswRoutedCodes {
   val DefaultStorage: org.apache.spark.storage.StorageLevel =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** `modalitySplit`: opt-in BUILD-TIME modality guard — the float
+    * tier's [[HnswRouted.build]] flag on the code representation. The
+    * k-majority router routinely packs several well-separated code
+    * modes into one cell (the skew guard bounds SIZE, not modality);
+    * with the flag on, every cell above a row floor runs the sampled
+    * [[modalCensusCodes]] separability census, and flagged cells'
+    * strong-mode majority codes become ADDITIONAL anchors (the
+    * strongest mode replaces the merged anchor) before the final
+    * assignment — so a later delete aligned with one mode leaves whole
+    * CELLS dead, which predicated serving skips outright, instead of
+    * half-dead cells it must exact-scan. Off by default: the guard
+    * adds one assignment pass + one bounded sampled collect. */
   def build(codes: DataFrame, params: HnswParams = HnswParams.standard(64, 32, 32),
             nCells: Int = 16, seed: Long = 42L, persist: Boolean = true,
             maxCellRows: Long = DefaultMaxCellRows,
-            storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex = {
+            storage: org.apache.spark.storage.StorageLevel = DefaultStorage,
+            modalitySplit: Boolean = false): RoutedCodeIndex = {
     val spark = codes.sparkSession
     // global id dedup (deterministic survivor: max code)
     val deduped = codes.select(col("id"), col("code"))
       .groupBy(col("id")).agg(max(col("code")).as("code"))
-    val anchors = trainAnchors(deduped, nCells, seed)
+    val anchors0 = trainAnchors(deduped, nCells, seed)
+    val anchors =
+      if (!modalitySplit) anchors0
+      else {
+        val aB = spark.sparkContext.broadcast(anchors0)
+        val keyed0 = deduped.select(col("id"), col("code")).as(pairEnc).rdd
+          .map { case (id, c) => (nearestAnchor(c, aB.value), (id, c)) }
+        val hist0 = keyed0.mapValues(_ => 1L).reduceByKey(_ + _).collect()
+        val audit = hist0.filter(_._2 >= ModalityMinCellRows)
+        if (audit.isEmpty) anchors0
+        else {
+          // one decimated collect serves ALL audited cells; per-cell
+          // sample bounded by ModalitySampleMax, decimated by id hash
+          // (the float guard's discipline — never by position)
+          val keepB = spark.sparkContext.broadcast(audit.map {
+            case (cell, cn) =>
+              cell -> math.min(1.0, ModalitySampleMax.toDouble / cn)
+          }.toMap)
+          val sampled = keyed0.flatMap { case (cell, (id, c)) =>
+            keepB.value.get(cell) match {
+              case Some(keep)
+                if HnswSearcher.uniformFromHash(id, seed ^ 0x9E3779B9L) < keep =>
+                Iterator.single((cell, id, c))
+              case _ => Iterator.empty
+            }
+          }.collect()
+          val flagged = sampled.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+            case (cell, rows) =>
+              val cs = rows.sortBy(_._2).take(ModalitySampleMax).map(_._3)
+              val groups = modalCensusCodes(cs)
+              if (groups.length >= 2) Some(cell -> groups) else None
+          }
+          if (flagged.isEmpty) anchors0
+          else {
+            // the census's group majority codes ARE the extra anchors
+            // (children align with the detected modes by construction;
+            // nearestAnchor is global, so the final assignment below
+            // re-routes every row against the extended set). Anchors
+            // must stay DISTINCT — ties go to the lowest index, so a
+            // duplicate anchor's cell would be dead: skip mode codes
+            // already present.
+            val out = scala.collection.mutable.ArrayBuffer.from(anchors0)
+            val present = new LongSet(2 * (anchors0.length + 8))
+            anchors0.foreach(present.add)
+            flagged.foreach { case (cell, groups) =>
+              val head = groups.head._1
+              if (head != anchors0(cell) && present.add(head)) out(cell) = head
+              groups.iterator.drop(1).foreach { case (g, _) =>
+                if (present.add(g)) out += g
+              }
+            }
+            out.toArray
+          }
+        }
+      }
     val anchorsB = spark.sparkContext.broadcast(anchors)
     val keyedRaw = deduped.select(col("id"), col("code")).as(pairEnc).rdd
       .map { case (id, c) => (nearestAnchor(c, anchorsB.value), (id, c)) }
@@ -327,6 +394,15 @@ object HnswRoutedCodes {
       RoutedCodeIndex(params, seed, index.anchors, merged, index.tombstones)
     } finally deduped.unpersist(blocking = false)
   }
+
+  /** Opt-in serving warm-up — [[HnswRouted.warm]] on the code
+    * representation (this tier runs the DISK_ONLY decades where the
+    * cold-first-serve tax is largest). One deserializing sweep off
+    * the serving path; returns the shard count. */
+  def warm(index: RoutedCodeIndex): Long =
+    index.shards.mapPartitions({ it =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
+    }, preservesPartitioning = true).fold(0L)(_ + _)
 
   /** Drift recovery — [[HnswRouted.retrain]] on the code
     * representation: re-train the k-majority anchors on the index's
@@ -522,6 +598,377 @@ object HnswRoutedCodes {
     }
 
   // --------------------------------------------------------------------
+  // Merged-cell detection + targeted remedy — [[HnswRouted
+  // .mergedCellAudit]]'s machinery on the Hamming representation. The
+  // k-majority router can merge well-separated code modes into one cell
+  // exactly like k-means merges float clusters (the float tier measured
+  // an 11.6× predicated-serving tax from ONE merged cell before the
+  // remedy landed there), and THIS tier is the 1e8-decade tier — the
+  // scale where that failure class costs the most.
+  // --------------------------------------------------------------------
+
+  private val ModalityMinCellRows = 256L
+  private val ModalitySampleMax = 1024
+  private val ModalityShareBp = 1500L
+  private val ModalitySepFactor = 3.0
+  private val ModalityKSplit = 8
+  private val ModalityIters = 8
+
+  /** Per-bit strict-majority code over `rows` restricted to indices
+    * where `in(i)` — the Hamming analog of the float tier's component
+    * mean (strict majority sets the bit; exact ties clear it — the
+    * [[trainAnchors]] update rule, any deterministic rule works). Zero
+    * participants yield 0L. */
+  private def majorityWhere(rows: Array[(Long, Long)],
+                            in: Int => Boolean): Long = {
+    val ones = new Array[Int](64); var n = 0
+    var i = 0
+    while (i < rows.length) {
+      if (in(i)) {
+        val c = rows(i)._2
+        var b = 0
+        while (b < 64) { if (((c >>> b) & 1L) == 1L) ones(b) += 1; b += 1 }
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) 0L
+    else {
+      var out = 0L; var b = 0
+      while (b < 64) { if (2 * ones(b) > n) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  /** Modal census of a cell's code sample — [[HnswRouted.modalCensus]]
+    * on Hamming space: deterministic k-majority (whole-sample majority
+    * + farthest-point seeds), components single-linkage-merged at
+    * [[ModalitySepFactor]] × the mass-weighted mean component radius
+    * (mean Hamming to the component's majority code — Hamming is
+    * already linear, no sqrt pass), strong-share test on the MERGED
+    * groups. Returns the strong groups as (group majority code, sample
+    * count), descending by count; 0-1 groups = unimodal. */
+  private[hnsw] def modalCensusCodes(codes: Array[Long]): Array[(Long, Int)] = {
+    if (codes.length < 32) return Array.empty
+    val rows = codes.map(c => (0L, c)) // (unused id, code) for majorityWhere
+    val n = codes.length
+    val k = math.max(2, math.min(ModalityKSplit, n / 4))
+    val cents = new Array[Long](k)
+    cents(0) = majorityWhere(rows, _ => true)
+    var j = 1
+    while (j < k) {
+      var best = 0L; var bestD = -1
+      var i = 0
+      while (i < n) {
+        var minD = Int.MaxValue; var c = 0
+        while (c < j) {
+          val d = hamming(codes(i), cents(c)); if (d < minD) minD = d; c += 1 }
+        if (minD > bestD) { bestD = minD; best = codes(i) }
+        i += 1
+      }
+      cents(j) = best; j += 1
+    }
+    @inline def nearest(code: Long): Int = {
+      var bi = 0; var bd = Int.MaxValue; var c = 0
+      while (c < k) {
+        val d = hamming(code, cents(c)); if (d < bd) { bd = d; bi = c }; c += 1 }
+      bi
+    }
+    var it = 0
+    while (it < ModalityIters) {
+      val assign = new Array[Int](n)
+      var i = 0
+      while (i < n) { assign(i) = nearest(codes(i)); i += 1 }
+      var c = 0
+      while (c < k) {
+        val cc = c
+        var any = false
+        i = 0
+        while (i < n && !any) { if (assign(i) == cc) any = true; i += 1 }
+        if (any) cents(c) = majorityWhere(rows, idx => assign(idx) == cc)
+        c += 1 // an empty component keeps its code
+      }
+      it += 1
+    }
+    val assign = new Array[Int](n)
+    val ns = new Array[Int](k); val sumD = new Array[Double](k)
+    var i = 0
+    while (i < n) {
+      val c = nearest(codes(i)); assign(i) = c
+      ns(c) += 1; sumD(c) += hamming(codes(i), cents(c))
+      i += 1
+    }
+    val parts = (0 until k).filter(c => ns(c) >= 8).toArray
+    if (parts.length == 0) return Array.empty
+    // mass-weighted mean radius (see the float census: tiny outlier
+    // fragments must not drag the merge threshold down)
+    val meanRad = parts.map(c => ns(c) * (sumD(c) / ns(c))).sum /
+      parts.map(ns(_)).sum
+    val parent = Array.tabulate(parts.length)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    if (meanRad > 0.0)
+      for (a <- parts.indices; b <- (a + 1) until parts.length) {
+        val d = hamming(cents(parts(a)), cents(parts(b))).toDouble
+        if (d < ModalitySepFactor * meanRad) {
+          val (x, y) = (find(a), find(b)); if (x != y) parent(x) = y
+        }
+      }
+    val minShare = math.max(8L, n * ModalityShareBp / 10000L)
+    parts.indices.groupBy(find).values.toArray
+      .map { idxs =>
+        val members = idxs.map(parts(_)).toSet
+        val total = idxs.map(x => ns(parts(x))).sum
+        val code = majorityWhere(rows, x => members.contains(assign(x)))
+        (code, total)
+      }
+      .filter(_._2 >= minShare)
+      .sortBy(-_._2)
+  }
+
+  /** Merged-cell audit — [[HnswRouted.mergedCellAudit]] on the code
+    * representation, for the regime the per-cell density census cannot
+    * see: the k-majority router packed a now-DEAD code mode and a live
+    * mode into one cell, so the cell reads ~50% eligible cell-wide
+    * while queries arriving on the dead side have ~zero eligible among
+    * their nearest — predicated serving there pays the exact scan
+    * every probe. One narrow pass, no shuffle: cells whose dead
+    * fraction is bimodal-eligible run a deterministic k-majority split
+    * whose first two seeds are the dead-member and live-member
+    * majority codes (hypothesis-shaped init; k > 2 catches cells that
+    * merged SEVERAL modes), then a full-member purity census per
+    * component — flagged `merged` when ≥80%-pure-dead components hold
+    * ≥80% of the dead mass beside a clearly-live component. Schema and
+    * thresholds identical to the float audit. Remedy:
+    * [[compactCells]]/[[compactCellsPatched]] on the flagged ids. */
+  def mergedCellAudit(index: RoutedCodeIndex, minCellRows: Int = 1024,
+                      minDeadBp: Int = 1000, maxDeadBp: Int = 9000,
+                      sampleMax: Int = 4096, iters: Int = 8,
+                      kSplit: Int = 8): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+    val rows = index.shards.flatMap { case (cell, s) =>
+      val dead = tombB.value
+      val cellN = s.codes.size
+      if (dead.length == 0 || cellN < minCellRows) Iterator.empty
+      else {
+        @inline def isDead(id: Long): Boolean =
+          java.util.Arrays.binarySearch(dead, id) >= 0
+        var nDead = 0
+        s.codes.foreach { (id, _) => if (isDead(id)) nDead += 1 }
+        val deadBp = nDead * 10000L / cellN
+        if (deadBp < minDeadBp || deadBp > maxDeadBp) Iterator.empty
+        else {
+          // deterministic sample, decimated by ID HASH (never by
+          // position — see the float audit's aliasing note); falls
+          // back to the full cell if the sample misses a class
+          val all = s.codes.toSeq.toArray.sortBy(_._1)
+          val keep = math.min(1.0, sampleMax.toDouble / all.length)
+          val hashed = all.filter { case (id, _) =>
+            HnswSearcher.uniformFromHash(id, 0x9E3779B9L) < keep }
+          val sample =
+            if (hashed.length >= 32 && hashed.exists(r => isDead(r._1)) &&
+                hashed.exists(r => !isDead(r._1))) hashed
+            else all
+          val sn = sample.length
+          val k = math.max(2, math.min(kSplit, sn / 4))
+          val cents = new Array[Long](k)
+          cents(0) = majorityWhere(sample, i => isDead(sample(i)._1))
+          cents(1) = majorityWhere(sample, i => !isDead(sample(i)._1))
+          // farthest-point seeds (deterministic): extra components
+          // catch structure the two hypothesis seeds cannot hold when
+          // >2 modes share the cell (the float audit's k>2 rationale)
+          var j = 2
+          while (j < k) {
+            var best = 0L; var bestD = -1
+            var i = 0
+            while (i < sn) {
+              var minD = Int.MaxValue; var c = 0
+              while (c < j) {
+                val d = hamming(sample(i)._2, cents(c))
+                if (d < minD) minD = d
+                c += 1
+              }
+              if (minD > bestD) { bestD = minD; best = sample(i)._2 }
+              i += 1
+            }
+            cents(j) = best; j += 1
+          }
+          @inline def nearest(code: Long): Int = {
+            var bi = 0; var bd = Int.MaxValue; var c = 0
+            while (c < k) {
+              val d = hamming(code, cents(c))
+              if (d < bd) { bd = d; bi = c }
+              c += 1
+            }
+            bi
+          }
+          var it = 0
+          while (it < iters) {
+            val assign = new Array[Int](sn)
+            var i = 0
+            while (i < sn) { assign(i) = nearest(sample(i)._2); i += 1 }
+            var c = 0
+            while (c < k) {
+              val cc = c
+              var any = false
+              i = 0
+              while (i < sn && !any) { if (assign(i) == cc) any = true; i += 1 }
+              if (any) cents(c) = majorityWhere(sample, x => assign(x) == cc)
+              c += 1 // an empty component keeps its code
+            }
+            it += 1
+          }
+          // census EVERY member (not just the sample) per component
+          val compN = new Array[Long](k); val compDead = new Array[Long](k)
+          s.codes.foreach { (id, code) =>
+            val c = nearest(code)
+            compN(c) += 1; if (isDead(id)) compDead(c) += 1
+          }
+          var hiBp = 0L; var loBp = 10000L; var pureDeadMass = 0L
+          var c = 0
+          while (c < k) {
+            if (compN(c) > 0) {
+              val bp = compDead(c) * 10000L / compN(c)
+              if (bp > hiBp) hiBp = bp
+              if (bp < loBp) loBp = bp
+              if (bp >= 8000L) pureDeadMass += compDead(c)
+            }
+            c += 1
+          }
+          val massHiBp = if (nDead == 0) 0L else pureDeadMass * 10000L / nDead
+          val merged = hiBp >= 8000L && loBp <= 2000L && massHiBp >= 8000L
+          Iterator.single((cell, cellN.toLong, nDead.toLong, deadBp,
+            hiBp, loBp, massHiBp, merged))
+        }
+      }
+    }.collect()
+    rows.toSeq.toDF("cell", "n", "n_dead", "dead_bp",
+      "hi_dead_bp", "lo_dead_bp", "dead_mass_hi_bp", "merged")
+  }
+
+  /** Targeted compaction — [[HnswRouted.compactCells]] on the code
+    * representation: fold the deletion set out of ONLY the listed
+    * cells (narrow map, untouched cells pass by reference) and SHRINK
+    * the tombstone set by exactly the ids that lived there. */
+  def compactCells(index: RoutedCodeIndex, cells: Array[Int],
+                   persist: Boolean = true,
+                   unpersistPrior: Boolean = true,
+                   storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex =
+    if (cells.isEmpty || index.tombstones.isEmpty) index
+    else {
+      val params = index.params
+      val seed = index.seed
+      val cellSet = cells.toSet
+      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+      val removed = HnswRouted.prunedShards(index.shards, cells)
+        .flatMap { case (cell, s) =>
+          if (!cellSet(cell)) Iterator.empty
+          else tombB.value.iterator.filter(s.codes.contains)
+        }.collect()
+      java.util.Arrays.sort(removed)
+      val compacted = index.shards.mapPartitions({ it =>
+        it.map { case (cell, s) =>
+          if (!cellSet(cell)) cell -> s
+          else {
+            val dead = tombB.value
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            s.codes.foreach { (id, c) =>
+              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
+            }
+            cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        compacted.persist(storage).setName("graft-hnsw-routed-codes")
+        compacted.count()
+        if (unpersistPrior) {
+          index.shards.unpersist(blocking = false)
+          index.overlay.foreach(_.unpersist())
+        }
+      }
+      val remaining = index.tombstones.filter(id =>
+        java.util.Arrays.binarySearch(removed, id) < 0)
+      RoutedCodeIndex(params, seed, index.anchors, compacted, remaining)
+    }
+
+  /** [[compactCells]] with O(touched) persisted bytes — the float
+    * tier's [[HnswRouted.compactCellsPatched]] overlay discipline on
+    * the code representation (only the rebuilt cells persist; the
+    * served composite reads the base's cached blocks everywhere else;
+    * the base handle must stay cached and keeps serving its own
+    * answer; patches stack, [[foldOverlay]] bounds the stack). */
+  def compactCellsPatched(index: RoutedCodeIndex, cells: Array[Int],
+                          persist: Boolean = true): RoutedCodeIndex =
+    if (cells.isEmpty || index.tombstones.isEmpty) index
+    else {
+      val params = index.params
+      val seed = index.seed
+      val cellSet = cells.toSet
+      val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
+        "patched compaction needs the index's pinned partitioner"))
+      val touchedParts = cells.map(part.getPartition(_: Any)).toSet
+      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+      val removed = HnswRouted.prunedShards(index.shards, cells)
+        .flatMap { case (cell, s) =>
+          if (!cellSet(cell)) Iterator.empty
+          else tombB.value.iterator.filter(s.codes.contains)
+        }.collect()
+      java.util.Arrays.sort(removed)
+      val overlay = index.shards.mapPartitionsWithIndex({ (i, it) =>
+        if (!touchedParts(i)) Iterator.empty
+        else it.map { case (cell, s) =>
+          if (!cellSet(cell)) cell -> s
+          else {
+            val dead = tombB.value
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            s.codes.foreach { (id, c) =>
+              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
+            }
+            cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
+          }
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-codes-patch")
+        overlay.count()
+      }
+      val patched = index.shards.zipPartitions(overlay,
+          preservesPartitioning = true) { (b, o) =>
+        val patch = o.toArray
+        if (patch.isEmpty) b
+        else {
+          val replaced = patch.map(_._1).toSet
+          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
+        }
+      }
+      val remaining = index.tombstones.filter(id =>
+        java.util.Arrays.binarySearch(removed, id) < 0)
+      RoutedCodeIndex(params, seed, index.anchors, patched, remaining,
+        overlay = if (persist) index.overlay :+ overlay else index.overlay)
+    }
+
+  /** Detect-and-remediate — [[HnswRouted.remediateMergedCells]] on the
+    * code representation: [[mergedCellAudit]] → targeted compaction on
+    * the flagged cells, PATCHED by default. Returns the remediated
+    * index (the input handle when nothing is flagged) and the flagged
+    * cell ids. */
+  def remediateMergedCells(index: RoutedCodeIndex, minCellRows: Int = 1024,
+                           persist: Boolean = true,
+                           unpersistPrior: Boolean = true,
+                           patched: Boolean = true): (RoutedCodeIndex, Array[Int]) = {
+    val flagged = mergedCellAudit(index, minCellRows)
+      .filter(col("merged")).select(col("cell"))
+      .collect().map(_.getInt(0))
+    if (flagged.isEmpty) (index, flagged)
+    else if (patched) (compactCellsPatched(index, flagged, persist), flagged)
+    else (compactCells(index, flagged, persist, unpersistPrior), flagged)
+  }
+
+  // --------------------------------------------------------------------
   // Durability: versioned parquet image + attach-without-rebuild
   // ([[VersionedIndexDirs]] discipline, the float tier's shape on four
   // data tables — meta, anchors, codes, links — plus per-cell entries
@@ -541,11 +988,11 @@ object HnswRoutedCodes {
     * versions reclaimed). A 1e8-code index is ~800 MB of codes + its
     * graphs — the designated 1e8-decade tier no longer costs its full
     * build per session. */
-  def save(index: RoutedCodeIndex, path: String): Unit =
-    saveWith(SparkSession.active, index, path)
+  def save(index: RoutedCodeIndex, path: String, keepVersions: Int = 1): Unit =
+    saveWith(SparkSession.active, index, path, keepVersions)
 
   private def saveWith(spark: SparkSession, index: RoutedCodeIndex,
-                       path: String): Unit = {
+                       path: String, keepVersions: Int = 1): Unit = {
     import spark.implicits._
     val dir = VersionedIndexDirs.nextDir(spark, path)
     val p = index.params
@@ -583,7 +1030,7 @@ object HnswRoutedCodes {
     index.tombstones.toSeq.toDF("id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
 
-    VersionedIndexDirs.commit(spark, path, dir)
+    VersionedIndexDirs.commit(spark, path, dir, keepVersions)
   }
 
   /** Restore WITHOUT rebuilding: newest complete version, one
@@ -788,65 +1235,25 @@ object HnswRoutedCodes {
           // (HnswRouted.searchImpl's predicated discipline; queue order
           // is total on (dist, id), so the filtered prefix carries the
           // oracle's tie-breaking — load-bearing under INTEGER Hamming
-          // distances where ties are the common case)
-          @inline def eligible(id: Long): Boolean =
-            (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
-              (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
-          val cellN = m.codes.size
-          // eligibility census once per shard (see HnswRouted.searchImpl):
-          // empty cells skip all probes; cells with fewer eligible ids
-          // than the initial beam go straight to the exact scan
-          // census iterates the SMALLER side (the HnswRouted.searchImpl
-          // discipline): a 16M-id allow array per cell would cost
-          // O(|allow| x nCells) across the batch; walking the cell's
-          // keys costs O(cellN log |allow|)
-          val eligibleCount: Int =
-            if (hasAllow) {
-              if (allow.length <= cellN)
-                allow.count(id => m.codes.contains(id) &&
-                  (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
-              else {
-                var c = 0
-                m.codes.foreach { (id, _) => if (eligible(id)) c += 1 }
-                c
-              }
-            }
-            else if (dead.length == 0) cellN
-            else cellN - dead.count(m.codes.contains)
-          // once per shard, only if needed (see HnswRouted.searchImpl:
-          // per-query whole-cell re-filtering was a measured 2.5x tax)
-          lazy val eligibleIds: Array[Long] = {
-            val b = Array.newBuilder[Long]
-            if (hasAllow && allow.length <= cellN)
-              allow.foreach(id => if (m.codes.contains(id) && eligible(id)) b += id)
-            else m.codes.foreach { (id, _) => if (eligible(id)) b += id }
-            b.result()
-          }
-          // k-bounded selection, not a full sort (see
-          // HnswRouted.searchImpl's note)
-          def exactScan(qid: Long, qc: Long): List[(Long, Long, Int)] = {
-            val fq = new FurthestQueue()
-            var i = 0
-            while (i < eligibleIds.length) {
-              val id = eligibleIds(i)
-              val d = hamming(qc, m.codes(id)).toDouble
-              if (fq.size < k || d < fq.furthestDist ||
-                  (d == fq.furthestDist && id < fq.dstAt(fq.size - 1))) {
-                fq.insert(id, d)
-                fq.trimToKNearest(k)
-              }
-              i += 1
-            }
-            fq.iterator.map(nb => (qid, nb.dst, nb.dist.toInt)).toList
-          }
+          // distances where ties are the common case). Census machinery
+          // is the shared [[PredicatedCensus]] kernel.
+          val cen = new PredicatedCensus.Census(
+            PredicatedCensus.Members.ofLongLongMap(m.codes),
+            hasAllow, allow, dead)
+          @inline def eligible(id: Long): Boolean = cen.eligible(id)
+          val cellN = cen.cellN
+          def exactScan(qid: Long, qc: Long): List[(Long, Long, Int)] =
+            PredicatedCensus.exactScanTopK(cen.eligibleIds, k,
+                id => hamming(qc, m.codes(id)).toDouble)
+              .iterator.map(nb => (qid, nb.dst, nb.dist.toInt)).toList
           val kp0 = math.max(4 * k, ef)
-          if (eligibleCount == 0) Iterator.empty
+          if (cen.eligibleCount == 0) Iterator.empty
           else if (exhaustive)
             // exhaustive regime: force the exact path so predicated
             // exactness is structural, not small-cell luck (see
             // HnswRouted.searchImpl — the hash-oracle configuration)
             probes.flatMap { case (qid, qc) => exactScan(qid, qc) }
-          else if (eligibleCount == cellN)
+          else if (cen.eligibleCount == cellN)
             // every member of this cell is eligible (no dead id lives
             // here; any allow-set covers it), so the predicated filter
             // is the identity — serve on the UNMODIFIED plain kernel.
@@ -872,7 +1279,7 @@ object HnswRoutedCodes {
             // straggler task that serialized the whole serve). The
             // exact scan is O(eligible) per query and wins decisively
             // below ~25% density.
-            if (eligibleCount <= math.max(kp0, cellN / 4)) exactScan(qid, qc)
+            if (cen.cutoverToExact(kp0)) exactScan(qid, qc)
             else {
               // ONE overfetched beam, then exact — never escalate
               // in-cell (see HnswRouted.searchImpl: geometric

@@ -97,12 +97,19 @@ object HnswRoutedPq {
     acc
   }
 
+  /** `buildSeed` is the SOURCE index's build seed (cfg.seed),
+    * persisted through save/attach: solo rebuilds ([[compactSolo]])
+    * and solo ingest layer draws use it so a solo-compacted cell is
+    * graph-identical to the float tier's rebuild of the same
+    * survivors — not just content-identical (the pre-round-16 gap:
+    * a hardcoded seed 13 made the equivalence content-level only). */
   final case class RoutedPqIndex(
       params: HnswParams,
       router: HnswRouted.Router,
       codebook: Array[Array[Array[Float]]],
       shards: org.apache.spark.rdd.RDD[(Int, PqCellShard)],
-      tombstones: Array[Long]) {
+      tombstones: Array[Long],
+      buildSeed: Long = 13L) {
     def unpersist(): Unit = shards.unpersist()
   }
 
@@ -158,7 +165,7 @@ object HnswRoutedPq {
       shards.count()
     }
     RoutedPqIndex(index.cfg.params, index.router, codebook, shards,
-      index.tombstones)
+      index.tombstones, buildSeed = index.cfg.seed)
   }
 
   /** Encode one float cell shard: codes + content fingerprint. */
@@ -374,32 +381,15 @@ object HnswRoutedPq {
       candidates: Int, exhaustive: Boolean,
       ef0: Int, hasAllow: Boolean = false,
       allow: Array[Long] = Array.empty): Iterator[(Long, Long, Double)] = {
-        @inline def eligible(id: Long): Boolean =
-          (!hasAllow || java.util.Arrays.binarySearch(allow, id) >= 0) &&
-            (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)
-        val cellN = m.codes.size
-        // census iterates the SMALLER side (the float serveShard's
-        // discipline): a 16M-id allow array per cell would cost
-        // O(|allow| x nCells) across the batch; walking the cell's
-        // keys costs O(cellN log |allow|)
-        val eligibleCount =
-          if (hasAllow) {
-            if (allow.length <= cellN)
-              allow.count(id => m.codes.contains(id) &&
-                (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0))
-            else {
-              var c = 0
-              m.codes.foreachKey(id => if (eligible(id)) c += 1)
-              c
-            }
-          }
-          else if (dead.length == 0) cellN
-          else cellN - dead.count(m.codes.contains)
-        lazy val eligibleIds: Array[Long] = {
-          val b = Array.newBuilder[Long]
-          m.codes.foreachKey(id => if (eligible(id)) b += id)
-          b.result()
-        }
+        // census/eligibleIds/exact-scan machinery is the shared
+        // [[PredicatedCensus]] kernel (one copy across the three routed
+        // tiers) — which also gives this tier the small-allow
+        // eligibleIds fast path the float/codes twins had
+        val cen = new PredicatedCensus.Census(
+          PredicatedCensus.Members.ofLongMap(m.codes),
+          hasAllow, allow, dead)
+        @inline def eligible(id: Long): Boolean = cen.eligible(id)
+        val cellN = cen.cellN
         val searcher = new HnswSearcher(params)
         val store = new AdcVectorStore(cb, m.codes)
         val base = params.getEfSearch(0)
@@ -410,30 +400,20 @@ object HnswRoutedPq {
         // ids (the routed exactScan, with the LUT kernel per query)
         def adcScan(qid: Long, qvec: Array[Float]): Iterator[(Long, Long, Double)] = {
           val lut = PqKernels.lutFor(qvec, cb)
-          val fq = new FurthestQueue()
-          var i = 0
-          while (i < eligibleIds.length) {
-            val id = eligibleIds(i)
-            val d = PqKernels.adcLut(lut, m.codes(id))
-            if (fq.size < c || d < fq.furthestDist ||
-                (d == fq.furthestDist && id < fq.dstAt(fq.size - 1))) {
-              fq.insert(id, d)
-              fq.trimToKNearest(c)
-            }
-            i += 1
-          }
-          fq.iterator.map(nb => (qid, nb.dst, nb.dist))
+          PredicatedCensus.exactScanTopK(cen.eligibleIds, c,
+              id => PqKernels.adcLut(lut, m.codes(id)))
+            .iterator.map(nb => (qid, nb.dst, nb.dist))
         }
-        if (eligibleCount == 0) Iterator.empty
+        if (cen.eligibleCount == 0) Iterator.empty
         else probes.flatMap { case (qid, qvec) =>
-          if (exhaustive || eligibleCount <= math.max(c, cellN / 4))
+          if (exhaustive || cen.cutoverToExact(c))
             adcScan(qid, qvec)
           else {
             val q = store.prepareQueryWithId(-1L, qvec)
             val beam = math.max(c, ef)
             val w = searcher.searchWithEf(store, m.snapshot, q, beam, beam)
             val hits = w.iterator.filter(nb => eligible(nb.dst)).take(c).toList
-            if (hits.length >= math.min(c, eligibleCount))
+            if (hits.length >= math.min(c, cen.eligibleCount))
               hits.iterator.map(nb => (qid, nb.dst, nb.dist))
             else adcScan(qid, qvec)
           }
@@ -505,14 +485,19 @@ object HnswRoutedPq {
     * re-rank join keeps end-to-end exactness wherever the raw-vector
     * table holds the batch (the caller appends it there).
     *
-    * `seed` drives layer selection for the new nodes (hash(id, seed) —
-    * structurally independent per node, so it need not match the
-    * original build's seed). Touched cells' fingerprints are
-    * INVALIDATED (see [[ingestedFp]]): a later [[rederive]] against a
-    * float source re-encodes them and restores true-content digests. */
+    * `seed` drives layer selection for the new nodes (hash(id, seed));
+    * the default (Long.MinValue sentinel) is the index's persisted
+    * [[RoutedPqIndex.buildSeed]] so solo-grown cells draw layers
+    * exactly like a float-source build of the same rows would — an
+    * explicit seed stays structurally valid (layer draws are
+    * independent per node) but breaks graph-identity with the float
+    * twin. Touched cells' fingerprints are INVALIDATED (see
+    * [[ingestedFp]]): a later [[rederive]] against a float source
+    * re-encodes them and restores true-content digests. */
   def ingest(index: RoutedPqIndex, newRows: DataFrame,
              persist: Boolean = true, unpersistPrior: Boolean = false,
-             seed: Long = 13L): RoutedPqIndex = {
+             seed: Long = Long.MinValue): RoutedPqIndex = {
+    val effSeed = if (seed == Long.MinValue) index.buildSeed else seed
     val router = index.router
     val spark = newRows.sparkSession
     val deduped = newRows.select(col("id"), col("vec"))
@@ -581,7 +566,7 @@ object HnswRoutedPq {
               // call QUANTIZES the staged point (AdcVectorStore contract):
               // from here on the id serves at code precision
               searcher.insert(store, graph, id,
-                searcher.selectLayerByHash(id, seed))
+                searcher.selectLayerByHash(id, effSeed))
               codeMap(id) = PqKernels.encodeArray(v, cb)
             }
             Iterator(cell -> PqCellShard(cell, codeMap, graph.snapshot,
@@ -599,6 +584,15 @@ object HnswRoutedPq {
       index.copy(shards = merged)
     } finally deduped.unpersist(blocking = false)
   }
+
+  /** Opt-in serving warm-up — [[HnswRouted.warm]] on the compressed
+    * tier: one deserializing sweep of graph + code blocks off the
+    * serving path (the attach posture's first-serve discipline).
+    * Returns the shard count. */
+  def warm(index: RoutedPqIndex): Long =
+    index.shards.mapPartitions({ it =>
+      var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
+    }, preservesPartitioning = true).fold(0L)(_ + _)
 
   /** Which of `ids` are present in the index's code maps — one narrow
     * scan of the shard key sets (no shuffle; the [[HnswRouted
@@ -684,7 +678,8 @@ object HnswRoutedPq {
                   s"survivor vectors but the shard holds " +
                   s"${p.codes.size - dead.count(p.codes.contains)} — the " +
                   "raw-vector table is missing rows the index serves")
-              val cfg = HnswDistributed.BuildConfig(params, "l2", seed = 13L)
+              val cfg = HnswDistributed.BuildConfig(params, "l2",
+                seed = index.buildSeed)
               val fresh = HnswRouted.buildCellFresh(cell, survivors, cfg)
               Iterator(cell -> encodeShard(fresh, cbB.value))
             }
@@ -698,7 +693,7 @@ object HnswRoutedPq {
     } else if (forceCount) merged.count()
     if (unpersistPrior) index.unpersist()
     (RoutedPqIndex(index.params, index.router, index.codebook, merged,
-      Array.empty[Long]), rebuilt.value, carried.value)
+      Array.empty[Long], index.buildSeed), rebuilt.value, carried.value)
   }
 
   /** Follow the float source tier through its lifecycle: after
@@ -716,9 +711,16 @@ object HnswRoutedPq {
     * the fold left.
     *
     * When the source's cell layout changed (retrain → new router, or a
-    * re-attach with a different partitioner), incremental carry is
-    * impossible and the whole index re-encodes via [[fromRoutedWith]]
-    * with the existing codebook.
+    * re-attach with a different partitioner), CELL-keyed carry is
+    * impossible — but CONTENT-keyed carry is not: a retrain that moved
+    * few members re-converges most cells onto identical member sets
+    * under new cell ids. The cross-layout path matches old cells to
+    * new cells BY content fingerprint (one cheap digest pass over the
+    * source — no encode), ships only the matched cells' code maps
+    * through the new partitioner (a shuffle bounded by the carried
+    * code bytes, 8 B/row), and re-encodes just the unmatched cells.
+    * Solo-ingested cells can never false-match ([[ingestedFp]] keeps
+    * their digests outside the content-digest family).
     *
     * `unpersistPrior` releases the old PQ handle's shards once the new
     * image is materialized (set it in streaming loops that own their
@@ -746,11 +748,62 @@ object HnswRoutedPq {
       case _                  => false
     }
     if (!samePartitioning) {
-      // layout changed (retrain / foreign attach): full re-encode with
-      // the existing codebook
-      val v = fromRoutedWith(source, old.codebook, persist)
-      if (unpersistPrior) old.unpersist()
-      (v, source.router.allCells.size.toLong, 0L)
+      // layout changed (retrain / foreign attach): carry BY CONTENT
+      // FINGERPRINT across the layouts (see the Scaladoc). Driver
+      // state is one (fingerprint, cell) pair per cell on each side —
+      // nCells-sized, never corpus-sized.
+      val oldFps = old.shards.map { case (c, s) => (s.fingerprint, c) }
+        .collect().toMap // fp collision across cells: content-distinct
+                         // cells (ids partition) — 2^-64 class
+      val srcFps = source.shards.map { case (c, s) =>
+        (c, contentFingerprint(s.vectors), s.vectors.size)
+      }.collect()
+      val carryByNewCell = srcFps.flatMap { case (nc, fp, _) =>
+        oldFps.get(fp).map(oc => (oc, nc))
+      }
+      if (carryByNewCell.isEmpty) {
+        val v = fromRoutedWith(source, old.codebook, persist)
+        if (unpersistPrior) old.unpersist()
+        (v, source.router.allCells.size.toLong, 0L)
+      } else {
+        val part = source.shards.partitioner.getOrElse(
+          HnswRouted.partitionerFor(source.router))
+        val carryMapB = sc.broadcast(carryByNewCell.toMap) // oldCell -> newCell
+        // ship matched cells' code maps keyed by the NEW cell id (the
+        // only shuffle; 8 B/row code bytes of carried cells)
+        val shipped = old.shards.flatMap { case (oc, s) =>
+          carryMapB.value.get(oc).map(nc => (nc, s.codes))
+        }.partitionBy(part)
+        val cbB = sc.broadcast(old.codebook)
+        val reenc = sc.longAccumulator("pq-rederive-reencoded")
+        val carry = sc.longAccumulator("pq-rederive-carried")
+        val shards = source.shards.zipPartitions(shipped,
+            preservesPartitioning = true) { (fIt, cIt) =>
+          val carried = cIt.toMap
+          fIt.map { case (cell, s) =>
+            carried.get(cell) match {
+              case Some(codes) if codes.size == s.vectors.size =>
+                carry.add(1)
+                // codes by reference; the new layout's graph + a TRUE
+                // content digest (the match condition IS that digest)
+                cell -> PqCellShard(cell, codes, s.snapshot,
+                  contentFingerprint(s.vectors))
+              case _ =>
+                reenc.add(1)
+                cell -> encodeShard(s, cbB.value)
+            }
+          }
+        }
+        if (persist) {
+          shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .setName("graft-hnsw-routed-pq")
+          shards.count()
+        } else if (forceCount) shards.count()
+        if (unpersistPrior) old.unpersist()
+        (RoutedPqIndex(source.cfg.params, source.router, old.codebook, shards,
+          source.tombstones, buildSeed = source.cfg.seed),
+          reenc.value, carry.value)
+      }
     } else {
       val cbB = sc.broadcast(old.codebook)
       val reenc = sc.longAccumulator("pq-rederive-reencoded")
@@ -780,7 +833,7 @@ object HnswRoutedPq {
       } else if (forceCount) shards.count() // populate the accumulators
       if (unpersistPrior) old.unpersist()
       (RoutedPqIndex(source.cfg.params, source.router, old.codebook, shards,
-        source.tombstones), reenc.value, carry.value)
+        source.tombstones, buildSeed = source.cfg.seed), reenc.value, carry.value)
     }
   }
 
@@ -813,20 +866,20 @@ object HnswRoutedPq {
     * incremental carry across a restart), tombstones (the live
     * deletion set). The metric is structurally `l2` (the
     * [[fromRouted]] requirement) so no metric column is stored. */
-  def save(index: RoutedPqIndex, path: String): Unit =
-    saveWith(SparkSession.active, index, path)
+  def save(index: RoutedPqIndex, path: String, keepVersions: Int = 1): Unit =
+    saveWith(SparkSession.active, index, path, keepVersions)
 
   private def saveWith(spark: SparkSession, index: RoutedPqIndex,
-                       path: String): Unit = {
+                       path: String, keepVersions: Int = 1): Unit = {
     import spark.implicits._
     val dir = VersionedIndexDirs.nextDir(spark, path)
     val p = index.params
 
     Seq((p.m.toSeq, p.mMax.toSeq, p.efConstrSearch.toSeq,
         p.efConstrInsert.toSeq, p.efSearch.toSeq, p.layerProbability,
-        index.router.nPrimary))
+        index.router.nPrimary, index.buildSeed))
       .toDF("m", "m_max", "ef_constr_search", "ef_constr_insert",
-        "ef_search", "layer_probability", "n_primary")
+        "ef_search", "layer_probability", "n_primary", "build_seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
 
     val cRows =
@@ -870,7 +923,7 @@ object HnswRoutedPq {
     index.tombstones.toSeq.toDF("id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
 
-    VersionedIndexDirs.commit(spark, path, dir)
+    VersionedIndexDirs.commit(spark, path, dir, keepVersions)
   }
 
   /** Restore a saved PQ tier WITHOUT the float source: read the newest
@@ -892,6 +945,12 @@ object HnswRoutedPq {
       meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
       meta.getAs[Seq[Int]]("ef_search").toArray,
       meta.getAs[Double]("layer_probability"))
+    // build_seed persists since round 16; older images fall back to the
+    // historical hardcoded solo seed (13) they were operated with
+    val buildSeed =
+      if (meta.schema.fieldNames.contains("build_seed"))
+        meta.getAs[Long]("build_seed")
+      else 13L
     val cent = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
     val primary = Ivf.IvfModel(
@@ -919,22 +978,34 @@ object HnswRoutedPq {
     val entries = spark.read.parquet(s"$dir/entries")
       .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
       .map { case (c, pt, l) => (c, (pt, l)) }
+    // per-cell PRESENCE rides the fingerprints table (one row per
+    // SHARD, zero-code cells included): without it the cogroup below
+    // silently drops cells whose shard held no codes — a fully-deleted-
+    // then-compacted cell would not survive the round-trip, a later
+    // rederive would count it as a re-encode, and cellStats-based
+    // thresholds would see fewer cells than the saved index had
+    val presence = spark.sparkContext
+      .parallelize(fps.keys.toSeq.map(c => (c, ())), math.max(1, part.numPartitions))
 
-    val shards = codes.cogroup(links, entries, part).mapPartitions({ it =>
-      it.map { case (cell, (cs, ls, es)) =>
-        val codeMap = scala.collection.mutable.LongMap.from[Long](cs.iterator)
-        val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
-        val nLayers = math.max(
-          ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
-          entry.map(_.layer + 1).getOrElse(0))
-        val layers = Array.fill(nLayers)(
-          scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
-        ls.foreach { case (lc, src, dsts, dists) =>
-          layers(lc)(src) = (dsts, dists)
+    val shards = codes.cogroup(links, entries, presence, part)
+      .mapPartitions({ it =>
+      it.flatMap { case (cell, (cs, ls, es, ps)) =>
+        if (cs.isEmpty && ps.isEmpty) Iterator.empty // defensive: unknown cell
+        else {
+          val codeMap = scala.collection.mutable.LongMap.from[Long](cs.iterator)
+          val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
+          val nLayers = math.max(
+            ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
+            entry.map(_.layer + 1).getOrElse(0))
+          val layers = Array.fill(nLayers)(
+            scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
+          ls.foreach { case (lc, src, dsts, dists) =>
+            layers(lc)(src) = (dsts, dists)
+          }
+          Iterator.single(cell -> PqCellShard(cell, codeMap,
+            GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))),
+            fpB.value.getOrElse(cell, 0L)))
         }
-        cell -> PqCellShard(cell, codeMap,
-          GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))),
-          fpB.value.getOrElse(cell, 0L))
       }
     }, preservesPartitioning = true)
     if (persist) {
@@ -949,7 +1020,7 @@ object HnswRoutedPq {
           .map(_.getLong(0))
         java.util.Arrays.sort(t); t
       } else Array.empty[Long]
-    RoutedPqIndex(params, router, codebook, shards, tombstones)
+    RoutedPqIndex(params, router, codebook, shards, tombstones, buildSeed)
   }
 
   private val cache =

@@ -35,16 +35,34 @@ private[graft] object VersionedIndexDirs {
     s"$path/idx_v${existing.maxOption.getOrElse(-1) + 1}"
   }
 
-  /** Mark `dir` complete, then reclaim every OTHER version under
-    * `path` (superseded complete versions and crashed partials). */
-  def commit(spark: SparkSession, path: String, dir: String): Unit = {
+  /** Mark `dir` complete, then reclaim superseded versions under
+    * `path`: crashed partials always; complete versions beyond the
+    * newest `keepLast`. `keepLast = 1` (the batch default) keeps only
+    * the version just written. Streaming save-while-attached loops
+    * pass `keepLast = 2` — a LIVE handle attached from the PREVIOUS
+    * version still reads that version's parquet through its RDD
+    * lineage (cache eviction / executor loss recompute), so the
+    * writer must not delete it until the handle has been REBASED onto
+    * the new image (the [[StreamingRouted]]-family rebase-after-save
+    * discipline; with rebase each save, the live handle is never more
+    * than one version behind). */
+  def commit(spark: SparkSession, path: String, dir: String,
+             keepLast: Int = 1): Unit = {
     val fs = fsOf(spark, path)
     fs.create(new Path(s"$dir/_DONE"), true).close()
-    val keep = new Path(dir).getName
+    val complete = fs.listStatus(new Path(path)).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case vRe(n) if fs.exists(new Path(st.getPath, "_DONE")) =>
+          Some(n.toInt)
+        case _ => None
+      }
+    }.sorted(Ordering.Int.reverse)
+    val keep = complete.take(math.max(1, keepLast))
+      .map(n => s"idx_v$n").toSet + new Path(dir).getName
     fs.listStatus(new Path(path)).foreach { st =>
       st.getPath.getName match {
-        case vRe(_) if st.getPath.getName != keep => fs.delete(st.getPath, true)
-        case _                                    => ()
+        case vRe(_) if !keep(st.getPath.getName) => fs.delete(st.getPath, true)
+        case _                                   => ()
       }
     }
   }

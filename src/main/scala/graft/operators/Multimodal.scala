@@ -16,10 +16,17 @@ import org.apache.spark.sql.types._
   * original AVI/RIFF demuxer walks the container (header parse, movi
   * chunk iteration, idx1 skip) and each frame's pixels decode through
   * the platform still-image codec (PNG-in-AVI — the lossless analog of
-  * MJPEG's JPEG-in-AVI layout), hash-proven by `m_video_decode`. The
-  * deterministic stub ([[stubDecodeFeatures]]) is now scoped ONLY to
-  * inter-frame-compressed codecs (H.264/VP9/AV1 — no JVM ships a
-  * decoder, and bundling one is out of scope here); the Spark-side
+  * MJPEG's JPEG-in-AVI layout), hash-proven by `m_video_decode` — AND
+  * for one real INTER-frame codec: MS-RLE8 (BI_RLE8), whose delta/skip
+  * opcodes make each frame depend on the previous frame's decoded
+  * canvas, implemented from the public BMP/AVI spec and hash-proven by
+  * `m_video_interframe`. The deterministic stub
+  * ([[stubDecodeFeatures]]) is now scoped ONLY to the entropy-coded
+  * codec families (H.264/VP9/AV1 — no JVM ships a decoder and this
+  * build is zero-dependency by contract; that residual scope is a
+  * licensing/dependency boundary, not a missing decode capability:
+  * container walking, frame iteration, palette mapping and inter-frame
+  * state carry are all exercised for real above); the Spark-side
   * contract that matters at 100 TB is real and tested for every media
   * type: binary schema, per-partition batch processing (mapPartitions —
   * one decoder init per partition, not per row), bounded row widths
@@ -43,8 +50,10 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
       .withColumn("n_bytes", octet_length(col("text")).cast("long"))
 
-  /** STUB decoder — inter-frame-compressed video ONLY (images, audio,
-    * and intra-frame AVI video all decode for real in this file).
+  /** STUB decoder — entropy-coded video ONLY (H.264/VP9/AV1; images,
+    * audio, intra-frame AVI video AND RLE8 inter-frame video all
+    * decode for real in this file — see [[rle8DecodeInto]] for the
+    * canvas-carrying inter-frame path).
     * Deterministic 8-dim float features from payload bytes (stride
     * sampling), so downstream similarity/dedup plumbing is exercised
     * end-to-end. A real deployment swaps `decodeOne` for a codec call; the
@@ -417,7 +426,20 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+    val strf = new LeWriter // BITMAPINFOHEADER
+    strf.u32(40); strf.u32(side.toLong); strf.u32(side.toLong)
+    strf.u16(1); strf.u16(24)  // biPlanes, biBitCount
+    strf.raw(fourcc("MPNG"))   // biCompression
+    strf.u32(0); strf.u32(0); strf.u32(0); strf.u32(0); strf.u32(0)
+    muxAvi(frames, nf, fps, side, "MPNG", strf.bytes)
+  }
 
+  /** Mux independently-produced frame chunk payloads into one RIFF/AVI
+    * container — shared by the PNG-in-AVI (intra-frame) and RLE8
+    * (inter-frame) generators; only the stream handler + strf differ. */
+  private def muxAvi(frames: IndexedSeq[Array[Byte]], nf: Int, fps: Int,
+                     side: Int, handler: String,
+                     strfBytes: Array[Byte]): Array[Byte] = {
     val avih = new LeWriter
     avih.u32(1000000L / fps) // dwMicroSecPerFrame
     avih.u32(0); avih.u32(0) // dwMaxBytesPerSec, dwPaddingGranularity
@@ -428,7 +450,7 @@ object Multimodal {
     avih.u32(0); avih.u32(0); avih.u32(0); avih.u32(0) // dwReserved[4]
 
     val strh = new LeWriter
-    strh.raw(fourcc("vids")); strh.raw(fourcc("MPNG"))
+    strh.raw(fourcc("vids")); strh.raw(fourcc(handler))
     strh.u32(0); strh.u16(0); strh.u16(0) // dwFlags, wPriority, wLanguage
     strh.u32(0)                           // dwInitialFrames
     strh.u32(1); strh.u32(fps.toLong)     // dwScale, dwRate -> fps = rate/scale
@@ -437,16 +459,10 @@ object Multimodal {
     strh.u32(0)                           // dwSampleSize
     strh.u16(0); strh.u16(0); strh.u16(side); strh.u16(side) // rcFrame
 
-    val strf = new LeWriter // BITMAPINFOHEADER
-    strf.u32(40); strf.u32(side.toLong); strf.u32(side.toLong)
-    strf.u16(1); strf.u16(24)  // biPlanes, biBitCount
-    strf.raw(fourcc("MPNG"))   // biCompression
-    strf.u32(0); strf.u32(0); strf.u32(0); strf.u32(0); strf.u32(0)
-
     val strl = new LeWriter
     strl.raw(fourcc("strl"))
     strl.chunk("strh", strh.bytes)
-    strl.chunk("strf", strf.bytes)
+    strl.chunk("strf", strfBytes)
 
     val hdrl = new LeWriter
     hdrl.raw(fourcc("hdrl"))
@@ -469,7 +485,9 @@ object Multimodal {
     f = 0
     while (f < nf) {
       idx1.raw(fourcc("00dc"))
-      idx1.u32(0x10) // AVIIF_KEYFRAME (every PNG frame is independent)
+      // AVIIF_KEYFRAME: every MPNG frame is independent; an MRLE delta
+      // frame depends on its predecessor, so only frame 0 is a key
+      idx1.u32(if (handler == "MRLE" && f > 0) 0L else 0x10L)
       idx1.u32(offsets(f))
       idx1.u32(frames(f).length.toLong)
       f += 1
@@ -484,6 +502,129 @@ object Multimodal {
     val out = new LeWriter
     out.chunk("RIFF", riffBody.bytes)
     out.bytes
+  }
+
+  // ---------------------------------------------------------------------
+  // INTER-frame video: MS-RLE8 (BI_RLE8) — a real, published codec whose
+  // delta/skip opcodes make frame f's pixels depend on frame f-1's
+  // decoded canvas (the dependency structure H.264/VP9 P-frames have,
+  // in the one inter-frame codec a zero-dependency JVM can own end to
+  // end). Frame 0 is a keyframe (absolute-mode rows covering every
+  // pixel); each later frame re-codes ONLY its changed row and skips
+  // the rest via end-of-line opcodes — decode without carrying the
+  // canvas across frames is structurally impossible, which is exactly
+  // what m_video_interframe's oracle proves survived the round-trip.
+  // Opcodes (public BMP/AVI RLE8 spec): (n>0, v) = run of n pixels v;
+  // 00 00 = end of line (bottom-up); 00 01 = end of bitmap;
+  // 00 02 dx dy = cursor delta (skipped pixels RETAIN the prior
+  // frame); 00 n>=3 <n bytes> [pad] = absolute literals.
+  // ---------------------------------------------------------------------
+
+  /** The row frame f repaints (top-down): row f of 3..6-frame clips —
+    * nVideoFrames <= 6 < VideoSide, so rows are distinct and the
+    * oracle's closed form stays trivial. Frame 0 paints everything. */
+  private[operators] def rleChangedRow(f: Int): Int = f
+
+  /** Render-and-encode a real INTER-frame AVI payload per row: frame 0
+    * an RLE8 keyframe of [[pixelValue]] on seed (id, 0); frame f > 0 an
+    * RLE8 DELTA frame repainting only row [[rleChangedRow]] with seed
+    * (id, f) pixels — every other pixel rides the decoder's canvas. */
+  def videoPayloadRle(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val inEnc: Encoder[Long] = Encoders.scalaLong
+    val outEnc: Encoder[(Long, Array[Byte])] =
+      ExpressionEncoder[(Long, Array[Byte])]()
+    docs.select(col(idCol).cast("long")).as(inEnc)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { it => it.map(id => (id, renderEncodeAviRle(id))) }(outEnc)
+      .toDF(idCol, "payload")
+  }
+
+  private def renderEncodeAviRle(id: Long): Array[Byte] = {
+    val nf = numVideoFrames(id)
+    val fps = videoFps(id)
+    val side = VideoSide
+    // absolute-mode run of one full row (side = 16 is even: no pad)
+    def absRow(w: LeWriter, seed: Long, y: Int): Unit = {
+      w.bos.write(0); w.bos.write(side)
+      var x = 0
+      while (x < side) { w.bos.write(pixelValue(seed, x, y)); x += 1 }
+    }
+    val frames: IndexedSeq[Array[Byte]] = (0 until nf).map { f =>
+      val w = new LeWriter
+      if (f == 0) {
+        // keyframe: bottom-up full coverage, EOL per row, EOB last
+        var r = 0
+        while (r < side) {
+          absRow(w, videoFrameSeed(id, 0), side - 1 - r)
+          w.bos.write(0); w.bos.write(0) // EOL
+          r += 1
+        }
+      } else {
+        // delta frame: skip down to the changed row via EOLs (each
+        // skipped pixel retains the canvas — the inter-frame part),
+        // repaint it, end the bitmap (the rest also retains)
+        val y = rleChangedRow(f)
+        val rUp = side - 1 - y
+        var r = 0
+        while (r < rUp) { w.bos.write(0); w.bos.write(0); r += 1 }
+        absRow(w, videoFrameSeed(id, f), y)
+      }
+      w.bos.write(0); w.bos.write(1) // EOB
+      w.bytes
+    }
+    val strf = new LeWriter // BITMAPINFOHEADER + 256-entry gray palette
+    strf.u32(40); strf.u32(side.toLong); strf.u32(side.toLong)
+    strf.u16(1); strf.u16(8)   // biPlanes, biBitCount (palettized)
+    strf.u32(1)                // biCompression = BI_RLE8
+    strf.u32(0); strf.u32(0); strf.u32(0)
+    strf.u32(256); strf.u32(0) // biClrUsed, biClrImportant
+    var i = 0
+    while (i < 256) { // RGBQUAD: blue, green, red, reserved
+      strf.bos.write(i); strf.bos.write(i); strf.bos.write(i); strf.bos.write(0)
+      i += 1
+    }
+    muxAvi(frames, nf, fps, side, "MRLE", strf.bytes)
+  }
+
+  /** Decode one RLE8 frame INTO the persistent canvas (row-major,
+    * top-down indexing; RLE8 itself walks bottom-up). Bounds-checked;
+    * malformed opcodes throw (=> decoded = false upstream). */
+  private def rle8DecodeInto(canvas: Array[Int], bytes: Array[Byte],
+                             from: Int, to: Int, w: Int, h: Int): Unit = {
+    var p = from
+    var x = 0
+    var r = 0 // bottom-up row index
+    @inline def put(v: Int): Unit = {
+      if (x >= w || r >= h) throw new IllegalArgumentException("RLE8 overrun")
+      canvas((h - 1 - r) * w + x) = v
+      x += 1
+    }
+    var done = false
+    while (!done) {
+      if (p + 2 > to) throw new IllegalArgumentException("RLE8 truncated")
+      val c = bytes(p) & 0xff
+      val d = bytes(p + 1) & 0xff
+      p += 2
+      if (c > 0) { // encoded run
+        var n = 0
+        while (n < c) { put(d); n += 1 }
+      } else d match {
+        case 0 => x = 0; r += 1          // end of line
+        case 1 => done = true            // end of bitmap
+        case 2 =>                        // delta: skip (canvas retains)
+          if (p + 2 > to) throw new IllegalArgumentException("RLE8 truncated")
+          x += bytes(p) & 0xff; r += bytes(p + 1) & 0xff
+          p += 2
+          if (x > w || r > h) throw new IllegalArgumentException("RLE8 delta overrun")
+        case n =>                        // absolute literals, word-padded
+          if (p + n > to) throw new IllegalArgumentException("RLE8 truncated")
+          var i = 0
+          while (i < n) { put(bytes(p + i) & 0xff); i += 1 }
+          p += n + (n & 1)
+      }
+    }
   }
 
   /** REAL video decode for intra-frame-coded AVI: an original RIFF/AVI
@@ -552,6 +693,16 @@ object Multimodal {
     var width = 0; var height = 0; var fps = 0
     var nFrames = 0; var sumLum = 0L
     val sampled = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // RLE8 (inter-frame) state: biCompression/palette from the video
+    // stream's strf; the persistent canvas IS the inter-frame memory —
+    // frame f's delta opcodes leave skipped pixels at frame f-1's
+    // values, so every frame decodes (stride affects EMIT only; with
+    // an inter-frame codec skipping decode work would need keyframe
+    // bookkeeping this sampler does not claim)
+    var inVidsStrl = false
+    var biCompression = 0L
+    var palette: Array[Int] = null
+    var canvas: Array[Int] = null
 
     // walk one chunk level [from, to); recurse into LISTs we care about.
     // Depth-capped: a valid AVI nests at most RIFF > hdrl > strl (movi's
@@ -576,13 +727,46 @@ object Multimodal {
           width = u32(dataOff + 32).toInt
           height = u32(dataOff + 36).toInt
         } else if (id == "strh") {
-          if (cc(dataOff) == "vids") {
+          inVidsStrl = cc(dataOff) == "vids"
+          if (inVidsStrl) {
             val scale = u32(dataOff + 20)
             val rate = u32(dataOff + 24)
             if (scale > 0) fps = (rate / scale).toInt
           }
+        } else if (id == "strf" && inVidsStrl) {
+          // BITMAPINFOHEADER: compression selects the frame codec;
+          // 8-bit palettized streams carry RGBQUADs after the header
+          if (sz >= 40) {
+            biCompression = u32(dataOff + 16)
+            val bitCount = u32(dataOff + 14) & 0xffff
+            if (bitCount == 8L && sz > 40) {
+              val used0 = u32(dataOff + 32)
+              val used = math.min(
+                if (used0 == 0) 256L else used0, (sz - 40) / 4).toInt
+              palette = Array.tabulate(used)(i =>
+                bytes(dataOff + 40 + 4 * i + 2) & 0xff) // red channel = gray
+            }
+          }
         } else if (inMovi && (id == "00dc" || id == "00db")) {
-          if (nFrames % stride == 0) {
+          if (biCompression == 1L) { // BI_RLE8: inter-frame — decode ALL
+            if (canvas == null) {
+              if (width <= 0 || height <= 0 ||
+                  width.toLong * height > (1 << 24))
+                throw new IllegalArgumentException("bad RLE8 geometry")
+              canvas = new Array[Int](width * height)
+            }
+            rle8DecodeInto(canvas, bytes, dataOff, dataEnd, width, height)
+            val pal = palette
+            var fSum = 0L
+            var i = 0
+            while (i < canvas.length) {
+              val v = canvas(i)
+              fSum += (if (pal != null && v < pal.length) pal(v) else v)
+              i += 1
+            }
+            sumLum += fSum
+            if (nFrames % stride == 0) sampled += ((nFrames, fSum))
+          } else if (nFrames % stride == 0) {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes.slice(dataOff, dataEnd)))
             if (img == null) throw new IllegalArgumentException("undecodable frame")
@@ -596,9 +780,9 @@ object Multimodal {
             }
             sumLum += fSum
             sampled += ((nFrames, fSum))
-          } // non-sampled frames: header-counted only, no codec run
+          } // non-sampled intra frames: header-counted only, no codec run
           nFrames += 1
-        } // else: strf, idx1, JUNK, other streams — structural skip
+        } // else: idx1, JUNK, other streams — structural skip
         p = dataEnd + (sz.toInt & 1)
       }
     }
@@ -857,6 +1041,31 @@ object Multimodal {
         |  CAST(sum_lum AS BIGINT) AS sum_lum, 'avi' AS fmt
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // The INTER-frame twin: RLE8 delta frames repaint one row per frame
+    // and retain every other pixel from the decoder's canvas, so frame
+    // f's luminance sum is only computable by carrying decoded state
+    // across frames — the oracle's CASE reconstructs exactly that
+    // retained-vs-repainted composition from the closed pixel form. A
+    // hash match proves a real inter-frame decode (canvas carry, delta
+    // opcodes, palette mapping) survived the mux -> demux round-trip.
+    "m_video_interframe" ->
+      """WITH f AS (SELECT doc_id, CAST(3 + doc_id % 4 AS BIGINT) AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nf,
+        |         unnest(generate_series(0, CAST(nf AS INT) - 1)) AS fi FROM f),
+        |g AS (SELECT unnest(generate_series(0, 15)) AS v),
+        |s AS (SELECT fr.doc_id, MAX(nf) AS nf,
+        |        SUM(((fr.doc_id * 8 +
+        |              CASE WHEN gy.v BETWEEN 1 AND fi THEN gy.v ELSE 0 END) * 31
+        |             + gx.v * 7 + gy.v * 13) % 256) AS sum_lum
+        |      FROM fr, g gx, g gy GROUP BY fr.doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(nf AS INT) AS n_frames,
+        |  CAST(5 + doc_id % 10 AS INT) AS fps,
+        |  CAST(sum_lum AS BIGINT) AS sum_lum, 'avi' AS fmt
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     // Per-frame twin of m_video_decode at stride 2 (sample every other
     // frame): the oracle enumerates (doc, even frame) and recomputes each
     // frame's luminance sum — row count AND values prove the demuxer
@@ -935,6 +1144,15 @@ object Multimodal {
     "m_video_decode" -> ((s, dir) => {
       decodeVideoFeatures(
           videoPayload(graft.queries.Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL INTER-frame round-trip: RLE8 keyframe + delta frames muxed
+    // into AVI, decoded back through the canvas-carrying RLE8 decoder.
+    // Hash-proven against the retained-vs-repainted closed form.
+    "m_video_interframe" -> ((s, dir) => {
+      decodeVideoFeatures(
+          videoPayloadRle(graft.queries.Tables(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
 

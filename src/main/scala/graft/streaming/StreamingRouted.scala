@@ -57,13 +57,35 @@ object StreamingRouted {
           // nothing; unsaved ingests from earlier in the window still
           // save even when the boundary batch itself is empty)
           if (every > 0 && sinceSave >= every && unsavedIngests > 0) {
-            HnswRouted.save(handle.index, path)
+            HnswRouted.save(handle.index, path, keepVersions = 2)
+            rebase(handle, batch.sparkSession, path)
             sinceSave = 0
             unsavedIngests = 0
           }
         }
       }
       .start()
+  }
+
+  /** REBASE the handle onto the just-saved image. The save-while-
+    * attached hazard this closes: a handle attached from a PRIOR
+    * version (the restart posture), or descended from one through a
+    * chain of ingest cogroups, still reads that version's parquet
+    * through its RDD lineage whenever an evicted/lost block recomputes
+    * — and the save's version reclaim would delete those files under
+    * it. Discipline: every streaming save passes `keepVersions = 2`
+    * (the prior version survives THIS save) and immediately rebases
+    * the handle onto the newest version, so by the time the NEXT save
+    * reclaims that prior version no live lineage reads it. Also
+    * truncates the otherwise-unbounded ingest-cogroup lineage chain a
+    * long-running stream accumulates (a deep recompute after executor
+    * loss would otherwise replay every micro-batch merge). */
+  private def rebase(handle: Handle,
+                     spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val prior = handle.index
+    handle.index = HnswRouted.attach(spark, path)
+    prior.unpersist()
   }
 
   /** CDC streaming against the routed tier: each micro-batch carries
@@ -107,7 +129,8 @@ object StreamingRouted {
         sinceSave += 1
         checkpoint.foreach { case (path, every) =>
           if (every > 0 && sinceSave >= every && unsavedOps > 0) {
-            HnswRouted.save(handle.index, path)
+            HnswRouted.save(handle.index, path, keepVersions = 2)
+            rebase(handle, batch.sparkSession, path)
             sinceSave = 0
             unsavedOps = 0
           }
@@ -116,13 +139,28 @@ object StreamingRouted {
       .start()
   }
 
+  /** Patch stacks deeper than this fold to one full image inside the
+    * CDC loop ([[HnswRouted.foldOverlay]]) — before round 16 the stack
+    * was bounded only by caller discipline: a handle entering the
+    * stream already patched (e.g. from [[HnswRouted
+    * .remediateMergedCells]]'s default) kept its overlays until some
+    * caller remembered to fold. Each overlay adds one per-partition
+    * branch to every serving action and pins its blocks; four is deep
+    * enough to amortize folds and shallow enough that the composite
+    * never dominates a serve. */
+  val DefaultMaxOverlayDepth = 4
+
   /** One CDC micro-batch against a routed index — the attachCdc body,
     * extracted so derived tiers ([[StreamingRoutedPq]]) apply the
     * IDENTICAL delete/insert/compact semantics to their float source.
     * Returns (next index, number of mutating ops applied: 0 when the
-    * batch was a full no-op, e.g. all-redelivered inserts). */
+    * batch was a full no-op, e.g. all-redelivered inserts). After the
+    * batch's ops, an overlay stack at [[DefaultMaxOverlayDepth]] or
+    * deeper folds to one full image (results identical — spec-pinned;
+    * the threshold-compaction pattern applied to patch depth). */
   private[streaming] def cdcStep(index0: RoutedIndex, batch: DataFrame,
-                                 compactThreshold: Double): (RoutedIndex, Int) = {
+                                 compactThreshold: Double,
+                                 maxOverlayDepth: Int = DefaultMaxOverlayDepth): (RoutedIndex, Int) = {
     var index = index0
     var ops = 0
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -164,6 +202,14 @@ object StreamingRouted {
           index = HnswRouted.compact(index)
           ops += 1
         }
+      }
+      // overlay-depth fold (see DefaultMaxOverlayDepth): compact above
+      // already materializes a full image when it fires, so this only
+      // triggers on streams whose handle accumulated patches without
+      // crossing the compaction threshold
+      if (maxOverlayDepth > 0 && index.overlay.length >= maxOverlayDepth) {
+        index = HnswRouted.foldOverlay(index)
+        ops += 1
       }
       (index, ops)
     } finally { b.unpersist(); () }

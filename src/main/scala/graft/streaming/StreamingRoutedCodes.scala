@@ -42,13 +42,27 @@ object StreamingRoutedCodes {
         sinceSave += 1
         checkpoint.foreach { case (path, every) =>
           if (every > 0 && sinceSave >= every && unsavedIngests > 0) {
-            HnswRoutedCodes.save(handle.index, path)
+            HnswRoutedCodes.save(handle.index, path, keepVersions = 2)
+            rebase(handle, batch.sparkSession, path)
             sinceSave = 0
             unsavedIngests = 0
           }
         }
       }
       .start()
+  }
+
+  /** Rebase-after-save (the [[StreamingRouted]] discipline, codes
+    * tier): `keepVersions = 2` retains the version a live attached
+    * handle's lineage still reads across THIS save; the rebase moves
+    * the handle onto the newest version before the next save reclaims
+    * it, and truncates the ingest-cogroup lineage chain. */
+  private def rebase(handle: Handle,
+                     spark: org.apache.spark.sql.SparkSession,
+                     path: String): Unit = {
+    val prior = handle.index
+    handle.index = HnswRoutedCodes.attach(spark, path)
+    prior.unpersist()
   }
 
   /** CDC micro-batches `(id, code, op)` with op `"insert"`/`"upsert"`
@@ -104,12 +118,20 @@ object StreamingRoutedCodes {
                 unsavedOps += 1
               }
             }
+            // overlay-depth fold (the StreamingRouted.cdcStep cadence):
+            // bounds patch stacks a pre-patched handle brought in
+            if (handle.index.overlay.length >=
+                StreamingRouted.DefaultMaxOverlayDepth) {
+              handle.index = HnswRoutedCodes.foldOverlay(handle.index)
+              unsavedOps += 1
+            }
           } finally { b.unpersist(); () }
         }
         sinceSave += 1
         checkpoint.foreach { case (path, every) =>
           if (every > 0 && sinceSave >= every && unsavedOps > 0) {
-            HnswRoutedCodes.save(handle.index, path)
+            HnswRoutedCodes.save(handle.index, path, keepVersions = 2)
+            rebase(handle, batch.sparkSession, path)
             sinceSave = 0
             unsavedOps = 0
           }

@@ -78,7 +78,19 @@ object StreamingRoutedPq {
         sinceSave += 1
         checkpoint.foreach { case (path, every) =>
           if (every > 0 && sinceSave >= every && unsavedOps > 0) {
-            HnswRoutedPq.save(handle.pq, path)
+            // keepVersions = 2 + rebase-after-save: in THIS loop attach
+            // is the sole serving source (the handle restores from this
+            // very path on restart), so the live handle's RDD lineage
+            // reads a version dir by construction — the old commit
+            // behavior (reclaim everything but the newest version)
+            // deleted the files that lineage recomputes from. The prior
+            // version survives this save; the rebase moves the handle
+            // (and all future lineage) onto the newest version before
+            // the NEXT save reclaims the prior one.
+            HnswRoutedPq.save(handle.pq, path, keepVersions = 2)
+            val prior = handle.pq
+            handle.pq = HnswRoutedPq.attach(batch.sparkSession, path)
+            prior.unpersist()
             sinceSave = 0
             unsavedOps = 0
           }
@@ -169,7 +181,26 @@ object StreamingRoutedPq {
         sinceSave += 1
         checkpoint.foreach { case (path, every) =>
           if (every > 0 && sinceSave >= every && unsavedOps > 0) {
-            HnswRouted.save(handle.float, path)
+            // the [[StreamingRouted]] rebase-after-save discipline on
+            // the two-tier handle: the float source rebases onto the
+            // just-written image (keepVersions = 2 retains the version
+            // a restart-attached float still reads across this save),
+            // and the PQ tier re-roots via fromRoutedWith — a full
+            // re-encode rather than the fingerprint-carry rederive, ON
+            // PURPOSE: the carry path's zipPartitions keeps the OLD pq
+            // shards (and through them the pre-rebase float chain) in
+            // the new handle's lineage, which is exactly the reclaimed-
+            // version recompute hazard this rebase exists to cut. One
+            // narrow encode pass per save cadence, O(index) like the
+            // save itself.
+            HnswRouted.save(handle.float, path, keepVersions = 2)
+            val priorF = handle.float
+            val priorPq = handle.pq
+            handle.float = HnswRouted.attach(batch.sparkSession, path)
+            handle.pq = HnswRoutedPq.fromRoutedWith(handle.float,
+              priorPq.codebook)
+            priorF.unpersist()
+            priorPq.unpersist()
             sinceSave = 0
             unsavedOps = 0
           }

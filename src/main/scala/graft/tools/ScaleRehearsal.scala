@@ -975,6 +975,144 @@ object ScaleRehearsal {
           f"flag_tomb_s=$flagTombS%.2f flag_plain_s=$flagPlainS%.2f")
       }
 
+      // MERGED-CELL remedy rung on the CODES tier (round-16): the
+      // float leg's regime re-planted in Hamming space — the
+      // k-majority router merges two code modes per cell (two-level
+      // geometry: far supers, near sub-modes), a mode-aligned delete
+      // turns one cell half-dead with the dead mass geometrically
+      // clustered, and queries arrive ON THE DEAD SIDE. Measures the
+      // serving tax, the audit, the targeted remedy, and the
+      // build-time modality guard — the 1e8-decade tier's counterpart
+      // of the failure class the float tier measured at 11.6×.
+      if (ops("merged_remedy_codes")) run("ann_merged_remedy_codes", n) {
+        import graft.hnsw.{HnswParams, HnswRoutedCodes}
+        import spark.implicits._
+        val nCells = if (n >= 10000000) 64 else 16
+        val nSub = nCells * 2
+        @inline def mix(z0: Long): Long = {
+          var z = z0 + 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z ^ (z >>> 31)
+        }
+        def codeOf(id: Long): Long = {
+          val g = (id % nSub).toInt
+          val mode = mix(0xC0DEL + g / 2) ^ (0xFFL << ((g % 2) * 8))
+          val n1 = (mix(id * 31L + 7L) & 63L).toInt
+          val n2 = (mix(id * 57L + 11L) & 63L).toInt
+          mode ^ (1L << n1) ^ (1L << n2)
+        }
+        val codesDf = spark.range(n.toLong).as[Long]
+          .map(id => (id, codeOf(id))).toDF("id", "code")
+          .localCheckpoint(true)
+        val params = HnswParams.standard(64, 32, 16)
+        val index = HnswRoutedCodes.build(codesDf, params, nCells)
+        // dead-side queries: perturbed members of the mode about to die
+        val qDf = spark.createDataset(
+            (0L until n.toLong by nSub.toLong).take(2000)
+              .map(id => (id, codeOf(id) ^ (1L << 3))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        def serve(idx: HnswRoutedCodes.RoutedCodeIndex): Double = {
+          val t = System.nanoTime()
+          HnswRoutedCodes.search(idx, qDf, 10, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        serve(index) // warm
+        val plainS = math.min(serve(index), serve(index))
+        val tombed = HnswRoutedCodes.delete(index,
+          codesDf.filter(col("id") % nSub === 0).select(col("id")))
+        serve(tombed) // warm the predicated path
+        val tombS = math.min(serve(tombed), serve(tombed))
+        val t1 = System.nanoTime()
+        val audit = HnswRoutedCodes.mergedCellAudit(tombed).collect()
+        val auditS = (System.nanoTime() - t1) / 1e9
+        println("REHEARSAL_PHASE merged_remedy_codes audit: " +
+          audit.mkString(" | "))
+        val t2 = System.nanoTime()
+        val (rem, flagged) = HnswRoutedCodes.remediateMergedCells(tombed)
+        val remS = (System.nanoTime() - t2) / 1e9
+        serve(rem) // warm
+        val postS = math.min(serve(rem), serve(rem))
+        rem.unpersist()
+        // build-time modality guard variant: split at build → the
+        // delete leaves whole cells dead, predicated serving skips them
+        val t3 = System.nanoTime()
+        val flagIdx = HnswRoutedCodes.build(codesDf, params, nCells,
+          modalitySplit = true)
+        val flagBuildS = (System.nanoTime() - t3) / 1e9
+        serve(flagIdx) // warm
+        val flagPlainS = math.min(serve(flagIdx), serve(flagIdx))
+        val flagTombed = HnswRoutedCodes.delete(flagIdx,
+          codesDf.filter(col("id") % nSub === 0).select(col("id")))
+        serve(flagTombed) // warm
+        val flagTombS = math.min(serve(flagTombed), serve(flagTombed))
+        println(f"REHEARSAL_PHASE merged_remedy_codes n=$n " +
+          f"modality_build_s=$flagBuildS%.1f " +
+          f"split_anchors=${flagIdx.anchors.length - nCells} " +
+          f"flag_plain_s=$flagPlainS%.2f flag_tomb_s=$flagTombS%.2f " +
+          f"flag_tomb_overhead=${flagTombS / flagPlainS}%.2fx")
+        flagIdx.unpersist()
+        index.unpersist()
+        (flagged.length.toLong,
+          f"plain_s=$plainS%.2f tomb_s=$tombS%.2f " +
+          f"tomb_overhead=${tombS / plainS}%.2fx " +
+          f"audit_s=$auditS%.1f remedy_s=$remS%.1f flagged=${flagged.length} " +
+          f"post_s=$postS%.2f post_overhead=${postS / plainS}%.2fx " +
+          f"residual_tombstones=${rem.tombstones.length} " +
+          f"flag_tomb_overhead=${flagTombS / flagPlainS}%.2fx")
+      }
+
+      // SERVING WARM-UP rung (round-16): the first-serve tax and its
+      // mitigation. Build a codes index at DISK_ONLY (the residency
+      // the 1e8 decade actually runs), save + attach (the restart
+      // posture), then measure the FIRST serve cold vs the steady
+      // band — and the same with a warm() pass between attach and
+      // first serve. Done-bar: warmed first serve ≤ 2× steady.
+      if (ops("warmup")) run("ann_serving_warmup", n) {
+        import graft.hnsw.{HnswParams, HnswRoutedCodes}
+        import spark.implicits._
+        val nCells = if (n >= 10000000) 64 else 16
+        val codesDf = spark.range(n.toLong).as[Long]
+          .map(id => (id, id * -7046029254386353131L + 6364136223846793005L))
+          .toDF("id", "code").localCheckpoint(true)
+        val params = HnswParams.standard(64, 32, 32)
+        val disk = org.apache.spark.storage.StorageLevel.DISK_ONLY
+        val built = HnswRoutedCodes.build(codesDf, params, nCells,
+          storage = disk)
+        val dir = graft.TempDirs.create("graft_warmup_")
+        HnswRoutedCodes.save(built, dir)
+        built.unpersist()
+        val qDf = codesDf
+          .filter(col("id") % math.max(1L, n.toLong / 2000) === 0L)
+          .limit(2000).toDF("qid", "qcode").localCheckpoint(true)
+        def serve(idx: HnswRoutedCodes.RoutedCodeIndex): Double = {
+          val t = System.nanoTime()
+          HnswRoutedCodes.search(idx, qDf, 10, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1e9
+        }
+        // COLD posture: attach, serve immediately
+        val a1 = HnswRoutedCodes.attach(spark, dir, storage = disk)
+        val coldFirst = serve(a1)
+        val coldSteady = math.min(serve(a1), serve(a1))
+        a1.unpersist()
+        // WARM posture: attach, warm(), then serve
+        val a2 = HnswRoutedCodes.attach(spark, dir, storage = disk)
+        val tW = System.nanoTime()
+        HnswRoutedCodes.warm(a2)
+        val warmS = (System.nanoTime() - tW) / 1e9
+        val warmFirst = serve(a2)
+        val warmSteady = math.min(serve(a2), serve(a2))
+        a2.unpersist()
+        (n.toLong,
+          f"cold_first_s=$coldFirst%.2f cold_steady_s=$coldSteady%.2f " +
+          f"cold_ratio=${coldFirst / math.max(1e-9, coldSteady)}%.1fx " +
+          f"warm_pass_s=$warmS%.2f warm_first_s=$warmFirst%.2f " +
+          f"warm_steady_s=$warmSteady%.2f " +
+          f"warm_ratio=${warmFirst / math.max(1e-9, warmSteady)}%.1fx")
+      }
+
       // ROUTED+PQ rung (round-15, second session): the compression
       // tier as the demonstrated at-scale serving path for FLOAT
       // similarity. Build the float routed l2 index, derive the PQ

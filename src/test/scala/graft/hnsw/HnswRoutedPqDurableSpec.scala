@@ -70,6 +70,73 @@ class HnswRoutedPqDurableSpec extends SparkSpec {
     assert(again == before)
   }
 
+  test("zero-code cells survive the save/attach round-trip (presence rides the fingerprints table)") {
+    val n = 1200
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    // wipe ONE whole cell, fold it out: the float compact leaves the
+    // cell's shard present with zero rows
+    val cellIds = routed.shards.flatMap { case (c, s) =>
+      s.vectors.keysIterator.map(id => (c, id)) }.collect()
+    val victim = cellIds.groupBy(_._1).minBy(_._1)._1
+    val wiped = cellIds.filter(_._1 == victim).map(_._2)
+    val compacted = HnswRouted.compact(
+      HnswRouted.delete(routed, wiped.toSeq.toDF("id")),
+      persist = false, unpersistPrior = false)
+    val pq = HnswRoutedPq.fromRouted(compacted, persist = false)
+    val nShards = pq.shards.count()
+    assert(pq.shards.filter(_._2.codes.isEmpty).count() == 1L,
+      "planting failed: expected exactly one zero-code shard")
+
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_empty_").toString
+    HnswRoutedPq.save(pq, path)
+    val restored = HnswRoutedPq.attach(spark, path, persist = false)
+    // the empty shard survives (pre-fix: cogroup dropped it — the
+    // restored index had fewer shards than the saved one)
+    assert(restored.shards.count() == nShards)
+    assert(restored.shards.filter(_._2.codes.isEmpty).count() == 1L)
+    // and rederive against the unchanged source still carries ALL
+    // cells (pre-fix the missing shard counted as a re-encode)
+    val (_, reenc, carried) = HnswRoutedPq.rederiveCounted(
+      restored, compacted, persist = false)
+    assert(reenc == 0L, s"empty cell broke the carry: $reenc re-encodes")
+    assert(carried == compacted.router.allCells.size.toLong)
+  }
+
+  test("build seed persists: solo compaction after attach rebuilds graph-identical to the float-source rebuild") {
+    val n = 1200
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val qDf = (0 until 50).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    val pq = HnswRoutedPq.fromRouted(routed, persist = false)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_seed_").toString
+    HnswRoutedPq.save(pq, path)
+    val attached = HnswRoutedPq.attach(spark, path, persist = false)
+    assert(attached.buildSeed == cfg.seed,
+      s"build seed did not survive the image: ${attached.buildSeed}")
+
+    val delDf = (0 until n).filter(_ % 5 == 0).map(_.toLong).toDF("id")
+    // solo path: delete + compactSolo on the attached handle
+    val solo = HnswRoutedPq.compactSolo(
+      HnswRoutedPq.delete(attached, delDf), baseDf, persist = false)
+    // float path: the same fold on the float source, then re-encode
+    val floatTwin = HnswRoutedPq.fromRoutedWith(
+      HnswRouted.compact(HnswRouted.delete(routed, delDf),
+        persist = false, unpersistPrior = false),
+      pq.codebook, persist = false)
+    // the COARSE stage exposes graph structure (nProbe < nCells takes
+    // the ADC graph beam): identical output pins graph-identity, which
+    // only holds when the solo rebuild drew layers with the BUILD seed
+    // (the pre-fix hardcoded 13 matched on content but not structure)
+    def coarse(ix: HnswRoutedPq.RoutedPqIndex) =
+      HnswRoutedPq.searchCoarse(ix, qDf, candidates = 8, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(coarse(solo) == coarse(floatTwin))
+  }
+
   test("attach without the float source serves a fresh session " +
       "(the restart posture: no build, no encode)") {
     val n = 1200

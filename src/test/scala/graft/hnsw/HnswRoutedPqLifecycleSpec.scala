@@ -111,7 +111,7 @@ class HnswRoutedPqLifecycleSpec extends SparkSpec {
     assert(served == exact)
   }
 
-  test("rederive after retrain (new router) falls back to a full re-encode") {
+  test("rederive after retrain (new router): content-keyed carry covers every cell + re-encode, rows equal a fresh derive") {
     val all = corpus(1200)
     val baseDf = all.toDF("id", "vec")
     val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
@@ -119,10 +119,40 @@ class HnswRoutedPqLifecycleSpec extends SparkSpec {
     val retrained = HnswRouted.retrain(routed, nCells = 6, persist = false)
     val (pq1, reenc, carried) = HnswRoutedPq.rederiveCounted(pq0, retrained,
       persist = false)
-    assert(carried == 0L, "a new cell layout cannot carry codes")
-    assert(reenc == retrained.router.allCells.size.toLong)
+    // every new cell is accounted for: matched-by-content cells carry,
+    // the rest re-encode (pre-round-16 the cross-layout path re-encoded
+    // everything)
+    assert(carried + reenc == retrained.router.allCells.size.toLong)
     assert(pq1.codebook eq pq0.codebook, "the codebook survives retrain")
     val qDf = (0 until 25).map(q => (q.toLong, vecFromHash(q + 90000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val fresh = HnswRoutedPq.fromRoutedWith(retrained, pq0.codebook,
+      persist = false)
+    assert(knnRows(pq1, qDf, baseDf) == knnRows(fresh, qDf, baseDf))
+  }
+
+  test("rederive across a retrain that re-converges: content-identical cells CARRY under new cell ids") {
+    // two far-apart clusters, nCells = 2: k-means lands on the same
+    // membership regardless of cell NUMBERING, so a retrain yields
+    // content-identical cells under a fresh router/partitioner — the
+    // regime the cross-layout fingerprint carry exists for
+    def clusterVec(i: Long): Array[Float] = {
+      val c = (i % 2).toInt
+      val center = vecFromHash(77L + c, 5L, 16).map(_ * 30f)
+      val noise = vecFromHash(i, 11L, 16)
+      Array.tabulate(16)(d => center(d) + noise(d))
+    }
+    val all = (0 until 1000).map(i => (i.toLong, clusterVec(i.toLong)))
+    val baseDf = all.toDF("id", "vec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 2, persist = false)
+    val pq0 = HnswRoutedPq.fromRouted(routed, persist = false)
+    val retrained = HnswRouted.retrain(routed, persist = false)
+    val (pq1, reenc, carried) = HnswRoutedPq.rederiveCounted(pq0, retrained,
+      persist = false)
+    assert(carried > 0L,
+      s"re-converged cells must carry by content fingerprint (carried=$carried reenc=$reenc)")
+    assert(carried + reenc == retrained.router.allCells.size.toLong)
+    val qDf = (0 until 25).map(q => (q.toLong, clusterVec(q + 90000L)))
       .toDF("qid", "qvec")
     val fresh = HnswRoutedPq.fromRoutedWith(retrained, pq0.codebook,
       persist = false)

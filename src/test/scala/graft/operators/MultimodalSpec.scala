@@ -115,6 +115,63 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real INTER-frame decode: RLE8 delta frames carry the canvas — sums match the retained/repainted composition") {
+    val sub = docs.limit(20)
+    val decoded = Multimodal.decodeVideoFeatures(Multimodal.videoPayloadRle(sub))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getInt(5), r.getLong(6), r.getString(7)))
+      .toMap
+    assert(decoded.nonEmpty)
+    decoded.foreach { case (id, (ok, w, h, nf, fps, sum, fmt)) =>
+      assert(ok, s"doc $id must decode")
+      assert(w == 16 && h == 16 && fmt == "avi")
+      assert(nf == Multimodal.numVideoFrames(id))
+      assert(fps == Multimodal.videoFps(id))
+      // frame f's canvas: rows 1..f repainted from their own frame's
+      // seed, everything else retained from the keyframe — only a
+      // decoder that carries state across frames reproduces this
+      val expected = (for {
+        f <- 0 until Multimodal.numVideoFrames(id)
+        y <- 0 until 16; x <- 0 until 16
+      } yield {
+        val seedFrame = if (y >= 1 && y <= f) y else 0
+        Multimodal.pixelValue(Multimodal.videoFrameSeed(id, seedFrame), x, y).toLong
+      }).sum
+      assert(sum == expected,
+        s"inter-frame luminance composition diverged for doc $id")
+    }
+  }
+
+  test("RLE8 fuzz: mutated and truncated inter-frame AVI bytes never crash the scan") {
+    import spark.implicits._
+    val base = Multimodal.videoPayloadRle(docs.limit(4)).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
+    val rng = new scala.util.Random(4321)
+    val mutants = (0 until 120).map { i =>
+      val (_, src) = base(i % base.length)
+      val b = src.clone()
+      rng.nextInt(3) match {
+        case 0 =>
+          (0 to rng.nextInt(8)).foreach { _ =>
+            b(rng.nextInt(b.length)) = rng.nextInt(256).toByte }
+          (i.toLong, b)
+        case 1 => (i.toLong, b.take(rng.nextInt(b.length)))
+        case 2 =>
+          val off = rng.nextInt(math.max(1, b.length - 4))
+          b(off) = 0xff.toByte; b(off + 1) = 0xff.toByte
+          (i.toLong, b.take(math.max(12, rng.nextInt(b.length))))
+      }
+    }
+    val out = Multimodal.decodeVideoFeatures(mutants.toDF("doc_id", "payload")).collect()
+    assert(out.length == mutants.length)
+    out.foreach { r =>
+      if (!r.getBoolean(1)) assert(r.getLong(6) == 0L)
+      else assert(r.getInt(4) > 0 && r.getLong(6) >= 0L)
+    }
+  }
+
   test("real video decode: corrupt and non-AVI payloads report decoded=false, not a crash") {
     import spark.implicits._
     val junk = Seq(
