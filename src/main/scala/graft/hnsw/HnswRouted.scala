@@ -268,11 +268,22 @@ object HnswRouted {
     // AFTER the merge — see the Scaladoc)
     val parts = (0 until k).filter(c => ns(c) >= 8).toArray
     if (parts.length == 0) return Array.empty
-    // mass-weighted mean radius: tiny outlier fragments must not drag
-    // the merge threshold down (unweighted, they shrank it enough to
-    // keep a unimodal blob's main fragments apart — a false split)
-    val meanRad = parts.map(c => ns(c) * lin(sumD(c) / ns(c))).sum /
-      parts.map(ns(_)).sum
+    // ROBUST mass-weighted mean radius: tiny outlier fragments must not
+    // drag the merge threshold down (unweighted, they shrank it enough
+    // to keep a unimodal blob's main fragments apart — a false split),
+    // and a mode-STRADDLING component must not inflate it (its radius
+    // reads ~ the inter-mode distance/2; mass-weighted in, the linkage
+    // threshold can exceed the inter-mode distance itself and the modes
+    // merge into one "unimodal" group — the codes twin measured exactly
+    // one of 16 planted bimodal cells escaping the guard this way at
+    // the 1e6 rung). Median-radius filter: components beyond 2x the
+    // median are excluded from the THRESHOLD computation only.
+    val radii = parts.map(c => lin(sumD(c) / ns(c)))
+    val medianRad = radii.sorted.apply(radii.length / 2)
+    val keptIdx = parts.indices.filter(i =>
+      medianRad == 0.0 || radii(i) <= 2.0 * medianRad)
+    val meanRad = keptIdx.map(i => ns(parts(i)) * radii(i)).sum /
+      math.max(1L, keptIdx.map(i => ns(parts(i)).toLong).sum)
     // single-linkage union-find over participating components; a zero
     // mean radius (distinct point masses) keeps every component apart
     val parent = Array.tabulate(parts.length)(identity)
@@ -384,8 +395,6 @@ object HnswRouted {
             nCells: Int = 16, persist: Boolean = true,
             maxCellRows: Long = DefaultMaxCellRows,
             modalitySplit: Boolean = false): RoutedIndex = {
-    require(nCells >= 1 && nCells <= (Int.MaxValue / SubCellCap),
-      s"nCells in [1, ${Int.MaxValue / SubCellCap}], got $nCells")
     val spark = vectors.sparkSession
     // GLOBAL id dedup before cell assignment (the HnswDistributed.build
     // duplicate-id guard, but cross-cell: duplicate rows with different
@@ -400,6 +409,43 @@ object HnswRouted {
       .groupBy(col("id")).agg(max(col("vec")).as("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    val (router, cells) = planRouter(deduped, cfg, nCells, maxCellRows,
+      modalitySplit)
+    val part = partitionerFor(router)
+    val keyed = cells
+      .select(col("id"), col("vec"), col("cell"))
+      .as(tripleEnc).rdd
+      .map { case (id, vec, cell) => (cell, (id, vec)) }
+      .partitionBy(part)
+    val shards = keyed.mapPartitions(
+      it => buildShards(it, Map.empty, cfg),
+      preservesPartitioning = true)
+    if (persist) {
+      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .setName("graft-hnsw-routed")
+      shards.count() // materialize the build eagerly
+    }
+    // persist=false shards stay lazy and recompute per action (the
+    // test-only contract); after the unpersist below that recompute
+    // re-runs the dedup shuffle — the caller opted out of pinning
+    RoutedIndex(cfg, router, shards)
+    } finally deduped.unpersist(blocking = false)
+  }
+
+  /** Router planning — everything between the id-dedup'd input and
+    * shard construction, shared by [[build]] and the PQ tier's
+    * float-free [[HnswRoutedPq.buildSolo]]: primary k-means training,
+    * the skew guard's secondary splits, the opt-in modality guard, and
+    * the final per-row cell assignment. `deduped` must be (id, vec),
+    * id-unique, and PERSISTED by the caller (this runs several jobs
+    * over it). Returns the router and the assignment projection
+    * (id, vec, cell). */
+  private[hnsw] def planRouter(deduped: DataFrame, cfg: BuildConfig,
+                               nCells: Int, maxCellRows: Long,
+                               modalitySplit: Boolean): (Router, DataFrame) = {
+    require(nCells >= 1 && nCells <= (Int.MaxValue / SubCellCap),
+      s"nCells in [1, ${Int.MaxValue / SubCellCap}], got $nCells")
+    val spark = deduped.sparkSession
     val primary = Ivf.train(deduped, nCells, cfg.metric, seed = cfg.seed)
     val assigned = deduped.withColumn("pcell",
       graft.functions.IvfFunctions.ivfCell(
@@ -484,26 +530,7 @@ object HnswRouted {
           "durable frontier tier (HnswDurable), which never " +
           "materializes a cell in memory")
     }
-
-    val part = partitionerFor(router)
-    val keyed = cells
-      .select(col("id"), col("vec"), col("cell"))
-      .as(tripleEnc).rdd
-      .map { case (id, vec, cell) => (cell, (id, vec)) }
-      .partitionBy(part)
-    val shards = keyed.mapPartitions(
-      it => buildShards(it, Map.empty, cfg),
-      preservesPartitioning = true)
-    if (persist) {
-      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .setName("graft-hnsw-routed")
-      shards.count() // materialize the build eagerly
-    }
-    // persist=false shards stay lazy and recompute per action (the
-    // test-only contract); after the unpersist below that recompute
-    // re-runs the dedup shuffle — the caller opted out of pinning
-    RoutedIndex(cfg, router, shards)
-    } finally deduped.unpersist(blocking = false)
+    (router, cells)
   }
 
   /** Incremental ingest: route `newRows` by cell and merge PER CELL —

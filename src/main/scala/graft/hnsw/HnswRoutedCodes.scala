@@ -242,14 +242,25 @@ object HnswRoutedCodes {
             // must stay DISTINCT — ties go to the lowest index, so a
             // duplicate anchor's cell would be dead: skip mode codes
             // already present.
+            // presence is a live COUNT over the evolving anchor list,
+            // not a grow-only set: k-majority training can converge an
+            // anchor EXACTLY onto one mode's code (measured at the 1e6
+            // rung — anchor 14 WAS mode 0's code), and with a grow-only
+            // set the head replacement evicted that code from the list
+            // while "already present" then swallowed its re-append —
+            // the one cell that stayed merged after the guard ran
             val out = scala.collection.mutable.ArrayBuffer.from(anchors0)
-            val present = new LongSet(2 * (anchors0.length + 8))
-            anchors0.foreach(present.add)
+            val count = scala.collection.mutable.Map.empty[Long, Int]
+            out.foreach(a => count(a) = count.getOrElse(a, 0) + 1)
             flagged.foreach { case (cell, groups) =>
               val head = groups.head._1
-              if (head != anchors0(cell) && present.add(head)) out(cell) = head
+              if (head != out(cell) && count.getOrElse(head, 0) == 0) {
+                count(out(cell)) = count(out(cell)) - 1 // slot vacates
+                count(head) = 1
+                out(cell) = head
+              }
               groups.iterator.drop(1).foreach { case (g, _) =>
-                if (present.add(g)) out += g
+                if (count.getOrElse(g, 0) == 0) { count(g) = 1; out += g }
               }
             }
             out.toArray
@@ -648,7 +659,7 @@ object HnswRoutedCodes {
     * already linear, no sqrt pass), strong-share test on the MERGED
     * groups. Returns the strong groups as (group majority code, sample
     * count), descending by count; 0-1 groups = unimodal. */
-  private[hnsw] def modalCensusCodes(codes: Array[Long]): Array[(Long, Int)] = {
+  private[graft] def modalCensusCodes(codes: Array[Long]): Array[(Long, Int)] = {
     if (codes.length < 32) return Array.empty
     val rows = codes.map(c => (0L, c)) // (unused id, code) for majorityWhere
     val n = codes.length
@@ -700,10 +711,25 @@ object HnswRoutedCodes {
     }
     val parts = (0 until k).filter(c => ns(c) >= 8).toArray
     if (parts.length == 0) return Array.empty
-    // mass-weighted mean radius (see the float census: tiny outlier
-    // fragments must not drag the merge threshold down)
-    val meanRad = parts.map(c => ns(c) * (sumD(c) / ns(c))).sum /
-      parts.map(ns(_)).sum
+    // ROBUST mean radius (round-16 fix, measured at the 1e6 rung): a
+    // Lloyd component that STRADDLES two modes (unlucky farthest-point
+    // seeding) reads radius ~ the inter-mode distance/2; mass-weighted
+    // into the mean it inflates the linkage threshold past the
+    // inter-mode distance itself, the modes merge into one group, and
+    // the cell silently reads unimodal — exactly one of 16 planted
+    // bimodal cells escaped the guard this way. Straddlers are rare
+    // among k=8 components, so the MEDIAN radius resists them: exclude
+    // components beyond 2x the median from the threshold computation
+    // (they still participate in the linkage itself — their own group
+    // assignment is decided by their center like everyone else's).
+    // Tiny outlier fragments must still not DRAG the mean down, so the
+    // kept components combine mass-weighted (the original rationale).
+    val radii = parts.map(c => sumD(c) / ns(c))
+    val medianRad = radii.sorted.apply(radii.length / 2)
+    val kept = parts.indices.filter(i =>
+      medianRad == 0.0 || radii(i) <= 2.0 * medianRad)
+    val meanRad = kept.map(i => ns(parts(i)) * radii(i)).sum /
+      math.max(1L, kept.map(i => ns(parts(i)).toLong).sum)
     val parent = Array.tabulate(parts.length)(identity)
     def find(x: Int): Int =
       if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }

@@ -57,9 +57,16 @@ object HnswRoutedPq {
     * (id, vec) pairs the codes were encoded from — [[rederive]] compares
     * it against the source cell's current content to decide carry-over
     * vs re-encode without ever holding the old vectors. */
+  /** `codes` is the repo's PRIMITIVE LongLongMap, not
+    * scala.collection.mutable.LongMap: the scala map boxes its values
+    * (16+ B/row of pure overhead at 1e8) AND carries a defaultEntry
+    * closure field that corrupts under the Kryo round-trip a
+    * DISK_ONLY shard pays — the 1e7 pq_solo_build rung SIGSEGV'd the
+    * JVM reading a deserialized one. The primitive map is the codes
+    * tier's shape, proven through Kryo + DISK_ONLY at 1e8. */
   final case class PqCellShard(
       cell: Int,
-      codes: scala.collection.mutable.LongMap[Long],
+      codes: LongLongMap,
       snapshot: GraphSnapshot,
       fingerprint: Long
   ) extends Serializable
@@ -82,9 +89,16 @@ object HnswRoutedPq {
     * at 64 well-mixed bits per cell the chance is ~nCells/2^64 per
     * rederive, far below any operational concern. */
   private[hnsw] def contentFingerprint(
-      vectors: collection.Map[Long, Array[Float]]): Long = {
+      vectors: collection.Map[Long, Array[Float]]): Long =
+    contentFingerprintRows(vectors.iterator)
+
+  /** Same fold over a row iterator (order-independent by the addition
+    * combine) — the [[buildSolo]] path digests the build rows directly
+    * without materializing a float map it would immediately drop. */
+  private[hnsw] def contentFingerprintRows(
+      rows: Iterator[(Long, Array[Float])]): Long = {
     var acc = 0L
-    vectors.foreach { case (id, v) =>
+    rows.foreach { case (id, v) =>
       var h = id * 0x9E3779B97F4A7C15L
       var i = 0
       while (i < v.length) {
@@ -168,12 +182,119 @@ object HnswRoutedPq {
       index.tombstones, buildSeed = index.cfg.seed)
   }
 
+  /** Build the PQ tier DIRECTLY from a vector table — no float index
+    * is ever materialized, on this host or anywhere. The missing piece
+    * of the 100 TB story until round 16: [[fromRouted]] derives from a
+    * BUILT float tier, so creating the compressed tier transiently
+    * required the uncompressed one resident (~25 GB of vectors per
+    * 1e8 rows the serving fleet never wanted). Here the floats stream
+    * through the build tasks and are dropped as each cell finishes:
+    *
+    *  1. codebook trained on a hash-decimated driver sample of the
+    *     input (or supplied — the retrain/refresh path);
+    *  2. router planned by the float tier's own machinery
+    *     ([[HnswRouted.planRouter]]: k-means primary, skew-guard
+    *     secondary splits) — same Router type, same pinned
+    *     partitioner, so every downstream op (serve, ingest, delete,
+    *     compactSolo, save/attach, rederive-by-fingerprint against a
+    *     float source built later) composes unchanged;
+    *  3. ONE shuffle of (id, vec) to cells, then per cell the SOLO
+    *     ingest kernel builds the graph in ADC space (the new point's
+    *     raw float serves its own insertion beam, then drops to code
+    *     precision — [[AdcVectorStore]]'s quantize-on-insert), codes
+    *     encode, and a TRUE content fingerprint digests the rows.
+    *
+    * What a task retains per cell is graph + 8 B/row codes; the cell's
+    * float slice is transient build scratch. Accuracy follows the solo
+    * ingest contract (graph edges chosen by reconstruction distances;
+    * the exact re-rank join restores end-to-end exactness — the
+    * `h_knn_routed_pq_solo` bar). `storage` defaults to the float
+    * tier's MEMORY_AND_DISK; pass DISK_ONLY for the local disk
+    * decades (the codes tier's discipline). */
+  def buildSolo(vectors: DataFrame,
+                cfg: HnswDistributed.BuildConfig,
+                nCells: Int = 16,
+                codebook: Array[Array[Array[Float]]] = null,
+                codebookSeed: Long = 13L,
+                sampleMax: Int = 100000,
+                persist: Boolean = true,
+                maxCellRows: Long = HnswRouted.DefaultMaxCellRows,
+                storage: org.apache.spark.storage.StorageLevel =
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+                modalitySplit: Boolean = false): RoutedPqIndex = {
+    require(cfg.metric == "l2",
+      "HnswRoutedPq serves squared-L2 (ADC); build with the l2 metric")
+    val spark = vectors.sparkSession
+    val deduped = vectors.select(col("id"), col("vec"))
+      .groupBy(col("id")).agg(max(col("vec")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb =
+        if (codebook != null) codebook
+        else {
+          // hash-decimated, id-sorted driver sample (the trainAnchors
+          // discipline: order-independent selection, bounded collect)
+          val total = deduped.count()
+          val stride = math.max(1L,
+            (total + math.max(1, sampleMax) - 1) / math.max(1, sampleMax))
+          val sample = deduped
+            .filter(pmod(xxhash64(col("id"), lit(codebookSeed)),
+              lit(stride)) === 0L)
+            .select(col("id"), col("vec")).as(pairEnc)
+            .collect().sortBy(_._1).take(sampleMax).map(_._2)
+          require(sample.nonEmpty, "empty codebook training set")
+          HnswPq.trainOnArrays(sample, codebookSeed)
+        }
+      val (router, cells) = HnswRouted.planRouter(deduped, cfg, nCells,
+        maxCellRows, modalitySplit)
+      val part = HnswRouted.partitionerFor(router)
+      val keyed = cells
+        .select(col("id"), col("vec"), col("cell"))
+        .as(tripleEnc).rdd
+        .map { case (id, vec, cell) => (cell, (id, vec)) }
+        .partitionBy(part)
+      val cbB = spark.sparkContext.broadcast(cb)
+      val params = cfg.params
+      val seed = cfg.seed
+      val shards = keyed.mapPartitions({ it =>
+        val byCell = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+        it.foreach { case (cell, row) =>
+          byCell.getOrElseUpdate(cell,
+            scala.collection.mutable.ArrayBuffer.empty) += row
+        }
+        val searcher = new HnswSearcher(params)
+        byCell.iterator.map { case (cell, buf) =>
+          val rows = buf.toArray.sortBy(_._1)
+          val cbv = cbB.value
+          val codeMap = new LongLongMap(rows.length)
+          val graph = new graft.store.InMemoryGraph
+          val store = new AdcVectorStore(cbv, base = codeMap(_))
+          rows.foreach { case (id, v) =>
+            store.prepareQueryWithId(id, v)
+            searcher.insert(store, graph, id,
+              searcher.selectLayerByHash(id, seed))
+            codeMap.put(id, PqKernels.encodeArray(v, cbv))
+          }
+          cell -> PqCellShard(cell, codeMap, graph.snapshot,
+            contentFingerprintRows(rows.iterator))
+        }
+      }, preservesPartitioning = true)
+      if (persist) {
+        shards.persist(storage).setName("graft-hnsw-routed-pq")
+        shards.count()
+      }
+      RoutedPqIndex(params, router, cb, shards, Array.empty,
+        buildSeed = cfg.seed)
+    } finally deduped.unpersist(blocking = false)
+  }
+
   /** Encode one float cell shard: codes + content fingerprint. */
   private def encodeShard(s: HnswRouted.CellShard,
                           cb: Array[Array[Array[Float]]]): PqCellShard = {
-    val codes = new scala.collection.mutable.LongMap[Long](s.vectors.size)
+    val codes = new LongLongMap(s.vectors.size)
     s.vectors.foreach { case (id, v) =>
-      codes(id) = PqKernels.encodeArray(v, cb)
+      codes.put(id, PqKernels.encodeArray(v, cb))
     }
     PqCellShard(s.cell, codes, s.snapshot, contentFingerprint(s.vectors))
   }
@@ -334,7 +455,11 @@ object HnswRoutedPq {
         routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
       }.partitionBy(part)
     val idCell = index.shards.flatMap { case (c, s) =>
-      s.codes.keysIterator.map(id => (id, c))
+      {
+        val b = Array.newBuilder[(Long, Int)]
+        s.codes.foreach { (id, _) => b += ((id, c)) }
+        b.result().iterator
+      }
     }
     val allowRdd = allowed
       .select(col(allowed.columns.head).cast("long")).distinct()
@@ -386,12 +511,12 @@ object HnswRoutedPq {
         // tiers) — which also gives this tier the small-allow
         // eligibleIds fast path the float/codes twins had
         val cen = new PredicatedCensus.Census(
-          PredicatedCensus.Members.ofLongMap(m.codes),
+          PredicatedCensus.Members.ofLongLongMap(m.codes),
           hasAllow, allow, dead)
         @inline def eligible(id: Long): Boolean = cen.eligible(id)
         val cellN = cen.cellN
         val searcher = new HnswSearcher(params)
-        val store = new AdcVectorStore(cb, m.codes)
+        val store = new AdcVectorStore(cb, m.codes(_))
         val base = params.getEfSearch(0)
         val ef = if (ef0 > 0) math.max(ef0, base)
                  else HnswRouted.autoEf(base, cellN)
@@ -523,9 +648,12 @@ object HnswRoutedPq {
       val idsB = spark.sparkContext.broadcast(batchIds)
       val clashes = index.shards.flatMap { case (cell, s) =>
         val ids = idsB.value
-        s.codes.keysIterator
-          .filter(id => java.util.Arrays.binarySearch(ids, id) >= 0)
-          .take(3).map(id => (id, cell))
+        val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        s.codes.foreach { (id, _) =>
+          if (hits.length < 3 && java.util.Arrays.binarySearch(ids, id) >= 0)
+            hits += ((id, cell))
+        }
+        hits.iterator
       }.take(5)
       require(clashes.isEmpty,
         s"routed-pq ingest: ${clashes.length}+ batch id(s) already present " +
@@ -549,15 +677,17 @@ object HnswRoutedPq {
             val cb = cbB.value
             val sorted = rows.toArray.sortBy(_._1)
             val prior = shards.headOption
+            // copy-on-merge: the prior shard may still be cached —
+            // never mutate it in place (the codes tier's discipline)
             val codeMap = prior match {
-              case Some(p) => scala.collection.mutable.LongMap.from[Long](p.codes)
-              case None    => scala.collection.mutable.LongMap.empty[Long]
+              case Some(p) => p.codes.copy(extra = sorted.length)
+              case None    => new LongLongMap(sorted.length)
             }
             val graph = prior match {
               case Some(p) => graft.store.InMemoryGraph.fromSnapshot(p.snapshot)
               case None    => new graft.store.InMemoryGraph
             }
-            val store = new AdcVectorStore(cb, base = codeMap)
+            val store = new AdcVectorStore(cb, base = codeMap(_))
             sorted.foreach { case (id, v) =>
               require(!codeMap.contains(id),
                 s"routed-pq ingest: id $id already present in cell $cell")
@@ -567,7 +697,7 @@ object HnswRoutedPq {
               // from here on the id serves at code precision
               searcher.insert(store, graph, id,
                 searcher.selectLayerByHash(id, effSeed))
-              codeMap(id) = PqKernels.encodeArray(v, cb)
+              codeMap.put(id, PqKernels.encodeArray(v, cb))
             }
             Iterator(cell -> PqCellShard(cell, codeMap, graph.snapshot,
               ingestedFp(prior.map(_.fingerprint).getOrElse(0L),
@@ -603,8 +733,11 @@ object HnswRoutedPq {
       val idsB = index.shards.sparkContext.broadcast(ids)
       val hits = index.shards.flatMap { case (_, s) =>
         val a = idsB.value
-        s.codes.keysIterator
-          .filter(id => java.util.Arrays.binarySearch(a, id) >= 0)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        s.codes.foreach { (id, _) =>
+          if (java.util.Arrays.binarySearch(a, id) >= 0) out += id
+        }
+        out.iterator
       }.collect()
       java.util.Arrays.sort(hits); hits
     }
@@ -646,9 +779,13 @@ object HnswRoutedPq {
     val survivorIds = index.shards.flatMap { case (cell, s) =>
       val dead = deadB.value
       if (!dead.exists(s.codes.contains)) Iterator.empty
-      else s.codes.keysIterator
-        .filter(id => java.util.Arrays.binarySearch(dead, id) < 0)
-        .map(id => (id, cell))
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        s.codes.foreach { (id, _) =>
+          if (java.util.Arrays.binarySearch(dead, id) < 0) out += ((id, cell))
+        }
+        out.iterator
+      }
     }
     import spark.implicits._
     val fetched = survivorIds.toDF("id", "cell")
@@ -896,7 +1033,7 @@ object HnswRoutedPq {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
 
     spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.codes.iterator.map { case (id, code) => (cell, id, code) }
+      s.codes.toSeq.iterator.map { case (id, code) => (cell, id, code) }
     })(codeRowEnc).toDF("cell", "id", "code")
       .write.mode("overwrite").parquet(s"$dir/codes")
 
@@ -992,7 +1129,7 @@ object HnswRoutedPq {
       it.flatMap { case (cell, (cs, ls, es, ps)) =>
         if (cs.isEmpty && ps.isEmpty) Iterator.empty // defensive: unknown cell
         else {
-          val codeMap = scala.collection.mutable.LongMap.from[Long](cs.iterator)
+          val codeMap = LongLongMap.from(cs.iterator, 64)
           val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
           val nLayers = math.max(
             ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
@@ -1048,6 +1185,22 @@ object HnswRoutedPq {
         saveWith(spark, derived, dir)
         attach(spark, dir)
       }
+      val prev = cache.putIfAbsent(full, v)
+      if (prev != null) { v.unpersist(); prev } else v
+    }
+  }
+
+  /** Memoized [[buildSolo]] — the catalog handle for the float-free
+    * build path (one build per session per key). */
+  def buildSoloCached(vectors: DataFrame, cfg: HnswDistributed.BuildConfig,
+                      nCells: Int, key: String): RoutedPqIndex = {
+    val spark = vectors.sparkSession
+    val full = s"${spark.sparkContext.applicationId}|pqsolobuild|$key|$nCells"
+    val hit = cache.get(full)
+    if (hit != null) hit
+    else {
+      val v = graft.BuildLedger.timed("hnsw_routed_pq_solo_build")(
+        buildSolo(vectors, cfg, nCells))
       val prev = cache.putIfAbsent(full, v)
       if (prev != null) { v.unpersist(); prev } else v
     }

@@ -76,6 +76,8 @@ final class LongLongMap(initialCapacity: Int = 64) extends Serializable {
 
   def size: Int = n + (if (hasEmptyKey) 1 else 0)
 
+  def isEmpty: Boolean = size == 0
+
   /** Independent copy (plus headroom for `extra` expected puts) — the
     * ingest merge must never mutate a shard that is still cached. */
   def copy(extra: Int = 0): LongLongMap = {

@@ -460,6 +460,23 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // The FLOAT-FREE build path (round 16): the PQ tier built directly
+    // from the vector table — no float index exists at any point in
+    // this query's lineage (buildSolo trains the codebook on a
+    // decimated sample, plans the router with the float tier's own
+    // machinery, and constructs per-cell graphs in ADC space with the
+    // solo ingest kernel). Exhaustive candidates + exact re-rank =
+    // exact L2, same empirical-exactness bar as h_knn_routed_pq.
+    "h_knn_routed_pq_solo_build" -> ((s, dir) => {
+      import graft.hnsw.HnswRoutedPq
+      val index = HnswRoutedPq.buildSoloCached(vectorsDf(s, dir), l2Cfg,
+        nCells = 16, key = dir)
+      HnswRoutedPq.search(index, queriesDf(s, dir), vectorsDf(s, dir),
+          k = 10, nProbe = 16, candidates = 192)
+        .select(col("qid"), col("id"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The honest nProbe regime of the routed+PQ tier: 4 of 16 cells,
     // candidates=64 — self-carried recall vs the exact L2 truth (the
     // h_recall_pq shape), AND against the FLOAT routed tier at the
@@ -928,6 +945,7 @@ object Hnsw {
     // h_knn_cosine. h_recall_routed_pq (no oracle) carries the honest
     // nProbe-regime number.
     "h_knn_routed_pq" -> exactL2KnnOracle(10),
+    "h_knn_routed_pq_solo_build" -> exactL2KnnOracle(10),
     // lifecycle twins: direct PQ-tier tombstones / the float-compact +
     // incremental re-derive cadence — both exhaustive-regime exact over
     // survivors

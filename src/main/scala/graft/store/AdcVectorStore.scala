@@ -23,7 +23,13 @@ import graft.functions.PqKernels
   */
 final class AdcVectorStore(
     codebook: Array[Array[Array[Float]]],
-    base: collection.Map[Long, Long],
+    base: Long => Long, // any code source: scala Map, primitive
+                        // LongLongMap via eta-expansion — KRYO NOTE:
+                        // serving state must never ride a
+                        // scala.collection.mutable.LongMap (its
+                        // defaultEntry closure field corrupts under the
+                        // Kryo round-trip a DISK_ONLY shard pays; the
+                        // 1e7 pq_solo_build rung crashed the JVM on it)
     matchThreshold: Double = 1e-12
 ) extends VectorStore {
   type Raw = Array[Float]

@@ -1012,18 +1012,24 @@ object ScaleRehearsal {
             (0L until n.toLong by nSub.toLong).take(2000)
               .map(id => (id, codeOf(id) ^ (1L << 3))))
           .toDF("qid", "qcode").localCheckpoint(true)
-        def serve(idx: HnswRoutedCodes.RoutedCodeIndex): Double = {
+        def serve1(idx: HnswRoutedCodes.RoutedCodeIndex): Double = {
           val t = System.nanoTime()
           HnswRoutedCodes.search(idx, qDf, 10, nProbe = 4)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t) / 1e9
         }
-        serve(index) // warm
-        val plainS = math.min(serve(index), serve(index))
+        // sub-second serves: warm once, then min-of-3 after a GC settle
+        // (the linear-grid re-time discipline — post-build allocation
+        // noise dominated a first cut of this leg's flag phase)
+        def serve(idx: HnswRoutedCodes.RoutedCodeIndex): Double = {
+          System.gc()
+          serve1(idx) // warm
+          Seq(serve1(idx), serve1(idx), serve1(idx)).min
+        }
+        val plainS = serve(index)
         val tombed = HnswRoutedCodes.delete(index,
           codesDf.filter(col("id") % nSub === 0).select(col("id")))
-        serve(tombed) // warm the predicated path
-        val tombS = math.min(serve(tombed), serve(tombed))
+        val tombS = serve(tombed)
         val t1 = System.nanoTime()
         val audit = HnswRoutedCodes.mergedCellAudit(tombed).collect()
         val auditS = (System.nanoTime() - t1) / 1e9
@@ -1032,8 +1038,7 @@ object ScaleRehearsal {
         val t2 = System.nanoTime()
         val (rem, flagged) = HnswRoutedCodes.remediateMergedCells(tombed)
         val remS = (System.nanoTime() - t2) / 1e9
-        serve(rem) // warm
-        val postS = math.min(serve(rem), serve(rem))
+        val postS = serve(rem)
         rem.unpersist()
         // build-time modality guard variant: split at build → the
         // delete leaves whole cells dead, predicated serving skips them
@@ -1041,12 +1046,28 @@ object ScaleRehearsal {
         val flagIdx = HnswRoutedCodes.build(codesDf, params, nCells,
           modalitySplit = true)
         val flagBuildS = (System.nanoTime() - t3) / 1e9
-        serve(flagIdx) // warm
-        val flagPlainS = math.min(serve(flagIdx), serve(flagIdx))
+        val flagPlainS = serve(flagIdx)
         val flagTombed = HnswRoutedCodes.delete(flagIdx,
           codesDf.filter(col("id") % nSub === 0).select(col("id")))
-        serve(flagTombed) // warm
-        val flagTombS = math.min(serve(flagTombed), serve(flagTombed))
+        val flagTombS = serve(flagTombed)
+        // diagnostic: where does the dead mass sit after the split?
+        // (full-dead cells are SKIPPED by predicated serving; any
+        // part-dead cell still pays the census/exact-scan machinery)
+        locally {
+          val deadB = spark.sparkContext.broadcast(flagTombed.tombstones)
+          val dist = flagTombed.shards.map { case (c, s) =>
+            var d = 0
+            s.codes.foreach { (id, _) =>
+              if (java.util.Arrays.binarySearch(deadB.value, id) >= 0) d += 1 }
+            (c, s.codes.size, d)
+          }.collect().sortBy(_._1)
+          val fullDead = dist.count(x => x._2 > 0 && x._2 == x._3)
+          val partDead = dist.count(x => x._3 > 0 && x._3 < x._2)
+          println(s"REHEARSAL_PHASE merged_remedy_codes flag_dead_dist " +
+            s"full_dead_cells=$fullDead part_dead_cells=$partDead " +
+            dist.filter(_._3 > 0).map(x => s"${x._1}:${x._3}/${x._2}")
+              .mkString("[", ",", "]"))
+        }
         println(f"REHEARSAL_PHASE merged_remedy_codes n=$n " +
           f"modality_build_s=$flagBuildS%.1f " +
           f"split_anchors=${flagIdx.anchors.length - nCells} " +
@@ -1111,6 +1132,148 @@ object ScaleRehearsal {
           f"warm_pass_s=$warmS%.2f warm_first_s=$warmFirst%.2f " +
           f"warm_steady_s=$warmSteady%.2f " +
           f"warm_ratio=${warmFirst / math.max(1e-9, warmSteady)}%.1fx")
+      }
+
+      // FLOAT-FREE PQ BUILD rung (round-16): HnswRoutedPq.buildSolo —
+      // the compressed tier created DIRECTLY from the vector table,
+      // with no float index materialized at any point (floats stream
+      // through the build tasks as scratch). What this rung proves
+      // physically: pq_cached bytes ≈ graph + 8 B/row codes and
+      // float_cached == 0 THROUGHOUT (the routed_pq rung's envelope
+      // claim without even the transient float build), then the full
+      // solo lifecycle on the built handle: serve → save → attach →
+      // delete → leak check → compactSolo → solo ingest.
+      if (ops("pq_solo_build")) run("ann_pq_solo_build", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRoutedPq, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = if (n >= 10000000) 256 else 64
+        def centerOf(c: Int): Array[Float] =
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat)
+        def vecOf(id: Long): Array[Float] = {
+          val c = centerOf((id % nCells).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        // the 1e8 decade: vecs stay a LAZY generator DF (the checkpoint
+        // would pin ~30 GB the host's disk budget needs for the index +
+        // the build shuffle; recomputing vecOf per re-rank read is
+        // cheap CPU), and the O(image) durable sub-leg is skipped (the
+        // routed_delete precedent: O(rebuild) legs pin their shapes at
+        // 1e6/1e7; the save image is another ~full-index of disk)
+        val decade8 = n >= 100000000
+        val vecs0 = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+        val vecs = if (decade8) vecs0 else vecs0.localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "l2", seed = 9L)
+        val storage =
+          if (n >= 10000000) org.apache.spark.storage.StorageLevel.DISK_ONLY
+          else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val t0 = System.nanoTime()
+        val pq = HnswRoutedPq.buildSolo(vecs, cfg, nCells,
+          storage = storage, modalitySplit = true)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        def cachedBytes(name: String): Long =
+          spark.sparkContext.getRDDStorageInfo
+            .filter(_.name == name).map(i => i.memSize + i.diskSize).sum
+        val floatBytes = cachedBytes("graft-hnsw-routed") // must stay 0
+        val pqBytes = cachedBytes("graft-hnsw-routed-pq")
+        println(f"REHEARSAL_PHASE pq_solo_build n=$n build_s=$buildS%.1f " +
+          f"split_parents=${pq.router.sub.size} " +
+          f"float_cached_mb=${floatBytes / 1e6}%.0f (must be 0) " +
+          f"pq_cached_mb=${pqBytes / 1e6}%.0f")
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 4000))
+          .filter(_ % nCells >= 3).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        // cluster-match is the honest compressed-tier recall metric
+        // (see the routed_pq rung's note: the geometry's clusters are
+        // quantization twins, so exact-id recall is info-theoretically
+        // capped; catalog rows prove exact-id through the oracle)
+        def selfMatch(idx: HnswRoutedPq.RoutedPqIndex): (Double, Long, Long) = {
+          val t = System.nanoTime()
+          val top = HnswRoutedPq.search(idx, qDf, vecs, k = 1,
+              nProbe = 8, candidates = 64)
+            .select(col("qid"), col("id")).collect()
+          val self = top.count(r => r.getLong(0) == r.getLong(1)).toLong
+          val clus = top.count(r =>
+            r.getLong(0) % nCells == r.getLong(1) % nCells).toLong
+          ((System.nanoTime() - t) / 1e9, self, clus)
+        }
+        selfMatch(pq) // warm
+        val (p1, plainSelf, plainClus) = selfMatch(pq)
+        val (p2, _, _) = selfMatch(pq)
+        val plainS = math.min(p1, p2)
+        // durability: save the eight-table image, attach, serve parity
+        // (skipped at the 1e8 decade — see the disk-budget note above;
+        // the lifecycle below then runs on the BUILT handle)
+        val (restored, saveS, attachS, attParity) =
+          if (decade8) (pq, 0.0, 0.0, true)
+          else {
+            val pqDir = s"$base/pq_solo_idx"
+            val t1 = System.nanoTime()
+            HnswRoutedPq.save(pq, pqDir)
+            val sS = (System.nanoTime() - t1) / 1e9
+            pq.unpersist()
+            val t2 = System.nanoTime()
+            val att = HnswRoutedPq.attach(spark, pqDir)
+            val aTs = (System.nanoTime() - t2) / 1e9
+            val (aS, attSelf, attClus) = selfMatch(att)
+            val par = attSelf == plainSelf && attClus == plainClus
+            println(f"REHEARSAL_PHASE pq_solo_build n=$n save_s=$sS%.1f " +
+              f"attach_s=$aTs%.1f attach_over_build=${aTs / buildS}%.4f " +
+              f"attach_serve_s=$aS%.2f attach_parity=$par " +
+              f"build_seed_survives=${att.buildSeed == cfg.seed}")
+            (att, sS, aTs, par)
+          }
+        // lifecycle on the attached copy: wipe 3 clusters, leak check,
+        // fold from the raw table, re-serve
+        val deadLocal = vecs.filter(col("id") % nCells < 3).select(col("id"))
+        val tombed = HnswRoutedPq.delete(restored, deadLocal)
+        val deadQ = spark.createDataset(
+            (0L until n.toLong by math.max(1L, n.toLong / 500))
+              .filter(_ % nCells == 0).take(500).map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val leaked = HnswRoutedPq.search(tombed, deadQ, vecs, k = 1,
+            nProbe = 8, candidates = 32)
+          .filter(col("qid") === col("id")).count()
+        val t3 = System.nanoTime()
+        val (folded, rebuilt, carried) = HnswRoutedPq.compactSoloCounted(
+          tombed, vecs, unpersistPrior = true)
+        val compactS = (System.nanoTime() - t3) / 1e9
+        val (postS, _, postClus) = selfMatch(folded)
+        // solo ingest: a 2% batch of new ids into the folded handle
+        val batchDf = spark.range(n.toLong, n.toLong + n.toLong / 50).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec").localCheckpoint(true)
+        val t4 = System.nanoTime()
+        val grown = HnswRoutedPq.ingest(folded, batchDf, unpersistPrior = true)
+        val ingestS = (System.nanoTime() - t4) / 1e9
+        val vecsAll = vecs.unionAll(batchDf)
+        val bq = spark.createDataset(
+            (n.toLong until n.toLong + n.toLong / 50 by
+              math.max(1L, (n.toLong / 50) / 500)).take(500)
+              .map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        val bTop = HnswRoutedPq.search(grown, bq, vecsAll, k = 1,
+            nProbe = 8, candidates = 64)
+          .select(col("qid"), col("id")).collect()
+        val bClus = bTop.count(r =>
+          r.getLong(0) % nCells == r.getLong(1) % nCells)
+        grown.unpersist()
+        (leaked,
+          f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +
+          f"plain_probe8_s=$plainS%.2f attach_parity=$attParity " +
+          f"leaked=$leaked compact_solo_s=$compactS%.1f " +
+          f"rebuilt=$rebuilt carried=$carried post_probe8_s=$postS%.2f " +
+          f"solo_ingest_s=$ingestS%.1f ingest_rows=${n / 50} " +
+          f"rows_per_s=${(n / 50) / ingestS}%.0f " +
+          f"float_cached_mb=${floatBytes / 1e6}%.0f " +
+          f"pq_cached_mb=${pqBytes / 1e6}%.0f " +
+          f"cluster_plain=${plainClus * 100.0 / qIds.length}%.1f%% " +
+          f"cluster_post=${postClus * 100.0 / qIds.length}%.1f%% " +
+          f"batch_cluster_match=${bClus * 100.0 / bq.count()}%.1f%%")
       }
 
       // ROUTED+PQ rung (round-15, second session): the compression

@@ -31,7 +31,10 @@ class CollectGuardSpec extends AnyFunSuite {
     "graft/hnsw/HnswFrontier.scala" -> 1,
     "graft/hnsw/HnswRouted.scala" -> 18,
     "graft/hnsw/HnswRoutedCodes.scala" -> 15,
-    "graft/hnsw/HnswRoutedPq.scala" -> 13,
+    // 14 = round-16 re-pin: +buildSolo's codebook sample (hash-stride
+    // decimated to ~sampleMax rows before the driver take) and the
+    // cross-layout rederive's fingerprint maps (nCells-sized each)
+    "graft/hnsw/HnswRoutedPq.scala" -> 14,
     "graft/streaming/StreamingChunkDedup.scala" -> 1,
     "graft/streaming/StreamingDocDedup.scala" -> 3,
     "graft/streaming/StreamingIngest.scala" -> 2,

@@ -51,6 +51,62 @@ class HnswRoutedPqSoloSpec extends SparkSpec {
     assert(served.exists(_._2 % 10 == 0))
   }
 
+  test("buildSolo: the PQ tier built with NO float index anywhere — exhaustive serve + re-rank equals exact L2; full solo lifecycle composes") {
+    val n = 1500
+    val allDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val qDf = (0 until 30).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val pq = HnswRoutedPq.buildSolo(allDf, cfg, nCells = 4, persist = false)
+    assert(pq.buildSeed == cfg.seed)
+    // exhaustive candidates + exact re-rank = exact L2 (the solo
+    // accuracy contract — ADC orders candidates, the re-rank decides)
+    val served = ranked(HnswRoutedPq.search(pq, qDf, allDf,
+      k = 10, nProbe = 4, candidates = 256))
+    val exact = ExactKnn.search(qDf, allDf, 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.map(t => (t._1, t._2)).toSet == exact)
+    // fingerprints are TRUE content digests: a float tier built later
+    // over the same rows carries every cell on rederive (the
+    // meet-in-the-middle posture: compressed tier first, float second)
+    val floatIdx = HnswRouted.build(allDf, cfg, nCells = 4, persist = false)
+    val (re, reenc, carried) = HnswRoutedPq.rederiveCounted(pq, floatIdx,
+      persist = false)
+    assert(reenc == 0L, s"buildSolo fingerprints diverged: $reenc re-encodes")
+    assert(carried == floatIdx.router.allCells.size.toLong)
+    assert(ranked(HnswRoutedPq.search(re, qDf, allDf,
+      k = 10, nProbe = 4, candidates = 256)).map(t => (t._1, t._2)).toSet == exact)
+    // save/attach round-trips; the solo lifecycle continues on the
+    // restored copy (delete + compactSolo + ingest)
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_bsolo_").toString
+    HnswRoutedPq.save(pq, path)
+    val restored = HnswRoutedPq.attach(spark, path, persist = false)
+    assert(restored.buildSeed == cfg.seed)
+    assert(ranked(HnswRoutedPq.search(restored, qDf, allDf,
+      k = 10, nProbe = 4, candidates = 256)) == served)
+    val del = (0 until n).filter(_ % 7 == 0).map(_.toLong).toDF("id")
+    val folded = HnswRoutedPq.compactSolo(
+      HnswRoutedPq.delete(restored, del), allDf, persist = false)
+    val survivors = allDf.filter(col("id") % 7 =!= 0)
+    val exactSurv = ExactKnn.search(qDf, survivors, 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ranked(HnswRoutedPq.search(folded, qDf, allDf,
+      k = 10, nProbe = 4, candidates = 256)).map(t => (t._1, t._2)).toSet
+      == exactSurv)
+  }
+
+  test("buildSolo rejects non-l2 metrics") {
+    val allDf = (0 until 100).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 8)))
+      .toDF("id", "vec")
+    val bad = BuildConfig(HnswParams.standard(16, 32, 8),
+      metric = "cosine", seed = 1L)
+    intercept[IllegalArgumentException] {
+      HnswRoutedPq.buildSolo(allDf, bad, nCells = 2, persist = false)
+    }
+  }
+
   test("solo ingest guards: duplicate ids and tombstoned ids fail fast") {
     val n = 600
     val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
