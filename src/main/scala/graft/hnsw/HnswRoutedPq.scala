@@ -211,6 +211,20 @@ object HnswRoutedPq {
     * `h_knn_routed_pq_solo` bar). `storage` defaults to the float
     * tier's MEMORY_AND_DISK; pass DISK_ONLY for the local disk
     * decades (the codes tier's discipline). */
+  /** `dedupIds`/`pinInput` are 1e8-decade levers, measured on the rung:
+    * the global id-dedup is a full-corpus `groupBy(id).agg(max(vec))`
+    * whose PARTIAL aggregation holds one 264-byte array entry per
+    * distinct key per task — on a table whose ids are already unique
+    * (every group size 1: a primary-keyed pipeline, a generator) that
+    * state is pure execution-memory burn and blew the 1e8 build's hash
+    * aggregate before a single cell was touched. `dedupIds = false`
+    * skips the shuffle when the CALLER guarantees id uniqueness (the
+    * per-cell build still fail-fasts on an in-cell duplicate).
+    * `pinInput = false` skips caching the projection for inputs that
+    * are cheap to recompute (a generator, an already-checkpointed
+    * table) — the router-planning passes re-read the input ~3 times,
+    * which beats pinning another full-corpus copy onto the disk budget
+    * the index itself needs. Defaults keep the safe behavior. */
   def buildSolo(vectors: DataFrame,
                 cfg: HnswDistributed.BuildConfig,
                 nCells: Int = 16,
@@ -221,13 +235,20 @@ object HnswRoutedPq {
                 maxCellRows: Long = HnswRouted.DefaultMaxCellRows,
                 storage: org.apache.spark.storage.StorageLevel =
                   org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
-                modalitySplit: Boolean = false): RoutedPqIndex = {
+                modalitySplit: Boolean = false,
+                dedupIds: Boolean = true,
+                pinInput: Boolean = true): RoutedPqIndex = {
     require(cfg.metric == "l2",
       "HnswRoutedPq serves squared-L2 (ADC); build with the l2 metric")
     val spark = vectors.sparkSession
-    val deduped = vectors.select(col("id"), col("vec"))
-      .groupBy(col("id")).agg(max(col("vec")).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val projected = vectors.select(col("id"), col("vec"))
+    val deduped0 =
+      if (dedupIds) projected.groupBy(col("id")).agg(max(col("vec")).as("vec"))
+      else projected
+    val deduped =
+      if (pinInput)
+        deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deduped0
     try {
       val cb =
         if (codebook != null) codebook
@@ -286,7 +307,7 @@ object HnswRoutedPq {
       }
       RoutedPqIndex(params, router, cb, shards, Array.empty,
         buildSeed = cfg.seed)
-    } finally deduped.unpersist(blocking = false)
+    } finally if (pinInput) { deduped.unpersist(blocking = false); () }
   }
 
   /** Encode one float cell shard: codes + content fingerprint. */

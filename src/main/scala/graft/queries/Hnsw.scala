@@ -308,6 +308,34 @@ object Hnsw {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Merged-cell remedy on the CODES tier (round 16 — the float
+    // tier's h_merged_remedy_knn shape on the native representation):
+    // halfspace delete -> audit -> targeted remediation -> exhaustive
+    // predicated serving, which must equal the exact Hamming oracle
+    // over the survivors whether or not any cell was flagged (the
+    // remedy pipeline's exactness is the claim; the planted-geometry
+    // flagging behavior is HnswRoutedCodesMergedSpec + the
+    // merged_remedy_codes rung's job).
+    "h_merged_remedy_knn_codes" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.signPack64
+      import graft.hnsw.HnswRoutedCodes
+      val codes = t(s, dir).select(col("vec_id").as("id"),
+        signPack64(col("embedding")).as("code"))
+      val base = HnswRoutedCodes.buildCached(codes,
+        HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
+        nCells = 16, seed = 42L, key = s"$dir|signpack64")
+      val dead = t(s, dir)
+        .filter(element_at(col("embedding"), 1) > 0.0f).select(col("vec_id"))
+      val tombed = HnswRoutedCodes.delete(base, dead)
+      val (rem, _) = HnswRoutedCodes.remediateMergedCells(tombed,
+        minCellRows = 16, persist = false, unpersistPrior = false)
+      val qs = codes.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("code").as("qcode"))
+      HnswRoutedCodes.search(rem, qs, 5, nProbe = 16)
+        .select(col("qid"), col("id"), col("hamming"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // The routed-codes DURABLE path (the h_knn_routed_attach shape on
     // the native representation): build once, persist the versioned
     // parquet image (anchors + per-cell codes/links/entries), ATTACH —
@@ -978,6 +1006,12 @@ object Hnsw {
          |SELECT qid, id, rank FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // h_recall_pq: intentionally no oracle (rows-only) — PQ-compressed
     // traversal is lossy by design; the query self-carries its recall.
+
+    // halfspace-deleted exact Hamming over survivors — the codes
+    // tier's remediated exhaustive serving (the h_merged_remedy_knn
+    // twin on the native representation)
+    "h_merged_remedy_knn_codes" -> hammingKnnOracleWhere(
+      "c.vec_id IN (SELECT vec_id FROM embeddings WHERE embedding[1] <= 0.0)"),
 
     "h_knn_hamming" -> hammingKnnOracle,
     // identical oracle: the routed tier's exhaustive regime must be

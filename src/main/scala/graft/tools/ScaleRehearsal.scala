@@ -1172,8 +1172,12 @@ object ScaleRehearsal {
           if (n >= 10000000) org.apache.spark.storage.StorageLevel.DISK_ONLY
           else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val t0 = System.nanoTime()
+        // range ids are unique and the vecs DF is a checkpoint (or a
+        // cheap generator at the 1e8 decade): skip the dedup shuffle
+        // and the extra pin — the buildSolo scale levers
         val pq = HnswRoutedPq.buildSolo(vecs, cfg, nCells,
-          storage = storage, modalitySplit = true)
+          storage = storage, modalitySplit = true,
+          dedupIds = false, pinInput = false)
         val buildS = (System.nanoTime() - t0) / 1e9
         def cachedBytes(name: String): Long =
           spark.sparkContext.getRDDStorageInfo
