@@ -147,14 +147,33 @@ object Pq {
         col("vec"), ivfModel.centroids, ivfModel.metricName).as("cell"),
       graft.functions.PqFunctions.pqEncode(col("vec"), pqModel.codebook).as("code"))
 
+  /** Candidate sets at or under this row count broadcast into the
+    * re-rank join ((qid, id) pairs — ~100 MB of hash relation at the
+    * cap), so the VECTORS side STREAMS instead of shuffling. In the
+    * online serving regime candidates ≪ corpus always holds; without
+    * the broadcast the join shuffles the entire vector table per query
+    * batch — measured 26 GB per serve at the 1e8 rung, which is what
+    * ran that host out of disk (and on a cluster is a full-corpus
+    * network pass per batch). The auto-broadcast threshold cannot make
+    * this call: candidate stats are unknown at plan time. */
+  private[graft] val BroadcastCandidateMax = 4000000L
+
   /** Exact L2 re-rank of coarse candidates — shared by the PQ and SQ8
     * compressed-scan paths and the HNSW-over-PQ traversal
-    * ([[graft.hnsw.HnswPq]]). */
+    * ([[graft.hnsw.HnswPq]]). The candidate union is materialized ONCE
+    * (localCheckpoint — it feeds two jobs: the count that picks the
+    * join shape and the join itself; uncheckpointed, the count would
+    * re-run every per-cell probe kernel), then joins BROADCAST when
+    * small (the serving regime — vectors stream, no shuffle) and
+    * shuffled only when a genuinely batch-scale candidate set exceeds
+    * [[BroadcastCandidateMax]]. */
   private[graft] def rerank(coarse: DataFrame, vectors: DataFrame,
                             queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
     import org.apache.spark.sql.expressions.Window
-    coarse
+    val mat = coarse.localCheckpoint(true)
+    val side = if (mat.count() <= BroadcastCandidateMax) broadcast(mat) else mat
+    side
       .join(vectors, "id")
       .join(broadcast(queries), "qid")
       .select(col("qid"), col("id"),

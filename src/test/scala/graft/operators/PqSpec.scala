@@ -62,10 +62,21 @@ class PqSpec extends SparkSpec {
   }
 
   test("encode and ADC are native expressions (no Scala UDF in the plan)") {
+    // the re-rank materializes the candidate stage (localCheckpoint —
+    // it feeds the broadcast-gate count AND the join), so the FINAL
+    // plan no longer shows the candidate stage's expressions; pin the
+    // no-UDF claim on the final plan and the native kernels on the
+    // candidate stage's own plan (the encode + bounded-heap ADC scan)
     val plan = Pq.search(queries, vectors, model, k = 5, candidates = 50)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), s"UDF in the PQ plan:\n$plan")
-    assert(plan.contains("pq_encode") && plan.contains("pq_adc"), plan)
+    val coarsePlan = graft.operators.ExactKnn.searchWith(
+        queries, Pq.encode(vectors, model), 50,
+        (q, c) => Pq.adcCol(model)(q, c), ascending = true, vecCol = "code")
+      .queryExecution.executedPlan.toString
+    assert(!coarsePlan.contains("UDF"), s"UDF in the ADC stage:\n$coarsePlan")
+    assert(coarsePlan.contains("pq_encode") && coarsePlan.contains("pq_adc"),
+      coarsePlan)
   }
 
   test("IVF-PQ compose: probing half the cells keeps recall@10 >= 0.8") {
