@@ -1243,41 +1243,54 @@ object ScaleRehearsal {
         val leaked = HnswRoutedPq.search(tombed, deadQ, vecs, k = 1,
             nProbe = 8, candidates = 32)
           .filter(col("qid") === col("id")).count()
-        val t3 = System.nanoTime()
-        val (folded, rebuilt, carried) = HnswRoutedPq.compactSoloCounted(
-          tombed, vecs, unpersistPrior = true)
-        val compactS = (System.nanoTime() - t3) / 1e9
-        val (postS, _, postClus) = selfMatch(folded)
-        // solo ingest: a 2% batch of new ids into the folded handle
-        val batchDf = spark.range(n.toLong, n.toLong + n.toLong / 50).as[Long]
-          .map(id => (id, vecOf(id))).toDF("id", "vec").localCheckpoint(true)
-        val t4 = System.nanoTime()
-        val grown = HnswRoutedPq.ingest(folded, batchDf, unpersistPrior = true)
-        val ingestS = (System.nanoTime() - t4) / 1e9
-        val vecsAll = vecs.unionAll(batchDf)
-        val bq = spark.createDataset(
-            (n.toLong until n.toLong + n.toLong / 50 by
-              math.max(1L, (n.toLong / 50) / 500)).take(500)
-              .map(id => (id, vecOf(id))))
-          .toDF("qid", "qvec").localCheckpoint(true)
-        val bTop = HnswRoutedPq.search(grown, bq, vecsAll, k = 1,
-            nProbe = 8, candidates = 64)
-          .select(col("qid"), col("id")).collect()
-        val bClus = bTop.count(r =>
-          r.getLong(0) % nCells == r.getLong(1) % nCells)
-        grown.unpersist()
+        // fold + ingest both materialize a SECOND full image while the
+        // first stays persisted (untouched cells pass by reference but
+        // the new RDD's persist re-serializes every partition) — at the
+        // 1e8 decade that is 2x ~33 GB against a ~94 GB host: the
+        // O(rebuild) legs pin their shapes at 1e6/1e7 (the routed_delete
+        // rung discipline) and the decade run stops after the
+        // delete/leak-check serving proof
+        val (compactS, rebuilt, carried, postS, postClus, ingestS, bClus, nbq) =
+          if (decade8) (0.0, 0L, 0L, 0.0, plainClus, 0.0, 0L, 1L)
+          else {
+            val t3 = System.nanoTime()
+            val (folded, rb, ca) = HnswRoutedPq.compactSoloCounted(
+              tombed, vecs, unpersistPrior = true)
+            val cS = (System.nanoTime() - t3) / 1e9
+            val (pS, _, pClus) = selfMatch(folded)
+            // solo ingest: a 2% batch of new ids into the folded handle
+            val batchDf = spark.range(n.toLong, n.toLong + n.toLong / 50).as[Long]
+              .map(id => (id, vecOf(id))).toDF("id", "vec").localCheckpoint(true)
+            val t4 = System.nanoTime()
+            val grown = HnswRoutedPq.ingest(folded, batchDf, unpersistPrior = true)
+            val iS = (System.nanoTime() - t4) / 1e9
+            val vecsAll = vecs.unionAll(batchDf)
+            val bq = spark.createDataset(
+                (n.toLong until n.toLong + n.toLong / 50 by
+                  math.max(1L, (n.toLong / 50) / 500)).take(500)
+                  .map(id => (id, vecOf(id))))
+              .toDF("qid", "qvec").localCheckpoint(true)
+            val bTop = HnswRoutedPq.search(grown, bq, vecsAll, k = 1,
+                nProbe = 8, candidates = 64)
+              .select(col("qid"), col("id")).collect()
+            val bc = bTop.count(r =>
+              r.getLong(0) % nCells == r.getLong(1) % nCells).toLong
+            val nb = bq.count()
+            grown.unpersist()
+            (cS, rb, ca, pS, pClus, iS, bc, nb)
+          }
         (leaked,
           f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +
           f"plain_probe8_s=$plainS%.2f attach_parity=$attParity " +
           f"leaked=$leaked compact_solo_s=$compactS%.1f " +
           f"rebuilt=$rebuilt carried=$carried post_probe8_s=$postS%.2f " +
           f"solo_ingest_s=$ingestS%.1f ingest_rows=${n / 50} " +
-          f"rows_per_s=${(n / 50) / ingestS}%.0f " +
+          f"rows_per_s=${(n / 50) / math.max(1e-9, ingestS)}%.0f " +
           f"float_cached_mb=${floatBytes / 1e6}%.0f " +
           f"pq_cached_mb=${pqBytes / 1e6}%.0f " +
           f"cluster_plain=${plainClus * 100.0 / qIds.length}%.1f%% " +
           f"cluster_post=${postClus * 100.0 / qIds.length}%.1f%% " +
-          f"batch_cluster_match=${bClus * 100.0 / bq.count()}%.1f%%")
+          f"batch_cluster_match=${bClus * 100.0 / nbq}%.1f%%")
       }
 
       // ROUTED+PQ rung (round-15, second session): the compression
