@@ -291,7 +291,16 @@ object HnswRoutedPq {
           val codeMap = new LongLongMap(rows.length)
           val graph = new graft.store.InMemoryGraph
           val store = new AdcVectorStore(cbv, base = codeMap(_))
+          // the documented dedupIds=false fail-fast: rows are id-sorted,
+          // so a duplicate is adjacent — without this the second insert
+          // would silently self-edge the graph and clobber the code map
+          var prevId = Long.MinValue
+          var havePrev = false
           rows.foreach { case (id, v) =>
+            require(!havePrev || id != prevId,
+              s"buildSolo: duplicate id $id in cell $cell (pass dedupIds=true " +
+                "or dedupe the source)")
+            prevId = id; havePrev = true
             store.prepareQueryWithId(id, v)
             searcher.insert(store, graph, id,
               searcher.selectLayerByHash(id, seed))

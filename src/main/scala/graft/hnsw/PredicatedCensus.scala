@@ -48,12 +48,6 @@ private[hnsw] object PredicatedCensus {
   }
 
   object Members {
-    def ofLongMap(m: scala.collection.mutable.LongMap[_]): Members =
-      new Members {
-        def size: Int = m.size
-        def contains(id: Long): Boolean = m.contains(id)
-        def foreachKey(f: Long => Unit): Unit = m.foreachKey(f)
-      }
     def ofMap(m: scala.collection.Map[Long, _]): Members =
       new Members {
         def size: Int = m.size
@@ -103,7 +97,11 @@ private[hnsw] object PredicatedCensus {
     lazy val eligibleIds: Array[Long] = {
       val b = Array.newBuilder[Long]
       if (hasAllow && allow.length <= cellN)
-        allow.foreach(id => if (m.contains(id) && eligible(id)) b += id)
+        // iterating the allow array IS the allow check — only the
+        // dead-set probe remains (eligible() would redo the allow
+        // binary search the iteration already answered)
+        allow.foreach(id => if (m.contains(id) &&
+          (dead.length == 0 || java.util.Arrays.binarySearch(dead, id) < 0)) b += id)
       else m.foreachKey(id => if (eligible(id)) b += id)
       b.result()
     }

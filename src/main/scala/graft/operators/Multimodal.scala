@@ -764,8 +764,10 @@ object Multimodal {
               fSum += (if (pal != null && v < pal.length) pal(v) else v)
               i += 1
             }
-            sumLum += fSum
-            if (nFrames % stride == 0) sampled += ((nFrames, fSum))
+            // canvas decodes EVERY frame (inter-frame deltas need it),
+            // but sum_lum accumulates only sampled frames so stride>1
+            // semantics match the intra-frame branch below
+            if (nFrames % stride == 0) { sumLum += fSum; sampled += ((nFrames, fSum)) }
           } else if (nFrames % stride == 0) {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes.slice(dataOff, dataEnd)))

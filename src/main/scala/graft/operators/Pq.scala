@@ -166,7 +166,20 @@ object Pq {
     * re-run every per-cell probe kernel), then joins BROADCAST when
     * small (the serving regime — vectors stream, no shuffle) and
     * shuffled only when a genuinely batch-scale candidate set exceeds
-    * [[BroadcastCandidateMax]]. */
+    * [[BroadcastCandidateMax]].
+    *
+    * Fault-tolerance trade-off (deliberate): localCheckpoint blocks are
+    * NOT recomputable — losing an executor that holds them mid-serve
+    * fails that query batch, which the caller simply retries (the serve
+    * is a pure read; the candidate set is tiny next to the corpus, so
+    * re-running the coarse probes is the cheap path, and a reliable
+    * `checkpoint()` would bill a distributed-FS write per batch).
+    * Retention: the checkpointed blocks live until the returned
+    * DataFrame's RDD is GC'd; the driver tracks them via weak refs and
+    * `spark.cleaner` drops them at the next GC cycle. Serving loops
+    * that hold many batch results should release references promptly
+    * (the catalog/rehearsal paths collect and drop — measured steady
+    * executor storage across the 1e8 rung's 2000-query serve). */
   private[graft] def rerank(coarse: DataFrame, vectors: DataFrame,
                             queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions

@@ -67,15 +67,23 @@ object RandomProjection {
     * (qid, id, score, rank), score = exact squared L2, rank <= k.
     * Serving workloads MUST pass `precomputedProjections` (the
     * persisted [[encode]] output). */
+  /** Coarse projected-space top-`candidates` stage alone — the plan a
+    * spec pins for the native `dot_f32`/`l2_sq_f32` kernels
+    * ([[Pq.rerank]] checkpoints the candidate set, so the final serving
+    * plan shows the materialized `Scan ExistingRDD`, not these). */
+  private[graft] def coarse(queries: DataFrame, proj: DataFrame,
+                            m: RpModel, candidates: Int): DataFrame = {
+    val qProj = queries.select(col("qid"), projectCol(m)(col("qvec")).as("qpvec"))
+    ExactKnn.searchWith(qProj, proj, candidates,
+      (q, v) => VectorFunctions.l2Sq(q, v), ascending = true,
+      queryVecCol = "qpvec", vecCol = "pvec")
+      .select(col("qid"), col("id"))
+  }
+
   def search(queries: DataFrame, vectors: DataFrame, m: RpModel,
              k: Int, candidates: Int,
              precomputedProjections: Option[DataFrame] = None): DataFrame = {
     val proj = precomputedProjections.getOrElse(encode(vectors, m))
-    val qProj = queries.select(col("qid"), projectCol(m)(col("qvec")).as("qpvec"))
-    val coarse = ExactKnn.searchWith(qProj, proj, candidates,
-      (q, v) => VectorFunctions.l2Sq(q, v), ascending = true,
-      queryVecCol = "qpvec", vecCol = "pvec")
-      .select(col("qid"), col("id"))
-    Pq.rerank(coarse, vectors, queries, k)
+    Pq.rerank(coarse(queries, proj, m, candidates), vectors, queries, k)
   }
 }

@@ -62,13 +62,20 @@ object Sq8 {
     * squared L2, rank <= k. Serving workloads MUST pass
     * `precomputedCodes` (the persisted [[encode]] output); without it
     * every call re-encodes the raw vectors. */
+  /** Coarse ADC top-`candidates` stage alone — the plan a spec pins for
+    * the native `sq8_encode`/`sq8_adc` kernels ([[Pq.rerank]] checkpoints
+    * the candidate set, so the final serving plan shows the
+    * materialized `Scan ExistingRDD`, not the coarse kernels). */
+  private[graft] def coarse(queries: DataFrame, codes: DataFrame,
+                            model: Sq8Model, candidates: Int): DataFrame =
+    ExactKnn.searchWith(queries, codes, candidates,
+      (q, c) => adcCol(model)(q, c), ascending = true, vecCol = "code")
+      .select(col("qid"), col("id"))
+
   def search(queries: DataFrame, vectors: DataFrame, model: Sq8Model,
              k: Int, candidates: Int,
              precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val codes = precomputedCodes.getOrElse(encode(vectors, model))
-    val coarse = ExactKnn.searchWith(queries, codes, candidates,
-      (q, c) => adcCol(model)(q, c), ascending = true, vecCol = "code")
-      .select(col("qid"), col("id"))
-    Pq.rerank(coarse, vectors, queries, k)
+    Pq.rerank(coarse(queries, codes, model, candidates), vectors, queries, k)
   }
 }

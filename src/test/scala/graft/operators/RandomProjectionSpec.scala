@@ -76,10 +76,20 @@ class RandomProjectionSpec extends SparkSpec {
   }
 
   test("projection and coarse scan are native codegen kernels (no Scala UDF in the plan)") {
-    val plan = RandomProjection.search(queries, vectors, m, k = 5, candidates = 50)
+    // the kernel names live in the COARSE plan — Pq.rerank checkpoints
+    // the candidate set, so the final plan shows Scan ExistingRDD there
+    val coarsePlan = RandomProjection.coarse(queries,
+        RandomProjection.encode(vectors, m), m, candidates = 50)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("UDF"), s"UDF left in the RP plan:\n$plan")
-    assert(plan.contains("dot_f32") && plan.contains("l2_sq_f32"), plan)
+    assert(!coarsePlan.contains("UDF"), s"UDF left in the RP coarse plan:\n$coarsePlan")
+    assert(coarsePlan.contains("dot_f32") && coarsePlan.contains("l2_sq_f32"), coarsePlan)
+    val finalPlan = RandomProjection.search(queries, vectors, m, k = 5, candidates = 50)
+      .queryExecution.executedPlan.toString
+    assert(!finalPlan.contains("UDF"), s"UDF left in the RP serving plan:\n$finalPlan")
+    // serving regime: small candidate set must BROADCAST into the
+    // re-rank join (the vectors side streams — never shuffles)
+    assert(finalPlan.contains("BroadcastExchange"),
+      s"re-rank candidates not broadcast:\n$finalPlan")
   }
 
   test("a precomputed projection column serves without touching raw vectors in the coarse scan") {

@@ -70,9 +70,18 @@ class Sq8Spec extends SparkSpec {
   }
 
   test("encode and ADC are native expressions (no Scala UDF in the plan)") {
-    val plan = Sq8.search(queries, vectors, model, k = 5, candidates = 50)
+    // the kernel names live in the COARSE plan — Pq.rerank checkpoints
+    // the candidate set, so the final plan shows Scan ExistingRDD there
+    val coarsePlan = Sq8.coarse(queries, Sq8.encode(vectors, model), model,
+        candidates = 50).queryExecution.executedPlan.toString
+    assert(!coarsePlan.contains("UDF"), s"UDF in the SQ8 coarse plan:\n$coarsePlan")
+    assert(coarsePlan.contains("sq8_encode") && coarsePlan.contains("sq8_adc"), coarsePlan)
+    val finalPlan = Sq8.search(queries, vectors, model, k = 5, candidates = 50)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("UDF"), s"UDF in the SQ8 plan:\n$plan")
-    assert(plan.contains("sq8_encode") && plan.contains("sq8_adc"), plan)
+    assert(!finalPlan.contains("UDF"), s"UDF in the SQ8 serving plan:\n$finalPlan")
+    // serving regime: small candidate set must BROADCAST into the
+    // re-rank join (the vectors side streams — never shuffles)
+    assert(finalPlan.contains("BroadcastExchange"),
+      s"re-rank candidates not broadcast:\n$finalPlan")
   }
 }
