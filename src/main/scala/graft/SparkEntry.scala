@@ -24,9 +24,11 @@ object SparkEntry {
     // Kryo for broadcast + RDD-record serialization: SQL/Dataset paths
     // run Tungsten regardless, so this targets the HNSW build's
     // per-batch snapshot broadcasts, phase-1 RDD records, and the
-    // model/query broadcasts of the serving paths. Spark's Kryo ships
-    // chill's AllScalaRegistrar, so the Scala collections inside
-    // HnswModel/ShardModel serialize correctly. Measured on the n100k
+    // model/query broadcasts of the serving paths. The shard/model
+    // vector payloads are graft's own primitive maps (LongVecMap /
+    // LongLongMap — pure data fields, Kryo-FieldSerializer-safe by
+    // construction; scala's mutable.LongMap deserialized CORRUPT under
+    // this round-trip in cached shard state). Measured on the n100k
     // grid build: snapshot+broadcast slice 5.1 -> 4.4 s (the remainder
     // is CSR construction + lz4 broadcast compression, kept on because
     // a real cluster wants compressed torrent blocks).

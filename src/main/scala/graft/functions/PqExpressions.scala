@@ -103,6 +103,27 @@ object PqKernels {
   // candidate distance is 16 table lookups + adds (no per-dimension work
   // per candidate — the standard ADC serving decomposition).
 
+  /** Reconstruct a code's vector: per subspace, the indexed centroid,
+    * concatenated — the PQ decode (reconstruction error is the
+    * quantization radius the codebook was trained to). The merged-cell
+    * audit runs its float-space census over these, so a solo-built
+    * index (floats on disk only) audits without touching the source. */
+  def decodeArray(code: Long, codebook: Array[Array[Array[Float]]]): Array[Float] = {
+    val td = trainedDim(codebook)
+    val sd = subDim(td)
+    val out = new Array[Float](td)
+    var s = 0
+    while (s < NumSub) {
+      val cent = codebook(s)(((code >>> (4 * s)) & 15L).toInt)
+      val off = s * sd
+      var i = 0
+      val n = math.min(cent.length, math.max(td - off, 0))
+      while (i < n) { out(off + i) = cent(i); i += 1 }
+      s += 1
+    }
+    out
+  }
+
   def encodeArray(v: Array[Float], codebook: Array[Array[Array[Float]]]): Long = {
     val dim = v.length
     val td = trainedDim(codebook)

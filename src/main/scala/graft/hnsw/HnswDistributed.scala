@@ -16,10 +16,12 @@ final case class HnswModel(
     params: HnswParams,
     metricName: String,
     snapshot: GraphSnapshot,
-    // collection.Map so the hot constructors can pass a primitive-keyed
-    // mutable.LongMap (no boxed-trie lookup per distance eval) while the
-    // import paths keep plain immutable maps
-    vectors: collection.Map[Long, Array[Float]]
+    // the primitive LongVecMap, not a scala map: the model BROADCASTS
+    // (Kryo-serialized torrent blocks), and scala's mutable.LongMap
+    // deserialized corrupt under that round-trip in cached shard state
+    // (the round-16 PQ-tier SIGSEGV — see LongVecMap's scaladoc); it is
+    // also the no-boxed-lookup shape every distance eval wants
+    vectors: LongVecMap
 ) extends Serializable {
   def size: Int = vectors.size
 }
@@ -102,14 +104,14 @@ object HnswDistributed {
     // primitive-keyed: this map backs EVERY distance eval of the build
     // (executor-side through the broadcast payload, driver-side in the
     // merge) — a boxed trie here costs a Long box + trie walk per eval
-    val vecMap = scala.collection.mutable.LongMap.from(rows.iterator)
+    val vecMap = LongVecMap.from(rows.iterator, rows.length)
     val store = new ArrayVectorStore(metric, base = vecMap)
     rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
     val graph = new InMemoryGraph
     val insLayers = rows.map { case (id, _) => searcher.selectLayerByHash(id, cfg.seed) }
 
     batchedBuildLoop(spark, rows.map(_._1), insLayers, vecMap,
-      (m: collection.Map[Long, Array[Float]]) => new ArrayVectorStore(metric, base = m),
+      (m: LongVecMap) => new ArrayVectorStore(metric, base = m),
       store, searcher, graph, cfg.seedBatch, cfg.maxBatch,
       cfg.growthDenom, cfg.batchCeiling)
 
@@ -386,7 +388,10 @@ object HnswDistributed {
     * executor-side inside a persisted RDD — the serving handle never
     * routes through the driver. */
   final case class ShardModel(
-      vectors: collection.Map[Long, Array[Float]],
+      // LongVecMap, not a scala map — the shard RDD persists (memory
+      // spilling to disk) through Encoders.kryo, the round-trip that
+      // corrupted scala LongMap state (see LongVecMap's scaladoc)
+      vectors: LongVecMap,
       snapshot: GraphSnapshot
   ) extends Serializable
 
@@ -416,7 +421,7 @@ object HnswDistributed {
         else {
           val metric = Metrics.byName(cfg.metric)
           val searcher = new HnswSearcher(cfg.params)
-          val vecMap = scala.collection.mutable.LongMap.from(shard.iterator)
+          val vecMap = LongVecMap.from(shard.iterator, shard.length)
           val store = new ArrayVectorStore(metric, base = vecMap)
           shard.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
           val graph = new InMemoryGraph
@@ -493,8 +498,11 @@ object HnswDistributed {
     import spark.implicits._
     val delIds = deleted
       .select(col(deleted.columns.head).cast("long")).as[Long].collect().toSet
-    val survivors = model.vectors.view.filterKeys(id => !delIds.contains(id)).toMap
-    val vecsDf = survivors.toSeq.toDF("id", "vec")
+    val survivors = new LongVecMap(model.vectors.size)
+    model.vectors.foreach { case (id, v) =>
+      if (!delIds.contains(id)) survivors.put(id, v)
+    }
+    val vecsDf = survivors.iterator.toSeq.toDF("id", "vec")
     val compacted = GraphFrames.compactTombstones(
       GraphFrames.toLinksDF(spark, model.snapshot), deleted, vecsDf,
       model.metricName, model.params)

@@ -44,10 +44,15 @@ import graft.store.{ArrayVectorStore, EntryPoint, GraphSnapshot, InMemoryGraph, 
   */
 object HnswRouted {
 
-  /** One cell's shard: its id, vectors, and private graph. */
+  /** One cell's shard: its id, vectors, and private graph. `vectors` is
+    * the primitive [[LongVecMap]], NOT a scala map: shards persist at
+    * MEMORY_AND_DISK, and under eviction they Kryo-round-trip through
+    * disk — the exact trigger that deserialized a scala
+    * `mutable.LongMap` corrupt and SIGSEGV'd the PQ tier (see
+    * [[LongVecMap]]'s scaladoc; pinned by KryoRoundTripSpec). */
   final case class CellShard(
       cell: Int,
-      vectors: collection.Map[Long, Array[Float]],
+      vectors: LongVecMap,
       snapshot: GraphSnapshot
   ) extends Serializable
 
@@ -318,7 +323,7 @@ object HnswRouted {
                                    cfg: BuildConfig): CellShard = {
     val metric = Metrics.byName(cfg.metric)
     val searcher = new HnswSearcher(cfg.params)
-    val vecMap = scala.collection.mutable.LongMap.from[Array[Float]](rows.iterator)
+    val vecMap = LongVecMap.from(rows.iterator, rows.length)
     val graph = new InMemoryGraph
     val store = new ArrayVectorStore(metric, base = vecMap)
     rows.foreach { case (id, v) => store.prepareQueryWithId(id, v) }
@@ -351,7 +356,7 @@ object HnswRouted {
       val rows = rowsBuf.toArray.sortBy(_._1)
       existing.get(cell) match {
         case Some(prior) =>
-          val vecMap = scala.collection.mutable.LongMap.from(prior.vectors)
+          val vecMap = prior.vectors.copy(extra = rows.length)
           rows.foreach { case (id, _) =>
             require(!vecMap.contains(id),
               s"routed ingest: id $id already present in cell $cell — " +
@@ -931,90 +936,14 @@ object HnswRouted {
         val deadBp = nDead * 10000L / cellN
         if (deadBp < minDeadBp || deadBp > maxDeadBp) Iterator.empty
         else {
-          val metric = Metrics.byName(cfg.metric)
-          // deterministic sample, decimated by ID HASH — never by
-          // position: a positional stride can alias with the id pattern
-          // (a cell of interleaved (32k dead, 32k+1 live) pairs sampled
-          // every 6th position yields ALL-dead, the live seed-mean
-          // degenerates to zero, and Lloyd collapses to one side —
-          // exactly the planted rehearsal case). Falls back to the full
-          // cell if the sample still misses a class (cells are bounded
-          // by maxCellRows, so O(cell × dim) stays affordable).
+          // the separability test is the SHARED float-space kernel
+          // ([[MergedCellAudit.auditCell]] — also run by the PQ tier
+          // over code reconstructions); sampling/seeding rationale
+          // lives on the kernel
           val all = s.vectors.toArray.sortBy(_._1)
-          val keep = math.min(1.0, sampleMax.toDouble / all.length)
-          val hashed = all.filter { case (id, _) =>
-            HnswSearcher.uniformFromHash(id, 0x9E3779B9L) < keep }
-          val sample =
-            if (hashed.length >= 32 && hashed.exists(r => isDead(r._1)) &&
-                hashed.exists(r => !isDead(r._1))) hashed
-            else all
-          val dim = sample.head._2.length
-          def meanOf(p: ((Long, Array[Float])) => Boolean): Array[Float] = {
-            val acc = new Array[Double](dim); var n = 0
-            sample.foreach { r => if (p(r)) {
-              var d = 0; while (d < dim) { acc(d) += r._2(d); d += 1 }; n += 1 } }
-            if (n == 0) new Array[Float](dim)
-            else Array.tabulate(dim)(d => (acc(d) / n).toFloat)
-          }
-          val k = math.max(2, math.min(kSplit, sample.length / 4))
-          val cents = Array.ofDim[Array[Float]](k)
-          cents(0) = meanOf(r => isDead(r._1))   // dead-member mean
-          cents(1) = meanOf(r => !isDead(r._1))  // live-member mean
-          // farthest-point seeds (deterministic; ties by id order): the
-          // extra components catch structure the two hypothesis seeds
-          // cannot hold alone when >2 clusters share the cell
-          var j = 2
-          while (j < k) {
-            var best: Array[Float] = null; var bestD = -1.0
-            sample.foreach { case (_, v) =>
-              var minD = Double.MaxValue; var c = 0
-              while (c < j) { val d = metric(v, cents(c)); if (d < minD) minD = d; c += 1 }
-              if (minD > bestD) { bestD = minD; best = v }
-            }
-            cents(j) = best; j += 1
-          }
-          @inline def nearest(v: Array[Float]): Int = {
-            var bi = 0; var bd = Double.MaxValue; var c = 0
-            while (c < k) {
-              val d = metric(v, cents(c)); if (d < bd) { bd = d; bi = c }; c += 1 }
-            bi
-          }
-          var it = 0
-          while (it < iters) {
-            val accs = Array.fill(k)(new Array[Double](dim))
-            val ns = new Array[Int](k)
-            sample.foreach { case (_, v) =>
-              val c = nearest(v); val acc = accs(c)
-              var d = 0; while (d < dim) { acc(d) += v(d); d += 1 }
-              ns(c) += 1
-            }
-            var c = 0
-            while (c < k) {
-              if (ns(c) > 0)
-                cents(c) = Array.tabulate(dim)(d => (accs(c)(d) / ns(c)).toFloat)
-              c += 1 // an empty component keeps its centroid
-            }
-            it += 1
-          }
-          // census EVERY member (not just the sample) per component
-          val compN = new Array[Long](k); val compDead = new Array[Long](k)
-          s.vectors.foreach { case (id, v) =>
-            val c = nearest(v)
-            compN(c) += 1; if (isDead(id)) compDead(c) += 1
-          }
-          var hiBp = 0L; var loBp = 10000L; var pureDeadMass = 0L
-          var c = 0
-          while (c < k) {
-            if (compN(c) > 0) {
-              val bp = compDead(c) * 10000L / compN(c)
-              if (bp > hiBp) hiBp = bp
-              if (bp < loBp) loBp = bp
-              if (bp >= 8000L) pureDeadMass += compDead(c)
-            }
-            c += 1
-          }
-          val massHiBp = if (nDead == 0) 0L else pureDeadMass * 10000L / nDead
-          val merged = hiBp >= 8000L && loBp <= 2000L && massHiBp >= 8000L
+          val (hiBp, loBp, massHiBp, merged) = MergedCellAudit.auditCell(
+            all, Metrics.byName(cfg.metric), isDead, nDead,
+            sampleMax, iters, kSplit)
           Iterator.single((cell, cellN.toLong, nDead.toLong, deadBp,
             hiBp, loBp, massHiBp, merged))
         }
@@ -1089,6 +1018,29 @@ object HnswRouted {
     index.shards.mapPartitions({ it =>
       var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
     }, preservesPartitioning = true).fold(0L)(_ + _)
+
+  /** Covering-probe warm-up: ONE real k=1 serve whose query batch holds
+    * one member vector per cell — each query routes back to its own
+    * cell (the router that assigned it is frozen), so every cell runs a
+    * real beam and the whole serving path (driver routing, codegen,
+    * broadcast, the per-cell kernel's JIT + allocation ramp) executes
+    * once off the serving path. [[warm]]'s block sweep pays only the
+    * disk read — the 1e7 rung measured a 1.9x first-serve residual
+    * after it, which is exactly the kernel/plan warm-up this probe
+    * pays. Returns the number of cells probed. */
+  def warmProbe(index: RoutedIndex, ef: Int = 16): Long = {
+    val reps = index.shards.flatMap { case (cell, s) =>
+      s.vectors.iterator.take(1).map { case (_, v) => (cell.toLong, v) }
+    }.collect()
+    if (reps.isEmpty) 0L
+    else {
+      val spark = SparkSession.active
+      import spark.implicits._
+      val qDf = reps.toSeq.toDF("qid", "qvec")
+      search(index, qDf, k = 1, nProbe = 1, ef0 = ef).count()
+      reps.length.toLong
+    }
+  }
 
   /** Per-cell occupancy (cell, rows) — the drift audit surface: compare
     * against the build-time histogram to decide when frozen centroids
@@ -1368,7 +1320,7 @@ object HnswRouted {
           // routed tiers — see its Scaladoc for the measured rationale
           // behind each discipline).
           val cen = new PredicatedCensus.Census(
-            PredicatedCensus.Members.ofMap(m.vectors),
+            PredicatedCensus.Members.ofVecMap(m.vectors),
             hasAllow, allow, dead)
           @inline def eligible(id: Long): Boolean = cen.eligible(id)
           val cellN = cen.cellN
@@ -1656,7 +1608,7 @@ object HnswRouted {
     // the keyed-shard design exists to avoid
     val shards = vecs.cogroup(links, entries, part).mapPartitions({ it =>
       it.map { case (cell, (vs, ls, es)) =>
-        val vecMap = scala.collection.mutable.LongMap.from[Array[Float]](vs.iterator)
+        val vecMap = LongVecMap.from(vs.iterator)
         val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
         val nLayers = math.max(
           ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),

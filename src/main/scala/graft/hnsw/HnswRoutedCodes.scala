@@ -415,6 +415,26 @@ object HnswRoutedCodes {
       var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
     }, preservesPartitioning = true).fold(0L)(_ + _)
 
+  /** Covering-probe warm-up — [[HnswRouted.warmProbe]] on the code
+    * representation: one member code per cell served back through the
+    * full path at k = 1, paying the kernel JIT + plan warm-up that
+    * [[warm]]'s block sweep leaves on the first real serve. */
+  def warmProbe(index: RoutedCodeIndex, ef: Int = 16): Long = {
+    val reps = index.shards.flatMap { case (cell, s) =>
+      val it = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      s.codes.foreach { (_, c) => if (it.isEmpty) it += ((cell.toLong, c)) }
+      it.iterator
+    }.collect()
+    if (reps.isEmpty) 0L
+    else {
+      val spark = SparkSession.active
+      import spark.implicits._
+      val qDf = reps.toSeq.toDF("qid", "qcode")
+      search(index, qDf, k = 1, nProbe = 1, ef0 = ef).count()
+      reps.length.toLong
+    }
+  }
+
   /** Drift recovery — [[HnswRouted.retrain]] on the code
     * representation: re-train the k-majority anchors on the index's
     * current corpus and rebuild from its own shards (tombstones fold

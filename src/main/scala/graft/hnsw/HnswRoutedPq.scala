@@ -88,8 +88,7 @@ object HnswRoutedPq {
     * noise only — the exact re-rank still orders true candidates);
     * at 64 well-mixed bits per cell the chance is ~nCells/2^64 per
     * rederive, far below any operational concern. */
-  private[hnsw] def contentFingerprint(
-      vectors: collection.Map[Long, Array[Float]]): Long =
+  private[hnsw] def contentFingerprint(vectors: LongVecMap): Long =
     contentFingerprintRows(vectors.iterator)
 
   /** Same fold over a row iterator (order-independent by the addition
@@ -123,8 +122,15 @@ object HnswRoutedPq {
       codebook: Array[Array[Array[Float]]],
       shards: org.apache.spark.rdd.RDD[(Int, PqCellShard)],
       tombstones: Array[Long],
-      buildSeed: Long = 13L) {
-    def unpersist(): Unit = shards.unpersist()
+      buildSeed: Long = 13L,
+      // patch RDDs still pinned under `shards` (the
+      // [[compactSoloCellsPatched]] rebuilt-cells overlay) — released
+      // by [[foldOverlay]] or [[unpersist]]
+      overlay: Seq[org.apache.spark.rdd.RDD[_]] = Nil) {
+    def unpersist(): Unit = {
+      overlay.foreach(_.unpersist())
+      shards.unpersist()
+    }
   }
 
   /** Derive the PQ serving tier from a built routed index: train one
@@ -754,6 +760,34 @@ object HnswRoutedPq {
       var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
     }, preservesPartitioning = true).fold(0L)(_ + _)
 
+  /** Covering-probe warm-up — [[HnswRouted.warmProbe]] on the
+    * compressed tier: one member RECONSTRUCTION per cell served back
+    * through the coarse ADC path at k = 1 (no float table — usable in
+    * the solo/attached posture), paying the kernel JIT + plan warm-up
+    * that [[warm]]'s block sweep leaves on the first real serve. The
+    * exact re-rank join is deliberately not driven: it reads the
+    * external raw-vector table, whose warmth is the table owner's
+    * concern, not the index's. */
+  def warmProbe(index: RoutedPqIndex, ef: Int = 16): Long = {
+    val cbB = index.shards.sparkContext.broadcast(index.codebook)
+    val reps = index.shards.flatMap { case (cell, s) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      s.codes.foreach { (_, c) =>
+        if (out.isEmpty) out += ((cell.toLong, PqKernels.decodeArray(c, cbB.value)))
+      }
+      out.iterator
+    }.collect()
+    if (reps.isEmpty) 0L
+    else {
+      val spark = SparkSession.active
+      import spark.implicits._
+      val qDf = reps.toSeq.toDF("qid", "qvec")
+      searchCoarse(index, qDf, candidates = math.max(1, ef), nProbe = 1,
+        ef0 = ef).count()
+      reps.length.toLong
+    }
+  }
+
   /** Which of `ids` are present in the index's code maps — one narrow
     * scan of the shard key sets (no shuffle; the [[HnswRouted
     * .presentIds]] contract on the compressed tier). Sorted. */
@@ -861,6 +895,225 @@ object HnswRoutedPq {
     if (unpersistPrior) index.unpersist()
     (RoutedPqIndex(index.params, index.router, index.codebook, merged,
       Array.empty[Long], index.buildSeed), rebuilt.value, carried.value)
+  }
+
+  // --------------------------------------------------------------------
+  // Merged-cell detection + targeted remedy — the float/codes tiers'
+  // audit on the COMPRESSED tier, the last one unguarded against the
+  // dead-side serving tax (float measured 11.6x, codes 7.0x from ONE
+  // merged cell). The census runs over code RECONSTRUCTIONS
+  // ([[PqKernels.decodeArray]] — 16 centroid lookups per member), so a
+  // solo-built index whose floats live only on disk audits WITHOUT
+  // touching the float source; the remedy (a targeted rebuild) is the
+  // one step that genuinely needs survivor floats, and it fetches them
+  // for ONLY the flagged cells through the same join the exact re-rank
+  // already uses.
+  // --------------------------------------------------------------------
+
+  /** Merged-cell audit — [[HnswRouted.mergedCellAudit]] on the
+    * compressed representation: cells in the suspicious dead-fraction
+    * band decode their codes to reconstructions and run the SHARED
+    * float-space separability kernel ([[MergedCellAudit.auditCell]]).
+    * Quantization cannot hide the structure the audit hunts: dead/live
+    * mode separation is orders of magnitude above the codebook's
+    * quantization radius, and members of one mode reconstruct into the
+    * same small centroid neighborhood. Schema and thresholds identical
+    * to the float/codes audits. Remedy: [[compactSoloCells]] /
+    * [[compactSoloCellsPatched]] on the flagged ids. */
+  def mergedCellAudit(index: RoutedPqIndex, minCellRows: Int = 1024,
+                      minDeadBp: Int = 1000, maxDeadBp: Int = 9000,
+                      sampleMax: Int = 4096, iters: Int = 8,
+                      kSplit: Int = 8): DataFrame = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val tombB = index.shards.sparkContext.broadcast(index.tombstones)
+    val cbB = index.shards.sparkContext.broadcast(index.codebook)
+    val rows = index.shards.flatMap { case (cell, s) =>
+      val dead = tombB.value
+      val cellN = s.codes.size
+      if (dead.length == 0 || cellN < minCellRows) Iterator.empty
+      else {
+        @inline def isDead(id: Long): Boolean =
+          java.util.Arrays.binarySearch(dead, id) >= 0
+        var nDead = 0
+        s.codes.foreach { (id, _) => if (isDead(id)) nDead += 1 }
+        val deadBp = nDead * 10000L / cellN
+        if (deadBp < minDeadBp || deadBp > maxDeadBp) Iterator.empty
+        else {
+          val cb = cbB.value
+          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Array[Float])](cellN)
+          s.codes.foreach { (id, c) => buf += ((id, PqKernels.decodeArray(c, cb))) }
+          val all = buf.toArray.sortBy(_._1)
+          val (hiBp, loBp, massHiBp, merged) = MergedCellAudit.auditCell(
+            all, graft.store.Metrics.byName("l2"), isDead, nDead,
+            sampleMax, iters, kSplit)
+          Iterator.single((cell, cellN.toLong, nDead.toLong, deadBp,
+            hiBp, loBp, massHiBp, merged))
+        }
+      }
+    }.collect()
+    rows.toSeq.toDF("cell", "n", "n_dead", "dead_bp",
+      "hi_dead_bp", "lo_dead_bp", "dead_mass_hi_bp", "merged")
+  }
+
+  /** Targeted solo compaction: [[compactSolo]] restricted to the listed
+    * cells — fold the deletion set out of ONLY those cells (survivor
+    * floats fetched for only them), SHRINK the tombstone set by exactly
+    * the ids that lived there, pass every other cell by reference. */
+  def compactSoloCells(index: RoutedPqIndex, vectors: DataFrame,
+                       cells: Array[Int], persist: Boolean = true,
+                       unpersistPrior: Boolean = false): RoutedPqIndex =
+    if (cells.isEmpty || index.tombstones.isEmpty) index
+    else {
+      val (merged, removed) =
+        rebuildCellsSolo(index, vectors, cells, touchedOnly = false)
+      if (persist) {
+        merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-pq")
+        merged.count()
+        if (unpersistPrior) index.unpersist()
+      }
+      val remaining = index.tombstones.filter(id =>
+        java.util.Arrays.binarySearch(removed, id) < 0)
+      RoutedPqIndex(index.params, index.router, index.codebook, merged,
+        remaining, index.buildSeed)
+    }
+
+  /** [[compactSoloCells]] with O(touched) PERSISTED BYTES — the
+    * float/codes tiers' patch-overlay discipline on the compressed
+    * tier: only the touched partitions' cells persist in the overlay;
+    * the served composite reads the base's cached blocks everywhere
+    * else; the base handle keeps serving its own answer; patches
+    * stack, [[foldOverlay]] bounds the stack. */
+  def compactSoloCellsPatched(index: RoutedPqIndex, vectors: DataFrame,
+                              cells: Array[Int],
+                              persist: Boolean = true): RoutedPqIndex =
+    if (cells.isEmpty || index.tombstones.isEmpty) index
+    else {
+      val (overlay, removed) =
+        rebuildCellsSolo(index, vectors, cells, touchedOnly = true)
+      if (persist) {
+        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .setName("graft-hnsw-routed-pq-patch")
+        overlay.count()
+      }
+      val patched = index.shards.zipPartitions(overlay,
+          preservesPartitioning = true) { (b, o) =>
+        val patch = o.toArray
+        if (patch.isEmpty) b
+        else {
+          val replaced = patch.map(_._1).toSet
+          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
+        }
+      }
+      val remaining = index.tombstones.filter(id =>
+        java.util.Arrays.binarySearch(removed, id) < 0)
+      RoutedPqIndex(index.params, index.router, index.codebook, patched,
+        remaining, index.buildSeed,
+        overlay = if (persist) index.overlay :+ overlay else index.overlay)
+    }
+
+  /** Shared rebuild pass of the two targeted solo compactions: fetch
+    * survivor floats for ONLY the listed cells, rebuild those cells
+    * fresh (float-exact graph + re-encoded codes + true content
+    * fingerprint). `touchedOnly = true` yields the patch overlay
+    * (untouched PARTITIONS empty); `false` yields the full composite
+    * (untouched cells pass by reference). Also returns the sorted
+    * tombstoned ids that lived in the listed cells. */
+  private def rebuildCellsSolo(index: RoutedPqIndex, vectors: DataFrame,
+                               cells: Array[Int], touchedOnly: Boolean)
+      : (org.apache.spark.rdd.RDD[(Int, PqCellShard)], Array[Long]) = {
+    val spark = vectors.sparkSession
+    val sc = spark.sparkContext
+    val params = index.params
+    val cellSet = cells.toSet
+    val deadB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(
+      HnswRouted.partitionerFor(index.router))
+    val touchedParts = cells.map(part.getPartition(_: Any)).toSet
+    val removed = HnswRouted.prunedShards(index.shards, cells)
+      .flatMap { case (cell, s) =>
+        if (!cellSet(cell)) Iterator.empty
+        else deadB.value.iterator.filter(s.codes.contains)
+      }.collect()
+    java.util.Arrays.sort(removed)
+    val survivorIds = index.shards.flatMap { case (cell, s) =>
+      if (!cellSet(cell)) Iterator.empty
+      else {
+        val dead = deadB.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        s.codes.foreach { (id, _) =>
+          if (java.util.Arrays.binarySearch(dead, id) < 0) out += ((id, cell))
+        }
+        out.iterator
+      }
+    }
+    import spark.implicits._
+    val fetched = survivorIds.toDF("id", "cell")
+      .join(vectors.select(col("id"), col("vec")), Seq("id"))
+      .select(col("id"), col("vec"), col("cell"))
+      .as(tripleEnc).rdd
+      .map { case (id, vec, cell) => (cell, (id, vec)) }
+      .partitionBy(part)
+    val cbB = sc.broadcast(index.codebook)
+    val seed = index.buildSeed
+    val rebuilt = index.shards.cogroup(fetched).mapPartitionsWithIndex({ (i, it) =>
+      if (touchedOnly && !touchedParts(i)) Iterator.empty
+      else it.flatMap { case (cell, (shards, rows)) =>
+        shards.headOption.map { p =>
+          if (!cellSet(cell)) cell -> p
+          else {
+            val dead = deadB.value
+            val survivors = rows.toArray.sortBy(_._1)
+            require(survivors.length == p.codes.size - dead.count(p.codes.contains),
+              s"routed-pq targeted compact: cell $cell fetched " +
+                s"${survivors.length} survivor vectors but the shard holds " +
+                s"${p.codes.size - dead.count(p.codes.contains)} — the " +
+                "raw-vector table is missing rows the index serves")
+            val cfg = HnswDistributed.BuildConfig(params, "l2", seed = seed)
+            cell -> encodeShard(HnswRouted.buildCellFresh(cell, survivors, cfg),
+              cbB.value)
+          }
+        }
+      }
+    }, preservesPartitioning = true)
+    (rebuilt, removed)
+  }
+
+  /** Fold stacked patch overlays into one self-contained persisted
+    * image — [[HnswRoutedCodes.foldOverlay]] on the compressed tier. */
+  def foldOverlay(index: RoutedPqIndex,
+                  storage: org.apache.spark.storage.StorageLevel =
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): RoutedPqIndex =
+    if (index.overlay.isEmpty) index
+    else {
+      val full = index.shards.mapPartitions(it => it,
+        preservesPartitioning = true)
+      full.persist(storage).setName("graft-hnsw-routed-pq")
+      full.count()
+      index.overlay.foreach(_.unpersist())
+      index.copy(shards = full, overlay = Nil)
+    }
+
+  /** Detect-and-remediate — [[HnswRouted.remediateMergedCells]] on the
+    * compressed tier: [[mergedCellAudit]] (over reconstructions — no
+    * float access) → targeted solo compaction of the flagged cells
+    * (survivor floats fetched for only them), PATCHED by default.
+    * Returns the remediated index (the input handle when nothing is
+    * flagged) and the flagged cell ids. */
+  def remediateMergedCellsSolo(index: RoutedPqIndex, vectors: DataFrame,
+                               minCellRows: Int = 1024,
+                               persist: Boolean = true,
+                               unpersistPrior: Boolean = false,
+                               patched: Boolean = true): (RoutedPqIndex, Array[Int]) = {
+    val flagged = mergedCellAudit(index, minCellRows)
+      .filter(col("merged")).select(col("cell"))
+      .collect().map(_.getInt(0))
+    if (flagged.isEmpty) (index, flagged)
+    else if (patched)
+      (compactSoloCellsPatched(index, vectors, flagged, persist), flagged)
+    else
+      (compactSoloCells(index, vectors, flagged, persist, unpersistPrior), flagged)
   }
 
   /** Follow the float source tier through its lifecycle: after
@@ -1101,7 +1354,9 @@ object HnswRoutedPq {
     * unchanged cells by fingerprint). Attach cost is a parquet scan +
     * CSR assembly — no k-means, no HNSW construction, no encode. */
   def attach(spark: SparkSession, path: String,
-             persist: Boolean = true): RoutedPqIndex = {
+             persist: Boolean = true,
+             storage: org.apache.spark.storage.StorageLevel =
+               org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): RoutedPqIndex = {
     val dir = VersionedIndexDirs.newestDone(spark, path)
 
     val meta = spark.read.parquet(s"$dir/meta").collect().head
@@ -1176,8 +1431,7 @@ object HnswRoutedPq {
       }
     }, preservesPartitioning = true)
     if (persist) {
-      shards.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .setName("graft-hnsw-routed-pq")
+      shards.persist(storage).setName("graft-hnsw-routed-pq")
       shards.count()
     }
     val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")

@@ -48,11 +48,11 @@ private[hnsw] object PredicatedCensus {
   }
 
   object Members {
-    def ofMap(m: scala.collection.Map[Long, _]): Members =
+    def ofVecMap(m: LongVecMap): Members =
       new Members {
         def size: Int = m.size
         def contains(id: Long): Boolean = m.contains(id)
-        def foreachKey(f: Long => Unit): Unit = m.keysIterator.foreach(f)
+        def foreachKey(f: Long => Unit): Unit = m.foreachKey(f)
       }
     def ofLongLongMap(m: LongLongMap): Members =
       new Members {

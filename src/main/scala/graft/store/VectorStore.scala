@@ -99,7 +99,11 @@ object Metrics {
 final class ArrayVectorStore(
     metric: (Array[Float], Array[Float]) => Double,
     matchThreshold: Double = 1e-12,
-    base: collection.Map[Long, Array[Float]] = collection.Map.empty
+    // a plain function, not collection.Map: the serving callers pass the
+    // primitive LongVecMap shard payload (which extends Long => Array
+    // [Float]); Map callers still fit via Function1
+    base: Long => Array[Float] =
+      id => throw new NoSuchElementException(s"key not found: $id")
 ) extends VectorStore {
   type Raw = Array[Float]
 
@@ -124,8 +128,8 @@ final class ArrayVectorStore(
   def vector(id: Long): Array[Float] = {
     // getOrNull, not get: this runs twice per distance eval — the single
     // hottest lookup in the engine — and LongMap.get allocates a Some
-    // per call. Callers pass `base` as a primitive-keyed LongMap where
-    // it matters (the broadcast build payload / serving model).
+    // per call. Callers pass `base` as the primitive-keyed LongVecMap
+    // where it matters (the broadcast build payload / serving model).
     val p = points.getOrNull(id)
     if (p != null) p.data else base(id)
   }

@@ -132,7 +132,8 @@ object StreamingIngest {
 
     def model: HnswModel = synchronized {
       if (snapAt != mutations) {
-        snapCache = HnswModel(cfg.params, cfg.metric, inner.snapshot, vecs.toMap)
+        snapCache = HnswModel(cfg.params, cfg.metric, inner.snapshot,
+          graft.hnsw.LongVecMap.from(vecs.iterator, vecs.size))
         snapAt = mutations
       }
       snapCache

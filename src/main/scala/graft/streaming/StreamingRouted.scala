@@ -86,6 +86,12 @@ object StreamingRouted {
     val prior = handle.index
     handle.index = HnswRouted.attach(spark, path)
     prior.unpersist()
+    // the attached image is cold (fresh RDD, unexecuted plan): probe it
+    // off the serving path so the next real serve doesn't pay the cold
+    // tax the warm-up rung measured at 6x (ledger-tracked as one-time)
+    graft.BuildLedger.timed("routed_warm_probe")(
+      HnswRouted.warmProbe(handle.index))
+    ()
   }
 
   /** CDC streaming against the routed tier: each micro-batch carries
@@ -207,9 +213,19 @@ object StreamingRouted {
       // already materializes a full image when it fires, so this only
       // triggers on streams whose handle accumulated patches without
       // crossing the compaction threshold
+      var reshaped = false
       if (maxOverlayDepth > 0 && index.overlay.length >= maxOverlayDepth) {
         index = HnswRouted.foldOverlay(index)
         ops += 1
+        reshaped = true
+      }
+      // a fold leaves a fresh image whose first serve pays the cold
+      // tax (6x on the warm-up rung): covering-probe it off the
+      // serving path (ledger-tracked as one-time, spec-pinned)
+      if (reshaped) {
+        graft.BuildLedger.timed("routed_warm_probe")(
+          HnswRouted.warmProbe(index))
+        ()
       }
       (index, ops)
     } finally { b.unpersist(); () }

@@ -63,6 +63,11 @@ object StreamingRoutedCodes {
     val prior = handle.index
     handle.index = HnswRoutedCodes.attach(spark, path)
     prior.unpersist()
+    // probe the cold attached image off the serving path (the
+    // StreamingRouted rebase discipline; ledger-tracked as one-time)
+    graft.BuildLedger.timed("routed_codes_warm_probe")(
+      HnswRoutedCodes.warmProbe(handle.index))
+    ()
   }
 
   /** CDC micro-batches `(id, code, op)` with op `"insert"`/`"upsert"`
@@ -124,6 +129,11 @@ object StreamingRoutedCodes {
                 StreamingRouted.DefaultMaxOverlayDepth) {
               handle.index = HnswRoutedCodes.foldOverlay(handle.index)
               unsavedOps += 1
+              // covering-probe the fresh folded image off the serving
+              // path (the post-fold cold tax; ledger-tracked)
+              graft.BuildLedger.timed("routed_codes_warm_probe")(
+                HnswRoutedCodes.warmProbe(handle.index))
+              ()
             }
           } finally { b.unpersist(); () }
         }

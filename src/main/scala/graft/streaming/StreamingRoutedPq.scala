@@ -91,6 +91,10 @@ object StreamingRoutedPq {
             val prior = handle.pq
             handle.pq = HnswRoutedPq.attach(batch.sparkSession, path)
             prior.unpersist()
+            // probe the cold attached image off the serving path (the
+            // StreamingRouted rebase discipline; ledger-tracked)
+            graft.BuildLedger.timed("routed_pq_warm_probe")(
+              HnswRoutedPq.warmProbe(handle.pq))
             sinceSave = 0
             unsavedOps = 0
           }
@@ -145,7 +149,22 @@ object StreamingRoutedPq {
           index = HnswRoutedPq.compactSolo(index, vectors,
             unpersistPrior = true)
           ops += 1
+          // covering-probe the fresh compacted image off the serving
+          // path (the post-fold cold tax; ledger-tracked)
+          graft.BuildLedger.timed("routed_pq_warm_probe")(
+            HnswRoutedPq.warmProbe(index))
+          ()
         }
+      }
+      // overlay-depth fold (the StreamingRouted.cdcStep cadence):
+      // bounds patch stacks a pre-patched handle brought in (e.g. from
+      // remediateMergedCellsSolo's default)
+      if (index.overlay.length >= StreamingRouted.DefaultMaxOverlayDepth) {
+        index = HnswRoutedPq.foldOverlay(index)
+        ops += 1
+        graft.BuildLedger.timed("routed_pq_warm_probe")(
+          HnswRoutedPq.warmProbe(index))
+        ()
       }
       (index, ops)
     } finally { b.unpersist(); () }
@@ -201,6 +220,11 @@ object StreamingRoutedPq {
               priorPq.codebook)
             priorF.unpersist()
             priorPq.unpersist()
+            // probe both re-rooted tiers off the serving path
+            graft.BuildLedger.timed("routed_warm_probe")(
+              HnswRouted.warmProbe(handle.float))
+            graft.BuildLedger.timed("routed_pq_warm_probe")(
+              HnswRoutedPq.warmProbe(handle.pq))
             sinceSave = 0
             unsavedOps = 0
           }

@@ -1084,6 +1084,82 @@ object ScaleRehearsal {
           f"flag_tomb_overhead=${flagTombS / flagPlainS}%.2fx")
       }
 
+      // MERGED-CELL remedy rung on the COMPRESSED tier (round-17): the
+      // float leg's regime served through PQ codes on a SOLO-built
+      // index — the audit must run over code reconstructions (the
+      // solo/attached posture has no float map anywhere), and the
+      // targeted remedy fetches survivor floats for ONLY the flagged
+      // cells. The last tier unguarded against the dead-side tax the
+      // float/codes legs measured at 11.6x/7.0x. Done-bar: post-remedy
+      // dead-side serving ≤ 1.2x plain.
+      if (ops("merged_remedy_pq")) run("ann_merged_remedy_pq", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRoutedPq, HnswSearcher}
+        import spark.implicits._
+        val dim = 64
+        val nCells = if (n >= 10000000) 64 else 16
+        val nSub = nCells * 2
+        def subCenter(g: Int): Array[Float] = {
+          val sup = g / 2
+          Array.tabulate(dim)(d =>
+            (((HnswSearcher.uniformFromHash(sup.toLong * 997 + d, 77L) * 2 - 1) * 40.0) +
+             ((HnswSearcher.uniformFromHash(1000L + g.toLong * 31 + d, 99L) * 2 - 1) * 6.0)).toFloat)
+        }
+        def vecOf(id: Long): Array[Float] = {
+          val c = subCenter((id % nSub).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val vecs = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+          .localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "l2", seed = 9L)
+        val t0 = System.nanoTime()
+        val index = HnswRoutedPq.buildSolo(vecs, cfg, nCells,
+          dedupIds = false, pinInput = false)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        // dead-side queries: perturbed members of the mode about to die
+        val qDf = spark.createDataset(
+            (0L until n.toLong by nSub.toLong).take(2000)
+              .map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def serve(idx: HnswRoutedPq.RoutedPqIndex): Double = {
+          def one(): Double = {
+            val t = System.nanoTime()
+            HnswRoutedPq.search(idx, qDf, vecs, k = 10, nProbe = 4,
+                candidates = 64)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          }
+          System.gc()
+          one() // warm
+          Seq(one(), one(), one()).min
+        }
+        val plainS = serve(index)
+        val tombed = HnswRoutedPq.delete(index,
+          vecs.filter(col("id") % nSub === 0).select(col("id")))
+        val tombS = serve(tombed)
+        val t1 = System.nanoTime()
+        val audit = HnswRoutedPq.mergedCellAudit(tombed).collect()
+        val auditS = (System.nanoTime() - t1) / 1e9
+        println("REHEARSAL_PHASE merged_remedy_pq audit: " +
+          audit.mkString(" | "))
+        val t2 = System.nanoTime()
+        val (rem, flagged) = HnswRoutedPq.remediateMergedCellsSolo(
+          tombed, vecs)
+        val remS = (System.nanoTime() - t2) / 1e9
+        val postS = serve(rem)
+        rem.unpersist()
+        index.unpersist()
+        (flagged.length.toLong,
+          f"build_s=$buildS%.1f plain_s=$plainS%.2f tomb_s=$tombS%.2f " +
+          f"tomb_overhead=${tombS / plainS}%.2fx " +
+          f"audit_s=$auditS%.1f remedy_s=$remS%.1f flagged=${flagged.length} " +
+          f"post_s=$postS%.2f post_overhead=${postS / plainS}%.2fx " +
+          f"residual_tombstones=${rem.tombstones.length} " +
+          f"overlay_depth=${rem.overlay.length}")
+      }
+
       // SERVING WARM-UP rung (round-16): the first-serve tax and its
       // mitigation. Build a codes index at DISK_ONLY (the residency
       // the 1e8 decade actually runs), save + attach (the restart
@@ -1126,12 +1202,27 @@ object ScaleRehearsal {
         val warmFirst = serve(a2)
         val warmSteady = math.min(serve(a2), serve(a2))
         a2.unpersist()
+        // PROBED posture (round-17): attach, warm() + covering probe —
+        // the probe pays the kernel/plan warm-up the block sweep left
+        // on the first serve (the 1.9x residual at 1e7).
+        // Done-bar: probed first serve ≤ 1.5x steady.
+        val a3 = HnswRoutedCodes.attach(spark, dir, storage = disk)
+        val tP = System.nanoTime()
+        HnswRoutedCodes.warm(a3)
+        HnswRoutedCodes.warmProbe(a3)
+        val probeS = (System.nanoTime() - tP) / 1e9
+        val probedFirst = serve(a3)
+        val probedSteady = math.min(serve(a3), serve(a3))
+        a3.unpersist()
         (n.toLong,
           f"cold_first_s=$coldFirst%.2f cold_steady_s=$coldSteady%.2f " +
           f"cold_ratio=${coldFirst / math.max(1e-9, coldSteady)}%.1fx " +
           f"warm_pass_s=$warmS%.2f warm_first_s=$warmFirst%.2f " +
           f"warm_steady_s=$warmSteady%.2f " +
-          f"warm_ratio=${warmFirst / math.max(1e-9, warmSteady)}%.1fx")
+          f"warm_ratio=${warmFirst / math.max(1e-9, warmSteady)}%.1fx " +
+          f"probe_pass_s=$probeS%.2f probed_first_s=$probedFirst%.2f " +
+          f"probed_steady_s=$probedSteady%.2f " +
+          f"probed_ratio=${probedFirst / math.max(1e-9, probedSteady)}%.1fx")
       }
 
       // FLOAT-FREE PQ BUILD rung (round-16): HnswRoutedPq.buildSolo —
@@ -1291,6 +1382,104 @@ object ScaleRehearsal {
           f"cluster_plain=${plainClus * 100.0 / qIds.length}%.1f%% " +
           f"cluster_post=${postClus * 100.0 / qIds.length}%.1f%% " +
           f"batch_cluster_match=${bClus * 100.0 / nbq}%.1f%%")
+      }
+
+      // PQ SAVE→ATTACH rung (round-17): the decade's restart posture,
+      // measured. buildSolo → save the eight-table image → DROP THE
+      // LIVE IMAGE (unpersist + GC releases the DISK_ONLY cache AND
+      // the build shuffle the lineage pinned — the disk arithmetic
+      // that let round 16 skip this leg: cache 33 + shuffle 30 +
+      // image ~30 only coexist during the save write; after the drop,
+      // steady state is image + attached cache) → attach → warm +
+      // covering probe → first serve vs steady + a parity sample
+      // against the pre-save serve. Done-bar: attach ≪ build, probed
+      // first serve ≤ 1.5x steady, parity exact.
+      if (ops("pq_save_attach")) run("ann_pq_save_attach", n) {
+        import graft.hnsw.{HnswDistributed, HnswParams, HnswRoutedPq, HnswSearcher}
+        import spark.implicits._
+        def tmpFreeGb: Double = {
+          val store = java.nio.file.Files.getFileStore(
+            java.nio.file.Paths.get("/tmp"))
+          store.getUsableSpace / 1e9
+        }
+        val dim = 64
+        val nCells = if (n >= 10000000) 256 else 64
+        def centerOf(c: Int): Array[Float] =
+          Array.tabulate(dim)(d =>
+            (HnswSearcher.uniformFromHash(c.toLong * 997 + d, 77L) * 20.0 - 10.0).toFloat)
+        def vecOf(id: Long): Array[Float] = {
+          val c = centerOf((id % nCells).toInt)
+          Array.tabulate(dim)(d => c(d) +
+            (HnswSearcher.uniformFromHash(id * 131 + d, 17L) * 2.0 - 1.0).toFloat)
+        }
+        val decade8 = n >= 100000000
+        val vecs0 = spark.range(n.toLong).as[Long]
+          .map(id => (id, vecOf(id))).toDF("id", "vec")
+        val vecs = if (decade8) vecs0 else vecs0.localCheckpoint(true)
+        val cfg = HnswDistributed.BuildConfig(
+          HnswParams.standard(64, 32, 16), "l2", seed = 9L)
+        val storage =
+          if (n >= 10000000) org.apache.spark.storage.StorageLevel.DISK_ONLY
+          else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        println(f"REHEARSAL_PHASE pq_save_attach n=$n tmp_free_gb=$tmpFreeGb%.0f (pre-build)")
+        val t0 = System.nanoTime()
+        var pq = HnswRoutedPq.buildSolo(vecs, cfg, nCells,
+          storage = storage, modalitySplit = true,
+          dedupIds = false, pinInput = false)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 4000))
+          .filter(_ % nCells >= 3).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def serveCounts(idx: HnswRoutedPq.RoutedPqIndex): (Double, Long, Long) = {
+          val t = System.nanoTime()
+          val top = HnswRoutedPq.search(idx, qDf, vecs, k = 1,
+              nProbe = 8, candidates = 64)
+            .select(col("qid"), col("id")).collect()
+          val self = top.count(r => r.getLong(0) == r.getLong(1)).toLong
+          val clus = top.count(r =>
+            r.getLong(0) % nCells == r.getLong(1) % nCells).toLong
+          ((System.nanoTime() - t) / 1e9, self, clus)
+        }
+        serveCounts(pq) // warm the pre-save serve
+        val (_, preSelf, preClus) = serveCounts(pq)
+        println(f"REHEARSAL_PHASE pq_save_attach n=$n build_s=$buildS%.1f " +
+          f"tmp_free_gb=$tmpFreeGb%.0f (post-build)")
+        val pqDir = s"$base/pq_attach_idx"
+        val t1 = System.nanoTime()
+        HnswRoutedPq.save(pq, pqDir)
+        val saveS = (System.nanoTime() - t1) / 1e9
+        println(f"REHEARSAL_PHASE pq_save_attach n=$n save_s=$saveS%.1f " +
+          f"tmp_free_gb=$tmpFreeGb%.0f (post-save peak)")
+        // DROP the live image: unpersist the cache, null the handle,
+        // GC — the ContextCleaner releases the build shuffle the
+        // lineage pinned (the decade's second-image budget)
+        pq.unpersist()
+        pq = null
+        System.gc()
+        Thread.sleep(3000) // let the ContextCleaner drain
+        println(f"REHEARSAL_PHASE pq_save_attach n=$n " +
+          f"tmp_free_gb=$tmpFreeGb%.0f (post-drop)")
+        val t2 = System.nanoTime()
+        val att = HnswRoutedPq.attach(spark, pqDir, storage = storage)
+        val attachS = (System.nanoTime() - t2) / 1e9
+        val tW = System.nanoTime()
+        HnswRoutedPq.warm(att)
+        HnswRoutedPq.warmProbe(att)
+        val warmS = (System.nanoTime() - tW) / 1e9
+        val (firstS, attSelf, attClus) = serveCounts(att)
+        val (s1, _, _) = serveCounts(att)
+        val (s2, _, _) = serveCounts(att)
+        val steadyS = math.min(s1, s2)
+        val parity = attSelf == preSelf && attClus == preClus
+        att.unpersist()
+        (attSelf,
+          f"build_s=$buildS%.1f save_s=$saveS%.1f attach_s=$attachS%.1f " +
+          f"attach_over_build=${attachS / buildS}%.4f warm_s=$warmS%.1f " +
+          f"first_serve_s=$firstS%.2f steady_s=$steadyS%.2f " +
+          f"first_over_steady=${firstS / math.max(1e-9, steadyS)}%.1fx " +
+          f"parity=$parity cluster_match=${attClus * 100.0 / qIds.length}%.1f%% " +
+          f"tmp_free_gb=$tmpFreeGb%.0f")
       }
 
       // ROUTED+PQ rung (round-15, second session): the compression

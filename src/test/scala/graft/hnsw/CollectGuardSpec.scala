@@ -29,12 +29,18 @@ class CollectGuardSpec extends AnyFunSuite {
     "graft/hnsw/HnswDistributed.scala" -> 6,
     "graft/hnsw/HnswDurable.scala" -> 3,
     "graft/hnsw/HnswFrontier.scala" -> 1,
-    "graft/hnsw/HnswRouted.scala" -> 18,
-    "graft/hnsw/HnswRoutedCodes.scala" -> 15,
-    // 14 = round-16 re-pin: +buildSolo's codebook sample (hash-stride
+    // 19/16 = round-17 re-pin: +warmProbe's representative collect on
+    // each tier (ONE member per cell — nCells rows by construction)
+    "graft/hnsw/HnswRouted.scala" -> 19,
+    "graft/hnsw/HnswRoutedCodes.scala" -> 16,
+    // 18 = round-17 re-pin: +warmProbe (nCells rows), +mergedCellAudit
+    // rows (≤1 per cell), +rebuildCellsSolo's removed ids (bounded by
+    // the tombstone set ∩ flagged cells — the compactSolo pattern),
+    // +remediateMergedCellsSolo's flagged cells (≤nCells). Round-16
+    // pin history: 14 = +buildSolo's codebook sample (hash-stride
     // decimated to ~sampleMax rows before the driver take) and the
     // cross-layout rederive's fingerprint maps (nCells-sized each)
-    "graft/hnsw/HnswRoutedPq.scala" -> 14,
+    "graft/hnsw/HnswRoutedPq.scala" -> 18,
     "graft/streaming/StreamingChunkDedup.scala" -> 1,
     "graft/streaming/StreamingDocDedup.scala" -> 3,
     "graft/streaming/StreamingIngest.scala" -> 2,

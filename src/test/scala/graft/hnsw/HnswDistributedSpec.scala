@@ -88,7 +88,7 @@ class HnswDistributedSpec extends SparkSpec {
   test("DataFrame remap (G6): identity equals original; doubling remaps links") {
     import spark.implicits._
     val links = GraphFrames.toLinksDF(spark, model.snapshot)
-    val ids = model.vectors.keys.toSeq
+    val ids = model.vectors.keysIterator.toSeq
     val idMapSame = ids.map(i => (i, i)).toDF("old", "new")
     val same = GraphFrames.fromLinksDF(
       GraphFrames.remap(links, idMapSame), model.snapshot.entryPoint)
@@ -114,7 +114,7 @@ class HnswDistributedSpec extends SparkSpec {
   test("DataFrame remap (G6): type-changing map (long -> string ids, double -> string dist refs)") {
     import spark.implicits._
     val links = GraphFrames.toLinksDF(spark, model.snapshot)
-    val ids = model.vectors.keys.toSeq
+    val ids = model.vectors.keysIterator.toSeq
     val idMapStr = ids.map(i => (i, s"node-$i")).toDF("old", "new")
     val remapped = GraphFrames.remap(links, idMapStr,
       distMap = d => concat(lit("dist:"), d.cast("string")))

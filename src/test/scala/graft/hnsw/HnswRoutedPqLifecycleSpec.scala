@@ -161,16 +161,16 @@ class HnswRoutedPqLifecycleSpec extends SparkSpec {
 
   test("content fingerprint is order-independent and content-sensitive") {
     val rows = (0 until 64).map(i => i.toLong -> vecFromHash(i.toLong, 3L, 8))
-    val a = scala.collection.mutable.LongMap.from(rows.iterator)
-    val b = scala.collection.mutable.LongMap.from(rows.reverseIterator)
+    val a = LongVecMap.from(rows.iterator)
+    val b = LongVecMap.from(rows.reverseIterator)
     assert(HnswRoutedPq.contentFingerprint(a) ==
       HnswRoutedPq.contentFingerprint(b))
-    val mutated = scala.collection.mutable.LongMap.from(rows.iterator)
+    val mutated = LongVecMap.from(rows.iterator)
     mutated(5L) = mutated(5L).clone()
     mutated(5L)(0) += 1e-4f
     assert(HnswRoutedPq.contentFingerprint(a) !=
       HnswRoutedPq.contentFingerprint(mutated))
-    val dropped = scala.collection.mutable.LongMap.from(rows.drop(1).iterator)
+    val dropped = LongVecMap.from(rows.drop(1).iterator)
     assert(HnswRoutedPq.contentFingerprint(a) !=
       HnswRoutedPq.contentFingerprint(dropped))
   }

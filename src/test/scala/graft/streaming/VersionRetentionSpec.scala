@@ -122,12 +122,38 @@ class VersionRetentionSpec extends SparkSpec {
     val batch = delIds.map(id => (id, vecFromHash(id, 3L, 16), "delete"))
       .toDF("id", "vec", "op")
     val oracle = rows(HR.delete(ix, delIds.toDF("id")))
+    val ledger0 = graft.BuildLedger.size
     val (next, ops) = StreamingRouted.cdcStep(ix, batch, compactThreshold = 0.9)
     assert(ops >= 2, "delete + fold must both count as ops")
     assert(next.overlay.isEmpty,
       s"stack must fold at depth ${StreamingRouted.DefaultMaxOverlayDepth}")
     assert(rows(next) == oracle, "fold must not change served rows")
+    // the post-fold cold tax is paid OFF the serving path: the fold
+    // must have run the covering probe (ledger-pinned — the next real
+    // serve arrives warm, the round-16 rung's 6x first-serve fix)
+    assert(graft.BuildLedger.since(ledger0)
+        .exists(_.label == "routed_warm_probe"),
+      "CDC fold must covering-probe the fresh image")
     next.unpersist()
+  }
+
+  test("warmProbe: one real probe per cell, no served row changed") {
+    import graft.hnsw.{HnswRouted => HR}
+    val all = (0 until 1200).map(i => (i.toLong, vecFromHash(i.toLong, 3L, 16)))
+    val ix = HR.build(all.toDF("id", "vec"), cfg, nCells = 4)
+    val qDf = (0 until 15)
+      .map(i => (i.toLong, vecFromHash(i + 70000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    def rows(i: HR.RoutedIndex) =
+      HR.search(i, qDf, 10, nProbe = 4)
+        .select(col("qid"), col("id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val before = rows(ix)
+    val probed = HR.warmProbe(ix)
+    assert(probed == ix.router.allCells.size.toLong,
+      s"probe must cover every cell: $probed")
+    assert(rows(ix) == before, "warmProbe is a read-only no-op")
+    ix.unpersist()
   }
 
   test("warm() is a serving no-op that touches every shard block") {
