@@ -1149,7 +1149,13 @@ object ScaleRehearsal {
           tombed, vecs)
         val remS = (System.nanoTime() - t2) / 1e9
         val postS = serve(rem)
-        rem.unpersist()
+        // isolate the patched-composite branch from the remedy itself:
+        // fold to one self-contained image and re-serve
+        val t3 = System.nanoTime()
+        val folded = HnswRoutedPq.foldOverlay(rem)
+        val foldS = (System.nanoTime() - t3) / 1e9
+        val foldedS = serve(folded)
+        folded.unpersist()
         index.unpersist()
         (flagged.length.toLong,
           f"build_s=$buildS%.1f plain_s=$plainS%.2f tomb_s=$tombS%.2f " +
@@ -1157,7 +1163,9 @@ object ScaleRehearsal {
           f"audit_s=$auditS%.1f remedy_s=$remS%.1f flagged=${flagged.length} " +
           f"post_s=$postS%.2f post_overhead=${postS / plainS}%.2fx " +
           f"residual_tombstones=${rem.tombstones.length} " +
-          f"overlay_depth=${rem.overlay.length}")
+          f"overlay_depth=${rem.overlay.length} " +
+          f"fold_s=$foldS%.1f folded_serve_s=$foldedS%.2f " +
+          f"folded_overhead=${foldedS / plainS}%.2fx")
       }
 
       // SERVING WARM-UP rung (round-16): the first-serve tax and its
@@ -1441,6 +1449,17 @@ object ScaleRehearsal {
             r.getLong(0) % nCells == r.getLong(1) % nCells).toLong
           ((System.nanoTime() - t) / 1e9, self, clus)
         }
+        // truncate the build lineage: the persisted cache is the source
+        // of truth, and dropping the ShuffleDependency lets the
+        // ContextCleaner free the build shuffle (~30 GB at the decade)
+        // BEFORE the save writes the image — the decade's budget needs
+        // cache + image to coexist, never cache + shuffle + image
+        pq.shards.localCheckpoint()
+        pq.shards.count()
+        System.gc()
+        Thread.sleep(3000)
+        println(f"REHEARSAL_PHASE pq_save_attach n=$n " +
+          f"tmp_free_gb=$tmpFreeGb%.0f (post-truncate)")
         serveCounts(pq) // warm the pre-save serve
         val (_, preSelf, preClus) = serveCounts(pq)
         println(f"REHEARSAL_PHASE pq_save_attach n=$n build_s=$buildS%.1f " +
