@@ -650,16 +650,7 @@ object HnswRouted {
     * redelivered ids for idempotence where batch ingest fail-fasts.
     * `ids` must be sorted ascending; returns a sorted subset. */
   def presentIds(index: RoutedIndex, ids: Array[Long]): Array[Long] =
-    if (ids.isEmpty) ids
-    else {
-      val idsB = index.shards.sparkContext.broadcast(ids)
-      val hits = index.shards.flatMap { case (_, s) =>
-        val a = idsB.value
-        s.vectors.keysIterator
-          .filter(id => java.util.Arrays.binarySearch(a, id) >= 0)
-      }.collect()
-      java.util.Arrays.sort(hits); hits
-    }
+    RoutedOps.presentIds(index.shards, ids)((s, f) => s.vectors.foreachKey(f))
 
   /** Tombstone delete — delete-without-rebuild on the routed tier: adds
     * `ids` to the index's deletion set and returns a new handle SHARING
@@ -1014,10 +1005,7 @@ object HnswRouted {
     * the first probes would otherwise pay for. Serving results are
     * untouched (the pass only counts); returns the shard count.
     * Operate it on the fold/attach cadence, not per query. */
-  def warm(index: RoutedIndex): Long =
-    index.shards.mapPartitions({ it =>
-      var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
-    }, preservesPartitioning = true).fold(0L)(_ + _)
+  def warm(index: RoutedIndex): Long = RoutedOps.warm(index.shards)
 
   /** Covering-probe warm-up: ONE real k=1 serve whose query batch holds
     * one member vector per cell — each query routes back to its own
@@ -1046,7 +1034,7 @@ object HnswRouted {
     * against the build-time histogram to decide when frozen centroids
     * have drifted far enough to warrant retraining. */
   def cellStats(index: RoutedIndex): Array[(Int, Long)] =
-    index.shards.map { case (c, s) => (c, s.vectors.size.toLong) }.collect()
+    RoutedOps.cellStats(index.shards)(_.vectors.size)
 
   /** Drift audit as a DataFrame — the routed tier's silent-recall-killer
     * alarm: frozen centroids under distribution shift send new mass to

@@ -410,10 +410,7 @@ object HnswRoutedCodes {
     * representation (this tier runs the DISK_ONLY decades where the
     * cold-first-serve tax is largest). One deserializing sweep off
     * the serving path; returns the shard count. */
-  def warm(index: RoutedCodeIndex): Long =
-    index.shards.mapPartitions({ it =>
-      var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
-    }, preservesPartitioning = true).fold(0L)(_ + _)
+  def warm(index: RoutedCodeIndex): Long = RoutedOps.warm(index.shards)
 
   /** Covering-probe warm-up — [[HnswRouted.warmProbe]] on the code
     * representation: one member code per cell served back through the
@@ -463,19 +460,8 @@ object HnswRoutedCodes {
     * float tier's [[HnswRouted.presentIds]] on the code representation
     * (one narrow broadcast scan; CDC idempotence). */
   def presentIds(index: RoutedCodeIndex, ids: Array[Long]): Array[Long] =
-    if (ids.isEmpty) ids
-    else {
-      val idsB = index.shards.sparkContext.broadcast(ids)
-      val hits = index.shards.flatMap { case (_, s) =>
-        val a = idsB.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-        s.codes.foreach { (id, _) =>
-          if (java.util.Arrays.binarySearch(a, id) >= 0) out += id
-        }
-        out.iterator
-      }.collect()
-      java.util.Arrays.sort(hits); hits
-    }
+    RoutedOps.presentIds(index.shards, ids)(
+      (s, f) => s.codes.foreach((id, _) => f(id)))
 
   /** Tombstone delete-without-rebuild — [[HnswRouted.delete]]'s
     * contract on the code representation: O(set) handle metadata, the

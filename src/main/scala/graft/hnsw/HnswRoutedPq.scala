@@ -755,10 +755,7 @@ object HnswRoutedPq {
     * tier: one deserializing sweep of graph + code blocks off the
     * serving path (the attach posture's first-serve discipline).
     * Returns the shard count. */
-  def warm(index: RoutedPqIndex): Long =
-    index.shards.mapPartitions({ it =>
-      var n = 0L; it.foreach(_ => n += 1); Iterator.single(n)
-    }, preservesPartitioning = true).fold(0L)(_ + _)
+  def warm(index: RoutedPqIndex): Long = RoutedOps.warm(index.shards)
 
   /** Covering-probe warm-up — [[HnswRouted.warmProbe]] on the
     * compressed tier: one member RECONSTRUCTION per cell served back
@@ -792,23 +789,12 @@ object HnswRoutedPq {
     * scan of the shard key sets (no shuffle; the [[HnswRouted
     * .presentIds]] contract on the compressed tier). Sorted. */
   def presentIds(index: RoutedPqIndex, ids: Array[Long]): Array[Long] =
-    if (ids.isEmpty) ids
-    else {
-      val idsB = index.shards.sparkContext.broadcast(ids)
-      val hits = index.shards.flatMap { case (_, s) =>
-        val a = idsB.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-        s.codes.foreach { (id, _) =>
-          if (java.util.Arrays.binarySearch(a, id) >= 0) out += id
-        }
-        out.iterator
-      }.collect()
-      java.util.Arrays.sort(hits); hits
-    }
+    RoutedOps.presentIds(index.shards, ids)(
+      (s, f) => s.codes.foreach((id, _) => f(id)))
 
   /** (cell, rows) occupancy — the threshold-compaction stat. */
   private[graft] def cellStats(index: RoutedPqIndex): Array[(Int, Long)] =
-    index.shards.map { case (c, s) => (c, s.codes.size.toLong) }.collect()
+    RoutedOps.cellStats(index.shards)(_.codes.size)
 
   /** Fold the deletion set out of the PQ tier WITHOUT a float source:
     * cells holding a tombstoned id rebuild from the raw-vector table

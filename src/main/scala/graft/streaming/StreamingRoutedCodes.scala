@@ -21,7 +21,7 @@ object StreamingRoutedCodes {
     * volatile so serving threads see the latest fold. */
   final class Handle(@volatile var index: RoutedCodeIndex) {
     def cellStats: Array[(Int, Long)] =
-      index.shards.map { case (c, s) => (c, s.codes.size.toLong) }.collect()
+      graft.hnsw.RoutedOps.cellStats(index.shards)(_.codes.size)
   }
 
   /** Wire `stream` (id: long, code: long) into the handle via

@@ -69,7 +69,12 @@ class SparkEntrySpec extends AnyFunSuite {
       // routed drift audit: self-audited occupancy-vs-batch shares
       // over the trained (non-SQL-expressible) router; semantics
       // pinned by HnswRoutedSpec (calm tail ~0, planted shift >5000 bp)
-      "h_routed_drift")
+      "h_routed_drift",
+      // cold-tax watch row: self-carried wall-clock timings of a fresh
+      // build's warmed+probed first serve vs steady — inherently not
+      // SQL-expressible; the regression class is judged round-over-
+      // round from the recorded bp, the rung pins the ≤1.5x bar
+      "h_warm_first_serve")
     val undeclared = noOracle -- declared
     assert(undeclared.isEmpty,
       s"queries silently missing an oracle (add one or declare here): $undeclared")

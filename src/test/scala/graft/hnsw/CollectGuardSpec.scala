@@ -29,23 +29,27 @@ class CollectGuardSpec extends AnyFunSuite {
     "graft/hnsw/HnswDistributed.scala" -> 6,
     "graft/hnsw/HnswDurable.scala" -> 3,
     "graft/hnsw/HnswFrontier.scala" -> 1,
-    // 19/16 = round-17 re-pin: +warmProbe's representative collect on
-    // each tier (ONE member per cell — nCells rows by construction)
-    "graft/hnsw/HnswRouted.scala" -> 19,
-    "graft/hnsw/HnswRoutedCodes.scala" -> 16,
-    // 18 = round-17 re-pin: +warmProbe (nCells rows), +mergedCellAudit
-    // rows (≤1 per cell), +rebuildCellsSolo's removed ids (bounded by
-    // the tombstone set ∩ flagged cells — the compactSolo pattern),
-    // +remediateMergedCellsSolo's flagged cells (≤nCells). Round-16
-    // pin history: 14 = +buildSolo's codebook sample (hash-stride
-    // decimated to ~sampleMax rows before the driver take) and the
-    // cross-layout rederive's fingerprint maps (nCells-sized each)
-    "graft/hnsw/HnswRoutedPq.scala" -> 18,
+    // round-17 re-pin: +warmProbe's representative collect on each
+    // tier (ONE member per cell — nCells rows by construction); then
+    // presentIds/cellStats MOVED to the shared RoutedOps (same audited
+    // sites, one copy — id-set-bounded and nCells-bounded)
+    "graft/hnsw/RoutedOps.scala" -> 2,
+    "graft/hnsw/HnswRouted.scala" -> 17,
+    "graft/hnsw/HnswRoutedCodes.scala" -> 15,
+    // round-17: +warmProbe (nCells rows), +mergedCellAudit rows (≤1
+    // per cell), +rebuildCellsSolo's removed ids (bounded by the
+    // tombstone set ∩ flagged cells — the compactSolo pattern),
+    // +remediateMergedCellsSolo's flagged cells (≤nCells);
+    // presentIds/cellStats moved to RoutedOps. Round-16 pin history:
+    // 14 = +buildSolo's codebook sample (hash-stride decimated to
+    // ~sampleMax rows before the driver take) and the cross-layout
+    // rederive's fingerprint maps (nCells-sized each)
+    "graft/hnsw/HnswRoutedPq.scala" -> 16,
     "graft/streaming/StreamingChunkDedup.scala" -> 1,
     "graft/streaming/StreamingDocDedup.scala" -> 3,
     "graft/streaming/StreamingIngest.scala" -> 2,
     "graft/streaming/StreamingRouted.scala" -> 2,
-    "graft/streaming/StreamingRoutedCodes.scala" -> 3,
+    "graft/streaming/StreamingRoutedCodes.scala" -> 2,
     "graft/streaming/StreamingRoutedPq.scala" -> 2
   )
 
