@@ -672,11 +672,7 @@ object HnswRouted {
   def delete(index: RoutedIndex, ids: DataFrame): RoutedIndex = {
     val del = sortedIdArray(ids)
     if (del.isEmpty) index
-    else {
-      val merged = (index.tombstones ++ del).distinct
-      java.util.Arrays.sort(merged)
-      index.copy(tombstones = merged)
-    }
+    else index.copy(tombstones = RoutedOps.mergeTombstones(index.tombstones, del))
   }
 
   /** Fold the deletion set out of the graphs: rebuild ONLY the cells

@@ -471,11 +471,7 @@ object HnswRoutedCodes {
   def delete(index: RoutedCodeIndex, ids: DataFrame): RoutedCodeIndex = {
     val del = HnswRouted.sortedIdArray(ids)
     if (del.isEmpty) index
-    else {
-      val merged = (index.tombstones ++ del).distinct
-      java.util.Arrays.sort(merged)
-      index.copy(tombstones = merged)
-    }
+    else index.copy(tombstones = RoutedOps.mergeTombstones(index.tombstones, del))
   }
 
   /** Fold the deletion set out of the graphs — [[HnswRouted.compact]]:

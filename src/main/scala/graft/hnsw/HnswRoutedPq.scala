@@ -602,11 +602,7 @@ object HnswRoutedPq {
   def delete(index: RoutedPqIndex, ids: DataFrame): RoutedPqIndex = {
     val del = HnswRouted.sortedIdArray(ids)
     if (del.isEmpty) index
-    else {
-      val merged = (index.tombstones ++ del).distinct
-      java.util.Arrays.sort(merged)
-      index.copy(tombstones = merged)
-    }
+    else index.copy(tombstones = RoutedOps.mergeTombstones(index.tombstones, del))
   }
 
   // --------------------------------------------------------------------

@@ -43,4 +43,13 @@ private[graft] object RoutedOps {
     * stat (nCells rows collected). */
   def cellStats[S](shards: RDD[(Int, S)])(sizeOf: S => Int): Array[(Int, Long)] =
     shards.map { case (c, s) => (c, sizeOf(s).toLong) }.collect()
+
+  /** Tombstone-set merge of the three tiers' O(set)-metadata delete:
+    * sorted distinct union (delete of an absent id is accepted;
+    * re-delete is idempotent). */
+  def mergeTombstones(existing: Array[Long], del: Array[Long]): Array[Long] = {
+    val merged = (existing ++ del).distinct
+    java.util.Arrays.sort(merged)
+    merged
+  }
 }

@@ -96,6 +96,48 @@ class KryoRoundTripSpec extends SparkSpec {
     } finally index.shards.unpersist(blocking = true)
   }
 
+  test("codes-tier CodeCellShard and PQ-tier PqCellShard Kryo round-trip and serve identically") {
+    // the codes/PQ shard payloads are LongLongMap-backed (the class the
+    // 1e8 decade proved through DISK_ONLY) — this pins the WHOLE shard
+    // case classes, snapshot included, through the explicit round-trip
+    @inline def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val codesDf = (0L until 1200L).map(i => (i, mix(i))).toDF("id", "code")
+    val cIx = HnswRoutedCodes.build(codesDf, cfg.params, nCells = 4,
+      persist = false)
+    val cPart = cIx.shards.partitioner.get
+    val cRt = cIx.copy(shards = spark.sparkContext
+      .parallelize(cIx.shards.collect().map(kryoRoundTrip(_)).toSeq)
+      .partitionBy(cPart))
+    val qC = (0 until 30).map(q => (q.toLong, mix(q + 50000L))).toDF("qid", "qcode")
+    def serveC(ix: HnswRoutedCodes.RoutedCodeIndex) =
+      HnswRoutedCodes.search(ix, qC, 10, nProbe = 4)
+        .select(col("qid"), col("id"), col("hamming")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(serveC(cRt) == serveC(cIx))
+
+    val vecsDf = (0 until 1200).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val rIx = HnswRouted.build(vecsDf,
+      cfg.copy(metric = "l2"), nCells = 4, persist = false)
+    val pIx = HnswRoutedPq.fromRouted(rIx, persist = false)
+    val pPart = pIx.shards.partitioner.get
+    val pRt = pIx.copy(shards = spark.sparkContext
+      .parallelize(pIx.shards.collect().map(kryoRoundTrip(_)).toSeq)
+      .partitionBy(pPart))
+    val qP = (0 until 30).map(q => (q.toLong, vecFromHash(q + 50000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    def serveP(ix: HnswRoutedPq.RoutedPqIndex) =
+      HnswRoutedPq.search(ix, qP, vecsDf, k = 10, nProbe = 4, candidates = 64)
+        .select(col("qid"), col("id"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(serveP(pRt) == serveP(pIx))
+  }
+
   test("sharded-tier ShardModel and broadcast-tier HnswModel Kryo round-trip") {
     val rows = (0 until 800).map(i => (i.toLong, vecFromHash(i.toLong, 11L, 16)))
     val model = HnswDistributed.buildFromArray(spark, rows.toArray, cfg)
