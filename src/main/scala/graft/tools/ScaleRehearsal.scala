@@ -1135,7 +1135,29 @@ object ScaleRehearsal {
           one() // warm
           Seq(one(), one(), one()).min
         }
+        // live-side CONTROL queries (members of a mode that survives,
+        // in a DIFFERENT cell): separates the out-of-distribution
+        // dead-side beam cost (the query's true neighborhood is
+        // genuinely gone post-remedy — a workload property) from any
+        // serving regression of the remedied index itself
+        val liveQ = spark.createDataset(
+            (5L until n.toLong by nSub.toLong).take(2000)
+              .map(id => (id, vecOf(id))))
+          .toDF("qid", "qvec").localCheckpoint(true)
+        def serveLive(idx: HnswRoutedPq.RoutedPqIndex): Double = {
+          def one(): Double = {
+            val t = System.nanoTime()
+            HnswRoutedPq.search(idx, liveQ, vecs, k = 10, nProbe = 4,
+                candidates = 64)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t) / 1e9
+          }
+          System.gc()
+          one() // warm
+          Seq(one(), one(), one()).min
+        }
         val plainS = serve(index)
+        val plainLiveS = serveLive(index)
         val tombed = HnswRoutedPq.delete(index,
           vecs.filter(col("id") % nSub === 0).select(col("id")))
         val tombS = serve(tombed)
@@ -1149,6 +1171,26 @@ object ScaleRehearsal {
           tombed, vecs)
         val remS = (System.nanoTime() - t2) / 1e9
         val postS = serve(rem)
+        val postLiveS = serveLive(rem)
+        println(f"REHEARSAL_PHASE merged_remedy_pq live_control " +
+          f"plain_live_s=$plainLiveS%.2f post_live_s=$postLiveS%.2f " +
+          f"live_overhead=${postLiveS / plainLiveS}%.2fx")
+        // storage diagnostic: is the post-remedy slowdown an eviction
+        // artifact (two resident images competing for the store)?
+        spark.sparkContext.getRDDStorageInfo.foreach { i =>
+          println(f"REHEARSAL_PHASE merged_remedy_pq storage " +
+            f"name=${i.name} mem_mb=${i.memSize / 1e6}%.0f " +
+            f"disk_mb=${i.diskSize / 1e6}%.0f cached=${i.numCachedPartitions}/${i.numPartitions}")
+        }
+        // decisive control: re-serve the ORIGINAL pre-delete handle at
+        // this point in the JVM's life — if it reads like post_s, the
+        // delta is session aging (heap/GC state after the 280 s rebuild),
+        // not a property of the remediated handle
+        val plainAgainS = serve(index)
+        val plainLiveAgainS = serveLive(index)
+        println(f"REHEARSAL_PHASE merged_remedy_pq aging_control " +
+          f"plain_again_s=$plainAgainS%.2f plain_live_again_s=$plainLiveAgainS%.2f " +
+          f"(vs plain_s=$plainS%.2f live=$plainLiveS%.2f at session start)")
         // isolate the patched-composite branch from the remedy itself:
         // fold to one self-contained image and re-serve
         val t3 = System.nanoTime()
