@@ -418,9 +418,9 @@ object HnswRoutedCodes {
     * [[warm]]'s block sweep leaves on the first real serve. */
   def warmProbe(index: RoutedCodeIndex, ef: Int = 16): Long = {
     val reps = index.shards.flatMap { case (cell, s) =>
-      val it = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      s.codes.foreach { (_, c) => if (it.isEmpty) it += ((cell.toLong, c)) }
-      it.iterator
+      // headOption stops at the first occupied slot — the probe-rep
+      // collection is O(nCells), not O(index)
+      s.codes.headOption.iterator.map { case (_, c) => (cell.toLong, c) }
     }.collect()
     if (reps.isEmpty) 0L
     else {

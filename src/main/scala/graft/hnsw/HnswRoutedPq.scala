@@ -764,11 +764,11 @@ object HnswRoutedPq {
   def warmProbe(index: RoutedPqIndex, ef: Int = 16): Long = {
     val cbB = index.shards.sparkContext.broadcast(index.codebook)
     val reps = index.shards.flatMap { case (cell, s) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
-      s.codes.foreach { (_, c) =>
-        if (out.isEmpty) out += ((cell.toLong, PqKernels.decodeArray(c, cbB.value)))
+      // headOption stops at the first occupied slot — the probe-rep
+      // collection is O(nCells) decodes, not a full code-map walk
+      s.codes.headOption.iterator.map { case (_, c) =>
+        (cell.toLong, PqKernels.decodeArray(c, cbB.value))
       }
-      out.iterator
     }.collect()
     if (reps.isEmpty) 0L
     else {
@@ -875,8 +875,15 @@ object HnswRoutedPq {
       merged.count()
     } else if (forceCount) merged.count()
     if (unpersistPrior) index.unpersist()
+    // carry the prior handle's patch overlays unless unpersist()
+    // already released them: the merged composite reads (or read)
+    // through them, and a caller that drops the prior reference after
+    // `idx = compactSolo(idx, ...)` must still be able to release the
+    // cached patch blocks via the NEW handle's unpersist()/foldOverlay
     (RoutedPqIndex(index.params, index.router, index.codebook, merged,
-      Array.empty[Long], index.buildSeed), rebuilt.value, carried.value)
+      Array.empty[Long], index.buildSeed,
+      overlay = if (unpersistPrior) Nil else index.overlay),
+      rebuilt.value, carried.value)
   }
 
   // --------------------------------------------------------------------
@@ -957,8 +964,11 @@ object HnswRoutedPq {
       }
       val remaining = index.tombstones.filter(id =>
         java.util.Arrays.binarySearch(removed, id) < 0)
+      // same overlay carry as compactSoloCounted: a prior patched
+      // handle's overlay RDDs stay releasable through this handle
       RoutedPqIndex(index.params, index.router, index.codebook, merged,
-        remaining, index.buildSeed)
+        remaining, index.buildSeed,
+        overlay = if (persist && unpersistPrior) Nil else index.overlay)
     }
 
   /** [[compactSoloCells]] with O(touched) PERSISTED BYTES — the
@@ -990,9 +1000,16 @@ object HnswRoutedPq {
       }
       val remaining = index.tombstones.filter(id =>
         java.util.Arrays.binarySearch(removed, id) < 0)
+      // the overlay is tracked in the handle even with persist = false
+      // (unpersist of a never-persisted RDD is a no-op, and foldOverlay
+      // must still know a patch layer exists to fold). NOTE: with
+      // persist = false every action on the patched composite re-runs
+      // the survivor-float fetch join and the flagged cells' rebuild —
+      // acceptable only as a one-shot; serve-many callers want
+      // persist = true or an immediate foldOverlay.
       RoutedPqIndex(index.params, index.router, index.codebook, patched,
         remaining, index.buildSeed,
-        overlay = if (persist) index.overlay :+ overlay else index.overlay)
+        overlay = index.overlay :+ overlay)
     }
 
   /** Shared rebuild pass of the two targeted solo compactions: fetch
@@ -1019,17 +1036,21 @@ object HnswRoutedPq {
         else deadB.value.iterator.filter(s.codes.contains)
       }.collect()
     java.util.Arrays.sort(removed)
-    val survivorIds = index.shards.flatMap { case (cell, s) =>
-      if (!cellSet(cell)) Iterator.empty
-      else {
-        val dead = deadB.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        s.codes.foreach { (id, _) =>
-          if (java.util.Arrays.binarySearch(dead, id) < 0) out += ((id, cell))
+    // prunedShards, like the `removed` pass above: a 1-cell remedy at
+    // 1e8 schedules one partition's task, not a deserializing sweep of
+    // every cached block
+    val survivorIds = HnswRouted.prunedShards(index.shards, cells)
+      .flatMap { case (cell, s) =>
+        if (!cellSet(cell)) Iterator.empty
+        else {
+          val dead = deadB.value
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+          s.codes.foreach { (id, _) =>
+            if (java.util.Arrays.binarySearch(dead, id) < 0) out += ((id, cell))
+          }
+          out.iterator
         }
-        out.iterator
       }
-    }
     import spark.implicits._
     val fetched = survivorIds.toDF("id", "cell")
       .join(vectors.select(col("id"), col("vec")), Seq("id"))

@@ -78,6 +78,19 @@ final class LongLongMap(initialCapacity: Int = 64) extends Serializable {
 
   def isEmpty: Boolean = size == 0
 
+  /** First (key, value) in table order, or None when empty — the
+    * covering probes' one-representative pick. Stops at the first
+    * occupied slot instead of walking the whole table the way a
+    * `foreach`-with-flag does (a probe over a 1e8-row index walks
+    * nCells entries, not 1e8). */
+  def headOption: Option[(Long, Long)] =
+    if (hasEmptyKey) Some((Empty, emptyKeyVal))
+    else {
+      var j = 0
+      while (j < keys.length && keys(j) == Empty) j += 1
+      if (j < keys.length) Some((keys(j), vals(j))) else None
+    }
+
   /** Independent copy (plus headroom for `extra` expected puts) — the
     * ingest merge must never mutate a shard that is still cached. */
   def copy(extra: Int = 0): LongLongMap = {

@@ -80,7 +80,9 @@ object StreamingRoutedCodes {
     * for genuine reuse. */
   def attachCdc(stream: DataFrame, handle: Handle,
                 checkpoint: Option[(String, Int)] = None,
-                compactThreshold: Double = 0.2): StreamingQuery = {
+                compactThreshold: Double = 0.2,
+                maxOverlayDepth: Int =
+                  StreamingRouted.DefaultMaxOverlayDepth): StreamingQuery = {
     var sinceSave = 0
     var unsavedOps = 0
     stream.writeStream
@@ -124,9 +126,10 @@ object StreamingRoutedCodes {
               }
             }
             // overlay-depth fold (the StreamingRouted.cdcStep cadence):
-            // bounds patch stacks a pre-patched handle brought in
-            if (handle.index.overlay.length >=
-                StreamingRouted.DefaultMaxOverlayDepth) {
+            // bounds patch stacks a pre-patched handle brought in;
+            // <= 0 disables, matching the float tier's contract
+            if (maxOverlayDepth > 0 &&
+                handle.index.overlay.length >= maxOverlayDepth) {
               handle.index = HnswRoutedCodes.foldOverlay(handle.index)
               unsavedOps += 1
               // covering-probe the fresh folded image off the serving

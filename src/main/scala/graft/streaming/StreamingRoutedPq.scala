@@ -63,7 +63,9 @@ object StreamingRoutedPq {
   def attachCdcSolo(stream: DataFrame, handle: SoloHandle,
                     vectors: DataFrame,
                     checkpoint: Option[(String, Int)] = None,
-                    compactThreshold: Double = 0.2): StreamingQuery = {
+                    compactThreshold: Double = 0.2,
+                    maxOverlayDepth: Int =
+                      StreamingRouted.DefaultMaxOverlayDepth): StreamingQuery = {
     var sinceSave = 0
     var unsavedOps = 0
     stream.writeStream
@@ -71,7 +73,7 @@ object StreamingRoutedPq {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val (next, ops) = cdcStepSolo(handle.pq, batch, vectors,
-            compactThreshold)
+            compactThreshold, maxOverlayDepth)
           handle.pq = next
           unsavedOps += ops
         }
@@ -108,7 +110,9 @@ object StreamingRoutedPq {
     * mutating ops applied). */
   private[streaming] def cdcStepSolo(index0: RoutedPqIndex,
                                      batch: DataFrame, vectors: DataFrame,
-                                     compactThreshold: Double): (RoutedPqIndex, Int) = {
+                                     compactThreshold: Double,
+                                     maxOverlayDepth: Int =
+                                       StreamingRouted.DefaultMaxOverlayDepth): (RoutedPqIndex, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     var index = index0
     var ops = 0
@@ -158,8 +162,9 @@ object StreamingRoutedPq {
       }
       // overlay-depth fold (the StreamingRouted.cdcStep cadence):
       // bounds patch stacks a pre-patched handle brought in (e.g. from
-      // remediateMergedCellsSolo's default)
-      if (index.overlay.length >= StreamingRouted.DefaultMaxOverlayDepth) {
+      // remediateMergedCellsSolo's default); <= 0 disables, matching
+      // the float tier's maxOverlayDepth contract
+      if (maxOverlayDepth > 0 && index.overlay.length >= maxOverlayDepth) {
         index = HnswRoutedPq.foldOverlay(index)
         ops += 1
         graft.BuildLedger.timed("routed_pq_warm_probe")(
