@@ -337,6 +337,24 @@ object Bench {
     val calibEnd = Instr.cpuCalibMs()
     val memCalibEnd = Instr.memCalibMs()
     val gcTotalS = Instr.gcMs() / 1e3
+    // Calibration-normalized serving total (round-18): the three
+    // round-17 quiet reads on IDENTICAL bits spanned 156.7→192.4 s and
+    // the total tracked the END memory stamp exactly (BASELINE
+    // round-17) — the host's memory bandwidth swings ±20% within runs,
+    // so the raw total confounds code changes with host weather. The
+    // affine attenuation model serve_norm = serve / (1 + β·(stamp/
+    // nominal − 1)) with nominal = 180 ms (the 150-213 healthy band's
+    // midpoint) and β = 0.58 (fitted pairwise on the three identical-
+    // bits reads: 0.54 / 0.62) collapses those reads to 144.2 / 142.4
+    // / 145.9 s — ±1.2%. β < 1 because only part of the serve path is
+    // memory-bound; the stamp itself is pure DRAM chase. Judge rounds
+    // on s_per_query_norm first; the raw total stays for history.
+    val memCalibNominalMs = 180.0
+    val memCalibBeta = 0.58
+    val stampRatio = math.min(3.0, math.max(0.5, memCalibEnd / memCalibNominalMs))
+    val serveNormS = serveTotal / (1.0 + memCalibBeta * (stampRatio - 1.0))
+    val sPerQueryNorm =
+      if (results.nonEmpty) serveNormS / results.size else 0.0
     // Memory facts (round-9): heap ceiling (-Xmx via SPARK_DRIVER_MEM,
     // default 8g in build.sbt), what Spark thinks driver memory is, and
     // the host's physical RAM — together with per-cell spill/peak-exec/
@@ -375,6 +393,8 @@ object Bench {
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","serve_total_s":$serveTotal,""" +
+        s""""serve_total_norm_s":${jnum(serveNormS)},""" +
+        s""""s_per_query_norm":${f"$sPerQueryNorm%.3f"},""" +
         s""""env":$envJson,"one_time_s":$oneTimeJson,"queries":$fullQs,""" +
         s""""retime_pass1":$pass1Json,"retime_pass2":$pass2Json,""" +
         s""""sf":"$sfDir","vector_grid":$grid}"""
@@ -405,7 +425,10 @@ object Bench {
         .map { case (k, v) => s"\"$k\":${jnum(v)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""n_queries":${results.size},"n_failed":${failedAll.size},"failed":$failed,""" +
-        s""""serve_total_s":${jnum(serveTotal)},"env":$envJson,"one_time_s":$oneTimeJson,""" +
+        s""""serve_total_s":${jnum(serveTotal)},""" +
+        s""""serve_total_norm_s":${jnum(serveNormS)},""" +
+        s""""s_per_query_norm":${f"$sPerQueryNorm%.3f"},""" +
+        s""""env":$envJson,"one_time_s":$oneTimeJson,""" +
         s""""queries":$qs,"queries_note":"serving time (one-time builds excluded); slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
         s""""family_totals_s":$families,""" +
         s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms","mem_calib_ms","spill_mb","peak_exec_mb","heap_used_mb","linear_cpu_calib_ms","linear_mem_calib_ms"],""" +

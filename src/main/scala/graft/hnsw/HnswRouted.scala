@@ -186,6 +186,38 @@ object HnswRouted {
   private val tripleEnc = Encoders.tuple(
     Encoders.scalaLong, ExprEnc.floatArray, Encoders.scalaInt)
 
+  /** The float tier's [[RoutedTier]] binding — one shared lifecycle
+    * ([[RoutedLifecycle]]) across the three serving tiers; only the
+    * representation (LongVecMap members, float-exact cell rebuild)
+    * lives here. */
+  private[graft] object FloatTier extends RoutedTier[CellShard, RoutedIndex] {
+    def shards(i: RoutedIndex): org.apache.spark.rdd.RDD[(Int, CellShard)] = i.shards
+    def tombstones(i: RoutedIndex): Array[Long] = i.tombstones
+    def overlays(i: RoutedIndex): Seq[org.apache.spark.rdd.RDD[_]] = i.overlay
+    def make(i: RoutedIndex, shards: org.apache.spark.rdd.RDD[(Int, CellShard)],
+             tombstones: Array[Long],
+             overlays: Seq[org.apache.spark.rdd.RDD[_]]): RoutedIndex =
+      RoutedIndex(i.cfg, i.router, shards, tombstones, overlays)
+    val cacheName = "graft-hnsw-routed"
+    val tierName = "routed"
+    val unpersistBlocking = false
+    val resurrectHint = "Run compact() first (frees the ids), or route " +
+      "through the CDC stream, which filters tombstoned inserts"
+    def memberCount(s: CellShard): Int = s.vectors.size
+    def containsId(s: CellShard, id: Long): Boolean = s.vectors.contains(id)
+    def idIterator(s: CellShard): Iterator[Long] = s.vectors.keysIterator
+    def survivorRebuild(i: RoutedIndex): (Int, CellShard, Array[Long]) => CellShard = {
+      val cfg = i.cfg
+      (cell, s, dead) => {
+        val rows = s.vectors.iterator
+          .filter { case (id, _) =>
+            java.util.Arrays.binarySearch(dead, id) < 0 }
+          .toArray.sortBy(_._1)
+        buildCellFresh(cell, rows, cfg)
+      }
+    }
+  }
+
   private val tripleEncPcellFirst = Encoders.tuple(
     Encoders.scalaInt, Encoders.scalaLong, ExprEnc.floatArray)
 
@@ -572,41 +604,12 @@ object HnswRouted {
     val batchIds = deduped.select(col("id"))
       .as(Encoders.scalaLong).collect()
     java.util.Arrays.sort(batchIds)
-    // TOMBSTONE guard (driver-side, O(min set) — no job): a tombstoned
-    // id's vertex was compacted out of (or is dead in) its cell, so the
-    // shard-key clash scan below cannot see it — without this check a
-    // deleted-then-absent id would ingest into a cell, stay invisible
-    // to search (still tombstoned), and be silently ERASED by the next
-    // compact. Batch ingest fail-fasts (its posture everywhere); the
-    // CDC stream is the lenient path that filters instead.
-    locally {
-      val dead = index.tombstones
-      val resurrect =
-        if (dead.length < batchIds.length)
-          dead.filter(id => java.util.Arrays.binarySearch(batchIds, id) >= 0)
-        else batchIds.filter(id => java.util.Arrays.binarySearch(dead, id) >= 0)
-      require(resurrect.isEmpty,
-        s"routed ingest: ${resurrect.length} batch id(s) are tombstoned " +
-          s"(e.g. id ${resurrect.headOption.getOrElse(-1L)}) — inserting " +
-          "them now would land rows that search excludes and the next " +
-          "compact erases. Run compact() first (frees the ids), or route " +
-          "through the CDC stream, which filters tombstoned inserts")
-    }
-    val idsB = spark.sparkContext.broadcast(batchIds)
-    val clashes = index.shards.flatMap { case (cell, s) =>
-      val ids = idsB.value
-      s.vectors.keysIterator
-        .filter(id => java.util.Arrays.binarySearch(ids, id) >= 0)
-        .take(3).map(id => (id, cell))
-    }.take(5)
-    require(clashes.isEmpty,
-      s"routed ingest: ${clashes.length}+ batch id(s) already present in " +
-        s"the index (e.g. id ${clashes.headOption.map(_._1).getOrElse(-1L)} " +
-        s"lives in cell ${clashes.headOption.map(_._2).getOrElse(-1)}) — " +
-        "re-inserting an id would corrupt its graph, and a drifted vector " +
-        "routing to a different cell would double-register the id across " +
-        "cells. Remove existing ids from the batch (left-anti on the " +
-        "index) or rebuild to replace vectors")
+    // shared fail-fast guards (RoutedLifecycle): tombstoned-id
+    // resurrect (driver-side, no job) + cross-cell duplicate-id scan
+    // (one narrow broadcast pass). The CDC stream is the lenient path
+    // that filters instead.
+    RoutedLifecycle.guardResurrect(FloatTier)(index, batchIds)
+    RoutedLifecycle.guardClashes(FloatTier)(index, batchIds)
     val part = index.shards.partitioner.getOrElse(partitionerFor(router))
     val keyed = deduped
       .select(col("id"), col("vec"), router.cellCol(col("vec")).as("cell"))
@@ -639,8 +642,9 @@ object HnswRouted {
     }
     // the deletion set survives ingest (dropping it would silently
     // resurrect deleted ids after the next insert batch — caught by
-    // the CDC spec)
-    RoutedIndex(cfg, router, merged, index.tombstones)
+    // the CDC spec); overlays stay tracked unless just released
+    RoutedIndex(cfg, router, merged, index.tombstones,
+      overlay = if (persist) Nil else index.overlay)
     } finally deduped.unpersist(blocking = false)
   }
 
@@ -669,11 +673,8 @@ object HnswRouted {
     * deliberate resolution of a delete/insert race, and the guard is
     * what keeps a late insert from landing rows that search excludes
     * and the next compact would erase. */
-  def delete(index: RoutedIndex, ids: DataFrame): RoutedIndex = {
-    val del = sortedIdArray(ids)
-    if (del.isEmpty) index
-    else index.copy(tombstones = RoutedOps.mergeTombstones(index.tombstones, del))
-  }
+  def delete(index: RoutedIndex, ids: DataFrame): RoutedIndex =
+    RoutedLifecycle.delete(FloatTier)(index, ids)
 
   /** Fold the deletion set out of the graphs: rebuild ONLY the cells
     * that hold a tombstoned id — untouched cells pass through BY
@@ -690,43 +691,8 @@ object HnswRouted {
     * e.g. the catalog's shared build). */
   def compact(index: RoutedIndex, persist: Boolean = true,
               unpersistPrior: Boolean = true): RoutedIndex =
-    if (index.tombstones.isEmpty) index
-    else {
-      val cfg = index.cfg
-      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
-      val compacted = index.shards.mapPartitions({ it =>
-        it.map { case (cell, s) =>
-          val dead = tombB.value
-          // probe the SMALLER side: a small delete set against a big
-          // cell is |dead| O(1) map lookups, not |cell| binary searches
-          // (at 1e8 rows / 1e4 deletes that is the difference between
-          // scanning the corpus and scanning the batch)
-          val touched =
-            if (dead.length < s.vectors.size)
-              dead.exists(s.vectors.contains)
-            else s.vectors.keysIterator
-              .exists(id => java.util.Arrays.binarySearch(dead, id) >= 0)
-          if (!touched) cell -> s
-          else {
-            val rows = s.vectors.iterator
-              .filter { case (id, _) =>
-                java.util.Arrays.binarySearch(dead, id) < 0 }
-              .toArray.sortBy(_._1)
-            cell -> buildCellFresh(cell, rows, cfg)
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        compacted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .setName("graft-hnsw-routed")
-        compacted.count()
-        if (unpersistPrior) {
-          index.shards.unpersist(blocking = false)
-          index.overlay.foreach(_.unpersist())
-        }
-      }
-      RoutedIndex(cfg, index.router, compacted, Array.empty)
-    }
+    RoutedLifecycle.compact(FloatTier)(index, persist, unpersistPrior,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Targeted compaction: fold the deletion set out of ONLY the listed
     * cells — the [[mergedCellAudit]] remedy. [[compact]]'s whole-index
@@ -744,47 +710,8 @@ object HnswRouted {
   def compactCells(index: RoutedIndex, cells: Array[Int],
                    persist: Boolean = true,
                    unpersistPrior: Boolean = true): RoutedIndex =
-    if (cells.isEmpty || index.tombstones.isEmpty) index
-    else {
-      val cfg = index.cfg
-      val cellSet = cells.toSet
-      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
-      // pass 1, pruned to the listed cells: which tombstoned ids fold
-      // out here? (each id lives in exactly one cell, so the collect is
-      // bounded by the deletion set, not the corpus)
-      val removed = prunedShards(index.shards, cells).flatMap { case (cell, s) =>
-        if (!cellSet(cell)) Iterator.empty
-        else tombB.value.iterator.filter(s.vectors.contains)
-      }.collect()
-      java.util.Arrays.sort(removed)
-      // pass 2, narrow: rebuild the listed cells from their survivors
-      // (build kernel — graph-identical to a fresh build, like compact)
-      val compacted = index.shards.mapPartitions({ it =>
-        it.map { case (cell, s) =>
-          if (!cellSet(cell)) cell -> s
-          else {
-            val dead = tombB.value
-            val rows = s.vectors.iterator
-              .filter { case (id, _) =>
-                java.util.Arrays.binarySearch(dead, id) < 0 }
-              .toArray.sortBy(_._1)
-            cell -> buildCellFresh(cell, rows, cfg)
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        compacted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .setName("graft-hnsw-routed")
-        compacted.count()
-        if (unpersistPrior) {
-          index.shards.unpersist(blocking = false)
-          index.overlay.foreach(_.unpersist())
-        }
-      }
-      val remaining = index.tombstones.filter(id =>
-        java.util.Arrays.binarySearch(removed, id) < 0)
-      RoutedIndex(cfg, index.router, compacted, remaining)
-    }
+    RoutedLifecycle.compactCells(FloatTier)(index, cells, persist,
+      unpersistPrior, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** [[compactCells]] with O(touched) PERSISTED BYTES — the patch
     * answer to the measured cost of targeted compaction: the plain
@@ -806,74 +733,14 @@ object HnswRouted {
     * [[compactCells]] (spec-pinned). */
   def compactCellsPatched(index: RoutedIndex, cells: Array[Int],
                           persist: Boolean = true): RoutedIndex =
-    if (cells.isEmpty || index.tombstones.isEmpty) index
-    else {
-      val cfg = index.cfg
-      val cellSet = cells.toSet
-      val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
-        "patched compaction needs the index's pinned CellPartitioner"))
-      val touchedParts = cells.map(part.getPartition(_: Any)).toSet
-      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
-      // folded-out ids (bounded by the deletion set; pruned pass)
-      val removed = prunedShards(index.shards, cells).flatMap { case (cell, s) =>
-        if (!cellSet(cell)) Iterator.empty
-        else tombB.value.iterator.filter(s.vectors.contains)
-      }.collect()
-      java.util.Arrays.sort(removed)
-      // the overlay: rebuilt shards for touched cells, EMPTY iterators
-      // everywhere else (an empty cached block per untouched partition
-      // — bytes stay O(touched))
-      val overlay = index.shards.mapPartitionsWithIndex({ (i, it) =>
-        if (!touchedParts(i)) Iterator.empty
-        else it.map { case (cell, s) =>
-          if (!cellSet(cell)) cell -> s
-          else {
-            val dead = tombB.value
-            val rows = s.vectors.iterator
-              .filter { case (id, _) =>
-                java.util.Arrays.binarySearch(dead, id) < 0 }
-              .toArray.sortBy(_._1)
-            cell -> buildCellFresh(cell, rows, cfg)
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .setName("graft-hnsw-routed-patch")
-        overlay.count()
-      }
-      // the served composite: overlay-wins per partition; reads the
-      // base's cached blocks for everything untouched. NOT persisted —
-      // each action pays one cheap per-partition branch, never a copy.
-      val patched = index.shards.zipPartitions(overlay,
-          preservesPartitioning = true) { (b, o) =>
-        val patch = o.toArray
-        if (patch.isEmpty) b
-        else {
-          val replaced = patch.map(_._1).toSet
-          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
-        }
-      }
-      val remaining = index.tombstones.filter(id =>
-        java.util.Arrays.binarySearch(removed, id) < 0)
-      RoutedIndex(cfg, index.router, patched, remaining,
-        overlay = if (persist) index.overlay :+ overlay else index.overlay)
-    }
+    RoutedLifecycle.compactCellsPatched(FloatTier)(index, cells, persist)
 
   /** Materialize a patched index back into ONE persisted full image
     * and release the overlay stack — the fold that bounds patch-stack
     * depth. A handle with no overlay returns unchanged. */
   def foldOverlay(index: RoutedIndex): RoutedIndex =
-    if (index.overlay.isEmpty) index
-    else {
-      val full = index.shards.mapPartitions(it => it,
-        preservesPartitioning = true)
-      full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .setName("graft-hnsw-routed")
-      full.count()
-      index.overlay.foreach(_.unpersist())
-      RoutedIndex(index.cfg, index.router, full, index.tombstones)
-    }
+    RoutedLifecycle.foldOverlay(FloatTier)(index,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Merged-cell audit — detection for the regime the per-cell density
     * census cannot see (ROUND14 §5's residual): k-means merged a DEAD
@@ -1136,18 +1003,13 @@ object HnswRouted {
     * copy at any size. */
   def searchFiltered(index: RoutedIndex, queries: DataFrame,
                      allowed: DataFrame, k: Int, nProbe: Int,
-                     ef0: Int = 0): DataFrame = {
-    val probe = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
-      .limit(AllowCollectMax + 1)
-      .as(org.apache.spark.sql.Encoders.scalaLong).collect()
-    if (probe.length > AllowCollectMax)
-      searchFilteredDistributed(index, queries, allowed, k, nProbe, ef0)
-    else {
-      java.util.Arrays.sort(probe)
-      searchImpl(index, queries, k, nProbe, ef0, allowed = Some(probe))
+                     ef0: Int = 0): DataFrame =
+    RoutedLifecycle.allowProbe(allowed, AllowCollectMax) match {
+      case None =>
+        searchFilteredDistributed(index, queries, allowed, k, nProbe, ef0)
+      case some =>
+        searchImpl(index, queries, k, nProbe, ef0, allowed = some)
     }
-  }
 
   /** [[searchFiltered]] with a pre-collected allow-set — the repeat-
     * caller path (collect + sort the id array once, serve many query
@@ -1192,41 +1054,13 @@ object HnswRouted {
       .flatMap { case (qid, qv) =>
         routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
       }.partitionBy(part)
-    // (id -> cell) from the index itself, keyed by id for the join;
-    // output is |allow| rows (membership resolves the cell), then ONE
-    // shuffle keys them by cell like everything else
-    val idCell = index.shards.flatMap { case (c, s) =>
-      s.vectors.keysIterator.map(id => (id, c))
-    }
-    val allowRdd = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
-      .as(Encoders.scalaLong).rdd.map(id => (id, ()))
-    val allowByCell = idCell.join(allowRdd)
-      .map { case (id, (cell, _)) => (cell, id) }
-      .partitionBy(part)
+    val allowByCell = RoutedLifecycle.allowByCell(FloatTier)(index, allowed, part)
     import spark.implicits._
-    val perShard = index.shards.zipPartitions(routed, allowByCell) {
-      (shardIt, qIt, aIt) =>
-        val shards = shardIt.toArray
-        if (shards.length == 0) Iterator.empty
-        else if (shards.length == 1) {
-          val (cell, m) = shards(0)
-          val allow = aIt.collect { case (c, id) if c == cell => id }.toArray
-          java.util.Arrays.sort(allow)
-          val probes = qIt.collect { case (c, q) if c == cell => q }
-          serveShard(cfg, m, probes, k, ef0, exhaustive,
-            hasAllow = true, allow, tombB.value)
-        } else {
-          val byCellQ = qIt.toArray.groupBy(_._1)
-          val byCellA = aIt.toArray.groupBy(_._1)
-          shards.iterator.flatMap { case (cell, m) =>
-            val allow = byCellA.getOrElse(cell, Array.empty).map(_._2)
-            java.util.Arrays.sort(allow)
-            serveShard(cfg, m,
-              byCellQ.getOrElse(cell, Array.empty).iterator.map(_._2),
-              k, ef0, exhaustive, hasAllow = true, allow, tombB.value)
-          }
-        }
+    val perShard = RoutedLifecycle.zipServeFiltered(
+        index.shards, routed, allowByCell) {
+      (m: CellShard, probes: Iterator[(Long, Array[Float])], allow: Array[Long]) =>
+        serveShard(cfg, m, probes, k, ef0, exhaustive,
+          hasAllow = true, allow, tombB.value)
     }.toDF("qid", "id", "dist")
     rankMerge(perShard, k)
   }
@@ -1478,12 +1312,6 @@ object HnswRouted {
 
   private val vecRowEnc = Encoders.tuple(
     Encoders.scalaInt, Encoders.scalaLong, ExprEnc.floatArray)
-  private val linkRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong,
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
-  private val entryRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
 
   /** Persist the index under `path` as a new complete version
     * (`idx_v{N}`, `_DONE`-marked last; older versions reclaimed after —
@@ -1509,38 +1337,16 @@ object HnswRouted {
         "ef_constr_insert", "ef_search", "layer_probability", "n_primary")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
 
-    val cRows =
-      index.router.primary.centroids.zipWithIndex.map { case (c, i) =>
-        (-1, i, c.toSeq) } ++
-      index.router.sub.toSeq.flatMap { case (parent, m) =>
-        m.centroids.zipWithIndex.map { case (c, i) => (parent, i, c.toSeq) } }
-    cRows.toSeq.toDF("parent", "idx", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    RoutedImage.writeRouter(spark, dir, index.router)
 
     spark.createDataset(index.shards.flatMap { case (cell, s) =>
       s.vectors.iterator.map { case (id, v) => (cell, id, v) }
     })(vecRowEnc).toDF("cell", "id", "vec")
       .write.mode("overwrite").parquet(s"$dir/vectors")
 
-    spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.snapshot.layers.iterator.zipWithIndex.flatMap { case (csr, lc) =>
-        csr.entriesIterator.map { case (src, dsts, dists) =>
-          (cell, lc, src, dsts, dists)
-        }
-      }
-    })(linkRowEnc).toDF("cell", "layer", "src", "dsts", "dists")
-      .write.mode("overwrite").parquet(s"$dir/links")
-
-    spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
-    })(entryRowEnc).toDF("cell", "point", "layer")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
-
-    // the deletion set persists with the image (written even when
-    // empty): a restart must keep serving the deletes a crashed
-    // session had accepted
-    index.tombstones.toSeq.toDF("id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
+    RoutedImage.writeGraph(spark, dir, index.shards,
+      (s: CellShard) => s.snapshot)
+    RoutedImage.writeTombstones(spark, dir, index.tombstones)
 
     // completeness marker LAST; then reclaim superseded/junk versions
     VersionedIndexDirs.commit(spark, path, dir, keepVersions)
@@ -1555,36 +1361,17 @@ object HnswRouted {
     val dir = VersionedIndexDirs.newestDone(spark, path)
 
     val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val params = HnswParams(
-      meta.getAs[Seq[Int]]("m").toArray,
-      meta.getAs[Seq[Int]]("m_max").toArray,
-      meta.getAs[Seq[Int]]("ef_constr_search").toArray,
-      meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
-      meta.getAs[Seq[Int]]("ef_search").toArray,
-      meta.getAs[Double]("layer_probability"))
+    val params = RoutedImage.paramsFromMeta(meta)
     val cfg = BuildConfig(params, meta.getAs[String]("metric"),
       meta.getAs[Long]("seed"))
-    val cent = spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => (r.getInt(0), r.getInt(1),
-        r.getAs[Seq[Float]](2).toArray))
-    val primary = Ivf.IvfModel(
-      cent.filter(_._1 == -1).sortBy(_._2).map(_._3), cfg.metric)
-    val sub = cent.filter(_._1 >= 0).groupBy(_._1).map { case (p, rows) =>
-      p -> Ivf.IvfModel(rows.sortBy(_._2).map(_._3), cfg.metric)
-    }
-    val router = Router(primary, sub)
+    val router = RoutedImage.readRouter(spark, dir, cfg.metric)
 
     val part = partitionerFor(router)
     val vecs = spark.read.parquet(s"$dir/vectors")
       .select(col("cell"), col("id"), col("vec")).as(vecRowEnc).rdd
       .map { case (c, id, v) => (c, (id, v)) }
-    val links = spark.read.parquet(s"$dir/links")
-      .select(col("cell"), col("layer"), col("src"), col("dsts"), col("dists"))
-      .as(linkRowEnc).rdd
-      .map { case (c, lc, src, dsts, dists) => (c, (lc, src, dsts, dists)) }
-    val entries = spark.read.parquet(s"$dir/entries")
-      .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
-      .map { case (c, pt, l) => (c, (pt, l)) }
+    val links = RoutedImage.readLinks(spark, dir)
+    val entries = RoutedImage.readEntries(spark, dir)
 
     // preservesPartitioning: the restored shards must keep the pinned
     // partitioner, or the first post-attach ingest would shuffle the
@@ -1592,18 +1379,8 @@ object HnswRouted {
     // the keyed-shard design exists to avoid
     val shards = vecs.cogroup(links, entries, part).mapPartitions({ it =>
       it.map { case (cell, (vs, ls, es)) =>
-        val vecMap = LongVecMap.from(vs.iterator)
-        val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
-        val nLayers = math.max(
-          ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
-          entry.map(_.layer + 1).getOrElse(0))
-        val layers = Array.fill(nLayers)(
-          scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
-        ls.foreach { case (lc, src, dsts, dists) =>
-          layers(lc)(src) = (dsts, dists)
-        }
-        cell -> CellShard(cell, vecMap,
-          GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))))
+        cell -> CellShard(cell, LongVecMap.from(vs.iterator),
+          RoutedImage.assembleSnapshot(ls, es))
       }
     }, preservesPartitioning = true)
     if (persist) {
@@ -1611,16 +1388,7 @@ object HnswRouted {
         .setName("graft-hnsw-routed")
       shards.count()
     }
-    // tombstones table: absent only in pre-lifecycle images (nothing
-    // was deletable then, so absent = empty)
-    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val tombstones =
-      if (VersionedIndexDirs.fsOf(spark, dir).exists(tombPath)) {
-        val t = spark.read.parquet(s"$dir/tombstones").collect()
-          .map(_.getLong(0))
-        java.util.Arrays.sort(t); t
-      } else Array.empty[Long]
-    RoutedIndex(cfg, router, shards, tombstones)
+    RoutedIndex(cfg, router, shards, RoutedImage.readTombstones(spark, dir))
   }
 
   /** Process-wide memo (the shardCache pattern), keyed by app id so a

@@ -61,6 +61,42 @@ object HnswRoutedCodes {
 
   private val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
 
+  /** The u64-code tier's [[RoutedTier]] binding — one shared lifecycle
+    * ([[RoutedLifecycle]]) across the three serving tiers; only the
+    * representation (LongLongMap members, Hamming-space rebuild) lives
+    * here. `unpersistBlocking`: this is the DISK_ONLY-decade tier —
+    * the superseded image is ~the index's full footprint, reclaim it
+    * before the caller's next job rather than racing the async
+    * cleaner. */
+  private[graft] object CodeTier extends RoutedTier[CodeCellShard, RoutedCodeIndex] {
+    def shards(i: RoutedCodeIndex): org.apache.spark.rdd.RDD[(Int, CodeCellShard)] = i.shards
+    def tombstones(i: RoutedCodeIndex): Array[Long] = i.tombstones
+    def overlays(i: RoutedCodeIndex): Seq[org.apache.spark.rdd.RDD[_]] = i.overlay
+    def make(i: RoutedCodeIndex, shards: org.apache.spark.rdd.RDD[(Int, CodeCellShard)],
+             tombstones: Array[Long],
+             overlays: Seq[org.apache.spark.rdd.RDD[_]]): RoutedCodeIndex =
+      RoutedCodeIndex(i.params, i.seed, i.anchors, shards, tombstones, overlays)
+    val cacheName = "graft-hnsw-routed-codes"
+    val tierName = "routed-codes"
+    val unpersistBlocking = true
+    val resurrectHint = "Run compact() first (frees the ids), or route " +
+      "through the CDC stream, which filters tombstoned inserts"
+    def memberCount(s: CodeCellShard): Int = s.codes.size
+    def containsId(s: CodeCellShard, id: Long): Boolean = s.codes.contains(id)
+    def idIterator(s: CodeCellShard): Iterator[Long] = s.codes.keysIterator
+    def survivorRebuild(i: RoutedCodeIndex): (Int, CodeCellShard, Array[Long]) => CodeCellShard = {
+      val params = i.params
+      val seed = i.seed
+      (cell, s, dead) => {
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        s.codes.foreach { (id, c) =>
+          if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
+        }
+        buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
+      }
+    }
+  }
+
   @inline private def hamming(a: Long, b: Long): Int =
     java.lang.Long.bitCount(a ^ b)
 
@@ -326,40 +362,10 @@ object HnswRoutedCodes {
       val batchIds = deduped.select(col("id"))
         .as(Encoders.scalaLong).collect()
       java.util.Arrays.sort(batchIds)
-      // tombstone guard (see HnswRouted.ingest): a tombstoned id passes
-      // the shard-key clash scan after compaction, lands invisible to
-      // search, and is erased by the next compact — fail fast instead
-      locally {
-        val dead = index.tombstones
-        val resurrect =
-          if (dead.length < batchIds.length)
-            dead.filter(id => java.util.Arrays.binarySearch(batchIds, id) >= 0)
-          else batchIds.filter(id => java.util.Arrays.binarySearch(dead, id) >= 0)
-        require(resurrect.isEmpty,
-          s"routed-codes ingest: ${resurrect.length} batch id(s) are " +
-            s"tombstoned (e.g. id ${resurrect.headOption.getOrElse(-1L)}) — " +
-            "inserting them now would land rows that search excludes and " +
-            "the next compact erases. Run compact() first, or route " +
-            "through the CDC stream, which filters tombstoned inserts")
-      }
-      val idsB = spark.sparkContext.broadcast(batchIds)
-      val clashes = index.shards.flatMap { case (cell, s) =>
-        val ids = idsB.value
-        val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        s.codes.foreach { (id, _) =>
-          if (hits.length < 3 && java.util.Arrays.binarySearch(ids, id) >= 0)
-            hits += ((id, cell))
-        }
-        hits.iterator
-      }.take(5)
-      require(clashes.isEmpty,
-        s"routed-codes ingest: ${clashes.length}+ batch id(s) already " +
-          s"present in the index (e.g. id " +
-          s"${clashes.headOption.map(_._1).getOrElse(-1L)} lives in cell " +
-          s"${clashes.headOption.map(_._2).getOrElse(-1)}) — re-inserting " +
-          "an id would corrupt its graph, and a drifted code routing to a " +
-          "different cell would double-register the id across cells. " +
-          "Remove existing ids from the batch or rebuild to replace codes")
+      // shared fail-fast guards (RoutedLifecycle): tombstoned-id
+      // resurrect + cross-cell duplicate-id scan
+      RoutedLifecycle.guardResurrect(CodeTier)(index, batchIds)
+      RoutedLifecycle.guardClashes(CodeTier)(index, batchIds)
 
       val anchorsB = spark.sparkContext.broadcast(index.anchors)
       val part = index.shards.partitioner.getOrElse(
@@ -401,8 +407,10 @@ object HnswRoutedCodes {
         index.shards.unpersist(blocking = true)
         index.overlay.foreach(_.unpersist())
       }
-      // the deletion set survives ingest (see HnswRouted.ingest)
-      RoutedCodeIndex(params, seed, index.anchors, merged, index.tombstones)
+      // the deletion set survives ingest (see HnswRouted.ingest);
+      // overlays stay tracked unless just released
+      RoutedCodeIndex(params, seed, index.anchors, merged, index.tombstones,
+        overlay = if (persist) Nil else index.overlay)
     } finally deduped.unpersist(blocking = false)
   }
 
@@ -468,11 +476,8 @@ object HnswRoutedCodes {
     * shards are SHARED with the input handle. [[search]] excludes the
     * set transparently (tombstoned vertices still conduct the in-cell
     * traversal); [[compact]] folds it out and frees the ids. */
-  def delete(index: RoutedCodeIndex, ids: DataFrame): RoutedCodeIndex = {
-    val del = HnswRouted.sortedIdArray(ids)
-    if (del.isEmpty) index
-    else index.copy(tombstones = RoutedOps.mergeTombstones(index.tombstones, del))
-  }
+  def delete(index: RoutedCodeIndex, ids: DataFrame): RoutedCodeIndex =
+    RoutedLifecycle.delete(CodeTier)(index, ids)
 
   /** Fold the deletion set out of the graphs — [[HnswRouted.compact]]:
     * ONLY cells holding a tombstoned id rebuild (fresh, via
@@ -483,43 +488,7 @@ object HnswRoutedCodes {
   def compact(index: RoutedCodeIndex, persist: Boolean = true,
               unpersistPrior: Boolean = true,
               storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex =
-    if (index.tombstones.isEmpty) index
-    else {
-      val params = index.params
-      val seed = index.seed
-      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
-      val compacted = index.shards.mapPartitions({ it =>
-        it.map { case (cell, s) =>
-          val dead = tombB.value
-          // probe the SMALLER side (see HnswRouted.compact): a small
-          // delete set against a big cell is |dead| O(1) lookups
-          var touched = false
-          if (dead.length < s.codes.size)
-            touched = dead.exists(s.codes.contains)
-          else s.codes.foreach { (id, _) =>
-            if (!touched && java.util.Arrays.binarySearch(dead, id) >= 0)
-              touched = true
-          }
-          if (!touched) cell -> s
-          else {
-            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            s.codes.foreach { (id, c) =>
-              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
-            }
-            cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        compacted.persist(storage).setName("graft-hnsw-routed-codes")
-        compacted.count()
-        if (unpersistPrior) {
-          index.shards.unpersist(blocking = true)
-          index.overlay.foreach(_.unpersist())
-        }
-      }
-      RoutedCodeIndex(params, seed, index.anchors, compacted, Array.empty)
-    }
+    RoutedLifecycle.compact(CodeTier)(index, persist, unpersistPrior, storage)
 
   /** PATCHED compaction — [[HnswRouted.compactCellsPatched]] on the
     * codes tier, with the touched set derived from the deletion set
@@ -540,75 +509,13 @@ object HnswRoutedCodes {
     * cadence. */
   def compactPatched(index: RoutedCodeIndex,
                      persist: Boolean = true): RoutedCodeIndex =
-    if (index.tombstones.isEmpty) index
-    else {
-      val params = index.params
-      val seed = index.seed
-      val sc = index.shards.sparkContext
-      require(index.shards.partitioner.isDefined,
-        "patched compaction needs the index's pinned CellPartitioner")
-      val tombB = sc.broadcast(index.tombstones)
-      // ONE pass: each shard decides touched-ness itself and rebuilds
-      // inline — a separate touched-cells discovery pass would read the
-      // whole (possibly DISK_ONLY) index a second time for nothing
-      // (measured: the two-pass form cost 74.7 s at 1e7 where the
-      // membership scan is ~half)
-      val overlay = index.shards.mapPartitions({ it =>
-        it.flatMap { case (cell, s) =>
-          val dead = tombB.value
-          val touched =
-            if (dead.length < s.codes.size) dead.exists(s.codes.contains)
-            else {
-              var hit = false
-              s.codes.foreach { (id, _) =>
-                if (!hit && java.util.Arrays.binarySearch(dead, id) >= 0)
-                  hit = true
-              }
-              hit
-            }
-          if (!touched) Iterator.empty
-          else {
-            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            s.codes.foreach { (id, c) =>
-              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
-            }
-            Iterator.single(
-              cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed))
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .setName("graft-hnsw-routed-codes-patch")
-        overlay.count()
-      }
-      val patched = index.shards.zipPartitions(overlay,
-          preservesPartitioning = true) { (b, o) =>
-        val patch = o.toArray
-        if (patch.isEmpty) b
-        else {
-          val replaced = patch.map(_._1).toSet
-          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
-        }
-      }
-      RoutedCodeIndex(params, seed, index.anchors, patched, Array.empty,
-        overlay = if (persist) index.overlay :+ overlay else index.overlay)
-    }
+    RoutedLifecycle.compactPatched(CodeTier)(index, persist)
 
   /** Materialize a patched index back into ONE persisted full image and
     * release the overlay stack (see [[HnswRouted.foldOverlay]]). */
   def foldOverlay(index: RoutedCodeIndex,
                   storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex =
-    if (index.overlay.isEmpty) index
-    else {
-      val full = index.shards.mapPartitions(it => it,
-        preservesPartitioning = true)
-      full.persist(storage).setName("graft-hnsw-routed-codes")
-      full.count()
-      index.overlay.foreach(_.unpersist())
-      RoutedCodeIndex(index.params, index.seed, index.anchors, full,
-        index.tombstones)
-    }
+    RoutedLifecycle.foldOverlay(CodeTier)(index, storage)
 
   // --------------------------------------------------------------------
   // Merged-cell detection + targeted remedy — [[HnswRouted
@@ -884,43 +791,8 @@ object HnswRoutedCodes {
                    persist: Boolean = true,
                    unpersistPrior: Boolean = true,
                    storage: org.apache.spark.storage.StorageLevel = DefaultStorage): RoutedCodeIndex =
-    if (cells.isEmpty || index.tombstones.isEmpty) index
-    else {
-      val params = index.params
-      val seed = index.seed
-      val cellSet = cells.toSet
-      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
-      val removed = HnswRouted.prunedShards(index.shards, cells)
-        .flatMap { case (cell, s) =>
-          if (!cellSet(cell)) Iterator.empty
-          else tombB.value.iterator.filter(s.codes.contains)
-        }.collect()
-      java.util.Arrays.sort(removed)
-      val compacted = index.shards.mapPartitions({ it =>
-        it.map { case (cell, s) =>
-          if (!cellSet(cell)) cell -> s
-          else {
-            val dead = tombB.value
-            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            s.codes.foreach { (id, c) =>
-              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
-            }
-            cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        compacted.persist(storage).setName("graft-hnsw-routed-codes")
-        compacted.count()
-        if (unpersistPrior) {
-          index.shards.unpersist(blocking = false)
-          index.overlay.foreach(_.unpersist())
-        }
-      }
-      val remaining = index.tombstones.filter(id =>
-        java.util.Arrays.binarySearch(removed, id) < 0)
-      RoutedCodeIndex(params, seed, index.anchors, compacted, remaining)
-    }
+    RoutedLifecycle.compactCells(CodeTier)(index, cells, persist,
+      unpersistPrior, storage)
 
   /** [[compactCells]] with O(touched) persisted bytes — the float
     * tier's [[HnswRouted.compactCellsPatched]] overlay discipline on
@@ -930,54 +802,7 @@ object HnswRoutedCodes {
     * answer; patches stack, [[foldOverlay]] bounds the stack). */
   def compactCellsPatched(index: RoutedCodeIndex, cells: Array[Int],
                           persist: Boolean = true): RoutedCodeIndex =
-    if (cells.isEmpty || index.tombstones.isEmpty) index
-    else {
-      val params = index.params
-      val seed = index.seed
-      val cellSet = cells.toSet
-      val part = index.shards.partitioner.getOrElse(throw new IllegalStateException(
-        "patched compaction needs the index's pinned partitioner"))
-      val touchedParts = cells.map(part.getPartition(_: Any)).toSet
-      val tombB = index.shards.sparkContext.broadcast(index.tombstones)
-      val removed = HnswRouted.prunedShards(index.shards, cells)
-        .flatMap { case (cell, s) =>
-          if (!cellSet(cell)) Iterator.empty
-          else tombB.value.iterator.filter(s.codes.contains)
-        }.collect()
-      java.util.Arrays.sort(removed)
-      val overlay = index.shards.mapPartitionsWithIndex({ (i, it) =>
-        if (!touchedParts(i)) Iterator.empty
-        else it.map { case (cell, s) =>
-          if (!cellSet(cell)) cell -> s
-          else {
-            val dead = tombB.value
-            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-            s.codes.foreach { (id, c) =>
-              if (java.util.Arrays.binarySearch(dead, id) < 0) rows += ((id, c))
-            }
-            cell -> buildCellFresh(cell, rows.toArray.sortBy(_._1), params, seed)
-          }
-        }
-      }, preservesPartitioning = true)
-      if (persist) {
-        overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .setName("graft-hnsw-routed-codes-patch")
-        overlay.count()
-      }
-      val patched = index.shards.zipPartitions(overlay,
-          preservesPartitioning = true) { (b, o) =>
-        val patch = o.toArray
-        if (patch.isEmpty) b
-        else {
-          val replaced = patch.map(_._1).toSet
-          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
-        }
-      }
-      val remaining = index.tombstones.filter(id =>
-        java.util.Arrays.binarySearch(removed, id) < 0)
-      RoutedCodeIndex(params, seed, index.anchors, patched, remaining,
-        overlay = if (persist) index.overlay :+ overlay else index.overlay)
-    }
+    RoutedLifecycle.compactCellsPatched(CodeTier)(index, cells, persist)
 
   /** Detect-and-remediate — [[HnswRouted.remediateMergedCells]] on the
     * code representation: [[mergedCellAudit]] → targeted compaction on
@@ -1003,14 +828,6 @@ object HnswRoutedCodes {
   // and the live tombstone set).
   // --------------------------------------------------------------------
 
-  private val codeRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
-  private val linkRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong,
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
-  private val entryRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
 
   /** Persist as a new complete `idx_v{N}` version (`_DONE` last, older
     * versions reclaimed). A 1e8-code index is ~800 MB of codes + its
@@ -1037,26 +854,12 @@ object HnswRoutedCodes {
 
     spark.createDataset(index.shards.flatMap { case (cell, s) =>
       s.codes.toSeq.iterator.map { case (id, c) => (cell, id, c) }
-    })(codeRowEnc).toDF("cell", "id", "code")
+    })(RoutedImage.codeRowEnc).toDF("cell", "id", "code")
       .write.mode("overwrite").parquet(s"$dir/codes")
 
-    spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.snapshot.layers.iterator.zipWithIndex.flatMap { case (csr, lc) =>
-        csr.entriesIterator.map { case (src, dsts, dists) =>
-          (cell, lc, src, dsts, dists)
-        }
-      }
-    })(linkRowEnc).toDF("cell", "layer", "src", "dsts", "dists")
-      .write.mode("overwrite").parquet(s"$dir/links")
-
-    spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
-    })(entryRowEnc).toDF("cell", "point", "layer")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
-
-    // the deletion set persists with the image (see HnswRouted.saveWith)
-    index.tombstones.toSeq.toDF("id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
+    RoutedImage.writeGraph(spark, dir, index.shards,
+      (s: CodeCellShard) => s.snapshot)
+    RoutedImage.writeTombstones(spark, dir, index.tombstones)
 
     VersionedIndexDirs.commit(spark, path, dir, keepVersions)
   }
@@ -1073,58 +876,30 @@ object HnswRoutedCodes {
     val dir = VersionedIndexDirs.newestDone(spark, path)
 
     val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val params = HnswParams(
-      meta.getAs[Seq[Int]]("m").toArray,
-      meta.getAs[Seq[Int]]("m_max").toArray,
-      meta.getAs[Seq[Int]]("ef_constr_search").toArray,
-      meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
-      meta.getAs[Seq[Int]]("ef_search").toArray,
-      meta.getAs[Double]("layer_probability"))
+    val params = RoutedImage.paramsFromMeta(meta)
     val seed = meta.getAs[Long]("seed")
     val anchors = spark.read.parquet(s"$dir/anchors").collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
 
     val part = new HashPartitioner(math.max(1, anchors.length))
     val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("cell"), col("id"), col("code")).as(codeRowEnc).rdd
+      .select(col("cell"), col("id"), col("code")).as(RoutedImage.codeRowEnc).rdd
       .map { case (c, id, code) => (c, (id, code)) }
-    val links = spark.read.parquet(s"$dir/links")
-      .select(col("cell"), col("layer"), col("src"), col("dsts"), col("dists"))
-      .as(linkRowEnc).rdd
-      .map { case (c, lc, src, dsts, dists) => (c, (lc, src, dsts, dists)) }
-    val entries = spark.read.parquet(s"$dir/entries")
-      .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
-      .map { case (c, pt, l) => (c, (pt, l)) }
+    val links = RoutedImage.readLinks(spark, dir)
+    val entries = RoutedImage.readEntries(spark, dir)
 
     val shards = codes.cogroup(links, entries, part).mapPartitions({ it =>
       it.map { case (cell, (cs, ls, es)) =>
-        val codeMap = LongLongMap.from(cs.iterator, 64)
-        val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
-        val nLayers = math.max(
-          ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
-          entry.map(_.layer + 1).getOrElse(0))
-        val layers = Array.fill(nLayers)(
-          scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
-        ls.foreach { case (lc, src, dsts, dists) =>
-          layers(lc)(src) = (dsts, dists)
-        }
-        cell -> CodeCellShard(cell, codeMap,
-          GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))))
+        cell -> CodeCellShard(cell, LongLongMap.from(cs.iterator, 64),
+          RoutedImage.assembleSnapshot(ls, es))
       }
     }, preservesPartitioning = true)
     if (persist) {
       shards.persist(storage).setName("graft-hnsw-routed-codes")
       shards.count()
     }
-    // absent tombstones table = pre-lifecycle image = empty set
-    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val tombstones =
-      if (VersionedIndexDirs.fsOf(spark, dir).exists(tombPath)) {
-        val t = spark.read.parquet(s"$dir/tombstones").collect()
-          .map(_.getLong(0))
-        java.util.Arrays.sort(t); t
-      } else Array.empty[Long]
-    RoutedCodeIndex(params, seed, anchors, shards, tombstones)
+    RoutedCodeIndex(params, seed, anchors, shards,
+      RoutedImage.readTombstones(spark, dir))
   }
 
   /** Routed Hamming k-NN: (qid, qcode) -> (qid, id, hamming, rank) —
@@ -1144,18 +919,13 @@ object HnswRoutedCodes {
     * driver-side copy at any size (the float tier's cutover). */
   def searchFiltered(index: RoutedCodeIndex, queries: DataFrame,
                      allowed: DataFrame, k: Int, nProbe: Int,
-                     ef0: Int = 0): DataFrame = {
-    val probe = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
-      .limit(HnswRouted.AllowCollectMax + 1)
-      .as(Encoders.scalaLong).collect()
-    if (probe.length > HnswRouted.AllowCollectMax)
-      searchFilteredDistributed(index, queries, allowed, k, nProbe, ef0)
-    else {
-      java.util.Arrays.sort(probe)
-      searchImpl(index, queries, k, nProbe, ef0, allowed = Some(probe))
+                     ef0: Int = 0): DataFrame =
+    RoutedLifecycle.allowProbe(allowed, HnswRouted.AllowCollectMax) match {
+      case None =>
+        searchFilteredDistributed(index, queries, allowed, k, nProbe, ef0)
+      case some =>
+        searchImpl(index, queries, k, nProbe, ef0, allowed = some)
     }
-  }
 
   /** Fully distributed filtered serving — the float tier's
     * [[HnswRouted.searchFilteredDistributed]] on the code
@@ -1179,40 +949,13 @@ object HnswRoutedCodes {
       .flatMap { case (qid, qc) =>
         probeCellsCode(qc, anchorsB.value, p).map(c => (c, (qid, qc)))
       }.partitionBy(part)
-    val idCell = index.shards.flatMap { case (c, s) =>
-      val b = Array.newBuilder[(Long, Int)]
-      s.codes.foreach { (id, _) => b += ((id, c)) }
-      b.result().iterator
-    }
-    val allowRdd = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
-      .as(Encoders.scalaLong).rdd.map(id => (id, ()))
-    val allowByCell = idCell.join(allowRdd)
-      .map { case (id, (cell, _)) => (cell, id) }
-      .partitionBy(part)
+    val allowByCell = RoutedLifecycle.allowByCell(CodeTier)(index, allowed, part)
     import spark.implicits._
-    val perShard = index.shards.zipPartitions(routed, allowByCell) {
-      (shardIt, qIt, aIt) =>
-        val shards = shardIt.toArray
-        if (shards.length == 0) Iterator.empty
-        else if (shards.length == 1) {
-          val (cell, m) = shards(0)
-          val allow = aIt.collect { case (c, id) if c == cell => id }.toArray
-          java.util.Arrays.sort(allow)
-          val probes = qIt.collect { case (c, q) if c == cell => q }
-          serveCodeShard(params, m, probes, k, ef0, exhaustive,
-            hasAllow = true, allow, tombB.value)
-        } else {
-          val byCellQ = qIt.toArray.groupBy(_._1)
-          val byCellA = aIt.toArray.groupBy(_._1)
-          shards.iterator.flatMap { case (cell, m) =>
-            val allow = byCellA.getOrElse(cell, Array.empty).map(_._2)
-            java.util.Arrays.sort(allow)
-            serveCodeShard(params, m,
-              byCellQ.getOrElse(cell, Array.empty).iterator.map(_._2),
-              k, ef0, exhaustive, hasAllow = true, allow, tombB.value)
-          }
-        }
+    val perShard = RoutedLifecycle.zipServeFiltered(
+        index.shards, routed, allowByCell) {
+      (m: CodeCellShard, probes: Iterator[(Long, Long)], allow: Array[Long]) =>
+        serveCodeShard(params, m, probes, k, ef0, exhaustive,
+          hasAllow = true, allow, tombB.value)
     }.toDF("qid", "id", "hamming")
     rankMerge(perShard, k)
   }

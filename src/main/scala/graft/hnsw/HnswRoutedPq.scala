@@ -133,6 +133,34 @@ object HnswRoutedPq {
     }
   }
 
+  /** The PQ tier's [[RoutedTier]] binding — the shared lifecycle's
+    * delete/foldOverlay/guards/removed-collection run through it; the
+    * LOCAL survivor rebuild is deliberately unbound (a solo cell
+    * rebuild fetches survivor floats from the raw-vector table — the
+    * [[compactSolo]] family is the tier-specific path). */
+  private[graft] object PqTier extends RoutedTier[PqCellShard, RoutedPqIndex] {
+    def shards(i: RoutedPqIndex): org.apache.spark.rdd.RDD[(Int, PqCellShard)] = i.shards
+    def tombstones(i: RoutedPqIndex): Array[Long] = i.tombstones
+    def overlays(i: RoutedPqIndex): Seq[org.apache.spark.rdd.RDD[_]] = i.overlay
+    def make(i: RoutedPqIndex, shards: org.apache.spark.rdd.RDD[(Int, PqCellShard)],
+             tombstones: Array[Long],
+             overlays: Seq[org.apache.spark.rdd.RDD[_]]): RoutedPqIndex =
+      RoutedPqIndex(i.params, i.router, i.codebook, shards, tombstones,
+        i.buildSeed, overlays)
+    val cacheName = "graft-hnsw-routed-pq"
+    val tierName = "routed-pq"
+    val unpersistBlocking = false
+    val resurrectHint = "Run compactSolo() first (frees the ids), or " +
+      "rederive from a compacted float source"
+    def memberCount(s: PqCellShard): Int = s.codes.size
+    def containsId(s: PqCellShard, id: Long): Boolean = s.codes.contains(id)
+    def idIterator(s: PqCellShard): Iterator[Long] = s.codes.keysIterator
+    def survivorRebuild(i: RoutedPqIndex): (Int, PqCellShard, Array[Long]) => PqCellShard =
+      throw new UnsupportedOperationException(
+        "routed-pq: local survivor rebuild needs the raw-vector table — " +
+          "use compactSolo/compactSoloCells")
+  }
+
   /** Derive the PQ serving tier from a built routed index: train one
     * GLOBAL codebook on a per-cell-capped driver sample (≤ `sampleMax`
     * vectors — a global codebook keeps ADC comparable across cells so
@@ -440,17 +468,13 @@ object HnswRoutedPq {
                      vectors: DataFrame, allowed: DataFrame,
                      k: Int, nProbe: Int, candidates: Int,
                      ef0: Int = 0): DataFrame = {
-    val probe = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
-      .limit(HnswRouted.AllowCollectMax + 1)
-      .as(Encoders.scalaLong).collect()
-    if (probe.length > HnswRouted.AllowCollectMax)
-      searchFilteredDistributed(index, queries, vectors, allowed, k,
-        nProbe, candidates, ef0)
-    else {
-      java.util.Arrays.sort(probe)
-      searchFilteredIds(index, queries, vectors, probe, k, nProbe,
-        candidates, ef0)
+    RoutedLifecycle.allowProbe(allowed, HnswRouted.AllowCollectMax) match {
+      case None =>
+        searchFilteredDistributed(index, queries, vectors, allowed, k,
+          nProbe, candidates, ef0)
+      case Some(probe) =>
+        searchFilteredIds(index, queries, vectors, probe, k, nProbe,
+          candidates, ef0)
     }
   }
 
@@ -490,43 +514,15 @@ object HnswRoutedPq {
       .flatMap { case (qid, qv) =>
         routerB.value.probeCells(qv, nProbe).map(c => (c, (qid, qv)))
       }.partitionBy(part)
-    val idCell = index.shards.flatMap { case (c, s) =>
-      {
-        val b = Array.newBuilder[(Long, Int)]
-        s.codes.foreach { (id, _) => b += ((id, c)) }
-        b.result().iterator
-      }
-    }
-    val allowRdd = allowed
-      .select(col(allowed.columns.head).cast("long")).distinct()
-      .as(Encoders.scalaLong).rdd.map(id => (id, ()))
-    val allowByCell = idCell.join(allowRdd)
-      .map { case (id, (cell, _)) => (cell, id) }
-      .partitionBy(part)
+    val allowByCell = RoutedLifecycle.allowByCell(PqTier)(index, allowed, part)
     import spark.implicits._
     val c = math.max(candidates, k)
-    val coarse = index.shards.zipPartitions(routed, allowByCell) {
-      (shardIt, qIt, aIt) =>
-        val shards = shardIt.toArray
-        if (shards.length == 0) Iterator.empty
-        else if (shards.length == 1) {
-          val (cell, m) = shards(0)
-          val allow = aIt.collect { case (cc, id) if cc == cell => id }.toArray
-          java.util.Arrays.sort(allow)
-          val probes = qIt.collect { case (cc, q) if cc == cell => q }
-          serveAdcShard(index.params, m, cbB.value, tombB.value,
-            probes, c, exhaustive, ef0, hasAllow = true, allow)
-        } else {
-          val byCellQ = qIt.toArray.groupBy(_._1)
-          val byCellA = aIt.toArray.groupBy(_._1)
-          shards.iterator.flatMap { case (cell, m) =>
-            val allow = byCellA.getOrElse(cell, Array.empty).map(_._2)
-            java.util.Arrays.sort(allow)
-            serveAdcShard(index.params, m, cbB.value, tombB.value,
-              byCellQ.getOrElse(cell, Array.empty).iterator.map(_._2),
-              c, exhaustive, ef0, hasAllow = true, allow)
-          }
-        }
+    val params = index.params
+    val coarse = RoutedLifecycle.zipServeFiltered(
+        index.shards, routed, allowByCell) {
+      (m: PqCellShard, probes: Iterator[(Long, Array[Float])], allow: Array[Long]) =>
+        serveAdcShard(params, m, cbB.value, tombB.value,
+          probes, c, exhaustive, ef0, hasAllow = true, allow)
     }.toDF("qid", "id", "adc").select(col("qid"), col("id"))
     Pq.rerank(coarse, vectors, queries, k)
   }
@@ -599,11 +595,8 @@ object HnswRoutedPq {
     * [[rederive]] (re-encodes only touched cells); with no float
     * source (the attached posture), [[compactSolo]] rebuilds touched
     * cells from the raw-vector table. */
-  def delete(index: RoutedPqIndex, ids: DataFrame): RoutedPqIndex = {
-    val del = HnswRouted.sortedIdArray(ids)
-    if (del.isEmpty) index
-    else index.copy(tombstones = RoutedOps.mergeTombstones(index.tombstones, del))
-  }
+  def delete(index: RoutedPqIndex, ids: DataFrame): RoutedPqIndex =
+    RoutedLifecycle.delete(PqTier)(index, ids)
 
   // --------------------------------------------------------------------
   // SOLO lifecycle — the attached tier without its float source.
@@ -664,34 +657,10 @@ object HnswRoutedPq {
       val batchIds = deduped.select(col("id"))
         .as(Encoders.scalaLong).collect()
       java.util.Arrays.sort(batchIds)
-      locally {
-        val dead = index.tombstones
-        val resurrect =
-          if (dead.length < batchIds.length)
-            dead.filter(id => java.util.Arrays.binarySearch(batchIds, id) >= 0)
-          else batchIds.filter(id => java.util.Arrays.binarySearch(dead, id) >= 0)
-        require(resurrect.isEmpty,
-          s"routed-pq ingest: ${resurrect.length} batch id(s) are tombstoned " +
-            s"(e.g. id ${resurrect.headOption.getOrElse(-1L)}) — inserting " +
-            "them now would land rows that search excludes and the next " +
-            "compaction erases. Run compactSolo() first (frees the ids), " +
-            "or rederive from a compacted float source")
-      }
-      val idsB = spark.sparkContext.broadcast(batchIds)
-      val clashes = index.shards.flatMap { case (cell, s) =>
-        val ids = idsB.value
-        val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        s.codes.foreach { (id, _) =>
-          if (hits.length < 3 && java.util.Arrays.binarySearch(ids, id) >= 0)
-            hits += ((id, cell))
-        }
-        hits.iterator
-      }.take(5)
-      require(clashes.isEmpty,
-        s"routed-pq ingest: ${clashes.length}+ batch id(s) already present " +
-          s"in the index (e.g. id ${clashes.headOption.map(_._1).getOrElse(-1L)} " +
-          s"lives in cell ${clashes.headOption.map(_._2).getOrElse(-1)}) — " +
-          "re-inserting an id would corrupt its graph")
+      // shared fail-fast guards (RoutedLifecycle): tombstoned-id
+      // resurrect + cross-cell duplicate-id scan
+      RoutedLifecycle.guardResurrect(PqTier)(index, batchIds)
+      RoutedLifecycle.guardClashes(PqTier)(index, batchIds)
       val part = index.shards.partitioner.getOrElse(
         HnswRouted.partitionerFor(router))
       val keyed = deduped
@@ -948,14 +917,33 @@ object HnswRoutedPq {
   /** Targeted solo compaction: [[compactSolo]] restricted to the listed
     * cells — fold the deletion set out of ONLY those cells (survivor
     * floats fetched for only them), SHRINK the tombstone set by exactly
-    * the ids that lived there, pass every other cell by reference. */
+    * the ids that lived there, pass every other cell by reference.
+    *
+    * `floatExact = false` rebuilds the listed cells in ADC SPACE
+    * instead: each survivor's code reconstruction drives its own
+    * insertion beam (the [[buildSolo]] kernel on decoded members),
+    * original codes kept verbatim, `vectors` NEVER READ — zero float
+    * access end to end. Why offer it: the float-exact rebuild's graph
+    * is built on exact distances, which yields a DENSER effective
+    * adjacency than the ADC-built neighbors around it, and the ADC
+    * beam pays for that density on every post-remedy serve (~0.25
+    * ms/query at 1e7 — BASELINE round-17's four-run attribution). The
+    * ADC rebuild restores the exact build-serve geometry the rest of
+    * the solo index has. Served EXACTNESS is unchanged either way (the
+    * exact re-rank orders true candidates); the trade is coarse-stage
+    * recall (float-exact graphs are marginally better beams) vs
+    * serving cost parity. Rebuilt cells' fingerprints are invalidated
+    * (the [[ingestedFp]] discipline), so a later [[rederive]] against
+    * a float source re-encodes them. */
   def compactSoloCells(index: RoutedPqIndex, vectors: DataFrame,
                        cells: Array[Int], persist: Boolean = true,
-                       unpersistPrior: Boolean = false): RoutedPqIndex =
+                       unpersistPrior: Boolean = false,
+                       floatExact: Boolean = true): RoutedPqIndex =
     if (cells.isEmpty || index.tombstones.isEmpty) index
     else {
       val (merged, removed) =
-        rebuildCellsSolo(index, vectors, cells, touchedOnly = false)
+        if (floatExact) rebuildCellsSolo(index, vectors, cells, touchedOnly = false)
+        else rebuildCellsAdc(index, cells, touchedOnly = false)
       if (persist) {
         merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .setName("graft-hnsw-routed-pq")
@@ -979,25 +967,19 @@ object HnswRoutedPq {
     * stack, [[foldOverlay]] bounds the stack. */
   def compactSoloCellsPatched(index: RoutedPqIndex, vectors: DataFrame,
                               cells: Array[Int],
-                              persist: Boolean = true): RoutedPqIndex =
+                              persist: Boolean = true,
+                              floatExact: Boolean = true): RoutedPqIndex =
     if (cells.isEmpty || index.tombstones.isEmpty) index
     else {
       val (overlay, removed) =
-        rebuildCellsSolo(index, vectors, cells, touchedOnly = true)
+        if (floatExact) rebuildCellsSolo(index, vectors, cells, touchedOnly = true)
+        else rebuildCellsAdc(index, cells, touchedOnly = true)
       if (persist) {
         overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .setName("graft-hnsw-routed-pq-patch")
         overlay.count()
       }
-      val patched = index.shards.zipPartitions(overlay,
-          preservesPartitioning = true) { (b, o) =>
-        val patch = o.toArray
-        if (patch.isEmpty) b
-        else {
-          val replaced = patch.map(_._1).toSet
-          patch.iterator ++ b.filter { case (c, _) => !replaced(c) }
-        }
-      }
+      val patched = RoutedLifecycle.patchComposite(index.shards, overlay)
       val remaining = index.tombstones.filter(id =>
         java.util.Arrays.binarySearch(removed, id) < 0)
       // the overlay is tracked in the handle even with persist = false
@@ -1030,12 +1012,7 @@ object HnswRoutedPq {
     val part = index.shards.partitioner.getOrElse(
       HnswRouted.partitionerFor(index.router))
     val touchedParts = cells.map(part.getPartition(_: Any)).toSet
-    val removed = HnswRouted.prunedShards(index.shards, cells)
-      .flatMap { case (cell, s) =>
-        if (!cellSet(cell)) Iterator.empty
-        else deadB.value.iterator.filter(s.codes.contains)
-      }.collect()
-    java.util.Arrays.sort(removed)
+    val removed = RoutedLifecycle.collectRemoved(PqTier)(index, cells)
     // prunedShards, like the `removed` pass above: a 1-cell remedy at
     // 1e8 schedules one partition's task, not a deserializing sweep of
     // every cached block
@@ -1083,20 +1060,69 @@ object HnswRoutedPq {
     (rebuilt, removed)
   }
 
+  /** ADC-space twin of [[rebuildCellsSolo]] — the `floatExact = false`
+    * remedy path: rebuild the listed cells' graphs from survivor code
+    * RECONSTRUCTIONS (decode → the [[buildSolo]] insertion kernel over
+    * [[AdcVectorStore]]), original codes kept verbatim, NO raw-vector
+    * join, NO shuffle — one narrow (pruned, for the patched form) pass
+    * over the touched partitions. Layer draws use the persisted
+    * buildSeed like every solo path. */
+  private def rebuildCellsAdc(index: RoutedPqIndex, cells: Array[Int],
+                              touchedOnly: Boolean)
+      : (org.apache.spark.rdd.RDD[(Int, PqCellShard)], Array[Long]) = {
+    val sc = index.shards.sparkContext
+    val cellSet = cells.toSet
+    val deadB = sc.broadcast(index.tombstones)
+    val part = index.shards.partitioner.getOrElse(
+      HnswRouted.partitionerFor(index.router))
+    val touchedParts = cells.map(part.getPartition(_: Any)).toSet
+    val removed = RoutedLifecycle.collectRemoved(PqTier)(index, cells)
+    val cbB = sc.broadcast(index.codebook)
+    val params = index.params
+    val seed = index.buildSeed
+    val rebuilt = index.shards.mapPartitionsWithIndex({ (pi, it) =>
+      if (touchedOnly && !touchedParts(pi)) Iterator.empty
+      else it.map { case (cell, p) =>
+        if (!cellSet(cell)) cell -> p
+        else {
+          val dead = deadB.value
+          val cb = cbB.value
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          p.codes.foreach { (id, c) =>
+            if (java.util.Arrays.binarySearch(dead, id) < 0) buf += ((id, c))
+          }
+          val sorted = buf.toArray.sortBy(_._1)
+          val codeMap = new LongLongMap(sorted.length)
+          val graph = new graft.store.InMemoryGraph
+          val store = new AdcVectorStore(cb, base = codeMap(_))
+          val searcher = new HnswSearcher(params)
+          sorted.foreach { case (id, c) =>
+            // the reconstruction serves its own insertion beam (the
+            // warmProbe representation); the ORIGINAL code persists —
+            // no decode/encode round-trip is relied on
+            store.prepareQueryWithId(id, PqKernels.decodeArray(c, cb))
+            searcher.insert(store, graph, id,
+              searcher.selectLayerByHash(id, seed))
+            codeMap.put(id, c)
+          }
+          // content changed (members removed) and the true fingerprint
+          // needs floats this tier doesn't hold: invalidate via the
+          // ingest discipline so a later rederive re-encodes the cell
+          cell -> PqCellShard(cell, codeMap, graph.snapshot,
+            ingestedFp(p.fingerprint,
+              dead.iterator.filter(p.codes.contains)))
+        }
+      }
+    }, preservesPartitioning = true)
+    (rebuilt, removed)
+  }
+
   /** Fold stacked patch overlays into one self-contained persisted
     * image — [[HnswRoutedCodes.foldOverlay]] on the compressed tier. */
   def foldOverlay(index: RoutedPqIndex,
                   storage: org.apache.spark.storage.StorageLevel =
                     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): RoutedPqIndex =
-    if (index.overlay.isEmpty) index
-    else {
-      val full = index.shards.mapPartitions(it => it,
-        preservesPartitioning = true)
-      full.persist(storage).setName("graft-hnsw-routed-pq")
-      full.count()
-      index.overlay.foreach(_.unpersist())
-      index.copy(shards = full, overlay = Nil)
-    }
+    RoutedLifecycle.foldOverlay(PqTier)(index, storage)
 
   /** Detect-and-remediate — [[HnswRouted.remediateMergedCells]] on the
     * compressed tier: [[mergedCellAudit]] (over reconstructions — no
@@ -1108,15 +1134,18 @@ object HnswRoutedPq {
                                minCellRows: Int = 1024,
                                persist: Boolean = true,
                                unpersistPrior: Boolean = false,
-                               patched: Boolean = true): (RoutedPqIndex, Array[Int]) = {
+                               patched: Boolean = true,
+                               floatExact: Boolean = true): (RoutedPqIndex, Array[Int]) = {
     val flagged = mergedCellAudit(index, minCellRows)
       .filter(col("merged")).select(col("cell"))
       .collect().map(_.getInt(0))
     if (flagged.isEmpty) (index, flagged)
     else if (patched)
-      (compactSoloCellsPatched(index, vectors, flagged, persist), flagged)
+      (compactSoloCellsPatched(index, vectors, flagged, persist,
+        floatExact), flagged)
     else
-      (compactSoloCells(index, vectors, flagged, persist, unpersistPrior), flagged)
+      (compactSoloCells(index, vectors, flagged, persist, unpersistPrior,
+        floatExact), flagged)
   }
 
   /** Follow the float source tier through its lifecycle: after
@@ -1270,14 +1299,6 @@ object HnswRoutedPq {
   // vectors stay wherever the re-rank join reads them from).
   // --------------------------------------------------------------------
 
-  private val codeRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong)
-  private val linkRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong,
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
-  private val entryRowEnc = Encoders.tuple(
-    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaInt)
 
   /** Persist the PQ tier under `path` as a new complete version (the
     * [[VersionedIndexDirs]] discipline shared with the float/codes
@@ -1305,13 +1326,7 @@ object HnswRoutedPq {
         "ef_search", "layer_probability", "n_primary", "build_seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
 
-    val cRows =
-      index.router.primary.centroids.zipWithIndex.map { case (c, i) =>
-        (-1, i, c.toSeq) } ++
-      index.router.sub.toSeq.flatMap { case (parent, m) =>
-        m.centroids.zipWithIndex.map { case (c, i) => (parent, i, c.toSeq) } }
-    cRows.toSeq.toDF("parent", "idx", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    RoutedImage.writeRouter(spark, dir, index.router)
 
     index.codebook.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
@@ -1320,22 +1335,11 @@ object HnswRoutedPq {
 
     spark.createDataset(index.shards.flatMap { case (cell, s) =>
       s.codes.toSeq.iterator.map { case (id, code) => (cell, id, code) }
-    })(codeRowEnc).toDF("cell", "id", "code")
+    })(RoutedImage.codeRowEnc).toDF("cell", "id", "code")
       .write.mode("overwrite").parquet(s"$dir/codes")
 
-    spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.snapshot.layers.iterator.zipWithIndex.flatMap { case (csr, lc) =>
-        csr.entriesIterator.map { case (src, dsts, dists) =>
-          (cell, lc, src, dsts, dists)
-        }
-      }
-    })(linkRowEnc).toDF("cell", "layer", "src", "dsts", "dists")
-      .write.mode("overwrite").parquet(s"$dir/links")
-
-    spark.createDataset(index.shards.flatMap { case (cell, s) =>
-      s.snapshot.entryPoint.iterator.map(ep => (cell, ep.point, ep.layer))
-    })(entryRowEnc).toDF("cell", "point", "layer")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+    RoutedImage.writeGraph(spark, dir, index.shards,
+      (s: PqCellShard) => s.snapshot)
 
     spark.createDataset(index.shards.map { case (cell, s) =>
       (cell, s.fingerprint)
@@ -1343,8 +1347,7 @@ object HnswRoutedPq {
       .toDF("cell", "fingerprint")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/fingerprints")
 
-    index.tombstones.toSeq.toDF("id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tombstones")
+    RoutedImage.writeTombstones(spark, dir, index.tombstones)
 
     VersionedIndexDirs.commit(spark, path, dir, keepVersions)
   }
@@ -1363,27 +1366,14 @@ object HnswRoutedPq {
     val dir = VersionedIndexDirs.newestDone(spark, path)
 
     val meta = spark.read.parquet(s"$dir/meta").collect().head
-    val params = HnswParams(
-      meta.getAs[Seq[Int]]("m").toArray,
-      meta.getAs[Seq[Int]]("m_max").toArray,
-      meta.getAs[Seq[Int]]("ef_constr_search").toArray,
-      meta.getAs[Seq[Int]]("ef_constr_insert").toArray,
-      meta.getAs[Seq[Int]]("ef_search").toArray,
-      meta.getAs[Double]("layer_probability"))
+    val params = RoutedImage.paramsFromMeta(meta)
     // build_seed persists since round 16; older images fall back to the
     // historical hardcoded solo seed (13) they were operated with
     val buildSeed =
       if (meta.schema.fieldNames.contains("build_seed"))
         meta.getAs[Long]("build_seed")
       else 13L
-    val cent = spark.read.parquet(s"$dir/centroids").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
-    val primary = Ivf.IvfModel(
-      cent.filter(_._1 == -1).sortBy(_._2).map(_._3), "l2")
-    val sub = cent.filter(_._1 >= 0).groupBy(_._1).map { case (pr, rows) =>
-      pr -> Ivf.IvfModel(rows.sortBy(_._2).map(_._3), "l2")
-    }
-    val router = HnswRouted.Router(primary, sub)
+    val router = RoutedImage.readRouter(spark, dir, "l2")
     val codebook = spark.read.parquet(s"$dir/codebook").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getAs[Seq[Float]](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
@@ -1394,15 +1384,10 @@ object HnswRoutedPq {
 
     val part = HnswRouted.partitionerFor(router)
     val codes = spark.read.parquet(s"$dir/codes")
-      .select(col("cell"), col("id"), col("code")).as(codeRowEnc).rdd
+      .select(col("cell"), col("id"), col("code")).as(RoutedImage.codeRowEnc).rdd
       .map { case (c, id, code) => (c, (id, code)) }
-    val links = spark.read.parquet(s"$dir/links")
-      .select(col("cell"), col("layer"), col("src"), col("dsts"), col("dists"))
-      .as(linkRowEnc).rdd
-      .map { case (c, lc, src, dsts, dists) => (c, (lc, src, dsts, dists)) }
-    val entries = spark.read.parquet(s"$dir/entries")
-      .select(col("cell"), col("point"), col("layer")).as(entryRowEnc).rdd
-      .map { case (c, pt, l) => (c, (pt, l)) }
+    val links = RoutedImage.readLinks(spark, dir)
+    val entries = RoutedImage.readEntries(spark, dir)
     // per-cell PRESENCE rides the fingerprints table (one row per
     // SHARD, zero-code cells included): without it the cogroup below
     // silently drops cells whose shard held no codes — a fully-deleted-
@@ -1416,35 +1401,18 @@ object HnswRoutedPq {
       .mapPartitions({ it =>
       it.flatMap { case (cell, (cs, ls, es, ps)) =>
         if (cs.isEmpty && ps.isEmpty) Iterator.empty // defensive: unknown cell
-        else {
-          val codeMap = LongLongMap.from(cs.iterator, 64)
-          val entry = es.headOption.map { case (pt, l) => EntryPoint(pt, l) }
-          val nLayers = math.max(
-            ls.iterator.map(_._1 + 1).maxOption.getOrElse(0),
-            entry.map(_.layer + 1).getOrElse(0))
-          val layers = Array.fill(nLayers)(
-            scala.collection.mutable.Map.empty[Long, (Array[Long], Array[Double])])
-          ls.foreach { case (lc, src, dsts, dists) =>
-            layers(lc)(src) = (dsts, dists)
-          }
-          Iterator.single(cell -> PqCellShard(cell, codeMap,
-            GraphSnapshot(entry, layers.map(m => LayerCsr.fromMap(m.toMap))),
-            fpB.value.getOrElse(cell, 0L)))
-        }
+        else Iterator.single(cell -> PqCellShard(cell,
+          LongLongMap.from(cs.iterator, 64),
+          RoutedImage.assembleSnapshot(ls, es),
+          fpB.value.getOrElse(cell, 0L)))
       }
     }, preservesPartitioning = true)
     if (persist) {
       shards.persist(storage).setName("graft-hnsw-routed-pq")
       shards.count()
     }
-    val tombPath = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    val tombstones =
-      if (VersionedIndexDirs.fsOf(spark, dir).exists(tombPath)) {
-        val t = spark.read.parquet(s"$dir/tombstones").collect()
-          .map(_.getLong(0))
-        java.util.Arrays.sort(t); t
-      } else Array.empty[Long]
-    RoutedPqIndex(params, router, codebook, shards, tombstones, buildSeed)
+    RoutedPqIndex(params, router, codebook, shards,
+      RoutedImage.readTombstones(spark, dir), buildSeed)
   }
 
   private val cache =

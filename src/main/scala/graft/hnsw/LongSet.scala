@@ -115,6 +115,22 @@ final class LongLongMap(initialCapacity: Int = 64) extends Serializable {
     }
   }
 
+  /** Lazy key walk (the [[LongVecMap.keysIterator]] shape) — lets
+    * callers early-exit (`exists`, `take`) without paying a full-table
+    * foreach; the shared lifecycle's touched-cell detection and ingest
+    * clash scans run on this. */
+  def keysIterator: Iterator[Long] = new Iterator[Long] {
+    private[this] var j = 0
+    private[this] var emitEmpty = hasEmptyKey
+    private[this] def advance(): Unit =
+      while (j < keys.length && keys(j) == Empty) j += 1
+    advance()
+    def hasNext: Boolean = emitEmpty || j < keys.length
+    def next(): Long =
+      if (emitEmpty) { emitEmpty = false; Empty }
+      else { val k = keys(j); j += 1; advance(); k }
+  }
+
   private[this] def grow(): Unit = {
     val ok = keys
     val ov = vals

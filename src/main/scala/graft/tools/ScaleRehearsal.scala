@@ -1191,6 +1191,28 @@ object ScaleRehearsal {
         println(f"REHEARSAL_PHASE merged_remedy_pq aging_control " +
           f"plain_again_s=$plainAgainS%.2f plain_live_again_s=$plainLiveAgainS%.2f " +
           f"(vs plain_s=$plainS%.2f live=$plainLiveS%.2f at session start)")
+        // ADC-space remedy variant (round-18, verdict #2): rebuild the
+        // SAME flagged cells from code reconstructions — zero float
+        // access (emptyDataFrame would fail analysis on any read) —
+        // and serve. Claim under test: post-remedy ≤1.2x plain with
+        // the ADC-built adjacency (the float-exact rebuild's denser
+        // graph was the attributed ~0.25 ms/query tax; this variant
+        // restores the solo build-serve geometry). Compare against
+        // plain_again_s (the contemporaneous aging-controlled plain).
+        val t4 = System.nanoTime()
+        val remAdc = HnswRoutedPq.compactSoloCellsPatched(tombed,
+          spark.emptyDataFrame, flagged, persist = true, floatExact = false)
+        val remAdcS = (System.nanoTime() - t4) / 1e9
+        val postAdcS = serve(remAdc)
+        val postAdcLiveS = serveLive(remAdc)
+        println(f"REHEARSAL_PHASE merged_remedy_pq adc_variant " +
+          f"remedy_adc_s=$remAdcS%.1f post_adc_s=$postAdcS%.2f " +
+          f"post_adc_over_plain=${postAdcS / plainS}%.2fx " +
+          f"post_adc_over_plain_again=${postAdcS / plainAgainS}%.2fx " +
+          f"post_adc_live_s=$postAdcLiveS%.2f " +
+          f"adc_live_overhead=${postAdcLiveS / plainLiveS}%.2fx " +
+          f"residual_tombstones_adc=${remAdc.tombstones.length}")
+        remAdc.overlay.foreach(_.unpersist())
         // isolate the patched-composite branch from the remedy itself:
         // fold to one self-contained image and re-serve
         val t3 = System.nanoTime()
@@ -1855,6 +1877,133 @@ object ScaleRehearsal {
           f"fold_s=$foldS%.1f attach_s=$attachS%.1f replay_s=$replayS%.1f " +
           f"recover_s=${attachS + replayS}%.1f rebuild_s=$rebuildS%.1f " +
           f"recover_over_rebuild=${(attachS + replayS) / rebuildS}%.3f parity=$parity")
+      }
+
+      // EVICTION-STORM rung (round-18, the unified-lifecycle rehearsal):
+      // KryoRoundTripSpec proves each shard CLASS survives one forced
+      // serialize→deserialize→serve; this rung proves the unified
+      // RoutedLifecycle survives REPEATED eviction/re-read interleaved
+      // with mutation. A MEMORY_ONLY ballast RDD sized to ~45% of the
+      // heap fights the MEMORY_AND_DISK shards for the storage pool, so
+      // shard blocks keep dropping to disk (Kryo serialize) and
+      // re-reading (deserialize) BETWEEN delete / patched-compact /
+      // fold / full-compact / re-ingest / serve steps — the round-16
+      // SIGSEGV class (serialization-corrupt map state) surfaces here
+      // as a crash, a survivor-parity break, or a leaked tombstone.
+      // Run with an undersized heap on purpose (SPARK_DRIVER_MEM=8g at
+      // n=1e7); the rung REPORTS max on-disk bytes so a too-large heap
+      // (no eviction => no storm) is visible in the line, not silent.
+      if (ops("evictstorm")) run("ann_evict_storm", n) {
+        import graft.hnsw.{HnswParams, HnswRoutedCodes, HnswSearcher}
+        import spark.implicits._
+        val nCells =
+          if (n >= 100000000) 1024 else if (n >= 10000000) 256 else 64
+        def anchorOf(c: Int): Long =
+          java.lang.Double.doubleToRawLongBits(
+            HnswSearcher.uniformFromHash(c.toLong, 77L))
+        def codeOf(id: Long): Long = {
+          var code = anchorOf((id % nCells).toInt)
+          var k = 0
+          while (k < 12) {
+            val bit = (HnswSearcher.uniformFromHash(id * 13 + k, 13L) * 64).toInt.min(63)
+            code ^= (1L << bit)
+            k += 1
+          }
+          code
+        }
+        val codes = spark.range(n.toLong).as[Long]
+          .map(id => (id, codeOf(id))).toDF("id", "code")
+          .localCheckpoint(true)
+        val params = HnswParams.standard(64, 32, 16)
+        val t0 = System.nanoTime()
+        var index = HnswRoutedCodes.build(codes, params, nCells, seed = 42L)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        // survivor queries live in clusters >= 3 — untouched by every
+        // storm mutation, so their self-match is an EXACT invariant
+        val qIds = (0L until n.toLong by math.max(1L, n.toLong / 4000))
+          .filter(_ % nCells >= 3).take(2000)
+        val qDf = spark.createDataset(qIds.map(id => (id, codeOf(id))))
+          .toDF("qid", "qcode").localCheckpoint(true)
+        def selfMatch(idx: HnswRoutedCodes.RoutedCodeIndex): (Double, Long) = {
+          val t = System.nanoTime()
+          val self = HnswRoutedCodes.search(idx, qDf, 1, nProbe = 8)
+            .filter(col("qid") === col("id")).count()
+          ((System.nanoTime() - t) / 1e9, self)
+        }
+        selfMatch(index) // warm
+        val baselineSelf = selfMatch(index)._2
+        // ballast: Array[Long](128) rows ≈ 1.1 KB deserialized; sized
+        // to ~45% of the heap so ballast + index exceed the storage
+        // pool and LRU ping-pongs between them every round
+        val heap = Runtime.getRuntime.maxMemory
+        val ballastRows = math.max(1000L, (heap * 0.45 / 1100).toLong)
+        val ballast = spark.sparkContext.range(0L, ballastRows, 1,
+            spark.sparkContext.defaultParallelism)
+          .map(i => Array.fill(128)(i))
+        ballast.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .setName("graft-evictstorm-ballast")
+        def squeeze(): Unit = { ballast.count(); () }
+        def diskBytes(): Long =
+          spark.sparkContext.getRDDStorageInfo.map(_.diskSize).sum
+        squeeze()
+        val rounds = 6
+        val batch = math.min(20000, math.max(1000, n / 100))
+        var parityBreaks = 0
+        var leakedTotal = 0L
+        var maxDisk = 0L
+        var serveLast = 0.0
+        (1 to rounds).foreach { r =>
+          // disjoint cluster-0 batch per round: ids ≡ 0 (mod nCells),
+          // slice r — deleted, folded out, then re-ingested
+          val ids = (0L until n.toLong by nCells.toLong)
+            .slice((r - 1) * batch, r * batch).toArray
+          val idsDf = spark.createDataset(ids.toSeq).toDF("id")
+            .localCheckpoint(true)
+          squeeze()
+          var cur = HnswRoutedCodes.delete(index, idsDf)
+          maxDisk = math.max(maxDisk, diskBytes())
+          // exclusion under eviction pressure: a deleted id must not
+          // find itself through a freshly re-read shard
+          val deadQ = spark.createDataset(
+              ids.take(300).toSeq.map(id => (id, codeOf(id))))
+            .toDF("qid", "qcode")
+          leakedTotal += HnswRoutedCodes.search(cur, deadQ, 1, nProbe = 8)
+            .filter(col("qid") === col("id")).count()
+          squeeze()
+          if (r % 2 == 1) {
+            // odd rounds: full-copy compact (supersedes the prior image)
+            cur = HnswRoutedCodes.compact(cur)
+          } else {
+            // even rounds: patched compact + fold — overlay state and
+            // the composite read path under the same eviction churn
+            val base = cur
+            val patched = HnswRoutedCodes.compactPatched(base)
+            squeeze()
+            val folded = HnswRoutedCodes.foldOverlay(patched)
+            base.shards.unpersist(blocking = true)
+            cur = folded
+          }
+          maxDisk = math.max(maxDisk, diskBytes())
+          squeeze()
+          // re-ingest the freed ids (tombstones emptied by the fold)
+          val reDf = spark.createDataset(ids.toSeq.map(id => (id, codeOf(id))))
+            .toDF("id", "code")
+          cur = HnswRoutedCodes.ingest(cur, reDf)
+          maxDisk = math.max(maxDisk, diskBytes())
+          val (s, self) = selfMatch(cur)
+          serveLast = s
+          if (self != baselineSelf) parityBreaks += 1
+          println(f"REHEARSAL_PHASE evictstorm n=$n round=$r " +
+            f"serve_s=$s%.2f self=$self/$baselineSelf " +
+            f"disk_bytes=${diskBytes()} leaked_cum=$leakedTotal")
+          index = cur
+        }
+        ballast.unpersist(blocking = true)
+        index.unpersist()
+        (baselineSelf, f"build_s=$buildS%.1f rounds=$rounds batch=$batch " +
+          f"parity_breaks=$parityBreaks leaked=$leakedTotal " +
+          f"max_disk_bytes=$maxDisk last_serve_s=$serveLast%.2f " +
+          f"heap_mb=${heap / 1048576} ballast_rows=$ballastRows")
       }
 
       // COUNT-MIN rung (round-11): the claim under test is the sketch's

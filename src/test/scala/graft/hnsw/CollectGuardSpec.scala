@@ -34,17 +34,19 @@ class CollectGuardSpec extends AnyFunSuite {
     // presentIds/cellStats MOVED to the shared RoutedOps (same audited
     // sites, one copy — id-set-bounded and nCells-bounded)
     "graft/hnsw/RoutedOps.scala" -> 2,
-    "graft/hnsw/HnswRouted.scala" -> 17,
-    "graft/hnsw/HnswRoutedCodes.scala" -> 15,
-    // round-17: +warmProbe (nCells rows), +mergedCellAudit rows (≤1
-    // per cell), +rebuildCellsSolo's removed ids (bounded by the
-    // tombstone set ∩ flagged cells — the compactSolo pattern),
-    // +remediateMergedCellsSolo's flagged cells (≤nCells);
-    // presentIds/cellStats moved to RoutedOps. Round-16 pin history:
-    // 14 = +buildSolo's codebook sample (hash-stride decimated to
-    // ~sampleMax rows before the driver take) and the cross-layout
-    // rederive's fingerprint maps (nCells-sized each)
-    "graft/hnsw/HnswRoutedPq.scala" -> 16,
+    // round-18 re-pin (RoutedLifecycle unification — sites MOVED, none
+    // added): the per-tier targeted-compaction `removed` collects now
+    // live ONCE in RoutedLifecycle.collectRemoved (deletion-set-
+    // bounded), the per-tier attach tombstone/centroid reads once in
+    // RoutedImage.readTombstones/readRouter (metadata tables), and the
+    // searchFiltered allow-probe (limit(AllowCollectMax+1) collect-
+    // then-cutover) once in RoutedLifecycle.allowProbe. The file's 4 =
+    // exactly those shared sites; the tier counts dropped by the
+    // copies they shed (17->12, 15->11, 16->12).
+    "graft/hnsw/RoutedLifecycle.scala" -> 4,
+    "graft/hnsw/HnswRouted.scala" -> 12,
+    "graft/hnsw/HnswRoutedCodes.scala" -> 11,
+    "graft/hnsw/HnswRoutedPq.scala" -> 12,
     "graft/streaming/StreamingChunkDedup.scala" -> 1,
     "graft/streaming/StreamingDocDedup.scala" -> 3,
     "graft/streaming/StreamingIngest.scala" -> 2,

@@ -137,6 +137,46 @@ class HnswRoutedPqMergedSpec extends SparkSpec {
     routed.unpersist()
   }
 
+  test("ADC-space remedy (floatExact=false): zero float access, same folded tombstones, serving stays exact") {
+    val base = baseDf()
+    val routed = HnswRouted.build(base, cfg, nCells = 2, persist = false)
+    val pq = HnswRoutedPq.fromRouted(routed, persist = false)
+    val scattered = Seq(1601L, 2003L, 2407L, 3011L)
+    val deleted = (0L until 800L) ++ scattered
+    val index = HnswRoutedPq.delete(pq, deleted.toDF("id"))
+    val flagged = HnswRoutedPq.mergedCellAudit(index, minCellRows = 100)
+      .filter(col("merged")).select(col("cell")).collect().map(_.getInt(0))
+    assert(flagged.nonEmpty)
+    // spark.emptyDataFrame has NO id/vec columns: any read of the
+    // vectors argument would fail analysis — the structural proof the
+    // ADC rebuild is float-free
+    val rem = HnswRoutedPq.compactSoloCells(index, spark.emptyDataFrame,
+      flagged, persist = false, floatExact = false)
+    val full = HnswRoutedPq.compactSoloCells(index, base, flagged,
+      persist = false)
+    assert(rem.tombstones.toSeq == full.tombstones.toSeq)
+    assert(rem.tombstones.forall(scattered.contains))
+    // exhaustive regime (nProbe = nCells) + exact re-rank: the served
+    // rows must equal the exact L2 oracle regardless of the rebuilt
+    // cell's adjacency — exactness is re-rank-guaranteed either way
+    val qs = (0 until 40).map { q =>
+      (q.toLong, clusterVec((q % 4) * 800L + 400 + q))
+    }
+    val served = HnswRoutedPq.search(rem, qs.toDF("qid", "qvec"), base,
+        k = 10, nProbe = 2, candidates = 192)
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == exactTopK(
+      i => i >= 800L && !scattered.contains(i), qs, 10))
+    // fingerprints of rebuilt cells are invalidated (differ from the
+    // float-exact rebuild's true content digests) so a later rederive
+    // re-encodes exactly those cells
+    val remFp = rem.shards.collect().toMap.map { case (c, s) => c -> s.fingerprint }
+    val fullFp = full.shards.collect().toMap.map { case (c, s) => c -> s.fingerprint }
+    flagged.foreach { c => assert(remFp(c) != fullFp(c), s"cell $c") }
+    rem.shards.unpersist(); full.shards.unpersist()
+  }
+
   test("no tombstones -> empty audit; compactSoloCells on an empty list is the identity handle") {
     val base = baseDf()
     val routed = HnswRouted.build(base, cfg, nCells = 2, persist = false)
