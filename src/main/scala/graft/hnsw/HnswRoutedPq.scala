@@ -318,30 +318,19 @@ object HnswRoutedPq {
           byCell.getOrElseUpdate(cell,
             scala.collection.mutable.ArrayBuffer.empty) += row
         }
-        val searcher = new HnswSearcher(params)
         byCell.iterator.map { case (cell, buf) =>
           val rows = buf.toArray.sortBy(_._1)
-          val cbv = cbB.value
-          val codeMap = new LongLongMap(rows.length)
-          val graph = new graft.store.InMemoryGraph
-          val store = new AdcVectorStore(cbv, base = codeMap(_))
           // the documented dedupIds=false fail-fast: rows are id-sorted,
           // so a duplicate is adjacent — without this the second insert
           // would silently self-edge the graph and clobber the code map
-          var prevId = Long.MinValue
-          var havePrev = false
-          rows.foreach { case (id, v) =>
-            require(!havePrev || id != prevId,
-              s"buildSolo: duplicate id $id in cell $cell (pass dedupIds=true " +
-                "or dedupe the source)")
-            prevId = id; havePrev = true
-            store.prepareQueryWithId(id, v)
-            searcher.insert(store, graph, id,
-              searcher.selectLayerByHash(id, seed))
-            codeMap.put(id, PqKernels.encodeArray(v, cbv))
+          var i = 1
+          while (i < rows.length) {
+            require(rows(i)._1 != rows(i - 1)._1,
+              s"buildSolo: duplicate id ${rows(i)._1} in cell $cell " +
+                "(pass dedupIds=true or dedupe the source)")
+            i += 1
           }
-          cell -> PqCellShard(cell, codeMap, graph.snapshot,
-            contentFingerprintRows(rows.iterator))
+          cell -> buildCellSolo(cell, rows, cbB.value, params, seed)
         }
       }, preservesPartitioning = true)
       if (persist) {
@@ -919,22 +908,26 @@ object HnswRoutedPq {
     * floats fetched for only them), SHRINK the tombstone set by exactly
     * the ids that lived there, pass every other cell by reference.
     *
-    * `floatExact = false` rebuilds the listed cells in ADC SPACE
-    * instead: each survivor's code reconstruction drives its own
-    * insertion beam (the [[buildSolo]] kernel on decoded members),
-    * original codes kept verbatim, `vectors` NEVER READ — zero float
-    * access end to end. Why offer it: the float-exact rebuild's graph
-    * is built on exact distances, which yields a DENSER effective
-    * adjacency than the ADC-built neighbors around it, and the ADC
-    * beam pays for that density on every post-remedy serve (~0.25
-    * ms/query at 1e7 — BASELINE round-17's four-run attribution). The
-    * ADC rebuild restores the exact build-serve geometry the rest of
-    * the solo index has. Served EXACTNESS is unchanged either way (the
-    * exact re-rank orders true candidates); the trade is coarse-stage
-    * recall (float-exact graphs are marginally better beams) vs
-    * serving cost parity. Rebuilt cells' fingerprints are invalidated
-    * (the [[ingestedFp]] discipline), so a later [[rederive]] against
-    * a float source re-encodes them. */
+    * `floatExact = false` rebuilds the listed cells with the
+    * [[buildSolo]] kernel instead: the SAME survivor-float fetch join,
+    * but each survivor's RAW float drives its own insertion beam in
+    * ADC space (asymmetric — raw query against member codes), so the
+    * rebuilt cell is graph-identical to a fresh solo build of the same
+    * survivors. Why offer it: the float-exact rebuild's graph is built
+    * on exact distances, which yields a DENSER effective adjacency
+    * than the ADC-built neighbors around it, and the ADC beam pays for
+    * that density on every post-remedy serve (~0.25 ms/query at 1e7 —
+    * BASELINE round-17's four-run attribution); this variant restores
+    * the exact build-serve geometry the rest of the solo index has.
+    * Served EXACTNESS is unchanged either way (the exact re-rank
+    * orders true candidates). NOTE a float-FREE variant (staging code
+    * RECONSTRUCTIONS instead of fetched floats) was built and measured
+    * in round 18 and REJECTED: all members of one PQ Voronoi region
+    * decode to the same point, so the rebuilt graph degenerates into
+    * zero-distance cliques and every query escalates to the exact
+    * scan — post-remedy serving read 7.6x plain at 1e6, WORSE than the
+    * unremediated tax (BASELINE round-18). The fetch join is the price
+    * of a servable graph. */
   def compactSoloCells(index: RoutedPqIndex, vectors: DataFrame,
                        cells: Array[Int], persist: Boolean = true,
                        unpersistPrior: Boolean = false,
@@ -942,8 +935,8 @@ object HnswRoutedPq {
     if (cells.isEmpty || index.tombstones.isEmpty) index
     else {
       val (merged, removed) =
-        if (floatExact) rebuildCellsSolo(index, vectors, cells, touchedOnly = false)
-        else rebuildCellsAdc(index, cells, touchedOnly = false)
+        rebuildCellsSolo(index, vectors, cells, touchedOnly = false,
+          floatExact = floatExact)
       if (persist) {
         merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .setName("graft-hnsw-routed-pq")
@@ -972,8 +965,8 @@ object HnswRoutedPq {
     if (cells.isEmpty || index.tombstones.isEmpty) index
     else {
       val (overlay, removed) =
-        if (floatExact) rebuildCellsSolo(index, vectors, cells, touchedOnly = true)
-        else rebuildCellsAdc(index, cells, touchedOnly = true)
+        rebuildCellsSolo(index, vectors, cells, touchedOnly = true,
+          floatExact = floatExact)
       if (persist) {
         overlay.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .setName("graft-hnsw-routed-pq-patch")
@@ -1002,7 +995,8 @@ object HnswRoutedPq {
     * (untouched cells pass by reference). Also returns the sorted
     * tombstoned ids that lived in the listed cells. */
   private def rebuildCellsSolo(index: RoutedPqIndex, vectors: DataFrame,
-                               cells: Array[Int], touchedOnly: Boolean)
+                               cells: Array[Int], touchedOnly: Boolean,
+                               floatExact: Boolean = true)
       : (org.apache.spark.rdd.RDD[(Int, PqCellShard)], Array[Long]) = {
     val spark = vectors.sparkSession
     val sc = spark.sparkContext
@@ -1050,9 +1044,15 @@ object HnswRoutedPq {
                 s"${survivors.length} survivor vectors but the shard holds " +
                 s"${p.codes.size - dead.count(p.codes.contains)} — the " +
                 "raw-vector table is missing rows the index serves")
-            val cfg = HnswDistributed.BuildConfig(params, "l2", seed = seed)
-            cell -> encodeShard(HnswRouted.buildCellFresh(cell, survivors, cfg),
-              cbB.value)
+            if (floatExact) {
+              val cfg = HnswDistributed.BuildConfig(params, "l2", seed = seed)
+              cell -> encodeShard(HnswRouted.buildCellFresh(cell, survivors, cfg),
+                cbB.value)
+            } else
+              // the buildSolo kernel: graph-identical to a fresh solo
+              // build of these survivors (same sort, same seed, same
+              // codebook) — the post-remedy serve-geometry parity path
+              cell -> buildCellSolo(cell, survivors, cbB.value, params, seed)
           }
         }
       }
@@ -1060,61 +1060,28 @@ object HnswRoutedPq {
     (rebuilt, removed)
   }
 
-  /** ADC-space twin of [[rebuildCellsSolo]] — the `floatExact = false`
-    * remedy path: rebuild the listed cells' graphs from survivor code
-    * RECONSTRUCTIONS (decode → the [[buildSolo]] insertion kernel over
-    * [[AdcVectorStore]]), original codes kept verbatim, NO raw-vector
-    * join, NO shuffle — one narrow (pruned, for the patched form) pass
-    * over the touched partitions. Layer draws use the persisted
-    * buildSeed like every solo path. */
-  private def rebuildCellsAdc(index: RoutedPqIndex, cells: Array[Int],
-                              touchedOnly: Boolean)
-      : (org.apache.spark.rdd.RDD[(Int, PqCellShard)], Array[Long]) = {
-    val sc = index.shards.sparkContext
-    val cellSet = cells.toSet
-    val deadB = sc.broadcast(index.tombstones)
-    val part = index.shards.partitioner.getOrElse(
-      HnswRouted.partitionerFor(index.router))
-    val touchedParts = cells.map(part.getPartition(_: Any)).toSet
-    val removed = RoutedLifecycle.collectRemoved(PqTier)(index, cells)
-    val cbB = sc.broadcast(index.codebook)
-    val params = index.params
-    val seed = index.buildSeed
-    val rebuilt = index.shards.mapPartitionsWithIndex({ (pi, it) =>
-      if (touchedOnly && !touchedParts(pi)) Iterator.empty
-      else it.map { case (cell, p) =>
-        if (!cellSet(cell)) cell -> p
-        else {
-          val dead = deadB.value
-          val cb = cbB.value
-          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          p.codes.foreach { (id, c) =>
-            if (java.util.Arrays.binarySearch(dead, id) < 0) buf += ((id, c))
-          }
-          val sorted = buf.toArray.sortBy(_._1)
-          val codeMap = new LongLongMap(sorted.length)
-          val graph = new graft.store.InMemoryGraph
-          val store = new AdcVectorStore(cb, base = codeMap(_))
-          val searcher = new HnswSearcher(params)
-          sorted.foreach { case (id, c) =>
-            // the reconstruction serves its own insertion beam (the
-            // warmProbe representation); the ORIGINAL code persists —
-            // no decode/encode round-trip is relied on
-            store.prepareQueryWithId(id, PqKernels.decodeArray(c, cb))
-            searcher.insert(store, graph, id,
-              searcher.selectLayerByHash(id, seed))
-            codeMap.put(id, c)
-          }
-          // content changed (members removed) and the true fingerprint
-          // needs floats this tier doesn't hold: invalidate via the
-          // ingest discipline so a later rederive re-encodes the cell
-          cell -> PqCellShard(cell, codeMap, graph.snapshot,
-            ingestedFp(p.fingerprint,
-              dead.iterator.filter(p.codes.contains)))
-        }
-      }
-    }, preservesPartitioning = true)
-    (rebuilt, removed)
+  /** One cell's [[buildSolo]] kernel over pre-sorted unique (id, vec)
+    * rows: ADC-space insertion with the RAW float staged (asymmetric —
+    * the new point's float serves its own beam against member codes,
+    * then drops to code precision), codes + TRUE content fingerprint.
+    * Shared by [[buildSolo]] and the `floatExact = false` targeted
+    * rebuild, so a remediated cell is graph-identical to a fresh solo
+    * build of the same survivors. */
+  private def buildCellSolo(cell: Int, rows: Array[(Long, Array[Float])],
+                            cb: Array[Array[Array[Float]]],
+                            params: HnswParams, seed: Long): PqCellShard = {
+    val codeMap = new LongLongMap(rows.length)
+    val graph = new graft.store.InMemoryGraph
+    val store = new AdcVectorStore(cb, base = codeMap(_))
+    val searcher = new HnswSearcher(params)
+    rows.foreach { case (id, v) =>
+      store.prepareQueryWithId(id, v)
+      searcher.insert(store, graph, id,
+        searcher.selectLayerByHash(id, seed))
+      codeMap.put(id, PqKernels.encodeArray(v, cb))
+    }
+    PqCellShard(cell, codeMap, graph.snapshot,
+      contentFingerprintRows(rows.iterator))
   }
 
   /** Fold stacked patch overlays into one self-contained persisted

@@ -137,7 +137,7 @@ class HnswRoutedPqMergedSpec extends SparkSpec {
     routed.unpersist()
   }
 
-  test("ADC-space remedy (floatExact=false): zero float access, same folded tombstones, serving stays exact") {
+  test("ADC-space remedy (floatExact=false): solo build-serve geometry, same folded tombstones, serving stays exact") {
     val base = baseDf()
     val routed = HnswRouted.build(base, cfg, nCells = 2, persist = false)
     val pq = HnswRoutedPq.fromRouted(routed, persist = false)
@@ -147,18 +147,15 @@ class HnswRoutedPqMergedSpec extends SparkSpec {
     val flagged = HnswRoutedPq.mergedCellAudit(index, minCellRows = 100)
       .filter(col("merged")).select(col("cell")).collect().map(_.getInt(0))
     assert(flagged.nonEmpty)
-    // spark.emptyDataFrame has NO id/vec columns: any read of the
-    // vectors argument would fail analysis — the structural proof the
-    // ADC rebuild is float-free
-    val rem = HnswRoutedPq.compactSoloCells(index, spark.emptyDataFrame,
+    val rem = HnswRoutedPq.compactSoloCells(index, base,
       flagged, persist = false, floatExact = false)
     val full = HnswRoutedPq.compactSoloCells(index, base, flagged,
       persist = false)
     assert(rem.tombstones.toSeq == full.tombstones.toSeq)
     assert(rem.tombstones.forall(scattered.contains))
-    // exhaustive regime (nProbe = nCells) + exact re-rank: the served
-    // rows must equal the exact L2 oracle regardless of the rebuilt
-    // cell's adjacency — exactness is re-rank-guaranteed either way
+    // exhaustive regime + exact re-rank: the served rows must equal
+    // the exact L2 oracle regardless of the rebuilt cell's adjacency —
+    // exactness is re-rank-guaranteed either way
     val qs = (0 until 40).map { q =>
       (q.toLong, clusterVec((q % 4) * 800L + 400 + q))
     }
@@ -168,12 +165,13 @@ class HnswRoutedPqMergedSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(served == exactTopK(
       i => i >= 800L && !scattered.contains(i), qs, 10))
-    // fingerprints of rebuilt cells are invalidated (differ from the
-    // float-exact rebuild's true content digests) so a later rederive
-    // re-encodes exactly those cells
+    // both variants rebuild from the same fetched survivors, so the
+    // rebuilt cells carry the SAME true content fingerprint (the
+    // order-independent digest of identical (id, vec) content) — a
+    // later rederive treats both as carry-eligible
     val remFp = rem.shards.collect().toMap.map { case (c, s) => c -> s.fingerprint }
     val fullFp = full.shards.collect().toMap.map { case (c, s) => c -> s.fingerprint }
-    flagged.foreach { c => assert(remFp(c) != fullFp(c), s"cell $c") }
+    flagged.foreach { c => assert(remFp(c) == fullFp(c), s"cell $c") }
     rem.shards.unpersist(); full.shards.unpersist()
   }
 
