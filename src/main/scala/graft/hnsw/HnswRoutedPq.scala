@@ -763,15 +763,21 @@ object HnswRoutedPq {
     * float tier's compact, with the vector fetch made explicit. */
   def compactSolo(index: RoutedPqIndex, vectors: DataFrame,
                   persist: Boolean = true,
-                  unpersistPrior: Boolean = false): RoutedPqIndex =
+                  unpersistPrior: Boolean = false,
+                  floatExact: Boolean = true): RoutedPqIndex =
     compactSoloCounted(index, vectors, persist, unpersistPrior,
-      forceCount = false)._1
+      forceCount = false, floatExact = floatExact)._1
 
-  /** [[compactSolo]] exposing (index, rebuiltCells, carriedCells). */
+  /** [[compactSolo]] exposing (index, rebuiltCells, carriedCells).
+    * `floatExact` follows [[compactSoloCells]]: false rebuilds touched
+    * cells with the [[buildSolo]] kernel over the same fetched floats
+    * (the serving-cadence choice — solo build-serve geometry, 7x
+    * cheaper rebuild; BASELINE round-18). */
   private[graft] def compactSoloCounted(
       index: RoutedPqIndex, vectors: DataFrame,
       persist: Boolean = true, unpersistPrior: Boolean = false,
-      forceCount: Boolean = true): (RoutedPqIndex, Long, Long) = {
+      forceCount: Boolean = true,
+      floatExact: Boolean = true): (RoutedPqIndex, Long, Long) = {
     if (index.tombstones.isEmpty) return (index, 0L, index.router.allCells.size.toLong)
     val spark = vectors.sparkSession
     val sc = spark.sparkContext
@@ -799,6 +805,7 @@ object HnswRoutedPq {
       .map { case (id, vec, cell) => (cell, (id, vec)) }
       .partitionBy(part)
     val params = index.params
+    val buildSeed = index.buildSeed
     val cbB = sc.broadcast(index.codebook)
     val rebuilt = sc.longAccumulator("pq-compact-solo-rebuilt")
     val carried = sc.longAccumulator("pq-compact-solo-carried")
@@ -819,10 +826,14 @@ object HnswRoutedPq {
                   s"survivor vectors but the shard holds " +
                   s"${p.codes.size - dead.count(p.codes.contains)} — the " +
                   "raw-vector table is missing rows the index serves")
-              val cfg = HnswDistributed.BuildConfig(params, "l2",
-                seed = index.buildSeed)
-              val fresh = HnswRouted.buildCellFresh(cell, survivors, cfg)
-              Iterator(cell -> encodeShard(fresh, cbB.value))
+              if (floatExact) {
+                val cfg = HnswDistributed.BuildConfig(params, "l2",
+                  seed = buildSeed)
+                val fresh = HnswRouted.buildCellFresh(cell, survivors, cfg)
+                Iterator(cell -> encodeShard(fresh, cbB.value))
+              } else
+                Iterator(cell -> buildCellSolo(cell, survivors, cbB.value,
+                  params, buildSeed))
             }
         }
       }

@@ -65,7 +65,8 @@ object StreamingRoutedPq {
                     checkpoint: Option[(String, Int)] = None,
                     compactThreshold: Double = 0.2,
                     maxOverlayDepth: Int =
-                      StreamingRouted.DefaultMaxOverlayDepth): StreamingQuery = {
+                      StreamingRouted.DefaultMaxOverlayDepth,
+                    floatExact: Boolean = true): StreamingQuery = {
     var sinceSave = 0
     var unsavedOps = 0
     stream.writeStream
@@ -73,7 +74,7 @@ object StreamingRoutedPq {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val (next, ops) = cdcStepSolo(handle.pq, batch, vectors,
-            compactThreshold, maxOverlayDepth)
+            compactThreshold, maxOverlayDepth, floatExact)
           handle.pq = next
           unsavedOps += ops
         }
@@ -108,11 +109,17 @@ object StreamingRoutedPq {
   /** One solo CDC micro-batch — [[StreamingRouted.cdcStep]]'s
     * semantics on the PQ tier's own lifecycle. Returns (next index,
     * mutating ops applied). */
+  /** `floatExact` reaches the threshold fold's cell rebuilds
+    * ([[HnswRoutedPq.compactSolo]]): false takes the buildSolo-kernel
+    * rebuild — the serving-cadence choice (BASELINE round-18: solo
+    * build-serve geometry at 0.94x plain, 7x cheaper rebuild);
+    * default true preserves the float-exact graph contract. */
   private[streaming] def cdcStepSolo(index0: RoutedPqIndex,
                                      batch: DataFrame, vectors: DataFrame,
                                      compactThreshold: Double,
                                      maxOverlayDepth: Int =
-                                       StreamingRouted.DefaultMaxOverlayDepth): (RoutedPqIndex, Int) = {
+                                       StreamingRouted.DefaultMaxOverlayDepth,
+                                     floatExact: Boolean = true): (RoutedPqIndex, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col}
     var index = index0
     var ops = 0
@@ -151,7 +158,7 @@ object StreamingRoutedPq {
           HnswRoutedPq.cellStats(index).map(_._2).sum)
         if (index.tombstones.length >= compactThreshold * total) {
           index = HnswRoutedPq.compactSolo(index, vectors,
-            unpersistPrior = true)
+            unpersistPrior = true, floatExact = floatExact)
           ops += 1
           // covering-probe the fresh compacted image off the serving
           // path (the post-fold cold tax; ledger-tracked)

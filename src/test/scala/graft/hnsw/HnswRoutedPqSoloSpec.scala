@@ -187,6 +187,40 @@ class HnswRoutedPqSoloSpec extends SparkSpec {
       k = 10, nProbe = 4, candidates = 256).count() > 0)
   }
 
+  test("compactSolo(floatExact=false): buildSolo-kernel rebuild — same folded " +
+      "tombstones, true content fingerprints, serving stays exact") {
+    val n = 1500
+    val baseDf = (0 until n).map(i => (i.toLong, vecFromHash(i.toLong, 7L, 16)))
+      .toDF("id", "vec")
+    val qDf = (0 until 30).map(q => (q.toLong, vecFromHash(q + 100000L, 9L, 16)))
+      .toDF("qid", "qvec")
+    val routed = HnswRouted.build(baseDf, cfg, nCells = 4, persist = false)
+    val index = HnswRoutedPq.fromRouted(routed, persist = false)
+    val dead = baseDf.filter(col("id") < 120).select(col("id"))
+    val tombed = HnswRoutedPq.delete(index, dead)
+    val (adc, rebuilt, carried) = HnswRoutedPq.compactSoloCounted(
+      tombed, baseDf, persist = false, floatExact = false)
+    assert(adc.tombstones.isEmpty)
+    assert(rebuilt + carried == routed.router.allCells.size.toLong)
+    assert(rebuilt >= 1L)
+    // exhaustive regime + exact re-rank: served rows equal the exact
+    // oracle regardless of the ADC-built adjacency
+    val survivorsDf = baseDf.filter(col("id") >= 120)
+    val served = ranked(HnswRoutedPq.search(adc, qDf, baseDf,
+      k = 10, nProbe = 4, candidates = 256))
+    val exact = ExactKnn.search(qDf, survivorsDf, 10, "l2")
+      .select(col("qid"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served.map(t => (t._1, t._2)).toSet == exact)
+    // the buildSolo kernel digests the fetched survivors — true content
+    // fingerprints, so a float-side rederive carries every cell
+    val floatCompacted = HnswRouted.compact(
+      HnswRouted.delete(routed, dead), persist = false)
+    val (_, reenc, _) = HnswRoutedPq.rederiveCounted(
+      adc, floatCompacted, persist = false)
+    assert(reenc == 0L, s"ADC-compacted fingerprints diverged: $reenc re-encodes")
+  }
+
   test("compactSolo fail-fasts when the raw-vector table is missing " +
       "survivors the index serves") {
     val n = 600
