@@ -311,16 +311,6 @@ object Bench {
         f""""heap_used_mb":${c.heapUsedMb}%.0f,""" +
         f""""linear_cpu_calib_ms":${c.linCalibMs}%.0f,"linear_mem_calib_ms":${c.linMemCalibMs}%.0f}"""
     }.mkString("{", ",", "}")
-    // columns: [build_s, inserts_per_s, search_s, linear_search_s, speedup,
-    //           gc_s, task_med_s, task_max_s, cpu_calib_ms, mem_calib_ms,
-    //           spill_mb, peak_exec_mb, heap_used_mb,
-    //           linear_cpu_calib_ms, linear_mem_calib_ms]
-    val gridCompact = cells.map { c =>
-      f""""${c.name}":[${c.buildS}%.2f,${c.insertsPerS}%.0f,${c.searchS}%.3f,${c.linearS}%.2f,${c.speedup}%.1f,""" +
-        f"""${c.gcS}%.2f,${c.taskMedS}%.3f,${c.taskMaxS}%.2f,${c.calibMs}%.0f,${c.memCalibMs}%.0f,""" +
-        f"""${c.spillMb}%.1f,${c.peakExecMb}%.0f,${c.heapUsedMb}%.0f,""" +
-        f"""${c.linCalibMs}%.0f,${c.linMemCalibMs}%.0f]"""
-    }.mkString("{", ",", "}")
 
     // The driver captures only the LAST ~2000 chars of output and parses
     // the JSON line out of that window; a flat per-query map for the full
@@ -351,10 +341,28 @@ object Bench {
     // on s_per_query_norm first; the raw total stays for history.
     val memCalibNominalMs = 180.0
     val memCalibBeta = 0.58
+    def memNormDiv(stampMs: Double): Double = {
+      val r = math.min(3.0, math.max(0.5, stampMs / memCalibNominalMs))
+      1.0 + memCalibBeta * (r - 1.0)
+    }
     val stampRatio = math.min(3.0, math.max(0.5, memCalibEnd / memCalibNominalMs))
     val serveNormS = serveTotal / (1.0 + memCalibBeta * (stampRatio - 1.0))
     val sPerQueryNorm =
       if (results.nonEmpty) serveNormS / results.size else 0.0
+    // Per-FAMILY-stamp normalization (round-19, the round-18 verdict's
+    // model refinement): the END stamp is first-order — r18's read 1
+    // caught a quiet end moment (147 ms) while the h/t/m family stamps
+    // were elevated MID-run, overstating the norm (0.993 vs 0.826).
+    // Normalize each family subtotal by ITS OWN boundary mem stamp
+    // (same β/nominal/clamp), sum. Both figures are emitted; the
+    // end-stamp model stays for cross-round comparability.
+    val famServe = results.toSeq.groupBy(_._1.takeWhile(_.isLetter))
+      .map { case (f, m) => f -> m.map(_._2).filter(_ >= 0).sum }
+    val serveNormFamS = famServe.map { case (f, v) =>
+      v / memNormDiv(familyCalibMem.getOrElse(f, memCalibEnd))
+    }.sum
+    val sPerQueryNormFam =
+      if (results.nonEmpty) serveNormFamS / results.size else 0.0
     // Memory facts (round-9): heap ceiling (-Xmx via SPARK_DRIVER_MEM,
     // default 8g in build.sbt), what Spark thinks driver memory is, and
     // the host's physical RAM — together with per-cell spill/peak-exec/
@@ -395,6 +403,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","serve_total_s":$serveTotal,""" +
         s""""serve_total_norm_s":${jnum(serveNormS)},""" +
         s""""s_per_query_norm":${f"$sPerQueryNorm%.3f"},""" +
+        s""""serve_total_norm_fam_s":${jnum(serveNormFamS)},""" +
+        s""""s_per_query_norm_fam":${f"$sPerQueryNormFam%.3f"},""" +
         s""""env":$envJson,"one_time_s":$oneTimeJson,"queries":$fullQs,""" +
         s""""retime_pass1":$pass1Json,"retime_pass2":$pass2Json,""" +
         s""""sf":"$sfDir","vector_grid":$grid}"""
@@ -418,6 +428,23 @@ object Bench {
     // true count.
     val failedAll = results.filter(_._2 < 0).keys.toSeq.sorted
     val bySlow = results.toSeq.sortBy(-_._2)
+    // Printed-line diet (round-19 measurement fix, stated in
+    // OPTIMIZATION_r19.md): every BENCH_r* since r01 has parsed:null —
+    // the line carried the full env + one_time maps + 15-column grid and
+    // overflowed the driver's ~2000-char tail window, so the driver never
+    // parsed a single bench JSON. The printed line now carries only what
+    // the driver grades (value/queries/sf contract, totals, both
+    // normalized figures, family totals, a 2-column grid) and points at
+    // BENCH_FULL.json for everything dropped (full env, one_time map,
+    // retime passes, 15-column grid). No number changed — only where it
+    // is written.
+    val envMini =
+      f"""{"cpus_req":"$cpus","parallelism":$measuredPar,""" +
+        f""""cpu_calib_ms_end":$calibEnd%.0f,"mem_calib_ms_end":$memCalibEnd%.0f,""" +
+        f""""gc_total_s":$gcTotalS%.1f,"n_retimed":${secondPass.size}}"""
+    val gridMini = cells.map { c =>
+      f""""${c.name}":[${c.buildS}%.2f,${c.searchS}%.3f]"""
+    }.mkString("{", ",", "}")
     def lineFor(topN: Int): String = {
       val failed = failedAll.take(math.max(topN, 3))
         .map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -428,14 +455,19 @@ object Bench {
         s""""serve_total_s":${jnum(serveTotal)},""" +
         s""""serve_total_norm_s":${jnum(serveNormS)},""" +
         s""""s_per_query_norm":${f"$sPerQueryNorm%.3f"},""" +
-        s""""env":$envJson,"one_time_s":$oneTimeJson,""" +
-        s""""queries":$qs,"queries_note":"serving time (one-time builds excluded); slowest $topN of ${results.size}; full map in BENCH_FULL.json",""" +
+        s""""serve_total_norm_fam_s":${jnum(serveNormFamS)},""" +
+        s""""s_per_query_norm_fam":${f"$sPerQueryNormFam%.3f"},""" +
+        s""""one_time_total_s":${jnum(oneTimeTotal)},""" +
+        s""""env":$envMini,""" +
+        s""""queries":$qs,"queries_note":"serving s, builds excluded; slowest $topN of ${results.size}; full detail in BENCH_FULL.json",""" +
         s""""family_totals_s":$families,""" +
-        s""""grid_cols":["build_s","inserts_per_s","search_s","linear_s","speedup","gc_s","task_med_s","task_max_s","cpu_calib_ms","mem_calib_ms","spill_mb","peak_exec_mb","heap_used_mb","linear_cpu_calib_ms","linear_mem_calib_ms"],""" +
-        s""""vector_grid":$gridCompact}"""
+        s""""grid_cols":["build_s","search_s"],""" +
+        s""""vector_grid":$gridMini}"""
     }
-    // sbt prints ~100 chars of [success]… after us; stay well inside 2000.
-    val budget = 1800
+    // sbt prints ~100 chars of [success]… after us; stay WELL inside the
+    // driver's ~2000-char tail capture (r18's 1800 budget still
+    // overflowed it — the cut line is exactly why parsed stayed null).
+    val budget = 1400
     val line = (results.size to 0 by -1).view.map(lineFor).find(_.length <= budget)
       .getOrElse(lineFor(0))
     println(line)

@@ -95,7 +95,9 @@ object Curation {
     * doc contain an eval PHRASE", and 5 tokens is the conventional
     * overlap window. */
   private def wordShingles(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+    // spread (round-19): the 5-gram explode + concat kernel on the
+    // single-split docs scan ran on one core; identity at real scale
+    Tables.spread(docs(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(fiveGramExpr)).as("ngram"))
 
@@ -111,7 +113,8 @@ object Curation {
     val path = shingleCache.computeIfAbsent(dir, { _ =>
       graft.BuildLedger.timed("source_shingles") {
         val out = graft.TempDirs.create("graft_shingles_")
-        docs(s, dir).filter(col("text").isNotNull)
+        // spread (round-19): same single-split rationale as wordShingles
+        Tables.spread(docs(s, dir)).filter(col("text").isNotNull)
           .select(col("source"), split(col("text"), " ").as("toks"))
           .select(col("source"), explode(expr(fiveGramExpr)).as("ngram"))
           .distinct()

@@ -59,7 +59,11 @@ object DedupQueries {
       graft.BuildLedger.timed("substring_spans") {
         val out = graft.TempDirs.create("graft_spans_")
         graft.operators.SubstringDedup
-          .duplicatedSpans(docs(s, dir), "text", "doc_id", minTokens = 20)
+          // spread (round-19): the anchor-hash explode is a CPU-heavy
+          // per-row kernel on a single-split scan — serialized on one
+          // core without it (Tables.spread is the identity at real scale)
+          .duplicatedSpans(Tables.spread(docs(s, dir)), "text", "doc_id",
+            minTokens = 20)
           .write.mode("overwrite").parquet(out)
         out
       }
@@ -83,7 +87,12 @@ object DedupQueries {
         // but degrading recall is an explicit user decision, not a
         // stderr line
         graft.operators.Containment
-          .pairsAuto(docs(s, dir), shingleLen = 8, num = 4, den = 5, maxDf = 200,
+          // spread (round-19): the shingle-hash explode (~5M rows at
+          // sf0.1) is re-run by the router's estimate AND the capped
+          // inverted index, each single-task on the one-split scan —
+          // measured ~2.4 s per pass serialized. Spread parallelizes
+          // both passes; identity at real scale.
+          .pairsAuto(Tables.spread(docs(s, dir)), shingleLen = 8, num = 4, den = 5, maxDf = 200,
             route = graft.operators.Containment.Route.ExactOrFail)
           .write.mode("overwrite").parquet(out)
         out

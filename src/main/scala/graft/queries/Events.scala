@@ -466,7 +466,12 @@ object Events {
     // countDistinct because the oracle needs exactness; a 100 TB
     // profiler swaps in approx_count_distinct (see e_hll_users).
     "e_column_stats" -> ((s, dir) => {
-      val src = t(s, dir).select(
+      // spread: the stacked-profile aggregate is string-buffered (min/max
+      // over v_str) so it plans as SortAggregate — on the single-split
+      // catalog scan the 6x-stacked string sort ran on ONE core (2.2 s at
+      // sf0.1). Spreading the scan parallelizes the sort+partial agg; a
+      // no-op at real scale where the scan already has many splits.
+      val src = Tables.spread(t(s, dir)).select(
         col("event_id"), col("user_id"), col("event_type"),
         cents(col("value")).as("value_c"), expr("ts div 1000").as("ts_us"),
         col("props"))
@@ -476,19 +481,38 @@ object Events {
         if (longCols(c)) s"'$c', CAST($c AS BIGINT), CAST(NULL AS STRING)"
         else s"'$c', CAST(NULL AS BIGINT), $c"
       }.mkString(", ")
-      src
-        .select(expr(
-          s"stack(${cols.size}, $stackArgs) AS (column_name, v_long, v_str)"))
-        .groupBy(col("column_name"))
-        .agg(
-          // the off-family slot is null by construction, so "both null"
-          // == "the source value was null"
-          sum(when(col("v_long").isNull && col("v_str").isNull, 1L)
-            .otherwise(0L)).as("n_nulls"),
-          countDistinct(coalesce(col("v_long").cast("string"), col("v_str")))
-            .as("n_distinct"),
+      val stacked = src.select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, v_long, v_str)"))
+      // Round-19 split (guide §2.3/§4: keep the hot path hash-aggregable):
+      // the former single agg carried min/max(v_str) STRING buffers, so
+      // the WHOLE per-value dedup planned as SortAggregate — two full
+      // string sorts of the 6x-stacked stream. Split instead:
+      //  - n_nulls: long-buffered HashAggregate over the raw stream;
+      //  - the per-value dedup: a keys-only aggregate (no buffer at all,
+      //    so it hash-aggregates even with the string key);
+      //  - n_distinct/min/max: computed over the DEDUPED rows (min/max
+      //    over distinct values == min/max over all values), so the one
+      //    remaining string-buffered aggregate runs on |distinct| rows,
+      //    not |rows|. Results are identical: (v_long, v_str) with
+      //    exactly one non-null slot is bijective with the old
+      //    coalesce(cast(v_long as string), v_str) dedup key.
+      val nulls = stacked.groupBy(col("column_name"))
+        .agg(sum(when(col("v_long").isNull && col("v_str").isNull, 1L)
+          .otherwise(0L)).as("n_nulls"))
+      val dvals = stacked
+        .filter(col("v_long").isNotNull || col("v_str").isNotNull)
+        .dropDuplicates("column_name", "v_long", "v_str")
+      val stats = dvals.groupBy(col("column_name"))
+        .agg(count(lit(1)).as("n_distinct"),
           coalesce(min(col("v_long")).cast("string"), min(col("v_str"))).as("min_s"),
           coalesce(max(col("v_long")).cast("string"), max(col("v_str"))).as("max_s"))
+      // left join from nulls: an all-null column has no distinct rows but
+      // must still report (n_nulls, 0, null, null) — the old single-agg
+      // semantics for that edge (countDistinct over nothing is 0).
+      nulls.join(stats, Seq("column_name"), "left")
+        .select(col("column_name"), col("n_nulls"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          col("min_s"), col("max_s"))
         .orderBy(col("column_name"))
     }),
 

@@ -49,6 +49,22 @@ object Tables {
     }
   }
 
+  /** Spread an under-parallelized scan before an expensive per-row
+    * kernel. The catalog's single-row-group parquet files plan exactly
+    * ONE scan split, so every CPU-heavy projection over them (token
+    * kernels, regex redaction, media decode) ran on one core no matter
+    * how many the session has — measured at sf0.1: t_repetition 2.1 s,
+    * m_audio_decode 2.1 s, both single-task. Repartitions ONLY when the
+    * planned scan has fewer splits than the session's parallelism, so at
+    * real scale (thousands of splits) this is the identity and no
+    * shuffle is ever added; locally it moves the sub-MB table once.
+    * Pushed filters and column pruning still reach the scan — Catalyst
+    * pushes both through Repartition. */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Deterministic money integerization: floor(x*100) as long ("cents"). */
   def cents(c: Column): Column = floor(c * 100)
 

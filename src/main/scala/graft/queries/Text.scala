@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
 object Text {
   private def t(s: SparkSession, dir: String) = Tables(s, dir, "documents")
 
+  /** The documents scan spread for the three genuinely CPU-bound per-row
+    * kernels (per-token array sorts, banded levenshtein, triple regex
+    * redaction). Measured A/B at sf0.1 (min-of-2, same session): spread
+    * wins ONLY there (t_repetition 1.55→0.92 s, t_fuzzy_prefix
+    * 1.34→1.01, t_pii_redact 0.91→0.80); for the cheap-kernel rows the
+    * added exchange + 32-task stage costs more than the single-task scan
+    * (t_cms_tokens regressed 0.5→8 s under a blanket spread — its
+    * sketch aggregation state multiplies per partition). */
+  private def tSpread(s: SparkSession, dir: String) =
+    Tables.spread(t(s, dir))
+
   private val bm25DirCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -290,7 +301,7 @@ object Text {
       // scan + redact through the first-class operator (graft.operators
       // .Pii) — the catalog row is its hash-proven end-to-end exercise
       val counts = graft.operators.Pii.countCols(col("aug"))
-      t(s, dir)
+      tSpread(s, dir)
         .select(col("doc_id"), aug.as("aug"))
         .select(Seq(col("doc_id")) ++ counts :+
           graft.operators.Pii.redactCol(col("aug")).as("redacted"): _*)
@@ -335,7 +346,7 @@ object Text {
       val grams = "CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
         "ELSE transform(sequence(1, size(toks) - 1), " +
         "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
-      t(s, dir)
+      tSpread(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("toks"), expr(grams).as("grams"))
         .select(col("doc_id"),
@@ -446,7 +457,7 @@ object Text {
     // multilingual deployment normalizes first or ships the code-point
     // kernel to both engines.
     "t_fuzzy_prefix" -> ((s, dir) => {
-      val p = t(s, dir).filter(col("text").isNotNull)
+      val p = tSpread(s, dir).filter(col("text").isNotNull)
         .select(col("doc_id"), substring(col("text"), 1, 32).as("pfx"),
           substring(col("text"), 1, 4).as("blk"))
         .filter(octet_length(col("pfx")) === length(col("pfx")))
@@ -539,7 +550,20 @@ object Text {
     "t_hybrid_rrf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir).filter(col("text").isNotNull)
+      // The memoized score table arrives as ONE small parquet split, and
+      // the planner broadcasts the (much smaller) query-term set — so the
+      // term join's fan-out (Σ_t |q(t)|·df(t); DENSE on the synthetic
+      // tiny-vocab corpus: 17.6M rows at sf0.1) used to run in a single
+      // task (measured 6.4 s of the 6.6 s query wall). Repartitioning the
+      // STREAMED side by doc_id spreads the fan-out across the cluster
+      // AND makes the (qid, doc_id) aggregation exchange-free (doc_id
+      // clustering covers the group keys), so the partial agg emits
+      // final sums and WindowGroupLimit prunes to ≤10/qid before the
+      // only remaining (tiny) exchange. At real-vocab scale the join
+      // would shuffle the score table anyway; partitioning it by doc_id
+      // up front is the same single wide shuffle, moved.
       val bm25 = bm25Scores(s, dir)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val qterms = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("qid"), explode(split(col("text"), " ")).as("term"))
         .distinct()
