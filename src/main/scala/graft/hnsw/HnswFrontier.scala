@@ -133,18 +133,27 @@ object HnswFrontier {
         val prevBeam = ranked.filter(col("r") <= beamEf)
           .select(col("qid"), col("id"), col("dist"))
           .withColumn("is_new", lit(false))
+        // LAZY checkpoint + count in ONE job (round-19): the eager
+        // localCheckpoint ran a materialization job and the termination
+        // probe ran a second job over the materialized blocks — two
+        // scheduler round-trips per BSP round. The count below is the
+        // materializing action (the RDD is marked for local
+        // checkpointing, so the same job persists it), and its value IS
+        // the termination test; every later derived frame still reads
+        // the checkpointed blocks.
         ranked = prevBeam
           .unionByName(withDist(discovered).withColumn("is_new", lit(true)))
           .withColumn("r", row_number().over(rankW))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
 
         // Termination: no newly-discovered node made the beam. (A node
         // that missed the beam can never seed an expansion, so an empty
         // next-frontier here IS the round-4 loop's empty-expansion round —
-        // tested one round earlier, on materialized data, for free.)
-        val fNext = ranked.filter(col("is_new") && col("r") <= beamEf).select("qid", "id")
-        if (fNext.isEmpty) done = true
+        // tested one round earlier, for free.)
+        val nNew = ranked.filter(col("is_new") && col("r") <= beamEf).count()
+        if (nNew == 0L) done = true
         else {
+          val fNext = ranked.filter(col("is_new") && col("r") <= beamEf).select("qid", "id")
           // every scored candidate is visited, beam or not — never
           // re-score a miss
           visited = visited.union(ranked.filter(col("is_new")).select("qid", "id"))

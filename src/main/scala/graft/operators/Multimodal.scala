@@ -230,29 +230,66 @@ object Multimodal {
     * at [[AudioSampleRate]], sample data from [[sampleValue]]. WAV is
     * little-endian, AIFF big-endian — the decode must get byte order
     * right per container or the amplitude sum explodes. */
+  /** Per-task audio SPI caches (round-19): AudioSystem.write /
+    * getAudioInputStream fetch the provider list through a STATIC
+    * SYNCHRONIZED registry lookup on EVERY call, so concurrent audio
+    * tasks convoy on one JVM-global lock — the measured 1.9 s
+    * single-thread vs 3.9 s at 32 threads that used to force this path
+    * serial. Fetching the SPI instances once per task through the
+    * public ServiceLoader and calling them directly keeps the identical
+    * providers (the JDK ships exactly one WAV and one AIFF
+    * reader/writer) without ever touching the lock on the per-row path;
+    * any payload no cached provider accepts falls back to the locked
+    * AudioSystem call, so behavior is unchanged by construction. */
+  private def audioReaders(): Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.spi.AudioFileReader].getClassLoader)
+      .iterator().asScala.toSeq
+  }
+  private def audioWriters(): Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(
+      classOf[javax.sound.sampled.spi.AudioFileWriter],
+      classOf[javax.sound.sampled.spi.AudioFileWriter].getClassLoader)
+      .iterator().asScala.toSeq
+  }
+  private def readAudio(readers: Seq[javax.sound.sampled.spi.AudioFileReader],
+                        bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    readers.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    // unknown container: the locked registry path (identical semantics)
+    javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
   def audioPayload(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders}
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val inEnc: Encoder[Long] = Encoders.scalaLong
     val outEnc: Encoder[(Long, Array[Byte])] =
       ExpressionEncoder[(Long, Array[Byte])]()
-    // NO repartition here, unlike imagePayload/videoPayload: every
-    // AudioSystem.write / getAudioInputStream call goes through the
-    // JDK's synchronized audio-provider lookup, and 32 threads convoy
-    // on that lock (measured: fused encode+decode 1.9 s single-thread
-    // vs 3.9 s at 32 threads on the same corpus). ImageIO has no such
-    // global lock, so the image/video paths do scale with cores.
+    // repartition BEFORE rendering (round-19), now that the per-row
+    // encode no longer goes through the JVM-global provider-registry
+    // lock (see audioWriters): only 8-byte ids shuffle, payloads are
+    // generated after — the same shape as imagePayload/videoPayload.
     docs.select(col(idCol).cast("long")).as(inEnc)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { it =>
+        val writers = audioWriters()
         it.map { id =>
           val fmt = if (id % 2 == 0) "wav" else "aiff"
-          (id, renderEncodeAudio(id, fmt))
+          (id, renderEncodeAudio(writers, id, fmt))
         }
       }(outEnc)
       .toDF(idCol, "payload")
   }
 
-  private def renderEncodeAudio(id: Long, fmt: String): Array[Byte] = {
+  private def renderEncodeAudio(writers: Seq[javax.sound.sampled.spi.AudioFileWriter],
+                                id: Long, fmt: String): Array[Byte] = {
     import javax.sound.sampled._
     val n = numSamples(id)
     val big = fmt == "aiff"
@@ -267,10 +304,15 @@ object Multimodal {
     val af = new AudioFormat(AudioSampleRate.toFloat, 16, 1, true, big)
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), af, n.toLong)
+    val tpe =
+      if (fmt == "wav") AudioFileFormat.Type.WAVE else AudioFileFormat.Type.AIFF
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais,
-      if (fmt == "wav") AudioFileFormat.Type.WAVE else AudioFileFormat.Type.AIFF,
-      bos)
+    // task-cached SPI writer (no registry lock — see audioWriters);
+    // AudioSystem.write is the fallback for a type no cached writer takes
+    writers.find(_.isFileTypeSupported(tpe, ais)) match {
+      case Some(w) => w.write(ais, tpe, bos)
+      case None    => AudioSystem.write(ais, tpe, bos)
+    }
     bos.toByteArray
   }
 
@@ -293,10 +335,11 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as(inEnc)
       .mapPartitions { it =>
+        // task-cached SPI readers (no registry lock — see audioReaders)
+        val readers = audioReaders()
         it.map { case (id, bytes) =>
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
+            val ais = readAudio(readers, bytes)
             val f = ais.getFormat
             val data = ais.readAllBytes()
             val nSamples = data.length / f.getFrameSize

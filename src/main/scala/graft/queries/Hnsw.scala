@@ -43,6 +43,23 @@ object Hnsw {
     HnswParams.standard(efConstruction = 64, efSearch = 128, m = 16),
     metric = "l2", seed = 42L)
 
+  /** (expected, hits) in ONE job (round-19): hit flags left-joined onto
+    * the exact rows and aggregated in the same pass — replaces the
+    * intersect().count() + exact.count() pair, so the approx pipeline
+    * and the exact scan each run exactly once. Equality with intersect:
+    * both sides are top-k lists (unique (qid, id)); approx is made
+    * distinct defensively, so the flag sum is the intersect
+    * cardinality. */
+  private def recallCounts(approx: DataFrame, exact: DataFrame): (Long, Long) = {
+    val row = exact.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id")).distinct()
+        .withColumn("h", lit(1L)), Seq("qid", "id"), "left")
+      .agg(count(lit(1)).as("expected"),
+        sum(coalesce(col("h"), lit(0L))).as("hits"))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 end-to-end: build the layered graph, search the query subset.
     "h_knn_cosine" -> ((s, dir) => {
@@ -75,8 +92,7 @@ object Hnsw {
       // audit oracle is a per-corpus one_time cost shared by six rows
       val exact = Vector.exactTruthIds(s, dir, "cosine", 10)
         .select(col("qid"), col("id"))
-      val hits = hnsw.intersect(exact).count()
-      val expected = exact.count()
+      val (expected, hits) = recallCounts(hnsw, exact)
       val nq = qs.count()
       import s.implicits._
       Seq((nq, expected, hits, hits * 10000L / expected))
@@ -119,8 +135,8 @@ object Hnsw {
       val nq = qs.count()
       import s.implicits._
       val rows = Seq(1, 2, 4, 8, 16).map { p =>
-        val hits = HnswRouted.search(index, qs, 10, nProbe = p)
-          .select(col("qid"), col("id")).intersect(exact).count()
+        val hits = recallCounts(
+          HnswRouted.search(index, qs, 10, nProbe = p), exact)._2
         (p.toLong, nq, expected, hits, hits * 10000L / expected)
       }
       exact.unpersist(blocking = false)
@@ -456,10 +472,7 @@ object Hnsw {
       val pq = HnswPq.fromModelCached(model, dir)
       val approx = HnswPq.search(qs, pq, vecs, k = 10, ef = 128)
       val exact = Vector.exactTruthIds(s, dir, "l2", 10)
-      val exactIds = exact.select(col("qid"), col("id")).cache()
-      val hits = approx.select(col("qid"), col("id")).intersect(exactIds).count()
-      val expected = exactIds.count()
-      exactIds.unpersist(blocking = false)
+      val (expected, hits) = recallCounts(approx, exact.select(col("qid"), col("id")))
       val nq = qs.count()
       import s.implicits._
       Seq((nq, expected, hits, hits * 10000L / expected))
@@ -525,9 +538,8 @@ object Hnsw {
       val floatTier = HnswRouted.search(base, qs, 10, nProbe = 4, ef0 = 64)
       val exactIds = Vector.exactTruthIds(s, dir, "l2", 10)
         .select(col("qid"), col("id")).cache()
-      val hitsPq = approx.select(col("qid"), col("id")).intersect(exactIds).count()
-      val hitsFloat = floatTier.select(col("qid"), col("id")).intersect(exactIds).count()
-      val expected = exactIds.count()
+      val (expected, hitsPq) = recallCounts(approx, exactIds)
+      val hitsFloat = recallCounts(floatTier, exactIds)._2
       exactIds.unpersist(blocking = false)
       val nq = qs.count()
       import s.implicits._
@@ -685,8 +697,9 @@ object Hnsw {
       val exactIds = Vector.exactTruthIds(s, dir, "l2", 10)
         .select(col("qid"), col("id")).cache()
       def hits(ix: graft.hnsw.HnswRoutedPq.RoutedPqIndex): Long =
-        HnswRoutedPq.search(ix, qs, vecs, k = 10, nProbe = 4, candidates = 64)
-          .select(col("qid"), col("id")).intersect(exactIds).count()
+        recallCounts(
+          HnswRoutedPq.search(ix, qs, vecs, k = 10, nProbe = 4, candidates = 64),
+          exactIds)._2
       val hitsSolo = hits(solo)
       val hitsFloat = hits(viaFloat)
       val expected = exactIds.count()

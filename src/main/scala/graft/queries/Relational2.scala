@@ -180,8 +180,16 @@ object Relational2 {
       val part = t(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#3" && col("p_size").isin(5, 10, 15, 20, 25, 30))
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      // join BEFORE the pair-distinct (round-19, guide §2.3 filter before
+      // the exchange): the broadcast part filter keeps ~11% of lineitem
+      // rows, so the (l_partkey, l_suppkey) dedup shuffles that fraction
+      // instead of the whole table. Identical result: p attrs are
+      // functionally dependent on l_partkey, so one row per surviving
+      // pair carries the same (brand, type, size) the join-after-distinct
+      // produced.
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .dropDuplicates("l_partkey", "l_suppkey")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))

@@ -82,12 +82,22 @@ object Vector {
     * recall in basis points. */
   private def recallReport(s: SparkSession, qs: DataFrame,
                            approx: DataFrame, exact: DataFrame): DataFrame = {
-    // the exact brute-force pipeline is the dominant cost — pin it so
-    // the intersect and the count run it once
-    val exactIds = exact.select(col("qid"), col("id")).cache()
-    val hits = approx.select(col("qid"), col("id")).intersect(exactIds).count()
-    val expected = exactIds.count()
-    exactIds.unpersist(blocking = false)
+    // ONE job for (expected, hits) instead of intersect.count + count
+    // (round-19): hit flags left-joined onto the exact rows and
+    // aggregated in the same pass — the approx pipeline and the exact
+    // scan each run exactly once, no cache pin needed. Equality with the
+    // old intersect form: both sides are top-k lists (unique (qid, id)
+    // per construction) and approx is made distinct defensively, so the
+    // flag sum is the intersect cardinality and count(1) over exact is
+    // the old exactIds.count().
+    val row = exact.select(col("qid"), col("id"))
+      .join(approx.select(col("qid"), col("id")).distinct()
+        .withColumn("h", lit(1L)), Seq("qid", "id"), "left")
+      .agg(count(lit(1)).as("expected"),
+        sum(coalesce(col("h"), lit(0L))).as("hits"))
+      .head()
+    val expected = row.getLong(0)
+    val hits = row.getLong(1)
     val nq = qs.count()
     import s.implicits._
     Seq((nq, expected, hits, hits * 10000L / expected))
