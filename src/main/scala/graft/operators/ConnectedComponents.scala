@@ -28,11 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count bound under which [[run]] resolves components with a
+    * driver-side union-find instead of the iterative loop (round-19):
+    * 2M symmetrized (long, long) edges collect to ~32 MB — the
+    * allowProbe-style bounded-collect pattern. Below the bound the whole
+    * resolution is one collect + one parallelize instead of
+    * O(diameter) join+aggregate barriers; above it the distributed
+    * loop runs unchanged. Identical output by construction (same
+    * min-label-per-component contract, pinned by
+    * ConnectedComponentsSpec's cutover-parity test). */
+  val CollectEdgeMax = 2000000L
+
   /** Resolve components of the undirected graph given by `edges`
     * (columns `src`, `dst`; direction ignored; self-loops fine).
     * Returns (id, comp) for every vertex appearing in `edges`, where
     * `comp` is the minimum vertex id in the component. */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+          collectMax: Long = CollectEdgeMax): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     // symmetrize once; min-propagation then only needs src->dst messages.
     // Vertices are taken BEFORE the self-loop filter: a vertex whose only
@@ -41,6 +53,17 @@ object ConnectedComponents {
         e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+
+    // Bounded driver cutover: the symmetrized list is already
+    // materialized, so the size probe is a cheap count over the
+    // checkpointed (immutable) blocks, and the collect below is
+    // count-gated to at most collectMax rows.
+    if (sym.count() <= collectMax) {
+      import org.apache.spark.sql.Encoders
+      val pairs = sym.as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .collect()
+      return driverComponents(edges.sparkSession, pairs)
+    }
     val messages = sym.filter(col("src") =!= col("dst"))
 
     var labels = sym.select(col("src").as("id")).distinct()
@@ -77,5 +100,38 @@ object ConnectedComponents {
       s"connected components did not converge in $maxIter rounds " +
         s"($changed labels still improving — graph diameter exceeds the budget)")
     labels
+  }
+
+  /** Union-find (path-halving + union-by-smaller-root) over a collected
+    * symmetrized edge list; labels are the component MINIMUM id — the
+    * exact contract of the distributed loop. */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               pairs: Array[(Long, Long)]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      // union by MIN root: the root is then the component minimum by
+      // induction (every union keeps the smaller id on top)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toArray.sorted
+      .map(id => (id, find(id)))
+    import spark.implicits._
+    spark.createDataset(out.toSeq).toDF("id", "comp")
   }
 }

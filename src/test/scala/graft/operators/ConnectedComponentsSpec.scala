@@ -7,9 +7,13 @@ import graft.SparkSpec
 
 class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
 
-  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  /** collectMax = -1 pins the DISTRIBUTED loop (the round-19 driver
+    * cutover would otherwise absorb every test-sized graph); the default
+    * path is covered by the cutover-parity test below. */
+  private def components(edges: Seq[(Long, Long)],
+                         collectMax: Long = -1L): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+    ConnectedComponents.run(edges.toDF("src", "dst"), collectMax = collectMax)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -65,12 +69,24 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSpec {
     assert(components(edges) == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("driver cutover (round-19) matches the distributed loop exactly") {
+    // the same random graph through BOTH paths: the bounded union-find
+    // must reproduce the loop's (id, comp=min id) rows bit-for-bit —
+    // rows, labels, and the vertex universe
+    val rng = new scala.util.Random(41)
+    val edges = (Seq.fill(200)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      ++ Seq((300L, 300L))) // self-loop-only singleton
+    val viaDriver = components(edges, collectMax = ConnectedComponents.CollectEdgeMax)
+    val viaLoop = components(edges, collectMax = -1L)
+    assert(viaDriver == viaLoop)
+  }
+
   test("exceeding the iteration budget fails loudly, never silently partial") {
     import spark.implicits._
     // path of diameter 9 with maxIter = 3: cannot converge
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
     val ex = intercept[IllegalStateException] {
-      ConnectedComponents.run(edges, maxIter = 3)
+      ConnectedComponents.run(edges, maxIter = 3, collectMax = -1L)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
