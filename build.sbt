@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default (round-19): one local[32] JVM carries 32 concurrent
+  // tasks plus the pinned index images; at 8g the catalog pass spent
+  // 25-34 s in GC (env.gc_total_s in BENCH_FULL.json), part of it inside
+  // timed queries. 12g on the 128 GiB bench host roughly halves that;
+  // still overridable via SPARK_DRIVER_MEM (production sizes driver and
+  // executors separately — this only shapes the local harness JVM).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
