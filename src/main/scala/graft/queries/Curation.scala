@@ -349,20 +349,36 @@ object Curation {
       val sh = sourceShingles(s, dir)
         .select(col("source"), Kmv.hash48(col("ngram")).as("h"))
         .distinct()
-        .localCheckpoint() // feeds sizes, the exact join, and the sketch
-      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val shared = sh.as("x").join(sh.as("y"),
-          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("a_source"), col("y.source").as("b_source"))
+        .localCheckpoint() // feeds the per-source pass and the shared pass
+      // Round-19 (guide §2.3/§2.4): the exact-intersection self-join on h
+      // shuffled the full (source, h) universe TWICE and the sizes/sketch
+      // aggregations scanned it in two more passes. Fused: ONE
+      // groupBy(source) pass carries count + KMV sketch together, and the
+      // shared counts come from ONE groupBy(h) pass generating ordered
+      // source pairs map-side (df per h is bounded by the source count,
+      // the Containment capped-inverted-index shape) — identical counts,
+      // two wide shuffles fewer. array_sort orders the same binary string
+      // ordering the old x.source < y.source join used.
+      val perSource = sh.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          Kmv.sketchAgg(k)(col("h")).getField("hs").as("kmv"))
+        .localCheckpoint() // both pair sides read it
+      val shared = sh.groupBy(col("h"))
+        .agg(collect_list(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(array_sort(col("ss")).as("ss")) // sort ONCE (a < b holds)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ss) - 1), i -> " +
+            "transform(slice(ss, i + 1, size(ss) - i), " +
+            "b -> struct(element_at(ss, i) AS a_source, b AS b_source))))")).as("p"))
+        .groupBy(col("p.a_source").as("a_source"), col("p.b_source").as("b_source"))
         .agg(count(lit(1)).as("n_shared"))
-      val sk = sh.groupBy(col("source"))
-        .agg(Kmv.sketchAgg(k)(col("h")).getField("hs").as("kmv"))
-      val pairs = sk.select(col("source").as("a_source"), col("kmv").as("kmv_a"))
-        .join(sk.select(col("source").as("b_source"), col("kmv").as("kmv_b")),
+      val pairs = perSource.select(col("source").as("a_source"),
+          col("kmv").as("kmv_a"), col("n").as("a_n"))
+        .join(perSource.select(col("source").as("b_source"),
+          col("kmv").as("kmv_b"), col("n").as("b_n")),
           col("a_source") < col("b_source"))
       pairs
-        .join(sizes.select(col("source").as("a_source"), col("n").as("a_n")), "a_source")
-        .join(sizes.select(col("source").as("b_source"), col("n").as("b_n")), "b_source")
         .join(shared, Seq("a_source", "b_source"), "left")
         .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
         .withColumn("jaccard_bp_exact",
@@ -527,11 +543,22 @@ object Curation {
       // there, mirrored in the oracle).
       val grams = sourceShingles(s, dir)
         .select(col("source"), xxhash64(col("ngram")).as("ngram"))
-        .localCheckpoint() // feeds the sizes agg + both join sides
+        .localCheckpoint() // feeds the sizes agg + the shared pass
       val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val shared = grams.as("x").join(grams.as("y"),
-          col("x.ngram") === col("y.ngram") && col("x.source") < col("y.source"))
-        .groupBy(col("x.source").as("a_source"), col("y.source").as("b_source"))
+      // Round-19: ONE groupBy(ngram) pass generating ordered source pairs
+      // map-side instead of the self-join's two full-universe shuffles —
+      // df per hash is bounded by the source count (the Containment
+      // capped shape); identical pair set and counts (array_sort uses the
+      // same binary string ordering as x.source < y.source).
+      val shared = grams.groupBy(col("ngram"))
+        .agg(collect_list(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(array_sort(col("ss")).as("ss")) // sort ONCE (a < b holds)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(ss) - 1), i -> " +
+            "transform(slice(ss, i + 1, size(ss) - i), " +
+            "b -> struct(element_at(ss, i) AS a_source, b AS b_source))))")).as("p"))
+        .groupBy(col("p.a_source").as("a_source"), col("p.b_source").as("b_source"))
         .agg(count(lit(1)).as("n_shared"))
       shared
         .join(sizes.select(col("source").as("a_source"), col("n").as("a_n")), "a_source")
