@@ -60,6 +60,27 @@ object Hnsw {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Run independent Spark actions concurrently from a small driver
+    * pool (round-19, guide §2.6 overlap independent jobs): a recall
+    * row's probe-point serves are independent count jobs over the same
+    * pinned index, and running them back to back leaves most executor
+    * slots idle through each job's stage tails. The scheduler runs
+    * concurrent jobs FIFO, back-filling freed slots with the next
+    * job's tasks. Results return in INPUT order and every action's
+    * value is deterministic regardless of scheduling, so row content
+    * is untouched. Bounded pool: enough to fill the tail, not a
+    * fleet. */
+  private def inParallel[A, B](xs: Seq[A], maxConc: Int = 5)(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConc, xs.size)))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(xs.map(x => Future(f(x)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S6 end-to-end: build the layered graph, search the query subset.
     "h_knn_cosine" -> ((s, dir) => {
@@ -134,7 +155,9 @@ object Hnsw {
       val expected = exact.count()
       val nq = qs.count()
       import s.implicits._
-      val rows = Seq(1, 2, 4, 8, 16).map { p =>
+      // the five probe points are independent serves over the same
+      // pinned index and the warmed exact cache — overlapped (§2.6)
+      val rows = inParallel(Seq(1, 2, 4, 8, 16)) { p =>
         val hits = recallCounts(
           HnswRouted.search(index, qs, 10, nProbe = p), exact)._2
         (p.toLong, nq, expected, hits, hits * 10000L / expected)
@@ -538,8 +561,10 @@ object Hnsw {
       val floatTier = HnswRouted.search(base, qs, 10, nProbe = 4, ef0 = 64)
       val exactIds = Vector.exactTruthIds(s, dir, "l2", 10)
         .select(col("qid"), col("id")).cache()
-      val (expected, hitsPq) = recallCounts(approx, exactIds)
-      val hitsFloat = recallCounts(floatTier, exactIds)._2
+      // two independent count jobs over the same cached truth — overlapped
+      val counts = inParallel(Seq(approx, floatTier))(df => recallCounts(df, exactIds))
+      val (expected, hitsPq) = counts(0)
+      val hitsFloat = counts(1)._2
       exactIds.unpersist(blocking = false)
       val nq = qs.count()
       import s.implicits._
@@ -700,8 +725,9 @@ object Hnsw {
         recallCounts(
           HnswRoutedPq.search(ix, qs, vecs, k = 10, nProbe = 4, candidates = 64),
           exactIds)._2
-      val hitsSolo = hits(solo)
-      val hitsFloat = hits(viaFloat)
+      // the two grown-index serves are independent jobs — overlapped
+      val grownHits = inParallel(Seq(solo, viaFloat))(hits)
+      val (hitsSolo, hitsFloat) = (grownHits(0), grownHits(1))
       val expected = exactIds.count()
       exactIds.unpersist(blocking = false)
       val nq = qs.count()

@@ -41,7 +41,21 @@ object Relational2 {
       val supp = t(s, dir, "supplier")
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-      val pairs = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      // filter BEFORE the pair-dedup exchange (round-19, guide §2.3 —
+      // the q16 treatment, via broadcast SEMI-joins so the distinct
+      // stays a narrow two-long hash aggregate rather than a string-
+      // buffered first() SortAggregate): the part + EUROPE-supplier
+      // keys keep a few percent of lineitem pairs, so the dedup
+      // shuffles that fraction instead of the whole table. Identical
+      // result: a pair survives the semi-filters iff it would have
+      // joined, and the attribute joins after the dedup attach exactly
+      // the rows the old distinct-then-join produced.
+      val pairs = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(part.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(supp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .distinct()
       val cand = pairs
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
@@ -180,16 +194,22 @@ object Relational2 {
       val part = t(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#3" && col("p_size").isin(5, 10, 15, 20, 25, 30))
         .select("p_partkey", "p_brand", "p_type", "p_size")
-      // join BEFORE the pair-distinct (round-19, guide §2.3 filter before
-      // the exchange): the broadcast part filter keeps ~11% of lineitem
-      // rows, so the (l_partkey, l_suppkey) dedup shuffles that fraction
-      // instead of the whole table. Identical result: p attrs are
-      // functionally dependent on l_partkey, so one row per surviving
-      // pair carries the same (brand, type, size) the join-after-distinct
-      // produced.
+      // filter BEFORE the pair-distinct (round-19, guide §2.3 filter
+      // before the exchange): the broadcast part filter keeps ~11% of
+      // lineitem rows, so the (l_partkey, l_suppkey) dedup shuffles that
+      // fraction instead of the whole table. Session 2: the filter is a
+      // broadcast SEMI-join on p_partkey and the attributes join AFTER
+      // the dedup — the first form (dropDuplicates after the full
+      // attribute join) dragged the p_brand/p_type strings through the
+      // dedup as a string-buffered first() SortAggregate pair; the
+      // semi-filter keeps it a narrow two-long HashAggregate. Identical
+      // result: a pair survives the semi-filter iff it would have
+      // joined, and p attrs are functionally dependent on l_partkey.
       t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(part.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .distinct()
         .join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .dropDuplicates("l_partkey", "l_suppkey")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
