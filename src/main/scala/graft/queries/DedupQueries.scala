@@ -280,8 +280,21 @@ object DedupQueries {
           .cosineSim(col("a_vec"), col("b_vec")) >= threshold)
         .select(col("a_id"), col("b_id"))
         .localCheckpoint()
-      val nTrue = truth.count()
-      val nFound = found.join(truth, Seq("a_id", "b_id"), "left_semi").count()
+      // (nTrue, nFound) in ONE job (round-19 session 2, the recallCounts
+      // fusion shape): hit flags left-joined onto the truth rows and
+      // aggregated in the same pass. Equality with the old
+      // count() + semi-join count(): found is distinct by construction
+      // (neardupLsh ends in .distinct()), so the flag sum counts exactly
+      // the truth rows found would semi-keep.
+      val cRow = truth
+        .join(found.withColumn("h", lit(1L)), Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          // outer coalesce: SUM over ZERO truth rows is null, the old
+          // two-count path returned 0 there (the nTrue == 0 guard below)
+          coalesce(sum(coalesce(col("h"), lit(0L))), lit(0L)).as("n_found"))
+        .head()
+      val nTrue = cRow.getLong(0)
+      val nFound = cRow.getLong(1)
       import s.implicits._
       Seq((p.bands, p.rowsPerBand, nTrue, nFound,
           if (nTrue == 0) 10000L else nFound * 10000L / nTrue,
@@ -321,7 +334,17 @@ object DedupQueries {
     "p_curate" -> ((s, dir) => {
       val d = docs(s, dir)
       val stop = graft.queries.Text.stopSql
-      val quality = d
+      // ONE corpus pass for all three funnel counts (round-19 session 2,
+      // guide §1.2 don't compute things twice): the old three count()
+      // actions evaluated the stop-token quality kernel TWICE (once for
+      // n_after_quality, again under the anti-join for n_after_dedup)
+      // and paid three scheduler round-trips. The quality gate becomes a
+      // flag column, the drop set left-joins on (distinct ids — no row
+      // duplication), and one aggregate reads the funnel. Identical
+      // values: count(q) == the old filter-then-count (a null quality —
+      // n_tok = 0 — fails the filter AND the when()), and q && no-drop
+      // is the anti-join's membership test.
+      val flags = d
         .select(col("doc_id"), col("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           expr(s"size(filter(split(text, ' '), tok -> tok IN $stop))")
@@ -329,13 +352,21 @@ object DedupQueries {
         .withColumn("quality",
           (col("n_stop") / col("n_tok")) * 0.5 +
             least(lit(1.0), col("n_chars") / lit(500.0)) * 0.5)
-        .filter(col("quality") >= 0.5)
-        .select(col("doc_id"))
+        .select(col("doc_id"), (col("quality") >= 0.5).as("q"))
       val dupPairs = defs("d_neardup_minhash")(s, dir) // (a_id, b_id), a < b
       val dropped = dupPairs.select(col("b_id").as("doc_id")).distinct()
-      val kept = quality.join(dropped, Seq("doc_id"), "left_anti")
+        .withColumn("dr", lit(1L))
+      val row = flags.join(dropped, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_input"),
+          // coalesce: SUM over an empty corpus is null where the old
+          // filter-then-count() path returned 0
+          coalesce(sum(when(col("q"), 1L).otherwise(0L)), lit(0L))
+            .as("n_after_quality"),
+          coalesce(sum(when(col("q") && col("dr").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_after_dedup"))
+        .head()
       import s.implicits._
-      Seq((d.count(), quality.count(), kept.count()))
+      Seq((row.getLong(0), row.getLong(1), row.getLong(2)))
         .toDF("n_input", "n_after_quality", "n_after_dedup")
     }),
 

@@ -835,10 +835,18 @@ object Hnsw {
       val dead = vectorsDf(s, dir)
         .filter(element_at(col("vec"), 1) > 0.0f).select(col("id"))
       val tombed = HnswRouted.delete(base, dead)
-      val audit = HnswRouted.mergedCellAudit(tombed, minCellRows = 16).cache()
-      val audited = audit.count()
-      val flagged = audit.filter(col("merged")).count()
-      audit.unpersist(blocking = false)
+      // (audited, flagged) in ONE job (round-19 session 2, the
+      // recallCounts fusion shape) — the cache + two count() actions
+      // paid a second scheduler round-trip for a sum the first pass
+      // already saw. coalesce: SUM over zero cells is null where the
+      // old filter-count returned 0.
+      val aRow = HnswRouted.mergedCellAudit(tombed, minCellRows = 16)
+        .agg(count(lit(1)).as("n_audited"),
+          coalesce(sum(when(col("merged"), 1L).otherwise(0L)), lit(0L))
+            .as("n_flagged"))
+        .head()
+      val audited = aRow.getLong(0)
+      val flagged = aRow.getLong(1)
       val (rem, _) = HnswRouted.remediateMergedCells(tombed,
         minCellRows = 16, persist = false, unpersistPrior = false)
       import s.implicits._
