@@ -92,9 +92,14 @@ object HnswDurable {
     val pairEnc = ExpressionEncoder[(Long, Array[Float])]()
 
     // The vector table is read by every frontier round, every batch join
-    // and every upper-vector lookup — pin it for the whole ingest. (At
-    // cluster scale this is a distributed cache of the id+vec projection,
-    // spilling to disk; it never lands on the driver.)
+    // and every upper-vector lookup — pin it for the whole ingest. A flat
+    // (unpartitioned) pin is the right layout at EVERY scale here:
+    // construction batches are capped at cfg.maxBatch (4096) rows, so the
+    // frontier side of each round's distance join always broadcasts and
+    // the pinned table streams through with zero exchanges (the
+    // searchLayer0 size-adaptive layout note). (At cluster scale this is
+    // a distributed cache of the id+vec projection, spilling to disk; it
+    // never lands on the driver.)
     val vecs = allVectors.select(col("id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -52,6 +52,15 @@ object HnswFrontier {
     searchLayer0(links, vectors, queries, entrySeeds, k, ef, metricName, maxRounds)
   }
 
+  /** True when the query batch is too large for its frontier to
+    * broadcast — the regime where per-round joins plan as sort-merge and
+    * shuffle volume (not per-round scheduling latency) is the cost. */
+  private def bulkRegime(queries: DataFrame): Boolean = {
+    val conf = queries.sparkSession.sessionState.conf
+    val t = conf.autoBroadcastJoinThreshold
+    t <= 0 || queries.queryExecution.optimizedPlan.stats.sizeInBytes > t
+  }
+
   /** Layer-0 frontier search from caller-supplied seeds (qid, id) — the
     * shared tail of [[search]] and the durable build's phase 1, whose
     * seeds are the construction beam exiting layer 1 rather than a greedy
@@ -67,21 +76,45 @@ object HnswFrontier {
     // every round joins against the adjacency and the vector table — pin
     // both for the loop (unpersisted after: the returned frame derives
     // only from the final localCheckpoint'd frame, never re-reading
-    // either). Caching vectors turns R rounds of distance joins into one
-    // scan + R local probes — at cluster scale the reuse is what keeps
-    // the frontier loop from re-reading the corpus every barrier.
-    val layer0 = links.filter(col("layer") === 0)
-      .select(col("src"), col("links"))
+    // either). Cache LAYOUT is size-adaptive (round 20): when the query
+    // batch is small enough that the frontier side broadcasts, the cached
+    // tables stream through every per-round BroadcastHashJoin with ZERO
+    // exchanges — a flat cache is optimal and pre-partitioning would add
+    // two full-table shuffle+sorts to the fill for nothing (measured
+    // +~1 s/call at sf0.1, FrontierAbProbe interleaved min-of-4:
+    // flat 3.65 s vs prepart 4.64 s). When the batch is too big to
+    // broadcast (bulk serving at the decade), every round plans a
+    // sort-merge join and an unpartitioned cache would re-exchange and
+    // re-sort the FULL index table each round — R x |index| shuffled
+    // bytes; pre-partitioning + pre-sorting the cache on the join key
+    // moves that to the fill, once, and rounds shuffle only the
+    // frontier-sized side. The partition count is explicit —
+    // repartition(col) alone is AQE-coalesced to ONE partition on small
+    // input, serializing every downstream join (measured round 19).
+    val spark0 = links.sparkSession
+    val np = spark0.sparkContext.defaultParallelism
+    // probe escape hatch (FrontierAbProbe): -Dgraft.frontier.prepart
+    // forces one layout for same-JVM A/B runs
+    val prepart = sys.props.get("graft.frontier.prepart").map(_.toBoolean)
+      .getOrElse(bulkRegime(queries))
+    if (sys.env.contains("GRAFT_FRONTIER_DEBUG"))
+      System.err.println(s"frontier cache layout: prepart=$prepart")
+    def keyed(df: DataFrame, key: String): DataFrame =
+      if (prepart) df.repartition(np, col(key)).sortWithinPartitions(key)
+      else df
+    val layer0 = keyed(links.filter(col("layer") === 0)
+      .select(col("src"), col("links")), "src")
       .cache()
     // skip the cache when the caller already persisted the vector table
-    // (HnswDurable pins it for the whole ingest — re-caching here would
-    // materialize a second full copy per micro-batch); the projection
-    // still reads through the caller's InMemoryRelation
+    // partitioned this way (HnswDurable pins it for the whole ingest —
+    // re-caching here would materialize a second full copy per
+    // micro-batch); the projection still reads through the caller's
+    // InMemoryRelation
     val vecsCachedHere =
       vectors.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val vecs = {
       val projected = vectors.select(col("id"), col("vec"))
-      if (vecsCachedHere) projected.cache() else projected
+      if (vecsCachedHere) keyed(projected, "id").cache() else projected
     }
 
     val qvecs = queries.select(col("qid"), col("qvec"))
