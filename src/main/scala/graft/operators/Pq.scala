@@ -184,7 +184,12 @@ object Pq {
                             queries: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
     import org.apache.spark.sql.expressions.Window
-    val mat = coarse.localCheckpoint(true)
+    // LAZY checkpoint + count in ONE job (round-20, the frontier-loop
+    // round-19 trick): the eager checkpoint ran a materialization job and
+    // the shape-picking count ran a second job over the same blocks; the
+    // count below is the materializing action, and every later read
+    // (both join sides) still hits the checkpointed blocks.
+    val mat = coarse.localCheckpoint(false)
     val side = if (mat.count() <= BroadcastCandidateMax) broadcast(mat) else mat
     side
       .join(vectors, "id")

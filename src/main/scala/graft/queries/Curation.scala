@@ -93,13 +93,28 @@ object Curation {
   /** Distinct 5-token shingles per doc — the decontamination unit. Word
     * n-grams (not char shingles): contamination checks ask "does a train
     * doc contain an eval PHRASE", and 5 tokens is the conventional
-    * overlap window. */
-  private def wordShingles(s: SparkSession, dir: String): DataFrame =
-    // spread (round-19): the 5-gram explode + concat kernel on the
-    // single-split docs scan ran on one core; identity at real scale
-    Tables.spread(docs(s, dir))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(fiveGramExpr)).as("ngram"))
+    * overlap window. Memoized to parquet (round-20, the sourceShingles
+    * discipline): t_contamination and p_train_mix each re-ran the
+    * corpus-wide explode + concat kernel per serve (~12 s of task time
+    * at sf0.1 inside p_train_mix alone); it is the same corpus-layout
+    * artifact class, built once per dir and ledgered to one_time_s. */
+  private val wordShingleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wordShingles(s: SparkSession, dir: String): DataFrame = {
+    val path = wordShingleCache.computeIfAbsent(dir, { _ =>
+      graft.BuildLedger.timed("word_shingles") {
+        val out = graft.TempDirs.create("graft_wshingles_")
+        // spread (round-19): the 5-gram explode + concat kernel on the
+        // single-split docs scan ran on one core; identity at real scale
+        Tables.spread(docs(s, dir))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(fiveGramExpr)).as("ngram"))
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+    })
+    s.read.parquet(path)
+  }
 
   /** Memoized distinct (source, 5-gram) universe — the corpus-layout
     * artifact BOTH source-overlap rows read (the exact xxhash64 row and

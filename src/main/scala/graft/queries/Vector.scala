@@ -77,6 +77,20 @@ object Vector {
     s.read.parquet(path)
   }
 
+  /** Memoized trained quantizer models (round-20): Pq/Ivf/Sq8 training
+    * is a deterministic one-time BUILD (driver Lloyd over a collected
+    * sample — 1-2 Spark jobs plus up to ~0.5 s of single-thread driver
+    * CPU) that v_knn_ivf, v_recall_ivf, v_recall_pq, v_recall_sq8 and
+    * v_recall_ivfpq each re-ran on every serve. Same discipline as
+    * exactTruthIds/rprojProjections: keyed on every model-distinguishing
+    * parameter, ledgered to one_time_s. Models are tiny driver objects
+    * (<= 64 KB), so the memo holds them directly. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoModel[A <: AnyRef](key: String, label: String)(f: => A): A =
+    modelCache.computeIfAbsent(key, _ => graft.BuildLedger.timed(label)(f))
+      .asInstanceOf[A]
+
   /** Shared recall-report shape (the h_recall_ann pattern): intersect an
     * approximate top-k with the exact one, emit a 1-row summary with
     * recall in basis points. */
@@ -90,15 +104,20 @@ object Vector {
     // per construction) and approx is made distinct defensively, so the
     // flag sum is the intersect cardinality and count(1) over exact is
     // the old exactIds.count().
+    // n_queries from the SAME aggregate (round-20, one job fewer): the
+    // exact side is brute-force top-k over the identical queries frame,
+    // so every qid appears in it (a non-empty corpus yields >= 1 row per
+    // query) and countDistinct(qid) there equals qs.count().
     val row = exact.select(col("qid"), col("id"))
       .join(approx.select(col("qid"), col("id")).distinct()
         .withColumn("h", lit(1L)), Seq("qid", "id"), "left")
       .agg(count(lit(1)).as("expected"),
-        sum(coalesce(col("h"), lit(0L))).as("hits"))
+        sum(coalesce(col("h"), lit(0L))).as("hits"),
+        countDistinct(col("qid")).as("nq"))
       .head()
     val expected = row.getLong(0)
     val hits = row.getLong(1)
-    val nq = qs.count()
+    val nq = row.getLong(2)
     import s.implicits._
     Seq((nq, expected, hits, hits * 10000L / expected))
       .toDF("n_queries", "n_expected", "n_hit", "recall_bp")
@@ -145,7 +164,8 @@ object Vector {
     "v_knn_ivf" -> ((s, dir) => {
       import graft.operators.Ivf
       val vecs = vectorsDf(s, dir)
-      val model = Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L)
+      val model = memoModel(s"$dir|ivf|cosine|16|11", "ivf_train")(
+        Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L))
       Ivf.search(queriesDf(s, dir), vecs, model, k = 10, nProbe = 16)
         .select(col("qid"), col("id"), col("rank"))
         .orderBy(col("qid"), col("rank"))
@@ -159,7 +179,8 @@ object Vector {
       import graft.operators.Ivf
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
-      val model = Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L)
+      val model = memoModel(s"$dir|ivf|cosine|16|11", "ivf_train")(
+        Ivf.train(vecs, nCells = 16, metric = "cosine", seed = 11L))
       recallReport(s, qs,
         Ivf.search(qs, vecs, model, k = 10, nProbe = 8),
         exactTruthIds(s, dir, "cosine", 10))
@@ -175,7 +196,8 @@ object Vector {
       import graft.operators.Pq
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
-      val model = Pq.train(vecs, seed = 13L)
+      val model = memoModel(s"$dir|pq|13", "pq_train")(
+        Pq.train(vecs, seed = 13L))
       recallReport(s, qs,
         Pq.search(qs, vecs, model, k = 10, candidates = 100),
         exactTruthIds(s, dir, "l2", 10))
@@ -190,7 +212,7 @@ object Vector {
       import graft.operators.Sq8
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
-      val model = Sq8.train(vecs)
+      val model = memoModel(s"$dir|sq8", "sq8_train")(Sq8.train(vecs))
       recallReport(s, qs,
         Sq8.search(qs, vecs, model, k = 10, candidates = 100),
         exactTruthIds(s, dir, "l2", 10))
@@ -224,8 +246,10 @@ object Vector {
       import graft.operators.{Ivf, Pq}
       val vecs = vectorsDf(s, dir)
       val qs = queriesDf(s, dir)
-      val ivfModel = Ivf.train(vecs, nCells = 16, metric = "l2", seed = 11L)
-      val pqModel = Pq.train(vecs, seed = 13L)
+      val ivfModel = memoModel(s"$dir|ivf|l2|16|11", "ivf_train")(
+        Ivf.train(vecs, nCells = 16, metric = "l2", seed = 11L))
+      val pqModel = memoModel(s"$dir|pq|13", "pq_train")(
+        Pq.train(vecs, seed = 13L))
       recallReport(s, qs,
         Pq.searchIvfPq(qs, vecs, ivfModel, pqModel,
           k = 10, nProbe = 8, candidates = 100),
