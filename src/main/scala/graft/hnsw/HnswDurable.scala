@@ -287,7 +287,8 @@ object HnswDurable {
       val beam0 = HnswFrontier.searchLayer0(
         linksNow, vecs, queries0, seeds0,
         k = m0, ef = params.getEfConstrInsert(0), metricName = cfg.metric,
-        maxRounds = math.min(maxRounds, ConstructionRoundCap))
+        maxRounds = math.min(maxRounds, ConstructionRoundCap),
+        bulkLayout = Some(false))
       val links0 = beam0
         .groupBy(col("qid"))
         .agg(expr("transform(array_sort(collect_list(struct(dist AS dist, id AS dst)))," +

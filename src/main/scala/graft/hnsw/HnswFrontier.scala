@@ -65,9 +65,20 @@ object HnswFrontier {
     * shared tail of [[search]] and the durable build's phase 1, whose
     * seeds are the construction beam exiting layer 1 rather than a greedy
     * descent. Layer 0 is only ever touched through distributed joins. */
+  /** @param bulkLayout Some(b) pins the cache layout (see the layout
+    *                    note below); None derives it from the query
+    *                    batch's planner size estimate. HnswDurable's
+    *                    construction passes Some(false): its batches are
+    *                    capped at cfg.maxBatch rows — always broadcast-
+    *                    sized — while the batch frame's JOIN-derived
+    *                    stats overestimate wildly before the cache
+    *                    materializes (measured round 20: the estimate
+    *                    flipped the build to the pre-partitioned layout
+    *                    and paid two pointless full-table fills). */
   def searchLayer0(links: DataFrame, vectors: DataFrame, queries: DataFrame,
                    seeds: DataFrame, k: Int, ef: Int,
-                   metricName: String, maxRounds: Int = 30): DataFrame = {
+                   metricName: String, maxRounds: Int = 30,
+                   bulkLayout: Option[Boolean] = None): DataFrame = {
     // the beam must be at least k wide: a node dropped from the beam is
     // gone for good, so returning ranks beyond the beam width would
     // surface arbitrary last-round rejects instead of true neighbors
@@ -96,6 +107,7 @@ object HnswFrontier {
     // probe escape hatch (FrontierAbProbe): -Dgraft.frontier.prepart
     // forces one layout for same-JVM A/B runs
     val prepart = sys.props.get("graft.frontier.prepart").map(_.toBoolean)
+      .orElse(bulkLayout)
       .getOrElse(bulkRegime(queries))
     if (sys.env.contains("GRAFT_FRONTIER_DEBUG"))
       System.err.println(s"frontier cache layout: prepart=$prepart")

@@ -48,11 +48,29 @@ object PrefixSum {
     require(!df.columns.contains("__ps_offset") && !df.columns.contains("pid"),
       "input frame must not carry reserved columns pid/__ps_offset")
     val spark = df.sparkSession
+    // Scale-adaptive partition count (round-20, guide §2): an explicit
+    // repartitionByRange is never AQE-coalesced, so a parallelism-sized
+    // count over a small frame pays numPartitions near-empty tasks in
+    // EVERY downstream stage (range sample, checkpoint, totals, the
+    // caller's window — measured 136-task / 12-job rows at sf0.1).
+    // Derive the count from the planner's size estimate at the session's
+    // advisory partition size, capped by the caller's value — identical
+    // at scale (estimate >> advisory), small frames collapse to one
+    // partition. Results are partitioning-invariant by the contract
+    // above (prefix over a total order).
+    val advisory = math.max(1L, spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val effParts = math.max(1, math.min(numPartitions.toLong,
+      (est / advisory + 1).min(Int.MaxValue).toLong).toInt)
+    // LAZY checkpoint: the totals collect right below is the
+    // materializing action (one job instead of checkpoint + collect);
+    // the caller's window still reads the pinned blocks.
     val pinned = df
-      .repartitionByRange(numPartitions, order: _*)
+      .repartitionByRange(effParts, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val totals = pinned.groupBy(col("pid"))
       .agg(sum(weight).cast("long").as("w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
