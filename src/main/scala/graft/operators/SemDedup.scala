@@ -95,10 +95,24 @@ object SemDedup {
     import spark.implicits._
     val found = pairs(vecs, centroids, threshold, idCol, vecCol).cache()
     val nFound = found.count()
-    val nKept = survivors(vecs, found, idCol).count()
+    // n_vectors and n_survivors from ONE aggregate (round-20): dropped
+    // ids are unique (one row per component member), so a left join +
+    // null-flag count equals the old left_anti count, and counting every
+    // row in the same pass replaces the separate vecs.count() job.
+    val comps = ConnectedComponents.run(
+      found.select(col("a_id").as("src"), col("b_id").as("dst")))
+    val dropped = comps.filter(col("id") =!= col("comp"))
+      .select(col("id"), lit(1L).as("__d"))
+    val vRow = vecs.select(col(idCol).cast("long").as("id"))
+      .join(dropped, Seq("id"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__d").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("kept"))
+      .head()
+    val (nVecs, nKept) = (vRow.getLong(0), vRow.getLong(1))
     found.unpersist(blocking = false)
     val recallBp = if (nBrute == 0) 10000L else nFound * 10000L / nBrute
-    Seq((vecs.count(), centroids.length.toLong, nFound, nBrute, recallBp, nKept))
+    Seq((nVecs, centroids.length.toLong, nFound, nBrute, recallBp, nKept))
       .toDF("n_vectors", "n_clusters", "n_pairs_found", "n_pairs_exact",
         "recall_bp", "n_survivors")
   }
