@@ -364,7 +364,10 @@ object Curation {
       val sh = sourceShingles(s, dir)
         .select(col("source"), Kmv.hash48(col("ngram")).as("h"))
         .distinct()
-        .localCheckpoint() // feeds the per-source pass and the shared pass
+        // LAZY: the perSource EAGER checkpoint below is the first action
+        // and materializes these blocks in its own job — one scheduler
+        // round-trip fewer; the shared pass then reads the blocks
+        .localCheckpoint(eager = false)
       // Round-19 (guide §2.3/§2.4): the exact-intersection self-join on h
       // shuffled the full (source, h) universe TWICE and the sizes/sketch
       // aggregations scanned it in two more passes. Fused: ONE
